@@ -1,13 +1,25 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
+  * Each module under graft.queries contributes (name -> Q) pairs; a Q bundles
+  * the Spark plan with its DuckDB oracle SQL (when SQL-expressible).
+  */
 object SparkEntry {
+
+  def all: Seq[(String, Q)] =
+    _root_.graft.queries.Relational.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    all.head._2.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, q) => n -> q.fn }.toMap
+
+  /** DuckDB oracle SQL per query (omitted -> driver does rows-only check). */
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, q) if q.oracle.isDefined => n -> q.oracle.get }.toMap
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A named engine query plus (optionally) the equivalent DuckDB SQL oracle.
+  *
+  * Oracle-hardening conventions (see SURVEY.md §5): money aggregates run
+  * through DECIMAL(18,x) pre-aggregation casts with an explicit DECIMAL(38,x)
+  * final cast on BOTH sides (bit-exact across engines); timestamps are
+  * emitted as unix-microsecond BIGINTs (`unix_micros` / `epoch_us`); every
+  * LIMIT sits on a total deterministic order with a unique-key tiebreak.
+  */
+final case class Q(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+object core {
+  /** Load one of the driver-generated tables from a scale-factor dir. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  val D18_2: DecimalType = DecimalType(18, 2)
+  val D18_4: DecimalType = DecimalType(18, 4)
+  val D18_6: DecimalType = DecimalType(18, 6)
+  val D38_2: DecimalType = DecimalType(38, 2)
+  val D38_4: DecimalType = DecimalType(38, 4)
+  val D38_6: DecimalType = DecimalType(38, 6)
+
+  /** 2-decimal source double -> exact decimal; safe (never rounds at a half). */
+  def dec2(c: Column): Column = c.cast(D18_2)
+  def dec4(c: Column): Column = c.cast(D18_4)
+  val one4: Column = lit(1).cast(D18_4)
+
+  def ts(s: String): Column = lit(s).cast(TimestampType)
+
+  /** Epoch micros from a timestamp column of any flavor (NTZ parquet cols
+    * cast through session-TZ=UTC; equals DuckDB `epoch_us` on naive values). */
+  def micros(c: Column): Column = unix_micros(c.cast(TimestampType))
+
+  /** The events table with `ts` normalized to a micros-precision timestamp.
+    * The driver writes events.ts as parquet TIMESTAMP(NANOS); Spark reads it
+    * as a nanos BIGINT under spark.sql.legacy.parquet.nanosAsLong (set by
+    * Verify/Bench/GraftSession). Nanos are micro-aligned in this data, and
+    * DuckDB also surfaces the column at micros, so `ts DIV 1000` is exact.
+    * Integer DIV, not `/`: epoch nanos (~1.7e18) overflow double precision. */
+  def eventsTable(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+}

@@ -1,0 +1,405 @@
+package graft.queries
+
+import graft.{core, Q}
+import graft.core._
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.2 relational / analytics core. Every query has a DuckDB oracle.
+  *
+  * Declarative DataFrame plans throughout: Catalyst pushes filters/projections
+  * into the parquet scans, AQE picks join strategies at runtime; dimension
+  * tables (region/nation/supplier/band tables) are explicitly broadcast.
+  */
+object Relational {
+
+  private def revenue(s: SparkSession): org.apache.spark.sql.Column = {
+    import s.implicits._
+    dec4($"l_extendedprice") * (one4 - dec4($"l_discount"))
+  }
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+
+  val defs: Seq[(String, Q)] = Seq(
+    "q1_pricing_summary" -> Q(
+      (s, d) => {
+        import s.implicits._
+        table(s, d, "lineitem")
+          .filter($"l_shipdate" <= ts("1998-09-01"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum(dec4($"l_quantity")).cast(D38_4).as("sum_qty"),
+            sum(dec4($"l_extendedprice")).cast(D38_4).as("sum_base_price"),
+            sum(revenue(s)).cast(D38_6).as("sum_disc_price"),
+            sum(revenue(s).cast(D18_6) * (one4 + dec4($"l_tax"))).cast(D38_6).as("sum_charge"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+        CAST(SUM($revenueSql) AS DECIMAL(38,6)) AS sum_disc_price,
+        CAST(SUM(CAST($revenueSql AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS sum_charge,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
+      "TPC-H Q1-style filtered aggregation; decimal-exact sums"),
+
+    "q3_shipping_priority" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val c = table(s, d, "customer").filter($"c_mktsegment" === "BUILDING")
+        val o = table(s, d, "orders").filter($"o_orderdate" < ts("2000-01-01"))
+        val l = table(s, d, "lineitem").filter($"l_shipdate" > ts("2000-01-01"))
+        broadcast(c)
+          .join(o, $"c_custkey" === $"o_custkey")
+          .join(l, $"o_orderkey" === $"l_orderkey")
+          .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+          .agg(sum(revenue(s)).cast(D38_6).as("revenue"))
+          .select($"l_orderkey", micros($"o_orderdate").as("odate_us"),
+            $"o_orderpriority", $"revenue")
+          .orderBy($"revenue".desc, $"l_orderkey")
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, epoch_us(o_orderdate) AS odate_us, o_orderpriority,
+        CAST(SUM($revenueSql) AS DECIMAL(38,6)) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '2000-01-01' AND l_shipdate > TIMESTAMP '2000-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+      "3-way join + group + deterministic top-10"),
+
+    "q5_local_supplier" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val r = table(s, d, "region").filter($"r_name" === "ASIA")
+        val n = table(s, d, "nation")
+        val c = table(s, d, "customer")
+        val o = table(s, d, "orders")
+          .filter($"o_orderdate" >= ts("1997-01-01") && $"o_orderdate" < ts("1999-01-01"))
+        val l = table(s, d, "lineitem")
+        val su = table(s, d, "supplier")
+        broadcast(broadcast(r).join(n, $"r_regionkey" === $"n_regionkey"))
+          .join(c, $"n_nationkey" === $"c_nationkey")
+          .join(o, $"c_custkey" === $"o_custkey")
+          .join(l, $"o_orderkey" === $"l_orderkey")
+          .join(broadcast(su), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .groupBy($"n_name")
+          .agg(sum(revenue(s)).cast(D38_6).as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy($"revenue".desc, $"n_name")
+      },
+      Some(s"""SELECT n_name, CAST(SUM($revenueSql) AS DECIMAL(38,6)) AS revenue,
+        COUNT(*) AS n_items
+        FROM region, nation, customer, orders, lineitem, supplier
+        WHERE r_name = 'ASIA' AND r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+      "6-way star join, dims broadcast"),
+
+    "q6_forecast_revenue" -> Q(
+      (s, d) => {
+        import s.implicits._
+        table(s, d, "lineitem")
+          .filter($"l_shipdate" >= ts("1997-01-01") && $"l_shipdate" < ts("1998-01-01") &&
+            $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+          .agg(sum(dec4($"l_extendedprice") * dec4($"l_discount")).cast(D38_6).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS revenue,
+        COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""),
+      "selective filter aggregation; predicates pushed to parquet"),
+
+    "q7_window_rank" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+        table(s, d, "orders")
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .filter($"rn" <= 3)
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+          .orderBy($"o_custkey", $"rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn"""),
+      "top-3 orders per customer via window rank"),
+
+    "q8_running_sum" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_suppkey")
+          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, d, "lineitem")
+          .filter($"l_suppkey" < 10)
+          .withColumn("running_qty", sum(dec4($"l_quantity")).over(w).cast(D38_4))
+          .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+            micros($"l_shipdate").as("ship_us"), $"running_qty")
+          .orderBy($"l_suppkey", $"ship_us", $"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, epoch_us(l_shipdate) AS ship_us,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+          PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_qty
+        FROM lineitem WHERE l_suppkey < 10
+        ORDER BY l_suppkey, ship_us, l_orderkey, l_linenumber"""),
+      "running sum, rows frame, total deterministic order"),
+
+    "q9_distinct_agg" -> Q(
+      (s, d) => {
+        import s.implicits._
+        table(s, d, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(countDistinct($"o_custkey").as("n_cust"), count(lit(1)).as("n_orders"),
+            sum(dec2($"o_totalprice")).cast(D38_2).as("sum_price"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      "multi-distinct aggregation"),
+
+    "q10_semi_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val big = table(s, d, "orders").filter($"o_totalprice" > 400000)
+        table(s, d, "customer")
+          .join(big, $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name", $"c_acctbal")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        ORDER BY c_custkey"""),
+      "EXISTS as left-semi join"),
+
+    "q11_anti_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val big = table(s, d, "orders").filter($"o_totalprice" > 300000)
+        table(s, d, "customer")
+          .join(big, $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        ORDER BY c_custkey"""),
+      "NOT EXISTS as left-anti join"),
+
+    "q12_rollup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val r = table(s, d, "region")
+        val n = table(s, d, "nation")
+        table(s, d, "customer")
+          .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .rollup($"r_name", $"n_name")
+          .agg(count(lit(1)).as("n_cust"), sum(dec2($"c_acctbal")).cast(D38_2).as("sum_bal"))
+          .orderBy($"r_name", $"n_name")
+      },
+      Some("""SELECT r_name, n_name, COUNT(*) AS n_cust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal
+        FROM customer, nation, region
+        WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name, n_name"""),
+      "ROLLUP grouping sets"),
+
+    "q13_case_agg" -> Q(
+      (s, d) => {
+        import s.implicits._
+        table(s, d, "customer")
+          .join(broadcast(table(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(
+            sum(when($"c_acctbal" > 5000, 1L).otherwise(0L)).as("n_rich"),
+            sum(when($"c_acctbal" < 0, 1L).otherwise(0L)).as("n_neg"),
+            count(lit(1)).as("n_cust"))
+          .orderBy($"n_name")
+      },
+      Some("""SELECT n_name,
+        CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rich,
+        CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        COUNT(*) AS n_cust
+        FROM customer, nation WHERE c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name"""),
+      "conditional aggregation"),
+
+    "q14_union_agg" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val c = table(s, d, "customer").select(lit("customer").as("kind"), $"c_acctbal".as("bal"))
+        val su = table(s, d, "supplier").select(lit("supplier").as("kind"), $"s_acctbal".as("bal"))
+        c.unionAll(su)
+          .groupBy($"kind")
+          .agg(count(lit(1)).as("n"), sum(dec2($"bal")).cast(D38_2).as("sum_bal"),
+            min($"bal").as("min_bal"), max($"bal").as("max_bal"))
+          .orderBy($"kind")
+      },
+      Some("""SELECT kind, COUNT(*) AS n,
+        CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal,
+        MIN(bal) AS min_bal, MAX(bal) AS max_bal
+        FROM (SELECT 'customer' AS kind, c_acctbal AS bal FROM customer
+              UNION ALL SELECT 'supplier' AS kind, s_acctbal AS bal FROM supplier) t
+        GROUP BY kind ORDER BY kind"""),
+      "UNION ALL + re-aggregate"),
+
+    "q15_topk_orders" -> Q(
+      (s, d) => {
+        import s.implicits._
+        table(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .limit(100)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
+      "global top-K via TakeOrderedAndProject (no full sort)"),
+
+    "q16_time_bucket" -> Q(
+      (s, d) => {
+        import s.implicits._
+        eventsTable(s, d)
+          .groupBy(date_trunc("hour", $"ts").as("bucket"), $"event_type")
+          .agg(count(lit(1)).as("n"), sum(dec4($"value")).cast(D38_4).as("sum_value"))
+          .select(micros($"bucket").as("bucket_us"), $"event_type", $"n", $"sum_value")
+          .orderBy($"bucket_us", $"event_type")
+      },
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+        COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "hourly time-bucket rollup"),
+
+    "q17_sessionize" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val base = eventsTable(s, d)
+          .select($"user_id", $"event_id", micros($"ts").as("tsu"))
+        val wOrd = Window.partitionBy($"user_id").orderBy($"tsu", $"event_id")
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base
+          .withColumn("prev", lag($"tsu", 1).over(wOrd))
+          .withColumn("is_new",
+            when($"prev".isNull || $"tsu" - $"prev" > 1800000000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum($"is_new").over(wRun))
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"), min($"tsu").as("start_us"), max($"tsu").as("end_us"))
+          .orderBy($"user_id", $"session_id")
+      },
+      Some("""WITH base AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+        flagged AS (
+          SELECT user_id, event_id, tsu,
+            CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+          FROM base WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        sessions AS (
+          SELECT user_id, tsu,
+            CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM flagged)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+          MIN(tsu) AS start_us, MAX(tsu) AS end_us
+        FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id"""),
+      "gaps-and-islands sessionization, 30-min gap"),
+
+    "q18_asof_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val left = eventsTable(s, d)
+          .select($"event_id", $"user_id", micros($"ts").as("tsu"))
+        val right = table(s, d, "orders")
+          .groupBy($"o_custkey", $"o_orderdate")
+          .agg(max($"o_totalprice").as("o_val"))
+          .select($"o_custkey", micros($"o_orderdate").as("otsu"),
+            micros($"o_orderdate").as("asof_ts_us"), $"o_val")
+        AsOfJoin.leftAsOf(left, right, "user_id", "o_custkey", "tsu", "otsu",
+            Seq("asof_ts_us", "o_val"))
+          .select($"event_id", $"user_id", $"tsu", $"asof_ts_us", $"o_val")
+          .orderBy($"event_id")
+      },
+      Some("""WITH r AS (
+          SELECT o_custkey AS k, epoch_us(o_orderdate) AS otsu, MAX(o_totalprice) AS o_val
+          FROM orders GROUP BY 1, 2),
+        l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events)
+        SELECT l.event_id, l.user_id, l.tsu, r.otsu AS asof_ts_us, r.o_val
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.k AND l.tsu >= r.otsu
+        ORDER BY l.event_id"""),
+      "as-of join: single-shuffle union+window plan (operators.AsOfJoin)"),
+
+    "q19_range_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val bands = s.createDataFrame(Seq(
+          (0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 51.0, "high")))
+          .toDF("lo", "hi", "band")
+        table(s, d, "lineitem")
+          .join(broadcast(bands), $"l_quantity" >= $"lo" && $"l_quantity" < $"hi")
+          .groupBy($"band")
+          .agg(count(lit(1)).as("n"), sum(dec4($"l_quantity")).cast(D38_4).as("sum_qty"),
+            sum(revenue(s)).cast(D38_6).as("band_revenue"))
+          .orderBy($"band")
+      },
+      Some(s"""SELECT band, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+        CAST(SUM($revenueSql) AS DECIMAL(38,6)) AS band_revenue
+        FROM lineitem JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'), (25.0, 51.0, 'high'))
+          AS b(lo, hi, band) ON l_quantity >= lo AND l_quantity < hi
+        GROUP BY band ORDER BY band"""),
+      "band/range join against a broadcast interval table"),
+
+    "q20_pivot" -> Q(
+      (s, d) => {
+        import s.implicits._
+        eventsTable(s, d)
+          .groupBy($"user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id,
+        CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+      "pivot event_type -> columns (explicit value list keeps plan one-pass)"),
+
+    "freq_tokens_topk" -> Q(
+      (s, d) => {
+        import s.implicits._
+        table(s, d, "documents")
+          .select(explode(regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0))).as("token"))
+          .groupBy($"token")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"token")
+          .limit(50)
+      },
+      Some("""SELECT token, COUNT(*) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token FROM documents) t
+        GROUP BY token ORDER BY cnt DESC, token LIMIT 50"""),
+      "exact frequent items over exploded tokens"),
+
+    "approx_distinct" -> Q(
+      (s, d) => {
+        import s.implicits._
+        eventsTable(s, d)
+          .agg(approx_count_distinct($"user_id").as("approx_users"),
+            approx_count_distinct($"event_id").as("approx_events"))
+      },
+      None, // HLL sketch: not bit-reproducible in SQL; error-bound spec instead
+      "HLL approximate distinct (error-bound checked in ApproxSpec)")
+  )
+}

@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local strict oracle checker (driver-equivalent, but stricter).
+
+Runs each oracle SQL from <outDir>/oracle_sql.json in DuckDB against the
+sf tables, loads my Spark parquet output, sorts columns by name, sorts rows,
+and compares values EXACTLY (incl. dtypes via pyarrow schema). If this
+passes, any looser driver compare passes too.
+
+Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import sys, json, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(rows, cols):
+    # sort columns by name; rows by stringified tuple
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, repr(x)) for x in t))
+    return [cols[i] for i in order], out
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        path = f"{outdir}/{name}"
+        files = glob.glob(f"{path}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        mine = pq.read_table(path)
+        try:
+            ref = con.sql(oracle[name]).arrow()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+        mc, mrows = canon([tuple(d[c] for c in mine.column_names) for d in mine.to_pylist()], list(mine.column_names))
+        rc, rrows = canon([tuple(d[c] for c in ref.column_names) for d in ref.to_pylist()], list(ref.column_names))
+        if mc != rc:
+            print(f"FAIL {name}: columns {mc} vs {rc}"); n_fail += 1; continue
+        # dtype check (sorted by name)
+        mtypes = {f.name: str(f.type) for f in mine.schema}
+        rtypes = {f.name: str(f.type) for f in ref.schema}
+        tmism = {c: (mtypes[c], rtypes[c]) for c in mc if mtypes[c] != rtypes[c]}
+        if len(mrows) != len(rrows):
+            print(f"FAIL {name}: rowcount {len(mrows)} vs {len(rrows)}"); n_fail += 1; continue
+        bad = None
+        for i, (a, b) in enumerate(zip(mrows, rrows)):
+            if a != b:
+                bad = (i, a, b); break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]}:\n  mine={bad[1]}\n  ref ={bad[2]}"); n_fail += 1; continue
+        note = f" [dtype diff: {tmism}]" if tmism else ""
+        print(f"PASS {name}: {len(mrows)} rows{note}")
+        n_pass += 1
+    # queries with no oracle: rows-only
+    for d in sorted(os.listdir(outdir)):
+        p = os.path.join(outdir, d)
+        if os.path.isdir(p) and d not in oracle:
+            n = pq.read_table(p).num_rows
+            print(f"ROWS {d}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
