@@ -9,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def all: Seq[(String, Q)] =
-    _root_.graft.queries.Relational.defs
+    _root_.graft.queries.Relational.defs ++
+      _root_.graft.queries.Ingestion.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

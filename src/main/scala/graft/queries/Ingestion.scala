@@ -1,0 +1,199 @@
+package graft.queries
+
+import graft.{core, Q}
+import graft.core._
+import graft.operators.Upsert
+import graft.sinks.GraftTableWriter
+import graft.sources.{ShardedIngest, TypedIngest}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.1 ingestion & CDC — the reference's own pipeline surface, re-expressed
+  * Spark-first, driven against the `events`/`orders` test tables.
+  */
+object Ingestion {
+
+  /** Per-shard consumed offsets, as if checkpointed from a prior poll cycle
+    * (the reference's Flink ValueState, SnowflakeProcessFunction.java:33). */
+  private val demoOffsets: Map[String, Long] =
+    Map("click" -> 500L, "view" -> 500L, "error" -> 50L, "purchase" -> 100L, "signup" -> 100L)
+
+  private def offsetsCaseSql: String =
+    "CASE " + demoOffsets.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN event_type = '$k' THEN $v" }
+      .mkString(" ") + " ELSE 0 END"
+
+  /** Typed target schema for the staged (all-string) events source. */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The reference's AVDL-style schema for the events table (typed variant;
+    * the AVDL in the reference stages everything as string — see
+    * snapshot_ingest_typed for that path). */
+  val eventsAvroJson: String =
+    """{"type":"record","name":"Events","fields":[
+      {"name":"event_id","type":"long"},
+      {"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}},
+      {"name":"user_id","type":"long"},
+      {"name":"event_type","type":"string"},
+      {"name":"value","type":"double"},
+      {"name":"props","type":["null","string"]}]}"""
+
+  private def tmp(name: String) = s"/tmp/graft_tables/$name"
+
+  private val ordersOutSql =
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, epoch_us(o_orderdate) AS odate_us, o_orderpriority"
+
+  private def ordersOut(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+      micros($"o_orderdate").as("odate_us"), $"o_orderpriority")
+  }
+
+  val defs: Seq[(String, Q)] = Seq(
+    "shard_discovery" -> Q(
+      (s, d) => ShardedIngest.discoverShards(eventsTable(s, d), "event_type")
+        .orderBy("event_type"),
+      Some("SELECT DISTINCT event_type FROM events ORDER BY event_type"),
+      "ColumnSource.java:47 — distinct shard values"),
+
+    "sharded_page_read" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val base = eventsTable(s, d)
+          .select($"event_id", $"event_type", micros($"ts").as("tsu"))
+        ShardedIngest.page(base, "event_type", Seq("tsu", "event_id"), Map.empty, 500L)
+          .orderBy($"event_type", $"page_rn")
+      },
+      Some("""SELECT event_id, event_type, tsu, page_rn FROM (
+        SELECT event_id, event_type, epoch_us(ts) AS tsu,
+          row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS page_rn
+        FROM events) t WHERE page_rn <= 500 ORDER BY event_type, page_rn"""),
+      "first polling page per shard (LIMIT 500 OFFSET 0)"),
+
+    "incremental_offset_read" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val base = eventsTable(s, d)
+          .select($"event_id", $"event_type", micros($"ts").as("tsu"))
+        ShardedIngest.page(base, "event_type", Seq("tsu", "event_id"), demoOffsets, 400L)
+          .orderBy($"event_type", $"page_rn")
+      },
+      Some(s"""SELECT event_id, event_type, tsu, page_rn FROM (
+        SELECT event_id, event_type, epoch_us(ts) AS tsu,
+          row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS page_rn
+        FROM events) t
+        WHERE page_rn > ($offsetsCaseSql) AND page_rn <= ($offsetsCaseSql) + 400
+        ORDER BY event_type, page_rn"""),
+      "incremental page beyond checkpointed per-shard offsets"),
+
+    "snapshot_ingest_typed" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val ev = eventsTable(s, d)
+        val staged = ev.select(ev.columns.toSeq.map(c => col(c).cast(StringType).as(c)): _*)
+        TypedIngest(staged, eventsSchema)
+          .select($"event_id", micros($"ts").as("tsu"), $"user_id", $"event_type",
+            $"value", $"props")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS tsu, user_id, event_type, value, props
+        FROM events ORDER BY event_id"""),
+      "all-string staged source -> typed schema (lossless roundtrip)"),
+
+    "avro_schema_read" -> Q(
+      (s, d) => {
+        import s.implicits._
+        TypedIngest.fromAvro(eventsTable(s, d), eventsAvroJson)
+          .select($"event_id", micros($"ts").as("tsu"), $"user_id", $"event_type",
+            $"value", $"props")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS tsu, user_id, event_type, value, props
+        FROM events ORDER BY event_id"""),
+      "Avro-schema-driven projection (AvroSchemaConverter)"),
+
+    "cdc_latest_by_key" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val o = table(s, d, "orders")
+        val v1 = o.withColumn("version", lit(1L))
+        val v2 = o.filter($"o_orderkey" % 10 === 0)
+          .withColumn("version", lit(2L))
+          .withColumn("o_totalprice", $"o_totalprice" * 1.1)
+        Upsert.latestByKey(v1.unionByName(v2), Seq("o_orderkey"), Seq($"version".desc))
+          .select($"o_orderkey", $"version", $"o_totalprice", $"o_orderstatus")
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH cdc AS (
+          SELECT o_orderkey, CAST(1 AS BIGINT) AS version, o_totalprice, o_orderstatus FROM orders
+          UNION ALL
+          SELECT o_orderkey, CAST(2 AS BIGINT) AS version, o_totalprice * 1.1, o_orderstatus
+          FROM orders WHERE o_orderkey % 10 = 0)
+        SELECT o_orderkey, version, o_totalprice, o_orderstatus FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+          FROM cdc) t WHERE rn = 1 ORDER BY o_orderkey"""),
+      "CDC compaction: latest version per key"),
+
+    "upsert_merge" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val base = table(s, d, "orders")
+        val upd = base.filter($"o_orderkey" % 100 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+        ordersOut(Upsert.upsert(base, upd, Seq("o_orderkey"))).orderBy($"o_orderkey")
+      },
+      Some(s"""SELECT $ordersOutSql FROM orders WHERE o_orderkey % 100 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'U', o_totalprice + 1000.0,
+          epoch_us(o_orderdate), o_orderpriority
+        FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey"""),
+      "Iceberg-style equality-field upsert (IcebergSinkBuilder.java:40)"),
+
+    "append_readback" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val p = tmp("append_readback")
+        GraftTableWriter.drop(s, p)
+        val o = table(s, d, "orders")
+        GraftTableWriter.append(o.filter($"o_orderkey" % 2 === 0), p)
+        GraftTableWriter.append(o.filter($"o_orderkey" % 2 =!= 0), p)
+        ordersOut(GraftTableWriter.read(s, p)).orderBy($"o_orderkey")
+      },
+      Some(s"SELECT $ordersOutSql FROM orders ORDER BY o_orderkey"),
+      "append sink: two appends reassemble the table"),
+
+    "overwrite_readback" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val p = tmp("overwrite_readback")
+        GraftTableWriter.drop(s, p)
+        val o = table(s, d, "orders")
+        GraftTableWriter.append(o, p)
+        GraftTableWriter.overwrite(o.filter($"o_totalprice" > 250000), p)
+        ordersOut(GraftTableWriter.read(s, p)).orderBy($"o_orderkey")
+      },
+      Some(s"""SELECT $ordersOutSql FROM orders WHERE o_totalprice > 250000
+        ORDER BY o_orderkey"""),
+      "overwrite sink replaces table contents"),
+
+    "partitioned_write_readback" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val p = tmp("partitioned_write_readback")
+        GraftTableWriter.drop(s, p)
+        GraftTableWriter.overwrite(eventsTable(s, d), p, partitions = Seq("event_type"))
+        GraftTableWriter.read(s, p)
+          .filter($"event_type" === "click") // prunes to the click/ directory
+          .select($"event_id", $"user_id", $"value", micros($"ts").as("tsu"), $"event_type")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id, value, epoch_us(ts) AS tsu, event_type
+        FROM events WHERE event_type = 'click' ORDER BY event_id"""),
+      "identity-partitioned write (IcebergTableManager.java:77) + pruned read")
+  )
+}

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Spark-first re-expression of the reference's sharded incremental source.
+  *
+  * The reference (ColumnSource.java:44-56) polls `SELECT DISTINCT shard FROM t`
+  * and fans each shard value out to a KeyedProcessFunction that pages with
+  * `... WHERE shard=? ORDER BY sortCol LIMIT size OFFSET state` and keeps the
+  * per-shard offset in Flink ValueState (SnowflakeProcessFunction.java:88-122).
+  *
+  * Here the whole poll cycle is ONE declarative plan: a row_number window
+  * partitioned by the shard column (single shuffle — the exact analogue of
+  * Flink's keyBy) filtered against a broadcast offset map. Page extraction,
+  * offset filtering and downstream projection all fuse into the same
+  * whole-stage-codegen span. The offset map is O(shards) and lives in the
+  * plan as a literal — never shuffled, checkpointable as JSON.
+  */
+object ShardedIngest {
+
+  /** Distinct shard values (the reference's ColumnSource poll). */
+  def discoverShards(df: DataFrame, shardCol: String): DataFrame =
+    df.select(shardCol).distinct()
+
+  /** One polling page per shard: rows with per-shard rank in
+    * (offset, offset + pageSize], ranked by `sortCols` (must form a total
+    * order within a shard for deterministic paging). Missing shards start at
+    * offset 0. Emits the rank as `page_rn`.
+    */
+  def page(
+      df: DataFrame,
+      shardCol: String,
+      sortCols: Seq[String],
+      offsets: Map[String, Long],
+      pageSize: Long): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(sortCols.map(col): _*)
+    val off =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offsets), col(shardCol)), lit(0L))
+    df.withColumn("page_rn", row_number().over(w).cast(LongType))
+      .withColumn("__off", off)
+      .filter(col("page_rn") > col("__off") && col("page_rn") <= col("__off") + pageSize)
+      .drop("__off")
+  }
+
+  /** Advance the offset state after a page read: offset' = offset + rows
+    * actually read (the reference's `offset += rowCount`,
+    * SnowflakeProcessFunction.java:113). Collects O(shards) counts only.
+    */
+  def nextOffsets(
+      pageResult: DataFrame,
+      shardCol: String,
+      prior: Map[String, Long]): Map[String, Long] = {
+    val counts = pageResult
+      .groupBy(col(shardCol)).agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    (prior.keySet ++ counts.keySet)
+      .map(k => k -> (prior.getOrElse(k, 0L) + counts.getOrElse(k, 0L)))
+      .toMap
+  }
+}
