@@ -1,0 +1,255 @@
+package graft.queries
+
+import graft.Q
+import graft.core._
+import graft.functions._
+import graft.operators.NearDup
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.3 (deduplication) + §2.5 (text analysis & multimodal) — the
+  * training-data pipeline surface over the `documents` table.
+  *
+  * Oracle-hardening: every regex/normalization expression is written once in
+  * a Java/RE2-compatible dialect and mirrored verbatim in the DuckDB SQL;
+  * counts are emitted as BIGINT on both sides; doubles only arise from the
+  * identical single division of identical integers.
+  */
+object TrainingData {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+
+  /** The corpus plus a re-ingested copy of itself (ids offset by 1e6) — the
+    * standard dedup scenario; the raw table has no exact duplicates. */
+  private def reIngested(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    base.union(base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+  private val reIngestedSql =
+    "SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents"
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** DuckDB mirror of [[NearDup.wordShingles3]]. */
+  private val shinglesCte =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+        i -> coalesce(w[i],'') || ' ' || coalesce(w[i+1],'') || ' ' || coalesce(w[i+2],''))) AS s FROM tok)"""
+
+  /** Exact all-pairs word-3-gram Jaccard ≥ 0.5 (cross join is fine for the
+    * oracle at sf0.01; the engine side uses the inverted index). */
+  private val jaccardPairsSql =
+    s"""$shinglesCte
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        len(list_intersect(a.s, b.s)) AS n_common,
+        len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS n_union,
+        len(list_intersect(a.s, b.s))::DOUBLE
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+      ORDER BY id_a, id_b"""
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "that")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "von", "mit", "ein")
+  private val stopFr = Seq("le", "la", "les", "de", "et", "un", "est", "dans")
+  private val stopEs = Seq("el", "las", "los", "y", "una", "es", "por", "como")
+  private val stopZh = Seq("de", "shi", "le", "zai", "he", "you", "wo", "ni")
+
+  private def stopCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words: _*))).cast("long")
+  private def stopCountSql(words: Seq[String]): String =
+    s"len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), t -> list_contains(${words.mkString("['", "','", "']")}, t)))"
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // ---- §2.3 deduplication ------------------------------------------------
+
+    "dedup_exact" -> Q(
+      (s, d) => reIngested(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(md5(col("text")).as("text_hash"), col("keep_id"), col("n_copies")),
+      Some(s"""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM ($reIngestedSql) GROUP BY text"""),
+      "Exact dedup over a re-ingested corpus: hash-groupBy on content, keep min id. " +
+        "At scale, group on the 128-bit content hash instead of the full text to keep shuffle rows narrow."),
+
+    "dedup_normalized" -> Q(
+      (s, d) => reIngested(s, d)
+        .withColumn("norm", normalize_text(col("text")))
+        .groupBy(col("norm"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(md5(col("norm")).as("norm_hash"), col("keep_id"), col("n_copies")),
+      Some(s"""SELECT md5(norm) AS norm_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM (SELECT doc_id, $normSql AS norm FROM ($reIngestedSql)) GROUP BY norm"""),
+      "Dedup after lower/strip-punct/collapse-whitespace normalization."),
+
+    "doc_fingerprint" -> Q(
+      (s, d) => docs(s, d)
+        .withColumn("norm", normalize_text(col("text")))
+        .select(col("doc_id"), md5(col("norm")).as("fingerprint"),
+          length(col("norm")).cast("long").as("norm_len"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, md5(norm) AS fingerprint, length(norm) AS norm_len
+        FROM (SELECT doc_id, $normSql AS norm FROM documents) ORDER BY doc_id"""),
+      "Content fingerprint: md5 of the normalized text."),
+
+    "ngram_jaccard_pairs" -> Q(
+      (s, d) => NearDup.exactJaccardPairs(docs(s, d), 0.5),
+      Some(jaccardPairsSql),
+      "Exact word-3-gram Jaccard near-dup pairs via inverted shingle index (no cross join)."),
+
+    "dedup_minhash_lsh" -> Q(
+      (s, d) => NearDup.minhashLshPairs(docs(s, d), 0.5),
+      Some(jaccardPairsSql),
+      "MinHash(64)+LSH(16×4) candidates verified with exact Jaccard; equals the exact pair " +
+        "set (per-pair miss prob ≈ 4e-8 at J=0.9) while scoring only bucket collisions."),
+
+    "dedup_simhash" -> Q(
+      (s, d) => NearDup.simhashPairs(docs(s, d), maxHamming = 7),
+      None, // simhash is not SQL-expressible; exactness is spec-checked vs brute force
+      "SimHash(64-bit) pairs within Hamming ≤ 7 via exact pigeonhole banding (8 chunks × 8 bits)."),
+
+    "rolling_fingerprint" -> Q(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          rolling_hash(normalize_text(col("text"))).as("rhash"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(generate_series(1, length(norm)),
+            i -> ord(substr(norm, i::INT, 1))::BIGINT)),
+          (acc, c) -> (acc * 31 + c) % 1000000007) AS rhash
+        FROM (SELECT doc_id, $normSql AS norm FROM documents) ORDER BY doc_id"""),
+      "Polynomial rolling-hash fingerprint (custom Catalyst expression) vs a SQL Horner reimplementation."),
+
+    // ---- §2.5 text analysis ------------------------------------------------
+
+    "text_token_count" -> Q(
+      (s, d) => docs(s, d).select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpeIshPattern), lit(0))).cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
+        len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS bpe_tokens,
+        length(text) AS n_chars_actual
+        FROM documents ORDER BY doc_id"""),
+      "Whitespace + BPE-ish regex token counts."),
+
+    "text_quality" -> Q(
+      (s, d) => {
+        val toks = ascii_tokens(col("text"))
+        docs(s, d).select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_actual"),
+          size(regexp_extract_all(col("text"), lit("[a-zA-Z]"), lit(0))).cast("long").as("n_alpha"),
+          size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("long").as("n_digit"),
+          size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0))).cast("long").as("n_punct"),
+          size(toks).cast("long").as("n_words"),
+          stopCount(toks, stopEn).as("n_stop"))
+          .withColumn("alpha_ratio",
+            col("n_alpha").cast("double") / greatest(col("n_chars_actual"), lit(1L)))
+          .withColumn("stop_ratio",
+            col("n_stop").cast("double") / greatest(col("n_words"), lit(1L)))
+          .withColumn("quality",
+            when(col("n_words") >= 10 && col("stop_ratio") >= 0.05, "good").otherwise("low"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT *,
+        CASE WHEN n_words >= 10 AND stop_ratio >= 0.05 THEN 'good' ELSE 'low' END AS quality
+        FROM (SELECT doc_id,
+          length(text) AS n_chars_actual,
+          len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
+          len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+          len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+          len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+          ${stopCountSql(stopEn)} AS n_stop,
+          len(regexp_extract_all(text, '[a-zA-Z]'))::DOUBLE / greatest(length(text), 1) AS alpha_ratio,
+          ${stopCountSql(stopEn)}::DOUBLE / greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1) AS stop_ratio
+        FROM documents) ORDER BY doc_id"""),
+      "Length / punctuation / digit / stopword quality features + a quality flag."),
+
+    "text_langid" -> Q(
+      (s, d) => {
+        val toks = ascii_tokens(col("text"))
+        val scored = docs(s, d).select(col("doc_id"), col("lang"),
+          stopCount(toks, stopEn).as("s_en"), stopCount(toks, stopDe).as("s_de"),
+          stopCount(toks, stopFr).as("s_fr"), stopCount(toks, stopEs).as("s_es"),
+          stopCount(toks, stopZh).as("s_zh"))
+        scored.withColumn("predicted",
+            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr")
+              && col("s_en") >= col("s_es") && col("s_en") >= col("s_zh"), "en")
+              .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es")
+                && col("s_de") >= col("s_zh"), "de")
+              .when(col("s_fr") >= col("s_es") && col("s_fr") >= col("s_zh"), "fr")
+              .when(col("s_es") >= col("s_zh"), "es")
+              .otherwise("zh"))
+          .withColumn("is_match", col("predicted") === col("lang"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT *, predicted = lang AS is_match FROM (SELECT doc_id, lang,
+          ${stopCountSql(stopEn)} AS s_en, ${stopCountSql(stopDe)} AS s_de,
+          ${stopCountSql(stopFr)} AS s_fr, ${stopCountSql(stopEs)} AS s_es,
+          ${stopCountSql(stopZh)} AS s_zh,
+          CASE WHEN ${stopCountSql(stopEn)} >= ${stopCountSql(stopDe)} AND ${stopCountSql(stopEn)} >= ${stopCountSql(stopFr)}
+                AND ${stopCountSql(stopEn)} >= ${stopCountSql(stopEs)} AND ${stopCountSql(stopEn)} >= ${stopCountSql(stopZh)} THEN 'en'
+               WHEN ${stopCountSql(stopDe)} >= ${stopCountSql(stopFr)} AND ${stopCountSql(stopDe)} >= ${stopCountSql(stopEs)}
+                AND ${stopCountSql(stopDe)} >= ${stopCountSql(stopZh)} THEN 'de'
+               WHEN ${stopCountSql(stopFr)} >= ${stopCountSql(stopEs)} AND ${stopCountSql(stopFr)} >= ${stopCountSql(stopZh)} THEN 'fr'
+               WHEN ${stopCountSql(stopEs)} >= ${stopCountSql(stopZh)} THEN 'es'
+               ELSE 'zh' END AS predicted
+        FROM documents) ORDER BY doc_id"""),
+      "Stopword-list n-gram language-ID heuristic with deterministic argmax tie-break."),
+
+    // ---- §2.5 multimodal plumbing -----------------------------------------
+
+    "multimodal_decode" -> Q(
+      (s, d) => docs(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("byte_len", octet_length(col("payload")).cast("long"))
+        .select(col("doc_id"), col("byte_len"),
+          lower(hex(substring(col("payload"), 1, 4))).as("magic_hex"),
+          md5(col("payload")).as("payload_md5"),
+          ((col("byte_len") % 640L) + 1L).as("width"),
+          (((col("byte_len") * 7L) % 480L) + 1L).as("height"),
+          lit(3).as("channels"),
+          expr("(byte_len + 63) div 64").as("n_frames"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        lower(hex(encode(substr(text, 1, 4)))) AS magic_hex,
+        md5(text) AS payload_md5,
+        (octet_length(encode(text)) % 640) + 1 AS width,
+        ((octet_length(encode(text)) * 7) % 480) + 1 AS height,
+        3 AS channels,
+        (octet_length(encode(text)) + 63) // 64 AS n_frames
+        FROM documents ORDER BY doc_id"""),
+      "Opaque binary payload -> typed metadata (length/magic/checksum + stubbed decode dims: " +
+        "real image/audio decoding would slot into the same projection as a native expression)."),
+
+    "multimodal_framesample" -> Q(
+      (s, d) => docs(s, d)
+        .withColumn("byte_len", octet_length(col("text").cast("binary")).cast("long"))
+        .withColumn("n_frames", expr("(byte_len + 63) div 64"))
+        .select(col("doc_id"), col("text"),
+          explode(filter(sequence(lit(0L), col("n_frames") - 1L),
+            f => f % 4L === 0L)).as("frame_no"))
+        .withColumn("frame",
+          col("text").substr((col("frame_no") * 64L + 1L).cast("int"), lit(64)))
+        .select(col("doc_id"), col("frame_no"),
+          octet_length(col("frame").cast("binary")).cast("long").as("frame_len"),
+          md5(col("frame").cast("binary")).as("frame_md5"))
+        .orderBy("doc_id", "frame_no"),
+      Some("""WITH f AS (SELECT doc_id, text,
+          unnest(list_filter(generate_series(0, ((octet_length(encode(text)) + 63) // 64) - 1),
+            x -> x % 4 = 0)) AS frame_no
+        FROM documents)
+        SELECT doc_id, frame_no,
+          octet_length(encode(substr(text, (frame_no * 64 + 1)::INT, 64))) AS frame_len,
+          md5(substr(text, (frame_no * 64 + 1)::INT, 64)) AS frame_md5
+        FROM f ORDER BY doc_id, frame_no"""),
+      "Every-4th 64-byte frame sample over binary payloads (chunked frame extraction plumbing)."))
+}
