@@ -11,7 +11,8 @@ object SparkEntry {
   def all: Seq[(String, Q)] =
     _root_.graft.queries.Relational.defs ++
       _root_.graft.queries.Ingestion.defs ++
-      _root_.graft.queries.TrainingData.defs
+      _root_.graft.queries.TrainingData.defs ++
+      _root_.graft.queries.Similarity.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Three paths, trading exactness for scale:
+  *  - brute force: exact top-K, O(Q·N) — the correctness baseline. Queries are
+  *    broadcast, so the big side never shuffles.
+  *  - LSH: sign-random-projection buckets, multi-table; candidates are the
+  *    bucket collisions only, one shuffle by (table, bucket).
+  *  - IVF: coarse-quantize to centroids, probe the nearest `nprobe` cells;
+  *    one shuffle by cell id; centroids (O(k·dim)) are broadcast.
+  */
+object Ann {
+
+  /** Exact cosine top-K of each query vector against the candidate set.
+    * `queries` is expected to be small (it is broadcast); candidates stream
+    * map-side through the fused single-pass [[CosineSim]] kernel, and the
+    * only shuffle is the final tiny per-query top-K window.
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).crossJoin(c)
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Exact all-pairs cosine ≥ τ. O(N²) by construction — the oracle-checked
+    * baseline the banded variants are spec-tested against; at scale use
+    * [[lshTopK]]/[[ivfTopK]] buckets to prune the pair space.
+    */
+  def pairsAboveThreshold(vectors: DataFrame, minCosine: Double): DataFrame = {
+    val a = vectors.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = vectors.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine_sim(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Multi-table sign-random-projection LSH top-K: `numTables` independent
+    * `numBits`-bit bucketings; candidates = bucket collisions in any table.
+    * Scale: one shuffle keyed by (table, bucket); recall grows with tables,
+    * candidate count shrinks with bits.
+    */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      numTables: Int = 4, numBits: Int = 8): DataFrame = {
+    def bucketed(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.select(col("vec_id").as(idCol), col("embedding").as(vecCol),
+          posexplode(array((0 until numTables).map(t =>
+            sign_random_projection(col("embedding"), numBits, seed = 1000 + t)): _*)))
+        .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    val q = bucketed(queries, "query_id", "qv")
+    val c = bucketed(candidates, "neighbor_id", "cv")
+    val cand = broadcast(q).join(c, Seq("tbl", "bucket"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Per-dimension mean vector per `label` — the deterministic stand-in for a
+    * k-means codebook (at scale: train on a sample, broadcast the codebook).
+    * Computed distributedly via posexplode + per-(label,pos) avg.
+    */
+  def centroids(vectors: DataFrame): DataFrame =
+    vectors.select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos").agg(avg(col("col")).as("m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+
+  /** IVF top-K: assign every candidate to its nearest centroid (broadcast
+    * codebook, deterministic min-struct tiebreak), probe the `nprobe` nearest
+    * cells per query, search only those cells. One shuffle keyed by cell.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, cents: DataFrame,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val cs = broadcast(cents.select(col("label").as("cell"), col("centroid")))
+    def withCell(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val scored = df.select(col("vec_id").as(id), col("embedding").as(vec))
+        .crossJoin(cs)
+        .select(col(id), col(vec), col("cell"),
+          cosine_sim(col(vec), col("centroid")).as("csim"))
+      val w = Window.partitionBy(id).orderBy(col("csim").desc, col("cell"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep).drop("csim", "crank")
+    }
+    val c = withCell(candidates, "neighbor_id", "cv", keep = 1)
+    val q = withCell(queries, "query_id", "qv", keep = nprobe)
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(c, "cell")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qv"), col("cv")).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+}
