@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.Q
+import graft.core._
+import graft.streaming.{OffsetTracker, ShardEvent, Streams}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.1 items 11–14 — the reference's streaming pipeline surface on
+  * Structured Streaming: bounded `Trigger.AvailableNow` runs over a staged
+  * multi-file source (one micro-batch per file), results committed through
+  * the checkpointed sink and read back, so every query is deterministic and
+  * oracle-checkable against batch SQL on the same events table.
+  */
+object Streaming {
+
+  /** Per-shard offsets "recovered from a previous run" (the reference's
+    * checkpointed ValueState), as in [[Ingestion]]'s incremental read. */
+  private val storedOffsets: Map[String, Long] =
+    Map("click" -> 500L, "view" -> 500L, "error" -> 50L, "purchase" -> 100L, "signup" -> 100L)
+
+  private def offsetsCaseSql: String =
+    "CASE " + storedOffsets.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN event_type = '$k' THEN $v" }
+      .mkString(" ") + " ELSE 0 END"
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    "streaming_ingest" -> Q(
+      (s, d) => {
+        val (src, out, ck) = Streams.workDirs("streaming_ingest")
+        val staged = Streams.stagedStream(eventsTable(s, d), src, nFiles = 4)
+        val xform = staged.select(col("event_id"), micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        Streams.runAppend(xform, out, ck)
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        FROM events"""),
+      "AvailableNow micro-batch ingest (4 files -> 4 batches) through the parquet commit log."),
+
+    "streaming_windowed_agg" -> Q(
+      (s, d) => {
+        val (src, out, ck) = Streams.workDirs("streaming_windowed_agg")
+        val staged = Streams.stagedStream(eventsTable(s, d), src, nFiles = 4)
+        val agg = staged
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(dec4(col("value"))).cast(D38_4).as("sum_value"))
+          .select(micros(col("window.start")).as("bucket_us"), col("event_type"),
+            col("n"), col("sum_value"))
+        Streams.runCompleteOverwrite(agg, out, ck)
+      },
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+        COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        FROM events GROUP BY 1, 2"""),
+      "Event-time windowed aggregation with a 1h watermark, complete-mode foreachBatch sink."),
+
+    "streaming_dedup" -> Q(
+      (s, d) => {
+        val (src, out, ck) = Streams.workDirs("streaming_dedup")
+        val staged = Streams.stagedStream(eventsTable(s, d), src, nFiles = 4)
+        val dedup = staged.select(col("user_id"), col("event_type")).dropDuplicates()
+        Streams.runAppend(dedup, out, ck)
+      },
+      Some("SELECT DISTINCT user_id, event_type FROM events"),
+      "Streaming exact dedup: cross-micro-batch key state via dropDuplicates."),
+
+    "stateful_offset_stream" -> Q(
+      (s, d) => {
+        val (src, out, ck) = Streams.workDirs("stateful_offset_stream")
+        // Single staged file: the per-shard sequence numbering then equals the
+        // global event_id order (multi-batch carry-over is spec-tested with a
+        // MemoryStream in StreamingSpec).
+        val staged = Streams.stagedStream(
+          eventsTable(s, d).select(col("event_type"), col("event_id")), src, nFiles = 1)
+        import s.implicits._
+        val tracked = OffsetTracker.track(staged.as[ShardEvent], storedOffsets)
+        Streams.runAppend(tracked.toDF(), out, ck)
+      },
+      Some(s"""WITH r AS (SELECT event_id, event_type,
+          row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS seq
+        FROM events)
+        SELECT event_id, event_type, seq FROM r WHERE seq > $offsetsCaseSql"""),
+      "Per-shard offset state across micro-batches via flatMapGroupsWithState " +
+        "(the reference's ValueState offset loop, SnowflakeProcessFunction.java:88-122)."))
+}

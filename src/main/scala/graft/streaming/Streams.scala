@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.io.File
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming harness: stage a batch DataFrame as a file-source
+  * directory, run a streaming transform over it with `Trigger.AvailableNow`
+  * (bounded, deterministic micro-batching — `maxFilesPerTrigger=1` turns each
+  * staged file into one micro-batch), and read the sink back as a DataFrame.
+  *
+  * This is the Spark-first shape of the reference's Flink topology
+  * (SourceFunction → keyed process → sink, StreamingJob.java:96-116): the
+  * source is declarative, state lives in the streaming aggregation /
+  * `GroupState`, and the sink is transactional via the checkpoint +
+  * `_spark_metadata` commit log rather than hand-rolled.
+  */
+object Streams {
+
+  private def rmrf(path: String): Unit = {
+    def go(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(go))
+      f.delete(); ()
+    }
+    go(new File(path))
+  }
+
+  /** Fresh working dirs (src, out, checkpoint) for a named streaming run —
+    * idempotent across Verify/Bench re-invocations. */
+  def workDirs(name: String): (String, String, String) = {
+    val base = s"/tmp/graft_stream/$name"
+    rmrf(base)
+    (s"$base/src", s"$base/out", s"$base/ck")
+  }
+
+  /** Stage `input` as `nFiles` parquet files and open it as a rate-limited
+    * file-source stream (one staged file per micro-batch). */
+  def stagedStream(input: DataFrame, srcDir: String, nFiles: Int): DataFrame = {
+    input.repartition(nFiles).write.mode("overwrite").parquet(srcDir)
+    val spark = input.sparkSession
+    spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+  }
+
+  /** Run a streamed transform to a parquet append sink until the backlog is
+    * drained, then read the committed result back. */
+  def runAppend(streamed: DataFrame, outDir: String, ckDir: String): DataFrame = {
+    val q = streamed.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+    streamed.sparkSession.read.parquet(outDir)
+  }
+
+  /** Run a streamed aggregation in complete mode through `foreachBatch`,
+    * overwriting `outDir` each batch — the final batch holds the full result
+    * (the `foreachBatch` + overwrite idiom for non-append sinks). */
+  def runCompleteOverwrite(streamed: DataFrame, outDir: String, ckDir: String): DataFrame = {
+    val q = streamed.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    streamed.sparkSession.read.parquet(outDir)
+  }
+}
