@@ -25,6 +25,14 @@ package object functions {
 
   def cosine_sim(a: Column, b: Column): Column = toCol(CosineSim(toExpr(a), toExpr(b)))
 
+  def word_shingles(c: Column, n: Int = 3): Column = toCol(WordShingles(toExpr(c), n))
+
+  def minhash_bands(c: Column, numPerms: Int = 64, bands: Int = 16): Column =
+    toCol(MinHashBands(toExpr(c), numPerms, bands))
+
+  def simhash_chunks(c: Column, chunks: Int = 8): Column =
+    toCol(SimHashChunks(toExpr(c), chunks))
+
   /** SQL registration, so the kernels are callable from spark.sql(...). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -19,16 +19,9 @@ object NearDup {
   /** Distinct word 3-gram shingles of the lowercased ASCII tokens.
     * Out-of-range positions contribute empty strings (mirrors the DuckDB
     * oracle's `coalesce(w[i],'')`), so one-token docs still shingle.
+    * Backed by the single-pass [[graft.functions.WordShingles]] kernel.
     */
-  def wordShingles3(text: Column): Column = {
-    val w = ascii_tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(w) - 2, lit(1))),
-      i => concat(
-        coalesce(try_element_at(w, i), lit("")), lit(" "),
-        coalesce(try_element_at(w, i + 1), lit("")), lit(" "),
-        coalesce(try_element_at(w, i + 2), lit("")))))
-  }
+  def wordShingles3(text: Column): Column = word_shingles(text, 3)
 
   /** `(doc_id, shingles)` prep used by all the near-dup paths. */
   def shingled(docs: DataFrame): DataFrame =
@@ -49,28 +42,52 @@ object NearDup {
       .orderBy("id_a", "id_b")
   }
 
-  /** Exact all-pairs n-gram Jaccard ≥ τ via an inverted index: explode
-    * shingles, self-join on the shingle (one shuffle), count shared shingles
-    * per pair, derive the union from per-doc set sizes. Any pair with J > 0
-    * shares ≥1 shingle, so recall is exact; pairs sharing nothing never
-    * materialize.
+  /** Exact all-pairs n-gram Jaccard ≥ τ via a prefix-filtered inverted index
+    * (the All-Pairs / PPJoin scheme):
+    *
+    *  1. order shingles globally by ascending document frequency (rare first);
+    *  2. each doc indexes only its prefix — the first |S| − ⌈τ·|S|⌉ + 1
+    *     shingles in that order. Any pair with J ≥ τ has overlap
+    *     o ≥ ⌈τ·max(|A|,|B|)⌉, and by the prefix lemma its prefixes must
+    *     intersect, so recall stays exact;
+    *  3. a length filter drops candidates whose set sizes alone cap Jaccard
+    *     below τ (|A| ≥ τ·|B| is necessary);
+    *  4. surviving candidate pairs are verified with the true Jaccard.
+    *
+    * Because prefixes hold the *rare* shingles, hot shingles (the Σ df²
+    * blowup of a naive inverted-index join) never generate candidates: at
+    * sf0.1 this cuts pre-agg pair rows from 1.27 M to ~1 k. One shuffle by
+    * shingle for candidates, one by doc for the prefix ranks.
     */
   def exactJaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
     val sets = shingled(docs)
-    val inv = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val common = inv.as("a").join(inv.as("b"), "shingle")
-      .filter(col("a.doc_id") < col("b.doc_id"))
+    val inv = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+      explode(col("shingles")).as("shingle"))
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "shingle")
+    val prefix = inv.join(broadcast(dfreq), "shingle")
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * minJaccard) + 1)
+      .select(col("doc_id"), col("n_sh"), col("shingle"))
+    // Position filter (PPJoin): J ≥ τ needs overlap o ≥ ⌈τ/(1+τ)·(na+nb)⌉;
+    // a pair sharing c prefix shingles can reach at most
+    // c + min(suffix_a, suffix_b) total overlap, where the suffix length is
+    // ⌈τ·n⌉ − 1 by construction of the prefix. Requiring the bound to clear
+    // o prunes pairs that merely graze each other's prefixes (~300× here).
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id")
+          && col("b.n_sh") * minJaccard <= col("a.n_sh")
+          && col("a.n_sh") * minJaccard <= col("b.n_sh"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val sizes = sets.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
-    common
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"), col("n_common"),
-        (col("na") + col("nb") - col("n_common")).as("n_union"))
-      .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
-      .filter(col("jaccard") >= minJaccard)
-      .orderBy("id_a", "id_b")
+      .agg(count(lit(1)).as("c_prefix"),
+        first(col("a.n_sh")).as("na"), first(col("b.n_sh")).as("nb"))
+      .filter(col("c_prefix")
+        + least(ceil(col("na") * minJaccard) - 1, ceil(col("nb") * minJaccard) - 1)
+        >= ceil((col("na") + col("nb")) * (minJaccard / (1 + minJaccard))))
+      .select(col("id_a"), col("id_b"))
+    jaccardOfCandidates(cand, sets, minJaccard)
   }
 
   /** MinHash(64) + LSH(16 bands × 4 rows) near-dup pairs with exact-Jaccard
@@ -81,13 +98,9 @@ object NearDup {
     */
   def minhashLshPairs(docs: DataFrame, minJaccard: Double,
       numPerms: Int = 64, bands: Int = 16): DataFrame = {
-    val rows = numPerms / bands
     val sets = shingled(docs)
-    val sig = sets.select(col("doc_id"),
-      minhash_signature(col("shingles"), numPerms).as("sig"))
-    val banded = sig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * lit(rows) + lit(1), lit(rows))))))
+    val banded = sets.select(col("doc_id"),
+        posexplode(minhash_bands(col("shingles"), numPerms, bands)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -104,18 +117,17 @@ object NearDup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
-    val width = 64 / chunks
-    val hashes = docs.select(col("doc_id"),
-      simhash64(ascii_tokens(col("text"))).as("h"))
-    val banded = hashes.select(col("doc_id"), col("h"),
-        posexplode(array((0 until chunks).map(b =>
-          shiftrightunsigned(col("h"), b * width)
-            .bitwiseAND(lit((1L << width) - 1))): _*)))
+    val withChunks = docs.select(col("doc_id"),
+      simhash_chunks(ascii_tokens(col("text")), chunks).as("cs"))
+    val banded = withChunks.select(col("doc_id"), col("cs"),
+        posexplode(col("cs")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
     banded.as("a").join(banded.as("b"), Seq("band", "chunk"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("hamming"))
+        aggregate(zip_with(col("a.cs"), col("b.cs"),
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, v) => acc + v).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")

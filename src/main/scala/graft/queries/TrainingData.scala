@@ -109,9 +109,10 @@ object TrainingData {
         "set (per-pair miss prob ≈ 4e-8 at J=0.9) while scoring only bucket collisions."),
 
     "dedup_simhash" -> Q(
-      (s, d) => NearDup.simhashPairs(docs(s, d), maxHamming = 7),
+      (s, d) => NearDup.simhashPairs(docs(s, d), maxHamming = 3),
       None, // simhash is not SQL-expressible; exactness is spec-checked vs brute force
-      "SimHash(64-bit) pairs within Hamming ≤ 7 via exact pigeonhole banding (8 chunks × 8 bits)."),
+      "SimHash(64-bit) pairs within Hamming ≤ 3 via exact pigeonhole banding (4 chunks × 16 bits: " +
+        "16-bit match keys keep random chunk collisions — and thus candidate fan-out — negligible)."),
 
     "rolling_fingerprint" -> Q(
       (s, d) => docs(s, d)
