@@ -54,7 +54,7 @@ object Ann {
     * candidate count shrinks with bits.
     */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      numTables: Int = 4, numBits: Int = 8): DataFrame = {
+      numTables: Int = 8, numBits: Int = 4): DataFrame = {
     def bucketed(df: DataFrame, idCol: String, vecCol: String): DataFrame =
       df.select(col("vec_id").as(idCol), col("embedding").as(vecCol),
           posexplode(array((0 until numTables).map(t =>

@@ -69,23 +69,26 @@ object NearDup {
     val prefix = inv.join(broadcast(dfreq), "shingle")
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * minJaccard) + 1)
-      .select(col("doc_id"), col("n_sh"), col("shingle"))
-    // Position filter (PPJoin): J ≥ τ needs overlap o ≥ ⌈τ/(1+τ)·(na+nb)⌉;
-    // a pair sharing c prefix shingles can reach at most
-    // c + min(suffix_a, suffix_b) total overlap, where the suffix length is
-    // ⌈τ·n⌉ − 1 by construction of the prefix. Requiring the bound to clear
-    // o prunes pairs that merely graze each other's prefixes (~300× here).
+      .select(col("doc_id"), col("n_sh"), col("shingle"), col("rk"))
+    // Position filter (PPJoin): J ≥ τ needs overlap o ≥ ⌈τ/(1+τ)·(na+nb)⌉.
+    // The df-order is one global total order, so the *minimal* common shingle
+    // e* of a qualifying pair sits in both prefixes (prefix lemma) and every
+    // other common shingle ranks after e* in BOTH docs. Hence, with
+    // (pa, pb) = min match ranks over the prefix join,
+    //   overlap ≤ 1 + min(na − pa, nb − pb),
+    // and pairs whose bound can't reach o are pruned (~300× fewer candidates
+    // than the plain prefix join here).
+    val tauOverlap = minJaccard / (1 + minJaccard)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle")
           && col("a.doc_id") < col("b.doc_id")
           && col("b.n_sh") * minJaccard <= col("a.n_sh")
           && col("a.n_sh") * minJaccard <= col("b.n_sh"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("c_prefix"),
+      .agg(min(col("a.rk")).as("pa"), min(col("b.rk")).as("pb"),
         first(col("a.n_sh")).as("na"), first(col("b.n_sh")).as("nb"))
-      .filter(col("c_prefix")
-        + least(ceil(col("na") * minJaccard) - 1, ceil(col("nb") * minJaccard) - 1)
-        >= ceil((col("na") + col("nb")) * (minJaccard / (1 + minJaccard))))
+      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
+        >= ceil((col("na") + col("nb")) * tauOverlap))
       .select(col("id_a"), col("id_b"))
     jaccardOfCandidates(cand, sets, minJaccard)
   }

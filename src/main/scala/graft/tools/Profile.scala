@@ -25,14 +25,33 @@ object Profile {
     }
     val docs = table(spark, sfDir, "documents")
     val sets = NearDup.shingled(docs)
-    time("shingled warm1")(sets.count())
-    time("shingled warm2")(sets.count())
-    time("minhashLshPairs warm1")(NearDup.minhashLshPairs(docs, 0.5).count())
-    time("minhashLshPairs warm2")(NearDup.minhashLshPairs(docs, 0.5).count())
-    time("simhashPairs warm1")(NearDup.simhashPairs(docs, 7).count())
-    time("simhashPairs warm2")(NearDup.simhashPairs(docs, 7).count())
-    time("exactJaccardPairs full")(NearDup.exactJaccardPairs(docs, 0.5).count())
-    time("exactJaccardPairs again")(NearDup.exactJaccardPairs(docs, 0.5).count())
+    val inv = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+      explode(col("shingles")).as("shingle"))
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "shingle")
+    val prefix = inv.join(broadcast(dfreq), "shingle")
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * 0.5) + 1)
+      .select(col("doc_id"), col("n_sh"), col("shingle"), col("rk"))
+    time("prefix")(println("  " + prefix.count()))
+    time("prefix again")(println("  " + prefix.count()))
+    val tauOverlap = 0.5 / 1.5
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id")
+          && col("b.n_sh") * 0.5 <= col("a.n_sh")
+          && col("a.n_sh") * 0.5 <= col("b.n_sh"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(min(col("a.rk")).as("pa"), min(col("b.rk")).as("pb"),
+        first(col("a.n_sh")).as("na"), first(col("b.n_sh")).as("nb"))
+    time("pair agg rows")(println("  " + cand.count()))
+    val filtered = cand.filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
+        >= ceil((col("na") + col("nb")) * tauOverlap))
+      .select(col("id_a"), col("id_b"))
+    time("cand after position filter")(println("  " + filtered.count()))
+    time("full warm1")(NearDup.exactJaccardPairs(docs, 0.5).count())
+    time("full warm2")(NearDup.exactJaccardPairs(docs, 0.5).count())
     spark.stop()
   }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.core._
+import graft.functions._
+import graft.operators.NearDup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The banded/filtered near-dup paths must equal brute force exactly —
+  * the prefix/position-filter bounds and the pigeonhole banding are proved
+  * here against O(N²) references on the sf0.001 corpus.
+  */
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = core.table(spark, sf("sf0.001"), "documents")
+
+  /** O(N²) reference: cross-join + exact set Jaccard. */
+  private def bruteJaccard(minJ: Double): Set[(Long, Long)] = {
+    val sets = NearDup.shingled(docs)
+    val a = sets.select($"doc_id".as("id_a"), $"shingles".as("sa"))
+    val b = sets.select($"doc_id".as("id_b"), $"shingles".as("sb"))
+    a.crossJoin(b).filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        size(array_intersect($"sa", $"sb")).cast("double").as("c"),
+        (size($"sa") + size($"sb")).cast("double").as("t"))
+      .filter($"c" / ($"t" - $"c") >= minJ)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+  }
+
+  private def pairsOf(df: DataFrame): Set[(Long, Long)] =
+    df.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+
+  test("prefix+position-filtered exact Jaccard equals brute force") {
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      assert(pairsOf(NearDup.exactJaccardPairs(docs, tau)) == bruteJaccard(tau),
+        s"mismatch at tau=$tau")
+    }
+  }
+
+  test("minhash LSH with exact verification equals brute force at tau=0.5") {
+    assert(pairsOf(NearDup.minhashLshPairs(docs, 0.5)) == bruteJaccard(0.5))
+  }
+
+  test("simhash banded pairs equal brute-force Hamming pairs") {
+    val hs = docs.select($"doc_id", simhash64(ascii_tokens($"text")).as("h"))
+    val a = hs.select($"doc_id".as("id_a"), $"h".as("ha"))
+    val b = hs.select($"doc_id".as("id_b"), $"h".as("hb"))
+    for (k <- Seq(1, 3, 7)) {
+      val brute = a.crossJoin(b).filter($"id_a" < $"id_b")
+        .filter(bit_count($"ha".bitwiseXOR($"hb")) <= k)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(pairsOf(NearDup.simhashPairs(docs, k)) == brute, s"mismatch at k=$k")
+    }
+  }
+
+  test("near-dup output jaccard values are internally consistent") {
+    val rows = NearDup.exactJaccardPairs(docs, 0.5)
+      .select($"n_common", $"n_union", $"jaccard").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty, "sf0.001 corpus should contain planted near-dups")
+    rows.foreach { case (c, u, j) =>
+      assert(j == c.toDouble / u && j >= 0.5 && c <= u)
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.core._
+import graft.operators.Ann
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits (SURVEY.md §4): filters and projections must reach
+  * the parquet scans, small dimensions must broadcast, and the hot paths must
+  * run inside WholeStageCodegen. These are the properties that decide whether
+  * a plan survives a 100× scale-up, so they are asserted, not eyeballed. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+
+  test("q6 selective filter is pushed down to the parquet scan") {
+    val plan = planOf(q("q6_forecast_revenue"))
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    // plan.toString truncates the filter list, so match the prefix
+    assert(plan.contains("GreaterThanOrEqual(l_shipda") || plan.contains("GreaterThan(l_shipda"),
+      "expected shipdate pushdown\n" + plan.take(2000))
+  }
+
+  test("q6 scan reads only the referenced columns") {
+    val scan = planOf(q("q6_forecast_revenue"))
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // 4 referenced lineitem columns, not the full 16-column table
+    assert(Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .forall(scan.contains), scan)
+    assert(!scan.contains("l_comment") && !scan.contains("l_orderkey"), scan)
+  }
+
+  test("q3 joins its dimension side via broadcast") {
+    assert(planOf(q("q3_shipping_priority")).contains("BroadcastHashJoin"))
+  }
+
+  test("brute-force ANN broadcasts the query side (no shuffle of candidates)") {
+    val emb = table(spark, sf("sf0.001"), "embeddings")
+    val plan = planOf(Ann.bruteForceTopK(
+      emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10), 5))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("q1 aggregation runs inside WholeStageCodegen with partial aggregation") {
+    val df = q("q1_pricing_summary")
+    df.collect() // AQE: the final plan (with codegen stages) exists only after execution
+    val plan = planOf(df)
+    assert(plan.contains("*("), plan.take(3000)) // WholeStageCodegen stage marker
+    // partial (map-side) aggregate before the shuffle
+    assert(plan.contains("partial_sum"), plan.take(3000))
+  }
+
+  test("partitioned readback prunes partitions at the source") {
+    val plan = planOf(q("partitioned_write_readback"))
+    // identity-partitioned parquet: the partition filter must not appear as
+    // a post-scan Filter on the partition column
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("PartitionFilters: \\[[^\\]]*\\]", "")
+        .linesIterator.filter(_.contains("Filter "))
+        .forall(!_.contains("o_orderpriority")), plan.take(3000))
+  }
+}
