@@ -41,6 +41,9 @@ package object functions {
     reg.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("sign_random_projection", es => SignRandomProjection(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingles", es => WordShingles(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_bands", es => MinHashBands(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_chunks", es => SimHashChunks(es.head), "scala_udf")
   }
 
   // ---- text primitives (match the DuckDB oracle expressions exactly) ----
