@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The scalar kernels behind the custom Catalyst expressions, as a top-level
+  * object so Scala emits static forwarders: generated (whole-stage) Java code
+  * calls these directly — `graft.functions.Kernels.cosine(x, y, …)` — which
+  * keeps the expressions codegen-compatible without hand-writing the loops as
+  * Java strings, and avoids `CodegenFallback`'s per-call row materialization.
+  */
+object Kernels {
+
+  def wordShingles(input: UTF8String, n: Int): ArrayData = {
+    val s = input.toString.toLowerCase
+    val tokens = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c >= 'a' && c <= 'z') {
+        val start = i
+        while (i < len && { val d = s.charAt(i); d >= 'a' && d <= 'z' }) i += 1
+        tokens += s.substring(start, i)
+      } else i += 1
+    }
+    val count = math.max(tokens.length - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j < count) {
+      val sb = new java.lang.StringBuilder
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        if (j + k < tokens.length) sb.append(tokens(j + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      j += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** One pass over the shingles evaluating all `numPerms` permutations. */
+  private def minMins(arr: ArrayData, numPerms: Int): Array[Long] = {
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      var j = 0
+      while (j < numPerms) {
+        val h = Murmur3_x86_32.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, j * 0x9E3779B9 + 0x5BD1) & 0xFFFFFFFFL
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
+  def minhashSignature(arr: ArrayData, numPerms: Int): ArrayData =
+    new GenericArrayData(minMins(arr, numPerms))
+
+  def minhashBands(arr: ArrayData, numPerms: Int, bands: Int): ArrayData = {
+    val rows = numPerms / bands
+    val mins = minMins(arr, numPerms)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 1125899906842597L // FNV-ish fold of the band's signature run
+      var r = 0
+      while (r < rows) { acc = acc * 31 + mins(b * rows + r); r += 1 }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def simhashBits(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      val h1 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0x12345678)
+      val h2 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0x0FEDCBA9)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def simhash64(arr: ArrayData): Long = simhashBits(arr)
+
+  def simhashChunks(arr: ArrayData, chunks: Int): ArrayData = {
+    val width = 64 / chunks
+    val sim = simhashBits(arr)
+    val out = new Array[Long](chunks)
+    var c = 0
+    while (c < chunks) { out(c) = (sim >>> (c * width)) & ((1L << width) - 1); c += 1 }
+    new GenericArrayData(out)
+  }
+
+  def rollingHash(s: UTF8String, base: Long, mod: Long): Long = {
+    var h = 0L
+    var i = 0
+    val n = s.numBytes
+    while (i < n) {
+      h = (h * base + (s.getByte(i) & 0xFF)) % mod
+      i += 1
+    }
+    h
+  }
+
+  def signRandomProjection(arr: ArrayData, numBits: Int, seed: Int, isFloat: Boolean): Int = {
+    val n = arr.numElements()
+    var bucket = 0
+    var j = 0
+    while (j < numBits) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val sign = if ((Murmur3_x86_32.hashInt(j * 8192 + i, seed) & 1) == 1) 1.0 else -1.0
+        val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        acc += sign * v
+        i += 1
+      }
+      if (acc >= 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+
+  def cosine(x: ArrayData, y: ArrayData, lf: Boolean, rf: Boolean): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+}
