@@ -234,6 +234,7 @@ object TrainingData {
     "multimodal_framesample" -> Q(
       (s, d) => docs(s, d)
         .withColumn("byte_len", octet_length(col("text").cast("binary")).cast("long"))
+        .filter(col("byte_len") > 0) // empty payload: no frames (and keeps ANSI sequence() total)
         .withColumn("n_frames", expr("(byte_len + 63) div 64"))
         .select(col("doc_id"), col("text"),
           explode(filter(sequence(lit(0L), col("n_frames") - 1L),
@@ -247,7 +248,7 @@ object TrainingData {
       Some("""WITH f AS (SELECT doc_id, text,
           unnest(list_filter(generate_series(0, ((octet_length(encode(text)) + 63) // 64) - 1),
             x -> x % 4 = 0)) AS frame_no
-        FROM documents)
+        FROM documents WHERE octet_length(encode(text)) > 0)
         SELECT doc_id, frame_no,
           octet_length(encode(substr(text, (frame_no * 64 + 1)::INT, 64))) AS frame_len,
           md5(substr(text, (frame_no * 64 + 1)::INT, 64)) AS frame_md5

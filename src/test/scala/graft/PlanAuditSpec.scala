@@ -54,6 +54,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), plan.take(3000))
   }
 
+  test("near-dup joins never degrade to cartesian products") {
+    for (name <- Seq("ngram_jaccard_pairs", "dedup_minhash_lsh", "dedup_simhash")) {
+      val plan = planOf(q(name))
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join")
+    }
+  }
+
+  test("upsert resolves to a broadcast anti join for a small update batch") {
+    val df = q("upsert_merge")
+    df.collect() // AQE finalizes join strategies at runtime
+    val plan = planOf(df)
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("sharded page read shuffles exactly once (the keyBy analogue)") {
+    val plan = planOf(q("sharded_page_read"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges\n" + plan.take(3000))
+  }
+
   test("partitioned readback prunes partitions at the source") {
     val plan = planOf(q("partitioned_write_readback"))
     // identity-partitioned parquet: the partition filter must not appear as
