@@ -74,6 +74,28 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** SRP-banded near-dup pairs — the scale path for [[pairsAboveThreshold]]:
+    * vectors meet only inside an (table, bucket) collision, so the pair space
+    * shrinks from N²/2 to the bucket co-occupancy; survivors are verified
+    * with the exact cosine. Approximate in recall (a τ-pair may collide in no
+    * table), spec-bounded in AnnSpec.
+    */
+  def lshPairs(vectors: DataFrame, minCosine: Double,
+      numTables: Int = 8, numBits: Int = 4): DataFrame = {
+    val bucketed = vectors.select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until numTables).map(t =>
+          sign_random_projection(col("embedding"), numBits, seed = 2000 + t)): _*)))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    bucketed.as("a").join(bucketed.as("b"), Seq("tbl", "bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.embedding").as("va"), col("b.embedding").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), cosine_sim(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Per-dimension mean vector per `label` — the deterministic stand-in for a
     * k-means codebook (at scale: train on a sample, broadcast the codebook).
     * Computed distributedly via posexplode + per-(label,pos) avg.

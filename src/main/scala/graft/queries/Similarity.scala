@@ -71,6 +71,11 @@ object Similarity {
       None, // approximate: recall vs embedding_cosine_topk is spec-checked
       "Sign-random-projection LSH ANN (4 tables × 8 bits), candidates = bucket collisions only."),
 
+    "dedup_embedding_lsh" -> Q(
+      (s, d) => Ann.lshPairs(emb(s, d), 0.45),
+      None, // approximate recall of the exact pair set; spec-bounded
+      "SRP-banded embedding near-dup pairs with exact-cosine verification (scale path for dedup_embedding)."),
+
     "ann_ivf" -> Q(
       (s, d) => {
         val e = emb(s, d)

@@ -55,6 +55,16 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall@5 = $recall")
   }
 
+  test("SRP-banded pairs recall a majority of the exact tau-pairs") {
+    val exact = Ann.pairsAboveThreshold(emb, 0.45)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val banded = Ann.lshPairs(emb, 0.45)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(banded.subsetOf(exact), "banded pairs must be exact-verified")
+    val recall = banded.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"banded pair recall = $recall")
+  }
+
   test("pairsAboveThreshold matches per-pair cosine recomputation") {
     val rows = Ann.pairsAboveThreshold(emb, 0.45).collect()
     assert(rows.nonEmpty)
