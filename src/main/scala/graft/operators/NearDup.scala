@@ -112,6 +112,38 @@ object NearDup {
     jaccardOfCandidates(cand, sets, minJaccard)
   }
 
+  /** Connected components of a near-dup pair graph → dedup groups: every doc
+    * that appears in a pair is labeled with the smallest doc id reachable
+    * from it, so each near-dup cluster collapses onto one canonical id.
+    *
+    * Classic distributed min-label propagation: each iteration joins labels
+    * across edges and takes the per-node min, converging in O(diameter)
+    * rounds (near-dup clusters are tiny, so 2–3 in practice). Each iteration
+    * is a shuffle-join — no driver-side graph; `localCheckpoint` truncates
+    * the growing lineage between rounds.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") < col("o.label")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("component_id"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash(64-bit) pairs within Hamming distance k, found exactly via
     * pigeonhole banding: split the 64 bits into k+1 chunks — k flipped bits
     * cannot touch all k+1 chunks, so every qualifying pair collides on at

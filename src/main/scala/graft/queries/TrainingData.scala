@@ -114,6 +114,30 @@ object TrainingData {
       "SimHash(64-bit) pairs within Hamming ≤ 3 via exact pigeonhole banding (4 chunks × 16 bits: " +
         "16-bit match keys keep random chunk collisions — and thus candidate fan-out — negligible)."),
 
+    "dedup_groups" -> Q(
+      (s, d) => NearDup.connectedComponents(NearDup.exactJaccardPairs(docs(s, d), 0.5)),
+      Some(s"""WITH RECURSIVE pr AS ($jaccardPairsSql),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                  UNION SELECT id_b, id_a FROM pr),
+        reach(src, dst) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id, min(dst) AS component_id FROM reach
+        GROUP BY src ORDER BY doc_id"""),
+      "Near-dup clusters: connected components over the Jaccard ≥ 0.5 pair graph " +
+        "(distributed min-label propagation vs a recursive-CTE oracle)."),
+
+    "sample_by_hash" -> Q(
+      (s, d) => docs(s, d)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "2a")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '2a' ORDER BY doc_id"""),
+      "Deterministic ~16% content-hash sample: portable across engines and stable across " +
+        "reruns/partitionings, unlike rand()-based sampling."),
+
     "rolling_fingerprint" -> Q(
       (s, d) => docs(s, d)
         .select(col("doc_id"),
