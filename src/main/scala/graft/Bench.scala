@@ -13,7 +13,7 @@ object Bench {
     "q6_forecast_revenue", "q15_topk_orders", "q16_time_bucket",
     "dedup_exact", "dedup_minhash_lsh", "ngram_jaccard_pairs",
     "embedding_cosine_topk", "text_token_count", "text_langid",
-    "upsert_merge", "incremental_offset_read")
+    "upsert_merge", "incremental_offset_read", "pipeline_training_data")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -230,6 +230,42 @@ object TrainingData {
         FROM documents) ORDER BY doc_id"""),
       "Stopword-list n-gram language-ID heuristic with deterministic argmax tie-break."),
 
+    // ---- end-to-end pipeline (flagship) -----------------------------------
+
+    "pipeline_training_data" -> Q(
+      (s, d) => {
+        val base = docs(s, d)
+          .withColumn("norm", normalize_text(col("text")))
+          .withColumn("n_words", size(ascii_tokens(col("text"))).cast("long"))
+          .withColumn("bpe",
+            size(regexp_extract_all(col("text"), lit(bpeIshPattern), lit(0))).cast("long"))
+          .filter(col("n_words") >= 10)
+        val keep = base.groupBy(col("norm")).agg(min(col("doc_id")).as("keep_id"))
+        val kept = base.join(keep, base("doc_id") === keep("keep_id")).drop("keep_id")
+        val emb = table(s, d, "embeddings").select(col("vec_id"))
+        kept.join(emb, kept("doc_id") === emb("vec_id"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("bpe")).cast("long").as("sum_bpe_tokens"),
+            count(col("vec_id")).as("n_embedded"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, lang, $normSql AS norm,
+          len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+          len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS bpe
+        FROM documents),
+        q AS (SELECT * FROM base WHERE n_words >= 10),
+        keep AS (SELECT min(doc_id) AS keep_id FROM q GROUP BY norm),
+        kept AS (SELECT q.* FROM q JOIN keep ON q.doc_id = keep.keep_id),
+        j AS (SELECT kept.*, e.vec_id FROM kept
+              LEFT JOIN (SELECT vec_id FROM embeddings) e ON kept.doc_id = e.vec_id)
+        SELECT lang, count(*) AS n_docs, CAST(sum(bpe) AS BIGINT) AS sum_bpe_tokens,
+          count(vec_id) AS n_embedded, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM j GROUP BY lang ORDER BY lang"""),
+      "Flagship end-to-end pipeline: quality filter -> normalized dedup -> embedding " +
+        "enrichment -> per-language rollup, one declarative plan."),
+
     // ---- §2.5 multimodal plumbing -----------------------------------------
 
     "multimodal_decode" -> Q(
