@@ -400,6 +400,54 @@ object Relational {
             approx_count_distinct($"event_id").as("approx_events"))
       },
       None, // HLL sketch: not bit-reproducible in SQL; error-bound spec instead
-      "HLL approximate distinct (error-bound checked in ApproxSpec)")
+      "HLL approximate distinct (error-bound checked in ApproxSpec)"),
+
+    "json_extract_agg" -> Q(
+      (s, d) => {
+        import s.implicits._
+        eventsTable(s, d)
+          .withColumn("k", get_json_object($"props", "$.k").cast(LongType))
+          .groupBy($"event_type")
+          .agg(count($"k").as("n_with_k"), sum($"k").cast(LongType).as("sum_k"),
+            min($"k").as("min_k"), max($"k").as("max_k"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k,
+        min(k) AS min_k, max(k) AS max_k
+        FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+        GROUP BY event_type ORDER BY event_type"""),
+      "Semi-structured extraction: JSON path into typed column, aggregated per shard"),
+
+    "event_value_histogram" -> Q(
+      (s, d) => {
+        import s.implicits._
+        eventsTable(s, d)
+          .withColumn("bucket", least(floor($"value" / 50.0).cast(LongType), lit(9L)))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"),
+            sum(dec4($"value")).cast(D38_4).as("sum_value"))
+          .orderBy($"bucket")
+      },
+      Some("""SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+        COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      "Fixed-width histogram with a capped overflow bucket (portable bucket arithmetic)"),
+
+    "event_value_quantiles" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Spark's exact `percentile` interpolates identically to DuckDB's
+        // quantile_cont (lower + (upper-lower)·frac) — verified bit-exact.
+        eventsTable(s, d)
+          .groupBy($"event_type")
+          .agg(expr("percentile(value, 0.5)").as("p50"),
+            expr("percentile(value, 0.95)").as("p95"),
+            count(lit(1)).as("n"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        quantile_cont(value, 0.95) AS p95, COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      "Exact interpolated quantiles per group (sort-based; approx sketches are the 100 TB path)")
   )
 }
