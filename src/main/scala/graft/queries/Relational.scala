@@ -402,6 +402,24 @@ object Relational {
       None, // HLL sketch: not bit-reproducible in SQL; error-bound spec instead
       "HLL approximate distinct (error-bound checked in ApproxSpec)"),
 
+    "salted_join_agg" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val fact = table(s, d, "orders")
+          .select($"o_custkey".as("c_custkey"), $"o_totalprice")
+        val dim = table(s, d, "customer").select($"c_custkey", $"c_mktsegment")
+        graft.operators.SkewJoin.saltedJoin(fact, dim, "c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec2($"o_totalprice")).cast(D38_2).as("total_price"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      "Skew-safe salted join (hash-salted fact × replicated dim) — provably identical to the plain join"),
+
     "json_extract_agg" -> Q(
       (s, d) => {
         import s.implicits._

@@ -65,6 +65,42 @@ object Streaming {
       Some("SELECT DISTINCT user_id, event_type FROM events"),
       "Streaming exact dedup: cross-micro-batch key state via dropDuplicates."),
 
+    "streaming_upsert_pipeline" -> Q(
+      (s, d) => {
+        // The reference's actual topology end-to-end: stream -> per-batch CDC
+        // compaction -> equality-field upsert into the managed table
+        // (IcebergSinkBuilder.java:40-44's upsert mode via foreachBatch).
+        // The version-aware upsert keeps the max-event_id row per key, so the
+        // final table is deterministic whatever order micro-batches arrive in.
+        val (src, out, ck) = Streams.workDirs("streaming_upsert_pipeline")
+        val input = eventsTable(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+          .repartitionByRange(4, col("event_id"))
+        input.write.mode("overwrite").parquet(src)
+        val staged = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val keys = Seq("user_id", "event_type")
+        val tablePath = s"$out/table"
+        val q = staged.writeStream
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val compacted = graft.operators.Upsert.latestByKey(
+              batch, keys, Seq(col("event_id").desc))
+            graft.sinks.GraftTableWriter.upsertVersioned(
+              compacted, tablePath, keys, Seq(col("event_id").desc))
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(tablePath)
+      },
+      Some("""SELECT user_id, event_type, event_id, value FROM (
+          SELECT user_id, event_type, event_id, value,
+            row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+          FROM events) WHERE rn = 1"""),
+      "End-to-end streaming CDC: micro-batch -> per-batch compaction -> equality-field " +
+        "upsert into the managed table (the reference's stream->Iceberg-upsert loop)."),
+
     "stateful_offset_stream" -> Q(
       (s, d) => {
         val (src, out, ck) = Streams.workDirs("stateful_offset_stream")

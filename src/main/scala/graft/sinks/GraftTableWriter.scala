@@ -34,6 +34,26 @@ object GraftTableWriter {
     fs.rename(new Path(staging), new Path(path))
   }
 
+  /** Version-aware upsert: keep, per equality key, the row ranking first
+    * under `ordering` across BOTH the existing table and the update batch.
+    * Unlike [[upsert]] (last-writer-wins), the result is independent of
+    * arrival order — the correct merge for CDC streams whose micro-batch
+    * ordering is not guaranteed.
+    */
+  def upsertVersioned(df: DataFrame, path: String, keys: Seq[String],
+      ordering: Seq[org.apache.spark.sql.Column], partitions: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val unioned =
+      if (exists(spark, path)) spark.read.parquet(path).unionByName(df) else df
+    val merged = Upsert.latestByKey(unioned, keys, ordering)
+    val staging = path + "__staging"
+    writer(merged, partitions).mode(SaveMode.Overwrite).parquet(staging)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(staging), new Path(path))
+    ()
+  }
+
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
   def exists(spark: SparkSession, path: String): Boolean =
