@@ -138,6 +138,45 @@ object TrainingData {
       "Deterministic ~16% content-hash sample: portable across engines and stable across " +
         "reruns/partitionings, unlike rand()-based sampling."),
 
+    "edit_distance_pairs" -> Q(
+      (s, d) => {
+        // Near-dup candidates from the scalable prefix-filtered join, then the
+        // expensive edit distance only on that tiny candidate set — the
+        // standard two-stage cascade (cheap set-similarity -> exact edit cost).
+        val pairs = NearDup.exactJaccardPairs(docs(s, d), 0.5)
+          .select(col("id_a"), col("id_b"))
+        val norm = docs(s, d).select(col("doc_id"), normalize_text(col("text")).as("norm"))
+        pairs
+          .join(norm.select(col("doc_id").as("id_a"), col("norm").as("ta")), "id_a")
+          .join(norm.select(col("doc_id").as("id_b"), col("norm").as("tb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+            greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH pr AS ($jaccardPairsSql),
+        n AS (SELECT doc_id, $normSql AS norm FROM documents)
+        SELECT pr.id_a, pr.id_b,
+          levenshtein(a.norm, b.norm) AS edit_dist,
+          greatest(length(a.norm), length(b.norm)) AS max_len
+        FROM pr JOIN n a ON pr.id_a = a.doc_id JOIN n b ON pr.id_b = b.doc_id
+        ORDER BY pr.id_a, pr.id_b"""),
+      "Edit distance on near-dup candidates: cheap set-similarity prefilter, exact Levenshtein verify."),
+
+    "text_scrub" -> Q(
+      (s, d) => {
+        val e = eventsTable(s, d)
+        e.select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("scrubbed"),
+          (length(col("props")) - length(regexp_replace(col("props"), "[0-9]+", "")))
+            .cast("long").as("n_digit_chars"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+        length(props) - length(regexp_replace(props, '[0-9]+', '', 'g')) AS n_digit_chars
+        FROM events ORDER BY event_id"""),
+      "Pattern scrubbing: redact numeric spans in semi-structured payloads, count removed chars."),
+
     "rolling_fingerprint" -> Q(
       (s, d) => docs(s, d)
         .select(col("doc_id"),
