@@ -269,6 +269,51 @@ object TrainingData {
         FROM documents) ORDER BY doc_id"""),
       "Stopword-list n-gram language-ID heuristic with deterministic argmax tie-break."),
 
+    "contamination_check" -> Q(
+      (s, d) => {
+        // Benchmark-contamination scan: which training docs share any word
+        // 5-gram with the held-out set (doc_id % 20 == 0 stands in for the
+        // benchmark corpus)? One shuffle on the shingle; the benchmark
+        // shingle set is distinct-ed and broadcast (it is tiny by nature).
+        val all = docs(s, d).select(col("doc_id"),
+          explode(word_shingles(col("text"), 5)).as("shingle"))
+        val bench = all.filter(col("doc_id") % 20 === 0)
+          .select(col("shingle")).distinct()
+        all.filter(col("doc_id") % 20 =!= 0)
+          .join(broadcast(bench), "shingle")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared_shingles"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(w)-4, 1)),
+          i -> coalesce(w[i],'') || ' ' || coalesce(w[i+1],'') || ' ' || coalesce(w[i+2],'')
+             || ' ' || coalesce(w[i+3],'') || ' ' || coalesce(w[i+4],'')))) AS shingle FROM tok),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0)
+        SELECT s.doc_id, count(*) AS n_shared_shingles
+        FROM sh s JOIN bench b ON s.shingle = b.shingle
+        WHERE s.doc_id % 20 <> 0
+        GROUP BY s.doc_id ORDER BY s.doc_id"""),
+      "Benchmark contamination: training docs sharing any word-5-gram with the held-out set."),
+
+    "dataset_split" -> Q(
+      (s, d) => docs(s, d)
+        .withColumn("h2", substring(md5(col("doc_id").cast("string")), 1, 2))
+        .withColumn("split",
+          when(col("h2") < "0d", "test").when(col("h2") < "1a", "val").otherwise("train"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .orderBy("split", "lang"),
+      Some("""SELECT split, lang, count(*) AS n_docs, min(doc_id) AS min_doc
+        FROM (SELECT lang, doc_id,
+          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+               ELSE 'train' END AS split
+        FROM documents)
+        GROUP BY split, lang ORDER BY split, lang"""),
+      "Reproducible train/val/test assignment by content-hash range — stable across engines, " +
+        "reruns and repartitionings (no rand())."),
+
     // ---- end-to-end pipeline (flagship) -----------------------------------
 
     "pipeline_training_data" -> Q(
