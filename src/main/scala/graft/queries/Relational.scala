@@ -402,6 +402,27 @@ object Relational {
       None, // HLL sketch: not bit-reproducible in SQL; error-bound spec instead
       "HLL approximate distinct (error-bound checked in ApproxSpec)"),
 
+    "set_ops" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val buyers = eventsTable(s, d).filter($"event_type" === "purchase")
+          .select($"user_id").distinct()
+        val clickers = eventsTable(s, d).filter($"event_type" === "click")
+          .select($"user_id").distinct()
+        buyers.intersect(clickers).withColumn("cohort", lit("both"))
+          .unionByName(buyers.except(clickers).withColumn("cohort", lit("buy_only")))
+          .orderBy($"cohort", $"user_id")
+      },
+      Some("""SELECT user_id, 'both' AS cohort FROM
+          (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+           INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+        UNION ALL
+        SELECT user_id, 'buy_only' AS cohort FROM
+          (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+           EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+        ORDER BY cohort, user_id"""),
+      "INTERSECT / EXCEPT cohort analysis over distinct key sets"),
+
     "salted_join_agg" -> Q(
       (s, d) => {
         import s.implicits._

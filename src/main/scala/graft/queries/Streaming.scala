@@ -65,6 +65,25 @@ object Streaming {
       Some("SELECT DISTINCT user_id, event_type FROM events"),
       "Streaming exact dedup: cross-micro-batch key state via dropDuplicates."),
 
+    "streaming_dim_join" -> Q(
+      (s, d) => {
+        // Stream-static enrichment: the micro-batch stream joins the static
+        // dimension snapshot per batch (broadcast — the dim is read once per
+        // batch, never shuffled with the stream).
+        val (src, out, ck) = Streams.workDirs("streaming_dim_join")
+        val staged = Streams.stagedStream(
+          eventsTable(s, d).select(col("event_id"), col("user_id"), col("event_type")),
+          src, nFiles = 4)
+        val dim = table(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val joined = staged.join(broadcast(dim), staged("user_id") === dim("c_custkey"))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
+        Streams.runAppend(joined, out, ck)
+      },
+      Some("""SELECT event_id, user_id, event_type, c_mktsegment
+        FROM events JOIN customer ON user_id = c_custkey"""),
+      "Stream-static dimension enrichment join (broadcast dim per micro-batch)."),
+
     "streaming_upsert_pipeline" -> Q(
       (s, d) => {
         // The reference's actual topology end-to-end: stream -> per-batch CDC

@@ -269,6 +269,30 @@ object TrainingData {
         FROM documents) ORDER BY doc_id"""),
       "Stopword-list n-gram language-ID heuristic with deterministic argmax tie-break."),
 
+    "bigram_counts" -> Q(
+      (s, d) => {
+        // Corpus bigram statistics (the n-gram LM / PMI precursor): word
+        // 2-gram shingles WITHOUT dedup would overcount — here we want raw
+        // occurrence counts, so slide over the token array directly.
+        val toks = ascii_tokens(col("text"))
+        docs(s, d)
+          .select(explode(
+            filter(
+              zip_with(toks, slice(toks, 2, 1000000),
+                (a, b) => concat(a, lit(" "), b)),
+              x => x.isNotNull)).as("bigram"))
+          .groupBy(col("bigram"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("bigram"))
+          .limit(50)
+      },
+      Some("""WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+        bg AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+          i -> w[i] || ' ' || w[i+1])) AS bigram FROM tok WHERE len(w) >= 2)
+        SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+        ORDER BY n DESC, bigram LIMIT 50"""),
+      "Corpus bigram occurrence counts, deterministic top-50 (n-gram LM statistics)."),
+
     "contamination_check" -> Q(
       (s, d) => {
         // Benchmark-contamination scan: which training docs share any word
