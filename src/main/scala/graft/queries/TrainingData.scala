@@ -269,6 +269,34 @@ object TrainingData {
         FROM documents) ORDER BY doc_id"""),
       "Stopword-list n-gram language-ID heuristic with deterministic argmax tie-break."),
 
+    "text_repetition" -> Q(
+      (s, d) => {
+        // Intra-doc repetition: type-token ratio and the most-frequent-token
+        // share — the standard "degenerate/repetitive document" signal.
+        // explode + two-level groupBy keeps it distributed (no per-row O(n²)).
+        val perTok = docs(s, d)
+          .select(col("doc_id"), explode(ascii_tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("n"))
+        perTok.groupBy(col("doc_id"))
+          .agg(sum(col("n")).cast("long").as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            max(col("n")).as("max_freq"))
+          .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
+          .withColumn("rep_ratio", col("max_freq").cast("double") / col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok FROM documents),
+        c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+        agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+          count(*) AS n_distinct, CAST(max(n) AS BIGINT) AS max_freq
+          FROM c GROUP BY doc_id)
+        SELECT doc_id, n_tokens, n_distinct, max_freq,
+          n_distinct::DOUBLE / n_tokens AS ttr,
+          max_freq::DOUBLE / n_tokens AS rep_ratio
+        FROM agg ORDER BY doc_id"""),
+      "Repetition/diversity quality features: type-token ratio and top-token share."),
+
     "bigram_counts" -> Q(
       (s, d) => {
         // Corpus bigram statistics (the n-gram LM / PMI precursor): word
