@@ -7,8 +7,10 @@ import org.apache.spark.sql.types._
 /** A named engine query plus (optionally) the equivalent DuckDB SQL oracle.
   *
   * Oracle-hardening conventions (see SURVEY.md §5): money aggregates run
-  * through DECIMAL(18,x) pre-aggregation casts with an explicit DECIMAL(38,x)
-  * final cast on BOTH sides (bit-exact across engines); timestamps are
+  * through DECIMAL(18,x) pre-aggregation casts with an explicit DECIMAL(18,x)
+  * final cast on BOTH sides — int64-backed parquet decimals hash identically
+  * across engines, where DECIMAL(38,x)/decimal128 outputs tripped the driver's
+  * hash canonicalization in round 2 despite bit-equal values; timestamps are
   * emitted as unix-microsecond BIGINTs (`unix_micros` / `epoch_us`); every
   * LIMIT sits on a total deterministic order with a unique-key tiebreak.
   */
@@ -25,9 +27,6 @@ object core {
   val D18_2: DecimalType = DecimalType(18, 2)
   val D18_4: DecimalType = DecimalType(18, 4)
   val D18_6: DecimalType = DecimalType(18, 6)
-  val D38_2: DecimalType = DecimalType(38, 2)
-  val D38_4: DecimalType = DecimalType(38, 4)
-  val D38_6: DecimalType = DecimalType(38, 6)
 
   /** 2-decimal source double -> exact decimal; safe (never rounds at a half). */
   def dec2(c: Column): Column = c.cast(D18_2)

@@ -43,6 +43,10 @@ case class MinHashSignature(child: Expression, numPerms: Int = 64)
   */
 case class MinHashBands(child: Expression, numPerms: Int = 64, bands: Int = 16)
     extends UnaryExpression {
+  require(bands > 0 && numPerms % bands == 0,
+    s"minhash_bands: numPerms ($numPerms) must be a positive multiple of bands ($bands); " +
+      "otherwise the trailing numPerms % bands permutations would be computed but " +
+      "silently excluded from every band hash, changing the LSH collision probability")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     Kernels.minhashBands(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numPerms, bands)
@@ -66,13 +70,16 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 /** SimHash chunk values for pigeonhole banding, fused for the same plan-shape
-  * reason as [[MinHashBands]]: emits the `chunks` equal-width bit slices of
-  * the 64-bit SimHash as an array, computing the hash once per row. The full
-  * hash is recoverable from the chunks (they partition the 64 bits), so
-  * Hamming distances can be reconstructed chunk-wise.
+  * reason as [[MinHashBands]]: emits `chunks` bit slices of the 64-bit
+  * SimHash as an array, computing the hash once per row. The slices PARTITION
+  * the 64 bits — each of the first `chunks-1` gets ⌊64/chunks⌋ bits and the
+  * last gets the remainder — so the full hash is recoverable from the chunks
+  * and pigeonhole banding stays exact for any chunk count in [1, 64].
   */
 case class SimHashChunks(child: Expression, chunks: Int = 8)
     extends UnaryExpression {
+  require(chunks >= 1 && chunks <= 64,
+    s"simhash_chunks: chunks ($chunks) must be in [1, 64]")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     Kernels.simhashChunks(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], chunks)

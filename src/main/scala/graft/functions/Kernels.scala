@@ -105,12 +105,23 @@ object Kernels {
 
   def simhash64(arr: ArrayData): Long = simhashBits(arr)
 
+  /** Bit slices that PARTITION the 64-bit SimHash: the first `chunks - 1`
+    * slices are ⌊64/chunks⌋ bits wide and the last takes the remaining
+    * 64 − (chunks−1)·width bits, so no bit is ever dropped (a truncated hash
+    * would let pairs whose true 64-bit Hamming exceeds k slip through the
+    * pigeonhole bound when chunks ∤ 64).
+    */
   def simhashChunks(arr: ArrayData, chunks: Int): ArrayData = {
     val width = 64 / chunks
     val sim = simhashBits(arr)
     val out = new Array[Long](chunks)
     var c = 0
-    while (c < chunks) { out(c) = (sim >>> (c * width)) & ((1L << width) - 1); c += 1 }
+    while (c < chunks) {
+      val lo = c * width
+      val w = if (c == chunks - 1) 64 - lo else width
+      out(c) = if (w >= 64) sim else (sim >>> lo) & ((1L << w) - 1)
+      c += 1
+    }
     new GenericArrayData(out)
   }
 

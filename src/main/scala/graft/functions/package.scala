@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.graft.shims.{toCol, toExpr}
 import org.apache.spark.sql.functions._
 
@@ -33,17 +34,71 @@ package object functions {
   def simhash_chunks(c: Column, chunks: Int = 8): Column =
     toCol(SimHashChunks(toExpr(c), chunks))
 
-  /** SQL registration, so the kernels are callable from spark.sql(...). */
+  // ---- SQL-argument helpers: optional trailing parameters must be integer
+  // literals (they parameterize codegen constants), and arity is validated so
+  // e.g. `word_shingles(text, 5)` really runs with n = 5 instead of silently
+  // dropping the argument.
+  private def checkArity(fn: String, es: Seq[Expression], min: Int, max: Int): Unit =
+    if (es.size < min || es.size > max)
+      throw new IllegalArgumentException(
+        s"$fn expects between $min and $max arguments, got ${es.size}")
+  private def litLong(fn: String, arg: String, e: Expression): Long = e match {
+    case Literal(v: Int, _)   => v.toLong
+    case Literal(v: Long, _)  => v
+    case Literal(v: Short, _) => v.toLong
+    case Literal(v: Byte, _)  => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be an integer literal, got ${other.sql}")
+  }
+  private def litInt(fn: String, arg: String, e: Expression): Int =
+    litLong(fn, arg, e).toInt
+
+  /** SQL registration, so the kernels are callable from spark.sql(...).
+    * Optional parameters map to the constructor params of the kernels, e.g.
+    * `word_shingles(text, 5)`, `minhash_bands(shingles, 128, 32)`,
+    * `rolling_hash(text, 31, 1000000007)`.
+    */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("minhash_signature", es => MinHashSignature(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("sign_random_projection", es => SignRandomProjection(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("word_shingles", es => WordShingles(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_bands", es => MinHashBands(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash_chunks", es => SimHashChunks(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature", es => {
+      checkArity("minhash_signature", es, 1, 2)
+      MinHashSignature(es.head,
+        if (es.size > 1) litInt("minhash_signature", "numPerms", es(1)) else 64)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", es => {
+      checkArity("simhash64", es, 1, 1)
+      SimHash64(es.head)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_hash", es => {
+      checkArity("rolling_hash", es, 1, 3)
+      RollingHash(es.head,
+        if (es.size > 1) litLong("rolling_hash", "base", es(1)) else 31L,
+        if (es.size > 2) litLong("rolling_hash", "mod", es(2)) else 1000000007L)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("sign_random_projection", es => {
+      checkArity("sign_random_projection", es, 1, 3)
+      SignRandomProjection(es.head,
+        if (es.size > 1) litInt("sign_random_projection", "numBits", es(1)) else 16,
+        if (es.size > 2) litInt("sign_random_projection", "seed", es(2)) else 77)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim", es => {
+      checkArity("cosine_sim", es, 2, 2)
+      CosineSim(es(0), es(1))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingles", es => {
+      checkArity("word_shingles", es, 1, 2)
+      WordShingles(es.head, if (es.size > 1) litInt("word_shingles", "n", es(1)) else 3)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_bands", es => {
+      checkArity("minhash_bands", es, 1, 3)
+      MinHashBands(es.head,
+        if (es.size > 1) litInt("minhash_bands", "numPerms", es(1)) else 64,
+        if (es.size > 2) litInt("minhash_bands", "bands", es(2)) else 16)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_chunks", es => {
+      checkArity("simhash_chunks", es, 1, 2)
+      SimHashChunks(es.head, if (es.size > 1) litInt("simhash_chunks", "chunks", es(1)) else 8)
+    }, "scala_udf")
   }
 
   // ---- text primitives (match the DuckDB oracle expressions exactly) ----

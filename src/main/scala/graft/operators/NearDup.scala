@@ -66,7 +66,14 @@ object NearDup {
     val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "shingle")
-    val prefix = inv.join(broadcast(dfreq), "shingle")
+    // No broadcast hint on dfreq: it has one row per DISTINCT shingle —
+    // O(corpus vocabulary), billions of rows at 100 TB — so forcing a
+    // broadcast OOMs the driver at scale. Both sides of this join are
+    // already hash-partitioned by `shingle` (dfreq by its groupBy, inv by
+    // the join), so the unhinted plan is a single co-partitioned shuffle
+    // join; AQE still auto-broadcasts when the measured size is under
+    // spark.sql.autoBroadcastJoinThreshold, which is the size guard.
+    val prefix = inv.join(dfreq, "shingle")
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * minJaccard) + 1)
       .select(col("doc_id"), col("n_sh"), col("shingle"), col("rk"))

@@ -5,7 +5,7 @@ import graft.core._
 import graft.operators.Upsert
 import graft.sinks.GraftTableWriter
 import graft.sources.{ShardedIngest, TypedIngest}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -90,6 +90,34 @@ object Ingestion {
         ORDER BY event_type, page_rn"""),
       "incremental page beyond checkpointed per-shard offsets"),
 
+    "jdbc_sharded_read" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // In-process Derby stands in for the warehouse endpoint (the sandbox
+        // has no network); staging the parquet rows into it via Spark's own
+        // distributed JDBC writer is test scaffolding — the operator under
+        // test is the per-shard pushed-down page read in viaJdbc, which runs
+        // the reference's exact poll SQL against a real database.
+        val url = "jdbc:derby:memory:graft;create=true"
+        eventsTable(s, d).select($"event_id", $"event_type", micros($"ts").as("tsu"))
+          .write.format("jdbc")
+          .option("url", url).option("dbtable", "events_jdbc")
+          .option("createTableColumnTypes", "event_type VARCHAR(32)") // Derby default CLOB can't equality-compare
+          .mode(SaveMode.Overwrite).save()
+        val shards = ShardedIngest.discoverShardsJdbc(s, url, "events_jdbc", "event_type")
+        ShardedIngest.viaJdbc(s, url, "events_jdbc", "event_type",
+            Seq("tsu", "event_id"), demoOffsets, 400L, shards)
+          .select($"event_id", $"event_type", $"tsu")
+          .orderBy($"event_id")
+      },
+      Some(s"""SELECT event_id, event_type, tsu FROM (
+        SELECT event_id, event_type, epoch_us(ts) AS tsu,
+          row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS page_rn
+        FROM events) t
+        WHERE page_rn > ($offsetsCaseSql) AND page_rn <= ($offsetsCaseSql) + 400
+        ORDER BY event_id"""),
+      "live JDBC sharded page read: ORDER BY/OFFSET/FETCH pushed per shard into the database (SnowflakeProcessFunction.java:88-122)"),
+
     "snapshot_ingest_typed" -> Q(
       (s, d) => {
         import s.implicits._
@@ -153,6 +181,29 @@ object Ingestion {
           epoch_us(o_orderdate), o_orderpriority
         FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey"""),
       "Iceberg-style equality-field upsert (IcebergSinkBuilder.java:40)"),
+
+    "upsert_partitioned" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val p = tmp("upsert_partitioned")
+        GraftTableWriter.drop(s, p)
+        val o = table(s, d, "orders")
+        GraftTableWriter.overwrite(o, p, partitions = Seq("o_orderpriority"))
+        val upd = o
+          .filter($"o_orderkey" % 100 === 0 && $"o_orderpriority" === "1-URGENT")
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+        GraftTableWriter.upsertPartitioned(upd, p, Seq("o_orderkey"), Seq("o_orderpriority"))
+        ordersOut(GraftTableWriter.read(s, p)).orderBy($"o_orderkey")
+      },
+      Some(s"""SELECT $ordersOutSql FROM orders
+        WHERE NOT (o_orderkey % 100 = 0 AND o_orderpriority = '1-URGENT')
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'U', o_totalprice + 1000.0,
+          epoch_us(o_orderdate), o_orderpriority
+        FROM orders WHERE o_orderkey % 100 = 0 AND o_orderpriority = '1-URGENT'
+        ORDER BY o_orderkey"""),
+      "partition-scoped upsert: only touched identity partitions rewrite (IcebergSinkBuilder.java:36-43)"),
 
     "append_readback" -> Q(
       (s, d) => {

@@ -31,18 +31,18 @@ object Relational {
           .filter($"l_shipdate" <= ts("1998-09-01"))
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
-            sum(dec4($"l_quantity")).cast(D38_4).as("sum_qty"),
-            sum(dec4($"l_extendedprice")).cast(D38_4).as("sum_base_price"),
-            sum(revenue(s)).cast(D38_6).as("sum_disc_price"),
-            sum(revenue(s).cast(D18_6) * (one4 + dec4($"l_tax"))).cast(D38_6).as("sum_charge"),
+            sum(dec4($"l_quantity")).cast(D18_4).as("sum_qty"),
+            sum(dec4($"l_extendedprice")).cast(D18_4).as("sum_base_price"),
+            sum(revenue(s)).cast(D18_6).as("sum_disc_price"),
+            sum(revenue(s).cast(D18_6) * (one4 + dec4($"l_tax"))).cast(D18_6).as("sum_charge"),
             count(lit(1)).as("count_order"))
           .orderBy($"l_returnflag", $"l_linestatus")
       },
       Some(s"""SELECT l_returnflag, l_linestatus,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-        CAST(SUM($revenueSql) AS DECIMAL(38,6)) AS sum_disc_price,
-        CAST(SUM(CAST($revenueSql AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
+        CAST(SUM($revenueSql) AS DECIMAL(18,6)) AS sum_disc_price,
+        CAST(SUM(CAST($revenueSql AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DECIMAL(18,6)) AS sum_charge,
         COUNT(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
@@ -58,14 +58,14 @@ object Relational {
           .join(o, $"c_custkey" === $"o_custkey")
           .join(l, $"o_orderkey" === $"l_orderkey")
           .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-          .agg(sum(revenue(s)).cast(D38_6).as("revenue"))
+          .agg(sum(revenue(s)).cast(D18_6).as("revenue"))
           .select($"l_orderkey", micros($"o_orderdate").as("odate_us"),
             $"o_orderpriority", $"revenue")
           .orderBy($"revenue".desc, $"l_orderkey")
           .limit(10)
       },
       Some(s"""SELECT l_orderkey, epoch_us(o_orderdate) AS odate_us, o_orderpriority,
-        CAST(SUM($revenueSql) AS DECIMAL(38,6)) AS revenue
+        CAST(SUM($revenueSql) AS DECIMAL(18,6)) AS revenue
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
           AND o_orderdate < TIMESTAMP '2000-01-01' AND l_shipdate > TIMESTAMP '2000-01-01'
@@ -89,10 +89,10 @@ object Relational {
           .join(l, $"o_orderkey" === $"l_orderkey")
           .join(broadcast(su), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
           .groupBy($"n_name")
-          .agg(sum(revenue(s)).cast(D38_6).as("revenue"), count(lit(1)).as("n_items"))
+          .agg(sum(revenue(s)).cast(D18_6).as("revenue"), count(lit(1)).as("n_items"))
           .orderBy($"revenue".desc, $"n_name")
       },
-      Some(s"""SELECT n_name, CAST(SUM($revenueSql) AS DECIMAL(38,6)) AS revenue,
+      Some(s"""SELECT n_name, CAST(SUM($revenueSql) AS DECIMAL(18,6)) AS revenue,
         COUNT(*) AS n_items
         FROM region, nation, customer, orders, lineitem, supplier
         WHERE r_name = 'ASIA' AND r_regionkey = n_regionkey AND n_nationkey = c_nationkey
@@ -108,10 +108,10 @@ object Relational {
         table(s, d, "lineitem")
           .filter($"l_shipdate" >= ts("1997-01-01") && $"l_shipdate" < ts("1998-01-01") &&
             $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
-          .agg(sum(dec4($"l_extendedprice") * dec4($"l_discount")).cast(D38_6).as("revenue"),
+          .agg(sum(dec4($"l_extendedprice") * dec4($"l_discount")).cast(D18_6).as("revenue"),
             count(lit(1)).as("n_items"))
       },
-      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS revenue,
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS revenue,
         COUNT(*) AS n_items
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -142,7 +142,7 @@ object Relational {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         table(s, d, "lineitem")
           .filter($"l_suppkey" < 10)
-          .withColumn("running_qty", sum(dec4($"l_quantity")).over(w).cast(D38_4))
+          .withColumn("running_qty", sum(dec4($"l_quantity")).over(w).cast(D18_4))
           .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
             micros($"l_shipdate").as("ship_us"), $"running_qty")
           .orderBy($"l_suppkey", $"ship_us", $"l_orderkey", $"l_linenumber")
@@ -150,7 +150,7 @@ object Relational {
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber, epoch_us(l_shipdate) AS ship_us,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
           PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_qty
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS running_qty
         FROM lineitem WHERE l_suppkey < 10
         ORDER BY l_suppkey, ship_us, l_orderkey, l_linenumber"""),
       "running sum, rows frame, total deterministic order"),
@@ -161,11 +161,11 @@ object Relational {
         table(s, d, "orders")
           .groupBy($"o_orderpriority")
           .agg(countDistinct($"o_custkey").as("n_cust"), count(lit(1)).as("n_orders"),
-            sum(dec2($"o_totalprice")).cast(D38_2).as("sum_price"))
+            sum(dec2($"o_totalprice")).cast(D18_2).as("sum_price"))
           .orderBy($"o_orderpriority")
       },
       Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
       "multi-distinct aggregation"),
 
@@ -206,11 +206,11 @@ object Relational {
           .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
           .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
           .rollup($"r_name", $"n_name")
-          .agg(count(lit(1)).as("n_cust"), sum(dec2($"c_acctbal")).cast(D38_2).as("sum_bal"))
+          .agg(count(lit(1)).as("n_cust"), sum(dec2($"c_acctbal")).cast(D18_2).as("sum_bal"))
           .orderBy($"r_name", $"n_name")
       },
       Some("""SELECT r_name, n_name, COUNT(*) AS n_cust,
-        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
         FROM customer, nation, region
         WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name, n_name"""),
@@ -243,12 +243,12 @@ object Relational {
         val su = table(s, d, "supplier").select(lit("supplier").as("kind"), $"s_acctbal".as("bal"))
         c.unionAll(su)
           .groupBy($"kind")
-          .agg(count(lit(1)).as("n"), sum(dec2($"bal")).cast(D38_2).as("sum_bal"),
+          .agg(count(lit(1)).as("n"), sum(dec2($"bal")).cast(D18_2).as("sum_bal"),
             min($"bal").as("min_bal"), max($"bal").as("max_bal"))
           .orderBy($"kind")
       },
       Some("""SELECT kind, COUNT(*) AS n,
-        CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal,
+        CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal,
         MIN(bal) AS min_bal, MAX(bal) AS max_bal
         FROM (SELECT 'customer' AS kind, c_acctbal AS bal FROM customer
               UNION ALL SELECT 'supplier' AS kind, s_acctbal AS bal FROM supplier) t
@@ -272,12 +272,12 @@ object Relational {
         import s.implicits._
         eventsTable(s, d)
           .groupBy(date_trunc("hour", $"ts").as("bucket"), $"event_type")
-          .agg(count(lit(1)).as("n"), sum(dec4($"value")).cast(D38_4).as("sum_value"))
+          .agg(count(lit(1)).as("n"), sum(dec4($"value")).cast(D18_4).as("sum_value"))
           .select(micros($"bucket").as("bucket_us"), $"event_type", $"n", $"sum_value")
           .orderBy($"bucket_us", $"event_type")
       },
       Some("""SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
-        COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
       "hourly time-bucket rollup"),
 
@@ -346,13 +346,13 @@ object Relational {
         table(s, d, "lineitem")
           .join(broadcast(bands), $"l_quantity" >= $"lo" && $"l_quantity" < $"hi")
           .groupBy($"band")
-          .agg(count(lit(1)).as("n"), sum(dec4($"l_quantity")).cast(D38_4).as("sum_qty"),
-            sum(revenue(s)).cast(D38_6).as("band_revenue"))
+          .agg(count(lit(1)).as("n"), sum(dec4($"l_quantity")).cast(D18_4).as("sum_qty"),
+            sum(revenue(s)).cast(D18_6).as("band_revenue"))
           .orderBy($"band")
       },
       Some(s"""SELECT band, COUNT(*) AS n,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-        CAST(SUM($revenueSql) AS DECIMAL(38,6)) AS band_revenue
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        CAST(SUM($revenueSql) AS DECIMAL(18,6)) AS band_revenue
         FROM lineitem JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'), (25.0, 51.0, 'high'))
           AS b(lo, hi, band) ON l_quantity >= lo AND l_quantity < hi
         GROUP BY band ORDER BY band"""),
@@ -432,11 +432,11 @@ object Relational {
         graft.operators.SkewJoin.saltedJoin(fact, dim, "c_custkey")
           .groupBy($"c_mktsegment")
           .agg(count(lit(1)).as("n_orders"),
-            sum(dec2($"o_totalprice")).cast(D38_2).as("total_price"))
+            sum(dec2($"o_totalprice")).cast(D18_2).as("total_price"))
           .orderBy($"c_mktsegment")
       },
       Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
       "Skew-safe salted join (hash-salted fact × replicated dim) — provably identical to the plain join"),
@@ -464,11 +464,11 @@ object Relational {
           .withColumn("bucket", least(floor($"value" / 50.0).cast(LongType), lit(9L)))
           .groupBy($"bucket")
           .agg(count(lit(1)).as("n"),
-            sum(dec4($"value")).cast(D38_4).as("sum_value"))
+            sum(dec4($"value")).cast(D18_4).as("sum_value"))
           .orderBy($"bucket")
       },
       Some("""SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket,
-        COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
         FROM events GROUP BY 1 ORDER BY 1"""),
       "Fixed-width histogram with a capped overflow bucket (portable bucket arithmetic)"),
 

@@ -45,13 +45,13 @@ object Streaming {
         val agg = staged
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(dec4(col("value"))).cast(D38_4).as("sum_value"))
+          .agg(count(lit(1)).as("n"), sum(dec4(col("value"))).cast(D18_4).as("sum_value"))
           .select(micros(col("window.start")).as("bucket_us"), col("event_type"),
             col("n"), col("sum_value"))
         Streams.runCompleteOverwrite(agg, out, ck)
       },
       Some("""SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
-        COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
         FROM events GROUP BY 1, 2"""),
       "Event-time windowed aggregation with a 1h watermark, complete-mode foreachBatch sink."),
 

@@ -1,8 +1,9 @@
 package graft.sinks
 
 import graft.operators.Upsert
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Iceberg-flavoured table management over parquet paths: the reference's
   * sink surface (IcebergTableManager.java:84-92 create-if-absent with identity
@@ -10,8 +11,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * overwrite) without an Iceberg runtime.
   *
   * Identity partitioning maps to `partitionBy` (hive-style directories →
-  * partition pruning on read). Upsert rewrites via a staging directory and an
-  * atomic-ish rename so a failed job never leaves a half-written table.
+  * partition pruning on read). Upserts rewrite via a staging directory and a
+  * crash-safe swap ([[swapDir]]): the current data is renamed ASIDE before the
+  * staging data is renamed in, every rename's return value is checked, and a
+  * failed swap rolls the original back — no window where the table is simply
+  * deleted. [[upsertPartitioned]] confines the rewrite to the partitions the
+  * update batch actually touches, the parquet analogue of Iceberg-v2 equality
+  * deletes touching only affected files.
   */
 object GraftTableWriter {
 
@@ -21,17 +27,19 @@ object GraftTableWriter {
   def overwrite(df: DataFrame, path: String, partitions: Seq[String] = Nil): Unit =
     writer(df, partitions).mode(SaveMode.Overwrite).parquet(path)
 
-  /** Equality-field upsert into an existing table (creates it when absent). */
+  /** Equality-field upsert into an existing table (creates it when absent).
+    * Rewrites the whole table — correct at any size but O(table) per batch;
+    * partitioned tables should use [[upsertPartitioned]], which is O(touched
+    * partitions).
+    */
   def upsert(df: DataFrame, path: String, keys: Seq[String],
       partitions: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     if (!exists(spark, path)) { overwrite(df, path, partitions); return }
     val merged = Upsert.upsert(spark.read.parquet(path), df, keys)
-    val staging = path + "__staging"
-    writer(merged, partitions).mode(SaveMode.Overwrite).parquet(staging)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(path), true)
-    fs.rename(new Path(staging), new Path(path))
+    val staging = new Path(path + "__staging")
+    writer(merged, partitions).mode(SaveMode.Overwrite).parquet(staging.toString)
+    swapDir(fs(spark, path), staging, new Path(path))
   }
 
   /** Version-aware upsert: keep, per equality key, the row ranking first
@@ -41,29 +49,111 @@ object GraftTableWriter {
     * ordering is not guaranteed.
     */
   def upsertVersioned(df: DataFrame, path: String, keys: Seq[String],
-      ordering: Seq[org.apache.spark.sql.Column], partitions: Seq[String] = Nil): Unit = {
+      ordering: Seq[Column], partitions: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val unioned =
       if (exists(spark, path)) spark.read.parquet(path).unionByName(df) else df
     val merged = Upsert.latestByKey(unioned, keys, ordering)
-    val staging = path + "__staging"
-    writer(merged, partitions).mode(SaveMode.Overwrite).parquet(staging)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(path), true)
-    fs.rename(new Path(staging), new Path(path))
+    val staging = new Path(path + "__staging")
+    writer(merged, partitions).mode(SaveMode.Overwrite).parquet(staging.toString)
+    swapDir(fs(spark, path), staging, new Path(path))
+  }
+
+  /** Partition-scoped equality-field upsert: only the identity partitions the
+    * update batch touches are read, merged, and swapped — files in every
+    * other partition are left byte-identical, so a CDC batch against a 100 TB
+    * table costs O(touched partitions), not O(table). This is the parquet
+    * analogue of the reference's equality-delete sink touching only affected
+    * data files (IcebergSinkBuilder.java:36-43).
+    *
+    * Requires: `partitions` non-empty, present in `df`, and STABLE per key —
+    * an update that moves a key to a different partition value cannot retire
+    * the old row (it lives in a partition this batch never reads). That is
+    * the standard identity-partitioned upsert contract.
+    *
+    * Each touched partition directory is committed independently via
+    * [[swapDir]], so a crash mid-batch leaves every partition either fully
+    * old or fully new — never half-written.
+    */
+  def upsertPartitioned(df: DataFrame, path: String, keys: Seq[String],
+      partitions: Seq[String]): Unit = {
+    require(partitions.nonEmpty,
+      "upsertPartitioned needs identity partition columns; use upsert() for unpartitioned tables")
+    val spark = df.sparkSession
+    if (!exists(spark, path)) { overwrite(df, path, partitions); return }
+    // O(#touched partitions) driver-side values — the CDC batch's partition
+    // footprint, not the data. Drives both the pruned base read and the swap.
+    val touched = df.select(partitions.map(col): _*).distinct().collect()
+    val prunePred = touched.map { row =>
+      partitions.zipWithIndex
+        .map { case (c, i) => col(c) <=> lit(row.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val base = spark.read.parquet(path).filter(prunePred) // partition-pruned scan
+    val merged = Upsert.upsert(base, df, keys)
+    val staging = new Path(path + "__staging")
+    val filesystem = fs(spark, path)
+    filesystem.delete(staging, true)
+    writer(merged, partitions).mode(SaveMode.Overwrite).parquet(staging.toString)
+    // The staging dir holds exactly the touched partition directories (with
+    // Spark's own hive-style value escaping) — swap those, and only those.
+    leafPartitionDirs(filesystem, staging, partitions.length).foreach { rel =>
+      swapDir(filesystem, new Path(staging, rel), new Path(new Path(path), rel))
+    }
+    filesystem.delete(staging, true) // leftover _SUCCESS marker
     ()
   }
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
   def exists(spark: SparkSession, path: String): Boolean =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new Path(path))
+    fs(spark, path).exists(new Path(path))
 
   def drop(spark: SparkSession, path: String): Unit = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(path), true)
+    fs(spark, path).delete(new Path(path), true)
     ()
+  }
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Crash-safe directory swap: rename the current `dst` ASIDE, rename `src`
+    * in, then drop the aside copy — checking every rename. A failure before
+    * the final delete leaves either the original `dst` (rolled back) or the
+    * new one, plus at worst a stale `*__old` dir that the next swap clears;
+    * at no point is `dst` missing while data exists only in staging (the
+    * failure mode of the naive delete-then-rename).
+    */
+  private def swapDir(filesystem: FileSystem, src: Path, dst: Path): Unit = {
+    val aside = new Path(dst.getParent, dst.getName + "__old")
+    if (filesystem.exists(aside) && !filesystem.delete(aside, true))
+      throw new java.io.IOException(s"swap: cannot clear stale aside dir $aside")
+    val hadDst = filesystem.exists(dst)
+    if (hadDst && !filesystem.rename(dst, aside))
+      throw new java.io.IOException(s"swap: cannot move $dst aside to $aside")
+    if (!hadDst) filesystem.mkdirs(dst.getParent) // new partition value
+    if (!filesystem.rename(src, dst)) {
+      if (hadDst) filesystem.rename(aside, dst) // roll back; original survives
+      throw new java.io.IOException(s"swap: cannot rename $src into place at $dst")
+    }
+    if (hadDst && !filesystem.delete(aside, true))
+      throw new java.io.IOException(s"swap: committed, but cannot drop aside dir $aside")
+  }
+
+  /** Relative paths of the hive-style leaf partition directories exactly
+    * `depth` levels under `root` (e.g. `event_type=click` at depth 1,
+    * `a=1/b=x` at depth 2).
+    */
+  private def leafPartitionDirs(filesystem: FileSystem, root: Path, depth: Int): Seq[String] = {
+    def children(p: Path): Seq[Path] =
+      filesystem.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .map(_.getPath)
+    (1 until depth).foldLeft(children(root))((dirs, _) => dirs.flatMap(children))
+      .map { p =>
+        val rootUri = root.toUri.getPath.stripSuffix("/")
+        p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      }
   }
 
   private def writer(df: DataFrame, partitions: Seq[String]) = {

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -45,6 +45,64 @@ object ShardedIngest {
       .filter(col("page_rn") > col("__off") && col("page_rn") <= col("__off") + pageSize)
       .drop("__off")
   }
+
+  /** Live-database analogue of [[page]]: the same
+    * `(table, shardCol, sortCols, offsets, pageSize)` contract executed
+    * against a real JDBC endpoint, with the paging pushed INTO the database —
+    * per shard, the emitted SQL is exactly the reference's poll query
+    * (SnowflakeProcessFunction.java:88-122):
+    *
+    * {{{ SELECT * FROM t WHERE shard = ? ORDER BY sortCols
+    *     OFFSET <state> ROWS FETCH NEXT <pageSize> ROWS ONLY }}}
+    *
+    * Each shard becomes one JDBC scan (one task — the analogue of one keyed
+    * Flink subtask), so shards page in parallel across executors while the
+    * database does the ordering/limiting, and only page-sized row sets ever
+    * cross the wire. `shards` normally comes from [[discoverShardsJdbc]];
+    * shard values are bound via the SQL literal of the string value.
+    */
+  def viaJdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      shardCol: String,
+      sortCols: Seq[String],
+      offsets: Map[String, Long],
+      pageSize: Long,
+      shards: Seq[String]): DataFrame = {
+    require(shards.nonEmpty, "viaJdbc needs at least one shard value")
+    shards.map { sh =>
+      val off = offsets.getOrElse(sh, 0L)
+      val q =
+        s"""SELECT * FROM $table WHERE ${quoted(shardCol)} = ${sqlStringLiteral(sh)}
+           |ORDER BY ${sortCols.map(quoted).mkString(", ")}
+           |OFFSET $off ROWS FETCH NEXT $pageSize ROWS ONLY""".stripMargin
+      spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", q)
+        .load()
+    }.reduce(_ unionByName _)
+  }
+
+  /** Distinct shard values polled from the database itself
+    * (ColumnSource.java:44-56 runs `SELECT DISTINCT shard FROM t`).
+    * O(shards) rows — collected to drive the per-shard page scans.
+    */
+  def discoverShardsJdbc(
+      spark: SparkSession, url: String, table: String, shardCol: String): Seq[String] =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("query", s"SELECT DISTINCT ${quoted(shardCol)} AS shard FROM $table")
+      .load()
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  private def sqlStringLiteral(v: String): String = "'" + v.replace("'", "''") + "'"
+
+  /** ANSI-quoted column identifier — Spark's JDBC writer creates columns with
+    * their exact (typically lowercase) names, which unquoted SQL would
+    * case-fold away on ANSI databases like Derby.
+    */
+  private def quoted(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
 
   /** Advance the offset state after a page read: offset' = offset + rows
     * actually read (the reference's `offset += rowCount`,

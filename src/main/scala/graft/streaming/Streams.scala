@@ -58,6 +58,24 @@ object Streams {
     streamed.sparkSession.read.parquet(outDir)
   }
 
+  /** Start a CONTINUOUS append run on a processing-time interval — the
+    * reference's forever-polling timer loop
+    * (SnowflakeProcessFunction.java:60-86). Unlike [[runAppend]] this returns
+    * the live query without waiting: callers own stop/restart. Restarting
+    * with the same `ckDir`/`outDir` resumes from the last committed batch
+    * with exactly-once sink semantics (checkpoint + `_spark_metadata` commit
+    * log) — the crash-recovery contract StreamingSpec exercises.
+    */
+  def startProcessingTime(streamed: DataFrame, outDir: String, ckDir: String,
+      intervalMs: Long): org.apache.spark.sql.streaming.StreamingQuery =
+    streamed.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .outputMode("append")
+      .start()
+
   /** Run a streamed aggregation in complete mode through `foreachBatch`,
     * overwriting `outDir` each batch — the final batch holds the full result
     * (the `foreachBatch` + overwrite idiom for non-append sinks). */

@@ -62,6 +62,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("PPJoin never force-broadcasts the O(vocabulary) document-frequency table") {
+    // dfreq has one row per distinct shingle — billions at corpus scale —
+    // so the plan must not contain an unconditional broadcast of it. With no
+    // hint, both sides of the dfreq join arrive hash-partitioned by shingle;
+    // AQE may still auto-broadcast under the size threshold, which is the
+    // legitimate (guarded) case. Assert by disabling auto-broadcast: any
+    // remaining BroadcastHashJoin would be a forced hint.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = q("ngram_jaccard_pairs")
+      df.collect() // AQE-final plan
+      val plan = planOf(df)
+      assert(!plan.contains("BroadcastHashJoin"),
+        "forced broadcast survives autoBroadcastJoinThreshold=-1:\n" + plan.take(3000))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("upsert resolves to a broadcast anti join for a small update batch") {
     val df = q("upsert_merge")
     df.collect() // AQE finalizes join strategies at runtime

@@ -38,4 +38,51 @@ class StreamingSpec extends SparkSpec {
     assert(back.as[(Long, String)].collect().toSet ==
       (1 to 100).map(i => (i.toLong, s"v$i")).toSet)
   }
+
+  test("ProcessingTime ingest survives a kill/restart exactly-once (offset tracker included)") {
+    import spark.implicits._
+    val (src, out, ck) = Streams.workDirs("spec_restart")
+    // Stage 6 single-file slices so maxFilesPerTrigger=1 yields 6 micro-batches.
+    val slices = (0 until 6).map { s =>
+      (1 to 50).map(i => ShardEvent(if (i % 2 == 0) "a" else "b", (s * 50 + i).toLong))
+    }
+    slices.foreach(rows => rows.toDF().coalesce(1).write.mode("append").parquet(src))
+    val storedOffsets = Map("a" -> 10L) // first 10 'a' rows already consumed upstream
+
+    def tracked() = {
+      val staged = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      OffsetTracker.track(staged.as[ShardEvent], storedOffsets).toDF()
+    }
+
+    // Run 1: continuous processing-time trigger, killed mid-backlog. The
+    // 400 ms interval leaves a wide window to stop before the backlog drains.
+    val q1 = Streams.startProcessingTime(tracked(), out, ck, intervalMs = 400)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (q1.recentProgress.map(_.numInputRows).sum < 100 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    q1.stop() // kill with backlog remaining
+    q1.awaitTermination()
+    assert(q1.recentProgress.map(_.numInputRows).sum < 300, "kill happened after full drain; test is vacuous")
+
+    // Run 2: same checkpoint + sink — must resume, not restart from scratch.
+    val q2 = Streams.startProcessingTime(tracked(), out, ck, intervalMs = 50)
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+
+    val got = spark.read.parquet(out).as[(Long, String, Long)].collect().toSeq
+    // No duplicates across the restart boundary…
+    assert(got.map(_._1).distinct.size == got.size, "duplicate event_ids across restart")
+    // …no loss: every row past each shard's stored offset is present exactly once,
+    // with contiguous per-shard sequence numbers picking up beyond the offset.
+    val perShardSeqs = got.groupBy(_._2).view.mapValues(_.map(_._3).sorted).toMap
+    assert(perShardSeqs("a") == (11L to 150L), "shard a: expected seqs 11..150")
+    assert(perShardSeqs("b") == (1L to 150L), "shard b: expected seqs 1..150")
+    val expectedIds = slices.flatten.filter(_.event_type == "b").map(_.event_id).toSet ++
+      slices.flatten.filter(_.event_type == "a").map(_.event_id).toSet // ids only suppressed by seq, checked via counts
+    assert(got.map(_._1).toSet.subsetOf(expectedIds))
+  }
 }

@@ -30,4 +30,67 @@ class UpsertSpec extends SparkSpec {
       (3L, "b", 12L, 4.0))
     assert(fwd == expected && rev == expected)
   }
+
+  /** Every parquet file under `dir`, as (relative path, full byte content). */
+  private def fileBytes(dir: String): Map[String, Seq[Byte]] = {
+    val root = java.nio.file.Paths.get(dir)
+    val out = scala.collection.mutable.Map[String, Seq[Byte]]()
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        out(root.relativize(p).toString) = java.nio.file.Files.readAllBytes(p).toSeq
+    }
+    out.toMap
+  }
+
+  test("upsertPartitioned rewrites only touched partitions, byte-identically elsewhere") {
+    val path = "/tmp/graft_tables/spec_upsert_part"
+    GraftTableWriter.drop(spark, path)
+    val base = (1L to 400L).map(k => (k, s"name_$k", (k % 4).toString, k * 1.5))
+      .toDF("id", "name", "p", "score")
+    GraftTableWriter.overwrite(base, path, partitions = Seq("p"))
+    val before = fileBytes(path)
+    assert(before.keySet.map(_.split('/').head) == Set("p=0", "p=1", "p=2", "p=3"))
+
+    // update batch confined to partition p=1
+    val upd = Seq((1L, "updated_1", "1", -1.0), (401L, "new_401", "1", -2.0))
+      .toDF("id", "name", "p", "score")
+    GraftTableWriter.upsertPartitioned(upd, path, Seq("id"), Seq("p"))
+
+    val after = fileBytes(path)
+    def part(m: Map[String, Seq[Byte]], p: String) = m.filter(_._1.startsWith(p + "/"))
+    for (p <- Seq("p=0", "p=2", "p=3"))
+      assert(part(after, p) == part(before, p), s"untouched partition $p changed")
+    assert(part(after, "p=1") != part(before, "p=1"))
+    assert(!after.keySet.exists(_.contains("__old")) &&
+      !new java.io.File(path + "__staging").exists, "swap left temp dirs behind")
+
+    // merged semantics: key 1 replaced, 401 appended, everything else intact
+    val got = spark.read.parquet(path)
+      .select($"id", $"name", $"p", $"score").as[(Long, String, String, Double)]
+      .collect().toSet
+    val expected = (2L to 400L).map(k => (k, s"name_$k", (k % 4).toString, k * 1.5)).toSet ++
+      Set((1L, "updated_1", "1", -1.0), (401L, "new_401", "1", -2.0))
+    assert(got == expected)
+  }
+
+  test("upsertPartitioned handles multi-level partitions and new partition values") {
+    val path = "/tmp/graft_tables/spec_upsert_part2"
+    GraftTableWriter.drop(spark, path)
+    val base = Seq((1L, "a", 10, 1.0), (2L, "a", 20, 2.0), (3L, "b", 10, 3.0))
+      .toDF("id", "grp", "bucket", "v")
+    GraftTableWriter.overwrite(base, path, partitions = Seq("grp", "bucket"))
+    val before = fileBytes(path)
+    val upd = Seq((3L, "b", 10, 30.0), (4L, "c", 99, 4.0)) // touch b/10, create c/99
+      .toDF("id", "grp", "bucket", "v")
+    GraftTableWriter.upsertPartitioned(upd, path, Seq("id"), Seq("grp", "bucket"))
+    val after = fileBytes(path)
+    def part(m: Map[String, Seq[Byte]], p: String) = m.filter(_._1.startsWith(p + "/"))
+    for (p <- Seq("grp=a/bucket=10", "grp=a/bucket=20"))
+      assert(part(after, p) == part(before, p), s"untouched partition $p changed")
+    val got = spark.read.parquet(path)
+      .select($"id", $"grp", $"bucket", $"v").as[(Long, String, Int, Double)]
+      .collect().toSet
+    assert(got == Set((1L, "a", 10, 1.0), (2L, "a", 20, 2.0),
+      (3L, "b", 10, 30.0), (4L, "c", 99, 4.0)))
+  }
 }
