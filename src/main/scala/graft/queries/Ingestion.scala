@@ -3,7 +3,7 @@ package graft.queries
 import graft.{core, Q}
 import graft.core._
 import graft.operators.Upsert
-import graft.sinks.GraftTableWriter
+import graft.sinks.{GraftTableWriter, VersionedTable}
 import graft.sources.{ShardedIngest, TypedIngest}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -204,6 +204,31 @@ object Ingestion {
         FROM orders WHERE o_orderkey % 100 = 0 AND o_orderpriority = '1-URGENT'
         ORDER BY o_orderkey"""),
       "partition-scoped upsert: only touched identity partitions rewrite (IcebergSinkBuilder.java:36-43)"),
+
+    "versioned_time_travel" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val p = tmp("versioned_tt")
+        GraftTableWriter.drop(s, p)
+        val o = table(s, d, "orders")
+        VersionedTable.overwrite(o, p) // snapshot v1
+        val upd = o.filter($"o_orderkey" % 100 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+        VersionedTable.upsert(upd, p, Seq("o_orderkey")) // snapshot v2
+        val v1 = ordersOut(VersionedTable.readVersion(s, p, 1)).withColumn("snap", lit(1L))
+        val v2 = ordersOut(VersionedTable.readVersion(s, p, 2)).withColumn("snap", lit(2L))
+        v1.unionByName(v2).orderBy($"snap", $"o_orderkey")
+      },
+      Some(s"""SELECT $ordersOutSql, CAST(1 AS BIGINT) AS snap FROM orders
+        UNION ALL
+        SELECT $ordersOutSql, CAST(2 AS BIGINT) FROM orders WHERE o_orderkey % 100 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'U', o_totalprice + 1000.0,
+          epoch_us(o_orderdate), o_orderpriority, CAST(2 AS BIGINT)
+        FROM orders WHERE o_orderkey % 100 = 0
+        ORDER BY snap, o_orderkey"""),
+      "snapshot-versioned table: upsert commits a new snapshot, v1 stays time-travelable (Iceberg format-v2 semantics, IcebergTableManager.java:83-90)"),
 
     "append_readback" -> Q(
       (s, d) => {

@@ -487,6 +487,24 @@ object Relational {
       Some("""SELECT event_type, quantile_cont(value, 0.5) AS p50,
         quantile_cont(value, 0.95) AS p95, COUNT(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type"""),
-      "Exact interpolated quantiles per group (sort-based; approx sketches are the 100 TB path)")
+      "Exact interpolated quantiles per group (sort-based; approx sketches are the 100 TB path)"),
+
+    "event_value_quantiles_approx" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The 100 TB quantile path: a mergeable rank sketch (Spark's
+        // Greenwald-Khanna approx_percentile) with rank error <= 1/accuracy.
+        // Partial sketches merge associatively across partitions — one
+        // shuffle of O(sketch) bytes per group, no global sort of the data.
+        eventsTable(s, d)
+          .groupBy($"event_type")
+          .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50"),
+            expr("approx_percentile(value, 0.95, 1000)").as("p95"),
+            count(lit(1)).as("n"))
+          .orderBy($"event_type")
+      },
+      None, // sketch results are engine-specific; rank-error bound spec in ApproxSpec
+      "Approximate per-group quantiles via a mergeable GK rank sketch " +
+        "(error-bound-checked against the exact quantiles in ApproxSpec)")
   )
 }

@@ -84,6 +84,49 @@ object Streaming {
         FROM events JOIN customer ON user_id = c_custkey"""),
       "Stream-static dimension enrichment join (broadcast dim per micro-batch)."),
 
+    "stream_stream_join" -> Q(
+      (s, d) => {
+        // Watermarked stream-stream interval join: purchases match clicks of
+        // the same user within the following 30 minutes. Both sides carry a
+        // watermark, and the time-interval predicate bounds the join state
+        // Spark must hold (state is purged as the watermark passes — the
+        // requirement for an unbounded run); inner-join matches emit as soon
+        // as both rows arrive. The watermark delay must exceed the source's
+        // event-time DISORDER: the staged files are randomly partitioned, so
+        // rows arrive up to the full 30-day table span out of order and the
+        // delay is sized above it (a production feed with bounded lateness
+        // would use minutes).
+        val (srcC, out, ck) = Streams.workDirs("stream_stream_join")
+        val srcP = srcC + "_p"
+        val ev = eventsTable(s, d)
+        val clicks = Streams.stagedStream(
+          ev.filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts")),
+          srcC, nFiles = 3)
+          .withWatermark("click_ts", "35 days")
+        val purchases = Streams.stagedStream(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+              col("ts").as("purchase_ts")),
+          srcP, nFiles = 3)
+          .withWatermark("purchase_ts", "35 days")
+        val joined = clicks.join(purchases,
+            col("user_id") === col("p_user_id") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            micros(col("click_ts")).as("click_us"), micros(col("purchase_ts")).as("purchase_us"))
+        Streams.runAppend(joined, out, ck)
+      },
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"""),
+      "Watermarked stream-stream interval join (click->purchase attribution window; " +
+        "bounded state, purged by watermark)."),
+
     "streaming_upsert_pipeline" -> Q(
       (s, d) => {
         // The reference's actual topology end-to-end: stream -> per-batch CDC

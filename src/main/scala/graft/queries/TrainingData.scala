@@ -138,6 +138,20 @@ object TrainingData {
       "Deterministic ~16% content-hash sample: portable across engines and stable across " +
         "reruns/partitionings, unlike rand()-based sampling."),
 
+    "stratified_sample" -> Q(
+      (s, d) => docs(s, d)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <
+          when(col("lang") === "en", "60").otherwise("18"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE WHEN lang = 'en' THEN '60' ELSE '18' END
+        ORDER BY doc_id"""),
+      "Stratified hash sampling: per-stratum rates (~37.5% en, ~9.4% rest) from one " +
+        "deterministic content hash — rebalances a skewed corpus with zero shuffles, " +
+        "reproducibly across engines and reruns."),
+
     "edit_distance_pairs" -> Q(
       (s, d) => {
         // Near-dup candidates from the scalable prefix-filtered join, then the

@@ -22,4 +22,27 @@ class ApproxSpec extends SparkSpec {
     assert(relErr(approxE, exact._2) < 0.15,
       s"events: approx $approxE vs exact ${exact._2}")
   }
+
+  test("approx_percentile respects its rank-error bound per group") {
+    val d = sf("sf0.01")
+    // accuracy=1000 -> rank error eps <= 1/1000; the sketch's answer must lie
+    // between the exact quantiles at p +- 2*eps (slack for interpolation).
+    val eps = 2.0 / 1000
+    val approx = SparkEntry.queries("event_value_quantiles_approx")(spark, d)
+      .as[(String, Double, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = eventsTable(spark, d)
+      .groupBy($"event_type")
+      .agg(
+        expr(s"percentile(value, ${0.5 - eps})").as("p50_lo"),
+        expr(s"percentile(value, ${0.5 + eps})").as("p50_hi"),
+        expr(s"percentile(value, ${0.95 - eps})").as("p95_lo"),
+        expr(s"percentile(value, ${0.95 + eps})").as("p95_hi"))
+      .as[(String, Double, Double, Double, Double)].collect()
+    assert(exact.nonEmpty)
+    exact.foreach { case (et, p50lo, p50hi, p95lo, p95hi) =>
+      val (p50, p95) = approx(et)
+      assert(p50 >= p50lo && p50 <= p50hi, s"$et p50=$p50 outside [$p50lo,$p50hi]")
+      assert(p95 >= p95lo && p95 <= p95hi, s"$et p95=$p95 outside [$p95lo,$p95hi]")
+    }
+  }
 }

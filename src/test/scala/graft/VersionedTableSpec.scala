@@ -1,0 +1,105 @@
+package graft
+
+import graft.sinks.{GraftTableWriter, VersionedTable}
+import org.apache.spark.sql.functions._
+
+/** Snapshot semantics of the versioned table format: immutable data dirs,
+  * rename-as-commit manifests, time travel, isolation of pinned readers,
+  * append-without-rewrite, schema evolution, snapshot expiry, and optimistic
+  * concurrency between racing committers.
+  */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fileBytes(dir: String): Map[String, Seq[Byte]] = {
+    val root = java.nio.file.Paths.get(dir)
+    val out = scala.collection.mutable.Map[String, Seq[Byte]]()
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        out(root.relativize(p).toString) = java.nio.file.Files.readAllBytes(p).toSeq
+    }
+    out.toMap
+  }
+
+  test("overwrite/append/upsert produce time-travelable snapshots; append never rewrites") {
+    val path = "/tmp/graft_tables/spec_vt"
+    GraftTableWriter.drop(spark, path)
+    val v1 = VersionedTable.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    val dirsAfterV1 = fileBytes(path)
+    val v2 = VersionedTable.append(Seq((3L, "c")).toDF("id", "v"), path)
+    val v3 = VersionedTable.upsert(Seq((2L, "B2"), (4L, "d")).toDF("id", "v"), path, Seq("id"))
+    assert((v1, v2, v3) == (1, 2, 3))
+    assert(VersionedTable.versions(spark, path) == Seq(1, 2, 3))
+
+    // append added a dir; every v1 data file is still byte-identical
+    val afterAll = fileBytes(path)
+    dirsAfterV1.foreach { case (rel, bytes) =>
+      assert(afterAll.get(rel).contains(bytes), s"append/upsert mutated v1 file $rel")
+    }
+
+    def rows(v: Int) = VersionedTable.readVersion(spark, path, v)
+      .as[(Long, String)].collect().toSet
+    assert(rows(1) == Set((1L, "a"), (2L, "b")))
+    assert(rows(2) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(rows(3) == Set((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    assert(VersionedTable.read(spark, path).as[(Long, String)].collect().toSet == rows(3))
+  }
+
+  test("a pinned reader is isolated from later commits") {
+    val path = "/tmp/graft_tables/spec_vt_iso"
+    GraftTableWriter.drop(spark, path)
+    VersionedTable.overwrite(Seq((1L, "x")).toDF("id", "v"), path)
+    val pinned = VersionedTable.readVersion(spark, path, 1) // resolve dirs NOW
+    VersionedTable.upsert(Seq((1L, "y")).toDF("id", "v"), path, Seq("id"))
+    VersionedTable.append(Seq((9L, "z")).toDF("id", "v"), path)
+    // the pinned plan still reads only v1's immutable dirs
+    assert(pinned.as[(Long, String)].collect().toSet == Set((1L, "x")))
+    assert(VersionedTable.read(spark, path).as[(Long, String)].collect().toSet ==
+      Set((1L, "y"), (9L, "z")))
+  }
+
+  test("schema evolves across snapshots at read time") {
+    val path = "/tmp/graft_tables/spec_vt_schema"
+    GraftTableWriter.drop(spark, path)
+    VersionedTable.overwrite(Seq((1L, "a")).toDF("id", "v"), path)
+    VersionedTable.append(Seq((2L, "b", 7.5)).toDF("id", "v", "score"), path)
+    val got = VersionedTable.read(spark, path)
+      .select($"id", $"v", $"score").as[(Long, String, Option[Double])]
+      .collect().toSet
+    assert(got == Set((1L, "a", None), (2L, "b", Some(7.5))))
+  }
+
+  test("expire drops old snapshots and their unreferenced data dirs only") {
+    val path = "/tmp/graft_tables/spec_vt_expire"
+    GraftTableWriter.drop(spark, path)
+    VersionedTable.overwrite(Seq((1L, "a")).toDF("id", "v"), path)   // v1: dir A
+    VersionedTable.append(Seq((2L, "b")).toDF("id", "v"), path)      // v2: dirs A,B
+    VersionedTable.overwrite(Seq((3L, "c")).toDF("id", "v"), path)   // v3: dir C
+    VersionedTable.expire(spark, path, keep = 1)
+    assert(VersionedTable.versions(spark, path) == Seq(3))
+    // dirs A and B are gone, C survives
+    val dataDirs = new java.io.File(path).listFiles.filter(_.getName.startsWith("d-"))
+    assert(dataDirs.length == 1)
+    assert(VersionedTable.read(spark, path).as[(Long, String)].collect().toSet ==
+      Set((3L, "c")))
+    intercept[IllegalArgumentException](VersionedTable.readVersion(spark, path, 1))
+  }
+
+  test("racing committers both land via optimistic retry") {
+    val path = "/tmp/graft_tables/spec_vt_race"
+    GraftTableWriter.drop(spark, path)
+    VersionedTable.overwrite(Seq((0L, "base")).toDF("id", "v"), path)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = VersionedTable.append(Seq((i.toLong, s"r$i")).toDF("id", "v"), path)
+        })
+      }
+      val versions = futures.map(_.get())
+      assert(versions.toSet.size == 8, s"committers collided on a version: $versions")
+    } finally pool.shutdown()
+    assert(VersionedTable.versions(spark, path).size == 9)
+    assert(VersionedTable.read(spark, path).count() == 9)
+  }
+}
