@@ -392,6 +392,32 @@ object Relational {
         GROUP BY token ORDER BY cnt DESC, token LIMIT 50"""),
       "exact frequent items over exploded tokens"),
 
+    "freq_tokens_topk_approx" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Mergeable count-min sketch over the exploded tokens (the 100 TB
+        // frequent-items path: per-partition sketches merge associatively,
+        // one O(sketch)-byte reduce instead of a full token shuffle). The
+        // driver then probes the 50 exact-top tokens against the sketch —
+        // O(50) driver work on one collected sketch.
+        val tokens = table(s, d, "documents")
+          .select(explode(regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0))).as("token"))
+        val sketchBytes = tokens
+          .agg(expr("count_min_sketch(token, 0.0001d, 0.99d, 42)").as("cms"))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(sketchBytes))
+        val top = tokens.groupBy($"token").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"token").limit(50)
+          .as[(String, Long)].collect()
+        s.createDataFrame(top.map { case (t, c) => (t, c, cms.estimateCount(t)) })
+          .toDF("token", "exact_cnt", "est_cnt")
+          .orderBy($"exact_cnt".desc, $"token")
+      },
+      None, // sketch estimates are engine-specific; error-bound spec in ApproxSpec
+      "Approximate frequent items via mergeable count-min sketch " +
+        "(overestimate + eps*N error bound spec-checked against exact counts)"),
+
     "approx_distinct" -> Q(
       (s, d) => {
         import s.implicits._
@@ -422,6 +448,43 @@ object Relational {
            EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
         ORDER BY cohort, user_id"""),
       "INTERSECT / EXCEPT cohort analysis over distinct key sets"),
+
+    "bucketed_join_agg" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Co-located join via bucketing: both sides are written bucketed by
+        // the join key into the session catalog, so the join needs NO
+        // exchange — each task reads matching bucket files from both sides
+        // (asserted with broadcast disabled in PlanAuditSpec). At 100 TB
+        // this is the pattern that amortizes one organize-write across every
+        // subsequent join on the key; the only shuffle left in this plan is
+        // the final tiny group-by.
+        // drop catalog entries AND their warehouse dirs (a leftover dir from
+        // a crashed prior run blocks CREATE with LOCATION_ALREADY_EXISTS)
+        for (t <- Seq("graft_orders_bkt", "graft_customer_bkt")) {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir") + s"/$t")
+          loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        }
+        table(s, d, "orders").select($"o_custkey", $"o_totalprice")
+          .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("graft_orders_bkt")
+        table(s, d, "customer").select($"c_custkey", $"c_mktsegment")
+          .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("graft_customer_bkt")
+        s.table("graft_orders_bkt")
+          .join(s.table("graft_customer_bkt"), $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec2($"o_totalprice")).cast(D18_2).as("total_price"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      "Bucket-co-located join: both sides pre-bucketed on the key, join runs exchange-free"),
 
     "salted_join_agg" -> Q(
       (s, d) => {

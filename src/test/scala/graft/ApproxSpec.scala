@@ -23,6 +23,21 @@ class ApproxSpec extends SparkSpec {
       s"events: approx $approxE vs exact ${exact._2}")
   }
 
+  test("count-min sketch token counts overestimate within eps*N") {
+    val d = sf("sf0.01")
+    val rows = SparkEntry.queries("freq_tokens_topk_approx")(spark, d)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 50) // synthetic corpus has ~31 distinct tokens
+    val totalTokens = graft.core.table(spark, d, "documents")
+      .select(explode(regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0))))
+      .count()
+    val maxErr = (0.0001 * totalTokens).ceil.toLong max 1L
+    rows.foreach { case (tok, exact, est) =>
+      assert(est >= exact, s"CMS underestimated '$tok': $est < $exact (impossible)")
+      assert(est <= exact + maxErr, s"CMS error on '$tok': $est vs $exact (+$maxErr allowed)")
+    }
+  }
+
   test("approx_percentile respects its rank-error bound per group") {
     val d = sf("sf0.01")
     // accuracy=1000 -> rank error eps <= 1/1000; the sketch's answer must lie

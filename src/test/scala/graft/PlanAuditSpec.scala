@@ -81,6 +81,24 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed join is exchange-free on the join itself") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so co-location is the ONLY way to avoid a shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = q("bucketed_join_agg")
+      df.collect()
+      // AQE's toString appends an "== Initial Plan ==" section that repeats
+      // every operator — count exchanges in the FINAL plan only
+      val plan = planOf(df).split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan.take(2000))
+      assert(plan.contains("Bucketed: true"), "scan is not bucketed\n" + plan.take(3000))
+      // exactly one exchange: the final group-by; the join reads co-located buckets
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected only the agg exchange, got $exchanges\n" + plan.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("upsert resolves to a broadcast anti join for a small update batch") {
     val df = q("upsert_merge")
     df.collect() // AQE finalizes join strategies at runtime
