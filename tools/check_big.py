@@ -1,0 +1,38 @@
+#!/usr/bin/env python3
+"""sf0.1+ variant of check.py: identical strict compare, but skips oracles
+that are O(N^2) to REPLAY in DuckDB (brute-force pair-join SQL and the
+recursive-CTE component closure). Those queries' correctness is still gated
+at sf0.01 by check.py and by the brute-force-equivalence ScalaTest specs;
+this script exists to validate everything else at a 10x scale factor.
+
+Usage: python3 tools/check_big.py /root/testdata/sf0.1 /tmp/verify_out
+"""
+import sys, json, importlib.util
+
+SKIP = {
+    "ngram_jaccard_pairs",   # inverted-index brute-force oracle: O(pairs)
+    "edit_distance_pairs",   # same candidate SQL + levenshtein
+    "dedup_minhash_lsh",     # same pair SQL as the exact-Jaccard oracle
+    "dedup_groups",          # recursive-CTE transitive closure
+    "dedup_embedding",       # all-pairs list_cosine_similarity
+    "contamination_check",   # all-pairs shared-shingle join
+    "stream_stream_join",    # events self-join on a time band
+}
+
+spec = importlib.util.spec_from_file_location(
+    "check", __file__.replace("check_big.py", "check.py"))
+check = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(check)
+
+if __name__ == "__main__":
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    oracle_path = f"{outdir}/oracle_sql.json"
+    oracle = json.load(open(oracle_path))
+    kept = {k: v for k, v in oracle.items() if k not in SKIP}
+    print(f"[check_big] skipping {len(oracle) - len(kept)} quadratic-replay oracles: "
+          + ", ".join(sorted(set(oracle) & SKIP)))
+    json.dump(kept, open(oracle_path, "w"))
+    try:
+        check.main(sfdir, outdir)
+    finally:
+        json.dump(oracle, open(oracle_path, "w"))
