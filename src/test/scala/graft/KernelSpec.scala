@@ -74,6 +74,25 @@ class KernelSpec extends SparkSpec {
     assert(rebuilt == h)
   }
 
+  test("simhash chunks lose no bits when chunks does not divide 64") {
+    val df = Seq(Seq("spark", "flink", "iceberg", "snowflake")).toDF("toks")
+    val h = df.select(simhash64($"toks")).as[Long].head()
+    for (n <- Seq(3, 5, 6, 7, 9, 63, 64)) {
+      val width = 64 / n
+      val chunks = df.select(simhash_chunks($"toks", n)).as[Seq[Long]].head()
+      assert(chunks.size == n)
+      val rebuilt = chunks.zipWithIndex.map { case (c, i) => c << (i * width) }.reduce(_ | _)
+      assert(rebuilt == h, s"chunks=$n dropped bits: ${rebuilt.toHexString} != ${h.toHexString}")
+    }
+  }
+
+  test("minhash_bands rejects a band count that does not divide the permutations") {
+    intercept[IllegalArgumentException] {
+      graft.functions.MinHashBands(
+        org.apache.spark.sql.catalyst.expressions.Literal(null), numPerms = 64, bands = 12)
+    }
+  }
+
   test("sign_random_projection is deterministic and seed-sensitive") {
     val v = Array.tabulate(16)(i => (i * 0.37f - 2f))
     val df = Seq(v).toDF("v")

@@ -46,7 +46,10 @@ class NearDupSpec extends SparkSpec {
     val hs = docs.select($"doc_id", simhash64(ascii_tokens($"text")).as("h"))
     val a = hs.select($"doc_id".as("id_a"), $"h".as("ha"))
     val b = hs.select($"doc_id".as("id_b"), $"h".as("hb"))
-    for (k <- Seq(1, 3, 7)) {
+    // includes k where (k+1) does NOT divide 64 — the truncated-chunk trap:
+    // a last chunk that drops 64 % chunks bits would admit pairs whose true
+    // 64-bit Hamming exceeds k
+    for (k <- Seq(1, 2, 3, 4, 5, 7)) {
       val brute = a.crossJoin(b).filter($"id_a" < $"id_b")
         .filter(bit_count($"ha".bitwiseXOR($"hb")) <= k)
         .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet

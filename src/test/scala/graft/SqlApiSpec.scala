@@ -28,6 +28,30 @@ class SqlApiSpec extends SparkSpec {
     }
   }
 
+  test("SQL functions honor literal parameters and reject wrong arity") {
+    registerAll(spark)
+    Seq("one two three four five").toDF("text").createOrReplaceTempView("sql_arity_docs")
+    // word_shingles(text, 5): one 5-gram from 5 tokens (not the n=3 default's 3)
+    val n5 = spark.sql("SELECT word_shingles(text, 5) AS sh FROM sql_arity_docs")
+      .as[Seq[String]].head()
+    assert(n5 == Seq("one two three four five"))
+    val n3 = spark.sql("SELECT word_shingles(text) AS sh FROM sql_arity_docs")
+      .as[Seq[String]].head()
+    assert(n3.size == 3)
+    // rolling_hash(text, base, mod) honors its parameters
+    val rh = spark.sql("SELECT rolling_hash('abc', 7, 97) AS h").head().getLong(0)
+    assert(rh == "abc".getBytes.foldLeft(0L)((h, b) => (h * 7 + b) % 97))
+    // minhash_bands(sh, 128, 32) yields 32 bands
+    assert(spark.sql("SELECT size(minhash_bands(word_shingles(text), 128, 32)) AS n FROM sql_arity_docs")
+      .head().getInt(0) == 32)
+    // wrong arity fails loudly instead of silently ignoring arguments
+    intercept[Exception](spark.sql("SELECT word_shingles(text, 5, 9) FROM sql_arity_docs").collect())
+    intercept[Exception](spark.sql("SELECT simhash64(text, 2) FROM sql_arity_docs").collect())
+    // non-literal parameter fails loudly (it parameterizes codegen constants)
+    intercept[Exception](
+      spark.sql("SELECT word_shingles(text, length(text)) FROM sql_arity_docs").collect())
+  }
+
   test("GraftSession.install registers on an existing session") {
     GraftSession.install(spark)
     assert(spark.sql("SELECT rolling_hash('abc') AS h").head().getLong(0) ==
