@@ -335,6 +335,44 @@ object TrainingData {
         ORDER BY n DESC, bigram LIMIT 50"""),
       "Corpus bigram occurrence counts, deterministic top-50 (n-gram LM statistics)."),
 
+    "doc_top_terms" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Characteristic terms per document — TF-IDF ranking without the
+        // log: order terms by (tf DESC, df ASC, term), which is the same
+        // total order tf·log(N/df) induces for fixed tf, but exactly
+        // reproducible across engines (no libm). Two shuffles: token
+        // explode→(doc,term) count, then a term-keyed join against the
+        // document-frequency table (same inverted-index shape as PPJoin —
+        // co-partitioned, AQE decides the broadcast).
+        val toks = docs(s, d)
+          .select($"doc_id", explode(ascii_tokens($"text")).as("term"))
+        val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val df = toks.select($"doc_id", $"term").distinct()
+          .groupBy($"term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"term")
+        tf.join(df, "term")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter($"rk" <= 3 && $"doc_id" < 50)
+          .select($"doc_id", $"rk", $"term", $"tf", $"df")
+          .orderBy($"doc_id", $"rk")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        ranked AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+            row_number() OVER (PARTITION BY tf.doc_id
+              ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rk
+          FROM tf JOIN df USING (term))
+        SELECT doc_id, rk, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        FROM ranked WHERE rk <= 3 AND doc_id < 50 ORDER BY doc_id, rk"""),
+      "Characteristic terms per doc: log-free TF-IDF ordering (tf DESC, df ASC) — " +
+        "engine-exact, the keyword-extraction building block."),
+
     "contamination_check" -> Q(
       (s, d) => {
         // Benchmark-contamination scan: which training docs share any word
