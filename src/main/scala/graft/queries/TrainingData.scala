@@ -501,5 +501,39 @@ object TrainingData {
           octet_length(encode(substr(text, (frame_no * 64 + 1)::INT, 64))) AS frame_len,
           md5(substr(text, (frame_no * 64 + 1)::INT, 64)) AS frame_md5
         FROM f ORDER BY doc_id, frame_no"""),
-      "Every-4th 64-byte frame sample over binary payloads (chunked frame extraction plumbing)."))
+      "Every-4th 64-byte frame sample over binary payloads (chunked frame extraction plumbing)."),
+
+    "multimodal_byte_stats" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Feature extraction over the raw payload bytes (the shape of a
+        // per-asset embedding/featurizer stage): integer byte statistics
+        // over the first 256 bytes, plus an entropy proxy (distinct byte
+        // values). All-integer arithmetic -> engine-exact; a real image
+        // featurizer would replace the transform() lambda with a native
+        // kernel over the same plumbing.
+        val bytes = transform(
+          sequence(lit(1), least(length($"text"), lit(256))),
+          i => ascii($"text".substr(i, lit(1))).cast("long"))
+        docs(s, d)
+          .filter(length($"text") > 0)
+          .select($"doc_id",
+            octet_length($"text".cast("binary")).cast("long").as("byte_len"),
+            aggregate(bytes, lit(0L), _ + _).as("byte_sum"),
+            array_min(bytes).as("byte_min"),
+            array_max(bytes).as("byte_max"),
+            size(array_distinct(bytes)).cast("long").as("n_distinct_bytes"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS byte_len,
+          list_transform(generate_series(1, least(len(text), 256)),
+            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS bs
+        FROM documents WHERE len(text) > 0)
+        SELECT doc_id, byte_len,
+          CAST(list_sum(bs) AS BIGINT) AS byte_sum,
+          list_min(bs) AS byte_min, list_max(bs) AS byte_max,
+          CAST(len(list_distinct(bs)) AS BIGINT) AS n_distinct_bytes
+        FROM b ORDER BY doc_id"""),
+      "Byte-level payload features (sum/min/max/distinct over a 256-byte head): the " +
+        "featurizer-stage plumbing, integer-exact across engines."))
 }
