@@ -143,6 +143,28 @@ case class SignRandomProjection(child: Expression, numBits: Int = 16, seed: Int 
   override protected def withNewChildInternal(c: Expression): SignRandomProjection = copy(child = c)
 }
 
+/** Bloom-filter membership probe over a long key: `bloom.mightContainLong(c)`.
+  * The filter is built once (driver-side, from a distributed aggregation of
+  * the build side's keys) and shipped to executors inside the generated
+  * code's reference array — the manual analogue of Spark's runtime bloom
+  * join pruning, usable when the optimizer's injection thresholds don't
+  * trigger. False positives only (never false negatives), so placing it
+  * BEFORE an equi-join keeps the join result exact while cutting the probe
+  * side's shuffle volume to ~|matching| + fpp·|non-matching| rows.
+  */
+case class BloomMightContain(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(bloom.mightContainLong(input.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomMightContain = copy(child = c)
+}
+
 /** Cosine similarity of two equal-length numeric arrays, computed in double
   * in one fused pass (dot and both norms together). Zero-norm inputs yield
   * 0.0. Used on the ANN hot path: one static-call eval per candidate pair.

@@ -486,6 +486,72 @@ object Relational {
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
       "Bucket-co-located join: both sides pre-bucketed on the key, join runs exchange-free"),
 
+    "bloom_filter_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Manual runtime bloom pruning: a selective dimension (one market
+        // segment's customers) builds a bloom filter over its keys; the fact
+        // side (orders) is probe-filtered BEFORE its shuffle, so only
+        // ~matching + fpp*rest rows move. The join afterwards removes the
+        // false positives - the result is provably the plain join's
+        // (asserted against it in PlanAuditSpec, plus the plan shape: the
+        // probe sits inside the scan's codegen span, upstream of the
+        // exchange).
+        val dim = table(s, d, "customer")
+          .filter($"c_mktsegment" === "AUTOMOBILE")
+          .select($"c_custkey", $"c_nationkey")
+        val fact = table(s, d, "orders")
+          .select($"o_custkey", $"o_totalprice", $"o_orderpriority")
+        graft.operators.BloomJoin.join(fact, "o_custkey", dim, "c_custkey",
+            expectedItems = 100000L)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec2($"o_totalprice")).cast(D18_2).as("total_price"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'AUTOMOBILE'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      "Bloom-prefiltered join: dim-side bloom probe drops non-matching fact rows " +
+        "before the shuffle; exact result (false positives removed by the join)"),
+
+    "outlier_trim" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Winsorization-style robust trimming: exact per-type p05/p95 bounds
+        // (sort-based percentile; the GK sketch in event_value_quantiles_
+        // approx is the 100 TB path), broadcast back onto the events, and
+        // per-type survivor stats. No double summation anywhere - counts and
+        // min/max only, so both engines agree bitwise.
+        val bounds = eventsTable(s, d)
+          .groupBy($"event_type")
+          .agg(expr("percentile(value, 0.05)").as("p05"),
+            expr("percentile(value, 0.95)").as("p95"))
+        val kept = $"value" >= $"p05" && $"value" <= $"p95"
+        eventsTable(s, d)
+          .join(broadcast(bounds), Seq("event_type"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_total"),
+            count(when(kept, 1)).as("n_kept"),
+            min(when(kept, $"value")).as("kept_min"),
+            max(when(kept, $"value")).as("kept_max"),
+            min($"p05").as("p05"), min($"p95").as("p95"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS p05,
+          quantile_cont(value, 0.95) AS p95 FROM events GROUP BY event_type)
+        SELECT e.event_type, COUNT(*) AS n_total,
+          COUNT(*) FILTER (value >= p05 AND value <= p95) AS n_kept,
+          MIN(value) FILTER (value >= p05 AND value <= p95) AS kept_min,
+          MAX(value) FILTER (value >= p05 AND value <= p95) AS kept_max,
+          MIN(p05) AS p05, MIN(p95) AS p95
+        FROM events e JOIN b USING (event_type)
+        GROUP BY e.event_type ORDER BY e.event_type"""),
+      "Percentile-bounded outlier trimming per group (exact p05/p95 bounds, " +
+        "broadcast back, survivor counts and extrema)"),
+
     "salted_join_agg" -> Q(
       (s, d) => {
         import s.implicits._

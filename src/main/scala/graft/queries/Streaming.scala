@@ -127,6 +127,63 @@ object Streaming {
       "Watermarked stream-stream interval join (click->purchase attribution window; " +
         "bounded state, purged by watermark)."),
 
+    "stream_stream_left_join" -> Q(
+      (s, d) => {
+        // LEFT OUTER stream-stream join: clicks with no purchase in the
+        // following 30 minutes must ALSO emit (with NULL purchase columns) -
+        // which Spark only does once the watermark passes a click's match
+        // window, since until then a matching purchase could still arrive.
+        // With AvailableNow the watermark stops at max(event_ts) - delay, so
+        // the tail of unmatched clicks would stay in state forever; the
+        // production shape is an unbounded run where time keeps flowing. We
+        // reproduce that by RESTARTING the query from its checkpoint on two
+        // staged far-future sentinel batches (user_id -1, filtered from the
+        // output): batch one advances the watermark, batch two evicts with
+        // it - exactly the catch-up a restarted production job performs.
+        val (srcC, out, ck) = Streams.workDirs("stream_stream_left_join")
+        val srcP = srcC + "_p"
+        val ev = eventsTable(s, d)
+        val clicks = Streams.stagedStream(
+          ev.filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts")),
+          srcC, nFiles = 3)
+          .withWatermark("click_ts", "35 days")
+        val purchases = Streams.stagedStream(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+              col("ts").as("purchase_ts")),
+          srcP, nFiles = 3)
+          .withWatermark("purchase_ts", "35 days")
+        val joined = clicks.join(purchases,
+            col("user_id") === col("p_user_id") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+            "leftOuter")
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            micros(col("click_ts")).as("click_us"), micros(col("purchase_ts")).as("purchase_us"))
+        Streams.runAppend(joined, out, ck)
+        // Sentinels: two per side (maxFilesPerTrigger=1 -> two more batches),
+        // both far past every real click's eviction threshold.
+        for ((dir, idc, tsc) <- Seq((srcC, "click_id", "click_ts"), (srcP, "purchase_id", "purchase_ts"))) {
+          val puser = if (dir == srcP) "p_user_id" else "user_id"
+          for (i <- Seq(1, 2)) {
+            s.range(1).select(lit(-i.toLong).as(idc), lit(-1L).as(puser),
+              ts(s"2100-0$i-01 00:00:00").as(tsc))
+              .write.mode("append").parquet(dir)
+          }
+        }
+        Streams.runAppend(joined, out, ck)
+          .filter(col("user_id") =!= -1L)
+      },
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"""),
+      "Stream-stream LEFT OUTER interval join: unmatched clicks emit with NULLs " +
+        "once the watermark passes their window (restart-driven catch-up)."),
+
     "streaming_upsert_pipeline" -> Q(
       (s, d) => {
         // The reference's actual topology end-to-end: stream -> per-batch CDC

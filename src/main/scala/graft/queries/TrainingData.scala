@@ -5,6 +5,7 @@ import graft.core._
 import graft.functions._
 import graft.operators.NearDup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.3 (deduplication) + §2.5 (text analysis & multimodal) — the
@@ -127,6 +128,85 @@ object TrainingData {
         GROUP BY src ORDER BY doc_id"""),
       "Near-dup clusters: connected components over the Jaccard ≥ 0.5 pair graph " +
         "(distributed min-label propagation vs a recursive-CTE oracle)."),
+
+    "dedup_representative" -> Q(
+      (s, d) => {
+        // Canonical-document selection: every doc gets a near-dup component
+        // (its own id if unpaired), and each component keeps its longest
+        // member (doc_id as the deterministic tiebreak) - the "keep best,
+        // drop rest" step that follows clustering in a real dedup pipeline.
+        // One broadcastable join (components ~ #paired docs << corpus) plus
+        // one shuffle by component for the argmax window.
+        val groups = NearDup.connectedComponents(
+          NearDup.exactJaccardPairs(docs(s, d), 0.5))
+        val members = docs(s, d)
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_m"))
+          .join(broadcast(groups), Seq("doc_id"), "left")
+          .withColumn("component_id", coalesce(col("component_id"), col("doc_id")))
+        val w = Window.partitionBy("component_id")
+        members
+          .withColumn("rn", row_number().over(
+            w.orderBy(col("n_chars_m").desc, col("doc_id"))))
+          .withColumn("n_members", count(lit(1)).over(w))
+          .filter(col("rn") === 1)
+          .select(col("component_id"), col("doc_id").as("rep_doc_id"),
+            col("n_chars_m").as("rep_chars"), col("n_members"))
+          .orderBy("component_id")
+      },
+      Some(s"""WITH RECURSIVE pr AS ($jaccardPairsSql),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                  UNION SELECT id_b, id_a FROM pr),
+        reach(src, dst) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src),
+        m AS (SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id,
+                length(d.text) AS n_chars_m
+              FROM documents d LEFT JOIN comp c USING (doc_id))
+        SELECT component_id, doc_id AS rep_doc_id, n_chars_m AS rep_chars, n_members
+        FROM (SELECT *, row_number() OVER (PARTITION BY component_id
+                ORDER BY n_chars_m DESC, doc_id) AS rn,
+              count(*) OVER (PARTITION BY component_id) AS n_members FROM m)
+        WHERE rn = 1 ORDER BY component_id"""),
+      "Canonical doc per near-dup component (longest member wins, id tiebreak) - " +
+        "the keep-best step after dedup clustering."),
+
+    "token_chunking" -> Q(
+      (s, d) => {
+        // GPT-style sequence packing: documents are concatenated in a fixed
+        // order and cut into 512-token context windows; each doc reports the
+        // token offset and the chunk range it lands in (docs may span
+        // chunks). The running offset is a per-source prefix sum - windows
+        // partition by source so the scan parallelizes across sources; at
+        // 100 TB packing runs per shard exactly like this, never as one
+        // global ordered scan.
+        val C = 512L
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, d)
+          .select(col("doc_id"), col("source"),
+            size(ascii_tokens(col("text"))).cast("long").as("n_tokens"))
+          .filter(col("n_tokens") > 0)
+          .withColumn("tok_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .withColumn("chunk_first", expr(s"tok_start DIV $C"))
+          .withColumn("chunk_last", expr(s"(tok_start + n_tokens - 1) DIV $C"))
+          .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+          len(regexp_extract_all(lower(text), '[a-z]+'))::BIGINT AS n_tokens
+          FROM documents),
+        o AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS tok_start
+          FROM t WHERE n_tokens > 0)
+        SELECT doc_id, source, n_tokens, tok_start,
+          tok_start // 512 AS chunk_first,
+          (tok_start + n_tokens - 1) // 512 AS chunk_last,
+          (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 AS n_chunks
+        FROM o ORDER BY doc_id"""),
+      "Sequence packing into 512-token context windows: per-source prefix-sum " +
+        "offsets, chunk span per document."),
 
     "sample_by_hash" -> Q(
       (s, d) => docs(s, d)

@@ -113,6 +113,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges\n" + plan.take(3000))
   }
 
+  test("bloom prefilter probes inside the scan stage and preserves the exact join") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    val dim = table(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey"))
+    val fact = table(spark, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+    val bf = graft.operators.BloomJoin.buildFilter(dim, "c_custkey", 10000L)
+    val filtered = graft.operators.BloomJoin.prefilter(fact, "o_custkey", bf)
+    // no false negatives: the prefilter keeps every row that actually joins
+    val plainJoin = fact.join(dim, col("o_custkey") === col("c_custkey"))
+    val bloomJoin = filtered.join(dim, col("o_custkey") === col("c_custkey"))
+    assert(bloomJoin.count() == plainJoin.count())
+    // the probe actually prunes: AUTOMOBILE customers are a strict subset
+    val (nAll, nKept) = (fact.count(), filtered.count())
+    assert(nKept < nAll, s"bloom kept all $nAll rows")
+    // join result at 1% fpp keeps the superset tight (not a no-op filter)
+    assert(nKept < nAll / 2, s"bloom kept $nKept of $nAll - filter not selective")
+    // plan shape: the probe is a codegen'd Filter upstream of any exchange
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("bloommightcontain") || plan.contains("BloomMightContain"),
+      plan.take(2000))
+    assert(!plan.contains("Exchange"), "prefilter must not shuffle\n" + plan.take(2000))
+  }
+
+  test("bloom build refuses dimension sides past the memory cap") {
+    val dim = table(spark, sf("sf0.001"), "customer").select(col("c_custkey"))
+    intercept[IllegalArgumentException] {
+      graft.operators.BloomJoin.buildFilter(dim, "c_custkey", 1000000000L)
+    }
+  }
+
   test("partitioned readback prunes partitions at the source") {
     val plan = planOf(q("partitioned_write_readback"))
     // identity-partitioned parquet: the partition filter must not appear as
