@@ -166,6 +166,34 @@ object Ingestion {
           FROM cdc) t WHERE rn = 1 ORDER BY o_orderkey"""),
       "CDC compaction: latest version per key"),
 
+    "cdc_scd2_history" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Type-2 slowly-changing-dimension build from a CDC update stream:
+        // instead of compacting to the latest row per key (cdc_latest_by_key
+        // / the reference's equality-delete upsert), EVERY version is kept
+        // with a [valid_from, valid_to) interval - valid_to is the next
+        // version's timestamp, NULL while current. One shuffle by key for
+        // the lead() window; at 100 TB the history table partitions by key
+        // hash and the window stays partition-local.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id", $"event_type").orderBy($"event_id")
+        eventsTable(s, d)
+          .select($"user_id", $"event_type", $"event_id", $"value",
+            micros($"ts").as("valid_from_us"))
+          .withColumn("valid_to_us", lead($"valid_from_us", 1).over(w))
+          .withColumn("is_current", lead($"valid_from_us", 1).over(w).isNull)
+          .orderBy($"user_id", $"event_type", $"event_id")
+      },
+      Some("""SELECT user_id, event_type, event_id, value,
+          epoch_us(ts) AS valid_from_us,
+          lead(epoch_us(ts)) OVER w AS valid_to_us,
+          lead(epoch_us(ts)) OVER w IS NULL AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY event_id)
+        ORDER BY user_id, event_type, event_id"""),
+      "SCD2 history from CDC updates: validity intervals per key version via lead()"),
+
     "upsert_merge" -> Q(
       (s, d) => {
         import s.implicits._

@@ -517,6 +517,66 @@ object Relational {
       "Bloom-prefiltered join: dim-side bloom probe drops non-matching fact rows " +
         "before the shuffle; exact result (false positives removed by the join)"),
 
+    "funnel_analysis" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Ordered-event funnel (view -> click after it -> purchase after
+        // that), the standard product-analytics query. Each stage is a
+        // keyed aggregation joined to the previous stage's per-user
+        // timestamp, so every join/agg shares the user_id partitioning -
+        // three co-partitioned shuffles, no window over the full event log.
+        val ev = eventsTable(s, d).select($"user_id", $"event_type", micros($"ts").as("us"))
+        val viewed = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"us").as("t_view"))
+        val clicked = ev.filter($"event_type" === "click")
+          .join(viewed, "user_id").filter($"us" > $"t_view")
+          .groupBy($"user_id").agg(min($"us").as("t_click"))
+        val purchased = ev.filter($"event_type" === "purchase")
+          .join(clicked, "user_id").filter($"us" > $"t_click")
+          .groupBy($"user_id").agg(min($"us").as("t_purchase"))
+        viewed.agg(lit("1_view").as("stage"), count(lit(1)).as("n_users"))
+          .unionByName(clicked.agg(lit("2_click").as("stage"), count(lit(1)).as("n_users")))
+          .unionByName(purchased.agg(lit("3_purchase").as("stage"), count(lit(1)).as("n_users")))
+          .orderBy($"stage")
+      },
+      Some("""WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_click FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase FROM events e
+          JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click GROUP BY e.user_id)
+        SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        UNION ALL SELECT '2_click', count(*) FROM c
+        UNION ALL SELECT '3_purchase', count(*) FROM p
+        ORDER BY stage"""),
+      "Ordered event funnel: per-stage user counts, each stage keyed off the " +
+        "previous stage's first-event time"),
+
+    "retention_cohorts" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Cohort retention triangle: users grouped by first-active week,
+        // distinct-user counts per (cohort, weeks-since-cohort). Weeks are
+        // epoch-microsecond integer buckets (7*86400*1e6), identical in any
+        // engine - no calendar/timezone semantics to disagree on.
+        val ev = eventsTable(s, d)
+          .select($"user_id", expr("unix_micros(ts) DIV 604800000000").as("wk"))
+        val cohort = ev.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+        ev.join(cohort, "user_id")
+          .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("week_offset"))
+          .agg(countDistinct($"user_id").as("n_users"))
+          .orderBy($"cohort_wk", $"week_offset")
+      },
+      Some("""WITH a AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id)
+        SELECT cohort_wk, wk - cohort_wk AS week_offset,
+          count(DISTINCT a.user_id) AS n_users
+        FROM a JOIN c ON a.user_id = c.user_id
+        GROUP BY cohort_wk, week_offset ORDER BY cohort_wk, week_offset"""),
+      "Weekly cohort retention counts over engine-neutral epoch-week buckets"),
+
     "outlier_trim" -> Q(
       (s, d) => {
         import s.implicits._
