@@ -517,6 +517,27 @@ object Relational {
       "Bloom-prefiltered join: dim-side bloom probe drops non-matching fact rows " +
         "before the shuffle; exact result (false positives removed by the join)"),
 
+    "percent_rank_normalize" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Rank-based normalization (the quantile-transform feature scaler):
+        // value -> its percent rank within the event type, deterministic via
+        // the event_id tiebreak. One shuffle by event_type; hot types skew a
+        // window like this at 100 TB - the mergeable-sketch alternative is
+        // event_value_quantiles_approx, which trades exactness for
+        // partition-local work.
+        val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+        eventsTable(s, d)
+          .select($"event_id", $"event_type", $"value")
+          .withColumn("pct", percent_rank().over(w))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, event_type, value,
+          percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pct
+        FROM events ORDER BY event_id"""),
+      "Percent-rank (quantile-transform) normalization per group, " +
+        "deterministic tiebreak"),
+
     "funnel_analysis" -> Q(
       (s, d) => {
         import s.implicits._

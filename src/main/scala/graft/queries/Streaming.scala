@@ -127,6 +127,48 @@ object Streaming {
       "Watermarked stream-stream interval join (click->purchase attribution window; " +
         "bounded state, purged by watermark)."),
 
+    "streaming_sessionize" -> Q(
+      (s, d) => {
+        // Streaming sessionization via session_window: per-user sessions
+        // merge while consecutive events are < 30 minutes apart; a session
+        // only emits once the watermark passes its end (until then a new
+        // event could still extend it). Same restart-driven catch-up as
+        // stream_stream_left_join: far-future sentinel batches advance the
+        // watermark so every real session closes - the unbounded-run shape
+        // a production job gets from time simply passing.
+        val (src, out, ck) = Streams.workDirs("streaming_sessionize")
+        val ev = eventsTable(s, d).select(col("user_id"), col("ts"))
+        val staged = Streams.stagedStream(ev, src, nFiles = 3)
+        val sessions = staged
+          .withWatermark("ts", "35 days")
+          .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            micros(col("sw.start")).as("session_start_us"),
+            micros(col("sw.end")).as("session_end_us"),
+            col("n_events"))
+        Streams.runAppend(sessions, out, ck)
+        for (i <- Seq(1, 2)) {
+          s.range(1).select(lit(-1L).as("user_id"), ts(s"2100-0$i-01 00:00:00").as("ts"))
+            .write.mode("append").parquet(src)
+        }
+        Streams.runAppend(sessions, out, ck)
+          .filter(col("user_id") =!= -1L)
+      },
+      Some("""WITH m AS (SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        i AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m)
+        SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+          epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+          count(*) AS n_events
+        FROM i GROUP BY user_id, island
+        ORDER BY user_id, session_start_us"""),
+      "Streaming session windows (30-min gap) with watermark-gated emission; " +
+        "sessions close via restart-driven catch-up."),
+
     "stream_stream_left_join" -> Q(
       (s, d) => {
         // LEFT OUTER stream-stream join: clicks with no purchase in the

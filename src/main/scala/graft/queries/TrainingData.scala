@@ -415,6 +415,63 @@ object TrainingData {
         ORDER BY n DESC, bigram LIMIT 50"""),
       "Corpus bigram occurrence counts, deterministic top-50 (n-gram LM statistics)."),
 
+    "doc_lm_score" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Count-based n-gram LM fluency proxy: score a document by how
+        // common its bigrams are in the corpus (integer occurrence counts -
+        // the log-probability ordering without libm, like doc_top_terms).
+        // The classic cheap quality filter: gibberish scores low, fluent
+        // text high. Both shuffles key on the bigram - the corpus count
+        // table is never broadcast (O(vocabulary^2) at corpus scale), the
+        // doc-side join arrives co-partitioned, AQE decides.
+        val toks = ascii_tokens(col("text"))
+        val bg = docs(s, d).select($"doc_id",
+          explode(filter(
+            zip_with(toks, slice(toks, 2, 1000000), (a, b) => concat(a, lit(" "), b)),
+            x => x.isNotNull)).as("bigram"))
+        val corpus = bg.groupBy($"bigram").agg(count(lit(1)).as("cn"))
+        bg.join(corpus, "bigram")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum($"cn").as("lm_sum"))
+          .withColumn("lm_score", $"lm_sum".cast("double") / $"n_bigrams")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1])) AS bigram
+          FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents)
+          WHERE len(w) >= 2),
+        corpus AS (SELECT bigram, count(*) AS cn FROM bg GROUP BY bigram)
+        SELECT doc_id, count(*) AS n_bigrams, CAST(sum(cn) AS BIGINT) AS lm_sum,
+          CAST(sum(cn) AS DOUBLE) / count(*) AS lm_score
+        FROM bg JOIN corpus USING (bigram)
+        GROUP BY doc_id ORDER BY doc_id"""),
+      "Count-based bigram LM score per doc (corpus-frequency sum / n_bigrams) - " +
+        "the cheap fluency/quality filter, integer-exact."),
+
+    "inverted_index" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Search-engine primitive: term -> document frequency + the first 20
+        // postings (doc_ids ascending; comma-joined so the output stays
+        // scalar). collect_list is shuffle-local per term; sort_array makes
+        // the aggregation order-insensitive, so the result is deterministic
+        // under any partitioning. At 100 TB the postings column becomes the
+        // bucketed join side of every keyword lookup.
+        docs(s, d)
+          .select($"doc_id", explode(array_distinct(ascii_tokens($"text"))).as("term"))
+          .groupBy($"term")
+          .agg(count(lit(1)).as("df"),
+            array_join(slice(sort_array(collect_list($"doc_id")), 1, 20), ",").as("postings"))
+          .orderBy($"term")
+      },
+      Some("""SELECT term, count(*) AS df,
+          array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',') AS postings
+        FROM (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS term
+          FROM documents)
+        GROUP BY term ORDER BY term"""),
+      "Inverted index build: per-term document frequency + first-20 posting list."),
+
     "doc_top_terms" -> Q(
       (s, d) => {
         import s.implicits._

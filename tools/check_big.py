@@ -17,6 +17,8 @@ SKIP = {
     "dedup_embedding",       # all-pairs list_cosine_similarity
     "contamination_check",   # all-pairs shared-shingle join
     "stream_stream_join",    # events self-join on a time band
+    "stream_stream_left_join",  # same self-join, left-outer
+    "dedup_representative",  # recursive-CTE closure (same as dedup_groups)
 }
 
 spec = importlib.util.spec_from_file_location(
