@@ -258,6 +258,51 @@ object Ingestion {
         ORDER BY snap, o_orderkey"""),
       "snapshot-versioned table: upsert commits a new snapshot, v1 stays time-travelable (Iceberg format-v2 semantics, IcebergTableManager.java:83-90)"),
 
+    "table_compaction" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The maintenance op a micro-batch ingest needs: 8 small appends
+        // leave 8 data dirs (Iceberg's small-files problem); compact()
+        // rewrites them into right-sized files as a NEW snapshot - data
+        // identical, scan task count bounded, prior snapshots intact until
+        // expire(). Mirrors Iceberg's rewrite_data_files.
+        val p = tmp("table_compaction")
+        GraftTableWriter.drop(s, p)
+        val o = table(s, d, "orders")
+        for (i <- 0 until 8) VersionedTable.append(o.filter($"o_orderkey" % 8 === i), p)
+        VersionedTable.compact(s, p, targetRowsPerFile = 1000000L)
+        ordersOut(VersionedTable.read(s, p)).orderBy($"o_orderkey")
+      },
+      Some(s"SELECT $ordersOutSql FROM orders ORDER BY o_orderkey"),
+      "small-file compaction: micro-appended snapshot rewritten into right-sized files, data unchanged"),
+
+    "schema_evolution" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Additive schema evolution across snapshots (Iceberg schema
+        // evolution semantics): a later append carries a NEW column; the
+        // merged read surfaces it with NULLs for pre-evolution rows - no
+        // rewrite of old data dirs.
+        val p = tmp("schema_evolution")
+        GraftTableWriter.drop(s, p)
+        val o = table(s, d, "orders")
+        VersionedTable.overwrite(
+          o.filter($"o_orderkey" % 2 === 0).select($"o_orderkey", $"o_totalprice"), p)
+        VersionedTable.append(
+          o.filter($"o_orderkey" % 2 =!= 0)
+            .select($"o_orderkey", $"o_totalprice", lit("backfill").as("o_channel")), p)
+        VersionedTable.read(s, p)
+          .select($"o_orderkey", $"o_totalprice", $"o_channel")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice, NULL AS o_channel FROM orders
+          WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 'backfill' FROM orders
+          WHERE o_orderkey % 2 <> 0
+        ORDER BY o_orderkey"""),
+      "additive schema evolution: new column appears with NULLs for pre-evolution snapshots"),
+
     "append_readback" -> Q(
       (s, d) => {
         import s.implicits._

@@ -74,6 +74,26 @@ object VersionedTable {
     }
   }
 
+  /** Small-file compaction (Iceberg's rewrite_data_files / OPTIMIZE): rewrite
+    * the latest snapshot's accumulated data dirs into one dir of right-sized
+    * files and commit that as a new snapshot. The DATA is unchanged — only
+    * the file layout — and prior snapshots keep referencing the small files
+    * until [[expire]] reclaims them. `targetRowsPerFile` is the local
+    * analogue of Iceberg's write.target-file-size-bytes: the streaming-ingest
+    * maintenance op that keeps scan task counts bounded after thousands of
+    * tiny micro-batch appends. Like [[upsert]], concurrent writers must be
+    * externally serialized (the rewrite is computed against the snapshot
+    * current at call time). */
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Int = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val snap = latest(spark, path).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $path"))
+    val data = readSnapshot(spark, path, snap)
+    val parts = math.max(1L, (data.count() + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val d = writeDataDir(data.repartition(parts), path)
+    commit(spark, path, _ => Seq(d))
+  }
+
   /** Latest snapshot contents. */
   def read(spark: SparkSession, path: String): DataFrame =
     readSnapshot(spark, path, latest(spark, path).getOrElse(

@@ -85,6 +85,26 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](VersionedTable.readVersion(spark, path, 1))
   }
 
+  test("compaction collapses small files, keeps data identical, leaves old snapshots intact") {
+    val path = "/tmp/graft_tables/spec_vt_compact"
+    GraftTableWriter.drop(spark, path)
+    val df = spark.range(1000).select(col("id"), (col("id") % 7).as("v"))
+    for (i <- 0L until 5L) VersionedTable.append(df.filter(col("id") % 5 === i), path)
+    val before = fileBytes(path)
+    val vPre = VersionedTable.versions(spark, path).max
+    val preRows = VersionedTable.read(spark, path).orderBy("id").collect().toSeq
+    VersionedTable.compact(spark, path, targetRowsPerFile = 1000000L)
+    // data unchanged
+    assert(VersionedTable.read(spark, path).orderBy("id").collect().toSeq == preRows)
+    // fewer data files in the compacted snapshot than across the appends
+    val after = fileBytes(path)
+    val newFiles = after.keySet -- before.keySet
+    assert(newFiles.nonEmpty && newFiles.size < 5, s"expected 1 compacted file, got $newFiles")
+    // pre-compaction snapshot still time-travelable, its files untouched
+    assert(VersionedTable.readVersion(spark, path, vPre).count() == 1000)
+    assert(before.forall { case (k, bytes) => after.get(k).contains(bytes) })
+  }
+
   test("racing committers both land via optimistic retry") {
     val path = "/tmp/graft_tables/spec_vt_race"
     GraftTableWriter.drop(spark, path)
