@@ -593,6 +593,62 @@ object TrainingData {
 
     // ---- §2.5 multimodal plumbing -----------------------------------------
 
+    "balanced_downsample" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Class balancing for training mixes: every language is downsampled
+        // to the size of the SMALLEST language's slice, picking survivors by
+        // content-hash order (deterministic across engines, partitionings
+        // and reruns - no rand()). One count agg (broadcast scalar) + one
+        // window per lang; the per-lang partitions are what a 100 TB
+        // balancing job shuffles by anyway.
+        val counts = docs(s, d).groupBy($"lang").agg(count(lit(1)).as("n"))
+        val k = counts.agg(min($"n").as("k"))
+        val w = Window.partitionBy($"lang")
+          .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+        docs(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .join(broadcast(k))
+          .filter($"rn" <= $"k")
+          .select($"doc_id", $"lang", $"source")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH k AS (SELECT min(n) AS k FROM
+          (SELECT lang, count(*) AS n FROM documents GROUP BY lang)),
+        r AS (SELECT doc_id, lang, source, row_number() OVER (PARTITION BY lang
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents)
+        SELECT doc_id, lang, source FROM r, k WHERE rn <= k ORDER BY doc_id"""),
+      "Language-balanced downsampling to the smallest class, hash-ordered " +
+        "(deterministic, rerun-stable)."),
+
+    "multimodal_resize" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Resize/downsample plumbing: keep every 2nd byte of the payload
+        // (stride-2 'resize' over the opaque binary - a real image resize
+        // kernel slots into the same per-row projection), emit the reduced
+        // payload's length and checksum. Pure column expressions, one pass,
+        // no UDF.
+        val resized = array_join(transform(
+          sequence(lit(1L), expr("(length(text) + 1) div 2")),
+          i => $"text".substr((i * 2L - 1L).cast("int"), lit(1))), "")
+        docs(s, d)
+          .filter(length($"text") > 0)
+          .select($"doc_id",
+            octet_length($"text".cast("binary")).cast("long").as("byte_len"),
+            octet_length(resized.cast("binary")).cast("long").as("resized_len"),
+            md5(resized.cast("binary")).as("resized_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH r AS (SELECT doc_id, octet_length(encode(text)) AS byte_len,
+          array_to_string(list_transform(generate_series(1, (len(text) + 1) // 2),
+            i -> substr(text, (i * 2 - 1)::INT, 1)), '') AS resized
+        FROM documents WHERE len(text) > 0)
+        SELECT doc_id, byte_len, octet_length(encode(resized)) AS resized_len,
+          md5(resized) AS resized_md5
+        FROM r ORDER BY doc_id"""),
+      "Stride-2 payload downsampling (resize-stage plumbing): reduced length + checksum."),
+
     "multimodal_decode" -> Q(
       (s, d) => docs(s, d)
         .withColumn("payload", col("text").cast("binary"))
