@@ -517,6 +517,66 @@ object Relational {
       "Bloom-prefiltered join: dim-side bloom probe drops non-matching fact rows " +
         "before the shuffle; exact result (false positives removed by the join)"),
 
+    "unpivot_melt" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Wide -> long reshape (the inverse of q20_pivot): four metric
+        // columns melt into (metric, value) rows. Pure per-row expansion,
+        // no shuffle except the output sort.
+        table(s, d, "lineitem")
+          .filter($"l_orderkey" < 100)
+          .unpivot(
+            Array($"l_orderkey", $"l_linenumber"),
+            Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+            "metric", "value")
+          .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, metric, value FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+            FROM lineitem WHERE l_orderkey < 100
+          UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+            FROM lineitem WHERE l_orderkey < 100
+          UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem WHERE l_orderkey < 100
+          UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+            FROM lineitem WHERE l_orderkey < 100)
+        ORDER BY l_orderkey, l_linenumber, metric"""),
+      "UNPIVOT/melt: wide metric columns to long (metric, value) rows"),
+
+    "gap_fill" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Time-series gap filling: each user's hourly series is completed
+        // over [first, last] active hour and empty hours carry the previous
+        // hour's value forward. The fill is the as-of join operator (one
+        // shuffle by user, one ordered window) - the same primitive that
+        // fills sensor/price series at 100 TB; the hour grid explodes from
+        // two ints per user, never materializing on the driver.
+        val hourly = eventsTable(s, d)
+          .filter($"user_id" % 10 === 0)
+          .groupBy($"user_id", expr("unix_micros(ts) DIV 3600000000").as("hr"))
+          .agg(expr("max_by(value, event_id)").as("hr_value"))
+          .withColumn("src_hr", $"hr")
+        val grid = hourly.groupBy($"user_id".as("g_user"))
+          .agg(min($"hr").as("h0"), max($"hr").as("h1"))
+          .select($"g_user", explode(sequence($"h0", $"h1")).as("g_hr"))
+        AsOfJoin.leftAsOf(grid, hourly, "g_user", "user_id", "g_hr", "hr",
+            Seq("hr_value", "src_hr"))
+          .select($"g_user".as("user_id"), $"g_hr".as("hr"),
+            $"hr_value", ($"src_hr" =!= $"g_hr").as("is_gap"))
+          .orderBy($"user_id", $"hr")
+      },
+      Some("""WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+            arg_max(value, event_id) AS hr_value FROM events
+          WHERE user_id % 10 = 0 GROUP BY 1, 2),
+        b AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM h GROUP BY user_id),
+        g AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM b)
+        SELECT g.user_id, g.hr, h.hr_value, (h.hr <> g.hr) AS is_gap
+        FROM g ASOF JOIN h ON g.user_id = h.user_id AND g.hr >= h.hr
+        ORDER BY g.user_id, g.hr"""),
+      "Hourly gap filling with as-of forward fill per user (grid from " +
+        "per-user bounds, carried values, gap flag)"),
+
     "percent_rank_normalize" -> Q(
       (s, d) => {
         import s.implicits._
