@@ -303,6 +303,34 @@ object Ingestion {
         ORDER BY o_orderkey"""),
       "additive schema evolution: new column appears with NULLs for pre-evolution snapshots"),
 
+    "metadata_pruned_scan" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Iceberg-style scan planning from manifest column metrics: four
+        // ingest batches land with disjoint o_orderkey ranges and per-dir
+        // [min,max] stats; a range scan then opens ONLY the overlapping
+        // dir (asserted via inputFiles in VersionedTableSpec) and applies
+        // the row filter on top. At 100 TB this is the metadata prune that
+        // turns "list every file" into "read one ingest window".
+        val p = tmp("metadata_pruned_scan")
+        GraftTableWriter.drop(s, p)
+        val o = table(s, d, "orders")
+        val mx = o.agg(max($"o_orderkey")).head().getLong(0)
+        val q = mx / 4 + 1
+        for (i <- 0L until 4L)
+          VersionedTable.appendWithStats(
+            o.filter($"o_orderkey" >= i * q && $"o_orderkey" < (i + 1) * q), p, "o_orderkey")
+        val (lo, hi) = (q + q / 4, q + q / 2)
+        ordersOut(VersionedTable.readPruned(s, p, lo, hi)
+          .filter($"o_orderkey" >= lo && $"o_orderkey" <= hi))
+          .orderBy($"o_orderkey")
+      },
+      Some(s"""WITH b AS (SELECT max(o_orderkey) // 4 + 1 AS q FROM orders)
+        SELECT $ordersOutSql FROM orders, b
+        WHERE o_orderkey >= q + q // 4 AND o_orderkey <= q + q // 2
+        ORDER BY o_orderkey"""),
+      "manifest min/max column metrics: range scans open only overlapping data dirs (Iceberg scan planning)"),
+
     "append_readback" -> Q(
       (s, d) => {
         import s.implicits._

@@ -65,6 +65,30 @@ object Streaming {
       Some("SELECT DISTINCT user_id, event_type FROM events"),
       "Streaming exact dedup: cross-micro-batch key state via dropDuplicates."),
 
+    "streaming_dedup_watermarked" -> Q(
+      (s, d) => {
+        // The BOUNDED-STATE dedup (the 100 TB path): dropDuplicates holds
+        // every key forever, dropDuplicatesWithinWatermark evicts key state
+        // once the watermark passes it — unbounded runs stay O(watermark
+        // window), dedup stays exact for duplicates arriving within the
+        // delay. Here the delay exceeds the staged disorder, so the result
+        // equals exact DISTINCT and the batch oracle applies.
+        val (src, out, ck) = Streams.workDirs("streaming_dedup_watermarked")
+        val ev = eventsTable(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        val staged = Streams.stagedStream(ev.union(ev), src, nFiles = 4)
+        val deduped = staged
+          .withWatermark("ts", "35 days")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            micros(col("ts")).as("ts_us"))
+        Streams.runAppend(deduped, out, ck)
+      },
+      Some("""SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        FROM events"""),
+      "Bounded-state streaming dedup: dropDuplicatesWithinWatermark evicts " +
+        "expired key state (duplicated input collapses exactly)."),
+
     "streaming_dim_join" -> Q(
       (s, d) => {
         // Stream-static enrichment: the micro-batch stream joins the static

@@ -39,22 +39,62 @@ object VersionedTable {
     * window. */
   private val lockMap = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  final case class Snapshot(version: Int, dirs: Seq[String])
+  /** `stats` holds optional per-dir (min, max) of one long-typed column —
+    * Iceberg's per-file column metrics, the basis of scan-planning pruning.
+    * Dirs without stats are never pruned (always read). */
+  final case class Snapshot(version: Int, dirs: Seq[String],
+      statsCol: Option[String] = None, stats: Map[String, (Long, Long)] = Map.empty)
 
   /** Create version 1 or replace the visible contents with a new snapshot
     * (prior snapshots stay readable via [[readVersion]] until expired). */
   def overwrite(df: DataFrame, path: String): Int = {
     val d = writeDataDir(df, path)
-    commit(df.sparkSession, path, _ => Seq(d))
+    commit(df.sparkSession, path, _ => Snapshot(0, Seq(d)))
   }
 
   /** Append without rewriting: prior data dirs are referenced, not copied.
     * Concurrent appends are safe — a committer that loses the manifest race
     * recomputes its dir list against the winner's snapshot and retries, so
-    * no append is ever silently dropped. */
+    * no append is ever silently dropped. Existing per-dir stats are carried;
+    * the new dir has none, so pruned reads always include it. */
   def append(df: DataFrame, path: String): Int = {
     val d = writeDataDir(df, path)
-    commit(df.sparkSession, path, cur => cur.map(_.dirs).getOrElse(Nil) :+ d)
+    commit(df.sparkSession, path, cur =>
+      Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
+        cur.flatMap(_.statsCol), cur.map(_.stats).getOrElse(Map.empty)))
+  }
+
+  /** Append with per-dir column metrics (Iceberg's file-level min/max
+    * stats): one extra agg over the batch records `statsCol`'s [min, max]
+    * in the manifest, and [[readPruned]] later skips the dir when a scan
+    * range can't overlap it. This is the metadata half of scan planning —
+    * at 100 TB it is the difference between listing every file and reading
+    * only the ingest window a query touches. */
+  def appendWithStats(df: DataFrame, path: String, statsCol: String): Int = {
+    import org.apache.spark.sql.functions.{max, min}
+    val d = writeDataDir(df, path)
+    val row = df.agg(min(statsCol).cast("long"), max(statsCol).cast("long")).head()
+    val bounds = if (row.isNullAt(0)) None else Some((row.getLong(0), row.getLong(1)))
+    commit(df.sparkSession, path, cur => {
+      require(cur.flatMap(_.statsCol).forall(_ == statsCol),
+        s"stats column mismatch: table tracks ${cur.flatMap(_.statsCol)}, got $statsCol")
+      Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d, Some(statsCol),
+        cur.map(_.stats).getOrElse(Map.empty) ++ bounds.map(d -> _))
+    })
+  }
+
+  /** Scan with manifest-level file skipping: only data dirs whose recorded
+    * [min, max] of the stats column overlaps [lo, hi] are read at all
+    * (dirs without stats are always read). Callers still apply the row
+    * filter — like Iceberg, the metadata prune is a superset guarantee,
+    * not a predicate evaluation. */
+  def readPruned(spark: SparkSession, path: String, lo: Long, hi: Long): DataFrame = {
+    val snap = latest(spark, path).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $path"))
+    require(snap.statsCol.nonEmpty, s"table at $path has no stats column to prune on")
+    val keep = snap.dirs.filter(d =>
+      snap.stats.get(d).forall { case (mn, mx) => hi >= mn && lo <= mx })
+    readSnapshot(spark, path, snap.copy(dirs = keep))
   }
 
   /** Equality-field upsert as a new snapshot (read latest, merge, commit).
@@ -91,7 +131,7 @@ object VersionedTable {
     val data = readSnapshot(spark, path, snap)
     val parts = math.max(1L, (data.count() + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     val d = writeDataDir(data.repartition(parts), path)
-    commit(spark, path, _ => Seq(d))
+    commit(spark, path, _ => Snapshot(0, Seq(d)))
   }
 
   /** Latest snapshot contents. */
@@ -137,13 +177,13 @@ object VersionedTable {
     * the winner's snapshot before retrying, which is what makes concurrent
     * appends conflict-free. */
   private def commit(spark: SparkSession, path: String,
-      dirsFor: Option[Snapshot] => Seq[String]): Int = {
+      dirsFor: Option[Snapshot] => Snapshot): Int = {
     val lock = lockMap.computeIfAbsent(path, _ => new Object)
     lock.synchronized { commitLocked(spark, path, dirsFor) }
   }
 
   private def commitLocked(spark: SparkSession, path: String,
-      dirsFor: Option[Snapshot] => Seq[String]): Int = {
+      dirsFor: Option[Snapshot] => Snapshot): Int = {
     val filesystem = fs(spark, path)
     var attempt = 0
     while (true) {
@@ -212,16 +252,32 @@ object VersionedTable {
 
   /** Manifest JSON — flat, order-fixed, written and parsed locally so the
     * format has zero library dependencies:
-    * `{"version":3,"dirs":["d-...","d-..."]}` */
-  private def manifestJson(v: Int, dirs: Seq[String]): String =
-    s"""{"version":$v,"dirs":[${dirs.map(d => "\"" + d + "\"").mkString(",")}]}"""
+    * `{"version":3,"dirs":["d-...","d-..."],"statsCol":"k",
+    *   "stats":{"d-...":[lo,hi]}}` (statsCol/stats optional). */
+  private def manifestJson(v: Int, snap: Snapshot): String = {
+    val dirs = s""""dirs":[${snap.dirs.map(d => "\"" + d + "\"").mkString(",")}]"""
+    val stats = snap.statsCol.map { c =>
+      val entries = snap.dirs.flatMap(d => snap.stats.get(d).map(b =>
+        "\"" + d + "\":[" + b._1 + "," + b._2 + "]")).mkString(",")
+      s""","statsCol":"$c","stats":{$entries}"""
+    }.getOrElse("")
+    s"""{"version":$v,$dirs$stats}"""
+  }
 
   private def parseManifest(s: String): Snapshot = {
     val v = "\"version\":(\\d+)".r.findFirstMatchIn(s)
       .map(_.group(1).toInt)
       .getOrElse(throw new java.io.IOException(s"bad manifest: $s"))
-    val dirs = "\"(d-[^\"]+)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq
-    Snapshot(v, dirs)
+    // dirs come ONLY from the "dirs":[...] array — the stats map also keys
+    // on dir names, so the scan must not run over the whole document
+    val dirsBody = "\"dirs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(s)
+      .map(_.group(1))
+      .getOrElse(throw new java.io.IOException(s"bad manifest (no dirs): $s"))
+    val dirs = "\"(d-[^\"]+)\"".r.findAllMatchIn(dirsBody).map(_.group(1)).toSeq
+    val statsCol = "\"statsCol\":\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
+    val stats = "\"(d-[^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+    Snapshot(v, dirs, statsCol, stats)
   }
 
   private def manifestName(v: Int): String = f"v$v%05d.json"

@@ -105,6 +105,29 @@ class VersionedTableSpec extends SparkSpec {
     assert(before.forall { case (k, bytes) => after.get(k).contains(bytes) })
   }
 
+  test("manifest column metrics prune non-overlapping data dirs from the scan") {
+    val path = "/tmp/graft_tables/spec_vt_prune"
+    GraftTableWriter.drop(spark, path)
+    val df = spark.range(400).select(col("id"), (col("id") * 2).as("v"))
+    // 4 range-disjoint batches with stats + 1 stats-less append
+    for (i <- 0L until 4L)
+      VersionedTable.appendWithStats(
+        df.filter(col("id") >= i * 100 && col("id") < (i + 1) * 100), path, "id")
+    // a stats-less append: never prunable, must always be scanned
+    VersionedTable.append(
+      spark.range(1000, 1010).select(col("id"), (col("id") * 2).as("v")), path)
+    val pruned = VersionedTable.readPruned(spark, path, 150, 180)
+    // scan opens only batch-1's dir (the overlap) and the stats-less dir
+    val dirsTouched = pruned.inputFiles.map(_.split("/").takeRight(2).head).distinct
+    assert(dirsTouched.length <= 2, s"expected <=2 dirs, scanned ${dirsTouched.mkString(",")}")
+    // superset guarantee: the residual filter gives exactly the range
+    val got = pruned.filter(col("id").between(150, 180)).orderBy("id")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == (150L to 180L))
+    // stats survived the plain append; the full read still sees every dir
+    assert(VersionedTable.read(spark, path).count() == 410)
+  }
+
   test("racing committers both land via optimistic retry") {
     val path = "/tmp/graft_tables/spec_vt_race"
     GraftTableWriter.drop(spark, path)
