@@ -303,6 +303,90 @@ object Ingestion {
         ORDER BY o_orderkey"""),
       "additive schema evolution: new column appears with NULLs for pre-evolution snapshots"),
 
+    "snapshot_diff" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Change data feed between snapshots (Iceberg changelog): commit a
+        // base version, then a version with deletes (%97), price updates
+        // (%100) and inserts (key+10M for %101); diff v1->v2 emits one
+        // I/U/D row per changed key from a single keyed full-outer join.
+        val p = tmp("snapshot_diff")
+        GraftTableWriter.drop(s, p)
+        val base = table(s, d, "orders").select($"o_orderkey", $"o_totalprice")
+        VersionedTable.overwrite(base, p) // v1
+        val v2 = base.filter($"o_orderkey" % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when($"o_orderkey" % 100 === 0, $"o_totalprice" + 1000.0)
+              .otherwise($"o_totalprice"))
+          .unionByName(base.filter($"o_orderkey" % 101 === 0)
+            .select(($"o_orderkey" + 10000000L).as("o_orderkey"), $"o_totalprice"))
+        VersionedTable.overwrite(v2, p) // v2
+        VersionedTable.changes(s, p, 1, 2, Seq("o_orderkey"))
+          .orderBy($"op", $"o_orderkey")
+      },
+      Some("""WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
+        v2 AS (SELECT o_orderkey,
+            CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
+                 ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 97 <> 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey % 101 = 0),
+        j AS (SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+            v1.o_totalprice AS pa, v2.o_totalprice AS pb,
+            CASE WHEN v1.o_orderkey IS NULL THEN 'I'
+                 WHEN v2.o_orderkey IS NULL THEN 'D'
+                 WHEN v1.o_totalprice <> v2.o_totalprice THEN 'U' END AS op
+          FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+        SELECT op, o_orderkey, coalesce(pb, pa) AS o_totalprice
+        FROM j WHERE op IS NOT NULL ORDER BY op, o_orderkey"""),
+      "change data feed: I/U/D rows between two snapshots from one keyed full-outer join"),
+
+    "ingest_validation" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Pre-commit batch validation (the gate in front of upsert): a
+        // staged CDC batch with injected corruption - NULLed keys, negative
+        // amounts, duplicated rows, orphaned foreign keys - yields one
+        // violation-count row per rule. Counts are exact integers; each
+        // rule is one aggregate or one broadcastable anti-join.
+        val o = table(s, d, "orders")
+        val staged = o.select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .withColumn("o_custkey",
+            when($"o_orderkey" % 499 === 0, lit(null)).otherwise($"o_custkey"))
+          .withColumn("o_totalprice",
+            when($"o_orderkey" % 503 === 0, -$"o_totalprice").otherwise($"o_totalprice"))
+          .unionByName(o.filter($"o_orderkey" % 997 === 0)
+            .select($"o_orderkey", ($"o_custkey" + 900000000L).as("o_custkey"), $"o_totalprice"))
+        val cust = table(s, d, "customer").select($"c_custkey")
+        val nullKeys = staged.filter($"o_custkey".isNull)
+          .agg(lit("null_custkey").as("rule"), count(lit(1)).as("violations"))
+        val negAmounts = staged.filter($"o_totalprice" < 0)
+          .agg(lit("negative_totalprice").as("rule"), count(lit(1)).as("violations"))
+        val dupKeys = staged.agg(lit("duplicate_orderkey").as("rule"),
+          (count(lit(1)) - count_distinct($"o_orderkey")).as("violations"))
+        val orphans = staged.filter($"o_custkey".isNotNull)
+          .join(cust, $"o_custkey" === $"c_custkey", "left_anti")
+          .agg(lit("orphan_custkey").as("rule"), count(lit(1)).as("violations"))
+        nullKeys.unionByName(negAmounts).unionByName(dupKeys).unionByName(orphans)
+          .orderBy($"rule")
+      },
+      Some("""WITH staged AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 499 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+            CASE WHEN o_orderkey % 503 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_custkey + 900000000, o_totalprice
+          FROM orders WHERE o_orderkey % 997 = 0)
+        SELECT 'null_custkey' AS rule, count(*) AS violations FROM staged WHERE o_custkey IS NULL
+        UNION ALL SELECT 'negative_totalprice', count(*) FROM staged WHERE o_totalprice < 0
+        UNION ALL SELECT 'duplicate_orderkey', count(*) - count(DISTINCT o_orderkey) FROM staged
+        UNION ALL SELECT 'orphan_custkey', count(*) FROM staged
+          WHERE o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        ORDER BY rule"""),
+      "pre-commit CDC batch validation: per-rule violation counts (nulls, ranges, dup keys, orphan FKs)"),
+
     "metadata_pruned_scan" -> Q(
       (s, d) => {
         import s.implicits._

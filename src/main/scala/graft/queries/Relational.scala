@@ -517,6 +517,35 @@ object Relational {
       "Bloom-prefiltered join: dim-side bloom probe drops non-matching fact rows " +
         "before the shuffle; exact result (false positives removed by the join)"),
 
+    "rolling_window_range" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Trailing 7-day per-user aggregates with a RANGE (time-interval)
+        // frame - unlike q8's ROWS frame, peers are defined by event-time
+        // distance, so gaps and ties are handled by the frame itself. The
+        // frame runs on unix-micros BIGINTs (engine-neutral; no calendar
+        // arithmetic), one shuffle by user.
+        val w = Window.partitionBy($"user_id").orderBy($"us")
+          .rangeBetween(-604800000000L, 0L) // 7 days of micros, inclusive
+        eventsTable(s, d)
+          .filter($"user_id" % 10 === 0)
+          .select($"event_id", $"user_id", micros($"ts").as("us"),
+            dec2($"value").as("v"))
+          .withColumn("n_7d", count(lit(1)).over(w))
+          .withColumn("sum_7d", sum($"v").over(w).cast(D18_2))
+          .select($"event_id", $"user_id", $"us", $"n_7d", $"sum_7d")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS us,
+          count(*) OVER w AS n_7d,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS sum_7d
+        FROM events WHERE user_id % 10 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id"""),
+      "Trailing 7-day RANGE-frame window per user (time-distance peers, " +
+        "decimal-exact sums)"),
+
     "unpivot_melt" -> Q(
       (s, d) => {
         import s.implicits._

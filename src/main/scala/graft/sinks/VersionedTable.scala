@@ -134,6 +134,32 @@ object VersionedTable {
     commit(spark, path, _ => Snapshot(0, Seq(d)))
   }
 
+  /** Change data feed between two snapshots (Iceberg's changelog scan):
+    * every key that was inserted (`I`), updated (`U` — any non-key column
+    * differs), or deleted (`D`) going from `fromV` to `toV`, with the
+    * surviving row's columns (the old row's for deletes). One full-outer
+    * join keyed on `keys` — both sides shuffle once by key, same cost
+    * profile as the upsert that produced the delta. Assumes NULL-free
+    * non-key columns for the U comparison (struct equality is not
+    * null-safe); keys must identify rows uniquely in both snapshots. */
+  def changes(spark: SparkSession, path: String, fromV: Int, toV: Int,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, struct, when}
+    val a = readVersion(spark, path, fromV)
+    val b = readVersion(spark, path, toV)
+    val nonKeys = a.columns.filterNot(keys.contains).toSeq
+    val ka = a.select(keys.map(col) :+ struct(nonKeys.map(col): _*).as("__a"): _*)
+    val kb = b.select(keys.map(col) :+ struct(nonKeys.map(col): _*).as("__b"): _*)
+    ka.join(kb, keys, "full_outer")
+      .withColumn("__op",
+        when(col("__a").isNull, "I")
+          .when(col("__b").isNull, "D")
+          .when(col("__a") =!= col("__b"), "U"))
+      .filter(col("__op").isNotNull)
+      .select(col("__op").as("op") +: keys.map(col) ++:
+        nonKeys.map(c => coalesce(col(s"__b.$c"), col(s"__a.$c")).as(c)): _*)
+  }
+
   /** Latest snapshot contents. */
   def read(spark: SparkSession, path: String): DataFrame =
     readSnapshot(spark, path, latest(spark, path).getOrElse(

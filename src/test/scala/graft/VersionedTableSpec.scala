@@ -128,6 +128,23 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, path).count() == 410)
   }
 
+  test("changes() emits exact I/U/D rows and is empty between identical snapshots") {
+    val path = "/tmp/graft_tables/spec_vt_changes"
+    GraftTableWriter.drop(spark, path)
+    val v1 = spark.range(10).select(col("id"), (col("id") * 10).as("v"))
+    VersionedTable.overwrite(v1, path)
+    // v2: drop id 3, update id 5, insert id 100
+    val v2 = v1.filter(col("id") =!= 3)
+      .withColumn("v", org.apache.spark.sql.functions.when(col("id") === 5, 999L).otherwise(col("v")))
+      .unionByName(spark.range(100, 101).select(col("id"), (col("id") * 10).as("v")))
+    VersionedTable.overwrite(v2, path)
+    VersionedTable.overwrite(v2, path) // v3 == v2
+    val diff = VersionedTable.changes(spark, path, 1, 2, Seq("id"))
+      .orderBy("op", "id").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(diff == Seq(("D", 3L, 30L), ("I", 100L, 1000L), ("U", 5L, 999L)))
+    assert(VersionedTable.changes(spark, path, 2, 3, Seq("id")).count() == 0)
+  }
+
   test("racing committers both land via optimistic retry") {
     val path = "/tmp/graft_tables/spec_vt_race"
     GraftTableWriter.drop(spark, path)
