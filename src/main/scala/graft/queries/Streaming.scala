@@ -55,6 +55,31 @@ object Streaming {
         FROM events GROUP BY 1, 2"""),
       "Event-time windowed aggregation with a 1h watermark, complete-mode foreachBatch sink."),
 
+    "streaming_hopping_agg" -> Q(
+      (s, d) => {
+        // Hopping (sliding) event-time windows: 1-hour windows advancing
+        // every 30 minutes, so each event lands in exactly two overlapping
+        // windows - the smoothing shape dashboards want. State is two
+        // window slots per (window, type) key, purged by the watermark.
+        val (src, out, ck) = Streams.workDirs("streaming_hopping_agg")
+        val staged = Streams.stagedStream(eventsTable(s, d), src, nFiles = 4)
+        val agg = staged
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(dec4(col("value"))).cast(D18_4).as("sum_value"))
+          .select(micros(col("window.start")).as("bucket_us"), col("event_type"),
+            col("n"), col("sum_value"))
+        Streams.runCompleteOverwrite(agg, out, ck)
+      },
+      Some("""WITH e AS (SELECT event_type, value,
+            (epoch_us(ts) // 1800000000) * 1800000000 AS slot FROM events),
+        x AS (SELECT event_type, value, slot FROM e
+              UNION ALL SELECT event_type, value, slot - 1800000000 FROM e)
+        SELECT slot AS bucket_us, event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+        FROM x GROUP BY 1, 2"""),
+      "Hopping-window aggregation (1h windows every 30min; each event in two windows)."),
+
     "streaming_dedup" -> Q(
       (s, d) => {
         val (src, out, ck) = Streams.workDirs("streaming_dedup")
