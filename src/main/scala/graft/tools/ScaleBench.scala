@@ -57,9 +57,25 @@ object ScaleBench {
       k -> p
     }.toMap
 
+    // doc_lm_score's shape inline (corpus bigram counts joined back to doc
+    // bigrams, both shuffles keyed by bigram): the disjoint replica
+    // vocabularies grow the count table ~K×, so linear growth here validates
+    // the whole token-keyed-join family (doc_lm_score, inverted_index,
+    // doc_top_terms, freq_tokens_topk).
+    def lmScore(d: DataFrame): Long = {
+      val toks = graft.functions.ascii_tokens(col("text"))
+      val bg = d.select(col("doc_id"),
+        explode(filter(
+          zip_with(toks, slice(toks, 2, 1000000), (a, b) => concat(a, lit(" "), b)),
+          x => x.isNotNull)).as("bigram"))
+      val corpus = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cn"))
+      bg.join(corpus, "bigram").groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("cn")).as("lm_sum")).count()
+    }
     val queries: Seq[(String, DataFrame => Long)] = Seq(
       "dedup_minhash_lsh" -> (d => NearDup.minhashLshPairs(d, 0.8).count()),
-      "ngram_jaccard_pairs" -> (d => NearDup.exactJaccardPairs(d, 0.8).count()))
+      "ngram_jaccard_pairs" -> (d => NearDup.exactJaccardPairs(d, 0.8).count()),
+      "doc_lm_score" -> lmScore)
 
     val results = for ((name, run) <- queries; k <- factors) yield {
       val d = spark.read.parquet(staged(k))
