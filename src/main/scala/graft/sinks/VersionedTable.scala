@@ -94,7 +94,9 @@ object VersionedTable {
     require(snap.statsCol.nonEmpty, s"table at $path has no stats column to prune on")
     val keep = snap.dirs.filter(d =>
       snap.stats.get(d).forall { case (mn, mx) => hi >= mn && lo <= mx })
-    readSnapshot(spark, path, snap.copy(dirs = keep))
+    if (keep.isEmpty) // nothing can overlap: empty result, schema preserved
+      readSnapshot(spark, path, snap).filter(org.apache.spark.sql.functions.lit(false))
+    else readSnapshot(spark, path, snap.copy(dirs = keep))
   }
 
   /** Equality-field upsert as a new snapshot (read latest, merge, commit).

@@ -128,6 +128,15 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, path).count() == 410)
   }
 
+  test("a pruned range overlapping no dir returns empty, not an error") {
+    val path = "/tmp/graft_tables/spec_vt_prune_empty"
+    GraftTableWriter.drop(spark, path)
+    VersionedTable.appendWithStats(
+      spark.range(100).select(col("id"), (col("id") * 2).as("v")), path, "id")
+    val out = VersionedTable.readPruned(spark, path, 5000, 6000)
+    assert(out.count() == 0 && out.columns.toSeq == Seq("id", "v"))
+  }
+
   test("changes() emits exact I/U/D rows and is empty between identical snapshots") {
     val path = "/tmp/graft_tables/spec_vt_changes"
     GraftTableWriter.drop(spark, path)
