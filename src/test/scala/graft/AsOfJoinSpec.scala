@@ -33,6 +33,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("tie").contains(7.5)) // rt == t matches (inclusive)
   }
 
+  test("property: leftAsOf equals a per-key sequential reference on random series") {
+    import org.scalacheck.{Gen => G}
+    import org.scalacheck.rng.Seed
+    // random (key, time) rows with deliberate time collisions (small domains)
+    val leftGen = G.zip(G.chooseNum(0L, 5L), G.chooseNum(0L, 30L))
+    val rightGen = G.zip(G.chooseNum(0L, 5L), G.chooseNum(0L, 30L), G.chooseNum(100L, 999L))
+    for (round <- 1 to 3) {
+      val lRows = G.listOfN(60, leftGen).pureApply(G.Parameters.default, Seed(round * 7L))
+        .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val rRaw = G.listOfN(25, rightGen).pureApply(G.Parameters.default, Seed(round * 13L))
+      // contract: right unique per (key, time) - keep max payload per slot
+      val rRows = rRaw.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      val left = lRows.toDF("row_id", "k", "t")
+      val right = rRows.toDF("rk", "rt", "payload")
+      val got = graft.operators.AsOfJoin
+        .leftAsOf(left, right, "k", "rk", "t", "rt", Seq("payload"))
+        .select($"row_id", $"payload").as[(Long, Option[Long])].collect().toMap
+      for ((id, k, t) <- lRows) {
+        val want = rRows.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+        assert(got(id) == want, s"round=$round key=$k t=$t")
+      }
+    }
+  }
+
   test("colliding left/payload column names are rejected") {
     val left = Seq((1L, 1L, 2.0)).toDF("k", "t", "v") // 'v' collides with payload
     val right = Seq((1L, 1L, 3.0)).toDF("rk", "rt", "v")

@@ -42,6 +42,37 @@ class NearDupSpec extends SparkSpec {
     assert(pairsOf(NearDup.minhashLshPairs(docs, 0.5)) == bruteJaccard(0.5))
   }
 
+  test("property: PPJoin equals brute force on random small-vocab corpora") {
+    // adversarial shape for the prefix filter: a tiny vocabulary makes every
+    // shingle hot and pushes pair Jaccards onto the tau boundary, where an
+    // unsound position/length bound drops true pairs (the bug class the
+    // r2 memory records). Fixed seed - deterministic.
+    import org.scalacheck.{Gen => G}
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val docGen = G.chooseNum(1, 12).flatMap(n => G.listOfN(n, G.oneOf(vocab)))
+      .map(_.mkString(" "))
+    for (round <- 1 to 3) {
+      val texts = G.listOfN(40, docGen)
+        .pureApply(G.Parameters.default, Seed(round * 101L))
+      val corpus = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      for (tau <- Seq(0.34, 0.5, 0.72)) {
+        val sets = NearDup.shingled(corpus)
+        val a = sets.select($"doc_id".as("id_a"), $"shingles".as("sa"))
+        val b = sets.select($"doc_id".as("id_b"), $"shingles".as("sb"))
+        val brute = a.crossJoin(b).filter($"id_a" < $"id_b")
+          .select($"id_a", $"id_b",
+            size(array_intersect($"sa", $"sb")).cast("double").as("c"),
+            (size($"sa") + size($"sb")).cast("double").as("t"))
+          .filter($"c" / ($"t" - $"c") >= tau)
+          .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+        assert(pairsOf(NearDup.exactJaccardPairs(corpus, tau)) == brute,
+          s"round=$round tau=$tau")
+      }
+    }
+  }
+
   test("simhash banded pairs equal brute-force Hamming pairs") {
     val hs = docs.select($"doc_id", simhash64(ascii_tokens($"text")).as("h"))
     val a = hs.select($"doc_id".as("id_a"), $"h".as("ha"))
