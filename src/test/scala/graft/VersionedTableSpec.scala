@@ -154,6 +154,43 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.changes(spark, path, 2, 3, Seq("id")).count() == 0)
   }
 
+  test("property: random append/upsert/overwrite sequences match a reference model; every version stays time-travelable") {
+    import org.scalacheck.{Gen => G}
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val bGen = G.chooseNum(1, 6)
+      .flatMap(n => G.listOfN(n, G.zip(G.chooseNum(0L, 9L), G.chooseNum(0L, 99L))))
+      .map(_.groupBy(_._1).map(_._2.head).toSeq) // unique keys per batch
+    val opGen = G.zip(G.chooseNum(0, 2), bGen)
+    for (round <- 1 to 2) {
+      val path = s"/tmp/graft_tables/spec_vt_model_$round"
+      GraftTableWriter.drop(spark, path)
+      val ops = G.listOfN(6, opGen).pureApply(G.Parameters.default, Seed(round * 31L))
+      var model = Vector.empty[(Long, Long)]
+      var history = Vector.empty[Vector[(Long, Long)]]
+      for ((kind, batch) <- ops) {
+        val df = batch.toDF("k", "v")
+        kind match {
+          case 0 => VersionedTable.append(df, path); model = model ++ batch
+          case 1 => VersionedTable.overwrite(df, path); model = batch.toVector
+          case _ =>
+            VersionedTable.upsert(df, path, Seq("k"))
+            model = model.filterNot(r => batch.exists(_._1 == r._1)) ++ batch
+        }
+        history :+= model
+        val got = VersionedTable.read(spark, path).as[(Long, Long)].collect().toVector
+        assert(got.sorted == model.sorted, s"round=$round after $kind")
+      }
+      // every intermediate version reads exactly as it was committed
+      val vs = VersionedTable.versions(spark, path)
+      assert(vs.size == ops.size)
+      for ((v, snap) <- vs.zip(history)) {
+        val got = VersionedTable.readVersion(spark, path, v).as[(Long, Long)].collect().toVector
+        assert(got.sorted == snap.sorted, s"round=$round v=$v")
+      }
+    }
+  }
+
   test("racing committers both land via optimistic retry") {
     val path = "/tmp/graft_tables/spec_vt_race"
     GraftTableWriter.drop(spark, path)
