@@ -165,6 +165,19 @@ case class BloomMightContain(child: Expression,
   override protected def withNewChildInternal(c: Expression): BloomMightContain = copy(child = c)
 }
 
+/** Morton (Z-order) interleave of two long keys' low 32 bits — sort by this
+  * to cluster a table for multi-column min/max file skipping
+  * ([[Kernels.zOrder2]]). */
+case class ZOrder2(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(Kernels.zOrder2(a.asInstanceOf[Long], b.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.functions.Kernels.zOrder2($x, $y)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrder2 =
+    copy(left = l, right = r)
+}
+
 /** Cosine similarity of two equal-length numeric arrays, computed in double
   * in one fused pass (dot and both norms together). Zero-norm inputs yield
   * 0.0. Used on the ANN hot path: one static-call eval per candidate pair.

@@ -155,6 +155,27 @@ object Kernels {
     bucket
   }
 
+  /** Morton (Z-order) interleave of the low 32 bits of two non-negative
+    * keys: bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Sorting
+    * by the result clusters rows that are close in BOTH dimensions, so
+    * file-level min/max ranges stay tight on both columns at once — the
+    * basis of multi-column data skipping (OPTIMIZE ZORDER). */
+  def zOrder2(a: Long, b: Long): Long = {
+    var x = a & 0xFFFFFFFFL
+    var y = b & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    y = (y | (y << 16)) & 0x0000FFFF0000FFFFL
+    y = (y | (y << 8)) & 0x00FF00FF00FF00FFL
+    y = (y | (y << 4)) & 0x0F0F0F0F0F0F0F0FL
+    y = (y | (y << 2)) & 0x3333333333333333L
+    y = (y | (y << 1)) & 0x5555555555555555L
+    x | (y << 1)
+  }
+
   def cosine(x: ArrayData, y: ArrayData, lf: Boolean, rf: Boolean): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0

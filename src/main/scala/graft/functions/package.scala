@@ -34,6 +34,8 @@ package object functions {
   def simhash_chunks(c: Column, chunks: Int = 8): Column =
     toCol(SimHashChunks(toExpr(c), chunks))
 
+  def z_order(a: Column, b: Column): Column = toCol(ZOrder2(toExpr(a), toExpr(b)))
+
   // ---- SQL-argument helpers: optional trailing parameters must be integer
   // literals (they parameterize codegen constants), and arity is validated so
   // e.g. `word_shingles(text, 5)` really runs with n = 5 instead of silently
@@ -94,6 +96,10 @@ package object functions {
       MinHashBands(es.head,
         if (es.size > 1) litInt("minhash_bands", "numPerms", es(1)) else 64,
         if (es.size > 2) litInt("minhash_bands", "bands", es(2)) else 16)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("z_order", es => {
+      checkArity("z_order", es, 2, 2)
+      ZOrder2(es(0), es(1))
     }, "scala_udf")
     reg.createOrReplaceTempFunction("simhash_chunks", es => {
       checkArity("simhash_chunks", es, 1, 2)

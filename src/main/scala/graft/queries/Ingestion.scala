@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{core, Q}
 import graft.core._
+import graft.functions.z_order
 import graft.operators.Upsert
 import graft.sinks.{GraftTableWriter, VersionedTable}
 import graft.sources.{ShardedIngest, TypedIngest}
@@ -302,6 +303,25 @@ object Ingestion {
           WHERE o_orderkey % 2 <> 0
         ORDER BY o_orderkey"""),
       "additive schema evolution: new column appears with NULLs for pre-evolution snapshots"),
+
+    "zorder_layout" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Z-order clustered rewrite (OPTIMIZE ZORDER): range-partition and
+        // sort by the Morton interleave of NORMALIZED (custkey, orderkey),
+        // so per-file min/max ranges stay tight on BOTH columns and scans
+        // filtered on either key skip most files (tightness asserted in
+        // PlanAuditSpec). Data is unchanged - this is purely a layout
+        // operator.
+        val p = tmp("zorder_layout")
+        GraftTableWriter.drop(s, p)
+        graft.operators.ZOrderLayout
+          .cluster(table(s, d, "orders"), "o_custkey", "o_orderkey", numFiles = 8)
+          .write.parquet(p)
+        ordersOut(s.read.parquet(p)).orderBy($"o_orderkey")
+      },
+      Some(s"SELECT $ordersOutSql FROM orders ORDER BY o_orderkey"),
+      "Z-order clustered rewrite: space-filling-curve layout for multi-column file skipping"),
 
     "snapshot_diff" -> Q(
       (s, d) => {

@@ -103,6 +103,24 @@ class KernelPropertySpec extends SparkSpec {
     for (((a, b), g) <- pairs.zip(got)) assert(g == ref(a, b))
   }
 
+  test("property: z_order interleave is a bijection on 32-bit pairs (deinterleave recovers inputs)") {
+    val pairs = gen(Gen.zip(Gen.chooseNum(0L, 0xFFFFFFFFL), Gen.chooseNum(0L, 0xFFFFFFFFL)), 300, 71L)
+    def extract(z: Long, offset: Int): Long = {
+      var out = 0L
+      var i = 0
+      while (i < 32) { out |= ((z >>> (2 * i + offset)) & 1L) << i; i += 1 }
+      out
+    }
+    val got = pairs.toDF("a", "b").select(z_order($"a", $"b")).as[Long].collect()
+    for (((a, b), z) <- pairs.zip(got)) {
+      assert(extract(z, 0) == a && extract(z, 1) == b, s"z=$z a=$a b=$b")
+    }
+    // monotone in each arg with the other fixed at 0 (prefix-order property)
+    val xs = pairs.map(_._1).sorted
+    val zs = xs.toDF("a").select(z_order($"a", lit(0L))).as[Long].collect()
+    assert(zs.toSeq == zs.sorted.toSeq, "z_order(a, 0) must be monotone in a")
+  }
+
   test("property: sign_random_projection stays within [0, 2^bits) and is input-deterministic") {
     val vec = Gen.listOfN(8, Gen.chooseNum(-4.0f, 4.0f)).map(_.toArray)
     val vs = gen(vec, 150, 57L)

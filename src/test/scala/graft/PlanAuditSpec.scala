@@ -145,6 +145,34 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout tightens per-file ranges on BOTH columns vs single-column clustering") {
+    import org.apache.spark.sql.functions.{input_file_name, max => smax, min => smin, avg}
+    val o = table(spark, sf("sf0.001"), "orders")
+      .select(col("o_custkey"), col("o_orderkey"))
+    def avgSpans(layout: org.apache.spark.sql.DataFrame, dir: String): (Double, Double) = {
+      layout.write.mode("overwrite").parquet(dir)
+      val per = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((smax("o_custkey") - smin("o_custkey")).as("ck"),
+          (smax("o_orderkey") - smin("o_orderkey")).as("ok"))
+        .agg(avg("ck"), avg("ok")).head()
+      (per.getDouble(0), per.getDouble(1))
+    }
+    val zed = graft.operators.ZOrderLayout.cluster(o, "o_custkey", "o_orderkey", 8)
+    val linear = o.repartitionByRange(8, col("o_custkey")).sortWithinPartitions(col("o_custkey"))
+    val (zCk, zOk) = avgSpans(zed, "/tmp/graft_tables/spec_zorder_z")
+    val (lCk, lOk) = avgSpans(linear, "/tmp/graft_tables/spec_zorder_l")
+    val g = o.agg(
+      (smax("o_custkey") - smin("o_custkey")).as("a"),
+      (smax("o_orderkey") - smin("o_orderkey")).as("b")).head()
+    val (gCk, gOk) = (g.getLong(0), g.getLong(1))
+    // single-column clustering leaves the OTHER column's span near-global...
+    assert(lOk > gOk * 0.8, s"linear layout should not cluster o_orderkey (got $lOk of $gOk)")
+    // ...z-order tightens BOTH dimensions well below global span
+    assert(zCk < gCk * 0.6 && zOk < gOk * 0.6,
+      s"z-order spans too wide: custkey $zCk/$gCk orderkey $zOk/$gOk")
+  }
+
   test("partitioned readback prunes partitions at the source") {
     val plan = planOf(q("partitioned_write_readback"))
     // identity-partitioned parquet: the partition filter must not appear as
