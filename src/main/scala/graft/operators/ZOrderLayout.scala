@@ -26,6 +26,8 @@ object ZOrderLayout {
     val r = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"z-order cluster: $colA/$colB must be non-null on a non-empty input")
     val (aLo, aHi, bLo, bHi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val aSpan = math.max(aHi - aLo, 1L)
     val bSpan = math.max(bHi - bLo, 1L)

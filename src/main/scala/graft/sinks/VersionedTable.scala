@@ -149,6 +149,10 @@ object VersionedTable {
     import org.apache.spark.sql.functions.{coalesce, col, struct, when}
     val a = readVersion(spark, path, fromV)
     val b = readVersion(spark, path, toV)
+    require(a.columns.toSeq == b.columns.toSeq,
+      s"changes(v$fromV -> v$toV): snapshots have different columns " +
+        s"(${a.columns.mkString(",")} vs ${b.columns.mkString(",")}) - diff after " +
+        "projecting to the common columns")
     val nonKeys = a.columns.filterNot(keys.contains).toSeq
     val ka = a.select(keys.map(col) :+ struct(nonKeys.map(col): _*).as("__a"): _*)
     val kb = b.select(keys.map(col) :+ struct(nonKeys.map(col): _*).as("__b"): _*)
