@@ -593,6 +593,49 @@ object TrainingData {
 
     // ---- §2.5 multimodal plumbing -----------------------------------------
 
+    "boilerplate_removal" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // C4/RefinedWeb-style boilerplate pruning: segments (8-word spans
+        // here, standing in for sentences) that repeat across >= 3 distinct
+        // documents are dropped from every document, and the survivors are
+        // reassembled in original order. Two shuffles keyed by segment
+        // (count + join back) and one by doc for the ordered reassembly -
+        // the exact shape this runs at corpus scale, no driver-side text.
+        val segs = docs(s, d)
+          .select($"doc_id", posexplode(ascii_tokens($"text")).as(Seq("pos", "tok")))
+          .withColumn("seg", expr("pos DIV 8"))
+          .groupBy($"doc_id", $"seg")
+          .agg(array_join(transform(array_sort(collect_list(struct($"pos", $"tok"))),
+            x => x.getField("tok")), " ").as("segment"))
+        val hot = segs.groupBy($"segment")
+          .agg(countDistinct($"doc_id").as("ndocs"))
+          .filter($"ndocs" >= 3)
+        segs.join(hot, Seq("segment"), "left_anti")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_kept_segments"),
+            array_join(transform(array_sort(collect_list(struct($"seg", $"segment"))),
+              x => x.getField("segment")), " ").as("clean_text"))
+          .select($"doc_id", $"n_kept_segments", md5($"clean_text").as("clean_md5"),
+            length($"clean_text").cast("long").as("clean_len"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+          FROM documents),
+        toks AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos1 FROM base),
+        segs AS (SELECT doc_id, (pos1 - 1) // 8 AS seg,
+            string_agg(w[pos1], ' ' ORDER BY pos1) AS segment
+          FROM toks GROUP BY doc_id, (pos1 - 1) // 8),
+        hot AS (SELECT segment FROM segs GROUP BY segment
+          HAVING count(DISTINCT doc_id) >= 3),
+        kept AS (SELECT s.* FROM segs s WHERE s.segment NOT IN (SELECT segment FROM hot))
+        SELECT doc_id, count(*) AS n_kept_segments,
+          md5(string_agg(segment, ' ' ORDER BY seg)) AS clean_md5,
+          length(string_agg(segment, ' ' ORDER BY seg)) AS clean_len
+        FROM kept GROUP BY doc_id ORDER BY doc_id"""),
+      "Boilerplate pruning: 8-token segments shared by >= 3 docs dropped, docs " +
+        "reassembled in order (cross-doc repeated-span removal)."),
+
     "balanced_downsample" -> Q(
       (s, d) => {
         import s.implicits._
