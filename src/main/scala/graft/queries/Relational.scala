@@ -517,6 +517,27 @@ object Relational {
       "Bloom-prefiltered join: dim-side bloom probe drops non-matching fact rows " +
         "before the shuffle; exact result (false positives removed by the join)"),
 
+    "q12b_cube" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // CUBE over (status, priority): all four grouping sets in one pass,
+        // disambiguated by grouping_id - the other half of the grouping-sets
+        // surface next to q12's ROLLUP. Spark expands the cube before the
+        // partial aggregate, so it is still one shuffle.
+        table(s, d, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+            sum(dec2($"o_totalprice")).cast(D18_2).as("total"))
+          .orderBy($"gid", $"o_orderstatus", $"o_orderpriority")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY gid, o_orderstatus, o_orderpriority"""),
+      "CUBE grouping sets with grouping_id disambiguation (one-shuffle expansion)"),
+
     "rolling_window_range" -> Q(
       (s, d) => {
         import s.implicits._
