@@ -165,6 +165,26 @@ case class BloomMightContain(child: Expression,
   override protected def withNewChildInternal(c: Expression): BloomMightContain = copy(child = c)
 }
 
+/** Squared L2 distance of two equal-length numeric arrays, fused single
+  * pass — the k-means / IVF assignment inner loop ([[Kernels.l2sq]]). */
+case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private def isFloat(e: Expression) = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  private lazy val lf = isFloat(left)
+  private lazy val rf = isFloat(right)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(Kernels.l2sq(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], lf, rf))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.functions.Kernels.l2sq($x, $y, $lf, $rf)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Sq =
+    copy(left = l, right = r)
+}
+
 /** Morton (Z-order) interleave of two long keys' low 32 bits — sort by this
   * to cluster a table for multi-column min/max file skipping
   * ([[Kernels.zOrder2]]). */

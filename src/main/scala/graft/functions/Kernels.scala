@@ -176,6 +176,22 @@ object Kernels {
     x | (y << 1)
   }
 
+  /** Squared L2 distance between two numeric arrays, fused single pass
+    * (the k-means / IVF assignment inner loop). */
+  def l2sq(x: ArrayData, y: ArrayData, lf: Boolean, rf: Boolean): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   def cosine(x: ArrayData, y: ArrayData, lf: Boolean, rf: Boolean): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0

@@ -36,6 +36,8 @@ package object functions {
 
   def z_order(a: Column, b: Column): Column = toCol(ZOrder2(toExpr(a), toExpr(b)))
 
+  def l2_sq(a: Column, b: Column): Column = toCol(L2Sq(toExpr(a), toExpr(b)))
+
   // ---- SQL-argument helpers: optional trailing parameters must be integer
   // literals (they parameterize codegen constants), and arity is validated so
   // e.g. `word_shingles(text, 5)` really runs with n = 5 instead of silently
@@ -96,6 +98,10 @@ package object functions {
       MinHashBands(es.head,
         if (es.size > 1) litInt("minhash_bands", "numPerms", es(1)) else 64,
         if (es.size > 2) litInt("minhash_bands", "bands", es(2)) else 16)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("l2_sq", es => {
+      checkArity("l2_sq", es, 2, 2)
+      L2Sq(es(0), es(1))
     }, "scala_udf")
     reg.createOrReplaceTempFunction("z_order", es => {
       checkArity("z_order", es, 2, 2)

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.functions.l2_sq
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column — the training step
+  * that produces [[Ann]]'s IVF coarse-quantizer centroids.
+  *
+  * Scale shape per iteration: centroids broadcast (O(k·d) — driver-held, the
+  * same contract as Ann's centroid list), assignment is a per-row argmin over
+  * the broadcast array (no join, no shuffle), and the centroid update is ONE
+  * shuffle: explode the d dimensions → groupBy (cluster, dim) partial-avg.
+  * Everything driver-side is O(k·d) per iteration; the data never leaves
+  * executors. Deterministic end-to-end: init picks the k lowest-id vectors,
+  * per-row distance arithmetic is a fixed-order fused kernel ([[graft.functions.Kernels.l2sq]]),
+  * and argmin ties break toward the lower cluster id — reruns give identical
+  * assignments (no rand(), task-retry-safe).
+  *
+  * With mean centroids and squared-L2 assignment, Lloyd's inertia is
+  * non-increasing per iteration — asserted in KMeansSpec.
+  */
+object KMeans {
+
+  final case class Result(
+      assignments: DataFrame,            // (id, cluster, dist_sq)
+      centroids: Array[Array[Double]],   // k × d
+      inertia: Seq[Double])              // per completed iteration
+
+  def lloyd(emb: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): Result = {
+    require(k >= 1 && iters >= 1, "k and iters must be positive")
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    // deterministic seeding: the k lowest-id vectors
+    var centroids: Array[Array[Double]] = emb
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>")).as[Seq[Double]]
+      .collect().map(_.toArray)
+
+    def assigned(): DataFrame = {
+      // argmin over the broadcast centroid list as a fold over literal
+      // columns: dists[c] evaluates the fused kernel once per (row, c)
+      val dists: Seq[Column] = centroids.toSeq.map(ct =>
+        l2_sq(col(vecCol), array(ct.toSeq.map(lit): _*)))
+      val best = dists.zipWithIndex.tail.foldLeft(
+        struct(dists.head.as("d"), lit(0).as("c"))) { case (acc, (d, i)) =>
+        when(d < acc.getField("d"), struct(d.as("d"), lit(i).as("c"))).otherwise(acc)
+      }
+      emb.select(col(idCol).as("id"), col(vecCol).as("vec"), best.as("best"))
+        .select($"id", $"vec", $"best.c".as("cluster"), $"best.d".as("dist_sq"))
+    }
+
+    val inertias = scala.collection.mutable.ArrayBuffer[Double]()
+    var current: DataFrame = null
+    for (_ <- 1 to iters) {
+      current = assigned()
+      inertias += current.agg(sum($"dist_sq")).head().getDouble(0)
+      // ONE shuffle: (cluster, dim) partial means
+      val next = current
+        .select($"cluster", posexplode($"vec".cast("array<double>")).as(Seq("dim", "x")))
+        .groupBy($"cluster", $"dim").agg(avg($"x").as("m"))
+        .groupBy($"cluster")
+        .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+          s => s.getField("m")).as("centroid"))
+        .as[(Int, Seq[Double])].collect()
+      val updated = centroids.clone()
+      next.foreach { case (c, m) => updated(c) = m.toArray } // empty clusters keep their centroid
+      centroids = updated
+    }
+    Result(assigned().drop("vec"), centroids, inertias.toSeq)
+  }
+}

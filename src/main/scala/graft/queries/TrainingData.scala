@@ -692,6 +692,52 @@ object TrainingData {
         FROM r ORDER BY doc_id"""),
       "Stride-2 payload downsampling (resize-stage plumbing): reduced length + checksum."),
 
+    "multimodal_batch_featurize" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The mapPartitions batch-decode stage (see operators.BatchFeaturize):
+        // payloads batch 64 at a time through the stubbed decoder; features
+        // are integer-exact so DuckDB can replay them. Upstream projection
+        // prunes to (doc_id, payload) BEFORE the opaque stage.
+        val assets = docs(s, d)
+          .filter(length($"text") > 0)
+          .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+          .as[graft.operators.BatchFeaturize.AssetIn]
+        graft.operators.BatchFeaturize.featurize(assets, batchSize = 64)
+          .toDF()
+          .orderBy($"doc_id")
+      },
+      Some("""WITH x AS (SELECT doc_id, octet_length(encode(text)) AS byte_len,
+          list_transform(generate_series(1, least(len(text), 256)),
+            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS head,
+          list_transform(generate_series(1, (len(text) + 15) // 16),
+            i -> CAST(ascii(substr(text, (i - 1) * 16 + 1, 1)) AS BIGINT)) AS stride
+        FROM documents WHERE len(text) > 0)
+        SELECT doc_id, byte_len,
+          CAST(list_sum(head) AS BIGINT) AS head_sum,
+          CAST(list_max(head) AS BIGINT) AS head_max,
+          CAST(list_sum(stride) AS BIGINT) AS stride_checksum
+        FROM x ORDER BY doc_id"""),
+      "Batched mapPartitions decode plumbing (the mapInPandas shape): 64-asset " +
+        "batches through a stubbed featurizer, integer-exact outputs."),
+
+    "kmeans_embeddings" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // IVF coarse-quantizer training: 5 Lloyd iterations at k=8 over the
+        // embeddings (centroids broadcast, one (cluster,dim) shuffle per
+        // iteration). Output is the deterministic cluster census; inertia
+        // monotonicity + determinism are spec-checked (KMeansSpec) - the
+        // iterative double arithmetic is not SQL-replayable.
+        val emb = table(s, d, "embeddings")
+        val r = graft.operators.KMeans.lloyd(emb, "vec_id", "embedding", k = 8, iters = 5)
+        r.assignments.groupBy($"cluster")
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy($"cluster")
+      },
+      None, // iterative; monotone-inertia + determinism specs instead
+      "Distributed Lloyd k-means (IVF training): per-cluster census after 5 iterations."),
+
     "multimodal_decode" -> Q(
       (s, d) => docs(s, d)
         .withColumn("payload", col("text").cast("binary"))
