@@ -664,6 +664,74 @@ object TrainingData {
       "Language-balanced downsampling to the smallest class, hash-ordered " +
         "(deterministic, rerun-stable)."),
 
+    "deterministic_shuffle" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Epoch-stable global corpus shuffle + training-batch assignment:
+        // every doc gets a position in the md5("epoch7:" || doc_id) total
+        // order and a contiguous batch number. The contiguous index comes
+        // from GlobalOrder.withGlobalIndex (range sort + two-pass
+        // zipWithIndex offsets), NOT the single-partition window that
+        // row_number() OVER (ORDER BY ...) degenerates to at scale.
+        val keyed = docs(s, d).select($"doc_id",
+          md5(concat(lit("epoch7:"), $"doc_id".cast("string"))).as("shuffle_key"))
+        graft.operators.GlobalOrder
+          .withGlobalIndex(keyed, Seq($"shuffle_key", $"doc_id"), "row_idx")
+          .select($"doc_id", $"shuffle_key", $"row_idx",
+            expr("row_idx div 32").as("batch"),
+            ($"row_idx" % 32).as("pos_in_batch"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH r AS (SELECT doc_id, md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key FROM documents),
+          o AS (SELECT doc_id, shuffle_key,
+            row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS row_idx FROM r)
+        SELECT doc_id, shuffle_key, row_idx, row_idx // 32 AS batch,
+          row_idx % 32 AS pos_in_batch
+        FROM o ORDER BY doc_id"""),
+      "Epoch-stable deterministic corpus shuffle with contiguous training-batch " +
+        "assignment (range sort + per-partition offsets, no global window)."),
+
+    "mixture_reweight" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Token-budget mixture reweighting toward a uniform language mix:
+        // each language's budget is min(total_tokens) over languages (the
+        // largest uniform mix the smallest language can support); docs are
+        // taken in content-hash order until the budget is exhausted
+        // (running token sum <= budget) - deterministic, rerun-stable, no
+        // rand(). One narrow groupBy + one per-lang window: the same
+        // shuffle a 100 TB mixing job needs anyway.
+        val toks = docs(s, d).select($"doc_id", $"lang",
+          size(ascii_tokens($"text")).cast("long").as("n_tok"))
+        val totals = toks.groupBy($"lang").agg(sum($"n_tok").as("total_tok"))
+        val budget = totals.agg(min($"total_tok").as("budget"))
+        val w = Window.partitionBy($"lang")
+          .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+        toks
+          .withColumn("cum", sum($"n_tok").over(w))
+          .join(broadcast(budget))
+          .filter($"cum" <= $"budget")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs_kept"), sum($"n_tok").as("tokens_kept"))
+          .join(totals, "lang")
+          .select($"lang", $"n_docs_kept", $"tokens_kept", $"total_tok",
+            ($"tokens_kept".cast("double") / $"total_tok").as("keep_rate"))
+          .orderBy($"lang")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+            CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tok FROM documents),
+          tot AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS total_tok FROM t GROUP BY lang),
+          b AS (SELECT min(total_tok) AS budget FROM tot),
+          c AS (SELECT doc_id, lang, n_tok,
+            sum(n_tok) OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum FROM t),
+          kept AS (SELECT lang, count(*) AS n_docs_kept, CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+            FROM c, b WHERE cum <= budget GROUP BY lang)
+        SELECT kept.lang, n_docs_kept, tokens_kept, total_tok,
+          tokens_kept::DOUBLE / total_tok AS keep_rate
+        FROM kept JOIN tot USING (lang) ORDER BY lang"""),
+      "Token-budget mixture reweighting to a uniform language mix: hash-ordered " +
+        "greedy selection under per-language token budgets, with keep rates."),
+
     "multimodal_resize" -> Q(
       (s, d) => {
         import s.implicits._
