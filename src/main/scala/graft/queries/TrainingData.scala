@@ -699,16 +699,18 @@ object TrainingData {
         // largest uniform mix the smallest language can support); docs are
         // taken in content-hash order until the budget is exhausted
         // (running token sum <= budget) - deterministic, rerun-stable, no
-        // rand(). One narrow groupBy + one per-lang window: the same
-        // shuffle a 100 TB mixing job needs anyway.
+        // rand(). The running sum is PrefixSum.groupedRunningTotal, NOT a
+        // per-lang window: a window would funnel each language's whole
+        // corpus through one task, the distributed scan keeps every
+        // partition parallel (semantically identical - the oracle replays
+        // it as the window form).
         val toks = docs(s, d).select($"doc_id", $"lang",
+          md5($"doc_id".cast("string")).as("hk"),
           size(ascii_tokens($"text")).cast("long").as("n_tok"))
         val totals = toks.groupBy($"lang").agg(sum($"n_tok").as("total_tok"))
         val budget = totals.agg(min($"total_tok").as("budget"))
-        val w = Window.partitionBy($"lang")
-          .orderBy(md5($"doc_id".cast("string")), $"doc_id")
-        toks
-          .withColumn("cum", sum($"n_tok").over(w))
+        graft.operators.PrefixSum
+          .groupedRunningTotal(toks, Seq("lang"), Seq($"hk", $"doc_id"), "n_tok", "cum")
           .join(broadcast(budget))
           .filter($"cum" <= $"budget")
           .groupBy($"lang")

@@ -72,10 +72,30 @@ object ScaleBench {
       bg.join(corpus, "bigram").groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"), sum(col("cn")).as("lm_sum")).count()
     }
+    // the two distributed-scan primitives (GlobalOrder / PrefixSum): ideal
+    // growth is linear — the range exchange and both offset jobs are O(rows),
+    // with only O(partitions [× groups]) ever on the driver.
+    def globalShuffle(d: DataFrame): Long = {
+      val keyed = d.select(col("doc_id"),
+        md5(concat(lit("e:"), col("doc_id").cast("string"))).as("k"))
+      graft.operators.GlobalOrder
+        .withGlobalIndex(keyed, Seq(col("k"), col("doc_id")), "row_idx")
+        .filter(col("row_idx") % 97 === 0).count()
+    }
+    def groupedScan(d: DataFrame): Long = {
+      val t = d.select(col("doc_id"), (col("doc_id") % 5).as("g"),
+        md5(col("doc_id").cast("string")).as("hk"),
+        length(col("text")).cast("long").as("v"))
+      graft.operators.PrefixSum
+        .groupedRunningTotal(t, Seq("g"), Seq(col("hk"), col("doc_id")), "v", "cum")
+        .filter(col("cum") % 97 === 0).count()
+    }
     val queries: Seq[(String, DataFrame => Long)] = Seq(
       "dedup_minhash_lsh" -> (d => NearDup.minhashLshPairs(d, 0.8).count()),
       "ngram_jaccard_pairs" -> (d => NearDup.exactJaccardPairs(d, 0.8).count()),
-      "doc_lm_score" -> lmScore)
+      "doc_lm_score" -> lmScore,
+      "deterministic_shuffle" -> globalShuffle,
+      "grouped_prefix_sum" -> groupedScan)
 
     val results = for ((name, run) <- queries; k <- factors) yield {
       val d = spark.read.parquet(staged(k))
