@@ -232,6 +232,32 @@ object TrainingData {
         "deterministic content hash — rebalances a skewed corpus with zero shuffles, " +
         "reproducibly across engines and reruns."),
 
+    "weighted_sample" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Importance sampling by a per-ROW quality weight (here: token count
+        // saturating at 128 => acceptance prob in [0,1], quantized to 1/256):
+        // keep iff the doc's 2-hex-digit content-hash prefix < the weight's
+        // hex threshold. Same determinism story as sample_by_hash, but the
+        // rate varies per row - the quality-weighted curation step between
+        // uniform sampling and hard filtering. Zero shuffles, full pushdown.
+        val t = docs(s, d).select($"doc_id", $"lang",
+          size(ascii_tokens($"text")).cast("long").as("n_tok"))
+        val lvl = least(lit(255.0), floor(least(lit(1.0), $"n_tok" / 128.0) * 256)).cast("int")
+        t.withColumn("thresh", format_string("%02x", lvl))
+          .filter(substring(md5($"doc_id".cast("string")), 1, 2) < $"thresh")
+          .select($"doc_id", $"lang", $"n_tok", $"thresh")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+            CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tok FROM documents),
+          x AS (SELECT doc_id, lang, n_tok,
+            printf('%02x', CAST(least(255.0, floor(least(1.0, n_tok / 128.0) * 256)) AS INTEGER)) AS thresh FROM t)
+        SELECT doc_id, lang, n_tok, thresh FROM x
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < thresh ORDER BY doc_id"""),
+      "Quality-weighted deterministic sampling: per-row acceptance probability " +
+        "(1/256 quantization) decided by content-hash prefix vs hex threshold."),
+
     "edit_distance_pairs" -> Q(
       (s, d) => {
         // Near-dup candidates from the scalable prefix-filtered join, then the
