@@ -185,6 +185,34 @@ case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = l, right = r)
 }
 
+/** Nearest centroid of an embedding against a driver-held codebook
+  * ([[Kernels.nearestCentroid]]): emits `struct(cluster INT, dist_sq DOUBLE)`
+  * in one fused O(k·d) loop. The codebook is attached as a codegen REFERENCE
+  * OBJECT, so the expression tree (and the generated Java) stays O(1) no
+  * matter how many centroids — unlike a fold of `when(d < acc, …)` branches,
+  * which grows the tree O(k) and falls out of codegen in the hundreds.
+  * Ties break toward the lower cluster id; the k-means assignment step.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  require(centroids.nonEmpty, "nearest_centroid: codebook must be non-empty")
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("dist_sq", DoubleType, nullable = false)))
+  private lazy val vf = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def nullSafeEval(input: Any): Any =
+    Kernels.nearestCentroid(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], centroids, vf)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.nearestCentroid($c, $ref, $vf)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
+}
+
 /** Morton (Z-order) interleave of two long keys' low 32 bits — sort by this
   * to cluster a table for multi-column min/max file skipping
   * ([[Kernels.zOrder2]]). */

@@ -192,6 +192,35 @@ object Kernels {
     acc
   }
 
+  /** Index + squared L2 distance of the nearest centroid, one fused loop over
+    * the whole codebook — O(k·d) per row with an O(1)-size expression tree
+    * (the codebook rides along as a codegen reference object, so k can be
+    * hundreds without growing the generated code). Ties break toward the
+    * lower cluster id (strict <); rows whose distance ties are therefore
+    * rerun-stable. Early-exits a centroid once its partial distance exceeds
+    * the best seen. */
+  def nearestCentroid(v: ArrayData, cents: Array[Array[Double]], vf: Boolean)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      val n = math.min(v.numElements(), ct.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n && acc < bestD) {
+        val x = (if (vf) v.getFloat(i).toDouble else v.getDouble(i)) - ct(i)
+        acc += x * x
+        i += 1
+      }
+      if (i == n && acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, bestD))
+  }
+
   def cosine(x: ArrayData, y: ArrayData, lf: Boolean, rf: Boolean): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0

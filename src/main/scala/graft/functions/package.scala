@@ -38,6 +38,9 @@ package object functions {
 
   def l2_sq(a: Column, b: Column): Column = toCol(L2Sq(toExpr(a), toExpr(b)))
 
+  def nearest_centroid(v: Column, centroids: Array[Array[Double]]): Column =
+    toCol(NearestCentroid(toExpr(v), centroids))
+
   // ---- SQL-argument helpers: optional trailing parameters must be integer
   // literals (they parameterize codegen constants), and arity is validated so
   // e.g. `word_shingles(text, 5)` really runs with n = 5 instead of silently

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.l2_sq
+import graft.functions.nearest_centroid
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * shuffle: explode the d dimensions → groupBy (cluster, dim) partial-avg.
   * Everything driver-side is O(k·d) per iteration; the data never leaves
   * executors. Deterministic end-to-end: init picks the k lowest-id vectors,
-  * per-row distance arithmetic is a fixed-order fused kernel ([[graft.functions.Kernels.l2sq]]),
-  * and argmin ties break toward the lower cluster id — reruns give identical
-  * assignments (no rand(), task-retry-safe).
+  * per-row distance arithmetic is a fixed-order fused kernel
+  * ([[graft.functions.Kernels.nearestCentroid]] — one expression whatever k
+  * is), and argmin ties break toward the lower cluster id — reruns give
+  * identical assignments (no rand(), task-retry-safe).
   *
   * With mean centroids and squared-L2 assignment, Lloyd's inertia is
   * non-increasing per iteration — asserted in KMeansSpec.
@@ -40,16 +41,13 @@ object KMeans {
       .collect().map(_.toArray)
 
     def assigned(): DataFrame = {
-      // argmin over the broadcast centroid list as a fold over literal
-      // columns: dists[c] evaluates the fused kernel once per (row, c)
-      val dists: Seq[Column] = centroids.toSeq.map(ct =>
-        l2_sq(col(vecCol), array(ct.toSeq.map(lit): _*)))
-      val best = dists.zipWithIndex.tail.foldLeft(
-        struct(dists.head.as("d"), lit(0).as("c"))) { case (acc, (d, i)) =>
-        when(d < acc.getField("d"), struct(d.as("d"), lit(i).as("c"))).otherwise(acc)
-      }
+      // argmin over the driver-held codebook in ONE fused expression
+      // (NearestCentroid carries the matrix as a codegen reference object):
+      // the expression tree stays O(1) however large k gets, where a fold of
+      // per-centroid when() branches would grow O(k) and leave codegen
+      val best = nearest_centroid(col(vecCol), centroids)
       emb.select(col(idCol).as("id"), col(vecCol).as("vec"), best.as("best"))
-        .select($"id", $"vec", $"best.c".as("cluster"), $"best.d".as("dist_sq"))
+        .select($"id", $"vec", $"best.cluster".as("cluster"), $"best.dist_sq".as("dist_sq"))
     }
 
     val inertias = scala.collection.mutable.ArrayBuffer[Double]()

@@ -35,6 +35,18 @@ class KMeansSpec extends SparkSpec {
     assert(ca == cb)
   }
 
+  test("assignment expression generates code (no CodegenFallback) for a large codebook") {
+    // 256 centroids: a when()-fold would grow the tree O(k) and fall out of
+    // codegen; NearestCentroid must stay a single codegen'd projection
+    val codebook = Array.tabulate(256, 8)((c, d) => (c * 8 + d).toDouble)
+    val df = emb.select(graft.functions.nearest_centroid(
+      $"embedding".cast("array<double>"), codebook).as("b"))
+    val code = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    assert(code.contains("nearestCentroid"), code.take(2000))
+    assert(!code.contains("CodegenFallback"), code.take(2000))
+    assert(df.count() > 0)
+  }
+
   test("every point is assigned to its true nearest centroid") {
     val r = KMeans.lloyd(emb, "vec_id", "embedding", k = 6, iters = 2)
     val vecs = emb.select($"vec_id", $"embedding".cast("array<double>"))
