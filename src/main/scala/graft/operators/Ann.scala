@@ -96,6 +96,35 @@ object Ann {
       .orderBy("id_a", "id_b")
   }
 
+  /** SemDeDup-style semantic deduplication: cluster the embeddings with
+    * distributed k-means ([[KMeans.lloyd]]), find cosine ≥ τ pairs ONLY
+    * within each cluster (pairwise work bounded by cluster occupancy — one
+    * shuffle keyed by cluster, never the N² cross join), collapse pair
+    * groups with [[NearDup.connectedComponents]], and keep each group's
+    * minimum id plus every unpaired doc. Deterministic end-to-end (k-means
+    * init, fixed-order cosine, min-id canonicalization). Recall is
+    * approximate — a τ-pair split across two clusters is missed — which is
+    * the SemDeDup trade; soundness (every drop has a kept near-dup witness
+    * in its cluster) is spec-checked against an independent replay.
+    */
+  def semanticDedup(vectors: DataFrame, minCosine: Double,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    val r = KMeans.lloyd(vectors, "vec_id", "embedding", k, iters)
+    val av = r.assignments.select(col("id").as("vec_id"), col("cluster"))
+      .join(vectors.select(col("vec_id"), col("embedding")), "vec_id")
+    val a = av.select(col("cluster"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = av.select(col("cluster"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val pairs = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine_sim(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+    val dropped = NearDup.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id").as("vec_id"))
+    av.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+  }
+
   /** Per-dimension mean vector per `label` — the deterministic stand-in for a
     * k-means codebook (at scale: train on a sample, broadcast the codebook).
     * Computed distributedly via posexplode + per-(label,pos) avg.

@@ -76,6 +76,13 @@ object Similarity {
       None, // approximate recall of the exact pair set; spec-bounded
       "SRP-banded embedding near-dup pairs with exact-cosine verification (scale path for dedup_embedding)."),
 
+    "semantic_dedup" -> Q(
+      (s, d) => Ann.semanticDedup(emb(s, d), 0.45, k = 8, iters = 3),
+      None, // iterative k-means upstream (not SQL-replayable); AnnSpec replays
+            // the whole pipeline independently (local cosine + union-find)
+      "SemDeDup: k-means clustering, within-cluster cosine >= 0.45 pairs only, " +
+        "connected-component collapse, keep min id per group."),
+
     "ann_ivf" -> Q(
       (s, d) => {
         val e = emb(s, d)

@@ -70,4 +70,42 @@ class AnnSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getDouble(2) >= 0.45))
   }
+
+  test("semantic dedup equals an independent local replay (cosine + union-find)") {
+    val kept = Ann.semanticDedup(emb, 0.45, k = 8, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    // independent replay: engine cluster assignments (themselves verified in
+    // KMeansSpec), then local fixed-order cosine + union-find over
+    // within-cluster pairs, min id kept per component
+    val assigns = graft.operators.KMeans.lloyd(emb, "vec_id", "embedding", 8, 3)
+      .assignments.select($"id", $"cluster").as[(Long, Int)].collect().toMap
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      val denom = math.sqrt(nx) * math.sqrt(ny)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val ids = vecs.keys.toSeq.sorted
+    for (i <- ids.indices; j <- i + 1 until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      if (assigns(a) == assigns(b) && cos(vecs(a), vecs(b)) >= 0.45) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val expectedKept = ids.filter(id => find(id) == id).toSet
+    assert(kept.keySet == expectedKept)
+    assert(kept.size < ids.size, "the sf0.01 corpus has near-dup pairs; some drops expected")
+    kept.foreach { case (id, cl) => assert(assigns(id) == cl) }
+  }
 }
