@@ -185,6 +185,37 @@ case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = l, right = r)
 }
 
+/** Single-character symbol array of a word ([[Kernels.charSplit]]) — the BPE
+  * base alphabet projection. */
+case class CharSplit(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.charSplit(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.charSplit($c)")
+  override protected def withNewChildInternal(c: Expression): CharSplit = copy(child = c)
+}
+
+/** One BPE merge over a symbol array ([[Kernels.mergePair]]): adjacent
+  * (left, right) symbols fuse left-to-right. The merge pair rides along as
+  * codegen reference objects, so a learned merge applies as ONE expression
+  * regardless of vocabulary round. */
+case class MergePair(child: Expression, left: String, right: String)
+    extends UnaryExpression {
+  private lazy val ua = org.apache.spark.unsafe.types.UTF8String.fromString(left)
+  private lazy val ub = org.apache.spark.unsafe.types.UTF8String.fromString(right)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.mergePair(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], ua, ub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ra = ctx.addReferenceObj("bpeLeft", ua, "UTF8String")
+    val rb = ctx.addReferenceObj("bpeRight", ub, "UTF8String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.mergePair($c, $ra, $rb)")
+  }
+  override protected def withNewChildInternal(c: Expression): MergePair = copy(child = c)
+}
+
 /** Nearest centroid of an embedding against a driver-held codebook
   * ([[Kernels.nearestCentroid]]): emits `struct(cluster INT, dist_sq DOUBLE)`
   * in one fused O(k·d) loop. The codebook is attached as a codegen REFERENCE

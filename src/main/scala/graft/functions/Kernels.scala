@@ -192,6 +192,38 @@ object Kernels {
     acc
   }
 
+  /** Single-character symbols of a word — the BPE base alphabet. */
+  def charSplit(w: UTF8String): ArrayData = {
+    val s = w.toString
+    val out = new Array[AnyRef](s.length)
+    var i = 0
+    while (i < s.length) {
+      out(i) = UTF8String.fromString(String.valueOf(s.charAt(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One BPE merge applied left-to-right: every adjacent (a, b) symbol pair
+    * becomes the single symbol a+b (standard greedy apply order — after a
+    * merge consumes position i and i+1, scanning resumes at i+2). */
+  def mergePair(sym: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = sym.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      val cur = sym.getUTF8String(i)
+      if (i + 1 < n && cur.equals(a) && sym.getUTF8String(i + 1).equals(b)) {
+        out += UTF8String.concat(cur, sym.getUTF8String(i + 1))
+        i += 2
+      } else {
+        out += cur
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Index + squared L2 distance of the nearest centroid, one fused loop over
     * the whole codebook — O(k·d) per row with an O(1)-size expression tree
     * (the codebook rides along as a codegen reference object, so k can be

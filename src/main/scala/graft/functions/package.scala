@@ -41,6 +41,11 @@ package object functions {
   def nearest_centroid(v: Column, centroids: Array[Array[Double]]): Column =
     toCol(NearestCentroid(toExpr(v), centroids))
 
+  def char_split(w: Column): Column = toCol(CharSplit(toExpr(w)))
+
+  def merge_pair(sym: Column, left: String, right: String): Column =
+    toCol(MergePair(toExpr(sym), left, right))
+
   // ---- SQL-argument helpers: optional trailing parameters must be integer
   // literals (they parameterize codegen constants), and arity is validated so
   // e.g. `word_shingles(text, 5)` really runs with n = 5 instead of silently

@@ -258,6 +258,20 @@ object TrainingData {
       "Quality-weighted deterministic sampling: per-row acceptance probability " +
         "(1/256 quantization) decided by content-hash prefix vs hex threshold."),
 
+    "bpe_merges" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Tokenizer training: 20 BPE merge rounds over the corpus word-freq
+        // table. Each round is one distributed pair-count shuffle + a driver
+        // argmax of a single row; rows-only (the loop is not SQL-replayable)
+        // with a local-replay exactness spec (BpeSpec).
+        graft.operators.Bpe.learnMerges(docs(s, d), "text", rounds = 20)
+          .toDF().orderBy($"rank")
+      },
+      None, // iterative; BpeSpec replays the merge loop locally and compares exactly
+      "Distributed BPE vocabulary learning: 20 merge rounds, one pair-count " +
+        "shuffle per round, deterministic lexicographic tie-break."),
+
     "edit_distance_pairs" -> Q(
       (s, d) => {
         // Near-dup candidates from the scalable prefix-filtered join, then the
