@@ -123,6 +123,35 @@ object NearDup {
     jaccardOfCandidates(cand, sets, minJaccard)
   }
 
+  /** Incremental dedup: drop NEW batch docs that near-duplicate the EXISTING
+    * corpus. Candidates come from joining the batch's MinHash band table
+    * against the corpus's — the join the daily-ingest path runs against a
+    * PERSISTED band index, so the corpus is never re-paired with itself
+    * (batch×corpus collisions only, one shuffle by (band, bucket)); survivors
+    * of the banding are verified with the exact Jaccard. Returns the batch
+    * rows with no qualifying corpus match.
+    */
+  def dedupAgainstCorpus(existing: DataFrame, batch: DataFrame, minJaccard: Double,
+      numPerms: Int = 64, bands: Int = 16): DataFrame = {
+    def bandTable(sets: DataFrame): DataFrame = sets.select(col("doc_id"),
+        posexplode(minhash_bands(col("shingles"), numPerms, bands)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val eSets = shingled(existing)
+    val bSets = shingled(batch)
+    val cand = bandTable(bSets).as("n").join(bandTable(eSets).as("e"), Seq("band", "bucket"))
+      .select(col("n.doc_id").as("id_new"), col("e.doc_id").as("id_old"))
+      .distinct()
+    val dup = cand
+      .join(bSets.select(col("doc_id").as("id_new"), col("shingles").as("sa")), "id_new")
+      .join(eSets.select(col("doc_id").as("id_old"), col("shingles").as("sb")), "id_old")
+      .select(col("id_new"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("c"),
+        (size(col("sa")) + size(col("sb"))).cast("long").as("t"))
+      .filter(col("c").cast("double") / (col("t") - col("c")) >= minJaccard)
+      .select("id_new").distinct()
+    batch.join(dup, batch("doc_id") === dup("id_new"), "left_anti")
+  }
+
   /** Connected components of a near-dup pair graph → dedup groups: every doc
     * that appears in a pair is labeled with the smallest doc id reachable
     * from it, so each near-dup cluster collapses onto one canonical id.

@@ -258,6 +258,47 @@ object TrainingData {
       "Quality-weighted deterministic sampling: per-row acceptance probability " +
         "(1/256 quantization) decided by content-hash prefix vs hex threshold."),
 
+    "dedup_incremental" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Daily-ingest dedup: a synthetic batch (every 5th doc; alternate
+        // rows replaced with hash-derived letter-token junk so they are
+        // genuinely new) deduped against the corpus via the banded MinHash
+        // index - batch x corpus band collisions only, never corpus x
+        // corpus. Copies (J = 1) are dropped, junk rows survive.
+        val base = docs(s, d).filter($"doc_id" % 5 === 0)
+          .select($"doc_id", $"text",
+            translate(md5($"doc_id".cast("string")), "0123456789", "ghijklmnop").as("j"))
+        val batch = base.select(
+          ($"doc_id" + 1000000L).as("doc_id"),
+          when(expr("(doc_id div 5) % 2 = 1"), concat_ws(" ",
+            substring($"j", 1, 4), substring($"j", 5, 4), substring($"j", 9, 4),
+            substring($"j", 13, 4), substring($"j", 17, 4)))
+            .otherwise($"text").as("text"))
+        NearDup.dedupAgainstCorpus(docs(s, d).select($"doc_id", $"text"), batch, 0.8)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, text,
+            translate(md5(CAST(doc_id AS VARCHAR)), '0123456789', 'ghijklmnop') AS j
+          FROM documents WHERE doc_id % 5 = 0),
+        batch AS (SELECT doc_id + 1000000 AS doc_id,
+            CASE WHEN (doc_id // 5) % 2 = 1 THEN
+              concat_ws(' ', substr(j,1,4), substr(j,5,4), substr(j,9,4), substr(j,13,4), substr(j,17,4))
+            ELSE text END AS text FROM base),
+        btok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM batch),
+        bsh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+            i -> coalesce(w[i],'') || ' ' || coalesce(w[i+1],'') || ' ' || coalesce(w[i+2],''))) AS s FROM btok),
+        etok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+        esh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+            i -> coalesce(w[i],'') || ' ' || coalesce(w[i+1],'') || ' ' || coalesce(w[i+2],''))) AS s FROM etok),
+        dup AS (SELECT DISTINCT b.doc_id FROM bsh b JOIN esh e ON
+            len(list_intersect(b.s, e.s))::DOUBLE
+              / (len(b.s) + len(e.s) - len(list_intersect(b.s, e.s))) >= 0.8)
+        SELECT doc_id, text FROM batch
+        WHERE doc_id NOT IN (SELECT doc_id FROM dup) ORDER BY doc_id"""),
+      "Incremental ingest dedup against the existing corpus via the banded " +
+        "MinHash index (batch x corpus collisions only); exact-Jaccard verified."),
+
     "bpe_merges" -> Q(
       (s, d) => {
         import s.implicits._

@@ -19,6 +19,7 @@ SKIP = {
     "stream_stream_join",    # events self-join on a time band
     "stream_stream_left_join",  # same self-join, left-outer
     "dedup_representative",  # recursive-CTE closure (same as dedup_groups)
+    "dedup_incremental",     # batch x corpus all-pairs Jaccard oracle
 }
 
 spec = importlib.util.spec_from_file_location(
