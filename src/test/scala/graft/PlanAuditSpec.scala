@@ -55,7 +55,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("near-dup joins never degrade to cartesian products") {
-    for (name <- Seq("ngram_jaccard_pairs", "dedup_minhash_lsh", "dedup_simhash")) {
+    for (name <- Seq("ngram_jaccard_pairs", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_incremental", "semantic_dedup")) {
       val plan = planOf(q(name))
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join")
