@@ -428,6 +428,35 @@ object Relational {
       None, // HLL sketch: not bit-reproducible in SQL; error-bound spec instead
       "HLL approximate distinct (error-bound checked in ApproxSpec)"),
 
+    "q21_correlated_avg" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The correlated-scalar-subquery shape ("orders above their
+        // customer's average"), decorrelated the Spark-first way: ONE window
+        // over the customer partition instead of a per-row subquery or a
+        // groupBy+re-join (one shuffle by o_custkey, no second scan).
+        // Exactness: the comparison runs in DECIMAL (price*n vs sum), which
+        // is order-independent - comparing against an avg of DOUBLEs would
+        // be bit-fragile across engines.
+        val w = Window.partitionBy($"o_custkey")
+        table(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+            sum($"o_totalprice".cast("decimal(18,2)")).over(w).as("sum_t"),
+            count(lit(1)).over(w).as("n_orders"))
+          .filter($"o_totalprice".cast("decimal(18,2)") * $"n_orders" > $"sum_t")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"n_orders")
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH x AS (SELECT o_orderkey, o_custkey, o_totalprice,
+            sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS sum_t,
+            count(*) OVER (PARTITION BY o_custkey) AS n_orders
+          FROM orders)
+        SELECT o_orderkey, o_custkey, o_totalprice, CAST(n_orders AS BIGINT) AS n_orders
+        FROM x WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n_orders > sum_t
+        ORDER BY o_orderkey"""),
+      "Correlated scalar subquery (above-customer-average orders), decorrelated " +
+        "into one window pass; decimal comparison for cross-engine exactness."),
+
     "set_ops" -> Q(
       (s, d) => {
         import s.implicits._
