@@ -854,6 +854,43 @@ object Relational {
       },
       None, // sketch results are engine-specific; rank-error bound spec in ApproxSpec
       "Approximate per-group quantiles via a mergeable GK rank sketch " +
-        "(error-bound-checked against the exact quantiles in ApproxSpec)")
+        "(error-bound-checked against the exact quantiles in ApproxSpec)"),
+
+    "range_join_bucketed" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The scale path for q19's shape when the interval side is itself a
+        // fact table (here: one validity interval per order, 15k..15M rows —
+        // far past broadcast-NL territory). Grid-bucketed equi-join; the
+        // exact band result, no cartesian anywhere (PlanAuditSpec).
+        // Interval bounds are exact small-integer doubles, so the residual
+        // comparison is engine-portable.
+        val ev = eventsTable(s, d)
+          .filter($"event_type" === "purchase")
+          .select($"event_id", $"value")
+        val iv = table(s, d, "orders")
+          .select($"o_orderkey", $"o_orderpriority",
+            (($"o_orderkey" % 97).cast("double") * 5.0).as("lo"))
+          .withColumn("hi", $"lo" + ($"o_orderkey" % 7 + 1).cast("double"))
+        graft.operators.RangeJoin
+          .pointInInterval(ev, iv, "value", "lo", "hi", bucketWidth = 8.0)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum($"event_id").cast("long").as("sum_event_id"),
+            countDistinct($"event_id").as("n_events"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_pairs,
+        CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+        CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events
+        FROM (SELECT event_id, value FROM events WHERE event_type = 'purchase') e
+        JOIN (SELECT o_orderpriority,
+                CAST((o_orderkey % 97) * 5.0 AS DOUBLE) AS lo,
+                CAST((o_orderkey % 97) * 5.0 + (o_orderkey % 7 + 1) AS DOUBLE) AS hi
+              FROM orders) i
+          ON e.value >= i.lo AND e.value < i.hi
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      "Grid-bucketed interval join: large interval table joined by cell equi-key " +
+        "+ residual predicate (the 100 TB path where q19's broadcast-NL breaks)")
   )
 }

@@ -174,6 +174,23 @@ class PlanAuditSpec extends SparkSpec {
       s"z-order spans too wide: custkey $zCk/$gCk orderkey $zOk/$gOk")
   }
 
+  test("bucketed range join never degrades to a nested-loop/cartesian plan") {
+    // q19's broadcast-NL is fine for a 3-row band table; range_join_bucketed
+    // is the large-interval-table path, so its join must be an equi-join on
+    // the grid cell even with broadcast disabled.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = q("range_join_bucketed")
+      df.collect() // AQE-final plan
+      val plan = planOf(df).split("== Initial Plan ==").head
+      assert(!plan.contains("CartesianProduct"), plan.take(3000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitioned readback prunes partitions at the source") {
     val plan = planOf(q("partitioned_write_readback"))
     // identity-partitioned parquet: the partition filter must not appear as
