@@ -96,6 +96,52 @@ object Ann {
       .orderBy("id_a", "id_b")
   }
 
+  /** Exact k-nearest-neighbor GRAPH: the top-k cosine neighbors of EVERY
+    * vector among all the others (self excluded) — the input shape for
+    * graph-based dedup audits, cluster balancing, and retrieval-quality
+    * checks. O(N²) by construction, like [[pairsAboveThreshold]] the
+    * oracle-checked baseline; [[knnGraphLsh]] is the banded scale path.
+    */
+  def knnGraphExact(vectors: DataFrame, k: Int): DataFrame = {
+    val a = vectors.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val b = vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    a.crossJoin(b).filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Banded kNN graph — the scale path for [[knnGraphExact]]: every node
+    * ranks only the peers it collides with in at least one SRP table, so
+    * the pair space drops from N² to bucket co-occupancy and the heavy join
+    * shuffles once by (table, bucket). Approximate in recall (a true
+    * neighbor may share no bucket — recall floor spec-checked in AnnSpec);
+    * nodes colliding with fewer than k peers emit fewer than k edges.
+    */
+  def knnGraphLsh(vectors: DataFrame, k: Int,
+      numTables: Int = 8, numBits: Int = 4): DataFrame = {
+    val bucketed = vectors.select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until numTables).map(t =>
+          sign_random_projection(col("embedding"), numBits, seed = 3000 + t)): _*)))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    val cand = bucketed.as("a").join(bucketed.as("b"), Seq("tbl", "bucket"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        col("a.embedding").as("qv"), col("b.embedding").as("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** SemDeDup-style semantic deduplication: cluster the embeddings with
     * distributed k-means ([[KMeans.lloyd]]), find cosine ≥ τ pairs ONLY
     * within each cluster (pairwise work bounded by cluster occupancy — one

@@ -48,6 +48,20 @@ object Similarity {
       WHERE dot / (sqrt(nq) * sqrt(nc)) >= 0.45
       ORDER BY id_a, id_b"""
 
+  private val knnGraphSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ${sumSql("q.v[i] * c.v[i]")} AS dot,
+        ${sumSql("q.v[i] * q.v[i]")} AS nq,
+        ${sumSql("c.v[i] * c.v[i]")} AS nc
+      FROM e q, e c WHERE q.vec_id <> c.vec_id),
+      r AS (SELECT query_id, neighbor_id, dot / (sqrt(nq) * sqrt(nc)) AS cosine,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, neighbor_id) AS rank
+      FROM p)
+      SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 3
+      ORDER BY query_id, rank"""
+
   val defs: Seq[(String, Q)] = Seq(
 
     "embedding_cosine_topk" -> Q(
@@ -90,5 +104,17 @@ object Similarity {
           Ann.centroids(e), k = 5)
       },
       None, // approximate: recall vs embedding_cosine_topk is spec-checked
-      "IVF ANN: coarse-quantize to label-mean codebook, probe 2 nearest cells."))
+      "IVF ANN: coarse-quantize to label-mean codebook, probe 2 nearest cells."),
+
+    "knn_graph" -> Q(
+      (s, d) => Ann.knnGraphExact(emb(s, d), k = 3),
+      Some(knnGraphSql),
+      "Exact corpus kNN graph: top-3 cosine neighbors of EVERY vector (self " +
+        "excluded) — O(N²) oracle baseline; knn_graph_lsh is the scale path."),
+
+    "knn_graph_lsh" -> Q(
+      (s, d) => Ann.knnGraphLsh(emb(s, d), k = 3),
+      None, // approximate: edge recall vs knn_graph is spec-checked (AnnSpec)
+      "Banded kNN graph: each node ranks only its SRP bucket collisions — " +
+        "one (table,bucket) shuffle instead of the N² cross join."))
 }

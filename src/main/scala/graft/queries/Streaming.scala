@@ -311,6 +311,49 @@ object Streaming {
       "End-to-end streaming CDC: micro-batch -> per-batch compaction -> equality-field " +
         "upsert into the managed table (the reference's stream->Iceberg-upsert loop)."),
 
+    "streaming_exactly_once_sink" -> Q(
+      (s, d) => {
+        // Exactly-once through a CRASH, not just a clean run. foreachBatch
+        // delivery is at-least-once: a batch whose sink write succeeded but
+        // whose checkpoint commit didn't is REDELIVERED on restart, and a
+        // plain append sink would double those rows. The transactional-sink
+        // pattern commits the batch id atomically WITH the data
+        // (VersionedTable.appendOnce — Iceberg's max-committed-checkpoint-id);
+        // the replayed delivery is recognized and skipped. Staged here for
+        // real: the sink dies right AFTER committing batch 1, the restarted
+        // query redelivers batch 1, and the result still equals the batch
+        // ground truth exactly.
+        val (src, out, ck) = Streams.workDirs("streaming_exactly_once_sink")
+        val staged = Streams.stagedStream(
+          eventsTable(s, d).select(col("event_id"), micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value")),
+          src, nFiles = 4)
+        val tablePath = s"$out/table"
+        var crashInjected = false
+        def run(): Unit = {
+          val q = staged.writeStream
+            .option("checkpointLocation", ck)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              graft.sinks.VersionedTable.appendOnce(batch, tablePath, batchId)
+              if (batchId == 1 && !crashInjected) {
+                crashInjected = true
+                throw new RuntimeException("injected crash: sink committed, checkpoint not")
+              }
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        try run()
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+        run() // restart from the checkpoint: batch 1 is redelivered and skipped
+        graft.sinks.VersionedTable.read(s, tablePath)
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        FROM events"""),
+      "Exactly-once foreachBatch sink: batch id committed atomically with the data; " +
+        "an injected crash after the sink commit replays the batch, which is skipped."),
+
     "stateful_offset_stream" -> Q(
       (s, d) => {
         val (src, out, ck) = Streams.workDirs("stateful_offset_stream")

@@ -41,9 +41,13 @@ object VersionedTable {
 
   /** `stats` holds optional per-dir (min, max) of one long-typed column —
     * Iceberg's per-file column metrics, the basis of scan-planning pruning.
-    * Dirs without stats are never pruned (always read). */
+    * Dirs without stats are never pruned (always read). `lastBatch` is the
+    * highest streaming batch id applied to the table (Iceberg's
+    * `flink.max-committed-checkpoint-id` analogue) — the one integer that
+    * makes a foreachBatch sink exactly-once under replay. */
   final case class Snapshot(version: Int, dirs: Seq[String],
-      statsCol: Option[String] = None, stats: Map[String, (Long, Long)] = Map.empty)
+      statsCol: Option[String] = None, stats: Map[String, (Long, Long)] = Map.empty,
+      lastBatch: Option[Long] = None)
 
   /** Create version 1 or replace the visible contents with a new snapshot
     * (prior snapshots stay readable via [[readVersion]] until expired). */
@@ -61,7 +65,47 @@ object VersionedTable {
     val d = writeDataDir(df, path)
     commit(df.sparkSession, path, cur =>
       Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
-        cur.flatMap(_.statsCol), cur.map(_.stats).getOrElse(Map.empty)))
+        cur.flatMap(_.statsCol), cur.map(_.stats).getOrElse(Map.empty),
+        cur.flatMap(_.lastBatch)))
+  }
+
+  /** Idempotent append keyed by a monotonically increasing batch id — the
+    * sink half of Spark's exactly-once contract. `foreachBatch` delivery is
+    * at-least-once: a batch whose sink write succeeded but whose checkpoint
+    * commit didn't IS redelivered after a crash, and a plain append would
+    * double its rows. Recording the batch id IN the same atomic manifest
+    * commit as the data (Iceberg stores `max-committed-checkpoint-id` the
+    * same way) lets the replayed delivery be recognized and skipped.
+    *
+    * Returns true when the batch was applied, false when it was a replay
+    * (`batchId <=` the manifest's `lastBatch`). Batch ids must be applied in
+    * ascending order — exactly what one streaming query produces; like
+    * [[upsert]], concurrent WRITERS must be externally serialized. */
+  def appendOnce(df: DataFrame, path: String, batchId: Long): Boolean = {
+    val already = latest(df.sparkSession, path).exists(_.lastBatch.exists(_ >= batchId))
+    if (already) return false // replay: committed data already contains it
+    val d = writeDataDir(df, path)
+    commit(df.sparkSession, path, cur =>
+      Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
+        cur.flatMap(_.statsCol), cur.map(_.stats).getOrElse(Map.empty),
+        Some(batchId)))
+    true
+  }
+
+  /** Idempotent equality-field upsert keyed by batch id — [[appendOnce]]'s
+    * contract for the CDC-upsert sink shape ([[upsert]] semantics under
+    * at-least-once foreachBatch delivery). */
+  def upsertOnce(df: DataFrame, path: String, keys: Seq[String], batchId: Long): Boolean = {
+    val spark = df.sparkSession
+    val cur = latest(spark, path)
+    if (cur.exists(_.lastBatch.exists(_ >= batchId))) return false
+    val merged = cur match {
+      case None => df
+      case Some(snap) => Upsert.upsert(readSnapshot(spark, path, snap), df, keys)
+    }
+    val d = writeDataDir(merged, path)
+    commit(spark, path, _ => Snapshot(0, Seq(d), None, Map.empty, Some(batchId)))
+    true
   }
 
   /** Append with per-dir column metrics (Iceberg's file-level min/max
@@ -79,7 +123,8 @@ object VersionedTable {
       require(cur.flatMap(_.statsCol).forall(_ == statsCol),
         s"stats column mismatch: table tracks ${cur.flatMap(_.statsCol)}, got $statsCol")
       Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d, Some(statsCol),
-        cur.map(_.stats).getOrElse(Map.empty) ++ bounds.map(d -> _))
+        cur.map(_.stats).getOrElse(Map.empty) ++ bounds.map(d -> _),
+        cur.flatMap(_.lastBatch))
     })
   }
 
@@ -133,7 +178,7 @@ object VersionedTable {
     val data = readSnapshot(spark, path, snap)
     val parts = math.max(1L, (data.count() + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     val d = writeDataDir(data.repartition(parts), path)
-    commit(spark, path, _ => Snapshot(0, Seq(d)))
+    commit(spark, path, cur => Snapshot(0, Seq(d), lastBatch = cur.flatMap(_.lastBatch)))
   }
 
   /** Change data feed between two snapshots (Iceberg's changelog scan):
@@ -293,7 +338,8 @@ object VersionedTable {
         "\"" + d + "\":[" + b._1 + "," + b._2 + "]")).mkString(",")
       s""","statsCol":"$c","stats":{$entries}"""
     }.getOrElse("")
-    s"""{"version":$v,$dirs$stats}"""
+    val lastBatch = snap.lastBatch.map(b => s""","lastBatch":$b""").getOrElse("")
+    s"""{"version":$v,$dirs$stats$lastBatch}"""
   }
 
   private def parseManifest(s: String): Snapshot = {
@@ -309,7 +355,8 @@ object VersionedTable {
     val statsCol = "\"statsCol\":\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
     val stats = "\"(d-[^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]".r.findAllMatchIn(s)
       .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
-    Snapshot(v, dirs, statsCol, stats)
+    val lastBatch = "\"lastBatch\":(-?\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong)
+    Snapshot(v, dirs, statsCol, stats, lastBatch)
   }
 
   private def manifestName(v: Int): String = f"v$v%05d.json"

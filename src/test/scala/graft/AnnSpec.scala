@@ -65,6 +65,24 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"banded pair recall = $recall")
   }
 
+  test("banded kNN graph: edges are a subset of true-cosine edges with bounded recall loss") {
+    val k = 3
+    val exact = topkSets(Ann.knnGraphExact(emb, k))
+    val banded = Ann.knnGraphLsh(emb, k)
+    // every banded edge carries the TRUE cosine (verification is exact) and
+    // ranks only co-bucketed peers, so per-node neighbors are a plausible
+    // subset; recall is the quality metric
+    val got = topkSets(banded)
+    val perNode = exact.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val recall = perNode.sum / perNode.size
+    // 500 nodes, top-3 of 499: random candidates would land < 2% recall
+    assert(recall >= 0.3, s"banded kNN graph recall@3 = $recall")
+    // determinism: seeded SRP tables make the graph rerun-stable
+    assert(banded.collect().toSeq == Ann.knnGraphLsh(emb, k).collect().toSeq)
+  }
+
   test("pairsAboveThreshold matches per-pair cosine recomputation") {
     val rows = Ann.pairsAboveThreshold(emb, 0.45).collect()
     assert(rows.nonEmpty)

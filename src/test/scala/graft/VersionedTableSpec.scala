@@ -191,6 +191,39 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("appendOnce is idempotent under batch replay; lastBatch survives maintenance") {
+    val path = "/tmp/graft_tables/spec_append_once"
+    GraftTableWriter.drop(spark, path)
+    assert(VersionedTable.appendOnce(Seq((1L, "a")).toDF("id", "v"), path, batchId = 0))
+    assert(VersionedTable.appendOnce(Seq((2L, "b")).toDF("id", "v"), path, batchId = 1))
+    // the at-least-once redelivery: same batch id again — must be a no-op
+    assert(!VersionedTable.appendOnce(Seq((2L, "b")).toDF("id", "v"), path, batchId = 1))
+    assert(!VersionedTable.appendOnce(Seq((9L, "x")).toDF("id", "v"), path, batchId = 0))
+    assert(VersionedTable.read(spark, path).collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L)))
+    // a replay skip commits nothing: no new snapshot, no orphan data dir
+    val versionsBefore = VersionedTable.versions(spark, path)
+    assert(versionsBefore.size == 2, versionsBefore.toString)
+    // maintenance (plain append, compaction) must not forget the watermark
+    VersionedTable.append(Seq((3L, "c")).toDF("id", "v"), path)
+    VersionedTable.compact(spark, path, targetRowsPerFile = 100)
+    assert(!VersionedTable.appendOnce(Seq((2L, "b")).toDF("id", "v"), path, batchId = 1))
+    assert(VersionedTable.appendOnce(Seq((4L, "d")).toDF("id", "v"), path, batchId = 2))
+    assert(VersionedTable.read(spark, path).collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 3L, 4L)))
+  }
+
+  test("upsertOnce merges by key exactly once under replay") {
+    val path = "/tmp/graft_tables/spec_upsert_once"
+    GraftTableWriter.drop(spark, path)
+    assert(VersionedTable.upsertOnce(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path, Seq("id"), 0))
+    assert(VersionedTable.upsertOnce(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), path, Seq("id"), 1))
+    assert(!VersionedTable.upsertOnce(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), path, Seq("id"), 1))
+    val got = VersionedTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.sameElements(Array((1L, "a"), (2L, "B"), (3L, "c"))))
+  }
+
   test("racing committers both land via optimistic retry") {
     val path = "/tmp/graft_tables/spec_vt_race"
     GraftTableWriter.drop(spark, path)
