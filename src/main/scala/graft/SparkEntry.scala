@@ -13,7 +13,8 @@ object SparkEntry {
       _root_.graft.queries.Ingestion.defs ++
       _root_.graft.queries.TrainingData.defs ++
       _root_.graft.queries.Similarity.defs ++
-      _root_.graft.queries.Streaming.defs
+      _root_.graft.queries.Streaming.defs ++
+      _root_.graft.queries.HashProbe.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

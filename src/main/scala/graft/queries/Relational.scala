@@ -31,18 +31,18 @@ object Relational {
           .filter($"l_shipdate" <= ts("1998-09-01"))
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
-            sum(dec4($"l_quantity")).cast(D18_4).as("sum_qty"),
-            sum(dec4($"l_extendedprice")).cast(D18_4).as("sum_base_price"),
-            sum(revenue(s)).cast(D18_6).as("sum_disc_price"),
-            sum(revenue(s).cast(D18_6) * (one4 + dec4($"l_tax"))).cast(D18_6).as("sum_charge"),
+            moneyE(sum(dec4($"l_quantity")), 4).as("sum_qty_e4"),
+            moneyE(sum(dec4($"l_extendedprice")), 4).as("sum_base_price_e4"),
+            moneyE(sum(revenue(s)), 6).as("sum_disc_price_e6"),
+            moneyE(sum(revenue(s).cast(D18_6) * (one4 + dec4($"l_tax"))), 6).as("sum_charge_e6"),
             count(lit(1)).as("count_order"))
           .orderBy($"l_returnflag", $"l_linestatus")
       },
       Some(s"""SELECT l_returnflag, l_linestatus,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
-        CAST(SUM($revenueSql) AS DECIMAL(18,6)) AS sum_disc_price,
-        CAST(SUM(CAST($revenueSql AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DECIMAL(18,6)) AS sum_charge,
+        ${moneyESql("SUM(CAST(l_quantity AS DECIMAL(18,4)))", 4)} AS sum_qty_e4,
+        ${moneyESql("SUM(CAST(l_extendedprice AS DECIMAL(18,4)))", 4)} AS sum_base_price_e4,
+        ${moneyESql(s"SUM($revenueSql)", 6)} AS sum_disc_price_e6,
+        ${moneyESql(s"SUM(CAST($revenueSql AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))))", 6)} AS sum_charge_e6,
         COUNT(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
@@ -58,19 +58,19 @@ object Relational {
           .join(o, $"c_custkey" === $"o_custkey")
           .join(l, $"o_orderkey" === $"l_orderkey")
           .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-          .agg(sum(revenue(s)).cast(D18_6).as("revenue"))
+          .agg(moneyE(sum(revenue(s)), 6).as("revenue_e6"))
           .select($"l_orderkey", micros($"o_orderdate").as("odate_us"),
-            $"o_orderpriority", $"revenue")
-          .orderBy($"revenue".desc, $"l_orderkey")
+            $"o_orderpriority", $"revenue_e6")
+          .orderBy($"revenue_e6".desc, $"l_orderkey")
           .limit(10)
       },
       Some(s"""SELECT l_orderkey, epoch_us(o_orderdate) AS odate_us, o_orderpriority,
-        CAST(SUM($revenueSql) AS DECIMAL(18,6)) AS revenue
+        ${moneyESql(s"SUM($revenueSql)", 6)} AS revenue_e6
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
           AND o_orderdate < TIMESTAMP '2000-01-01' AND l_shipdate > TIMESTAMP '2000-01-01'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+        ORDER BY revenue_e6 DESC, l_orderkey LIMIT 10"""),
       "3-way join + group + deterministic top-10"),
 
     "q5_local_supplier" -> Q(
@@ -89,17 +89,17 @@ object Relational {
           .join(l, $"o_orderkey" === $"l_orderkey")
           .join(broadcast(su), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
           .groupBy($"n_name")
-          .agg(sum(revenue(s)).cast(D18_6).as("revenue"), count(lit(1)).as("n_items"))
-          .orderBy($"revenue".desc, $"n_name")
+          .agg(moneyE(sum(revenue(s)), 6).as("revenue_e6"), count(lit(1)).as("n_items"))
+          .orderBy($"revenue_e6".desc, $"n_name")
       },
-      Some(s"""SELECT n_name, CAST(SUM($revenueSql) AS DECIMAL(18,6)) AS revenue,
+      Some(s"""SELECT n_name, ${moneyESql(s"SUM($revenueSql)", 6)} AS revenue_e6,
         COUNT(*) AS n_items
         FROM region, nation, customer, orders, lineitem, supplier
         WHERE r_name = 'ASIA' AND r_regionkey = n_regionkey AND n_nationkey = c_nationkey
           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
           AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
-        GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+        GROUP BY n_name ORDER BY revenue_e6 DESC, n_name"""),
       "6-way star join, dims broadcast"),
 
     "q6_forecast_revenue" -> Q(
@@ -108,10 +108,10 @@ object Relational {
         table(s, d, "lineitem")
           .filter($"l_shipdate" >= ts("1997-01-01") && $"l_shipdate" < ts("1998-01-01") &&
             $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
-          .agg(sum(dec4($"l_extendedprice") * dec4($"l_discount")).cast(D18_6).as("revenue"),
+          .agg(moneyE(sum(dec4($"l_extendedprice") * dec4($"l_discount")), 6).as("revenue_e6"),
             count(lit(1)).as("n_items"))
       },
-      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS revenue,
+      Some(s"""SELECT ${moneyESql("SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)))", 6)} AS revenue_e6,
         COUNT(*) AS n_items
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -142,15 +142,15 @@ object Relational {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         table(s, d, "lineitem")
           .filter($"l_suppkey" < 10)
-          .withColumn("running_qty", sum(dec4($"l_quantity")).over(w).cast(D18_4))
+          .withColumn("running_qty_e4", moneyE(sum(dec4($"l_quantity")).over(w), 4))
           .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
-            micros($"l_shipdate").as("ship_us"), $"running_qty")
+            micros($"l_shipdate").as("ship_us"), $"running_qty_e4")
           .orderBy($"l_suppkey", $"ship_us", $"l_orderkey", $"l_linenumber")
       },
-      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, epoch_us(l_shipdate) AS ship_us,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+      Some(s"""SELECT l_suppkey, l_orderkey, l_linenumber, epoch_us(l_shipdate) AS ship_us,
+        ${moneyESql("""SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
           PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS running_qty
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""", 4)} AS running_qty_e4
         FROM lineitem WHERE l_suppkey < 10
         ORDER BY l_suppkey, ship_us, l_orderkey, l_linenumber"""),
       "running sum, rows frame, total deterministic order"),
@@ -206,11 +206,11 @@ object Relational {
           .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
           .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
           .rollup($"r_name", $"n_name")
-          .agg(count(lit(1)).as("n_cust"), sum(dec2($"c_acctbal")).cast(D18_2).as("sum_bal"))
+          .agg(count(lit(1)).as("n_cust"), moneyE(sum(dec2($"c_acctbal")), 2).as("sum_bal_e2"))
           .orderBy($"r_name", $"n_name")
       },
-      Some("""SELECT r_name, n_name, COUNT(*) AS n_cust,
-        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+      Some(s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+        ${moneyESql("SUM(CAST(c_acctbal AS DECIMAL(18,2)))", 2)} AS sum_bal_e2
         FROM customer, nation, region
         WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name, n_name"""),
@@ -243,12 +243,12 @@ object Relational {
         val su = table(s, d, "supplier").select(lit("supplier").as("kind"), $"s_acctbal".as("bal"))
         c.unionAll(su)
           .groupBy($"kind")
-          .agg(count(lit(1)).as("n"), sum(dec2($"bal")).cast(D18_2).as("sum_bal"),
+          .agg(count(lit(1)).as("n"), moneyE(sum(dec2($"bal")), 2).as("sum_bal_e2"),
             min($"bal").as("min_bal"), max($"bal").as("max_bal"))
           .orderBy($"kind")
       },
-      Some("""SELECT kind, COUNT(*) AS n,
-        CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal,
+      Some(s"""SELECT kind, COUNT(*) AS n,
+        ${moneyESql("SUM(CAST(bal AS DECIMAL(18,2)))", 2)} AS sum_bal_e2,
         MIN(bal) AS min_bal, MAX(bal) AS max_bal
         FROM (SELECT 'customer' AS kind, c_acctbal AS bal FROM customer
               UNION ALL SELECT 'supplier' AS kind, s_acctbal AS bal FROM supplier) t
@@ -272,12 +272,12 @@ object Relational {
         import s.implicits._
         eventsTable(s, d)
           .groupBy(date_trunc("hour", $"ts").as("bucket"), $"event_type")
-          .agg(count(lit(1)).as("n"), sum(dec4($"value")).cast(D18_4).as("sum_value"))
-          .select(micros($"bucket").as("bucket_us"), $"event_type", $"n", $"sum_value")
+          .agg(count(lit(1)).as("n"), moneyE(sum(dec4($"value")), 4).as("sum_value_e4"))
+          .select(micros($"bucket").as("bucket_us"), $"event_type", $"n", $"sum_value_e4")
           .orderBy($"bucket_us", $"event_type")
       },
-      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
-        COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+      Some(s"""SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+        COUNT(*) AS n, ${moneyESql("SUM(CAST(value AS DECIMAL(18,4)))", 4)} AS sum_value_e4
         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
       "hourly time-bucket rollup"),
 
@@ -346,13 +346,13 @@ object Relational {
         table(s, d, "lineitem")
           .join(broadcast(bands), $"l_quantity" >= $"lo" && $"l_quantity" < $"hi")
           .groupBy($"band")
-          .agg(count(lit(1)).as("n"), sum(dec4($"l_quantity")).cast(D18_4).as("sum_qty"),
-            sum(revenue(s)).cast(D18_6).as("band_revenue"))
+          .agg(count(lit(1)).as("n"), moneyE(sum(dec4($"l_quantity")), 4).as("sum_qty_e4"),
+            moneyE(sum(revenue(s)), 6).as("band_revenue_e6"))
           .orderBy($"band")
       },
       Some(s"""SELECT band, COUNT(*) AS n,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-        CAST(SUM($revenueSql) AS DECIMAL(18,6)) AS band_revenue
+        ${moneyESql("SUM(CAST(l_quantity AS DECIMAL(18,4)))", 4)} AS sum_qty_e4,
+        ${moneyESql(s"SUM($revenueSql)", 6)} AS band_revenue_e6
         FROM lineitem JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'), (25.0, 51.0, 'high'))
           AS b(lo, hi, band) ON l_quantity >= lo AND l_quantity < hi
         GROUP BY band ORDER BY band"""),
@@ -556,13 +556,13 @@ object Relational {
         table(s, d, "orders")
           .cube($"o_orderstatus", $"o_orderpriority")
           .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
-            sum(dec2($"o_totalprice")).cast(D18_2).as("total"))
+            moneyE(sum(dec2($"o_totalprice")), 2).as("total_e2"))
           .orderBy($"gid", $"o_orderstatus", $"o_orderpriority")
       },
-      Some("""SELECT o_orderstatus, o_orderpriority,
+      Some(s"""SELECT o_orderstatus, o_orderpriority,
           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
           COUNT(*) AS n,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+          ${moneyESql("SUM(CAST(o_totalprice AS DECIMAL(18,2)))", 2)} AS total_e2
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY gid, o_orderstatus, o_orderpriority"""),
       "CUBE grouping sets with grouping_id disambiguation (one-shuffle expansion)"),
@@ -582,13 +582,13 @@ object Relational {
           .select($"event_id", $"user_id", micros($"ts").as("us"),
             dec2($"value").as("v"))
           .withColumn("n_7d", count(lit(1)).over(w))
-          .withColumn("sum_7d", sum($"v").over(w).cast(D18_2))
-          .select($"event_id", $"user_id", $"us", $"n_7d", $"sum_7d")
+          .withColumn("sum_7d_e2", moneyE(sum($"v").over(w), 2))
+          .select($"event_id", $"user_id", $"us", $"n_7d", $"sum_7d_e2")
           .orderBy($"event_id")
       },
-      Some("""SELECT event_id, user_id, epoch_us(ts) AS us,
+      Some(s"""SELECT event_id, user_id, epoch_us(ts) AS us,
           count(*) OVER w AS n_7d,
-          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS sum_7d
+          ${moneyESql("SUM(CAST(value AS DECIMAL(18,2))) OVER w", 2)} AS sum_7d_e2
         FROM events WHERE user_id % 10 = 0
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
           RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
@@ -813,11 +813,11 @@ object Relational {
           .withColumn("bucket", least(floor($"value" / 50.0).cast(LongType), lit(9L)))
           .groupBy($"bucket")
           .agg(count(lit(1)).as("n"),
-            sum(dec4($"value")).cast(D18_4).as("sum_value"))
+            moneyE(sum(dec4($"value")), 4).as("sum_value_e4"))
           .orderBy($"bucket")
       },
-      Some("""SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket,
-        COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+      Some(s"""SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+        COUNT(*) AS n, ${moneyESql("SUM(CAST(value AS DECIMAL(18,4)))", 4)} AS sum_value_e4
         FROM events GROUP BY 1 ORDER BY 1"""),
       "Fixed-width histogram with a capped overflow bucket (portable bucket arithmetic)"),
 

@@ -45,13 +45,13 @@ object Streaming {
         val agg = staged
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(dec4(col("value"))).cast(D18_4).as("sum_value"))
+          .agg(count(lit(1)).as("n"), moneyE(sum(dec4(col("value"))), 4).as("sum_value_e4"))
           .select(micros(col("window.start")).as("bucket_us"), col("event_type"),
-            col("n"), col("sum_value"))
+            col("n"), col("sum_value_e4"))
         Streams.runCompleteOverwrite(agg, out, ck)
       },
-      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
-        COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+      Some(s"""SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+        COUNT(*) AS n, ${moneyESql("SUM(CAST(value AS DECIMAL(18,4)))", 4)} AS sum_value_e4
         FROM events GROUP BY 1, 2"""),
       "Event-time windowed aggregation with a 1h watermark, complete-mode foreachBatch sink."),
 
@@ -66,17 +66,17 @@ object Streaming {
         val agg = staged
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(dec4(col("value"))).cast(D18_4).as("sum_value"))
+          .agg(count(lit(1)).as("n"), moneyE(sum(dec4(col("value"))), 4).as("sum_value_e4"))
           .select(micros(col("window.start")).as("bucket_us"), col("event_type"),
-            col("n"), col("sum_value"))
+            col("n"), col("sum_value_e4"))
         Streams.runCompleteOverwrite(agg, out, ck)
       },
-      Some("""WITH e AS (SELECT event_type, value,
+      Some(s"""WITH e AS (SELECT event_type, value,
             (epoch_us(ts) // 1800000000) * 1800000000 AS slot FROM events),
         x AS (SELECT event_type, value, slot FROM e
               UNION ALL SELECT event_type, value, slot - 1800000000 FROM e)
         SELECT slot AS bucket_us, event_type, COUNT(*) AS n,
-          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+          ${moneyESql("SUM(CAST(value AS DECIMAL(18,4)))", 4)} AS sum_value_e4
         FROM x GROUP BY 1, 2"""),
       "Hopping-window aggregation (1h windows every 30min; each event in two windows)."),
 
