@@ -142,6 +142,11 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Seed base for the secondary SRP banding inside oversized SemDeDup
+    * clusters — shared with the spec that measures the banded pair space.
+    */
+  val SemDedupSubSeed = 4000
+
   /** SemDeDup-style semantic deduplication: cluster the embeddings with
     * distributed k-means ([[KMeans.lloyd]]), find cosine ≥ τ pairs ONLY
     * within each cluster (pairwise work bounded by cluster occupancy — one
@@ -152,23 +157,59 @@ object Ann {
     * approximate — a τ-pair split across two clusters is missed — which is
     * the SemDeDup trade; soundness (every drop has a kept near-dup witness
     * in its cluster) is spec-checked against an independent replay.
+    *
+    * A skewed codebook is not allowed to re-create the N² problem: clusters
+    * above `maxClusterSize` are sub-split by a secondary SRP banding
+    * ([[clusterPairs]]), so per-task pair counts stay bounded by bucket
+    * co-occupancy even when one hot cluster swallows the corpus.
     */
   def semanticDedup(vectors: DataFrame, minCosine: Double,
-      k: Int = 8, iters: Int = 3): DataFrame = {
+      k: Int = 8, iters: Int = 3, maxClusterSize: Int = 4096,
+      subTables: Int = 8, subBits: Int = 4): DataFrame = {
     val r = KMeans.lloyd(vectors, "vec_id", "embedding", k, iters)
     val av = r.assignments.select(col("id").as("vec_id"), col("cluster"))
       .join(vectors.select(col("vec_id"), col("embedding")), "vec_id")
-    val a = av.select(col("cluster"), col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = av.select(col("cluster"), col("vec_id").as("id_b"), col("embedding").as("vb"))
-    val pairs = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine_sim(col("va"), col("vb")).as("cosine"))
-      .filter(col("cosine") >= minCosine)
+    val pairs = clusterPairs(av, minCosine, maxClusterSize, subTables, subBits)
     val dropped = NearDup.connectedComponents(pairs)
       .filter(col("doc_id") =!= col("component_id"))
       .select(col("doc_id").as("vec_id"))
     av.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster"))
       .orderBy("vec_id")
+  }
+
+  /** Within-cluster cosine ≥ τ pairs with a bounded pair space. Clusters at
+    * or below `maxClusterSize` pair exactly (all member pairs, one shuffle
+    * keyed by cluster). Oversized clusters — the skew case where one hot
+    * cluster would otherwise degrade to quadratic work and a single
+    * straggler task — are banded by `subTables` secondary sign-random
+    * projections, so their members meet only inside a (cluster, table,
+    * bucket) collision, exactly the [[lshPairs]] discipline. Every emitted
+    * pair carries the TRUE cosine (verification is exact); recall inside an
+    * oversized cluster is approximate, the same trade the LSH paths make.
+    */
+  private[graft] def clusterPairs(av: DataFrame, minCosine: Double,
+      maxClusterSize: Int, subTables: Int, subBits: Int): DataFrame = {
+    val sizes = av.groupBy("cluster").count() // O(k) rows — broadcast side
+    val sized = av.join(broadcast(sizes), "cluster")
+    val small = sized.filter(col("count") <= maxClusterSize).drop("count")
+    val big = sized.filter(col("count") > maxClusterSize).drop("count")
+    val a = small.select(col("cluster"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = small.select(col("cluster"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val smallPairs = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+    val bucketed = big.select(col("cluster"), col("vec_id"), col("embedding"),
+        posexplode(array((0 until subTables).map(t =>
+          sign_random_projection(col("embedding"), subBits, seed = SemDedupSubSeed + t)): _*)))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    val bigPairs = bucketed.as("x").join(bucketed.as("y"), Seq("cluster", "tbl", "bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        col("x.embedding").as("va"), col("y.embedding").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+    smallPairs.unionByName(bigPairs)
+      .select(col("id_a"), col("id_b"), cosine_sim(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
   }
 
   /** Per-dimension mean vector per `label` — the deterministic stand-in for a

@@ -126,4 +126,53 @@ class AnnSpec extends SparkSpec {
     assert(kept.size < ids.size, "the sf0.01 corpus has near-dup pairs; some drops expected")
     kept.foreach { case (id, cl) => assert(assigns(id) == cl) }
   }
+
+  test("semantic dedup bounds per-task pair work under an adversarial skewed codebook") {
+    // Worst-case skew: k = 1 puts the WHOLE corpus in one cluster. Without
+    // the sub-split this is the all-pairs N² shape again (one straggler task
+    // computing n·(n-1)/2 cosines); with it, members meet only inside a
+    // (cluster, table, bucket) SRP collision.
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2
+    val cap = 64
+    val kept = Ann.semanticDedup(emb, 0.45, k = 1, iters = 1, maxClusterSize = cap)
+      .as[(Long, Int)].collect()
+
+    // The banded pair space, measured with the engine's own bucketing (same
+    // seeds): per-task candidate pairs are bucket-occupancy-choose-2.
+    val taskPairs = emb.select($"vec_id",
+        posexplode(array((0 until 8).map(t =>
+          graft.functions.sign_random_projection($"embedding", 4, seed = Ann.SemDedupSubSeed + t)): _*)))
+      .groupBy($"pos", $"col").count()
+      .select(($"count" * ($"count" - 1) / 2).cast("long").as("pairs"))
+      .as[Long].collect()
+    assert(taskPairs.max < allPairs / 4,
+      s"hot-cluster sub-split failed: max per-task pairs ${taskPairs.max} vs all-pairs $allPairs")
+
+    // Soundness survives the banding: every dropped doc has a KEPT witness
+    // with true cosine >= tau (k = 1, so the cluster constraint is vacuous).
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0; val m = math.min(a.length, b.length)
+      while (i < m) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      val denom = math.sqrt(nx) * math.sqrt(ny)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+    val keptIds = kept.map(_._1).toSet
+    val droppedIds = vecs.keySet -- keptIds
+    assert(droppedIds.nonEmpty, "adversarial run should still find near-dups to drop")
+    droppedIds.foreach { d =>
+      assert(keptIds.exists(w => cos(vecs(d), vecs(w)) >= 0.45),
+        s"dropped $d has no kept near-dup witness")
+    }
+
+    // Seeded SRP tables keep the banded path rerun-deterministic.
+    val again = Ann.semanticDedup(emb, 0.45, k = 1, iters = 1, maxClusterSize = cap)
+      .as[(Long, Int)].collect()
+    assert(kept.toSeq == again.toSeq)
+  }
 }
