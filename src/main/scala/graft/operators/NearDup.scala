@@ -133,12 +133,21 @@ object NearDup {
     */
   def dedupAgainstCorpus(existing: DataFrame, batch: DataFrame, minJaccard: Double,
       numPerms: Int = 64, bands: Int = 16): DataFrame = {
-    def bandTable(sets: DataFrame): DataFrame = sets.select(col("doc_id"),
+    val eSets = shingled(existing)
+    dedupAgainstSets(eSets, bandTable(eSets, numPerms, bands), batch,
+      minJaccard, numPerms, bands)
+  }
+
+  /** `(doc_id, band, bucket)` LSH band rows of a shingled corpus. */
+  private def bandTable(sets: DataFrame, numPerms: Int, bands: Int): DataFrame =
+    sets.select(col("doc_id"),
         posexplode(minhash_bands(col("shingles"), numPerms, bands)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    val eSets = shingled(existing)
+
+  private def dedupAgainstSets(eSets: DataFrame, eBands: DataFrame, batch: DataFrame,
+      minJaccard: Double, numPerms: Int, bands: Int): DataFrame = {
     val bSets = shingled(batch)
-    val cand = bandTable(bSets).as("n").join(bandTable(eSets).as("e"), Seq("band", "bucket"))
+    val cand = bandTable(bSets, numPerms, bands).as("n").join(eBands.as("e"), Seq("band", "bucket"))
       .select(col("n.doc_id").as("id_new"), col("e.doc_id").as("id_old"))
       .distinct()
     val dup = cand
@@ -150,6 +159,51 @@ object NearDup {
       .filter(col("c").cast("double") / (col("t") - col("c")) >= minJaccard)
       .select("id_new").distinct()
     batch.join(dup, batch("doc_id") === dup("id_new"), "left_anti")
+  }
+
+  // ---- persisted MinHash band index ---------------------------------------
+  // The production daily-ingest shape: the corpus's shingle sets and LSH band
+  // rows are computed ONCE (at corpus-build time) and persisted as two
+  // VersionedTables under `indexPath` — `bands` (doc_id, band, bucket), the
+  // candidate-generation side, and `sets` (doc_id, shingles), the
+  // exact-verify side. Ingest-time dedup then SCANS the index parquet: no
+  // shingle or minhash recompute of the corpus, ever, and each ingested
+  // batch appends its own rows so the index stays current incrementally
+  // (append-only commits ride the same manifest/time-travel machinery as any
+  // other versioned table).
+
+  /** Build (overwrite) the persisted band index of `docs` at `indexPath`. */
+  def buildBandIndex(docs: DataFrame, indexPath: String,
+      numPerms: Int = 64, bands: Int = 16): Unit = {
+    val sets = shingled(docs)
+    graft.sinks.VersionedTable.overwrite(sets, s"$indexPath/sets")
+    graft.sinks.VersionedTable.overwrite(bandTable(sets, numPerms, bands), s"$indexPath/bands")
+    ()
+  }
+
+  /** Append an accepted batch's shingles + band rows to the index — the
+    * incremental corpus-growth step after [[dedupAgainstIndex]] admits it.
+    */
+  def appendToBandIndex(batch: DataFrame, indexPath: String,
+      numPerms: Int = 64, bands: Int = 16): Unit = {
+    val sets = shingled(batch)
+    graft.sinks.VersionedTable.append(sets, s"$indexPath/sets")
+    graft.sinks.VersionedTable.append(bandTable(sets, numPerms, bands), s"$indexPath/bands")
+    ()
+  }
+
+  /** [[dedupAgainstCorpus]] against the PERSISTED index: batch×corpus band
+    * collisions only, with the corpus side read straight from the index
+    * parquet (one scan of `bands` for candidates, one id-joined scan of
+    * `sets` for the exact-Jaccard verify — no corpus-side recompute).
+    */
+  def dedupAgainstIndex(batch: DataFrame, indexPath: String, minJaccard: Double,
+      numPerms: Int = 64, bands: Int = 16): DataFrame = {
+    val spark = batch.sparkSession
+    dedupAgainstSets(
+      graft.sinks.VersionedTable.read(spark, s"$indexPath/sets"),
+      graft.sinks.VersionedTable.read(spark, s"$indexPath/bands"),
+      batch, minJaccard, numPerms, bands)
   }
 
   /** Connected components of a near-dup pair graph → dedup groups: every doc
