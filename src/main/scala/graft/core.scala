@@ -41,10 +41,23 @@ object core {
     * BIGINT. Decimal sums are exact, so the scaling is lossless; BIGINT
     * output columns have a 100% driver-hash pass record where DECIMAL(18,x)
     * and DECIMAL(38,x) both tripped the driver's canonicalization (rounds
-    * 2-3) despite bit-equal values + dtypes. Mirror: [[moneyESql]]. */
+    * 2-3) despite bit-equal values + dtypes. Mirror: [[moneyESql]].
+    *
+    * Overflow guard: under Spark's default non-ANSI mode a value with ≥ 18
+    * integral+fractional digits would cast to NULL silently while the DuckDB
+    * mirror RAISES on the same cast — at large scale factors that skew would
+    * surface as an engine/oracle mismatch instead of an error. The guard
+    * makes both sides fail loudly: any |value| ≥ 10^(18−scale) raises. The
+    * `when` runs post-aggregation (output rows only), so it costs nothing in
+    * the hot path. */
   def moneyE(c: Column, scale: Int): Column = {
     val f = math.pow(10, scale).toLong
-    (c.cast(DecimalType(18, scale)).cast(DecimalType(38, scale)) * lit(f))
+    val cap = new java.math.BigDecimal(java.math.BigInteger.TEN.pow(18 - scale))
+    val guarded = when(abs(c) >= lit(cap), raise_error(concat(
+        lit(s"moneyE overflow: |value| >= 1e${18 - scale} does not fit DECIMAL(18,$scale): "),
+        c.cast(StringType))))
+      .otherwise(c)
+    (guarded.cast(DecimalType(18, scale)).cast(DecimalType(38, scale)) * lit(f))
       .cast(LongType)
   }
 

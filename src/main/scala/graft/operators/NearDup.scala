@@ -171,11 +171,24 @@ object NearDup {
   // batch appends its own rows so the index stays current incrementally
   // (append-only commits ride the same manifest/time-travel machinery as any
   // other versioned table).
+  //
+  // (numPerms, bands) are INDEX properties, not query arguments: band rows
+  // minhashed with one parameterization never collide correctly with rows
+  // minhashed under another, so a build/query mismatch would silently lose
+  // recall (the exact-Jaccard verify only removes false positives — it can
+  // never surface the missed candidates). buildBandIndex therefore records
+  // them in `indexPath/_index_meta.json`, and append/dedup READ them from
+  // there rather than trusting a caller-supplied value.
 
-  /** Build (overwrite) the persisted band index of `docs` at `indexPath`. */
+  /** LSH parameterization a persisted index was built with. */
+  final case class BandIndexMeta(numPerms: Int, bands: Int)
+
+  /** Build (overwrite) the persisted band index of `docs` at `indexPath`,
+    * recording `(numPerms, bands)` in the index metadata. */
   def buildBandIndex(docs: DataFrame, indexPath: String,
       numPerms: Int = 64, bands: Int = 16): Unit = {
     val sets = shingled(docs)
+    writeIndexMeta(docs.sparkSession, indexPath, BandIndexMeta(numPerms, bands))
     graft.sinks.VersionedTable.overwrite(sets, s"$indexPath/sets")
     graft.sinks.VersionedTable.overwrite(bandTable(sets, numPerms, bands), s"$indexPath/bands")
     ()
@@ -183,27 +196,56 @@ object NearDup {
 
   /** Append an accepted batch's shingles + band rows to the index — the
     * incremental corpus-growth step after [[dedupAgainstIndex]] admits it.
+    * The batch is banded with the index's OWN persisted parameterization.
     */
-  def appendToBandIndex(batch: DataFrame, indexPath: String,
-      numPerms: Int = 64, bands: Int = 16): Unit = {
+  def appendToBandIndex(batch: DataFrame, indexPath: String): Unit = {
+    val meta = indexMeta(batch.sparkSession, indexPath)
     val sets = shingled(batch)
     graft.sinks.VersionedTable.append(sets, s"$indexPath/sets")
-    graft.sinks.VersionedTable.append(bandTable(sets, numPerms, bands), s"$indexPath/bands")
+    graft.sinks.VersionedTable.append(bandTable(sets, meta.numPerms, meta.bands), s"$indexPath/bands")
     ()
   }
 
   /** [[dedupAgainstCorpus]] against the PERSISTED index: batch×corpus band
     * collisions only, with the corpus side read straight from the index
     * parquet (one scan of `bands` for candidates, one id-joined scan of
-    * `sets` for the exact-Jaccard verify — no corpus-side recompute).
+    * `sets` for the exact-Jaccard verify — no corpus-side recompute). The
+    * batch is banded with the index's persisted parameterization, so the
+    * collision space is the one the index was built for.
     */
-  def dedupAgainstIndex(batch: DataFrame, indexPath: String, minJaccard: Double,
-      numPerms: Int = 64, bands: Int = 16): DataFrame = {
+  def dedupAgainstIndex(batch: DataFrame, indexPath: String, minJaccard: Double): DataFrame = {
     val spark = batch.sparkSession
+    val meta = indexMeta(spark, indexPath)
     dedupAgainstSets(
       graft.sinks.VersionedTable.read(spark, s"$indexPath/sets"),
       graft.sinks.VersionedTable.read(spark, s"$indexPath/bands"),
-      batch, minJaccard, numPerms, bands)
+      batch, minJaccard, meta.numPerms, meta.bands)
+  }
+
+  /** Read the persisted parameterization; fails loudly when `indexPath` holds
+    * no built index (an un-parameterized probe would silently lose recall). */
+  def indexMeta(spark: org.apache.spark.sql.SparkSession, indexPath: String): BandIndexMeta = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, "_index_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"no band index at $indexPath: build one with buildBandIndex first")
+    val in = fs.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def field(k: String): Int = s""""$k":(\\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new java.io.IOException(s"bad index meta at $p: $s"))
+    BandIndexMeta(field("numPerms"), field("bands"))
+  }
+
+  private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, meta: BandIndexMeta): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, "_index_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"numPerms":${meta.numPerms},"bands":${meta.bands}}""".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Connected components of a near-dup pair graph → dedup groups: every doc

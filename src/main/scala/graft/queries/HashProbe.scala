@@ -22,6 +22,13 @@ import org.apache.spark.sql.types._
   * record across rounds 2-3. These probes stay in the suite as a regression
   * tripwire: if the driver's canonicalization changes, the probe rows flip
   * and say exactly which representation moved.
+  *
+  * Naming convention (round 5): the six probes that round 4 empirically
+  * confirmed the driver hash-rejects (DECIMAL-typed output columns) carry an
+  * `xfail_` prefix — `hash_match: false` on an `xfail_*` row is the EXPECTED
+  * verdict, so "unexpected fails" in a CORRECTNESS report is computable from
+  * the file alone as `fails among non-xfail rows`. An `xfail_*` row going
+  * GREEN is also a signal: the driver's canonicalization changed.
   */
 object HashProbe {
 
@@ -68,7 +75,7 @@ object HashProbe {
         FROM lineitem GROUP BY 1 ORDER BY 1"""),
       "probe: decimal rendered as STRING (plain notation, trailing zeros kept)"),
 
-    "hash_probe_d18_2_price" -> Q(
+    "xfail_hash_probe_d18_2_price" -> Q(
       (s, d) => {
         import s.implicits._
         table(s, d, "orders").groupBy($"o_orderstatus")
@@ -92,7 +99,7 @@ object HashProbe {
         FROM customer GROUP BY 1 ORDER BY 1"""),
       "probe: DECIMAL(18,2) sum over c_acctbal (the shape that hashed RED in r3 rollup)"),
 
-    "hash_probe_d18_4" -> Q(
+    "xfail_hash_probe_d18_4" -> Q(
       (s, d) => {
         import s.implicits._
         table(s, d, "lineitem").groupBy($"l_returnflag")
@@ -104,7 +111,7 @@ object HashProbe {
         FROM lineitem GROUP BY 1 ORDER BY 1"""),
       "probe: DECIMAL(18,4) sum (red in r2+r3)"),
 
-    "hash_probe_d18_6" -> Q(
+    "xfail_hash_probe_d18_6" -> Q(
       (s, d) => {
         import s.implicits._
         table(s, d, "lineitem").groupBy($"l_returnflag")
@@ -115,7 +122,7 @@ object HashProbe {
         FROM lineitem GROUP BY 1 ORDER BY 1"""),
       "probe: DECIMAL(18,6) product-sum (red in r2+r3)"),
 
-    "hash_probe_d38_2" -> Q(
+    "xfail_hash_probe_d38_2" -> Q(
       (s, d) => {
         import s.implicits._
         table(s, d, "orders").groupBy($"o_orderstatus")
@@ -127,7 +134,7 @@ object HashProbe {
         FROM orders GROUP BY 1 ORDER BY 1"""),
       "probe: DECIMAL(38,2) / decimal128 (the round-2 red theory)"),
 
-    "hash_probe_d9_2" -> Q(
+    "xfail_hash_probe_d9_2" -> Q(
       (s, d) => {
         import s.implicits._
         table(s, d, "orders").groupBy($"o_orderstatus")
@@ -151,7 +158,7 @@ object HashProbe {
         FROM customer GROUP BY 1 ORDER BY 1"""),
       "probe: negative DECIMAL(18,2) values (acctbal minima are negative)"),
 
-    "hash_probe_null_d18_2" -> Q(
+    "xfail_hash_probe_null_d18_2" -> Q(
       (s, d) => {
         import s.implicits._
         // One group's aggregate is NULL, the rest carry values — exercises

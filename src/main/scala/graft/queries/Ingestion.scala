@@ -435,6 +435,41 @@ object Ingestion {
         ORDER BY o_orderkey"""),
       "manifest min/max column metrics: range scans open only overlapping data dirs (Iceberg scan planning)"),
 
+    "metadata_pruned_scan_multi" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Multi-column manifest metrics (Iceberg records min/max for EVERY
+        // tracked column per file, not one per table): four ingest batches
+        // land split on o_orderkey half × o_orderpriority group, each dir
+        // carrying [min,max] for BOTH columns (long + lexicographic string
+        // bounds). A conjunctive 2-predicate scan then opens only the single
+        // dir whose bounds satisfy both ranges — a second predicate column
+        // prunes even when the first one alone would keep several dirs.
+        val p = tmp("metadata_pruned_scan_multi")
+        GraftTableWriter.drop(s, p)
+        val o = table(s, d, "orders")
+        val mx = o.agg(max($"o_orderkey")).head().getLong(0)
+        val q = mx / 2 + 1
+        for (i <- 0L until 2L; urgent <- Seq(true, false))
+          VersionedTable.appendWithStats(
+            o.filter($"o_orderkey" >= i * q && $"o_orderkey" < (i + 1) * q
+              && (if (urgent) $"o_orderpriority" < "3" else $"o_orderpriority" >= "3")),
+            p, Seq("o_orderkey", "o_orderpriority"))
+        val (lo, hi) = (q / 4, q / 2)
+        ordersOut(VersionedTable.readPruned(s, p, Seq(
+            VersionedTable.LongRange("o_orderkey", lo, hi),
+            VersionedTable.StringRange("o_orderpriority", "1", "2~")))
+          .filter($"o_orderkey" >= lo && $"o_orderkey" <= hi
+            && $"o_orderpriority" >= "1" && $"o_orderpriority" <= "2~"))
+          .orderBy($"o_orderkey")
+      },
+      Some(s"""WITH b AS (SELECT max(o_orderkey) // 2 + 1 AS q FROM orders)
+        SELECT $ordersOutSql FROM orders, b
+        WHERE o_orderkey >= q // 4 AND o_orderkey <= q // 2
+          AND o_orderpriority >= '1' AND o_orderpriority <= '2~'
+        ORDER BY o_orderkey"""),
+      "multi-column manifest metrics: a conjunctive (long, string) range scan opens only dirs overlapping BOTH bounds"),
+
     "append_readback" -> Q(
       (s, d) => {
         import s.implicits._

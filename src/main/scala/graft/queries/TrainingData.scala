@@ -299,6 +299,53 @@ object TrainingData {
       "Incremental ingest dedup against the existing corpus via the banded " +
         "MinHash index (batch x corpus collisions only); exact-Jaccard verified."),
 
+    "dedup_incremental_indexed" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The same scenario through the PERSISTED band index — the shape a
+        // daily-ingest pipeline actually runs: the corpus's shingles and LSH
+        // band rows live in two VersionedTables (built once on half the
+        // corpus here, grown by appendToBandIndex with the other half), and
+        // dedup-time work is one scan of the index parquet joined against
+        // the batch's bands. Corpus shingles/minhashes are NOT recomputed
+        // per batch; at 100 TB that recompute IS the cost of the naive path.
+        val p = "/tmp/graft_tables/dedup_incremental_indexed"
+        graft.sinks.GraftTableWriter.drop(s, p)
+        val corpus = docs(s, d).select($"doc_id", $"text")
+        NearDup.buildBandIndex(corpus.filter($"doc_id" % 2 === 0), p)
+        NearDup.appendToBandIndex(corpus.filter($"doc_id" % 2 =!= 0), p)
+        val base = docs(s, d).filter($"doc_id" % 5 === 0)
+          .select($"doc_id", $"text",
+            translate(md5($"doc_id".cast("string")), "0123456789", "ghijklmnop").as("j"))
+        val batch = base.select(
+          ($"doc_id" + 1000000L).as("doc_id"),
+          when(expr("(doc_id div 5) % 2 = 1"), concat_ws(" ",
+            substring($"j", 1, 4), substring($"j", 5, 4), substring($"j", 9, 4),
+            substring($"j", 13, 4), substring($"j", 17, 4)))
+            .otherwise($"text").as("text"))
+        NearDup.dedupAgainstIndex(batch, p, 0.8).orderBy($"doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, text,
+            translate(md5(CAST(doc_id AS VARCHAR)), '0123456789', 'ghijklmnop') AS j
+          FROM documents WHERE doc_id % 5 = 0),
+        batch AS (SELECT doc_id + 1000000 AS doc_id,
+            CASE WHEN (doc_id // 5) % 2 = 1 THEN
+              concat_ws(' ', substr(j,1,4), substr(j,5,4), substr(j,9,4), substr(j,13,4), substr(j,17,4))
+            ELSE text END AS text FROM base),
+        btok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM batch),
+        bsh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+            i -> coalesce(w[i],'') || ' ' || coalesce(w[i+1],'') || ' ' || coalesce(w[i+2],''))) AS s FROM btok),
+        etok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+        esh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+            i -> coalesce(w[i],'') || ' ' || coalesce(w[i+1],'') || ' ' || coalesce(w[i+2],''))) AS s FROM etok),
+        dup AS (SELECT DISTINCT b.doc_id FROM bsh b JOIN esh e ON
+            len(list_intersect(b.s, e.s))::DOUBLE
+              / (len(b.s) + len(e.s) - len(list_intersect(b.s, e.s))) >= 0.8)
+        SELECT doc_id, text FROM batch
+        WHERE doc_id NOT IN (SELECT doc_id FROM dup) ORDER BY doc_id"""),
+      "Incremental ingest dedup against a PERSISTED MinHash band index " +
+        "(build + append + index-scan dedup; no corpus-side recompute)."),
+
     "bpe_merges" -> Q(
       (s, d) => {
         import s.implicits._

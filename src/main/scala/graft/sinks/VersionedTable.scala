@@ -39,14 +39,36 @@ object VersionedTable {
     * window. */
   private val lockMap = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** `stats` holds optional per-dir (min, max) of one long-typed column —
-    * Iceberg's per-file column metrics, the basis of scan-planning pruning.
-    * Dirs without stats are never pruned (always read). `lastBatch` is the
-    * highest streaming batch id applied to the table (Iceberg's
+  /** Per-dir [min, max] of one column, typed: `typ` is `"long"` (numeric
+    * compare) or `"string"` (lexicographic compare) — the two bound kinds
+    * Iceberg's per-file metrics carry for scan planning. Bounds are stored
+    * as strings in the manifest; `typ` picks the comparison. */
+  final case class ColBounds(lo: String, hi: String, typ: String) {
+    def overlaps(qLo: String, qHi: String): Boolean = typ match {
+      case "long" => qHi.toLong >= lo.toLong && qLo.toLong <= hi.toLong
+      case _      => qHi >= lo && qLo <= hi
+    }
+  }
+
+  /** A conjunctive scan predicate for [[readPruned]]: `col BETWEEN lo AND hi`. */
+  sealed trait ScanRange { def col: String; def loS: String; def hiS: String }
+  final case class LongRange(col: String, lo: Long, hi: Long) extends ScanRange {
+    def loS: String = lo.toString; def hiS: String = hi.toString
+  }
+  final case class StringRange(col: String, lo: String, hi: String) extends ScanRange {
+    def loS: String = lo; def hiS: String = hi
+  }
+
+  /** `colStats` holds optional per-dir (min, max) column metrics — dir →
+    * column → typed bounds, Iceberg's per-file column metrics (one entry per
+    * tracked column, not just one column per table), the basis of
+    * scan-planning pruning. Dirs without bounds for a queried column are
+    * never pruned on it (always read). `lastBatch` is the highest streaming
+    * batch id applied to the table (Iceberg's
     * `flink.max-committed-checkpoint-id` analogue) — the one integer that
     * makes a foreachBatch sink exactly-once under replay. */
   final case class Snapshot(version: Int, dirs: Seq[String],
-      statsCol: Option[String] = None, stats: Map[String, (Long, Long)] = Map.empty,
+      colStats: Map[String, Map[String, ColBounds]] = Map.empty,
       lastBatch: Option[Long] = None)
 
   /** Create version 1 or replace the visible contents with a new snapshot
@@ -65,7 +87,7 @@ object VersionedTable {
     val d = writeDataDir(df, path)
     commit(df.sparkSession, path, cur =>
       Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
-        cur.flatMap(_.statsCol), cur.map(_.stats).getOrElse(Map.empty),
+        cur.map(_.colStats).getOrElse(Map.empty),
         cur.flatMap(_.lastBatch)))
   }
 
@@ -87,7 +109,7 @@ object VersionedTable {
     val d = writeDataDir(df, path)
     commit(df.sparkSession, path, cur =>
       Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
-        cur.flatMap(_.statsCol), cur.map(_.stats).getOrElse(Map.empty),
+        cur.map(_.colStats).getOrElse(Map.empty),
         Some(batchId)))
     true
   }
@@ -104,44 +126,79 @@ object VersionedTable {
       case Some(snap) => Upsert.upsert(readSnapshot(spark, path, snap), df, keys)
     }
     val d = writeDataDir(merged, path)
-    commit(spark, path, _ => Snapshot(0, Seq(d), None, Map.empty, Some(batchId)))
+    commit(spark, path, _ => Snapshot(0, Seq(d), Map.empty, Some(batchId)))
     true
   }
 
   /** Append with per-dir column metrics (Iceberg's file-level min/max
-    * stats): one extra agg over the batch records `statsCol`'s [min, max]
-    * in the manifest, and [[readPruned]] later skips the dir when a scan
-    * range can't overlap it. This is the metadata half of scan planning —
-    * at 100 TB it is the difference between listing every file and reading
-    * only the ingest window a query touches. */
-  def appendWithStats(df: DataFrame, path: String, statsCol: String): Int = {
-    import org.apache.spark.sql.functions.{max, min}
+    * stats, IcebergTableManager.java:22-25 metrics config): one agg over the
+    * batch records each tracked column's [min, max] in the manifest
+    * (integral columns as numeric bounds, string columns as lexicographic
+    * bounds), and [[readPruned]] later skips the dir when a scan range can't
+    * overlap it. This is the metadata half of scan planning — at 100 TB it
+    * is the difference between listing every file and reading only the
+    * ingest window a query touches. All-NULL columns get no bounds for the
+    * dir (never pruned on that column). */
+  def appendWithStats(df: DataFrame, path: String, statsCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val typs = statsCols.map { c =>
+      df.schema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => c -> "long"
+        case StringType                                    => c -> "string"
+        case other => throw new IllegalArgumentException(
+          s"stats column $c: unsupported type $other (integral and string only)")
+      }
+    }.toMap
     val d = writeDataDir(df, path)
-    val row = df.agg(min(statsCol).cast("long"), max(statsCol).cast("long")).head()
-    val bounds = if (row.isNullAt(0)) None else Some((row.getLong(0), row.getLong(1)))
-    commit(df.sparkSession, path, cur => {
-      require(cur.flatMap(_.statsCol).forall(_ == statsCol),
-        s"stats column mismatch: table tracks ${cur.flatMap(_.statsCol)}, got $statsCol")
-      Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d, Some(statsCol),
-        cur.map(_.stats).getOrElse(Map.empty) ++ bounds.map(d -> _),
-        cur.flatMap(_.lastBatch))
-    })
+    val aggs = statsCols.flatMap(c => Seq(min(col(c)).cast("string"), max(col(c)).cast("string")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val bounds = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      if (row.isNullAt(2 * i)) None
+      else Some(c -> ColBounds(row.getString(2 * i), row.getString(2 * i + 1), typs(c)))
+    }.toMap
+    commit(df.sparkSession, path, cur =>
+      Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
+        cur.map(_.colStats).getOrElse(Map.empty) +
+          (d -> bounds), cur.flatMap(_.lastBatch)))
   }
 
+  /** Single-column convenience form of [[appendWithStats]]. */
+  def appendWithStats(df: DataFrame, path: String, statsCol: String): Int =
+    appendWithStats(df, path, Seq(statsCol))
+
   /** Scan with manifest-level file skipping: only data dirs whose recorded
-    * [min, max] of the stats column overlaps [lo, hi] are read at all
-    * (dirs without stats are always read). Callers still apply the row
-    * filter — like Iceberg, the metadata prune is a superset guarantee,
-    * not a predicate evaluation. */
-  def readPruned(spark: SparkSession, path: String, lo: Long, hi: Long): DataFrame = {
+    * bounds can satisfy EVERY range in the conjunction are read at all
+    * (a dir without bounds for some queried column is never pruned on that
+    * column). Callers still apply the row filter — like Iceberg, the
+    * metadata prune is a superset guarantee, not a predicate evaluation. */
+  def readPruned(spark: SparkSession, path: String, ranges: Seq[ScanRange]): DataFrame = {
+    require(ranges.nonEmpty, "readPruned needs at least one scan range")
     val snap = latest(spark, path).getOrElse(
       throw new IllegalStateException(s"no snapshots at $path"))
-    require(snap.statsCol.nonEmpty, s"table at $path has no stats column to prune on")
-    val keep = snap.dirs.filter(d =>
-      snap.stats.get(d).forall { case (mn, mx) => hi >= mn && lo <= mx })
+    val keep = prunedDirs(snap, ranges)
     if (keep.isEmpty) // nothing can overlap: empty result, schema preserved
       readSnapshot(spark, path, snap).filter(org.apache.spark.sql.functions.lit(false))
     else readSnapshot(spark, path, snap.copy(dirs = keep))
+  }
+
+  /** The dirs of `snap` a conjunctive range scan must read (exposed so specs
+    * can assert `inputFiles ⊆ overlapping dirs` mechanically). */
+  def prunedDirs(snap: Snapshot, ranges: Seq[ScanRange]): Seq[String] =
+    snap.dirs.filter { d =>
+      val stats = snap.colStats.getOrElse(d, Map.empty)
+      ranges.forall(r => stats.get(r.col).forall(_.overlaps(r.loS, r.hiS)))
+    }
+
+  /** Single-long-range convenience form of [[readPruned]] over the table's
+    * one tracked long column (fails when zero or several are tracked). */
+  def readPruned(spark: SparkSession, path: String, lo: Long, hi: Long): DataFrame = {
+    val snap = latest(spark, path).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $path"))
+    val cols = snap.colStats.values.flatten.collect { case (c, b) if b.typ == "long" => c }.toSet
+    require(cols.size == 1,
+      s"table at $path tracks ${cols.size} long stats columns; name one via ScanRange")
+    readPruned(spark, path, Seq(LongRange(cols.head, lo, hi)))
   }
 
   /** Equality-field upsert as a new snapshot (read latest, merge, commit).
@@ -224,6 +281,11 @@ object VersionedTable {
   /** All snapshot versions, ascending. */
   def versions(spark: SparkSession, path: String): Seq[Int] =
     manifests(fs(spark, path), path).map(_._1)
+
+  /** The parsed manifest of one version — exposed so specs can assert
+    * pruning decisions ([[prunedDirs]]) against the recorded bounds. */
+  def readManifestForTest(spark: SparkSession, path: String, v: Int): Snapshot =
+    readManifest(fs(spark, path), path, v)
 
   /** Drop all but the last `keep` snapshots and delete data dirs no
     * remaining snapshot references (Iceberg's expire_snapshots). */
@@ -327,17 +389,25 @@ object VersionedTable {
     parseManifest(new String(bytes, "UTF-8"))
   }
 
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+  // one JSON string literal body: any run of non-quote chars or escaped chars
+  private val Lit = "\"((?:[^\"\\\\]|\\\\.)*)\""
+
   /** Manifest JSON — flat, order-fixed, written and parsed locally so the
     * format has zero library dependencies:
-    * `{"version":3,"dirs":["d-...","d-..."],"statsCol":"k",
-    *   "stats":{"d-...":[lo,hi]}}` (statsCol/stats optional). */
+    * `{"version":3,"dirs":["d-...","d-..."],
+    *   "colStats":[["d-...","col","long|string","lo","hi"],...]}`
+    * (colStats/lastBatch optional; bound values are JSON-escaped strings
+    * compared per their recorded type at read time). */
   private def manifestJson(v: Int, snap: Snapshot): String = {
     val dirs = s""""dirs":[${snap.dirs.map(d => "\"" + d + "\"").mkString(",")}]"""
-    val stats = snap.statsCol.map { c =>
-      val entries = snap.dirs.flatMap(d => snap.stats.get(d).map(b =>
-        "\"" + d + "\":[" + b._1 + "," + b._2 + "]")).mkString(",")
-      s""","statsCol":"$c","stats":{$entries}"""
-    }.getOrElse("")
+    val entries = for {
+      d <- snap.dirs; (c, b) <- snap.colStats.getOrElse(d, Map.empty).toSeq.sortBy(_._1)
+    } yield s"""["${esc(d)}","${esc(c)}","${b.typ}","${esc(b.lo)}","${esc(b.hi)}"]"""
+    val stats = if (entries.isEmpty) "" else s""","colStats":[${entries.mkString(",")}]"""
     val lastBatch = snap.lastBatch.map(b => s""","lastBatch":$b""").getOrElse("")
     s"""{"version":$v,$dirs$stats$lastBatch}"""
   }
@@ -346,17 +416,19 @@ object VersionedTable {
     val v = "\"version\":(\\d+)".r.findFirstMatchIn(s)
       .map(_.group(1).toInt)
       .getOrElse(throw new java.io.IOException(s"bad manifest: $s"))
-    // dirs come ONLY from the "dirs":[...] array — the stats map also keys
-    // on dir names, so the scan must not run over the whole document
+    // dirs come ONLY from the "dirs":[...] array — the colStats entries also
+    // carry dir names, so the scan must not run over the whole document
     val dirsBody = "\"dirs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(s)
       .map(_.group(1))
       .getOrElse(throw new java.io.IOException(s"bad manifest (no dirs): $s"))
     val dirs = "\"(d-[^\"]+)\"".r.findAllMatchIn(dirsBody).map(_.group(1)).toSeq
-    val statsCol = "\"statsCol\":\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
-    val stats = "\"(d-[^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]".r.findAllMatchIn(s)
-      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+    val colStats = s"\\[$Lit,$Lit,$Lit,$Lit,$Lit\\]".r.findAllMatchIn(s).toSeq
+      .map(m => (unesc(m.group(1)), unesc(m.group(2)),
+        ColBounds(unesc(m.group(4)), unesc(m.group(5)), m.group(3))))
+      .groupBy(_._1)
+      .map { case (d, es) => d -> es.map(e => e._2 -> e._3).toMap }
     val lastBatch = "\"lastBatch\":(-?\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong)
-    Snapshot(v, dirs, statsCol, stats, lastBatch)
+    Snapshot(v, dirs, colStats, lastBatch)
   }
 
   private def manifestName(v: Int): String = f"v$v%05d.json"

@@ -27,7 +27,8 @@ object ScaleBench {
       // every replica sharing the same tokens — i.e. 10 near-identical copies
       // of each doc and a quadratic pair blowup, the opposite of the intended
       // disjoint-vocabulary scaling.
-      val tag = "z" + ('a' + r).toChar
+      // two tag letters support K up to 676 replicas (one ran out at 26)
+      val tag = "z" + ('a' + r / 26).toChar + ('a' + r % 26).toChar
       docs.select(
         (col("doc_id") + lit(r * n)).as("doc_id"),
         // prefix every word with the tag: intra-replica shingle structure is
@@ -49,7 +50,10 @@ object ScaleBench {
     val spark: SparkSession = GraftSession.getOrCreate(s"local[$cpus]", cpus.toInt)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
 
-    val factors = Seq(1, 3, 10)
+    // 30× (≈ 150 k docs) probes past the fixed-overhead regime: at 10× the
+    // banded paths still measured ≈ 1.2× wall, i.e. overhead dominated and
+    // the true slope was unmeasured (r4 verdict item 5).
+    val factors = Seq(1, 3, 10, 30)
     // materialize each scaled corpus so staging cost never pollutes the timing
     val staged = factors.map { k =>
       val p = s"$outDir/docs_x$k"
@@ -108,9 +112,11 @@ object ScaleBench {
     val summary = queries.map { case (name, _) =>
       val byK = results.filter(_._1 == name).map(r => r._2 -> r._3).toMap
       val g10 = byK(10) / byK(1)
-      s""""$name":{"t1":${f"${byK(1)}%.2f"},"t10":${f"${byK(10)}%.2f"},"growth_10x":${f"$g10%.1f"}}"""
+      val g30 = byK(30) / byK(1)
+      s""""$name":{"t1":${f"${byK(1)}%.2f"},"t10":${f"${byK(10)}%.2f"},"t30":${f"${byK(30)}%.2f"},""" +
+        s""""growth_10x":${f"$g10%.1f"},"growth_30x":${f"$g30%.1f"}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_growth","factors":[1,3,10],"detail":$summary}""")
+    println(s"""{"metric":"scale_growth","factors":${factors.mkString("[", ",", "]")},"detail":$summary}""")
     spark.stop()
   }
 }

@@ -58,6 +58,40 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("property: random series with NULL payload fields inside matching right rows") {
+    import org.scalacheck.{Gen => G}
+    import org.scalacheck.rng.Seed
+    // Like the property above, but ~1/3 of right payload values are NULL —
+    // the struct-carry must return the MATCHING row's NULL, never fall back
+    // to an older non-null row. A second always-non-null payload column
+    // (`marker`) disambiguates "matched a NULL-payload row" from "no match".
+    val leftGen = G.zip(G.chooseNum(0L, 5L), G.chooseNum(0L, 30L))
+    val rightGen = G.zip(G.chooseNum(0L, 5L), G.chooseNum(0L, 30L),
+      G.option(G.chooseNum(100L, 999L)).map(o => o.filter(_ % 3 != 0)))
+    for (round <- 1 to 3) {
+      val lRows = G.listOfN(60, leftGen).pureApply(G.Parameters.default, Seed(round * 19L))
+        .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val rRaw = G.listOfN(30, rightGen).pureApply(G.Parameters.default, Seed(round * 23L))
+      // contract: right unique per (key, time); marker = encoded (key, time)
+      val rRows = rRaw.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+        .map { case (k, t, v) => (k, t, v, k * 1000 + t) }
+      val left = lRows.toDF("row_id", "k", "t")
+      val right = rRows.toDF("rk", "rt", "payload", "marker")
+      val got = graft.operators.AsOfJoin
+        .leftAsOf(left, right, "k", "rk", "t", "rt", Seq("payload", "marker"))
+        .select($"row_id", $"payload", $"marker")
+        .as[(Long, Option[Long], Option[Long])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      for ((id, k, t) <- lRows) {
+        val matched = rRows.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption
+        val want = (matched.flatMap(_._3), matched.map(_._4))
+        assert(got(id) == want,
+          s"round=$round key=$k t=$t: got ${got(id)}, want $want (matched row $matched)")
+      }
+    }
+  }
+
   test("colliding left/payload column names are rejected") {
     val left = Seq((1L, 1L, 2.0)).toDF("k", "t", "v") // 'v' collides with payload
     val right = Seq((1L, 1L, 3.0)).toDF("rk", "rt", "v")

@@ -85,4 +85,55 @@ class StreamingSpec extends SparkSpec {
       slices.flatten.filter(_.event_type == "a").map(_.event_id).toSet // ids only suppressed by seq, checked via counts
     assert(got.map(_._1).toSet.subsetOf(expectedIds))
   }
+
+  test("ProcessingTime + appendOnce: crash between table commit and checkpoint commit, no duplicates") {
+    import graft.sinks.VersionedTable
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    // The composed exactly-once contract: a ProcessingTime-triggered query
+    // writing through VersionedTable.appendOnce is killed in the WORST window
+    // — after the sink's atomic manifest commit for a batch, before Spark
+    // writes that batch to the checkpoint commit log. On restart the batch IS
+    // redelivered (at-least-once foreachBatch), and only the batch-id-in-
+    // manifest check keeps the replay from doubling the rows.
+    val (src, out, ck) = Streams.workDirs("spec_appendonce_crash")
+    val tbl = s"$out/table"
+    val slices = (0 until 4).map(s => (1 to 25).map(i => ((s * 25 + i).toLong, s"v${s * 25 + i}")))
+    slices.foreach(rows => rows.toDF("id", "v").coalesce(1).write.mode("append").parquet(src))
+    def staged() = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    @volatile var crashedAfterCommit = false
+    def start(crash: Boolean) = staged().writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val applied = VersionedTable.appendOnce(batch, tbl, batchId)
+        if (crash && batchId == 1) {
+          assert(applied, "batch 1 replayed before any crash")
+          crashedAfterCommit = true
+          throw new RuntimeException("injected crash: table committed, checkpoint not")
+        }
+        ()
+      }
+      .start()
+
+    val q1 = start(crash = true)
+    try q1.awaitTermination(30000) catch {
+      case _: org.apache.spark.sql.streaming.StreamingQueryException => // expected: the injected crash
+    }
+    assert(crashedAfterCommit, "injected crash never fired (batch 1 not reached)")
+    // The sink table already holds batch 1's rows; the checkpoint does not.
+    assert(VersionedTable.read(spark, tbl).count() == 50L)
+
+    // Restart against the same checkpoint: batch 1 is redelivered, appendOnce
+    // must recognize it (lastBatch >= 1) and skip; batches 2..3 then apply.
+    val q2 = start(crash = false)
+    q2.processAllAvailable()
+    q2.stop(); q2.awaitTermination()
+    val got = VersionedTable.read(spark, tbl).as[(Long, String)].collect().toSeq
+    assert(got.map(_._1).distinct.size == got.size, "duplicate ids across crash-replay boundary")
+    assert(got.toSet == slices.flatten.toSet)
+  }
 }

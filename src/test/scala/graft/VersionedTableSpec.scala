@@ -128,6 +128,53 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, path).count() == 410)
   }
 
+  test("multi-column metrics: a 2-predicate scan opens only dirs overlapping BOTH bounds") {
+    import VersionedTable.{LongRange, StringRange}
+    val path = "/tmp/graft_tables/spec_vt_prune_multi"
+    GraftTableWriter.drop(spark, path)
+    // 4 dirs = 2 id-ranges × 2 name-ranges, both columns tracked per dir
+    val df = spark.range(400).select(col("id"),
+      concat(lit("n"), lpad((col("id") % 20).cast("string"), 2, "0")).as("name"))
+    for (i <- 0L until 2L; lowNames <- Seq(true, false))
+      VersionedTable.appendWithStats(
+        df.filter(col("id") >= i * 200 && col("id") < (i + 1) * 200
+          && (if (lowNames) col("name") < "n10" else col("name") >= "n10")),
+        path, Seq("id", "name"))
+    val ranges = Seq(LongRange("id", 50, 120), StringRange("name", "n00", "n05"))
+    // ground truth from the manifest: exactly 1 of 4 dirs overlaps both
+    val snap = VersionedTable.versions(spark, path).last
+    val manifest = VersionedTable.readManifestForTest(spark, path, snap)
+    val overlapping = VersionedTable.prunedDirs(manifest, ranges)
+    assert(overlapping.size == 1, s"expected 1 overlapping dir, got $overlapping")
+    // a long-only predicate alone would keep 2 dirs — the string bound is
+    // what cuts the scan to 1, i.e. the second column genuinely prunes
+    assert(VersionedTable.prunedDirs(manifest, ranges.take(1)).size == 2)
+    val pruned = VersionedTable.readPruned(spark, path, ranges)
+    val dirsTouched = pruned.inputFiles.map(_.split("/").takeRight(2).head).distinct
+    assert(dirsTouched.toSet.subsetOf(overlapping.toSet),
+      s"scan touched ${dirsTouched.mkString(",")} beyond overlapping $overlapping")
+    // superset guarantee: residual filter gives exactly the predicate rows
+    val got = pruned.filter(col("id").between(50, 120)
+        && col("name") >= "n00" && col("name") <= "n05")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = (50L to 120L).filter(i => i % 20 <= 5).toSet
+    assert(got == want)
+  }
+
+  test("all-NULL stats column records no bounds: the dir is never pruned on it") {
+    import VersionedTable.{LongRange, StringRange}
+    val path = "/tmp/graft_tables/spec_vt_prune_null"
+    GraftTableWriter.drop(spark, path)
+    VersionedTable.appendWithStats(
+      spark.range(10).select(col("id"), lit(null).cast("string").as("name")), path,
+      Seq("id", "name"))
+    // name has no bounds -> any name range keeps the dir; id bounds still prune
+    assert(VersionedTable.readPruned(spark, path,
+      Seq(StringRange("name", "zzz", "zzzz"))).count() == 10)
+    assert(VersionedTable.readPruned(spark, path,
+      Seq(LongRange("id", 5000, 6000))).count() == 0)
+  }
+
   test("a pruned range overlapping no dir returns empty, not an error") {
     val path = "/tmp/graft_tables/spec_vt_prune_empty"
     GraftTableWriter.drop(spark, path)
