@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) ANN — the memory-bound scale path for
+  * similarity search. A 64-dim float vector costs 256 bytes; its PQ code is
+  * `m` small integers (8 here, one per subspace) — a ~30× compression that
+  * is what makes a 100 TB embedding corpus SEARCHABLE: the codes table fits
+  * in executor memory / page cache where the raw vectors never would, and
+  * queries scan codes + a tiny lookup table instead of touching raw floats
+  * (IVFADC, Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011).
+  *
+  * Pipeline:
+  *  - [[train]]: split each vector into `m` contiguous `subDim`-slices and
+  *    run distributed Lloyd's ([[KMeans.lloyd]]) per subspace → an
+  *    `m × k × subDim` codebook, O(m·k·subDim) driver-held — the same
+  *    bounded-artifact contract as the IVF coarse quantizer. (At 100 TB you
+  *    train on a sample; the codebook does not grow with data.)
+  *  - [[encode]]: one projection — `m` fused [[graft.functions.NearestCentroid]]
+  *    kernels (codegen reference objects, plan stays O(1) in k) emit the
+  *    code array per vector. One scan, no shuffle.
+  *  - [[ivfAdcTopK]]: asymmetric distance computation. Each query
+  *    precomputes an `m × k` table of exact subspace distances to every
+  *    codeword (O(m·k·subDim) per query, driver-side — queries are the
+  *    bounded side, same contract as [[Ann.bruteForceTopK]]'s broadcast);
+  *    a candidate's approximate distance is then `m` table lookups summed —
+  *    no float math against raw vectors at scan time. An IVF coarse
+  *    quantizer (k-means over the full vectors) routes each query to its
+  *    `nprobe` nearest cells so only those cells' codes are scanned; the
+  *    candidate join is a broadcast equi-join on cell id and the only
+  *    shuffle is the final tiny per-query top-K window.
+  *
+  * Approximate in ranking (quantization error; recall floor spec-checked in
+  * AnnSpec against [[Ann.bruteForceTopK]]); deterministic end-to-end
+  * (k-means seeding and tie-breaks are deterministic, ADC sums are
+  * fixed-order per row).
+  */
+object Pq {
+
+  /** `codebooks(j)(c)` = centroid `c` of subspace `j`, length `subDim`. */
+  final case class Model(m: Int, k: Int, subDim: Int,
+      codebooks: Array[Array[Array[Double]]])
+
+  /** The whole pipeline runs on L2-NORMALIZED vectors: on unit vectors
+    * ‖a−b‖² = 2 − 2·cos(a,b), so the ADC L2 ranking is exactly the cosine
+    * ranking the rest of the similarity stack ([[Ann]]) uses — without
+    * normalization, L2-PQ against a cosine baseline is comparing different
+    * orderings, not approximating one. One codegen'd projection per scan.
+    */
+  private def normalized(emb: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val n = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+    val d = greatest(n, lit(1e-300)) // zero vectors stay zero, never NaN
+    emb.withColumn("embedding", transform(v, x => x / d))
+  }
+
+  /** Train per-subspace codebooks with distributed k-means. */
+  def train(emb: DataFrame, m: Int, k: Int, iters: Int): Model = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val unit = normalized(emb)
+    val books = (0 until m).map { j =>
+      val sub = unit.select(col("vec_id"),
+        slice(col("embedding"), j * subDim + 1, subDim).as("embedding"))
+      KMeans.lloyd(sub, "vec_id", "embedding", k, iters).centroids
+    }.toArray
+    Model(m, k, subDim, books)
+  }
+
+  /** (vec_id, codes array<int>) — the compressed representation. */
+  def encode(emb: DataFrame, model: Model): DataFrame = {
+    val codeCols = (0 until model.m).map { j =>
+      graft.functions.nearest_centroid(
+        slice(col("embedding"), j * model.subDim + 1, model.subDim),
+        model.codebooks(j)).getField("cluster")
+    }
+    normalized(emb).select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** IVF-routed ADC top-K with exact re-ranking (IVFADC+R): `queries`
+    * (bounded, collected — O(Q·m·k) lookup tables) against `candidates`,
+    * both (vec_id, embedding). ADC over the codes selects a
+    * `k × rerank` shortlist per query (the scan that must be cheap at
+    * 100 TB — codes only, no raw floats); the shortlist alone — O(Q·k·rerank)
+    * rows, broadcast — is then re-ranked by exact cosine against the raw
+    * vectors. Quantization error decides only who makes the shortlist,
+    * never the final order; on a weakly-similar corpus (top-k cosine
+    * margins smaller than quantization error) pure-ADC ordering is noise
+    * while the re-ranked order stays sharp — spec-measured in PqSpec.
+    * `rerank = 0` skips re-ranking and returns the raw ADC ordering with
+    * `adist` (approximate squared L2 on unit vectors = 2 − 2·cos).
+    * Returns (query_id, rank, neighbor_id, cosine|adist); rank 1 =
+    * nearest, ties toward lower neighbor id.
+    */
+  def ivfAdcTopK(queries: DataFrame, candidates: DataFrame, model: Model,
+      k: Int, coarseK: Int = 8, coarseIters: Int = 3, nprobe: Int = 2,
+      rerank: Int = 10): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+
+    val coarse = KMeans.lloyd(normalized(candidates), "vec_id", "embedding",
+      coarseK, coarseIters)
+    val codes = encode(candidates, model)
+      .join(coarse.assignments.select(col("id").as("vec_id"), col("cluster").as("cell")),
+        "vec_id")
+
+    // Per query: the m×k ADC table plus its nprobe nearest coarse cells —
+    // both exact driver-side float math over the driver-held codebooks.
+    val qs = normalized(queries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Double])].collect()
+    def distSq(a: Array[Double], b: Array[Double], off: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < b.length) { val d = a(off + i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val lutRows = qs.toSeq.map { case (qid, qv) =>
+      val lut: Seq[Seq[Double]] = (0 until model.m).map { j =>
+        (0 until model.k).map(c => distSq(qv, model.codebooks(j)(c), j * model.subDim))
+      }
+      val cells: Seq[Int] = coarse.centroids.zipWithIndex
+        .map { case (cv, c) => (distSq(qv, cv, 0), c) }
+        .sortBy { case (dist, c) => (dist, c) }.take(nprobe).map(_._2).toSeq
+      (qid, lut, cells)
+    }
+    val luts = lutRows.toDF("query_id", "lut", "cells")
+      .select(col("query_id"), col("lut"), explode(col("cells")).as("cell"))
+
+    // adist = sum_j lut(j)(code_j): zip the code array with the query's
+    // table — m element_at lookups, zero float ops against raw vectors.
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    val shortN = if (rerank > 0) k * rerank else k
+    val adc = broadcast(luts).join(codes.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("codes"), col("lut"), (c, row) => element_at(row, c + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= shortN)
+    if (rerank == 0) {
+      adc.select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
+        .orderBy("query_id", "rank")
+    } else {
+      // exact re-rank of the tiny shortlist: broadcast its ids, stream the
+      // raw-vector table through one hash join, fused cosine kernel
+      val wx = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+      val qraw = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val craw = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      broadcast(adc.select(col("query_id"), col("neighbor_id")))
+        .join(craw, "neighbor_id")
+        .join(broadcast(qraw), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          graft.functions.cosine_sim(col("qv"), col("cv")).as("cosine"))
+        .withColumn("rank", row_number().over(wx).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rank")
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.Q
+import graft.core._
+import graft.operators.PageRank
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the customer–supplier interaction graph
+  * (edges = distinct (customer, supplier) pairs that share a line item, both
+  * directions, so every node has out-edges). PageRank in scaled-integer
+  * arithmetic — see [[graft.operators.PageRank]] for why integers: order-
+  * independent sums make the fixed-point iterate bit-exact on both engines,
+  * so an ITERATIVE operator becomes oracle-checkable against DuckDB (the
+  * oracle unrolls the same four iterations as chained CTEs — floating-point
+  * PageRank would drift with reduction order and need a tolerance gate).
+  */
+object Graph {
+
+  private val Iters = 4
+  private val Scale = 1000000000000L
+  private val SuppOffset = 1000000L
+
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    cs.select(col("cust").as("src"), (col("supp") + SuppOffset).as("dst"))
+      .unionByName(cs.select((col("supp") + SuppOffset).as("src"), col("cust").as("dst")))
+  }
+
+  /** The same fixed-point unrolled: r0 → (dangling, inflow, r_i) per
+    * iteration. `//` is DuckDB's integer floor division = Spark's `DIV` on
+    * the all-positive ranks; sums are CAST back to BIGINT because DuckDB
+    * widens sum(BIGINT) to HUGEINT. */
+  private def pagerankSql(iters: Int): String = {
+    val head = s"""WITH ed0 AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT cust AS src, supp + $SuppOffset AS dst FROM ed0
+        UNION ALL SELECT supp + $SuppOffset, cust FROM ed0),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      r0 AS (SELECT node, $Scale // (SELECT n FROM nn) AS r FROM nodes)"""
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""d$i AS (SELECT coalesce(CAST(sum(r.r) AS BIGINT), 0) AS dang
+          FROM r$p r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL),
+        c$i AS (SELECT e.dst AS node, CAST(sum(r.r // dg.deg) AS BIGINT) AS infl
+          FROM edges e JOIN r$p r ON e.src = r.node JOIN deg dg ON e.src = dg.src
+          GROUP BY e.dst),
+        r$i AS (SELECT n.node,
+            (15 * ($Scale // (SELECT n FROM nn))) // 100
+            + (85 * (coalesce(c.infl, 0)
+                     + (SELECT dang FROM d$i) // (SELECT n FROM nn))) // 100 AS r
+          FROM nodes n LEFT JOIN c$i c ON n.node = c.node)"""
+    }
+    (head +: steps).mkString(",\n      ") +
+      s"\n      SELECT node, r AS rank_scaled FROM r$iters ORDER BY node"
+  }
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    "graph_pagerank" -> Q(
+      (s, d) => PageRank.run(edges(s, d), Iters, Scale),
+      Some(pagerankSql(Iters)),
+      "Fixed-iteration PageRank in scaled-integer arithmetic: two shuffles per iteration " +
+        "(edges-by-src join, inflow-by-dst agg), O(1) driver scalars, bit-exact vs the " +
+        "unrolled SQL replay.")
+  )
+}

@@ -361,6 +361,48 @@ object Ingestion {
         FROM j WHERE op IS NOT NULL ORDER BY op, o_orderkey"""),
       "change data feed: I/U/D rows between two snapshots from one keyed full-outer join"),
 
+    "cdc_replication" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The full CDC pipeline, producer AND consumer (the reference's
+        // whole job, Snowflake -> Iceberg): a source table commits three
+        // snapshots (base, upsert with price updates %100 + inserts
+        // key+10M for %101, deletes %97); a replica bootstraps from v1 and
+        // then replays each version-to-version changelog with
+        // applyChanges. The emitted rows are the REPLICA's final contents -
+        // matching the oracle proves changelog replay reproduces the
+        // source state exactly (per-version equality is in
+        // CdcReplicationSpec).
+        val src = tmp("cdc_repl_src")
+        val rep = tmp("cdc_repl_replica")
+        GraftTableWriter.drop(s, src)
+        GraftTableWriter.drop(s, rep)
+        val base = table(s, d, "orders").select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        VersionedTable.overwrite(base, src) // v1
+        val upd = base.filter($"o_orderkey" % 100 === 0)
+          .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+        val ins = base.filter($"o_orderkey" % 101 === 0)
+          .select(($"o_orderkey" + 10000000L).as("o_orderkey"), $"o_custkey", $"o_totalprice")
+        VersionedTable.upsert(upd.unionByName(ins), src, Seq("o_orderkey")) // v2
+        VersionedTable.overwrite(
+          VersionedTable.read(s, src).filter($"o_orderkey" % 97 =!= 0), src) // v3
+        VersionedTable.overwrite(VersionedTable.readVersion(s, src, 1), rep)
+        for (v <- 2 to 3)
+          VersionedTable.applyChanges(
+            VersionedTable.changes(s, src, v - 1, v, Seq("o_orderkey")), rep, Seq("o_orderkey"))
+        VersionedTable.read(s, rep).orderBy($"o_orderkey")
+      },
+      Some("""WITH v2 AS (SELECT o_orderkey, o_custkey,
+            CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
+                 ELSE o_totalprice END AS o_totalprice
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+          FROM orders WHERE o_orderkey % 101 = 0)
+        SELECT o_orderkey, o_custkey, o_totalprice FROM v2
+        WHERE o_orderkey % 97 <> 0 ORDER BY o_orderkey"""),
+      "CDC replication: changelog produced by changes() and replayed by applyChanges() reproduces the source table on a replica"),
+
     "ingest_validation" -> Q(
       (s, d) => {
         import s.implicits._

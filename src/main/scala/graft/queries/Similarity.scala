@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.core._
-import graft.operators.Ann
+import graft.operators.{Ann, Pq}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -105,6 +105,18 @@ object Similarity {
       },
       None, // approximate: recall vs embedding_cosine_topk is spec-checked
       "IVF ANN: coarse-quantize to label-mean codebook, probe 2 nearest cells."),
+
+    "ann_ivf_pq" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val cands = e.filter(col("vec_id") >= 10)
+        val model = Pq.train(cands, m = 8, k = 16, iters = 3)
+        Pq.ivfAdcTopK(e.filter(col("vec_id") < 10), cands, model, k = 5, nprobe = 4)
+      },
+      None, // approximate: recall vs embedding_cosine_topk is spec-checked
+      "IVF-PQ ANN (IVFADC+R): 8×16 product-quantization codes (~30× smaller " +
+        "than raw floats — what fits a 100 TB corpus in memory), per-query ADC " +
+        "lookup tables, IVF routing, exact re-rank of the shortlist only."),
 
     "knn_graph" -> Q(
       (s, d) => Ann.knnGraphExact(emb(s, d), k = 3),

@@ -459,6 +459,46 @@ object TrainingData {
         FROM documents) ORDER BY doc_id"""),
       "Length / punctuation / digit / stopword quality features + a quality flag."),
 
+    "quality_buckets" -> Q(
+      (s, d) => {
+        // CCNet-style per-language quality deciles: order each language's
+        // docs by an integer quality proxy (stopword permille, doc_id
+        // tiebreak) and cut into 10 equal buckets — the
+        // head/middle/tail split that decides what a pretraining run keeps.
+        // The rank is a distributed PrefixSum scan (range exchange + O(
+        // partitions × langs) driver offsets), NOT a per-lang window: at
+        // 100 TB one language IS most of the corpus, and a window would
+        // funnel it through a single task. Bucket cut is integer arithmetic
+        // (((rn-1)·10) DIV count) so both engines split identically.
+        val toks = ascii_tokens(col("text"))
+        val scored = docs(s, d).select(col("doc_id"), col("lang"),
+            size(toks).cast("long").as("n_words"),
+            stopCount(toks, stopEn).as("n_stop"))
+          .withColumn("q_permille", expr("(1000 * n_stop) DIV greatest(n_words, 1)"))
+          .withColumn("one", lit(1L))
+        val ranked = graft.operators.PrefixSum.groupedRunningTotal(
+          scored, Seq("lang"), Seq(col("q_permille"), col("doc_id")), "one", "rn")
+        val counts = scored.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        ranked.join(broadcast(counts), "lang")
+          .select(col("doc_id"), col("lang"), col("q_permille"),
+            expr("((rn - 1) * 10) DIV cnt").as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+          len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+          ${stopCountSql(stopEn)} AS n_stop
+        FROM documents),
+        r AS (SELECT doc_id, lang,
+            (1000 * n_stop) // greatest(n_words, 1) AS q_permille,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY (1000 * n_stop) // greatest(n_words, 1), doc_id) AS rn,
+            count(*) OVER (PARTITION BY lang) AS cnt
+          FROM t)
+        SELECT doc_id, lang, q_permille, ((rn - 1) * 10) // cnt AS bucket
+        FROM r ORDER BY doc_id"""),
+      "Per-language quality deciles (CCNet head/middle/tail): integer quality proxy, " +
+        "distributed PrefixSum rank instead of a per-language window."),
+
     "text_langid" -> Q(
       (s, d) => {
         val toks = ascii_tokens(col("text"))

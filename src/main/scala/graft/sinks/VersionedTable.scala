@@ -268,6 +268,26 @@ object VersionedTable {
         nonKeys.map(c => coalesce(col(s"__b.$c"), col(s"__a.$c")).as(c)): _*)
   }
 
+  /** Apply an I/U/D changelog (the [[changes]] output shape: `op` plus the
+    * full row image) to a replica table — the CONSUMER half of the CDC
+    * pipeline, [[changes]] being the producer half. Deletes drop rows by
+    * key; inserts and updates take the new image. One keyed anti join plus
+    * a union, committed as one snapshot, so replaying a table's changelog
+    * version by version reproduces every snapshot exactly (asserted in
+    * CdcReplicationSpec). The replica is itself snapshot-versioned: each
+    * applied batch is time-travelable, and an exactly-once variant under
+    * at-least-once delivery is one [[appendOnce]]-style batch-id check away.
+    * At 100 TB the rewrite confines to touched identity partitions via the
+    * upsertPartitioned discipline; the join shuffles once by key like the
+    * upsert that produced the delta. */
+  def applyChanges(ch: DataFrame, path: String, keys: Seq[String]): Int = {
+    val spark = ch.sparkSession
+    val cur = read(spark, path)
+    val touched = ch.select(keys.map(org.apache.spark.sql.functions.col): _*)
+    val ups = ch.filter(org.apache.spark.sql.functions.col("op").isin("I", "U")).drop("op")
+    overwrite(cur.join(touched, keys, "left_anti").unionByName(ups), path)
+  }
+
   /** Latest snapshot contents. */
   def read(spark: SparkSession, path: String): DataFrame =
     readSnapshot(spark, path, latest(spark, path).getOrElse(

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.PageRank
+import org.apache.spark.sql.functions._
+
+/** PageRank invariants: the distributed fixed-point equals an independent
+  * local replay of the same scaled-integer recurrence (including dangling
+  * redistribution), mass stays conserved up to integer-floor loss, and
+  * reruns are bit-identical.
+  */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  /** The same recurrence, sequentially: ranks in a Map, integer ops only. */
+  private def replay(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    var r: Map[Long, Long] = nodes.map(_ -> Scale / n).toMap
+    val base = (15L * (Scale / n)) / 100L
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(deg.contains).map(r).sum
+      val infl = e.groupBy(_._2).map { case (d, in) =>
+        d -> in.map { case (s, _) => r(s) / deg(s) }.sum
+      }
+      r = nodes.map(v => v -> (base + (85L * (infl.getOrElse(v, 0L) + dang / n)) / 100L)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    PageRank.run(edges.toDF("src", "dst"), iters, Scale)
+      .as[(Long, Long)].collect().toMap
+
+  test("matches the sequential replay on a graph WITH dangling nodes") {
+    // 4 -> sink (no out-edges): exercises the dangling-mass redistribution
+    val edges = Seq[(Long, Long)]((1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 4))
+    assert(run(edges, 5) == replay(edges, 5))
+  }
+
+  test("matches the replay on a denser random digraph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(400)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+    assert(run(edges, 4) == replay(edges, 4))
+  }
+
+  test("mass is conserved up to integer-floor loss, and a hub outranks leaves") {
+    // star: every leaf points at the hub, hub points back at leaf 1
+    val edges = (2L to 20L).map(l => (l, 1L)) :+ ((1L, 2L))
+    val r = run(edges, 6)
+    val total = r.values.sum
+    // every DIV can only lose mass; it can never create it
+    assert(total <= Scale)
+    assert(total > (Scale * 9) / 10, s"lost >10% of mass: $total")
+    assert(r(1L) > r(3L) * 5, s"hub should dominate: ${r(1L)} vs ${r(3L)}")
+  }
+
+  test("reruns are bit-identical (integer arithmetic has no reduction-order drift)") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    assert(run(edges, 3) == run(edges, 3))
+  }
+}
