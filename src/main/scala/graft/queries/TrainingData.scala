@@ -109,6 +109,52 @@ object TrainingData {
       "MinHash(64)+LSH(16×4) candidates verified with exact Jaccard; equals the exact pair " +
         "set (per-pair miss prob ≈ 4e-8 at J=0.9) while scoring only bucket collisions."),
 
+    "exact_substring_spans" -> Q(
+      (s, d) => graft.operators.ExactSubstr.duplicateSpans(docs(s, d), 8)
+        .orderBy("doc_id", "span_start"),
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+        pos AS (SELECT doc_id, unnest(generate_series(1, len(w)-7)) AS p, w FROM t WHERE len(w) >= 8),
+        gram AS (SELECT doc_id, p, array_to_string(w[p:p+7], ' ') AS g FROM pos),
+        dup AS (SELECT g FROM gram GROUP BY g HAVING count(*) > 1),
+        dp AS (SELECT doc_id, p, p + 7 AS e FROM gram JOIN dup USING (g)),
+        isl AS (SELECT doc_id, p, e,
+          CASE WHEN p <= max(e) OVER (PARTITION BY doc_id ORDER BY p
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1 THEN 0 ELSE 1 END AS brk
+          FROM dp),
+        grp AS (SELECT doc_id, p, e,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island
+          FROM isl)
+        SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start, CAST(max(e) AS BIGINT) AS span_end,
+          count(*) AS n_dup_grams
+        FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start"""),
+      "ExactSubstr dedup (Lee et al.): maximal token spans duplicated anywhere in the corpus, " +
+        "via positional 8-gram multiplicity + gaps-and-islands span merge — the distributed " +
+        "re-expression of the suffix-array substring dedup."),
+
+    "exact_substring_scrub" -> Q(
+      (s, d) => graft.operators.ExactSubstr.scrubStats(docs(s, d), 8).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+        pos AS (SELECT doc_id, unnest(generate_series(1, len(w)-7)) AS p, w FROM t WHERE len(w) >= 8),
+        gram AS (SELECT doc_id, p, array_to_string(w[p:p+7], ' ') AS g FROM pos),
+        dup AS (SELECT g FROM gram GROUP BY g HAVING count(*) > 1),
+        dp AS (SELECT doc_id, p, p + 7 AS e FROM gram JOIN dup USING (g)),
+        isl AS (SELECT doc_id, p, e,
+          CASE WHEN p <= max(e) OVER (PARTITION BY doc_id ORDER BY p
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1 THEN 0 ELSE 1 END AS brk
+          FROM dp),
+        grp AS (SELECT doc_id, p, e,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island
+          FROM isl),
+        spans AS (SELECT doc_id, min(p) AS s2, max(e) AS e2 FROM grp GROUP BY doc_id, island),
+        per_doc AS (SELECT doc_id, sum(e2 - s2 + 1) AS dup_tokens FROM spans GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+          CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+          CASE WHEN len(w) = 0 THEN 1.0
+            ELSE (len(w) - coalesce(dup_tokens, 0))::DOUBLE / len(w) END AS keep_ratio
+        FROM t LEFT JOIN per_doc ON t.doc_id = per_doc.doc_id ORDER BY t.doc_id"""),
+      "Scrub accounting for ExactSubstr dedup: per-doc total vs duplicated-span tokens and the " +
+        "ratio a span-scrubbing pass would keep (every doc emits a row; clean docs keep 1.0)."),
+
     "dedup_simhash" -> Q(
       (s, d) => NearDup.simhashPairs(docs(s, d), maxHamming = 3),
       None, // simhash is not SQL-expressible; exactness is spec-checked vs brute force
