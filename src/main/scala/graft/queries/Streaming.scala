@@ -354,6 +354,70 @@ object Streaming {
       "Exactly-once foreachBatch sink: batch id committed atomically with the data; " +
         "an injected crash after the sink commit replays the batch, which is skipped."),
 
+    "streaming_neardup_ingest" -> Q(
+      (s, d) => {
+        // The production corpus-growth loop composed END-TO-END: documents
+        // arrive in micro-batches, each batch is near-dup-gated against the
+        // PERSISTED MinHash band index (NearDup.dedupAgainstIndex — scans
+        // the index parquet, zero corpus-side recompute), survivors are
+        // appended exactly-once to the corpus table AND to the index, so
+        // batch N+1 deduplicates against everything batch N admitted.
+        //
+        // Batch layout (deterministic): seed corpus = even doc_ids, indexed
+        // up-front; four stream slices carry the odd ids split by
+        // doc_id % 8, and every slice k >= 1 also carries verbatim copies
+        // (id + 1e6) of slice k-1's docs — duplicates that can ONLY be
+        // rejected if the index actually grew after batch k-1. Slice 0
+        // carries copies of seed docs (rejected via the initial index).
+        //
+        // Exactly-once: the accepted table goes through appendOnce (batch id
+        // committed atomically with the data). The index appends are plain
+        // appends — a replayed batch would only duplicate band/set rows,
+        // which widens candidate generation but never changes a verdict.
+        val (src, out, ck) = Streams.workDirs("streaming_neardup_ingest")
+        val idx = s"$out/index"
+        val accepted = s"$out/accepted"
+        val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+        val seed = docs.filter(col("doc_id") % 2 === 0)
+        graft.operators.NearDup.buildBandIndex(seed, idx)
+        graft.sinks.VersionedTable.overwrite(seed, accepted)
+
+        val copies = (prev: org.apache.spark.sql.DataFrame) =>
+          prev.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val slice = (k: Int) => docs.filter(col("doc_id") % 8 === 2 * k + 1)
+        val slices = Seq(
+          slice(0).unionByName(copies(
+            docs.filter(col("doc_id") % 8 === 0))), // seed dups -> initial index rejects
+          slice(1).unionByName(copies(slice(0))),
+          slice(2).unionByName(copies(slice(1))),
+          slice(3).unionByName(copies(slice(2))))
+        // sequential single-file appends: mod-time order fixes batch order
+        slices.foreach(_.coalesce(1).write.mode("append").parquet(src))
+
+        val stream = s.readStream
+          .schema(docs.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+        val q = stream.writeStream
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val kept = graft.operators.NearDup
+              .dedupAgainstIndex(batch, idx, minJaccard = 0.5)
+              .localCheckpoint(true) // one computation feeds both sinks
+            if (graft.sinks.VersionedTable.appendOnce(kept, accepted, batchId))
+              graft.operators.NearDup.appendToBandIndex(kept, idx)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.sinks.VersionedTable.read(s, accepted)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      None, // greedy sequential admission; StreamingSpec proves batch-replay equivalence
+      "Streaming near-dup-gated ingest against the persisted band index: " +
+        "per-batch dedupAgainstIndex -> exactly-once corpus append -> index growth, " +
+        "so later batches dedup against earlier admissions."),
+
     "stateful_offset_stream" -> Q(
       (s, d) => {
         val (src, out, ck) = Streams.workDirs("stateful_offset_stream")

@@ -406,6 +406,32 @@ object TrainingData {
       "Distributed BPE vocabulary learning: 20 merge rounds, one pair-count " +
         "shuffle per round, deterministic lexicographic tie-break."),
 
+    "bpe_encode" -> Q(
+      (s, d) => {
+        // Tokenizer APPLICATION — the other half of bpe_merges: segment every
+        // word of every document with the learned vocabulary and account the
+        // per-doc subword budget. The merge list is the sanctioned O(rounds)
+        // driver artifact (same shape as KMeans centroids); Bpe.segment
+        // re-broadcasts it as a fixed chain of codegen'd projections, so the
+        // encode pass itself is a single narrow scan — no shuffle until the
+        // per-doc aggregation.
+        val merges = graft.operators.Bpe.learnMerges(docs(s, d), "text", rounds = 20)
+        docs(s, d)
+          .select(col("doc_id"), explode(ascii_tokens(col("text"))).as("w"))
+          .select(col("doc_id"), col("w"),
+            size(graft.operators.Bpe.segment(col("w"), merges)).cast("long").as("n_sub"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_sub")).as("n_subwords"),
+            sum(length(col("w"))).cast("long").as("n_chars"))
+          .withColumn("compression",
+            col("n_chars").cast("double") / col("n_subwords"))
+          .orderBy("doc_id")
+      },
+      None, // merge learning is iterative; BpeSpec proves segment() lossless + monotone
+      "BPE corpus tokenization with the learned merges: per-doc word/subword/char " +
+        "budgets and the chars-per-token compression the vocabulary achieves."),
+
     "edit_distance_pairs" -> Q(
       (s, d) => {
         // Near-dup candidates from the scalable prefix-filtered join, then the

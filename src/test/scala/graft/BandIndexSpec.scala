@@ -104,4 +104,35 @@ class BandIndexSpec extends SparkSpec {
     assert(shingleOps(indexed) < shingleOps(naive),
       s"indexed=${shingleOps(indexed)} naive=${shingleOps(naive)}")
   }
+
+  test("streaming near-dup ingest equals a sequential dedupAgainstCorpus replay") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("streaming_neardup_ingest")(spark, sf("sf0.001"))
+      .as[Long].collect().toSet
+
+    // replay: same seed + same four slices, each deduped against the corpus
+    // as it stood BEFORE the batch, then admitted
+    val docs = core.table(spark, sf("sf0.001"), "documents").select($"doc_id", $"text")
+    val seed = docs.filter($"doc_id" % 2 === 0)
+    val copies = (prev: DataFrame) =>
+      prev.select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val slice = (k: Int) => docs.filter(col("doc_id") % 8 === 2 * k + 1)
+    val slices = Seq(
+      slice(0).unionByName(copies(docs.filter($"doc_id" % 8 === 0))),
+      slice(1).unionByName(copies(slice(0))),
+      slice(2).unionByName(copies(slice(1))),
+      slice(3).unionByName(copies(slice(2))))
+    var corpus = seed
+    for (sl <- slices) {
+      val kept = NearDup.dedupAgainstCorpus(corpus, sl, minJaccard = 0.5)
+      corpus = corpus.unionByName(kept).localCheckpoint(true)
+    }
+    val want = ids(corpus)
+
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(got.forall(_ < 1000000L),
+      "every verbatim copy (id >= 1e6) must be rejected — slice-k copies of " +
+        "slice-(k-1) docs are only rejectable if the index grew between batches")
+    assert(slices.map(s => ids(s).count(_ >= 1000000L)).sum > 0, "scenario sanity")
+  }
 }

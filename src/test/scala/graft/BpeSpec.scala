@@ -68,4 +68,23 @@ class BpeSpec extends SparkSpec {
     assert(seg.exists { case (_, _, nSym, nChars) => nSym < nChars },
       "at least some words must actually compress")
   }
+
+  test("per-doc subword budgets (bpe_encode shape) are monotone in vocabulary size") {
+    val m20 = Bpe.learnMerges(docs, "text", rounds = 20)
+    def encode(merges: Seq[Bpe.Merge]): Map[Long, Long] =
+      docs.select($"doc_id", explode(functions.ascii_tokens($"text")).as("w"))
+        .select($"doc_id", size(Bpe.segment($"w", merges)).cast("long").as("n"))
+        .groupBy($"doc_id").agg(sum($"n").as("t"))
+        .as[(Long, Long)].collect().toMap
+    val chars = docs.select($"doc_id", explode(functions.ascii_tokens($"text")).as("w"))
+      .groupBy($"doc_id").agg(sum(length($"w")).cast("long").as("t"))
+      .as[(Long, Long)].collect().toMap
+    val e0 = encode(Nil)
+    val e5 = encode(m20.take(5))
+    val e20 = encode(m20)
+    assert(e0 == chars, "zero merges must tokenize to exactly one symbol per char")
+    assert(e5.forall { case (id, n) => n <= e0(id) }, "5 merges can never add tokens")
+    assert(e20.forall { case (id, n) => n <= e5(id) }, "20 merges can never add tokens")
+    assert(e20.exists { case (id, n) => n < e0(id) }, "the vocabulary must compress somewhere")
+  }
 }
