@@ -1,0 +1,129 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded-state per-group top-K as a native Catalyst aggregate — the
+  * skew-proof replacement for `row_number() OVER (PARTITION BY g ORDER BY p)
+  * <= k`. The window form shuffles EVERY row of a group into one task and
+  * sorts it there, so a hot group (one dominant source, one viral event
+  * type) serializes the whole job through a single straggler. This
+  * aggregate keeps an O(k) heap per group and participates in partial
+  * aggregation: a hot group's rows collapse to k-sized states map-side,
+  * before the exchange, and the reducer merges heaps — the same
+  * partial/final contract as `sum`, state bounded by k rather than group
+  * size.
+  *
+  * Rank order is (p, v) ascending, or (p DESC, v) when `descending` — the
+  * v tiebreak keeps results total-order deterministic under equal
+  * priorities on both modes (v is the caller's unique id). Rows with a
+  * NULL priority or value are skipped, matching what a row_number window
+  * over non-null keys would see.
+  *
+  * Runs under ObjectHashAggregateExec (TypedImperativeAggregate is not
+  * codegen'd) — the buffer serializes as 16(k+…) bytes between partial and
+  * final, which is the price of bounded state and far smaller than a hot
+  * group's row payload.
+  */
+case class TopKPairs(
+    priority: Expression,
+    value: Expression,
+    k: Int,
+    descending: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKPairs.Buf]
+  with BinaryLike[Expression] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  override def left: Expression = priority
+  override def right: Expression = value
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (priority.dataType == LongType && value.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topk_pairs expects (BIGINT, BIGINT) inputs, got " +
+        s"(${priority.dataType.sql}, ${value.dataType.sql})")
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("p", LongType, nullable = false),
+      StructField("v", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TopKPairs.Buf =
+    new TopKPairs.Buf(k, descending)
+
+  override def update(buf: TopKPairs.Buf, input: InternalRow): TopKPairs.Buf = {
+    val p = priority.eval(input)
+    val v = value.eval(input)
+    if (p != null && v != null) buf.offer(p.asInstanceOf[Long], v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopKPairs.Buf, other: TopKPairs.Buf): TopKPairs.Buf = {
+    other.foreach(buf.offer)
+    buf
+  }
+
+  override def eval(buf: TopKPairs.Buf): Any =
+    new GenericArrayData(buf.sortedRank.map(pv => InternalRow(pv(0), pv(1))))
+
+  override def serialize(buf: TopKPairs.Buf): Array[Byte] = {
+    val arr = buf.toArray
+    val bb = ByteBuffer.allocate(4 + 16 * arr.length)
+    bb.putInt(arr.length)
+    arr.foreach { pv => bb.putLong(pv(0)); bb.putLong(pv(1)) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKPairs.Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKPairs.Buf(k, descending)
+    var i = 0
+    while (i < n) { buf.offer(bb.getLong, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKPairs =
+    copy(priority = newLeft, value = newRight)
+  override def prettyName: String = "topk_pairs"
+}
+
+object TopKPairs {
+
+  /** O(k) heap with the WORST kept element on top, so a new element either
+    * displaces the worst or is dropped in O(log k). */
+  final class Buf(k: Int, descending: Boolean) {
+    // rank compare: (p, v) asc, or (p desc, v asc) in descending mode
+    private def rankCmp(a: Array[Long], b: Array[Long]): Int = {
+      val c = if (descending) java.lang.Long.compare(b(0), a(0))
+              else java.lang.Long.compare(a(0), b(0))
+      if (c != 0) c else java.lang.Long.compare(a(1), b(1))
+    }
+    private val heap = new java.util.PriorityQueue[Array[Long]](k + 1,
+      new java.util.Comparator[Array[Long]] {
+        override def compare(a: Array[Long], b: Array[Long]): Int = rankCmp(b, a)
+      })
+
+    def offer(p: Long, v: Long): Unit = offer(Array(p, v))
+    def offer(pv: Array[Long]): Unit = {
+      if (heap.size < k) { heap.offer(pv); () }
+      else if (rankCmp(pv, heap.peek()) < 0) { heap.poll(); heap.offer(pv); () }
+    }
+    def foreach(f: Array[Long] => Unit): Unit = heap.forEach(pv => f(pv))
+    def toArray: Array[Array[Long]] = heap.toArray(Array.empty[Array[Long]])
+    def sortedRank: Array[Array[Long]] = toArray.sortWith(rankCmp(_, _) < 0)
+  }
+}

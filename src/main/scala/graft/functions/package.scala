@@ -46,6 +46,14 @@ package object functions {
   def merge_pair(sym: Column, left: String, right: String): Column =
     toCol(MergePair(toExpr(sym), left, right))
 
+  /** Bounded-state per-group top-K aggregate (see [[TopKPairs]]): rank order
+    * (priority, value) asc — or (priority DESC, value) with `descending` —
+    * evaluating to the kept array<struct<p,v>> in rank order. */
+  def topk_pairs(priority: Column, value: Column, k: Int,
+      descending: Boolean = false): Column =
+    toCol(TopKPairs(toExpr(priority), toExpr(value), k, descending)
+      .toAggregateExpression())
+
   // ---- SQL-argument helpers: optional trailing parameters must be integer
   // literals (they parameterize codegen constants), and arity is validated so
   // e.g. `word_shingles(text, 5)` really runs with n = 5 instead of silently

@@ -891,6 +891,37 @@ object Relational {
           ON e.value >= i.lo AND e.value < i.hi
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
       "Grid-bucketed interval join: large interval table joined by cell equi-key " +
-        "+ residual predicate (the 100 TB path where q19's broadcast-NL breaks)")
+        "+ residual predicate (the 100 TB path where q19's broadcast-NL breaks)"),
+
+    "grouped_topk" -> Q(
+      (s, d) => {
+        // Skew-proof per-group top-K: the bounded-state TopKPairs aggregate
+        // (O(k) heap, map-side partial aggregation) instead of a
+        // row_number() window — the window form shuffles EVERY row of a hot
+        // group into one task; this one collapses them to k-sized states
+        // before the exchange. The decimal-scaled priority is exact and
+        // monotone, so the BIGINT rank order equals the double value order.
+        val pr = (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          * 10000).cast("long")
+        eventsTable(s, d)
+          .select(col("event_type"), pr.as("p"), col("event_id").as("v"))
+          .groupBy(col("event_type"))
+          .agg(graft.functions.topk_pairs(col("p"), col("v"), 5,
+            descending = true).as("tk"))
+          .select(col("event_type"), explode(col("tk")).as("e"))
+          .select(col("event_type"), col("e.v").as("event_id"),
+            col("e.p").as("value_e4"))
+          .orderBy(col("event_type"), desc("value_e4"), col("event_id"))
+      },
+      Some("""SELECT event_type, event_id, value_e4 FROM (
+          SELECT event_type, event_id,
+            CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS value_e4,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) DESC,
+                event_id) AS rn
+          FROM events) WHERE rn <= 5
+        ORDER BY event_type, value_e4 DESC, event_id"""),
+      "Per-group top-5 via the bounded-state native aggregate (O(k) heap, partial " +
+        "aggregation before the exchange) vs the row_number window oracle.")
   )
 }

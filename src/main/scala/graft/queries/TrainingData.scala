@@ -264,6 +264,33 @@ object TrainingData {
       "Deterministic ~16% content-hash sample: portable across engines and stable across " +
         "reruns/partitionings, unlike rand()-based sampling."),
 
+    "source_cap_sample" -> Q(
+      (s, d) => {
+        // Per-source document cap (the RefinedWeb per-domain cap): keep at
+        // most 10 docs per source, chosen by content-hash order so the kept
+        // subset is unbiased and rerun/partitioning-stable. Uses the
+        // bounded-state TopKPairs aggregate — a dominant source collapses
+        // to 50-element states map-side instead of funneling every row
+        // through one window task. The 15-hex-digit md5 prefix (60 bits)
+        // read as a number preserves the hex string's lexicographic order,
+        // so the BIGINT priority equals the oracle's string ordering.
+        val pr = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+          16, 10).cast("long")
+        docs(s, d)
+          .select(col("source"), pr.as("p"), col("doc_id").as("v"))
+          .groupBy(col("source"))
+          .agg(topk_pairs(col("p"), col("v"), 10).as("tk"))
+          .select(col("source"), explode(col("tk")).as("e"))
+          .select(col("source"), col("e.v").as("doc_id"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""SELECT source, doc_id FROM (
+          SELECT source, doc_id, row_number() OVER (PARTITION BY source
+            ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) AS rn
+          FROM documents) WHERE rn <= 10 ORDER BY source, doc_id"""),
+      "Per-source cap sampling (≤ 10 docs/source, deterministic hash order) via the " +
+        "bounded-state top-K aggregate — the skew-proof RefinedWeb domain cap."),
+
     "stratified_sample" -> Q(
       (s, d) => docs(s, d)
         .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <
