@@ -9,16 +9,25 @@ import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
-/** Bounded-state per-group top-K as a native Catalyst aggregate — the
-  * skew-proof replacement for `row_number() OVER (PARTITION BY g ORDER BY p)
-  * <= k`. The window form shuffles EVERY row of a group into one task and
-  * sorts it there, so a hot group (one dominant source, one viral event
-  * type) serializes the whole job through a single straggler. This
-  * aggregate keeps an O(k) heap per group and participates in partial
-  * aggregation: a hot group's rows collapse to k-sized states map-side,
-  * before the exchange, and the reducer merges heaps — the same
-  * partial/final contract as `sum`, state bounded by k rather than group
-  * size.
+/** Bounded-state per-group top-K as a native Catalyst aggregate with an
+  * O(k) heap per group and full partial-aggregation participation: a hot
+  * group's rows collapse to k-sized states map-side, before the exchange,
+  * and the reducer merges heaps — the same partial/final contract as `sum`.
+  *
+  * Honest positioning vs the `row_number() OVER (...) <= k` window, MEASURED
+  * (tools.TopKBench, 20 M rows, one group holding 90%): Spark 4's
+  * WindowGroupLimit pushdown (SPARK-37099) already bounds the syntactic
+  * rank-filter pattern map-side — its exchange carried 320 k records, not
+  * 20 M, and wall times match within noise on one host. What this aggregate
+  * still buys: (a) k× fewer shuffle records — ONE O(k) state per
+  * (map partition, group) vs k ROWS per (map partition, group), 32 k vs
+  * 320 k measured; (b) the top-k arrives as a grouped ARRAY inside a normal
+  * `groupBy.agg`, so it composes with other aggregates in the SAME pass and
+  * can stay grouped (the Sq8 shortlist does this) — the window form costs a
+  * separate sort-exchange pipeline and an explode/refilter round-trip to
+  * get back to grouped shape; (c) it applies where the plan shape is not a
+  * recognizable rank predicate, which is exactly where WindowGroupLimit
+  * silently stops applying and the window reverts to shuffling every row.
   *
   * Rank order is (p, v) ascending, or (p DESC, v) when `descending` — the
   * v tiebreak keeps results total-order deterministic under equal

@@ -895,12 +895,14 @@ object Relational {
 
     "grouped_topk" -> Q(
       (s, d) => {
-        // Skew-proof per-group top-K: the bounded-state TopKPairs aggregate
-        // (O(k) heap, map-side partial aggregation) instead of a
-        // row_number() window — the window form shuffles EVERY row of a hot
-        // group into one task; this one collapses them to k-sized states
-        // before the exchange. The decimal-scaled priority is exact and
-        // monotone, so the BIGINT rank order equals the double value order.
+        // Bounded-state per-group top-K: the TopKPairs aggregate (O(k)
+        // heap, map-side partial aggregation) instead of a row_number()
+        // window. Spark 4's WindowGroupLimit bounds the window form too
+        // (SPARK-37099); the aggregate still shuffles k x fewer records
+        // (one O(k) state vs k rows per map-partition group — measured in
+        // tools.TopKBench) and composes with other aggregates in one pass.
+        // The decimal-scaled priority is exact and monotone, so the BIGINT
+        // rank order equals the double value order.
         val pr = (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))
           * 10000).cast("long")
         eventsTable(s, d)

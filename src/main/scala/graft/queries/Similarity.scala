@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.core._
-import graft.operators.{Ann, Pq}
+import graft.operators.{Ann, Pq, Sq8}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -117,6 +117,16 @@ object Similarity {
       "IVF-PQ ANN (IVFADC+R): 8×16 product-quantization codes (~30× smaller " +
         "than raw floats — what fits a 100 TB corpus in memory), per-query ADC " +
         "lookup tables, IVF routing, exact re-rank of the shortlist only."),
+
+    "ann_sq8" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        Sq8.topK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5)
+      },
+      None, // approximate: recall vs embedding_cosine_topk is spec-checked
+      "SQ8 ANN: int8 max-abs scalar quantization (4x smaller vectors), integer " +
+        "multiply-accumulate scan, bounded-state per-query shortlist (TopKPairs, " +
+        "no window), exact cosine re-rank of the shortlist only."),
 
     "knn_graph" -> Q(
       (s, d) => Ann.knnGraphExact(emb(s, d), k = 3),

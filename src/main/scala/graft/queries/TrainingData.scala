@@ -270,8 +270,9 @@ object TrainingData {
         // most 10 docs per source, chosen by content-hash order so the kept
         // subset is unbiased and rerun/partitioning-stable. Uses the
         // bounded-state TopKPairs aggregate — a dominant source collapses
-        // to 50-element states map-side instead of funneling every row
-        // through one window task. The 15-hex-digit md5 prefix (60 bits)
+        // to k-element states map-side (k x fewer shuffle records than even
+        // the WindowGroupLimit-bounded window; see functions.TopKPairs).
+        // The 15-hex-digit md5 prefix (60 bits)
         // read as a number preserves the hex string's lexicographic order,
         // so the BIGINT priority equals the oracle's string ordering.
         val pr = conv(substring(md5(col("doc_id").cast("string")), 1, 15),

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core._
-import graft.operators.Ann
+import graft.operators.{Ann, Sq8}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -47,6 +47,25 @@ class AnnSpec extends SparkSpec {
     val recall = recallVsExact(Ann.lshTopK(queries, cands, 5), 5)
     // 490 candidates, top-5: random buckets would land ~1% recall.
     assert(recall >= 0.3, s"LSH recall@5 = $recall")
+  }
+
+  test("SQ8 ANN recall@5 is near-exact (int8 error is per-element, not per-subspace)") {
+    val recall = recallVsExact(Sq8.topK(queries, cands, 5), 5)
+    // max-abs int8 quantization perturbs each element by <= scale/254, so the
+    // approximate order rarely strays outside a 4x-deep shortlist; this floor
+    // is far above what LSH/IVF/PQ manage on the same weakly-similar corpus
+    assert(recall >= 0.85, s"SQ8 recall@5 = $recall")
+  }
+
+  test("SQ8 ANN is deterministic and its codes respect the int8 range") {
+    val r1 = Sq8.topK(queries, cands, 5).collect().toSeq
+    val r2 = Sq8.topK(queries, cands, 5).collect().toSeq
+    assert(r1 == r2)
+    val codes = Sq8.quantize(cands, "embedding")
+      .select(explode($"sq8_codes").as("c")).as[Byte].collect()
+    assert(codes.forall(c => c >= -127 && c <= 127), "codes must fit [-127, 127]")
+    assert(codes.exists(c => math.abs(c.toInt) > 100),
+      "max-abs scaling must use most of the int8 range")
   }
 
   test("IVF ANN recall@5 beats random-candidate baseline by a wide margin") {
