@@ -449,6 +449,48 @@ object Ingestion {
         ORDER BY rule"""),
       "pre-commit CDC batch validation: per-rule violation counts (nulls, ranges, dup keys, orphan FKs)"),
 
+    "csv_quarantine_ingest" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Malformed-record quarantine — the ingestion behavior every real
+        // feed needs: a CSV batch arrives with rows whose numeric field is
+        // garbage (here: every doc_id % 97 == 0 row, injected
+        // deterministically so the oracle can replay the split from the
+        // clean source). The PERMISSIVE read parses what it can, captures
+        // the raw line of anything that doesn't fit the schema in
+        // _corrupt_record, and the pipeline forks: typed good rows continue,
+        // quarantined raw lines are counted (in production: land in a
+        // quarantine table for replay). No row is silently dropped —
+        // FAILFAST would kill the batch, DROPMALFORMED would lie about it.
+        val p = tmp("csv_quarantine_ingest")
+        GraftTableWriter.drop(s, p)
+        table(s, d, "documents")
+          .select($"doc_id", $"lang",
+            when($"doc_id" % 97 === 0, lit("notanumber"))
+              .otherwise($"n_chars".cast("string")).as("n_chars"))
+          .write.mode("overwrite").option("header", "false").csv(p)
+        val read = s.read
+          .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(p)
+          .localCheckpoint(true) // one parse feeds both forks
+        val good = read.filter($"_corrupt_record".isNull)
+        val bad = read.filter($"_corrupt_record".isNotNull)
+        good.agg(lit("good").as("status"), count(lit(1)).as("n_rows"),
+            sum($"n_chars").cast("long").as("sum_chars"))
+          .unionByName(bad.agg(lit("quarantined").as("status"),
+            count(lit(1)).as("n_rows"), lit(0L).as("sum_chars")))
+          .orderBy($"status")
+      },
+      Some("""SELECT 'good' AS status, count(*) AS n_rows,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL SELECT 'quarantined', count(*), 0
+        FROM documents WHERE doc_id % 97 = 0 ORDER BY status"""),
+      "PERMISSIVE CSV ingest with corrupt-record quarantine: typed good rows and " +
+        "counted quarantined raws from one parse — no silent drops, no batch abort."),
+
     "metadata_pruned_scan" -> Q(
       (s, d) => {
         import s.implicits._

@@ -428,6 +428,30 @@ object Relational {
       None, // HLL sketch: not bit-reproducible in SQL; error-bound spec instead
       "HLL approximate distinct (error-bound checked in ApproxSpec)"),
 
+    "approx_distinct_by_group" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // MERGEABLE distinct-count sketches (DataSketches HLL): one pass
+        // builds a per-group sketch, and the global figure is a UNION of
+        // those sketches — never a second scan of the raw data. This is the
+        // property that matters at 100 TB: per-partition partial sketches
+        // combine associatively, and downstream rollups (per-day → per-month
+        // → all-time) reuse stored sketches instead of raw rows.
+        val perType = eventsTable(s, d)
+          .groupBy($"event_type")
+          .agg(hll_sketch_agg($"user_id").as("sk"))
+        perType
+          .select($"event_type", hll_sketch_estimate($"sk").as("approx_users"))
+          .unionByName(perType
+            .agg(hll_union_agg($"sk").as("sk"))
+            .select(lit("ALL").as("event_type"),
+              hll_sketch_estimate($"sk").as("approx_users")))
+          .orderBy($"event_type")
+      },
+      None, // sketch estimates: error-bound + union-consistency spec (ApproxSpec)
+      "Per-group distinct-user sketches + their union in one pass " +
+        "(mergeable DataSketches HLL — rollups without re-scanning raw data)."),
+
     "q21_correlated_avg" -> Q(
       (s, d) => {
         import s.implicits._

@@ -23,6 +23,29 @@ class ApproxSpec extends SparkSpec {
       s"events: approx $approxE vs exact ${exact._2}")
   }
 
+  test("per-group HLL sketches and their union are within 5% of exact") {
+    val d = sf("sf0.01")
+    val got = SparkEntry.queries("approx_distinct_by_group")(spark, d)
+      .as[(String, Long)].collect().toMap
+    val exactPer = eventsTable(spark, d)
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    val exactAll = eventsTable(spark, d)
+      .agg(countDistinct($"user_id")).as[Long].head()
+    def relErr(a: Long, e: Long): Double = math.abs(a - e).toDouble / e
+    exactPer.foreach { case (t, e) =>
+      assert(relErr(got(t), e) < 0.05, s"$t: approx ${got(t)} vs exact $e")
+    }
+    // the union row measures DISTINCT users across types, not the sum of the
+    // per-type figures (users overlap types) — sketch merge must reflect that
+    assert(relErr(got("ALL"), exactAll) < 0.05,
+      s"union: approx ${got("ALL")} vs exact $exactAll")
+    assert(got("ALL") < exactPer.values.sum,
+      "union must deduplicate users that appear under several event types")
+    assert(got("ALL") >= exactPer.keys.map(got).max,
+      "union can never undercut its largest input sketch")
+  }
+
   test("count-min sketch token counts overestimate within eps*N") {
     val d = sf("sf0.01")
     val rows = SparkEntry.queries("freq_tokens_topk_approx")(spark, d)
