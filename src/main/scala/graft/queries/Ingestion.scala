@@ -3,7 +3,7 @@ package graft.queries
 import graft.{core, Q}
 import graft.core._
 import graft.functions.z_order
-import graft.operators.Upsert
+import graft.operators.{AsOfJoin, Upsert}
 import graft.sinks.{GraftTableWriter, VersionedTable}
 import graft.sources.{ShardedIngest, TypedIngest}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -402,6 +402,97 @@ object Ingestion {
         SELECT o_orderkey, o_custkey, o_totalprice FROM v2
         WHERE o_orderkey % 97 <> 0 ORDER BY o_orderkey"""),
       "CDC replication: changelog produced by changes() and replayed by applyChanges() reproduces the source table on a replica"),
+
+    "scd2_point_in_time_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Point-in-time (temporal) join: each fact row picks the dimension
+        // VERSION in effect when the fact happened — the query every SCD2
+        // history exists to serve. Because the lead()-built validity
+        // intervals are CONTIGUOUS, interval containment reduces exactly to
+        // a backward as-of join on valid_from — AsOfJoin's one-shuffle
+        // union+single-sort plan instead of a range join. event_id is the
+        // version axis (the CDC logical clock): unique and total, so there
+        // are no timestamp-collision edge cases on either side.
+        val ev = eventsTable(s, d)
+        val dim = ev.filter($"event_type" === "click")
+          .select($"user_id".as("dim_user"), $"event_id".as("dim_version"),
+            $"value".as("dim_value"))
+        val facts = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"value")
+        AsOfJoin.leftAsOf(facts, dim, "user_id", "dim_user", "event_id", "dim_version",
+            Seq("dim_value", "dim_version"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH dim AS (SELECT user_id, event_id AS dim_version, value AS dim_value,
+            lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS vto
+          FROM events WHERE event_type = 'click'),
+        f AS (SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase')
+        SELECT f.user_id, f.event_id, f.value, dim.dim_value, dim.dim_version
+        FROM f LEFT JOIN dim ON f.user_id = dim.user_id
+          AND f.event_id >= dim.dim_version
+          AND (dim.vto IS NULL OR f.event_id < dim.vto)
+        ORDER BY f.event_id"""),
+      "Temporal point-in-time join: facts pick the SCD2 dimension version in effect " +
+        "at their logical time (contiguous intervals -> backward as-of join, one shuffle)."),
+
+    "incremental_agg_maintenance" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Incremental view maintenance: a per-customer aggregate table is
+        // kept current under CDC by applying SIGNED contributions from the
+        // image changelog (changesWithImages: -f(before) +f(after)) instead
+        // of recomputing from the 100 TB base. One changelog scan + one
+        // keyed merge; the oracle recomputes the aggregate from the final
+        // state directly, proving delta maintenance ≡ recompute.
+        val p = tmp("incr_agg_src")
+        GraftTableWriter.drop(s, p)
+        val base = table(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        VersionedTable.overwrite(base, p) // v1
+        val next = base
+          .filter($"o_orderkey" % 1000 =!= 7) // deletes
+          .withColumn("o_totalprice", // updates
+            when($"o_orderkey" % 100 === 0, $"o_totalprice" + 100.0)
+              .otherwise($"o_totalprice"))
+          .unionByName(base.filter($"o_orderkey" % 997 === 0) // inserts
+            .select(($"o_orderkey" + 90000000L).as("o_orderkey"),
+              $"o_custkey", $"o_totalprice"))
+        VersionedTable.overwrite(next, p) // v2
+        val zero4 = lit(BigDecimal(0)).cast(DecimalType(38, 4))
+        val a0 = VersionedTable.readVersion(s, p, 1)
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n_orders"), sum(dec4($"o_totalprice")).as("sum_price"))
+        val ch = VersionedTable.changesWithImages(s, p, 1, 2, Seq("o_orderkey"))
+        val delta = ch.select(explode(array(
+            struct($"before.o_custkey".as("ck"), lit(-1L).as("dn"),
+              (-dec4($"before.o_totalprice")).as("dp")),
+            struct($"after.o_custkey".as("ck"), lit(1L).as("dn"),
+              dec4($"after.o_totalprice").as("dp")))).as("c"))
+          .filter($"c.ck".isNotNull) // absent side of an I/D contributes nothing
+          .groupBy($"c.ck".as("o_custkey"))
+          .agg(sum($"c.dn").as("dn"), sum($"c.dp").as("dp"))
+        a0.join(delta, Seq("o_custkey"), "full_outer")
+          .select($"o_custkey",
+            (coalesce($"n_orders", lit(0L)) + coalesce($"dn", lit(0L))).as("n_orders"),
+            (coalesce($"sum_price".cast(DecimalType(38, 4)), zero4)
+              + coalesce($"dp".cast(DecimalType(38, 4)), zero4)).as("sum_price"))
+          .filter($"n_orders" > 0)
+          .select($"o_custkey", $"n_orders", moneyE($"sum_price", 4).as("sum_price_e4"))
+          .orderBy($"o_custkey")
+      },
+      Some(s"""WITH v2 AS (
+          SELECT o_orderkey, o_custkey,
+            CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 100.0
+                 ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 1000 <> 7
+          UNION ALL SELECT o_orderkey + 90000000, o_custkey, o_totalprice
+          FROM orders WHERE o_orderkey % 997 = 0)
+        SELECT o_custkey, count(*) AS n_orders,
+          ${moneyESql("SUM(CAST(price AS DECIMAL(18,4)))", 4)} AS sum_price_e4
+        FROM v2 GROUP BY o_custkey ORDER BY o_custkey"""),
+      "Incremental aggregate maintenance from the image changelog (-f(before) " +
+        "+f(after) signed deltas merged into the maintained table) ≡ full recompute."),
 
     "ingest_validation" -> Q(
       (s, d) => {

@@ -268,6 +268,32 @@ object VersionedTable {
         nonKeys.map(c => coalesce(col(s"__b.$c"), col(s"__a.$c")).as(c)): _*)
   }
 
+  /** [[changes]] with BOTH row images — the Iceberg/Delta change-data-feed
+    * `update_before`/`update_after` shape: `op`, the key columns, and
+    * `before`/`after` structs of the non-key columns (NULL on the absent
+    * side of an I/D). This is what incremental aggregate maintenance needs:
+    * an update's delta is `f(after) − f(before)`, which the new-image-only
+    * [[changes]] cannot provide. Same single keyed full-outer join.
+    */
+  def changesWithImages(spark: SparkSession, path: String, fromV: Int, toV: Int,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct, when}
+    val a = readVersion(spark, path, fromV)
+    val b = readVersion(spark, path, toV)
+    require(a.columns.toSeq == b.columns.toSeq,
+      s"changesWithImages(v$fromV -> v$toV): snapshots have different columns")
+    val nonKeys = a.columns.filterNot(keys.contains).toSeq
+    val ka = a.select(keys.map(col) :+ struct(nonKeys.map(col): _*).as("before"): _*)
+    val kb = b.select(keys.map(col) :+ struct(nonKeys.map(col): _*).as("after"): _*)
+    ka.join(kb, keys, "full_outer")
+      .withColumn("op",
+        when(col("before").isNull, "I")
+          .when(col("after").isNull, "D")
+          .when(col("before") =!= col("after"), "U"))
+      .filter(col("op").isNotNull)
+      .select(col("op") +: keys.map(col) ++: Seq(col("before"), col("after")): _*)
+  }
+
   /** Apply an I/U/D changelog (the [[changes]] output shape: `op` plus the
     * full row image) to a replica table — the CONSUMER half of the CDC
     * pipeline, [[changes]] being the producer half. Deletes drop rows by
