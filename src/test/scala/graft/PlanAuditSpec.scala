@@ -191,6 +191,18 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("exact-substring dedup joins by gram only — no cartesian, no nested loop") {
+    val plan = planOf(q("exact_substring_spans"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("triangle counting is equi-joins only (an OR-of-orientations close would be a nested loop)") {
+    val plan = planOf(q("graph_triangles"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("partitioned readback prunes partitions at the source") {
     val plan = planOf(q("partitioned_write_readback"))
     // identity-partitioned parquet: the partition filter must not appear as
