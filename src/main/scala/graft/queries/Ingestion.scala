@@ -494,6 +494,88 @@ object Ingestion {
       "Incremental aggregate maintenance from the image changelog (-f(before) " +
         "+f(after) signed deltas merged into the maintained table) ≡ full recompute."),
 
+    "incremental_join_maintenance" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Incremental JOIN view maintenance: the materialized join
+        // M = orders ⋈ customer is kept current under CDC on BOTH inputs
+        // with the signed delta-join identity
+        //   ΔM = ΔA ⋈ B₀  ∪  A₀ ⋈ ΔB  ∪  ΔA ⋈ ΔB
+        // (signs multiply; update = −before +after), then M₁ = M₀ + ΔM by
+        // summing multiplicities. Each delta join keys on the same column
+        // as the view itself and Δ sides are change-batch-sized, so at
+        // 100 TB the maintenance cost tracks the delta, not the base —
+        // the oracle recomputes A₁ ⋈ B₁ from scratch, proving Δ ≡ full.
+        // All money flows as exact integer cents end to end.
+        val pA = tmp("ivm_orders"); val pB = tmp("ivm_customer")
+        GraftTableWriter.drop(s, pA); GraftTableWriter.drop(s, pB)
+        val cents = (c: org.apache.spark.sql.Column) => round(c * 100).cast("long")
+        val a1 = table(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey", cents($"o_totalprice").as("price_c"))
+        val b1 = table(s, d, "customer")
+          .select($"c_custkey", cents($"c_acctbal").as("bal_c"))
+        VersionedTable.overwrite(a1, pA) // v1
+        VersionedTable.overwrite(b1, pB) // v1
+        val a2 = a1.filter($"o_orderkey" % 1000 =!= 7)
+          .withColumn("price_c", when($"o_orderkey" % 100 === 0, $"price_c" + 10000L)
+            .otherwise($"price_c"))
+          .unionByName(a1.filter($"o_orderkey" % 997 === 0)
+            .select(($"o_orderkey" + 90000000L).as("o_orderkey"), $"o_custkey", $"price_c"))
+        val b2 = b1.filter($"c_custkey" % 499 =!= 0)
+          .withColumn("bal_c", when($"c_custkey" % 50 === 0, $"bal_c" + 1000L)
+            .otherwise($"bal_c"))
+        VersionedTable.overwrite(a2, pA) // v2
+        VersionedTable.overwrite(b2, pB) // v2
+        val dA = VersionedTable.changesWithImages(s, pA, 1, 2, Seq("o_orderkey"))
+          .select($"o_orderkey", explode(array(
+            struct($"before.o_custkey".as("o_custkey"),
+              $"before.price_c".as("price_c"), lit(-1L).as("sign")),
+            struct($"after.o_custkey".as("o_custkey"),
+              $"after.price_c".as("price_c"), lit(1L).as("sign")))).as("c"))
+          .filter($"c.price_c".isNotNull) // absent side of an I/D
+          .select($"o_orderkey", $"c.o_custkey".as("o_custkey"),
+            $"c.price_c".as("price_c"), $"c.sign".as("sa"))
+        val dB = VersionedTable.changesWithImages(s, pB, 1, 2, Seq("c_custkey"))
+          .select($"c_custkey", explode(array(
+            struct($"before.bal_c".as("bal_c"), lit(-1L).as("sign")),
+            struct($"after.bal_c".as("bal_c"), lit(1L).as("sign")))).as("c"))
+          .filter($"c.bal_c".isNotNull)
+          .select($"c_custkey", $"c.bal_c".as("bal_c"), $"c.sign".as("sb"))
+        val m0 = a1.join(b1, a1("o_custkey") === b1("c_custkey"))
+          .select($"o_orderkey", $"o_custkey", $"price_c", $"bal_c", lit(1L).as("w"))
+        val d1 = dA.join(b1, dA("o_custkey") === b1("c_custkey"))
+          .select($"o_orderkey", $"o_custkey", $"price_c", $"bal_c", $"sa".as("w"))
+        val d2 = a1.join(dB, a1("o_custkey") === dB("c_custkey"))
+          .select($"o_orderkey", $"o_custkey", $"price_c", $"bal_c", $"sb".as("w"))
+        val d3 = dA.join(dB, dA("o_custkey") === dB("c_custkey"))
+          .select($"o_orderkey", $"o_custkey", $"price_c", $"bal_c", ($"sa" * $"sb").as("w"))
+        m0.unionByName(d1).unionByName(d2).unionByName(d3)
+          .groupBy($"o_orderkey", $"o_custkey", $"price_c", $"bal_c")
+          .agg(sum($"w").as("m"))
+          .filter($"m" > 0)
+          .select($"o_orderkey", $"o_custkey", $"price_c", $"bal_c")
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH a2 AS (
+          SELECT o_orderkey, o_custkey,
+            CASE WHEN o_orderkey % 100 = 0
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) + 10000
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS price_c
+          FROM orders WHERE o_orderkey % 1000 <> 7
+          UNION ALL
+          SELECT o_orderkey + 90000000, o_custkey, CAST(round(o_totalprice * 100) AS BIGINT)
+          FROM orders WHERE o_orderkey % 997 = 0),
+        b2 AS (
+          SELECT c_custkey,
+            CASE WHEN c_custkey % 50 = 0
+              THEN CAST(round(c_acctbal * 100) AS BIGINT) + 1000
+              ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS bal_c
+          FROM customer WHERE c_custkey % 499 <> 0)
+        SELECT o_orderkey, o_custkey, price_c, bal_c
+        FROM a2 JOIN b2 ON o_custkey = c_custkey ORDER BY o_orderkey"""),
+      "Incremental JOIN maintenance: signed delta-join identity ΔM = ΔA⋈B₀ ∪ A₀⋈ΔB " +
+        "∪ ΔA⋈ΔB applied to the materialized view ≡ a from-scratch recompute."),
+
     "ingest_validation" -> Q(
       (s, d) => {
         import s.implicits._

@@ -948,6 +948,118 @@ object Relational {
           FROM events) WHERE rn <= 5
         ORDER BY event_type, value_e4 DESC, event_id"""),
       "Per-group top-5 via the bounded-state native aggregate (O(k) heap, partial " +
-        "aggregation before the exchange) vs the row_number window oracle.")
+        "aggregation before the exchange) vs the row_number window oracle."),
+
+    "pareto_frontier" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // 2-D skyline over part: cheapest price for each quality (size)
+        // level — the rows no other part beats on BOTH price and size.
+        // operators.Skyline turns the O(N²) dominance check into one
+        // distinct-x aggregation + a distributed strict-prefix max (the
+        // PrefixSum two-job shape), so no unpartitioned window and no
+        // self-join. Price in exact cents (BIGINT) on both engines.
+        val p = table(s, d, "part").select($"p_partkey",
+          $"p_size".cast("long").as("size"),
+          round($"p_retailprice" * 100).cast("long").as("price_c"))
+        graft.operators.Skyline.frontier2D(p, x = "price_c", y = "size")
+          .orderBy($"price_c", $"size", $"p_partkey")
+      },
+      Some("""WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+            CAST(round(p_retailprice * 100) AS BIGINT) AS price_c FROM part)
+          SELECT p_partkey, size, price_c FROM p a
+          WHERE NOT EXISTS (SELECT 1 FROM p b
+            WHERE b.price_c <= a.price_c AND b.size >= a.size
+              AND (b.price_c < a.price_c OR b.size > a.size))
+          ORDER BY price_c, size, p_partkey"""),
+      "2-D pareto frontier (min price, max size) via distributed prefix-max " +
+        "skyline ≡ the O(N²) NOT EXISTS dominance oracle."),
+
+    "event_transition_matrix" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // First-order Markov transition counts over per-user event
+        // sequences: lag() under a user-partitioned window (each user's
+        // history is small — the window parallelizes across users), then
+        // one count aggregation keyed by the (prev, curr) pair.
+        val w = Window.partitionBy($"user_id").orderBy($"tsu", $"event_id")
+        eventsTable(s, d)
+          .select($"user_id", $"event_id", micros($"ts").as("tsu"), $"event_type")
+          .withColumn("prev_type", lag($"event_type", 1).over(w))
+          .filter($"prev_type".isNotNull)
+          .groupBy($"prev_type", $"event_type")
+          .agg(count(lit(1)).as("n_transitions"))
+          .orderBy($"prev_type", $"event_type")
+      },
+      Some("""WITH seq AS (
+          SELECT user_id, event_type,
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+          FROM events)
+        SELECT prev_type, event_type, count(*) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type ORDER BY prev_type, event_type"""),
+      "First-order Markov transition matrix of per-user event sequences " +
+        "(user-partitioned lag + one pair-keyed count)."),
+
+    "decayed_rolling_sum" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Exponentially-decayed engagement score per event: the last 4
+        // event values of the same user, weighted 8/4/2/1 (α = 1/2
+        // truncated at 4 taps). Values are scaled to exact integer cents
+        // first, so the weighted sum is pure BIGINT arithmetic — order-
+        // independent and bit-equal on both engines (a double EWMA would
+        // drift with reduction order). The window partitions by user, so
+        // it parallelizes; a true infinite-horizon EWMA is inherently
+        // sequential and would need the PrefixSum two-pass instead.
+        val w = Window.partitionBy($"user_id").orderBy($"tsu", $"event_id")
+        val v = round($"value" * 100).cast("long")
+        eventsTable(s, d)
+          .select($"user_id", $"event_id", micros($"ts").as("tsu"), v.as("v_c"))
+          .withColumn("decayed_c",
+            $"v_c" * 8 + coalesce(lag($"v_c", 1).over(w), lit(0L)) * 4
+              + coalesce(lag($"v_c", 2).over(w), lit(0L)) * 2
+              + coalesce(lag($"v_c", 3).over(w), lit(0L)))
+          .select($"user_id", $"event_id", $"tsu", $"decayed_c")
+          .orderBy($"user_id", $"tsu", $"event_id")
+      },
+      Some("""WITH base AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tsu,
+            CAST(round(value * 100) AS BIGINT) AS v_c FROM events),
+        lagged AS (
+          SELECT user_id, event_id, tsu,
+            v_c * 8 + coalesce(lag(v_c, 1) OVER w, 0) * 4
+              + coalesce(lag(v_c, 2) OVER w, 0) * 2
+              + coalesce(lag(v_c, 3) OVER w, 0) AS decayed_c
+          FROM base WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id))
+        SELECT user_id, event_id, tsu, decayed_c FROM lagged
+        ORDER BY user_id, tsu, event_id"""),
+      "Exponentially-decayed rolling engagement score (weights 8/4/2/1) in exact " +
+        "scaled-integer arithmetic — the deterministic EWMA-truncation."),
+
+    "co_occurrence_pairs" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Market-basket co-occurrence: the 50 part pairs most often ordered
+        // together. The self-join fans out per order by basket size — a
+        // BOUNDED constant (TPC-H ≤ 7 line items/order), so pair rows are
+        // O(rows × basket), not O(N²); the top-50 runs as
+        // TakeOrderedAndProject (no global sort materializes).
+        val op = table(s, d, "lineitem")
+          .select($"l_orderkey", $"l_partkey").distinct()
+        op.as("a").join(op.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+          .groupBy($"a.l_partkey".as("part_a"), $"b.l_partkey".as("part_b"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(desc("n_orders"), $"part_a", $"part_b")
+          .limit(50)
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 50"""),
+      "Top-50 market-basket co-occurrence pairs: bounded per-basket fan-out " +
+        "self-join, pair-keyed count, TakeOrderedAndProject top-k.")
   )
 }

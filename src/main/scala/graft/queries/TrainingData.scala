@@ -1155,5 +1155,102 @@ object TrainingData {
           CAST(len(list_distinct(bs)) AS BIGINT) AS n_distinct_bytes
         FROM b ORDER BY doc_id"""),
       "Byte-level payload features (sum/min/max/distinct over a 256-byte head): the " +
-        "featurizer-stage plumbing, integer-exact across engines."))
+        "featurizer-stage plumbing, integer-exact across engines."),
+
+    "ranked_retrieval" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // BM25-family ranked retrieval over the inverted-index shape: score
+        // docs for a fixed conjunctive query by tf × inverse-df weight,
+        // normalized by document length. The idf is the libm-free
+        // floor-scaled rational w(t) = (N·10⁶) div df(t) — integer-exact on
+        // both engines (log-idf ranks identically for these df ranges but
+        // would hash-drift at the ulp); the only double is one final
+        // division of two exact integers, the repo-wide convention. Scale:
+        // the query-term postings are filtered BEFORE any shuffle (tf/df
+        // flow keyed by term); the O(1)-row corpus count and O(|q|)-row df
+        // table broadcast; top-20 runs as TakeOrderedAndProject.
+        val terms = Seq("vector", "join", "scan")
+        val toks = docs(s, d).select($"doc_id",
+          explode(ascii_tokens(col("text"))).as("tok"))
+        val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+        val qtoks = toks.filter($"tok".isin(terms: _*))
+        val dfT = qtoks.select($"doc_id", $"tok").distinct()
+          .groupBy($"tok").agg(count(lit(1)).as("df"))
+        val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+        val tf = qtoks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        tf.join(broadcast(dfT), "tok")
+          .crossJoin(broadcast(n))
+          .withColumn("w", expr("(n_docs * 1000000) div df"))
+          .groupBy($"doc_id")
+          .agg(sum($"tf" * $"w").as("score_num"), count(lit(1)).as("n_terms"))
+          .join(dl, "doc_id")
+          .withColumn("score", $"score_num".cast("double") / $"dl")
+          .orderBy(desc("score"), $"doc_id")
+          .limit(20)
+          .select($"doc_id", $"n_terms", $"score_num", $"dl", $"score")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents),
+          dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+          q AS (SELECT * FROM toks WHERE tok IN ('vector', 'join', 'scan')),
+          dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY tok),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          tf AS (SELECT doc_id, tok, count(*) AS tf FROM q GROUP BY doc_id, tok),
+          sc AS (SELECT doc_id, count(*) AS n_terms,
+              CAST(sum(tf * ((n_docs * 1000000) // df)) AS BIGINT) AS score_num
+            FROM tf JOIN dft USING (tok) CROSS JOIN n GROUP BY doc_id)
+          SELECT doc_id, n_terms, score_num, dl,
+            CAST(score_num AS DOUBLE) / dl AS score
+          FROM sc JOIN dl USING (doc_id)
+          ORDER BY score DESC, doc_id LIMIT 20"""),
+      "BM25-family ranked retrieval (tf × floor-scaled inverse-df, length-normalized, " +
+        "integer-exact): top-20 docs for a fixed query over the postings shape."),
+
+    "edit_distance_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // String similarity join at edit distance ≤ 1 over the corpus
+        // vocabulary WITHOUT the O(V²) all-pairs scan: each token emits its
+        // deletion neighborhood (itself + every single-character deletion,
+        // O(len) variants), candidates collide on a shared variant — a
+        // substitution shares a same-position deletion, an insert/delete
+        // shares the shorter word itself — and one codegen'd levenshtein
+        // re-check removes the ed=2 collisions (e.g. transpositions). One
+        // shuffle keyed by variant, fan-out bounded by word length.
+        // The corpus vocabulary is augmented with deterministic misspellings
+        // (first char → 'x'; appended 'x') so both collision paths —
+        // substitution and insertion — carry real pairs: the raw synthetic
+        // vocabulary has none within ed 1, and a 0-row pass proves nothing.
+        val base = docs(s, d)
+          .select(explode(ascii_tokens(col("text"))).as("tok")).distinct()
+        val vocab = base
+          .unionByName(base.filter(length($"tok") >= 4)
+            .select(concat(lit("x"), $"tok".substr(lit(2), length($"tok"))).as("tok")))
+          .unionByName(base.filter(length($"tok") >= 5)
+            .select(concat($"tok", lit("x")).as("tok")))
+          .distinct()
+        val variants = vocab.select($"tok", explode(array_union(
+            array($"tok"),
+            transform(sequence(lit(1), length($"tok")),
+              i => concat($"tok".substr(lit(1), i - 1),
+                $"tok".substr(i + 1, length($"tok")))))).as("v"))
+        variants.as("a").join(variants.as("b"),
+            $"a.v" === $"b.v" && $"a.tok" < $"b.tok")
+          .select($"a.tok".as("tok_a"), $"b.tok".as("tok_b")).distinct()
+          .filter(levenshtein($"tok_a", $"tok_b") <= 1)
+          .orderBy($"tok_a", $"tok_b")
+      },
+      Some("""WITH base AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents),
+          vocab AS (SELECT DISTINCT tok FROM (
+            SELECT tok FROM base
+            UNION ALL SELECT 'x' || substr(tok, 2) FROM base WHERE len(tok) >= 4
+            UNION ALL SELECT tok || 'x' FROM base WHERE len(tok) >= 5))
+          SELECT a.tok AS tok_a, b.tok AS tok_b
+          FROM vocab a JOIN vocab b ON a.tok < b.tok
+          WHERE levenshtein(a.tok, b.tok) <= 1
+          ORDER BY tok_a, tok_b"""),
+      "Edit-distance ≤ 1 similarity join via deletion-neighborhood blocking " +
+        "(O(Σ len) keys, no all-pairs) ≡ the O(V²) levenshtein oracle."))
 }
