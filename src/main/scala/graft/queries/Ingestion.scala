@@ -576,6 +576,75 @@ object Ingestion {
       "Incremental JOIN maintenance: signed delta-join identity ΔM = ΔA⋈B₀ ∪ A₀⋈ΔB " +
         "∪ ΔA⋈ΔB applied to the materialized view ≡ a from-scratch recompute."),
 
+    "replica_divergence_check" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Anti-entropy repair scan (the merkle-tree shape): find WHERE two
+        // 100 TB replicas diverge without shipping either one. Phase 1
+        // aggregates each side to 64 bucket digests (row count + sum of a
+        // 32-bit md5-derived row hash — md5 so both engines agree; sums are
+        // order-independent); only buckets whose digests differ — O(changed
+        // buckets), not O(rows) — reach phase 2, where a row-level
+        // anti-join in each direction lists the actual divergent rows.
+        // Divergence is injected deterministically (an update and a delete).
+        val cents = (c: org.apache.spark.sql.Column) => round(c * 100).cast("long")
+        val src = table(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey", cents($"o_totalprice").as("price_c"))
+        val rep = src.filter($"o_orderkey" % 2000 =!= 11)
+          .withColumn("price_c",
+            when($"o_orderkey" % 1234 === 5, $"price_c" + 1L).otherwise($"price_c"))
+        val withDigest = (t: DataFrame) => t
+          .withColumn("bucket", pmod($"o_orderkey", lit(64)))
+          .withColumn("rh", conv(substring(md5(concat_ws("|",
+            $"o_orderkey", $"o_custkey", $"price_c")), 1, 8), 16, 10).cast("long"))
+        val digests = (t: DataFrame) => withDigest(t)
+          .groupBy($"bucket").agg(count(lit(1)).as("n"), sum($"rh").as("hsum"))
+        val bad = digests(src).as("a")
+          .join(digests(rep).as("b"), Seq("bucket"), "full_outer")
+          .filter(!($"a.n" <=> $"b.n") || !($"a.hsum" <=> $"b.hsum"))
+          .select($"bucket")
+        val srcRows = withDigest(src).join(broadcast(bad), "bucket")
+        val repRows = withDigest(rep).join(broadcast(bad), "bucket")
+        val key = Seq("o_orderkey", "o_custkey", "price_c")
+        srcRows.select(key.map(col): _*)
+          .except(repRows.select(key.map(col): _*))
+          .withColumn("side", lit("source_only"))
+          .unionByName(repRows.select(key.map(col): _*)
+            .except(srcRows.select(key.map(col): _*))
+            .withColumn("side", lit("replica_only")))
+          .orderBy($"o_orderkey", $"side")
+      },
+      Some("""WITH src AS (SELECT o_orderkey, o_custkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders),
+        rep AS (SELECT o_orderkey, o_custkey,
+            CASE WHEN o_orderkey % 1234 = 5 THEN price_c + 1 ELSE price_c END AS price_c
+          FROM src WHERE o_orderkey % 2000 <> 11),
+        hs AS (SELECT *, o_orderkey % 64 AS bucket,
+            CAST(list_sum(list_transform(generate_series(1, 8),
+              i -> (strpos('0123456789abcdef', substr(md5(o_orderkey || '|' || o_custkey || '|' || price_c), i, 1)) - 1)
+                * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) AS rh
+          FROM src),
+        hr AS (SELECT *, o_orderkey % 64 AS bucket,
+            CAST(list_sum(list_transform(generate_series(1, 8),
+              i -> (strpos('0123456789abcdef', substr(md5(o_orderkey || '|' || o_custkey || '|' || price_c), i, 1)) - 1)
+                * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) AS rh
+          FROM rep),
+        da AS (SELECT bucket, count(*) AS n, sum(rh) AS hsum FROM hs GROUP BY bucket),
+        db AS (SELECT bucket, count(*) AS n, sum(rh) AS hsum FROM hr GROUP BY bucket),
+        bad AS (SELECT coalesce(da.bucket, db.bucket) AS bucket
+          FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+          WHERE da.n IS DISTINCT FROM db.n OR da.hsum IS DISTINCT FROM db.hsum)
+        SELECT o_orderkey, o_custkey, price_c, 'source_only' AS side
+          FROM (SELECT o_orderkey, o_custkey, price_c FROM hs WHERE bucket IN (SELECT bucket FROM bad)
+            EXCEPT SELECT o_orderkey, o_custkey, price_c FROM hr WHERE bucket IN (SELECT bucket FROM bad))
+        UNION ALL
+        SELECT o_orderkey, o_custkey, price_c, 'replica_only' AS side
+          FROM (SELECT o_orderkey, o_custkey, price_c FROM hr WHERE bucket IN (SELECT bucket FROM bad)
+            EXCEPT SELECT o_orderkey, o_custkey, price_c FROM hs WHERE bucket IN (SELECT bucket FROM bad))
+        ORDER BY o_orderkey, side"""),
+      "Anti-entropy replica divergence scan (merkle shape): O(buckets) digest compare " +
+        "narrows to divergent buckets, row-level anti-joins only there."),
+
     "ingest_validation" -> Q(
       (s, d) => {
         import s.implicits._

@@ -1060,6 +1060,48 @@ object Relational {
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
           GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 50"""),
       "Top-50 market-basket co-occurrence pairs: bounded per-basket fan-out " +
-        "self-join, pair-keyed count, TakeOrderedAndProject top-k.")
+        "self-join, pair-keyed count, TakeOrderedAndProject top-k."),
+
+    "interval_max_concurrency" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Peak interval concurrency (the "maximum rooms" problem): how many
+        // orders are simultaneously open, and when the peak is first hit.
+        // Each interval emits a +1 at its start and a −1 at its (exclusive)
+        // end; the answer is the max of the running sum over ONE global
+        // total order — inherently sequential, so the scan runs through
+        // PrefixSum's two-job distributed pass (range-partitioned, driver
+        // holds O(partitions) offsets) instead of an unpartitioned window
+        // that would pull every endpoint through a single task. Interval
+        // lengths derive deterministically from the key; all arithmetic is
+        // integer microseconds.
+        val dayUs = 86400000000L
+        val o = table(s, d, "orders").select($"o_orderkey",
+          micros($"o_orderdate").as("start_us"),
+          (micros($"o_orderdate") + ($"o_orderkey" % 28 + 1) * dayUs).as("end_us"))
+        val pts = o.select($"start_us".as("t_us"), lit(1L).as("delta"), $"o_orderkey")
+          .unionByName(o.select($"end_us".as("t_us"), lit(-1L).as("delta"), $"o_orderkey"))
+        val running = graft.operators.PrefixSum.groupedRunningTotal(
+          pts, group = Seq.empty, order = Seq($"t_us", $"delta", $"o_orderkey"),
+          value = "delta", out = "open_now")
+        running.join(broadcast(running.agg(max($"open_now").as("peak"))),
+            $"open_now" === $"peak")
+          .agg(max($"peak").as("peak_concurrency"), min($"t_us").as("first_peak_us"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS start_us,
+            epoch_us(o_orderdate) + (o_orderkey % 28 + 1) * 86400000000 AS end_us
+          FROM orders),
+        pts AS (
+          SELECT start_us AS t_us, 1 AS delta, o_orderkey FROM o
+          UNION ALL SELECT end_us, -1, o_orderkey FROM o),
+        running AS (
+          SELECT t_us, CAST(SUM(delta) OVER (ORDER BY t_us, delta, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_now
+          FROM pts)
+        SELECT max(peak) AS peak_concurrency, min(t_us) AS first_peak_us
+        FROM running, (SELECT max(open_now) AS peak FROM running)
+        WHERE open_now = peak"""),
+      "Peak interval concurrency (+1/−1 endpoint scan) via the distributed " +
+        "PrefixSum pass — no single-task global window.")
   )
 }

@@ -435,5 +435,70 @@ object Streaming {
         FROM events)
         SELECT event_id, event_type, seq FROM r WHERE seq > $offsetsCaseSql"""),
       "Per-shard offset state across micro-batches via flatMapGroupsWithState " +
-        "(the reference's ValueState offset loop, SnowflakeProcessFunction.java:88-122)."))
+        "(the reference's ValueState offset loop, SnowflakeProcessFunction.java:88-122)."),
+
+    "streaming_cdc_replication" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The full CDC replication pipeline as a STREAM: the source table
+        // evolves through three commits, each changelog (changes v→v+1, the
+        // producer half) is staged as one micro-batch, and the consumer
+        // applies batches in order with applyChanges — so the replica
+        // converges to the source's final state having only ever shipped
+        // deltas. This is the reference's Snowflake→Iceberg job shape
+        // end-to-end under Structured Streaming; the oracle recomputes the
+        // final state directly from the mutation rules. Money flows as
+        // exact integer cents.
+        val (src, out, ck) = Streams.workDirs("streaming_cdc_replication")
+        val srcTable = s"$out/source"; val repTable = s"$out/replica"
+        val v1 = table(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey",
+            round($"o_totalprice" * 100).cast("long").as("price_c"))
+        val v2 = v1.filter($"o_orderkey" % 1000 =!= 7)
+          .withColumn("price_c", when($"o_orderkey" % 100 === 0, $"price_c" + 10000L)
+            .otherwise($"price_c"))
+        val v3 = v2.unionByName(v1.filter($"o_orderkey" % 997 === 0)
+          .select(($"o_orderkey" + 90000000L).as("o_orderkey"), $"o_custkey", $"price_c"))
+        val v4 = v3.filter($"o_orderkey" % 500 =!= 3)
+          .withColumn("price_c", when($"o_orderkey" % 250 === 0, $"price_c" + 100L)
+            .otherwise($"price_c"))
+        graft.sinks.GraftTableWriter.drop(s, srcTable)
+        graft.sinks.GraftTableWriter.drop(s, repTable)
+        Seq(v1, v2, v3, v4).foreach(graft.sinks.VersionedTable.overwrite(_, srcTable))
+        // replica seeded at v1; the stream carries only the three changelogs,
+        // staged sequentially so mod-time order = commit order
+        graft.sinks.VersionedTable.overwrite(
+          graft.sinks.VersionedTable.readVersion(s, srcTable, 1), repTable)
+        val chSchema = graft.sinks.VersionedTable
+          .changes(s, srcTable, 1, 2, Seq("o_orderkey")).schema
+        (1 to 3).foreach { v =>
+          graft.sinks.VersionedTable.changes(s, srcTable, v, v + 1, Seq("o_orderkey"))
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+        val stream = s.readStream.schema(chSchema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val q = stream.writeStream
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.sinks.VersionedTable.applyChanges(batch, repTable, Seq("o_orderkey"))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.sinks.VersionedTable.read(s, repTable).orderBy($"o_orderkey")
+      },
+      Some("""WITH v1 AS (SELECT o_orderkey, o_custkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders),
+        v2 AS (SELECT o_orderkey, o_custkey,
+            CASE WHEN o_orderkey % 100 = 0 THEN price_c + 10000 ELSE price_c END AS price_c
+          FROM v1 WHERE o_orderkey % 1000 <> 7),
+        v3 AS (SELECT * FROM v2 UNION ALL
+          SELECT o_orderkey + 90000000, o_custkey, price_c FROM v1 WHERE o_orderkey % 997 = 0),
+        v4 AS (SELECT o_orderkey, o_custkey,
+            CASE WHEN o_orderkey % 250 = 0 THEN price_c + 100 ELSE price_c END AS price_c
+          FROM v3 WHERE o_orderkey % 500 <> 3)
+        SELECT o_orderkey, o_custkey, price_c FROM v4 ORDER BY o_orderkey"""),
+      "CDC replication as a stream: per-commit changelogs staged as micro-batches, " +
+        "applyChanges per batch — the replica converges to the source shipping only deltas."))
 }

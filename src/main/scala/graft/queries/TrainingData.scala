@@ -1252,5 +1252,63 @@ object TrainingData {
           WHERE levenshtein(a.tok, b.tok) <= 1
           ORDER BY tok_a, tok_b"""),
       "Edit-distance ≤ 1 similarity join via deletion-neighborhood blocking " +
-        "(O(Σ len) keys, no all-pairs) ≡ the O(V²) levenshtein oracle."))
+        "(O(Σ len) keys, no all-pairs) ≡ the O(V²) levenshtein oracle."),
+
+    "dict_encode" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Categorical dictionary encoding (the StringIndexer shape): map
+        // each vocabulary value to a dense integer id in frequency order.
+        // The global rank runs through GlobalOrder's zipWithIndex two-job
+        // scan — a row_number() window over the whole vocabulary would
+        // funnel every distinct value through ONE task; this keeps the
+        // sort range-partitioned and assigns contiguous ids per partition
+        // offset. Ties broken by token for a total, engine-portable order.
+        val counts = docs(s, d)
+          .select(explode(ascii_tokens(col("text"))).as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("n"))
+        graft.operators.GlobalOrder
+          .withGlobalIndex(counts, Seq(desc("n"), asc("tok")), out = "id")
+          .select($"tok", $"n", $"id")
+          .orderBy($"id")
+      },
+      Some("""WITH counts AS (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents)
+        SELECT tok, count(*) AS n,
+          row_number() OVER (ORDER BY count(*) DESC, tok) - 1 AS id
+        FROM counts GROUP BY tok ORDER BY id"""),
+      "Frequency-ordered categorical dictionary (StringIndexer): dense ids via the " +
+        "distributed GlobalOrder scan, no single-task vocabulary window."),
+
+    "feature_hashing" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The hashing trick (FeatureHasher): project tokens into a fixed
+        // 256-bucket sparse vector without materializing a dictionary —
+        // the unbounded-vocabulary path where dict_encode needs a fitted
+        // table. The bucket is derived from two md5 hex chars via strpos
+        // arithmetic (portable across engines, unlike engine-native
+        // hashes); per-doc bucket counts are the sparse features. One
+        // explode + one (doc, bucket) aggregation, embarrassingly parallel.
+        val hv1 = expr("instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1")
+        val hv2 = expr("instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1")
+        docs(s, d)
+          .filter($"doc_id" % 100 === 0) // bounded output sample of docs
+          .select($"doc_id", explode(ascii_tokens(col("text"))).as("tok"))
+          .withColumn("bucket", (hv1 * 16 + hv2).cast("long"))
+          .groupBy($"doc_id", $"bucket")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"doc_id", $"bucket")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents WHERE doc_id % 100 = 0)
+        SELECT doc_id,
+          CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS BIGINT) AS bucket,
+          count(*) AS n
+        FROM toks GROUP BY 1, 2 ORDER BY doc_id, bucket"""),
+      "Feature hashing (the hashing trick): tokens → fixed 256-bucket sparse counts " +
+        "via portable md5-hex arithmetic, no fitted dictionary."))
 }

@@ -59,7 +59,19 @@ object PlanDump {
           "one O(k) state per map-partition group crosses the wire, no Window operator anywhere."),
       "graph_triangles" ->
         ("Degree-ordered wedge join: equi-joins only (orientation, wedge self-join, canonical close) - " +
-          "no cartesian, no OR-condition nested loop; hub fan-out capped by the orientation."))
+          "no cartesian, no OR-condition nested loop; hub fan-out capped by the orientation."),
+      "pareto_frontier" ->
+        ("2-D skyline: distinct-x max aggregation, then the strict-prefix max runs as the PrefixSum " +
+          "two-job scan (range exchange + broadcast offsets) - no O(N^2) dominance join, no Window."),
+      "interval_max_concurrency" ->
+        ("Max-rooms endpoint scan: +-1 events union, ONE range exchange for the global order, " +
+          "running sum via per-partition offsets - the inherently sequential scan without a single-task window."),
+      "ranked_retrieval" ->
+        ("BM25 retrieval: postings filtered to the query terms BEFORE any exchange, O(|q|) df table " +
+          "and O(1) corpus count broadcast, top-20 as TakeOrderedAndProject - no global sort."),
+      "edit_distance_join" ->
+        ("Deletion-neighborhood similarity join: variant-keyed equi-join (no cartesian), " +
+          "candidate dedup then codegen'd levenshtein verify on survivors only."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit artifact\n\n")
     sb.append("Generated by `graft.tools.PlanDump` at sf0.01 (plans are scale-" +

@@ -212,4 +212,32 @@ class PlanAuditSpec extends SparkSpec {
         .linesIterator.filter(_.contains("Filter "))
         .forall(!_.contains("o_orderpriority")), plan.take(3000))
   }
+
+  test("ranked retrieval tops out as TakeOrderedAndProject, postings filtered pre-shuffle") {
+    val df = q("ranked_retrieval")
+    df.collect() // AQE-final plan
+    val plan = planOf(df).split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    // the query-term IN filter runs before the tf/df aggregation exchanges
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("edit-distance join is a variant-keyed equi-join — no cartesian, no nested loop") {
+    val plan = planOf(q("edit_distance_join"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("co-occurrence top-50 runs as TakeOrderedAndProject (no global sort)") {
+    val df = q("co_occurrence_pairs")
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("delta-join IVM keeps every delta join an equi-join") {
+    val plan = planOf(q("incremental_join_maintenance"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }
