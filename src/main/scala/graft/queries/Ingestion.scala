@@ -645,6 +645,43 @@ object Ingestion {
       "Anti-entropy replica divergence scan (merkle shape): O(buckets) digest compare " +
         "narrows to divergent buckets, row-level anti-joins only there."),
 
+    "analyze_table_stats" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // ANALYZE-style column statistics (the optimizer's cost-model
+        // input, Iceberg's per-column metrics at table grain): one scan
+        // computes count / nulls / exact NDV / min / max for a column set.
+        // Values stringify through BIGINT/string only (doubles would
+        // format differently across engines). count_distinct is exact —
+        // the HLL path exists separately as approx_distinct_by_group.
+        val li = table(s, d, "lineitem")
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus")
+        cols.map { c =>
+          li.agg(
+            lit(c).as("column_name"),
+            count(lit(1)).as("n_rows"),
+            (count(lit(1)) - count(col(c))).as("n_nulls"),
+            count_distinct(col(c)).as("ndv"),
+            min(col(c)).cast("string").as("min_str"),
+            max(col(c)).cast("string").as("max_str"))
+        }.reduce(_.unionByName(_)).orderBy($"column_name")
+      },
+      Some("""SELECT column_name, n_rows, n_nulls, ndv, min_str, max_str FROM (
+          SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
+            count(*) - count(l_orderkey) AS n_nulls, count(DISTINCT l_orderkey) AS ndv,
+            CAST(min(l_orderkey) AS VARCHAR) AS min_str, CAST(max(l_orderkey) AS VARCHAR) AS max_str FROM lineitem
+          UNION ALL SELECT 'l_partkey', count(*), count(*) - count(l_partkey), count(DISTINCT l_partkey),
+            CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR) FROM lineitem
+          UNION ALL SELECT 'l_suppkey', count(*), count(*) - count(l_suppkey), count(DISTINCT l_suppkey),
+            CAST(min(l_suppkey) AS VARCHAR), CAST(max(l_suppkey) AS VARCHAR) FROM lineitem
+          UNION ALL SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag), count(DISTINCT l_returnflag),
+            min(l_returnflag), max(l_returnflag) FROM lineitem
+          UNION ALL SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus), count(DISTINCT l_linestatus),
+            min(l_linestatus), max(l_linestatus) FROM lineitem)
+        ORDER BY column_name"""),
+      "ANALYZE-style per-column statistics (count/nulls/exact NDV/min/max) in one " +
+        "scan per column set — the optimizer cost-model and metrics-pruning input."),
+
     "ingest_validation" -> Q(
       (s, d) => {
         import s.implicits._

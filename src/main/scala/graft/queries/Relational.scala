@@ -1102,6 +1102,62 @@ object Relational {
         FROM running, (SELECT max(open_now) AS peak FROM running)
         WHERE open_now = peak"""),
       "Peak interval concurrency (+1/−1 endpoint scan) via the distributed " +
-        "PrefixSum pass — no single-task global window.")
+        "PrefixSum pass — no single-task global window."),
+
+    "q12c_grouping_sets" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Explicit GROUPING SETS (the general form rollup/cube specialize):
+        // per-returnflag totals, per-linestatus totals, and the grand total
+        // in ONE scan — Catalyst expands to a single Expand + aggregation,
+        // not three scans unioned. grouping_id() disambiguates the NULLs of
+        // each set on both engines.
+        table(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+            CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+            count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_qty_e4
+          FROM lineitem_gs
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY gid, l_returnflag, l_linestatus""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+          CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+          count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_qty_e4
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag, l_linestatus"""),
+      "Explicit GROUPING SETS: three aggregation grains in one Expand+agg scan, " +
+        "grouping_id-disambiguated."),
+
+    "robust_stats_mad" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Robust per-group dispersion: median + MAD (median absolute
+        // deviation) — the outlier-resistant alternative to mean/stddev for
+        // quality gates. Two exact-percentile passes over integer cents
+        // (interpolated identically on both engines: the only doubles are
+        // midpoints of exact integers); the per-group median is broadcast
+        // back for the deviation pass, so each pass is one partial-agg
+        // shuffle keyed by the group.
+        val v = round($"value" * 100).cast("long")
+        val base = eventsTable(s, d).select($"event_type", v.as("v_c"))
+        val med = base.groupBy($"event_type")
+          .agg(percentile($"v_c", lit(0.5)).as("med_c"))
+        base.join(broadcast(med), "event_type")
+          .withColumn("adev", abs($"v_c" - $"med_c"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), max($"med_c").as("median_c"),
+            percentile($"adev", lit(0.5)).as("mad_c"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH base AS (SELECT event_type,
+            CAST(round(value * 100) AS BIGINT) AS v_c FROM events),
+          med AS (SELECT event_type, median(v_c) AS med_c FROM base GROUP BY event_type)
+        SELECT event_type, count(*) AS n, max(med_c) AS median_c,
+          median(abs(v_c - med_c)) AS mad_c
+        FROM base JOIN med USING (event_type)
+        GROUP BY event_type ORDER BY event_type"""),
+      "Per-group median + MAD (outlier-robust dispersion) in two exact-percentile " +
+        "passes over integer cents; group medians broadcast for the deviation pass.")
   )
 }
