@@ -337,6 +337,43 @@ object Relational {
         ORDER BY l.event_id"""),
       "as-of join: single-shuffle union+window plan (operators.AsOfJoin)"),
 
+    "asof_join_tolerance" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // As-of join with a staleness bound (the kdb `wj`/Pandas
+        // `merge_asof(tolerance=)` semantics): a match older than 7 days is
+        // no match at all — stale reference data is worse than none. Same
+        // single-shuffle union+window plan as q18; the tolerance is one
+        // post-window predicate that NULLs the whole payload atomically, so
+        // it adds zero exchanges.
+        val tolUs = 7L * 86400000000L
+        val left = eventsTable(s, d)
+          .select($"event_id", $"user_id", micros($"ts").as("tsu"))
+        val right = table(s, d, "orders")
+          .groupBy($"o_custkey", $"o_orderdate")
+          .agg(max($"o_totalprice").as("o_val"))
+          .select($"o_custkey", micros($"o_orderdate").as("otsu"),
+            micros($"o_orderdate").as("asof_ts_us"), $"o_val")
+        AsOfJoin.leftAsOf(left, right, "user_id", "o_custkey", "tsu", "otsu",
+            Seq("asof_ts_us", "o_val"))
+          .withColumn("fresh", $"asof_ts_us".isNotNull && $"tsu" - $"asof_ts_us" <= tolUs)
+          .select($"event_id", $"user_id", $"tsu",
+            when($"fresh", $"asof_ts_us").as("asof_ts_us"),
+            when($"fresh", $"o_val").as("o_val"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH r AS (
+          SELECT o_custkey AS k, epoch_us(o_orderdate) AS otsu, MAX(o_totalprice) AS o_val
+          FROM orders GROUP BY 1, 2),
+        l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events)
+        SELECT l.event_id, l.user_id, l.tsu,
+          CASE WHEN l.tsu - r.otsu <= 604800000000 THEN r.otsu END AS asof_ts_us,
+          CASE WHEN l.tsu - r.otsu <= 604800000000 THEN r.o_val END AS o_val
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.k AND l.tsu >= r.otsu
+        ORDER BY l.event_id"""),
+      "As-of join with a 7-day staleness tolerance (merge_asof semantics): stale " +
+        "matches NULL out atomically, zero extra exchanges over the plain as-of plan."),
+
     "q19_range_join" -> Q(
       (s, d) => {
         import s.implicits._

@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.{OffsetTracker, ShardEvent, Streams}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{count, lit, window}
 import org.apache.spark.sql.streaming.Trigger
 
 /** Cross-micro-batch state semantics of the offset tracker: the per-shard
@@ -37,6 +38,40 @@ class StreamingSpec extends SparkSpec {
     val back = Streams.runAppend(staged, out, ck)
     assert(back.as[(Long, String)].collect().toSet ==
       (1 to 100).map(i => (i.toLong, s"v$i")).toSet)
+  }
+
+  test("watermark drops late rows AND the drop count is observable (ops metrics)") {
+    // Late-data accounting: rows behind the watermark must (a) not reach the
+    // sink and (b) be COUNTED — silent late-drop is how a 100 TB streaming
+    // pipeline loses data invisibly. numRowsDroppedByWatermark in the query
+    // progress is the Spark-native meter; this pins both halves.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = input.toDS().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"n")
+    val q = agg.writeStream.format("memory").queryName("late_metrics_t")
+      .outputMode("append").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    input.addData((t(0), 1L), (t(5), 2L))   // window [10:00,10:10)
+    q.processAllAvailable()
+    input.addData((t(50), 3L))              // advances watermark to 10:40
+    q.processAllAvailable()
+    input.addData((t(1), 4L))               // LATE: behind the watermark
+    q.processAllAvailable()
+    input.addData((t(59), 5L))              // closes nothing more, flushes progress
+    q.processAllAvailable()
+    val dropped = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsDroppedByWatermark).sum
+    q.stop()
+    val rows = spark.sql("SELECT ws, n FROM late_metrics_t")
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(dropped == 1L, s"expected exactly the one late row counted, got $dropped")
+    // the late row never reached the emitted closed window
+    assert(rows(t(0)) == 2L, s"late row leaked into the closed window: $rows")
   }
 
   test("ProcessingTime ingest survives a kill/restart exactly-once (offset tracker included)") {
