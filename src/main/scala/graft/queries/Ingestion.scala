@@ -682,6 +682,109 @@ object Ingestion {
       "ANALYZE-style per-column statistics (count/nulls/exact NDV/min/max) in one " +
         "scan per column set — the optimizer cost-model and metrics-pruning input."),
 
+    "upsert_out_of_order" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Out-of-order CDC protection (MERGE ... WHEN MATCHED AND
+        // incoming.ts > stored.ts): at-least-once delivery replays STALE
+        // updates, and an unconditional upsert would regress keys to old
+        // values. Spark-first this is not four MERGE branches but ONE
+        // shuffle: union the stored table with the batch, keep the newest
+        // row per key (update wins version ties), which is exactly the
+        // conditional-merge fixpoint. The batch mixes genuinely-new rows,
+        // stale replays (version 0 for keys already at 1), and inserts.
+        val base = table(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey",
+            round($"o_totalprice" * 100).cast("long").as("price_c"),
+            lit(1L).as("ver"), lit(0).as("side"))
+        val batch = table(s, d, "orders").filter($"o_orderkey" % 10 === 0)
+          .select($"o_orderkey", $"o_custkey",
+            when($"o_orderkey" % 30 === 0, round($"o_totalprice" * 100).cast("long") - 555L)
+              .otherwise(round($"o_totalprice" * 100).cast("long") + 777L).as("price_c"),
+            // every 30th key is a STALE replay (ver 0): must lose to the base
+            when($"o_orderkey" % 30 === 0, lit(0L)).otherwise(lit(2L)).as("ver"),
+            lit(1).as("side"))
+          .unionByName(table(s, d, "orders").filter($"o_orderkey" % 997 === 0)
+            .select(($"o_orderkey" + 90000000L).as("o_orderkey"), $"o_custkey",
+              round($"o_totalprice" * 100).cast("long").as("price_c"),
+              lit(2L).as("ver"), lit(1).as("side")))
+        graft.operators.Upsert.latestByKey(base.unionByName(batch),
+            Seq("o_orderkey"), Seq($"ver".desc, $"side".desc))
+          .select($"o_orderkey", $"o_custkey", $"price_c", $"ver")
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS price_c, 1 AS ver, 0 AS side
+          FROM orders),
+        batch AS (
+          SELECT o_orderkey, o_custkey,
+            CASE WHEN o_orderkey % 30 = 0 THEN CAST(round(o_totalprice * 100) AS BIGINT) - 555
+                 ELSE CAST(round(o_totalprice * 100) AS BIGINT) + 777 END AS price_c,
+            CASE WHEN o_orderkey % 30 = 0 THEN 0 ELSE 2 END AS ver, 1 AS side
+          FROM orders WHERE o_orderkey % 10 = 0
+          UNION ALL SELECT o_orderkey + 90000000, o_custkey,
+            CAST(round(o_totalprice * 100) AS BIGINT), 2, 1
+          FROM orders WHERE o_orderkey % 997 = 0),
+        u AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+            ORDER BY ver DESC, side DESC) AS rn
+          FROM (SELECT * FROM base UNION ALL SELECT * FROM batch))
+        SELECT o_orderkey, o_custkey, price_c, CAST(ver AS BIGINT) AS ver
+        FROM u WHERE rn = 1 ORDER BY o_orderkey"""),
+      "Out-of-order-safe conditional upsert (MERGE WHEN MATCHED AND newer): one " +
+        "union+latestByKey shuffle; stale CDC replays provably lose."),
+
+    "skew_diagnostics" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Pre-join skew diagnosis (the report that decides between a plain
+        // shuffle join, salting, and AQE skew handling): per-key frequency
+        // distribution of the join column in one aggregation — key count,
+        // max/median/p99 frequency, and the max/avg skew ratio. Integer-
+        // exact except the two repo-convention divisions.
+        val freq = table(s, d, "lineitem")
+          .groupBy($"l_partkey").agg(count(lit(1)).as("f"))
+        freq.agg(
+            count(lit(1)).as("n_keys"),
+            sum($"f").as("n_rows"),
+            max($"f").as("max_freq"),
+            percentile($"f", lit(0.5)).as("p50_freq"),
+            percentile($"f", lit(0.99)).as("p99_freq"))
+          .withColumn("skew_ratio",
+            ($"max_freq" * $"n_keys").cast("double") / $"n_rows")
+      },
+      Some("""WITH freq AS (SELECT l_partkey, count(*) AS f FROM lineitem GROUP BY 1)
+        SELECT count(*) AS n_keys, CAST(sum(f) AS BIGINT) AS n_rows, max(f) AS max_freq,
+          quantile_cont(f, 0.5) AS p50_freq, quantile_cont(f, 0.99) AS p99_freq,
+          CAST(max(f) * count(*) AS DOUBLE) / CAST(sum(f) AS BIGINT) AS skew_ratio
+        FROM freq"""),
+      "Join-key skew diagnosis in one aggregation: frequency distribution + max/avg " +
+        "skew ratio — the salting/AQE decision input."),
+
+    "join_size_estimate" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Optimizer-style join cardinality from per-key frequency vectors,
+        // WITHOUT executing the join: |A ⋈_k B| = Σ_k fA(k)·fB(k), and the
+        // self-join size is the second frequency moment F2 = Σ f². One
+        // aggregation per input — at 100 TB this replaces running a
+        // petabyte join to learn its size (JoinSizeSpec proves formula ≡
+        // executed-join count at test scale).
+        val fa = table(s, d, "lineitem").groupBy($"l_partkey").agg(count(lit(1)).as("fa"))
+        val fb = table(s, d, "part").groupBy($"p_partkey").agg(count(lit(1)).as("fb"))
+        val cross = fa.join(fb, $"l_partkey" === $"p_partkey")
+          .agg(sum($"fa" * $"fb").as("est_join_size"))
+        val f2 = fa.agg(sum($"fa" * $"fa").as("est_selfjoin_f2"),
+          max($"fa").as("max_freq"))
+        cross.crossJoin(broadcast(f2))
+      },
+      Some("""WITH fa AS (SELECT l_partkey, count(*) AS fa FROM lineitem GROUP BY 1),
+          fb AS (SELECT p_partkey, count(*) AS fb FROM part GROUP BY 1)
+        SELECT (SELECT CAST(sum(fa * fb) AS BIGINT) FROM fa JOIN fb ON l_partkey = p_partkey) AS est_join_size,
+          (SELECT CAST(sum(fa * fa) AS BIGINT) FROM fa) AS est_selfjoin_f2,
+          (SELECT max(fa) FROM fa) AS max_freq"""),
+      "Join cardinality from frequency vectors (Σ fA·fB; self-join F2 = Σ f²) — " +
+        "exact join sizes without executing the join."),
+
     "ingest_validation" -> Q(
       (s, d) => {
         import s.implicits._

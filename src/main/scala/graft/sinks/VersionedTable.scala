@@ -349,6 +349,26 @@ object VersionedTable {
     }
   }
 
+  /** Delete data directories under `path` that no snapshot references —
+    * Iceberg's remove_orphan_files. Orphans are the debris of writers that
+    * died between materializing a data dir and committing the manifest
+    * (the [[commit]] rename): invisible to every reader, but at 100 TB they
+    * silently hold storage forever. Only dirs matching the internal `d-*`
+    * naming are candidates, so foreign files and the meta dir are never
+    * touched. Returns the deleted dir names (sorted) for audit logging.
+    */
+  def removeOrphans(spark: SparkSession, path: String): Seq[String] = {
+    val filesystem = fs(spark, path)
+    val live = manifests(filesystem, path)
+      .flatMap { case (v, _) => readManifest(filesystem, path, v).dirs }.toSet
+    val orphans = filesystem.listStatus(new Path(path))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.startsWith("d-") && !live(n))
+      .toSeq.sorted
+    orphans.foreach(n => filesystem.delete(new Path(path, n), true))
+    orphans
+  }
+
   // ---- internals ---------------------------------------------------------
 
   private def writeDataDir(df: DataFrame, path: String): String = {

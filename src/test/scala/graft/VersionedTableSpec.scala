@@ -85,6 +85,33 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](VersionedTable.readVersion(spark, path, 1))
   }
 
+  test("removeOrphans deletes uncommitted data dirs only; every snapshot stays byte-intact") {
+    val path = "/tmp/graft_tables/spec_vt_orphans"
+    GraftTableWriter.drop(spark, path)
+    VersionedTable.overwrite(Seq((1L, "a")).toDF("id", "v"), path)
+    VersionedTable.append(Seq((2L, "b")).toDF("id", "v"), path)
+    // debris of a writer that died between data write and manifest commit:
+    // a d-* dir no manifest references
+    Seq((99L, "zz")).toDF("id", "v")
+      .write.parquet(s"$path/d-000orphan-1")
+    // a NON d-* foreign dir must never be touched
+    Seq((98L, "yy")).toDF("id", "v")
+      .write.parquet(s"$path/user_export")
+    val before = fileBytes(path)
+    val removed = VersionedTable.removeOrphans(spark, path)
+    assert(removed == Seq("d-000orphan-1"), removed)
+    // second pass is a no-op
+    assert(VersionedTable.removeOrphans(spark, path).isEmpty)
+    // both snapshots still read exactly; surviving files byte-identical
+    assert(VersionedTable.readVersion(spark, path, 1).as[(Long, String)]
+      .collect().toSet == Set((1L, "a")))
+    assert(VersionedTable.readVersion(spark, path, 2).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    val after = fileBytes(path)
+    assert(after == before.filter { case (f, _) => !f.startsWith("d-000orphan-1") })
+    assert(after.keys.exists(_.startsWith("user_export")), "foreign dir must survive")
+  }
+
   test("compaction collapses small files, keeps data identical, leaves old snapshots intact") {
     val path = "/tmp/graft_tables/spec_vt_compact"
     GraftTableWriter.drop(spark, path)
