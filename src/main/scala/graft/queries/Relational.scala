@@ -1195,6 +1195,46 @@ object Relational {
         FROM base JOIN med USING (event_type)
         GROUP BY event_type ORDER BY event_type"""),
       "Per-group median + MAD (outlier-robust dispersion) in two exact-percentile " +
-        "passes over integer cents; group medians broadcast for the deviation pass.")
+        "passes over integer cents; group medians broadcast for the deviation pass."),
+
+    "window_functions_suite" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The remaining ranking/distribution window surface in one plan:
+        // ntile quartiles, cume_dist, nth_value and lead over the same
+        // event_type-partitioned total order. Because the order is shared,
+        // Catalyst runs them over ONE exchange + shared sort (asserted in
+        // PlanAuditSpec; the running-frame nth_value chains a second Window
+        // op but re-uses the same partitioning and order) — the property
+        // that matters at scale. cume_dist is the single int/int division;
+        // everything else is integer-exact. The order ties break on
+        // event_id, so every function is deterministic.
+        val pr = ($"value".cast(DecimalType(18, 4)) * 10000).cast("long")
+        val w = Window.partitionBy($"event_type").orderBy($"value_e4", $"event_id")
+        eventsTable(s, d)
+          .filter($"user_id" % 50 === 0)
+          .select($"event_type", $"event_id", pr.as("value_e4"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("cdist", cume_dist().over(w))
+          .withColumn("second_lowest", nth_value($"value_e4", 2)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("next_value", lead($"value_e4", 1).over(w))
+          .orderBy($"event_type", $"value_e4", $"event_id")
+      },
+      Some("""SELECT event_type, event_id,
+          CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS value_e4,
+          CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          cume_dist() OVER w AS cdist,
+          nth_value(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT), 2)
+            OVER (PARTITION BY event_type
+              ORDER BY CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT), event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_lowest,
+          lead(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT), 1) OVER w AS next_value
+        FROM events WHERE user_id % 50 = 0
+        WINDOW w AS (PARTITION BY event_type
+          ORDER BY CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT), event_id)
+        ORDER BY event_type, value_e4, event_id"""),
+      "ntile/cume_dist/nth_value/lead fused into one Window over one exchange+sort " +
+        "(shared order) — the ranking/distribution window surface, deterministic ties.")
   )
 }

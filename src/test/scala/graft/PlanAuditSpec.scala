@@ -235,6 +235,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
 
+  test("window suite shares one exchange+sort across all four window functions") {
+    val df = q("window_functions_suite")
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle for the shared window order, got $exchanges\n" + plan.take(3000))
+    val sorts = "Sort \\[".r.findAllIn(plan).size
+    assert(sorts <= 2, s"expected the window sort (+ output order) only, got $sorts\n" + plan.take(3000))
+  }
+
   test("delta-join IVM keeps every delta join an equi-join") {
     val plan = planOf(q("incremental_join_maintenance"))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
