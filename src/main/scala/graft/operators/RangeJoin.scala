@@ -67,4 +67,47 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__cell")
   }
+
+  /** Interval×interval OVERLAP join (`aLo < bHi && bLo < aHi`, half-open) —
+    * the two-sided generalization of [[pointInInterval]]: both sides
+    * replicate onto the grid cells they span and equi-join on the cell
+    * (plus any `keys`). Because two overlapping intervals can share MANY
+    * cells, naively joining would emit duplicates; instead of a distinct
+    * (an extra shuffle over the full result), each pair is kept only in its
+    * canonical REFERENCE CELL — the cell of `greatest(aLo, bLo)`, which
+    * both sides provably replicate onto whenever they overlap — so every
+    * qualifying pair meets exactly once by construction. One shuffle keyed
+    * by (keys, cell); replication bounded by `maxCellsPerInterval`.
+    */
+  def intervalOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      aLo: String, aHi: String,
+      bLo: String, bHi: String,
+      bucketWidth: Double,
+      keys: Seq[String] = Nil,
+      maxCellsPerInterval: Int = 1024): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val clash = a.columns.toSet.intersect(b.columns.toSet) -- keys
+    require(clash.isEmpty,
+      s"interval overlap join: column names [${clash.mkString(", ")}] appear on both sides")
+    def cell(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
+    def onCells(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val spanned = df
+        .withColumn("__lo_cell", cell(col(lo)))
+        .withColumn("__hi_cell", cell(col(hi)))
+        .withColumn("__span", col("__hi_cell") - col("__lo_cell") + lit(1L))
+      spanned.withColumn("__cell", explode(
+          when(col("__span") <= lit(maxCellsPerInterval.toLong),
+            sequence(col("__lo_cell"), col("__hi_cell")))
+            .otherwise(raise_error(concat(
+              lit(s"interval overlap join: interval spans more than $maxCellsPerInterval cells of width $bucketWidth: ["),
+              col(lo).cast("string"), lit(", "), col(hi).cast("string"), lit(")"))))))
+        .drop("__lo_cell", "__hi_cell", "__span")
+    }
+    onCells(a, aLo, aHi).join(onCells(b, bLo, bHi), keys :+ "__cell")
+      .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      .filter(col("__cell") === cell(greatest(col(aLo), col(bLo))))
+      .drop("__cell")
+  }
 }

@@ -1235,6 +1235,44 @@ object Relational {
           ORDER BY CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT), event_id)
         ORDER BY event_type, value_e4, event_id"""),
       "ntile/cume_dist/nth_value/lead fused into one Window over one exchange+sort " +
-        "(shared order) — the ranking/distribution window surface, deterministic ties.")
+        "(shared order) — the ranking/distribution window surface, deterministic ties."),
+
+    "interval_overlap_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Interval×interval overlap join at fact×fact scale: which pairs of
+        // a customer's orders were open simultaneously. A raw OR-free
+        // non-equi join (aLo < bHi && bLo < aHi) would go nested-loop;
+        // RangeJoin.intervalOverlap grids both sides and keeps each pair
+        // only in its reference cell — an equi-join on (custkey, cell) with
+        // ZERO post-join dedup. Interval lengths derive deterministically
+        // from the key (as in interval_max_concurrency); 7-day grid cells.
+        val dayUs = 86400000000L
+        val o = table(s, d, "orders").select($"o_orderkey", $"o_custkey",
+          micros($"o_orderdate").as("start_us"),
+          (micros($"o_orderdate") + ($"o_orderkey" % 28 + 1) * dayUs).as("end_us"))
+        val a = o.select($"o_custkey", $"o_orderkey".as("ok_a"),
+          $"start_us".as("alo"), $"end_us".as("ahi"))
+        val b = o.select($"o_custkey", $"o_orderkey".as("ok_b"),
+          $"start_us".as("blo"), $"end_us".as("bhi"))
+        graft.operators.RangeJoin.intervalOverlap(a, b,
+            "alo", "ahi", "blo", "bhi",
+            bucketWidth = 7.0 * dayUs, keys = Seq("o_custkey"))
+          .filter($"ok_a" < $"ok_b")
+          .select($"o_custkey", $"ok_a", $"ok_b",
+            (least($"ahi", $"bhi") - greatest($"alo", $"blo")).as("overlap_us"))
+          .orderBy($"o_custkey", $"ok_a", $"ok_b")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS start_us,
+            epoch_us(o_orderdate) + (o_orderkey % 28 + 1) * 86400000000 AS end_us
+          FROM orders)
+        SELECT a.o_custkey, a.o_orderkey AS ok_a, b.o_orderkey AS ok_b,
+          least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us) AS overlap_us
+        FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+          AND a.o_orderkey < b.o_orderkey
+          AND a.start_us < b.end_us AND b.start_us < a.end_us
+        ORDER BY a.o_custkey, ok_a, ok_b"""),
+      "Interval×interval overlap join via grid cells + reference-cell dedup " +
+        "(each pair meets exactly once, no distinct) — fact×fact, no nested loop.")
   )
 }

@@ -67,4 +67,41 @@ class RangeJoinSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("spans more than 100 cells")), ex.toString)
   }
+
+  test("interval overlap join equals the plain non-equi join, pair for pair, at any width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val a = (0 until 200).map { i =>
+      val lo = rnd.nextInt(500).toDouble
+      (i.toLong, rnd.nextInt(3).toLong, lo, lo + 1 + rnd.nextInt(40)) }
+      .toDF("ida", "ka", "alo", "ahi")
+    val b = (0 until 200).map { i =>
+      val lo = rnd.nextInt(500).toDouble
+      (i.toLong, rnd.nextInt(3).toLong, lo, lo + 1 + rnd.nextInt(40)) }
+      .toDF("idb", "kb", "blo", "bhi")
+    val plain = a.join(b, $"ka" === $"kb" && $"alo" < $"bhi" && $"blo" < $"ahi")
+      .select($"ida", $"idb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(plain.nonEmpty, "degenerate fixture")
+    for (width <- Seq(3.0, 20.0, 500.0)) {
+      val gridded = RangeJoin.intervalOverlap(
+          a.withColumnRenamed("ka", "k"), b.withColumnRenamed("kb", "k"),
+          "alo", "ahi", "blo", "bhi", bucketWidth = width, keys = Seq("k"))
+        .select($"ida", $"idb").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // same pairs AND same multiplicity: the reference-cell rule must make
+      // every pair meet exactly once, with no distinct anywhere
+      assert(gridded.length == plain.length,
+        s"width=$width: multiplicity differs (${gridded.length} vs ${plain.length})")
+      assert(gridded.sorted.sameElements(plain.sorted), s"width=$width: pair sets differ")
+    }
+  }
+
+  test("interval overlap: touching endpoints do not match (half-open), containment does") {
+    import spark.implicits._
+    val a = Seq((1L, 0.0, 10.0), (2L, 50.0, 60.0)).toDF("ida", "alo", "ahi")
+    val b = Seq((10L, 10.0, 20.0), (20L, 52.0, 54.0)).toDF("idb", "blo", "bhi")
+    val got = RangeJoin.intervalOverlap(a, b, "alo", "ahi", "blo", "bhi", 5.0)
+      .select($"ida", $"idb").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // [0,10) touches [10,20) -> no; [50,60) contains [52,54) -> yes
+    assert(got.sameElements(Array((2L, 20L))), got.mkString(","))
+  }
 }
