@@ -976,6 +976,101 @@ object Ingestion {
       },
       Some("""SELECT event_id, user_id, value, epoch_us(ts) AS tsu, event_type
         FROM events WHERE event_type = 'click' ORDER BY event_id"""),
-      "identity-partitioned write (IcebergTableManager.java:77) + pruned read")
+      "identity-partitioned write (IcebergTableManager.java:77) + pruned read"),
+
+    "orc_roundtrip" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Columnar-format portability: the same table written as ORC and
+        // read back must carry every value bit-exactly (the oracle reads
+        // the ORIGINAL parquet — DuckDB never sees the ORC, so any
+        // round-trip corruption surfaces as a mismatch). Timestamps travel
+        // as unix micros; ORC is Spark-native columnar like parquet, so
+        // pushdown/pruning behave the same at scale.
+        val p = tmp("orc_roundtrip")
+        GraftTableWriter.drop(s, p)
+        eventsTable(s, d)
+          .select($"event_id", $"user_id", $"event_type",
+            micros($"ts").as("tsu"), round($"value" * 100).cast("long").as("v_c"))
+          .write.mode("overwrite").orc(p)
+        s.read.orc(p)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"v_c").as("sum_v_c"),
+            min($"tsu").as("min_tsu"), max($"tsu").as("max_tsu"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+          min(epoch_us(ts)) AS min_tsu, max(epoch_us(ts)) AS max_tsu
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      "ORC write + readback round-trip: aggregates over the ORC copy must equal the " +
+        "oracle computed from the original parquet — bit-exact format portability."),
+
+    "jsonl_roundtrip" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // JSON-lines round-trip — the interchange format every training-data
+        // pipeline ships documents in. Write the corpus as JSONL, read it
+        // back with an EXPLICIT schema (inference would be a second scan and
+        // can widen types), and prove content fidelity through the escape/
+        // unescape cycle by re-aggregating text lengths and md5s against the
+        // parquet-sourced oracle.
+        val p = tmp("jsonl_roundtrip")
+        GraftTableWriter.drop(s, p)
+        val src = table(s, d, "documents").select($"doc_id", $"lang", $"source", $"text")
+        src.write.mode("overwrite").json(p)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+        s.read.schema(schema).json(p)
+          .groupBy($"lang", $"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length($"text")).cast("long").as("total_chars"),
+            min(md5($"text")).as("min_text_md5"))
+          .orderBy($"lang", $"source")
+      },
+      Some("""SELECT lang, source, count(*) AS n_docs,
+          CAST(sum(len(text)) AS BIGINT) AS total_chars, min(md5(text)) AS min_text_md5
+        FROM documents GROUP BY lang, source ORDER BY lang, source"""),
+      "JSONL write + explicit-schema readback: text survives the escape cycle " +
+        "byte-exactly (md5-proved against the parquet-sourced oracle)."),
+
+    "dynamic_partition_overwrite" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Dynamic partition overwrite (INSERT OVERWRITE ... PARTITION):
+        // rewriting ONE partition's worth of data replaces only that
+        // partition — the other partitions' files are untouched, which at
+        // 100 TB is the difference between a partition-sized and a
+        // table-sized write. Here: all events written partitioned by type,
+        // then the 'click' partition alone is overwritten with doubled
+        // values; readback must show clicks doubled and everything else
+        // from the original write.
+        val p = tmp("dyn_part_overwrite")
+        GraftTableWriter.drop(s, p)
+        val base = eventsTable(s, d).select($"event_id", $"user_id",
+          round($"value" * 100).cast("long").as("v_c"), $"event_type")
+        base.write.partitionBy("event_type").mode("overwrite").parquet(p)
+        val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        try {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          base.filter($"event_type" === "click")
+            .withColumn("v_c", $"v_c" * 2)
+            .write.partitionBy("event_type").mode("overwrite").parquet(p)
+        } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        s.read.parquet(p)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"v_c").as("sum_v_c"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+          CAST(sum(CASE WHEN event_type = 'click'
+            THEN CAST(round(value * 100) AS BIGINT) * 2
+            ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS sum_v_c
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      "Dynamic partition overwrite: rewriting one partition leaves every other " +
+        "partition's data intact — partition-sized writes, never table-sized.")
   )
 }
