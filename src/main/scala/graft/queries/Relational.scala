@@ -1273,6 +1273,40 @@ object Relational {
           AND a.start_us < b.end_us AND b.start_us < a.end_us
         ORDER BY a.o_custkey, ok_a, ok_b"""),
       "Interval×interval overlap join via grid cells + reference-cell dedup " +
-        "(each pair meets exactly once, no distinct) — fact×fact, no nested loop.")
+        "(each pair meets exactly once, no distinct) — fact×fact, no nested loop."),
+
+    "hierarchy_closure" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Hierarchical (CONNECT BY / recursive-CTE) traversal: the ancestor
+        // closure of a part hierarchy to depth 3, as iterative equi-joins —
+        // each hop is one keyed shuffle, state is the frontier only, the
+        // same shape that scales PageRank/connected-components to 1000
+        // executors. The hierarchy derives deterministically from the key
+        // (parent = id div 7, root when that hits 0); the oracle unrolls
+        // the identical three hops as chained CTEs.
+        val e = table(s, d, "part")
+          .select($"p_partkey".cast("long").as("id"),
+            expr("p_partkey div 7").cast("long").as("pid"))
+          .filter($"pid" >= 1)
+        var lvl = e.select($"id", $"pid".as("anc"), lit(1L).as("depth"))
+        var out = lvl
+        for (k <- 2 to 3) {
+          lvl = lvl.join(e.select($"id".as("anc"), $"pid".as("anc2")), "anc")
+            .select($"id", $"anc2".as("anc"), lit(k.toLong).as("depth"))
+          out = out.unionByName(lvl)
+        }
+        out.orderBy($"id", $"depth")
+      },
+      Some("""WITH e AS (SELECT CAST(p_partkey AS BIGINT) AS id,
+            CAST(p_partkey // 7 AS BIGINT) AS pid FROM part WHERE p_partkey // 7 >= 1),
+          l1 AS (SELECT id, pid AS anc, 1 AS depth FROM e),
+          l2 AS (SELECT l1.id, e.pid AS anc, 2 AS depth FROM l1 JOIN e ON l1.anc = e.id),
+          l3 AS (SELECT l2.id, e.pid AS anc, 3 AS depth FROM l2 JOIN e ON l2.anc = e.id)
+        SELECT id, anc, CAST(depth AS BIGINT) AS depth
+        FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+        ORDER BY id, depth"""),
+      "Ancestor closure to depth 3 (CONNECT BY surface) as iterative frontier " +
+        "joins — one keyed shuffle per hop, ≡ the unrolled recursive-CTE oracle.")
   )
 }
