@@ -71,7 +71,13 @@ object PlanDump {
           "and O(1) corpus count broadcast, top-20 as TakeOrderedAndProject - no global sort."),
       "edit_distance_join" ->
         ("Deletion-neighborhood similarity join: variant-keyed equi-join (no cartesian), " +
-          "candidate dedup then codegen'd levenshtein verify on survivors only."))
+          "candidate dedup then codegen'd levenshtein verify on survivors only."),
+      "interval_overlap_join" ->
+        ("Interval x interval overlap at fact x fact scale: grid replication + reference-cell " +
+          "dedup makes it ONE equi-join on (key, cell) - no nested loop, no distinct."),
+      "incremental_join_maintenance" ->
+        ("Delta-join IVM: the three delta joins (dA-B0, A0-dB, dA-dB) are all equi-joins on the " +
+          "view key; maintenance cost tracks the change batch, never the base table."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit artifact\n\n")
     sb.append("Generated by `graft.tools.PlanDump` at sf0.01 (plans are scale-" +
