@@ -54,12 +54,18 @@ object ScaleBench {
     // banded paths still measured ≈ 1.2× wall, i.e. overhead dominated and
     // the true slope was unmeasured (r4 verdict item 5).
     val factors = Seq(1, 3, 10, 30)
+    val docQueryNames = Set("dedup_minhash_lsh", "ngram_jaccard_pairs",
+      "doc_lm_score", "deterministic_shuffle", "grouped_prefix_sum")
+    val earlyOnly: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     // materialize each scaled corpus so staging cost never pollutes the timing
-    val staged = factors.map { k =>
-      val p = s"$outDir/docs_x$k"
-      scaled(docs, k).write.mode("overwrite").parquet(p)
-      k -> p
-    }.toMap
+    val staged: Map[Int, String] =
+      if (docQueryNames.exists(n => earlyOnly.forall(_.contains(n))))
+        factors.map { k =>
+          val p = s"$outDir/docs_x$k"
+          scaled(docs, k).write.mode("overwrite").parquet(p)
+          k -> p
+        }.toMap
+      else Map.empty
 
     // doc_lm_score's shape inline (corpus bigram counts joined back to doc
     // bigrams, both shuffles keyed by bigram): the disjoint replica
@@ -94,28 +100,78 @@ object ScaleBench {
         .groupedRunningTotal(t, Seq("g"), Seq(col("hk"), col("doc_id")), "v", "cum")
         .filter(col("cum") % 97 === 0).count()
     }
+    // orders-derived paths (r5): each replica offsets BOTH keys, so customers
+    // stay disjoint across replicas — per-replica overlap pairs are constant
+    // and the ideal growth of the interval join is linear. The skyline's
+    // distinct-x aggregation + prefix scan are O(rows) by construction.
+    def intervalOverlapScaled(d: DataFrame): Long = {
+      val dayUs = 86400000000L
+      val o = d.select(col("o_orderkey"), col("o_custkey"),
+        org.apache.spark.sql.functions.unix_micros(col("o_orderdate").cast("timestamp")).as("start_us"))
+        .withColumn("end_us", col("start_us") + (col("o_orderkey") % 28 + 1) * dayUs)
+      val a = o.select(col("o_custkey"), col("o_orderkey").as("ok_a"),
+        col("start_us").as("alo"), col("end_us").as("ahi"))
+      val b = o.select(col("o_custkey"), col("o_orderkey").as("ok_b"),
+        col("start_us").as("blo"), col("end_us").as("bhi"))
+      graft.operators.RangeJoin.intervalOverlap(a, b, "alo", "ahi", "blo", "bhi",
+          bucketWidth = 7.0 * dayUs, keys = Seq("o_custkey"))
+        .filter(col("ok_a") < col("ok_b")).count()
+    }
+    def skylineScaled(d: DataFrame): Long =
+      graft.operators.Skyline.frontier2D(
+        d.select(col("o_orderkey"),
+          (col("o_totalprice") * 100).cast("long").as("x"),
+          (col("o_orderkey") % 9973).as("y")), "x", "y").count()
+
     val queries: Seq[(String, DataFrame => Long)] = Seq(
       "dedup_minhash_lsh" -> (d => NearDup.minhashLshPairs(d, 0.8).count()),
       "ngram_jaccard_pairs" -> (d => NearDup.exactJaccardPairs(d, 0.8).count()),
       "doc_lm_score" -> lmScore,
       "deterministic_shuffle" -> globalShuffle,
       "grouped_prefix_sum" -> groupedScan)
+    val orderQueries: Seq[(String, DataFrame => Long)] = Seq(
+      "interval_overlap" -> intervalOverlapScaled,
+      "skyline_prefix_max" -> skylineScaled)
 
-    val results = for ((name, run) <- queries; k <- factors) yield {
-      val d = spark.read.parquet(staged(k))
+    val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    def wanted(n: String) = only.forall(_.contains(n))
+
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val stagedOrders: Map[Int, String] =
+      if (orderQueries.exists { case (n, _) => wanted(n) })
+        factors.map { k =>
+          val p = s"$outDir/orders_x$k"
+          (0 until k).map(r => orders
+              .withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
+              .withColumn("o_custkey", col("o_custkey") + lit(r * 100000000L)))
+            .reduce(_ unionByName _).write.mode("overwrite").parquet(p)
+          k -> p
+        }.toMap
+      else Map.empty
+
+    val plans: Seq[(String, Int, String, DataFrame => Long)] =
+      (for ((name, run) <- queries if wanted(name); k <- factors)
+        yield (name, k, staged(k), run)) ++
+      (for ((name, run) <- orderQueries if wanted(name); k <- factors)
+        yield (name, k, stagedOrders(k), run))
+
+    val results = plans.map { case (name, k, path, run) =>
+      val d = spark.read.parquet(path)
       run(d) // warm the input file listing + JIT once per (query, K)
       val (sec, rows) = time(run(d))
       println(s"""{"query":"$name","factor":$k,"sec":${f"$sec%.2f"},"pairs":$rows}""")
       (name, k, sec, rows)
     }
 
-    val summary = queries.map { case (name, _) =>
-      val byK = results.filter(_._1 == name).map(r => r._2 -> r._3).toMap
-      val g10 = byK(10) / byK(1)
-      val g30 = byK(30) / byK(1)
-      s""""$name":{"t1":${f"${byK(1)}%.2f"},"t10":${f"${byK(10)}%.2f"},"t30":${f"${byK(30)}%.2f"},""" +
-        s""""growth_10x":${f"$g10%.1f"},"growth_30x":${f"$g30%.1f"}}"""
-    }.mkString("{", ",", "}")
+    val summary = (queries ++ orderQueries).filter { case (n, _) => wanted(n) }
+      .map { case (name, _) =>
+        val byK = results.filter(_._1 == name).map(r => r._2 -> r._3).toMap
+        val g10 = byK(10) / byK(1)
+        val g30 = byK(30) / byK(1)
+        s""""$name":{"t1":${f"${byK(1)}%.2f"},"t10":${f"${byK(10)}%.2f"},"t30":${f"${byK(30)}%.2f"},""" +
+          s""""growth_10x":${f"$g10%.1f"},"growth_30x":${f"$g30%.1f"}}"""
+      }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_growth","factors":${factors.mkString("[", ",", "]")},"detail":$summary}""")
     spark.stop()
   }
