@@ -355,14 +355,25 @@ object VersionedTable {
     * (the [[commit]] rename): invisible to every reader, but at 100 TB they
     * silently hold storage forever. Only dirs matching the internal `d-*`
     * naming are candidates, so foreign files and the meta dir are never
-    * touched. Returns the deleted dir names (sorted) for audit logging.
+    * touched.
+    *
+    * `olderThanMs` is the concurrent-writer guard (Iceberg's
+    * `older_than` for the same reason): a LIVE writer that has materialized
+    * its data dir but not yet committed looks exactly like an orphan, so
+    * only dirs whose modification time predates the grace window are
+    * eligible. The default (24 h) is safe for any sanely-timed commit;
+    * tests pass 0 to collect immediately. Returns the deleted dir names
+    * (sorted) for audit logging.
     */
-  def removeOrphans(spark: SparkSession, path: String): Seq[String] = {
+  def removeOrphans(spark: SparkSession, path: String,
+      olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val filesystem = fs(spark, path)
     val live = manifests(filesystem, path)
       .flatMap { case (v, _) => readManifest(filesystem, path, v).dirs }.toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
     val orphans = filesystem.listStatus(new Path(path))
-      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(st => st.isDirectory && st.getModificationTime <= cutoff)
+      .map(_.getPath.getName)
       .filter(n => n.startsWith("d-") && !live(n))
       .toSeq.sorted
     orphans.foreach(n => filesystem.delete(new Path(path, n), true))

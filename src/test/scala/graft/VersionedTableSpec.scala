@@ -98,10 +98,14 @@ class VersionedTableSpec extends SparkSpec {
     Seq((98L, "yy")).toDF("id", "v")
       .write.parquet(s"$path/user_export")
     val before = fileBytes(path)
-    val removed = VersionedTable.removeOrphans(spark, path)
+    // a fresh uncommitted dir is INSIDE the grace window: default-arg GC
+    // must leave it (it may be a live writer mid-commit)
+    assert(VersionedTable.removeOrphans(spark, path).isEmpty,
+      "grace window must protect recent uncommitted dirs")
+    val removed = VersionedTable.removeOrphans(spark, path, olderThanMs = 0)
     assert(removed == Seq("d-000orphan-1"), removed)
     // second pass is a no-op
-    assert(VersionedTable.removeOrphans(spark, path).isEmpty)
+    assert(VersionedTable.removeOrphans(spark, path, olderThanMs = 0).isEmpty)
     // both snapshots still read exactly; surviving files byte-identical
     assert(VersionedTable.readVersion(spark, path, 1).as[(Long, String)]
       .collect().toSet == Set((1L, "a")))
