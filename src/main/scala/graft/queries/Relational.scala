@@ -1307,6 +1307,40 @@ object Relational {
         FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
         ORDER BY id, depth"""),
       "Ancestor closure to depth 3 (CONNECT BY surface) as iterative frontier " +
-        "joins — one keyed shuffle per hop, ≡ the unrolled recursive-CTE oracle.")
+        "joins — one keyed shuffle per hop, ≡ the unrolled recursive-CTE oracle."),
+
+    "date_parts_suite" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Calendar-part semantics across engines — the classic parity trap:
+        // Spark's dayofweek() is 1=Sunday while DuckDB's isodow is
+        // 1=Monday, so the engine side normalizes to ISO ((dow+5)%7+1);
+        // weekofyear/dayofyear/quarter already agree on ISO semantics.
+        // Aggregated per (year, month) so every part function is exercised
+        // over every row but the output stays compact.
+        val dt = $"o_orderdate"
+        table(s, d, "orders")
+          .select(year(dt).cast("long").as("y"), month(dt).cast("long").as("m"),
+            quarter(dt).cast("long").as("q"),
+            ((dayofweek(dt) + 5) % 7 + 1).cast("long").as("iso_dow"),
+            weekofyear(dt).cast("long").as("iso_week"),
+            dayofyear(dt).cast("long").as("doy"),
+            dayofmonth(dt).cast("long").as("dom"))
+          .groupBy($"y", $"m")
+          .agg(count(lit(1)).as("n"), max($"q").as("q"),
+            sum($"iso_dow").as("sum_iso_dow"), sum($"iso_week").as("sum_iso_week"),
+            sum($"doy").as("sum_doy"), sum($"dom").as("sum_dom"))
+          .orderBy($"y", $"m")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+          CAST(month(o_orderdate) AS BIGINT) AS m, count(*) AS n,
+          CAST(max(quarter(o_orderdate)) AS BIGINT) AS q,
+          CAST(sum(isodow(o_orderdate)) AS BIGINT) AS sum_iso_dow,
+          CAST(sum(weekofyear(o_orderdate)) AS BIGINT) AS sum_iso_week,
+          CAST(sum(dayofyear(o_orderdate)) AS BIGINT) AS sum_doy,
+          CAST(sum(day(o_orderdate)) AS BIGINT) AS sum_dom
+        FROM orders GROUP BY 1, 2 ORDER BY y, m"""),
+      "Calendar-part parity suite (year/quarter/month/ISO week/ISO dow/doy/dom): " +
+        "engine-side dayofweek normalized to ISO; every part checked over every row.")
   )
 }
