@@ -1341,6 +1341,52 @@ object Relational {
           CAST(sum(day(o_orderdate)) AS BIGINT) AS sum_dom
         FROM orders GROUP BY 1, 2 ORDER BY y, m"""),
       "Calendar-part parity suite (year/quarter/month/ISO week/ISO dow/doy/dom): " +
-        "engine-side dayofweek normalized to ISO; every part checked over every row.")
+        "engine-side dayofweek normalized to ISO; every part checked over every row."),
+
+    "attribution_last_touch" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Last-touch attribution: every purchase credits the latest click
+        // by the same user within a 7-day lookback, else counts as organic.
+        // One AsOfJoin (union + single keyed sort window — no per-user
+        // loop), one tolerance predicate, one rollup. The attribution
+        // output is per-user: attributed/organic purchase counts and
+        // revenue in exact cents.
+        val tolUs = 7L * 86400000000L
+        val ev = eventsTable(s, d)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", micros($"ts").as("tsu"),
+            round($"value" * 100).cast("long").as("rev_c"))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id".as("c_user"), micros($"ts").as("ctsu"),
+            micros($"ts").as("click_ts"), $"event_id".as("click_id"))
+        AsOfJoin.leftAsOf(purchases, clicks, "user_id", "c_user", "tsu", "ctsu",
+            Seq("click_id", "click_ts"))
+          .withColumn("attributed",
+            $"click_id".isNotNull && $"tsu" - $"click_ts" <= tolUs)
+          .groupBy($"user_id")
+          .agg(
+            sum(when($"attributed", 1L).otherwise(0L)).as("n_attributed"),
+            sum(when(!$"attributed", 1L).otherwise(0L)).as("n_organic"),
+            sum(when($"attributed", $"rev_c").otherwise(0L)).as("attributed_rev_c"),
+            sum(when(!$"attributed", $"rev_c").otherwise(0L)).as("organic_rev_c"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+            CAST(round(value * 100) AS BIGINT) AS rev_c
+          FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id AS c_user, epoch_us(ts) AS ctsu, event_id AS click_id
+          FROM events WHERE event_type = 'click'),
+        j AS (SELECT p.*, c.ctsu,
+            (c.click_id IS NOT NULL AND p.tsu - c.ctsu <= 604800000000) AS attributed
+          FROM p ASOF LEFT JOIN c ON p.user_id = c.c_user AND p.tsu >= c.ctsu)
+        SELECT user_id,
+          CAST(sum(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+          CAST(sum(CASE WHEN attributed THEN 0 ELSE 1 END) AS BIGINT) AS n_organic,
+          CAST(sum(CASE WHEN attributed THEN rev_c ELSE 0 END) AS BIGINT) AS attributed_rev_c,
+          CAST(sum(CASE WHEN attributed THEN 0 ELSE rev_c END) AS BIGINT) AS organic_rev_c
+        FROM j GROUP BY user_id ORDER BY user_id"""),
+      "Last-touch attribution with a 7-day lookback (AsOfJoin + tolerance + rollup): " +
+        "attributed vs organic purchase counts and revenue per user, exact cents.")
   )
 }
