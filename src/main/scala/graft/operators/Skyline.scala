@@ -74,6 +74,6 @@ object Skyline {
     }
     val frontierG = spark.createDataFrame(frontierRdd, schema)
     in.join(frontierG, in(x) === frontierG(x) && in(y) === frontierG("__gy"))
-      .select(in.columns.map(in(_)): _*)
+      .select(in.columns.toSeq.map(in(_)): _*)
   }
 }

@@ -447,7 +447,7 @@ object Relational {
         val top = tokens.groupBy($"token").agg(count(lit(1)).as("cnt"))
           .orderBy($"cnt".desc, $"token").limit(50)
           .as[(String, Long)].collect()
-        s.createDataFrame(top.map { case (t, c) => (t, c, cms.estimateCount(t)) })
+        s.createDataFrame(top.toSeq.map { case (t, c) => (t, c, cms.estimateCount(t)) })
           .toDF("token", "exact_cnt", "est_cnt")
           .orderBy($"exact_cnt".desc, $"token")
       },
