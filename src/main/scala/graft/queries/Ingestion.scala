@@ -1071,6 +1071,45 @@ object Ingestion {
             ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS sum_v_c
         FROM events GROUP BY event_type ORDER BY event_type"""),
       "Dynamic partition overwrite: rewriting one partition leaves every other " +
-        "partition's data intact — partition-sized writes, never table-sized.")
+        "partition's data intact — partition-sized writes, never table-sized."),
+
+    "table_clone_divergence" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Zero-copy shallow clone (Delta SHALLOW CLONE / Iceberg branch):
+        // the dev/experiment branch of a 100 TB table costs one manifest
+        // write — the clone references the source's data dirs by absolute
+        // path, then diverges with its OWN commits. Output proves the
+        // three-way split: rows both tables share (from the clone point),
+        // rows only the source gained, rows only the clone gained.
+        val src = tmp("clone_src"); val dst = tmp("clone_dst")
+        GraftTableWriter.drop(s, src); GraftTableWriter.drop(s, dst)
+        val base = table(s, d, "orders")
+          .select($"o_orderkey", round($"o_totalprice" * 100).cast("long").as("price_c"))
+        VersionedTable.overwrite(base, src) // src v1 = clone point
+        VersionedTable.cloneAt(s, src, dst, version = 1)
+        // source diverges: new rows appended after the branch
+        VersionedTable.append(base.filter($"o_orderkey" % 997 === 0)
+          .select(($"o_orderkey" + 90000000L).as("o_orderkey"), $"price_c"), src)
+        // clone diverges its own way
+        VersionedTable.append(base.filter($"o_orderkey" % 991 === 0)
+          .select(($"o_orderkey" + 80000000L).as("o_orderkey"), $"price_c"), dst)
+        val srcNow = VersionedTable.read(s, src)
+          .select($"o_orderkey", $"price_c", lit(1L).as("in_src"))
+        val dstNow = VersionedTable.read(s, dst)
+          .select($"o_orderkey", $"price_c", lit(1L).as("in_clone"))
+        srcNow.join(dstNow, Seq("o_orderkey", "price_c"), "full_outer")
+          .groupBy()
+          .agg(
+            sum(when($"in_src".isNotNull && $"in_clone".isNotNull, 1L).otherwise(0L)).as("n_shared"),
+            sum(when($"in_clone".isNull, 1L).otherwise(0L)).as("n_src_only"),
+            sum(when($"in_src".isNull, 1L).otherwise(0L)).as("n_clone_only"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_shared,
+          (SELECT count(*) FROM orders WHERE o_orderkey % 997 = 0) AS n_src_only,
+          (SELECT count(*) FROM orders WHERE o_orderkey % 991 = 0) AS n_clone_only
+        FROM orders"""),
+      "Shallow-clone divergence: one-manifest zero-copy branch, independent " +
+        "append histories, three-way membership proved against the mutation rules.")
   )
 }

@@ -334,7 +334,12 @@ object VersionedTable {
     readManifest(fs(spark, path), path, v)
 
   /** Drop all but the last `keep` snapshots and delete data dirs no
-    * remaining snapshot references (Iceberg's expire_snapshots). */
+    * remaining snapshot references (Iceberg's expire_snapshots). Borrowed
+    * dirs (absolute paths a [[cloneAt]] clone references inside ANOTHER
+    * table) are never deleted here — the clone does not own them. The
+    * inverse hazard is inherent to shallow clones (exactly as in
+    * Delta/Iceberg): expiring the SOURCE is clone-unaware and can orphan
+    * clones that still reference the expired dirs. */
   def expire(spark: SparkSession, path: String, keep: Int): Unit = {
     require(keep >= 1, "must keep at least the latest snapshot")
     val filesystem = fs(spark, path)
@@ -344,9 +349,31 @@ object VersionedTable {
     val live = stay.flatMap { case (v, _) => readManifest(filesystem, path, v).dirs }.toSet
     drop.foreach { case (v, p) =>
       val dead = readManifest(filesystem, path, v).dirs.filterNot(live)
+        .filterNot(_.startsWith("/")) // borrowed (clone-referenced) dirs are not ours
       filesystem.delete(p, false)
       dead.foreach(d => filesystem.delete(new Path(path, d), true))
     }
+  }
+
+  /** Zero-copy shallow clone (Delta SHALLOW CLONE / an Iceberg branch):
+    * commit a snapshot at `dstPath` that references `srcPath`'s version-`v`
+    * data dirs BY ABSOLUTE PATH — no data moves. The clone then diverges
+    * independently: its own commits write local dirs, the source never sees
+    * them, and the clone's [[expire]] never deletes borrowed dirs (it does
+    * not own them). The standard shallow-clone caveat applies in the other
+    * direction: expiring the SOURCE's old snapshots can delete dirs a clone
+    * still references, exactly as Delta's VACUUM breaks shallow clones —
+    * callers keep source history as long as clones live. Returns the
+    * clone's committed version.
+    */
+  def cloneAt(spark: SparkSession, srcPath: String, dstPath: String, version: Int): Int = {
+    val filesystem = fs(spark, srcPath)
+    val snap = snapshot(spark, srcPath, version).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot v$version at $srcPath"))
+    val srcAbs = filesystem.makeQualified(new Path(srcPath)).toUri.getPath
+    def abs(d: String): String = if (d.startsWith("/")) d else s"$srcAbs/$d"
+    commit(spark, dstPath, _ => Snapshot(0, snap.dirs.map(abs),
+      snap.colStats.map { case (d, m) => abs(d) -> m }, None))
   }
 
   /** Delete data directories under `path` that no snapshot references —
@@ -498,7 +525,9 @@ object VersionedTable {
     val dirsBody = "\"dirs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(s)
       .map(_.group(1))
       .getOrElse(throw new java.io.IOException(s"bad manifest (no dirs): $s"))
-    val dirs = "\"(d-[^\"]+)\"".r.findAllMatchIn(dirsBody).map(_.group(1)).toSeq
+    // any string literal in the (already-scoped) dirs array: local dirs are
+    // "d-…", clone-borrowed dirs are absolute "/…/d-…" paths
+    val dirs = "\"([^\"]+)\"".r.findAllMatchIn(dirsBody).map(_.group(1)).toSeq
     val colStats = s"\\[$Lit,$Lit,$Lit,$Lit,$Lit\\]".r.findAllMatchIn(s).toSeq
       .map(m => (unesc(m.group(1)), unesc(m.group(2)),
         ColBounds(unesc(m.group(4)), unesc(m.group(5)), m.group(3))))

@@ -116,6 +116,38 @@ class VersionedTableSpec extends SparkSpec {
     assert(after.keys.exists(_.startsWith("user_export")), "foreign dir must survive")
   }
 
+  test("shallow clone: zero-copy branch, two-way divergence isolation, expire never touches borrowed dirs") {
+    val src = "/tmp/graft_tables/spec_vt_clone_src"
+    val dst = "/tmp/graft_tables/spec_vt_clone_dst"
+    GraftTableWriter.drop(spark, src); GraftTableWriter.drop(spark, dst)
+    VersionedTable.overwrite(Seq((1L, "a")).toDF("id", "v"), src)  // src v1
+    VersionedTable.append(Seq((2L, "b")).toDF("id", "v"), src)     // src v2
+    def rows(p: String, v: Int) = VersionedTable.readVersion(spark, p, v)
+      .as[(Long, String)].collect().toSet
+
+    // branch from HISTORY (src v1), not just the head
+    val cv = VersionedTable.cloneAt(spark, src, dst, version = 1)
+    assert(cv == 1)
+    assert(rows(dst, 1) == Set((1L, "a")))
+    // zero-copy: the clone dir holds NO data dirs of its own yet
+    assert(!new java.io.File(dst).listFiles.exists(_.getName.startsWith("d-")))
+
+    // divergence: clone writes never reach the source, and vice versa
+    VersionedTable.append(Seq((10L, "clone-only")).toDF("id", "v"), dst)
+    VersionedTable.append(Seq((3L, "src-only")).toDF("id", "v"), src)
+    assert(VersionedTable.read(spark, dst).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (10L, "clone-only")))
+    assert(VersionedTable.read(spark, src).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "src-only")))
+
+    // the clone's expire must never delete borrowed source dirs
+    VersionedTable.overwrite(Seq((99L, "z")).toDF("id", "v"), dst) // dst v3 drops refs
+    VersionedTable.expire(spark, dst, keep = 1)
+    assert(rows(src, 1) == Set((1L, "a")), "clone expire deleted borrowed source data")
+    assert(VersionedTable.read(spark, src).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "src-only")))
+  }
+
   test("compaction collapses small files, keeps data identical, leaves old snapshots intact") {
     val path = "/tmp/graft_tables/spec_vt_compact"
     GraftTableWriter.drop(spark, path)
