@@ -211,6 +211,54 @@ object Ingestion {
         FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey"""),
       "Iceberg-style equality-field upsert (IcebergSinkBuilder.java:40)"),
 
+    "upsert_merge_on_read" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The SAME upsert as `upsert_merge`, but merge-on-read (Iceberg v2
+        // equality deletes — what the reference's `.upsert(true)` sink
+        // actually writes): two MOR batches land as O(batch) data +
+        // key-delete dirs with NOTHING rewritten, deletes resolve by
+        // sequence at scan time, then compact materializes the merge and
+        // the result must STILL be identical. Read twice (pre- and
+        // post-compact) inside one plan via the version pin.
+        val p = tmp("upsert_mor")
+        GraftTableWriter.drop(s, p)
+        val base = table(s, d, "orders")
+        VersionedTable.overwrite(base, p)
+        val upd1 = base.filter($"o_orderkey" % 100 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+        val upd2 = base.filter($"o_orderkey" % 250 === 0) // re-touches some keys
+          .withColumn("o_orderstatus", lit("W"))
+          .withColumn("o_totalprice", $"o_totalprice" + 2000.0)
+        VersionedTable.upsertMor(upd1, p, Seq("o_orderkey"))
+        VersionedTable.upsertMor(upd2, p, Seq("o_orderkey"))
+        val vMor = VersionedTable.versions(s, p).last
+        VersionedTable.compact(s, p, targetRowsPerFile = 1000000L)
+        val mor = ordersOut(VersionedTable.readVersion(s, p, vMor))
+        val compacted = ordersOut(VersionedTable.read(s, p))
+        // pre-compact MOR scan ≡ post-compact materialized scan, both emitted
+        mor.withColumn("phase", lit("mor"))
+          .unionByName(compacted.withColumn("phase", lit("compacted")))
+          .orderBy($"phase", $"o_orderkey")
+      },
+      Some(s"""WITH merged AS (
+          SELECT $ordersOutSql FROM orders WHERE o_orderkey % 100 <> 0 AND o_orderkey % 250 <> 0
+          UNION ALL
+          SELECT o_orderkey, o_custkey, 'U', o_totalprice + 1000.0,
+            epoch_us(o_orderdate), o_orderpriority
+          FROM orders WHERE o_orderkey % 100 = 0 AND o_orderkey % 250 <> 0
+          UNION ALL
+          SELECT o_orderkey, o_custkey, 'W', o_totalprice + 2000.0,
+            epoch_us(o_orderdate), o_orderpriority
+          FROM orders WHERE o_orderkey % 250 = 0)
+        SELECT * FROM (
+          SELECT *, 'mor' AS phase FROM merged
+          UNION ALL SELECT *, 'compacted' FROM merged)
+        ORDER BY phase, o_orderkey"""),
+      "Merge-on-read upsert (Iceberg v2 equality deletes): O(batch) writes, " +
+        "sequence-resolved scan ≡ compacted materialization ≡ the logical merge."),
+
     "upsert_partitioned" -> Q(
       (s, d) => {
         import s.implicits._

@@ -67,9 +67,20 @@ object VersionedTable {
     * batch id applied to the table (Iceberg's
     * `flink.max-committed-checkpoint-id` analogue) — the one integer that
     * makes a foreachBatch sink exactly-once under replay. */
+  /** `dataSeq` and `deletes` are the merge-on-read state (Iceberg v2
+    * equality deletes, the mechanism the reference's upsert sink configures
+    * via `equalityFieldColumns` + `upsert(true)`): every dir carries the
+    * snapshot sequence that added it (absent → 0, pre-MOR legacy), `deletes`
+    * lists equality-delete dirs as (dir, seq), and `deleteKeys` names the
+    * table's equality fields. The read-time rule is Iceberg's: a data row
+    * with sequence s is dropped iff some delete dir with sequence > s
+    * contains its key. */
   final case class Snapshot(version: Int, dirs: Seq[String],
       colStats: Map[String, Map[String, ColBounds]] = Map.empty,
-      lastBatch: Option[Long] = None)
+      lastBatch: Option[Long] = None,
+      dataSeq: Map[String, Int] = Map.empty,
+      deletes: Seq[(String, Int)] = Nil,
+      deleteKeys: Seq[String] = Nil)
 
   /** Create version 1 or replace the visible contents with a new snapshot
     * (prior snapshots stay readable via [[readVersion]] until expired). */
@@ -88,8 +99,77 @@ object VersionedTable {
     commit(df.sparkSession, path, cur =>
       Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
         cur.map(_.colStats).getOrElse(Map.empty),
-        cur.flatMap(_.lastBatch)))
+        cur.flatMap(_.lastBatch),
+        cur.map(_.dataSeq).getOrElse(Map.empty) + (d -> nextV(cur)),
+        cur.map(_.deletes).getOrElse(Nil),
+        cur.map(_.deleteKeys).getOrElse(Nil)))
   }
+
+  /** Merge-on-read equality-field upsert (Iceberg v2 equality deletes — the
+    * mechanism the reference's sink turns on with
+    * `.equalityFieldColumns(keys).upsert(true)`,
+    * IcebergSinkBuilder.java:40-44): ONE commit adds the batch as a data dir
+    * plus the batch's key set as an equality-delete dir, both at this
+    * snapshot's sequence. Nothing old is rewritten — an upsert into a
+    * 100 TB table writes O(batch), not O(table) (the copy-on-write
+    * [[upsert]] rewrites the table). The cost moves to READ time: scans
+    * anti-join rows whose key a LATER delete covers, until [[compact]]
+    * materializes the merge and clears the delete list — exactly the
+    * Iceberg MOR/COW trade. Key columns are a table-level property; a
+    * mismatch with an earlier MOR commit fails loudly (mixed equality
+    * fields would silently mis-merge). */
+  def upsertMor(df: DataFrame, path: String, keys: Seq[String]): Int = {
+    val spark = df.sparkSession
+    checkMorKeys(spark, path, keys) // fail fast before writing any dir
+    val d = writeDataDir(df, path)
+    val del = writeDataDir(
+      df.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(), path)
+    commit(spark, path, cur => {
+      require(cur.forall(s => s.deleteKeys.isEmpty || s.deleteKeys == keys),
+        s"merge-on-read keys $keys conflict with the table's recorded " +
+          s"equality fields ${cur.map(_.deleteKeys).getOrElse(Nil)}")
+      val v = nextV(cur)
+      Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
+        cur.map(_.colStats).getOrElse(Map.empty),
+        cur.flatMap(_.lastBatch),
+        cur.map(_.dataSeq).getOrElse(Map.empty) + (d -> v),
+        cur.map(_.deletes).getOrElse(Nil) :+ (del -> v),
+        keys)
+    })
+  }
+
+  /** Equality DELETE as a merge-on-read commit: rows whose key is in
+    * `keysDf` disappear from subsequent reads without touching any data
+    * file — an O(keys) write against a 100 TB table. Same read-time rule
+    * and [[compact]] reclamation as [[upsertMor]]. */
+  def deleteWhereKeys(keysDf: DataFrame, path: String, keys: Seq[String]): Int = {
+    checkMorKeys(keysDf.sparkSession, path, keys) // fail fast before writing any dir
+    val del = writeDataDir(
+      keysDf.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(), path)
+    commit(keysDf.sparkSession, path, cur => {
+      require(cur.forall(s => s.deleteKeys.isEmpty || s.deleteKeys == keys),
+        s"merge-on-read keys $keys conflict with the table's recorded " +
+          s"equality fields ${cur.map(_.deleteKeys).getOrElse(Nil)}")
+      val v = nextV(cur)
+      Snapshot(0, cur.map(_.dirs).getOrElse(Nil),
+        cur.map(_.colStats).getOrElse(Map.empty),
+        cur.flatMap(_.lastBatch),
+        cur.map(_.dataSeq).getOrElse(Map.empty),
+        cur.map(_.deletes).getOrElse(Nil) :+ (del -> v),
+        keys)
+    })
+  }
+
+  private def nextV(cur: Option[Snapshot]): Int = cur.map(_.version).getOrElse(0) + 1
+
+  /** Mixed equality fields would silently mis-merge; the commit-time require
+    * is authoritative (it sees the post-race snapshot), this pre-check just
+    * avoids writing dirs that commit would then refuse. */
+  private def checkMorKeys(spark: SparkSession, path: String, keys: Seq[String]): Unit =
+    latest(spark, path).foreach(s => require(
+      s.deleteKeys.isEmpty || s.deleteKeys == keys,
+      s"merge-on-read keys $keys conflict with the table's recorded " +
+        s"equality fields ${s.deleteKeys}"))
 
   /** Idempotent append keyed by a monotonically increasing batch id — the
     * sink half of Spark's exactly-once contract. `foreachBatch` delivery is
@@ -110,7 +190,10 @@ object VersionedTable {
     commit(df.sparkSession, path, cur =>
       Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
         cur.map(_.colStats).getOrElse(Map.empty),
-        Some(batchId)))
+        Some(batchId),
+        cur.map(_.dataSeq).getOrElse(Map.empty) + (d -> nextV(cur)),
+        cur.map(_.deletes).getOrElse(Nil),
+        cur.map(_.deleteKeys).getOrElse(Nil)))
     true
   }
 
@@ -160,7 +243,10 @@ object VersionedTable {
     commit(df.sparkSession, path, cur =>
       Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
         cur.map(_.colStats).getOrElse(Map.empty) +
-          (d -> bounds), cur.flatMap(_.lastBatch)))
+          (d -> bounds), cur.flatMap(_.lastBatch),
+        cur.map(_.dataSeq).getOrElse(Map.empty) + (d -> nextV(cur)),
+        cur.map(_.deletes).getOrElse(Nil),
+        cur.map(_.deleteKeys).getOrElse(Nil)))
   }
 
   /** Single-column convenience form of [[appendWithStats]]. */
@@ -346,9 +432,10 @@ object VersionedTable {
     val all = manifests(filesystem, path)
     val (drop, stay) = all.splitAt(math.max(all.size - keep, 0))
     if (drop.isEmpty) return
-    val live = stay.flatMap { case (v, _) => readManifest(filesystem, path, v).dirs }.toSet
+    def allDirs(s: Snapshot): Seq[String] = s.dirs ++ s.deletes.map(_._1)
+    val live = stay.flatMap { case (v, _) => allDirs(readManifest(filesystem, path, v)) }.toSet
     drop.foreach { case (v, p) =>
-      val dead = readManifest(filesystem, path, v).dirs.filterNot(live)
+      val dead = allDirs(readManifest(filesystem, path, v)).filterNot(live)
         .filterNot(_.startsWith("/")) // borrowed (clone-referenced) dirs are not ours
       filesystem.delete(p, false)
       dead.foreach(d => filesystem.delete(new Path(path, d), true))
@@ -373,7 +460,10 @@ object VersionedTable {
     val srcAbs = filesystem.makeQualified(new Path(srcPath)).toUri.getPath
     def abs(d: String): String = if (d.startsWith("/")) d else s"$srcAbs/$d"
     commit(spark, dstPath, _ => Snapshot(0, snap.dirs.map(abs),
-      snap.colStats.map { case (d, m) => abs(d) -> m }, None))
+      snap.colStats.map { case (d, m) => abs(d) -> m }, None,
+      snap.dataSeq.map { case (d, s) => abs(d) -> s },
+      snap.deletes.map { case (d, s) => abs(d) -> s },
+      snap.deleteKeys))
   }
 
   /** Delete data directories under `path` that no snapshot references —
@@ -396,7 +486,8 @@ object VersionedTable {
       olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val filesystem = fs(spark, path)
     val live = manifests(filesystem, path)
-      .flatMap { case (v, _) => readManifest(filesystem, path, v).dirs }.toSet
+      .flatMap { case (v, _) =>
+        val s = readManifest(filesystem, path, v); s.dirs ++ s.deletes.map(_._1) }.toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val orphans = filesystem.listStatus(new Path(path))
       .filter(st => st.isDirectory && st.getModificationTime <= cutoff)
@@ -450,8 +541,29 @@ object VersionedTable {
 
   private def readSnapshot(spark: SparkSession, path: String, snap: Snapshot): DataFrame = {
     require(snap.dirs.nonEmpty, s"snapshot v${snap.version} is empty")
-    spark.read.option("mergeSchema", "true")
-      .parquet(snap.dirs.map(d => new Path(path, d).toString): _*)
+    if (snap.deletes.isEmpty)
+      spark.read.option("mergeSchema", "true")
+        .parquet(snap.dirs.map(d => new Path(path, d).toString): _*)
+    else {
+      // merge-on-read scan: each data dir is stamped with its sequence, the
+      // delete dirs collapse to (key -> max delete sequence), and a row
+      // survives iff no strictly-later delete covers its key. ONE key-hash
+      // join at read time — the cost [[upsertMor]] deferred; [[compact]]
+      // materializes it away.
+      import org.apache.spark.sql.functions.{col, lit, max}
+      val data = snap.dirs.map { d =>
+        spark.read.option("mergeSchema", "true").parquet(new Path(path, d).toString)
+          .withColumn("__seq", lit(snap.dataSeq.getOrElse(d, 0)))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      val dels = snap.deletes.map { case (d, s) =>
+        spark.read.parquet(new Path(path, d).toString).withColumn("__dseq", lit(s))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      val delMax = dels.groupBy(snap.deleteKeys.map(col): _*)
+        .agg(max(col("__dseq")).as("__dseq"))
+      data.join(delMax, snap.deleteKeys, "left_outer")
+        .filter(col("__dseq").isNull || col("__dseq") <= col("__seq"))
+        .drop("__seq", "__dseq")
+    }
   }
 
   private def latest(spark: SparkSession, path: String): Option[Snapshot] = {
@@ -513,7 +625,16 @@ object VersionedTable {
     } yield s"""["${esc(d)}","${esc(c)}","${b.typ}","${esc(b.lo)}","${esc(b.hi)}"]"""
     val stats = if (entries.isEmpty) "" else s""","colStats":[${entries.mkString(",")}]"""
     val lastBatch = snap.lastBatch.map(b => s""","lastBatch":$b""").getOrElse("")
-    s"""{"version":$v,$dirs$stats$lastBatch}"""
+    val seqs =
+      if (snap.dataSeq.isEmpty) ""
+      else s""","seqs":[${snap.dataSeq.toSeq.sortBy(_._1)
+        .map { case (d, sq) => s"""["${esc(d)}",$sq]""" }.mkString(",")}]"""
+    val dels =
+      if (snap.deletes.isEmpty) ""
+      else s""","deletes":[${snap.deletes
+        .map { case (d, sq) => s"""["${esc(d)}",$sq]""" }.mkString(",")}]""" +
+        s""","deleteKeys":[${snap.deleteKeys.map(k => "\"" + esc(k) + "\"").mkString(",")}]"""
+    s"""{"version":$v,$dirs$stats$lastBatch$seqs$dels}"""
   }
 
   private def parseManifest(s: String): Snapshot = {
@@ -534,7 +655,16 @@ object VersionedTable {
       .groupBy(_._1)
       .map { case (d, es) => d -> es.map(e => e._2 -> e._3).toMap }
     val lastBatch = "\"lastBatch\":(-?\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong)
-    Snapshot(v, dirs, colStats, lastBatch)
+    // (dir, seq) pair arrays, each scoped to its own named array body
+    def pairList(field: String): Seq[(String, Int)] =
+      (s"\"$field\":\\[(.*?\\])\\]").r.findFirstMatchIn(s).map(_.group(1)).toSeq
+        .flatMap(body => s"\\[$Lit,(\\d+)\\]".r.findAllMatchIn(body)
+          .map(m => (unesc(m.group(1)), m.group(2).toInt)).toSeq)
+    val dataSeq = pairList("seqs").toMap
+    val deletes = pairList("deletes")
+    val deleteKeys = "\"deleteKeys\":\\[([^\\]]*)\\]".r.findFirstMatchIn(s).map(_.group(1)).toSeq
+      .flatMap(body => "\"([^\"]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq)
+    Snapshot(v, dirs, colStats, lastBatch, dataSeq, deletes, deleteKeys)
   }
 
   private def manifestName(v: Int): String = f"v$v%05d.json"

@@ -148,6 +148,60 @@ class VersionedTableSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b"), (3L, "src-only")))
   }
 
+  test("merge-on-read upsert: O(batch) writes, Iceberg delete-sequence semantics, compact reclaims") {
+    val mor = "/tmp/graft_tables/spec_vt_mor"
+    val cow = "/tmp/graft_tables/spec_vt_cow"
+    GraftTableWriter.drop(spark, mor); GraftTableWriter.drop(spark, cow)
+    val base = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+    val batch1 = Seq((1L, "up1"), (2L, "up2"), (2000L, "new")).toDF("id", "v")
+    val batch2 = Seq((1L, "up1b"), (3L, "up3")).toDF("id", "v")
+    def rows(p: String) = VersionedTable.read(spark, p)
+      .as[(Long, String)].collect().toSet
+
+    VersionedTable.overwrite(base, mor); VersionedTable.overwrite(base, cow)
+    VersionedTable.upsertMor(batch1, mor, Seq("id"))
+    VersionedTable.upsert(batch1, cow, Seq("id"))
+    VersionedTable.upsertMor(batch2, mor, Seq("id"))
+    VersionedTable.upsert(batch2, cow, Seq("id"))
+    assert(rows(mor) == rows(cow), "MOR must equal the COW merge")
+
+    // write amplification: every MOR dir after the base holds O(batch) rows,
+    // never the table (the COW path rewrites all ~1001 rows each time)
+    val snap = VersionedTable.readManifestForTest(spark, mor,
+      VersionedTable.versions(spark, mor).last)
+    val batchDirs = snap.dirs.filter(d => snap.dataSeq.getOrElse(d, 0) > 1)
+    assert(batchDirs.nonEmpty)
+    batchDirs.foreach { d =>
+      val n = spark.read.parquet(s"$mor/$d").count()
+      assert(n <= 3, s"MOR data dir $d holds $n rows — table-sized rewrite leaked in")
+    }
+
+    // equality DELETE, then a LATER append of the same key must survive
+    // (delete sequence covers only earlier data — the Iceberg rule)
+    VersionedTable.deleteWhereKeys(Seq(Tuple1(5L)).toDF("id"), mor, Seq("id"))
+    assert(!rows(mor).exists(_._1 == 5L), "deleted key still visible")
+    VersionedTable.append(Seq((5L, "reborn")).toDF("id", "v"), mor)
+    assert(rows(mor).contains((5L, "reborn")), "post-delete append must survive")
+
+    // mixed equality fields fail loudly WHILE deletes are outstanding
+    // (after compact clears them, re-keying is legitimately allowed)
+    intercept[IllegalArgumentException] {
+      VersionedTable.upsertMor(Seq((1L, "x")).toDF("id", "v"), mor, Seq("v"))
+    }
+
+    // compact materializes the merge: same rows, zero delete dirs, and the
+    // pre-compact MOR snapshot still time-travels correctly
+    val before = rows(mor)
+    val vPre = VersionedTable.versions(spark, mor).last
+    VersionedTable.compact(spark, mor, targetRowsPerFile = 10000)
+    assert(rows(mor) == before)
+    val compacted = VersionedTable.readManifestForTest(spark, mor,
+      VersionedTable.versions(spark, mor).last)
+    assert(compacted.deletes.isEmpty, "compact must clear the delete list")
+    assert(VersionedTable.readVersion(spark, mor, vPre)
+      .as[(Long, String)].collect().toSet == before)
+  }
+
   test("compaction collapses small files, keeps data identical, leaves old snapshots intact") {
     val path = "/tmp/graft_tables/spec_vt_compact"
     GraftTableWriter.drop(spark, path)
