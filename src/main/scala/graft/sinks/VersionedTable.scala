@@ -162,6 +162,18 @@ object VersionedTable {
 
   private def nextV(cur: Option[Snapshot]): Int = cur.map(_.version).getOrElse(0) + 1
 
+  /** Roll the table back to snapshot `toVersion` AS A NEW COMMIT (Iceberg's
+    * rollback_to_snapshot): history is preserved — the bad snapshots stay
+    * time-travelable and a roll-FORWARD is just another rollback — and no
+    * data moves; the new manifest re-references the old version's dirs.
+    * The operational undo button for a bad ingest batch. */
+  def rollback(spark: SparkSession, path: String, toVersion: Int): Int = {
+    val target = snapshot(spark, path, toVersion).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot v$toVersion at $path"))
+    commit(spark, path, cur => target.copy(version = 0,
+      lastBatch = cur.flatMap(_.lastBatch)))
+  }
+
   /** Mixed equality fields would silently mis-merge; the commit-time require
     * is authoritative (it sees the post-race snapshot), this pre-check just
     * avoids writing dirs that commit would then refuse. */

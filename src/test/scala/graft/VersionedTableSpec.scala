@@ -148,6 +148,27 @@ class VersionedTableSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b"), (3L, "src-only")))
   }
 
+  test("rollback restores an old snapshot as a new commit; history stays; roll-forward works") {
+    val path = "/tmp/graft_tables/spec_vt_rollback"
+    GraftTableWriter.drop(spark, path)
+    VersionedTable.overwrite(Seq((1L, "good")).toDF("id", "v"), path)   // v1
+    VersionedTable.overwrite(Seq((2L, "bad")).toDF("id", "v"), path)    // v2: bad batch
+    def now() = VersionedTable.read(spark, path).as[(Long, String)].collect().toSet
+    val v3 = VersionedTable.rollback(spark, path, toVersion = 1)
+    assert(v3 == 3 && now() == Set((1L, "good")))
+    // the bad snapshot is still auditable, not erased
+    assert(VersionedTable.readVersion(spark, path, 2)
+      .as[(Long, String)].collect().toSet == Set((2L, "bad")))
+    // roll-forward = rollback to the later version
+    VersionedTable.rollback(spark, path, toVersion = 2)
+    assert(now() == Set((2L, "bad")))
+    // rollback of a MOR snapshot carries its delete state intact
+    VersionedTable.upsertMor(Seq((2L, "fixed")).toDF("id", "v"), path, Seq("id")) // v5
+    VersionedTable.overwrite(Seq((9L, "z")).toDF("id", "v"), path)               // v6
+    VersionedTable.rollback(spark, path, toVersion = 5)
+    assert(now() == Set((2L, "fixed")))
+  }
+
   test("merge-on-read upsert: O(batch) writes, Iceberg delete-sequence semantics, compact reclaims") {
     val mor = "/tmp/graft_tables/spec_vt_mor"
     val cow = "/tmp/graft_tables/spec_vt_cow"
