@@ -500,5 +500,52 @@ object Streaming {
           FROM v3 WHERE o_orderkey % 500 <> 3)
         SELECT o_orderkey, o_custkey, price_c FROM v4 ORDER BY o_orderkey"""),
       "CDC replication as a stream: per-commit changelogs staged as micro-batches, " +
-        "applyChanges per batch — the replica converges to the source shipping only deltas."))
+        "applyChanges per batch — the replica converges to the source shipping only deltas."),
+
+    "streaming_upsert_mor" -> Q(
+      (s, d) => {
+        // The reference's sink mechanism VERBATIM: a streaming upsert into
+        // an Iceberg-v2 table is merge-on-read equality deletes guarded by
+        // max-committed-checkpoint-id — here upsertMorOnce per micro-batch
+        // (data + key-delete dirs + batch id in ONE commit, O(batch)
+        // written, nothing rewritten; streaming_upsert_pipeline is the same
+        // topology on the copy-on-write path). Batches are staged
+        // sequentially (slice k = event_id % 4) so MOR's last-writer-wins
+        // is deterministic: the final row per key is the max-event_id row
+        // of the key's HIGHEST slice — exactly what the oracle's
+        // (slice DESC, event_id DESC) ranking computes.
+        val (src, out, ck) = Streams.workDirs("streaming_upsert_mor")
+        val tablePath = s"$out/table"
+        val input = eventsTable(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            round(col("value") * 100).cast("long").as("v_c"))
+        (0 until 4).foreach { k => // sequential appends: mod-time = batch order
+          input.filter(col("event_id") % 4 === k)
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+        val keys = Seq("user_id", "event_type")
+        val staged = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val q = staged.writeStream
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val compacted = graft.operators.Upsert.latestByKey(
+              batch, keys, Seq(col("event_id").desc))
+            graft.sinks.VersionedTable.upsertMorOnce(compacted, tablePath, keys, batchId)
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.sinks.VersionedTable.read(s, tablePath)
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT user_id, event_type, event_id, v_c FROM (
+          SELECT user_id, event_type, event_id,
+            CAST(round(value * 100) AS BIGINT) AS v_c,
+            row_number() OVER (PARTITION BY user_id, event_type
+              ORDER BY event_id % 4 DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1 ORDER BY user_id, event_type"""),
+      "The reference's sink verbatim: streaming CDC upsert as merge-on-read equality " +
+        "deletes + batch-id exactly-once (O(batch) per commit, nothing rewritten)."))
 }

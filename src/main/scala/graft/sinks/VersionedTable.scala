@@ -138,6 +138,33 @@ object VersionedTable {
     })
   }
 
+  /** [[upsertMor]] under the exactly-once batch-id contract (the
+    * [[appendOnce]] rule): the id commits atomically with the data+delete
+    * dirs, so an at-least-once foreachBatch redelivery is recognized and
+    * skipped. This is the reference's sink verbatim — a streaming upsert
+    * into an Iceberg-v2 table IS equality-delete MOR guarded by
+    * max-committed-checkpoint-id. Returns false on replay. */
+  def upsertMorOnce(df: DataFrame, path: String, keys: Seq[String], batchId: Long): Boolean = {
+    val spark = df.sparkSession
+    if (latest(spark, path).exists(_.lastBatch.exists(_ >= batchId))) return false
+    checkMorKeys(spark, path, keys)
+    val d = writeDataDir(df, path)
+    val del = writeDataDir(
+      df.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(), path)
+    commit(spark, path, cur => {
+      require(cur.forall(s => s.deleteKeys.isEmpty || s.deleteKeys == keys),
+        s"merge-on-read keys $keys conflict with recorded ${cur.map(_.deleteKeys).getOrElse(Nil)}")
+      val v = nextV(cur)
+      Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
+        cur.map(_.colStats).getOrElse(Map.empty),
+        Some(batchId),
+        cur.map(_.dataSeq).getOrElse(Map.empty) + (d -> v),
+        cur.map(_.deletes).getOrElse(Nil) :+ (del -> v),
+        keys)
+    })
+    true
+  }
+
   /** Equality DELETE as a merge-on-read commit: rows whose key is in
     * `keysDf` disappear from subsequent reads without touching any data
     * file — an O(keys) write against a 100 TB table. Same read-time rule

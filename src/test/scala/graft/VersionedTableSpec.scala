@@ -398,6 +398,22 @@ class VersionedTableSpec extends SparkSpec {
       .sameElements(Array(1L, 2L, 3L, 4L)))
   }
 
+  test("upsertMorOnce skips a replayed batch; the applied batch merges by sequence") {
+    val path = "/tmp/graft_tables/spec_vt_moronce"
+    GraftTableWriter.drop(spark, path)
+    VersionedTable.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    val batch = Seq((2L, "b2"), (3L, "c")).toDF("id", "v")
+    assert(VersionedTable.upsertMorOnce(batch, path, Seq("id"), batchId = 0))
+    // at-least-once redelivery of the same batch: recognized, skipped
+    assert(!VersionedTable.upsertMorOnce(batch, path, Seq("id"), batchId = 0))
+    val rows = VersionedTable.read(spark, path).as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a"), (2L, "b2"), (3L, "c")), rows)
+    // and the replay really wrote nothing: still exactly one delete dir
+    val snap = VersionedTable.readManifestForTest(spark, path,
+      VersionedTable.versions(spark, path).last)
+    assert(snap.deletes.size == 1, snap.deletes)
+  }
+
   test("upsertOnce merges by key exactly once under replay") {
     val path = "/tmp/graft_tables/spec_upsert_once"
     GraftTableWriter.drop(spark, path)
