@@ -1387,6 +1387,37 @@ object Relational {
           CAST(sum(CASE WHEN attributed THEN 0 ELSE rev_c END) AS BIGINT) AS organic_rev_c
         FROM j GROUP BY user_id ORDER BY user_id"""),
       "Last-touch attribution with a 7-day lookback (AsOfJoin + tolerance + rollup): " +
-        "attributed vs organic purchase counts and revenue per user, exact cents.")
+        "attributed vs organic purchase counts and revenue per user, exact cents."),
+
+    "null_safe_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // NULL-safe equality join (<=> / IS NOT DISTINCT FROM) — the
+        // semantic corner where `=` silently drops every NULL-keyed row:
+        // deterministically NULL some keys on both sides, join null-safely,
+        // and count matches per class. NULL<=>NULL rows pair up (here:
+        // cross of the two NULL groups), which plain equality would lose
+        // entirely; the side-by-side counts make the difference auditable.
+        val o = table(s, d, "orders").select(
+          when($"o_orderkey" % 100 === 7, lit(null)).otherwise($"o_custkey").as("k"),
+          $"o_orderkey")
+        val c = table(s, d, "customer").select(
+          when($"c_custkey" % 50 === 7, lit(null)).otherwise($"c_custkey").as("ck"),
+          $"c_custkey")
+        val nullSafe = o.join(c, $"k" <=> $"ck")
+          .agg(count(lit(1)).as("n"), lit("null_safe").as("semantics"))
+        val plain = o.join(c, $"k" === $"ck")
+          .agg(count(lit(1)).as("n"), lit("plain_equality").as("semantics"))
+        nullSafe.unionByName(plain).select($"semantics", $"n").orderBy($"semantics")
+      },
+      Some("""WITH o AS (SELECT CASE WHEN o_orderkey % 100 = 7 THEN NULL
+            ELSE o_custkey END AS k, o_orderkey FROM orders),
+          c AS (SELECT CASE WHEN c_custkey % 50 = 7 THEN NULL
+            ELSE c_custkey END AS ck, c_custkey FROM customer)
+        SELECT 'null_safe' AS semantics, count(*) AS n FROM o JOIN c ON k IS NOT DISTINCT FROM ck
+        UNION ALL SELECT 'plain_equality', count(*) FROM o JOIN c ON k = ck
+        ORDER BY semantics"""),
+      "NULL-safe equality join (<=> ≡ IS NOT DISTINCT FROM) vs plain equality, " +
+        "side by side — the NULL-keyed rows plain `=` silently drops.")
   )
 }

@@ -1310,5 +1310,52 @@ object TrainingData {
           count(*) AS n
         FROM toks GROUP BY 1, 2 ORDER BY doc_id, bucket"""),
       "Feature hashing (the hashing trick): tokens → fixed 256-bucket sparse counts " +
-        "via portable md5-hex arithmetic, no fitted dictionary."))
+        "via portable md5-hex arithmetic, no fitted dictionary."),
+
+    "multimodal_ahash" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Perceptual average-hash fingerprint over the raw payload bytes —
+        // the image near-dup primitive (aHash): 64 fixed blocks of the
+        // 256-byte head, each block's byte-sum compared to the global mean
+        // gives one bit, packed into a BIGINT. All-integer arithmetic →
+        // engine-exact; a real image pipeline would swap the byte head for
+        // decoded luma pixels over the SAME plumbing, and the Hamming
+        // banding of dedup_simhash finds near-dup pairs over these hashes.
+        // 63 blocks (bits 0..62) keep the packed hash non-negative — bit 63
+        // would sign-flip on the engine side and overflow the oracle's
+        // HUGEINT→BIGINT cast; one bit of a 63-bit fingerprint is noise.
+        val padded = rpad($"text", 252, " ")
+        val bytes = transform(sequence(lit(1), lit(252)),
+          i => ascii(padded.substr(i, lit(1))).cast("long"))
+        val blockSums = transform(sequence(lit(0), lit(62)),
+          b => aggregate(slice(bytes, b * 4 + 1, lit(4)), lit(0L), _ + _))
+        docs(s, d)
+          .filter(length($"text") > 0)
+          .select($"doc_id", blockSums.as("bs"))
+          .select($"doc_id", aggregate($"bs", lit(0L), _ + _).as("total"), $"bs")
+          .select($"doc_id",
+            aggregate(
+              zip_with($"bs", sequence(lit(0), lit(62)),
+                // 2^i via double pow: powers of two are exact in IEEE754
+                // (shiftleft needs a literal Int shift, not a column)
+                (v, i) => when(v * 63 > $"total",
+                  pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+              lit(0L), _ + _).as("ahash63"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+            list_transform(generate_series(1, 252),
+              i -> CAST(ascii(substr(rpad(text, 252, ' '), i, 1)) AS BIGINT)) AS bytes
+          FROM documents WHERE len(text) > 0),
+        s AS (SELECT doc_id,
+            list_transform(generate_series(0, 62),
+              k -> CAST(list_sum(list_slice(bytes, k * 4 + 1, k * 4 + 4)) AS BIGINT)) AS bs
+          FROM b)
+        SELECT doc_id,
+          CAST(list_sum(list_transform(generate_series(1, 63),
+            k -> CASE WHEN bs[k] * 63 > list_sum(bs) THEN (1::BIGINT << (k - 1)) ELSE 0 END)) AS BIGINT) AS ahash63
+        FROM s ORDER BY doc_id"""),
+      "Perceptual average-hash (aHash) fingerprint over payload bytes: 63 block-vs-" +
+        "mean bits packed to a BIGINT, integer-exact — the image near-dup primitive."))
 }
