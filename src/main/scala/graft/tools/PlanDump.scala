@@ -77,7 +77,11 @@ object PlanDump {
           "dedup makes it ONE equi-join on (key, cell) - no nested loop, no distinct."),
       "incremental_join_maintenance" ->
         ("Delta-join IVM: the three delta joins (dA-B0, A0-dB, dA-dB) are all equi-joins on the " +
-          "view key; maintenance cost tracks the change batch, never the base table."))
+          "view key; maintenance cost tracks the change batch, never the base table."),
+      "upsert_merge_on_read" ->
+        ("Merge-on-read scan: sequence-stamped data dirs union, delete dirs collapse to " +
+          "(key -> max seq), ONE key-hash left join resolves liveness - the read-time cost " +
+          "upsertMor deferred; the compacted side reads with no join at all."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit artifact\n\n")
     sb.append("Generated by `graft.tools.PlanDump` at sf0.01 (plans are scale-" +
