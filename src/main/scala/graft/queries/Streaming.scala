@@ -133,6 +133,57 @@ object Streaming {
         FROM events JOIN customer ON user_id = c_custkey"""),
       "Stream-static dimension enrichment join (broadcast dim per micro-batch)."),
 
+    "streaming_temporal_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Flink's temporal-table join (`FOR SYSTEM_TIME AS OF` on event
+        // time) — the hallmark enrichment of the reference's framework:
+        // each streaming fact joins the dimension VERSION that was valid at
+        // the fact's EVENT time, not the latest snapshot per micro-batch
+        // (which is what `streaming_dim_join` models). The SCD2 dim (lead()-
+        // built [valid_from, valid_to) intervals) is static and broadcast:
+        // the user_id equality drives a BroadcastHashJoin and the interval
+        // containment rides along as the residual condition — stateless on
+        // the stream side, zero shuffles of the fact stream. At 100 TB of
+        // facts the dim stays O(dim versions); a dim too big to broadcast
+        // swaps to the batch as-of shape (scd2_point_in_time_join) inside
+        // foreachBatch, same semantics.
+        val (src, out, ck) = Streams.workDirs("streaming_temporal_join")
+        val ev = eventsTable(s, d)
+        val dimW = org.apache.spark.sql.expressions.Window
+          .partitionBy($"dim_user").orderBy($"valid_from_us", $"dim_version")
+        val dim = ev.filter($"event_type" === "click")
+          .select($"user_id".as("dim_user"), $"event_id".as("dim_version"),
+            micros($"ts").as("valid_from_us"), $"value".as("dim_value"))
+          .withColumn("valid_to_us", lead($"valid_from_us", 1).over(dimW))
+        val facts = Streams.stagedStream(
+            ev.filter($"event_type" === "purchase")
+              .select($"event_id", $"user_id", micros($"ts").as("ts_us"), $"value"),
+            src, nFiles = 4)
+        val joined = facts.join(broadcast(dim),
+            facts("user_id") === dim("dim_user") &&
+              facts("ts_us") >= dim("valid_from_us") &&
+              (dim("valid_to_us").isNull || facts("ts_us") < dim("valid_to_us")),
+            "left_outer")
+          .select($"event_id", $"user_id", $"ts_us", $"value",
+            $"dim_version", $"dim_value")
+        Streams.runAppend(joined, out, ck)
+      },
+      Some("""WITH dim AS (
+          SELECT user_id AS dim_user, event_id AS dim_version,
+            epoch_us(ts) AS valid_from_us, value AS dim_value,
+            lead(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS valid_to_us
+          FROM events WHERE event_type = 'click'),
+        f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+          FROM events WHERE event_type = 'purchase')
+        SELECT f.event_id, f.user_id, f.ts_us, f.value, dim.dim_version, dim.dim_value
+        FROM f LEFT JOIN dim ON f.user_id = dim.dim_user
+          AND f.ts_us >= dim.valid_from_us
+          AND (dim.valid_to_us IS NULL OR f.ts_us < dim.valid_to_us)"""),
+      "Flink temporal-table join re-expressed: streaming facts enriched with the " +
+        "SCD2 dim version valid at the fact's event time (broadcast + residual interval)."),
+
     "stream_stream_join" -> Q(
       (s, d) => {
         // Watermarked stream-stream interval join: purchases match clicks of
