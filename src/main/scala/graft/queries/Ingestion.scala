@@ -1158,6 +1158,52 @@ object Ingestion {
           (SELECT count(*) FROM orders WHERE o_orderkey % 991 = 0) AS n_clone_only
         FROM orders"""),
       "Shallow-clone divergence: one-manifest zero-copy branch, independent " +
-        "append histories, three-way membership proved against the mutation rules.")
+        "append histories, three-way membership proved against the mutation rules."),
+
+    "wap_publish" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Write-audit-publish (Iceberg's WAP pattern): candidate batches
+        // land on a zero-copy branch, the audit runs against the BRANCH,
+        // and only audit-green state fast-forwards into main under an
+        // optimistic version check — readers of main can never observe an
+        // unaudited row, and a failed audit costs one branch drop, never a
+        // main rewrite. Both the branch cut (cloneAt) and the publish are
+        // single-manifest metadata commits, so the round-trip is O(1) in
+        // table size: exactly what makes WAP viable on a 100 TB table.
+        val mainT = tmp("wap_main"); val br = tmp("wap_branch")
+        GraftTableWriter.drop(s, mainT); GraftTableWriter.drop(s, br)
+        val base = table(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey",
+            round($"o_totalprice" * 100).cast("long").as("price_c"))
+        val v1 = VersionedTable.overwrite(base, mainT)
+        // Candidate batch 1 arrives CORRUPTED (sign-flipped prices).
+        val dirty = base.filter($"o_orderkey" % 50 === 0)
+          .select(($"o_orderkey" + 20000000L).as("o_orderkey"), $"o_custkey",
+            (-$"price_c").as("price_c"))
+        VersionedTable.cloneAt(s, mainT, br, v1)
+        VersionedTable.append(dirty, br)
+        val auditFailures =
+          VersionedTable.read(s, br).filter($"price_c" <= 0L).count()
+        require(auditFailures > 0, "the corrupted batch must trip the audit")
+        GraftTableWriter.drop(s, br) // audit red: branch dies, main untouched
+        // Candidate batch 2 is the repaired rewrite: audit green -> publish.
+        val clean = dirty.withColumn("price_c", -$"price_c")
+        VersionedTable.cloneAt(s, mainT, br, v1)
+        VersionedTable.append(clean, br)
+        require(VersionedTable.read(s, br).filter($"price_c" <= 0L).count() == 0,
+          "the repaired batch must pass the audit")
+        VersionedTable.publish(s, br, mainT, expectedMainVersion = v1)
+        VersionedTable.read(s, mainT).orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_custkey,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders WHERE o_orderkey % 50 = 0
+        ORDER BY o_orderkey"""),
+      "Write-audit-publish: zero-copy branch, audit on the branch, optimistic " +
+        "fast-forward into main; rejected batches never touch main.")
   )
 }

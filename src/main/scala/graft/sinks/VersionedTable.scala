@@ -505,6 +505,42 @@ object VersionedTable {
       snap.deleteKeys))
   }
 
+  /** Write-audit-publish fast-forward (Iceberg's WAP / `fast_forward`
+    * procedure, IcebergTableManager.java:77-92's table-swap analogue):
+    * atomically re-point `mainPath` at the audited state of a branch cut
+    * with [[cloneAt]]. Pure metadata — the branch's dirs are re-qualified
+    * to absolute paths and committed onto main as ONE new version; no data
+    * moves, however many TB the branch holds. `expectedMainVersion` (the
+    * version the branch was cut from) is the optimistic-concurrency guard:
+    * if main advanced past it, the swap would silently drop the concurrent
+    * writer's rows, so publish refuses and the caller re-cuts the branch.
+    * Main's streaming `lastBatch` high-water mark survives the publish
+    * (the exactly-once contract is main's, not the branch's). Borrowed-dir
+    * rule as in [[cloneAt]]: the branch directory must outlive main's
+    * reference to it (publish-then-drop-branch breaks main, exactly like
+    * expiring a cloned source).
+    */
+  def publish(spark: SparkSession, branchPath: String, mainPath: String,
+      expectedMainVersion: Int): Int = {
+    val filesystem = fs(spark, branchPath)
+    val snap = latest(spark, branchPath).getOrElse(
+      throw new IllegalArgumentException(s"publish: no snapshot at $branchPath"))
+    val brAbs = filesystem.makeQualified(new Path(branchPath)).toUri.getPath
+    def abs(d: String): String = if (d.startsWith("/")) d else s"$brAbs/$d"
+    commit(spark, mainPath, { cur =>
+      val curV = cur.map(_.version).getOrElse(0)
+      if (curV != expectedMainVersion)
+        throw new IllegalStateException(s"publish conflict: $mainPath is at " +
+          s"v$curV but the branch was cut from v$expectedMainVersion")
+      Snapshot(0, snap.dirs.map(abs),
+        snap.colStats.map { case (d, m) => abs(d) -> m },
+        cur.flatMap(_.lastBatch),
+        snap.dataSeq.map { case (d, s) => abs(d) -> s },
+        snap.deletes.map { case (d, s) => abs(d) -> s },
+        snap.deleteKeys)
+    })
+  }
+
   /** Delete data directories under `path` that no snapshot references —
     * Iceberg's remove_orphan_files. Orphans are the debris of writers that
     * died between materializing a data dir and committing the manifest
