@@ -171,4 +171,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size == got.size, "duplicate ids across crash-replay boundary")
     assert(got.toSet == slices.flatten.toSet)
   }
+
+  test("custom keyed state runs unchanged on the RocksDB state store") {
+    // The 100 TB state path: the default HDFS-backed store keeps every
+    // partition's state deserialized on-heap, so keyed state is bounded by
+    // executor memory; RocksDBStateStoreProvider spills to local SST files
+    // and bounds only the working set. Same OffsetTracker scenario as the
+    // first spec — the state contract must be provider-agnostic — plus an
+    // assertion that RocksDB really engaged (its custom metrics appear).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[ShardEvent]
+      val tracked = OffsetTracker.track(input.toDS(), Map("a" -> 3L))
+      val q = tracked.writeStream.format("memory").queryName("offsets_rocks")
+        .outputMode("append").start()
+      input.addData(ShardEvent("a", 101), ShardEvent("a", 100), ShardEvent("b", 500))
+      q.processAllAvailable()
+      input.addData(ShardEvent("a", 103), ShardEvent("a", 102))
+      q.processAllAvailable()
+      val stateOps = q.lastProgress.stateOperators
+      val rocksEngaged = stateOps.nonEmpty && {
+        import scala.jdk.CollectionConverters._
+        stateOps.head.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb"))
+      }
+      val rows = spark.sql("SELECT event_id, event_type, seq FROM offsets_rocks")
+        .as[(Long, String, Long)].collect().toSet
+      q.stop()
+      assert(rocksEngaged, "RocksDB state store did not engage (no rocksdb* metrics)")
+      assert(rows == Set((500L, "b", 1L), (103L, "a", 4L)))
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }
