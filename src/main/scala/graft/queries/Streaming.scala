@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.core._
+import graft.sinks.VersionedTable
 import graft.streaming.{OffsetTracker, ShardEvent, Streams}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -183,6 +184,81 @@ object Streaming {
           AND (dim.valid_to_us IS NULL OR f.ts_us < dim.valid_to_us)"""),
       "Flink temporal-table join re-expressed: streaming facts enriched with the " +
         "SCD2 dim version valid at the fact's event time (broadcast + residual interval)."),
+
+    "streaming_retract_agg" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Flink's retract stream re-expressed: a per-user SUM over the
+        // LATEST row per (user_id, event_type) key, kept current while the
+        // keyed CDC stream keeps UPDATING keys — each update must retract
+        // the key's old contribution and add the new one, which is exactly
+        // what Flink's -U/+U changelog rows carry. Spark-first per batch:
+        // (1) compact the batch per key, (2) join the O(batch) affected
+        // keys against the replica for old images, (3) the winner per key
+        // is decided by the event_id logical clock (so ANY batch order and
+        // stale replays converge — no coupling to staging order), (4) emit
+        // signed deltas (+winner −old) and fold them into the agg table,
+        // (5) upsert winners into the replica. Everything is O(batch) per
+        // micro-batch: the 100 TB base table is only ever touched by the
+        // keyed upsert, never re-aggregated. Agg commits BEFORE replica
+        // (both batch-id-stamped): a crash between them replays the same
+        // deltas from the unchanged replica and the agg skip makes the
+        // pair converge — the two-table exactly-once ordering.
+        val (src, out, ck) = Streams.workDirs("streaming_retract_agg")
+        val repPath = s"$out/replica"; val aggPath = s"$out/agg"
+        val keys = Seq("user_id", "event_type")
+        val ev = eventsTable(s, d)
+          .select($"user_id", $"event_type", $"event_id",
+            round($"value" * 100).cast("long").as("v_c"))
+        graft.sinks.GraftTableWriter.drop(s, repPath)
+        graft.sinks.GraftTableWriter.drop(s, aggPath)
+        VersionedTable.overwrite(ev.filter(lit(false)), repPath)
+        VersionedTable.overwrite(
+          ev.filter(lit(false))
+            .select($"user_id", $"v_c".as("sum_v_c"), $"event_id".as("n_types")),
+          aggPath)
+        val staged = Streams.stagedStream(ev, src, nFiles = 4)
+        val q = staged.writeStream
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val b = graft.operators.Upsert.latestByKey(
+              batch, keys, Seq(col("event_id").desc))
+            val rep = VersionedTable.read(s, repPath)
+            val old = rep.join(b.select("user_id", "event_type").distinct(),
+              keys)
+            val winner = graft.operators.Upsert.latestByKey(
+              old.withColumn("side", lit(0)).unionByName(b.withColumn("side", lit(1))),
+              keys, Seq(col("event_id").desc, col("side").desc))
+            val perKey = winner.as("w").join(old.as("o"), keys, "left_outer")
+              .select(col("user_id"),
+                (col("w.v_c") - coalesce(col("o.v_c"), lit(0L))).as("dv"),
+                when(col("o.v_c").isNull, 1L).otherwise(0L).as("dn"))
+            val delta = perKey.groupBy("user_id")
+              .agg(sum($"dv").as("dv"), sum($"dn").as("dn"))
+            val newAgg = delta.as("d")
+              .join(VersionedTable.read(s, aggPath).as("a"), Seq("user_id"), "left_outer")
+              .select(col("user_id"),
+                (coalesce(col("a.sum_v_c"), lit(0L)) + col("d.dv")).as("sum_v_c"),
+                (coalesce(col("a.n_types"), lit(0L)) + col("d.dn")).as("n_types"))
+            VersionedTable.upsertOnce(newAgg, aggPath, Seq("user_id"), batchId)
+            VersionedTable.upsertOnce(winner.drop("side"), repPath, keys, batchId)
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        VersionedTable.read(s, aggPath).orderBy($"user_id")
+      },
+      Some("""WITH latest AS (SELECT user_id, event_type, v_c FROM (
+            SELECT user_id, event_type,
+              CAST(round(value * 100) AS BIGINT) AS v_c,
+              row_number() OVER (PARTITION BY user_id, event_type
+                ORDER BY event_id DESC) AS rn
+            FROM events) t WHERE rn = 1)
+        SELECT user_id, CAST(SUM(v_c) AS BIGINT) AS sum_v_c, COUNT(*) AS n_types
+        FROM latest GROUP BY user_id ORDER BY user_id"""),
+      "Flink retract-stream aggregate: per-user SUM over latest-per-key state " +
+        "maintained by signed deltas (+new -old), O(batch) per micro-batch."),
 
     "stream_stream_join" -> Q(
       (s, d) => {
