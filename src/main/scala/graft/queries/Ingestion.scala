@@ -1204,6 +1204,71 @@ object Ingestion {
         FROM orders WHERE o_orderkey % 50 = 0
         ORDER BY o_orderkey"""),
       "Write-audit-publish: zero-copy branch, audit on the branch, optimistic " +
-        "fast-forward into main; rejected batches never touch main.")
+        "fast-forward into main; rejected batches never touch main."),
+
+    "partition_evolution" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Iceberg partition-spec evolution: era-1 writes land split and
+        // stats-tracked by order QUARTER, then the spec evolves and era-2
+        // writes land split by CUSTKEY bucket — nothing old is rewritten,
+        // the eras coexist in one table. Mixed-spec scans are correct by
+        // the existing superset rule: a custkey-bucket predicate opens
+        // every era-1 dir (they carry no bucket bounds) but only the one
+        // matching era-2 dir, and the residual row filter keeps the result
+        // exact. This is precisely how Iceberg keeps 100 TB of history
+        // queryable across a repartitioning decision without a rewrite.
+        val p = tmp("partition_evolution")
+        GraftTableWriter.drop(s, p)
+        val o = table(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey",
+            round($"o_totalprice" * 100).cast("long").as("price_c"),
+            quarter($"o_orderdate").cast("long").as("oquarter"),
+            ($"o_custkey" % 4).as("ckb"))
+        for (qtr <- 1L to 4L) // era 1: old spec (time-partitioned)
+          VersionedTable.appendWithStats(
+            o.filter($"o_orderkey" % 2 === 0 && $"oquarter" === qtr), p, Seq("oquarter"))
+        for (b <- 0L until 4L) // era 2: evolved spec (key-bucketed)
+          VersionedTable.appendWithStats(
+            o.filter($"o_orderkey" % 2 =!= 0 && $"ckb" === b), p, Seq("ckb"))
+        VersionedTable.readPruned(s, p, Seq(VersionedTable.LongRange("ckb", 3, 3)))
+          .filter($"ckb" === 3)
+          .select($"o_orderkey", $"o_custkey", $"price_c")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders WHERE o_custkey % 4 = 3 ORDER BY o_orderkey"""),
+      "Partition-spec evolution: time-partitioned era and key-bucketed era coexist; " +
+        "a bucket predicate prunes the new era, reads the old, stays exact."),
+
+    "bloom_point_lookup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Dir-level bloom sidecars (Iceberg's Puffin blobs): the table
+        // lands as 8 hash-split ingest batches, so EVERY dir spans the
+        // full o_orderkey range and min/max metrics prune nothing — the
+        // normal state of hash-distributed ingest and the worst case for
+        // bounds-based skipping. The per-dir bloom proves absence instead:
+        // each point lookup opens ~1 of 8 dirs (false positives only add
+        // reads, never wrong rows — the exact filter stays on top).
+        val p = tmp("bloom_point_lookup")
+        GraftTableWriter.drop(s, p)
+        val o = table(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey",
+            round($"o_totalprice" * 100).cast("long").as("price_c"))
+        for (b <- 0L until 8L)
+          VersionedTable.appendWithBloom(o.filter($"o_orderkey" % 8 === b), p, "o_orderkey")
+        val keys = o.filter($"o_orderkey" % 2500 === 1)
+          .select($"o_orderkey").as[Long].collect().sorted // O(lookups) by nature
+        keys.map(k => VersionedTable.readPoint(s, p, "o_orderkey", k))
+          .reduce(_.unionByName(_))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders WHERE o_orderkey % 2500 = 1 ORDER BY o_orderkey"""),
+      "Puffin-style per-dir bloom sidecars: point lookups on a hash-distributed " +
+        "key skip dirs proven absent where min/max bounds cannot prune at all.")
   )
 }

@@ -315,6 +315,70 @@ object VersionedTable {
       ranges.forall(r => stats.get(r.col).forall(_.overlaps(r.loS, r.hiS)))
     }
 
+  /** Append with a dir-level Bloom-filter sidecar on `column` — the
+    * Iceberg Puffin-blob shape: point lookups on a HIGH-CARDINALITY key
+    * can't be helped by min/max bounds when every dir spans the full key
+    * range (hash-distributed ingest always does this), but a per-dir bloom
+    * proves absence and skips the dir. The sidecar lives inside the data
+    * dir (underscore-prefixed, so parquet scans ignore it) and therefore
+    * travels with [[cloneAt]]/[[publish]] for free. Costs one extra scan
+    * of the freshly-written dir to build the filter — O(batch), off the
+    * table's read path. */
+  def appendWithBloom(df: DataFrame, path: String, column: String,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): Int = {
+    val spark = df.sparkSession
+    val d = writeDataDir(df, path)
+    val filesystem = fs(spark, path)
+    val dirPath = new Path(path, d)
+    val bf = spark.read.parquet(dirPath.toString)
+      .stat.bloomFilter(column, expectedItems, fpp)
+    val out = filesystem.create(new Path(dirPath, s"_bloom_$column"), true)
+    bf.writeTo(out)
+    out.close()
+    commit(spark, path, cur =>
+      Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
+        cur.map(_.colStats).getOrElse(Map.empty),
+        cur.flatMap(_.lastBatch),
+        cur.map(_.dataSeq).getOrElse(Map.empty) + (d -> nextV(cur)),
+        cur.map(_.deletes).getOrElse(Nil),
+        cur.map(_.deleteKeys).getOrElse(Nil)))
+  }
+
+  /** The dirs a point lookup `column == value` must read: a dir whose bloom
+    * sidecar proves absence is skipped; a dir without a sidecar is always
+    * read — the same superset rule as [[prunedDirs]] (pruning is a
+    * guarantee, never a predicate evaluation; false positives only cost an
+    * extra dir read). */
+  def bloomKeptDirs(spark: SparkSession, path: String, column: String,
+      value: Long): Seq[String] = {
+    val snap = latest(spark, path).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $path"))
+    val filesystem = fs(spark, path)
+    snap.dirs.filter { d =>
+      val side = new Path(new Path(path, d), s"_bloom_$column")
+      if (!filesystem.exists(side)) true
+      else {
+        val in = filesystem.open(side)
+        try org.apache.spark.util.sketch.BloomFilter.readFrom(in).mightContainLong(value)
+        finally in.close()
+      }
+    }
+  }
+
+  /** Point lookup through the bloom sidecars: reads only [[bloomKeptDirs]]
+    * and applies the exact equality filter on top. */
+  def readPoint(spark: SparkSession, path: String, column: String,
+      value: Long): DataFrame = {
+    val snap = latest(spark, path).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $path"))
+    val keep = bloomKeptDirs(spark, path, column, value)
+    val base =
+      if (keep.isEmpty)
+        readSnapshot(spark, path, snap).filter(org.apache.spark.sql.functions.lit(false))
+      else readSnapshot(spark, path, snap.copy(dirs = keep))
+    base.filter(org.apache.spark.sql.functions.col(column) === value)
+  }
+
   /** Single-long-range convenience form of [[readPruned]] over the table's
     * one tracked long column (fails when zero or several are tracked). */
   def readPruned(spark: SparkSession, path: String, lo: Long, hi: Long): DataFrame = {
