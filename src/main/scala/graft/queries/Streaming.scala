@@ -221,28 +221,7 @@ object Streaming {
         val q = staged.writeStream
           .option("checkpointLocation", ck)
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-            val b = graft.operators.Upsert.latestByKey(
-              batch, keys, Seq(col("event_id").desc))
-            val rep = VersionedTable.read(s, repPath)
-            val old = rep.join(b.select("user_id", "event_type").distinct(),
-              keys)
-            val winner = graft.operators.Upsert.latestByKey(
-              old.withColumn("side", lit(0)).unionByName(b.withColumn("side", lit(1))),
-              keys, Seq(col("event_id").desc, col("side").desc))
-            val perKey = winner.as("w").join(old.as("o"), keys, "left_outer")
-              .select(col("user_id"),
-                (col("w.v_c") - coalesce(col("o.v_c"), lit(0L))).as("dv"),
-                when(col("o.v_c").isNull, 1L).otherwise(0L).as("dn"))
-            val delta = perKey.groupBy("user_id")
-              .agg(sum($"dv").as("dv"), sum($"dn").as("dn"))
-            val newAgg = delta.as("d")
-              .join(VersionedTable.read(s, aggPath).as("a"), Seq("user_id"), "left_outer")
-              .select(col("user_id"),
-                (coalesce(col("a.sum_v_c"), lit(0L)) + col("d.dv")).as("sum_v_c"),
-                (coalesce(col("a.n_types"), lit(0L)) + col("d.dn")).as("n_types"))
-            VersionedTable.upsertOnce(newAgg, aggPath, Seq("user_id"), batchId)
-            VersionedTable.upsertOnce(winner.drop("side"), repPath, keys, batchId)
-            ()
+            graft.operators.RetractAgg.applyBatch(s, batch, repPath, aggPath, keys, batchId)
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
