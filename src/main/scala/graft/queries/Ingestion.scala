@@ -1269,6 +1269,70 @@ object Ingestion {
           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
         FROM orders WHERE o_orderkey % 2500 = 1 ORDER BY o_orderkey"""),
       "Puffin-style per-dir bloom sidecars: point lookups on a hash-distributed " +
-        "key skip dirs proven absent where min/max bounds cannot prune at all.")
+        "key skip dirs proven absent where min/max bounds cannot prune at all."),
+
+    "compaction_binpack" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Selective binpack compaction (Iceberg rewrite_data_files): a
+        // streaming sink deposits one small dir per micro-batch; collecting
+        // that debris must cost O(debris), never an O(table) rewrite — the
+        // healthy bulk dir is carried into the new snapshot untouched
+        // (table_compaction shows the full rewrite; this is the one a
+        // 100 TB table actually schedules). One big dir (3/4 of rows) plus
+        // six micro-batch crumbs land; compactSmall merges only the crumbs.
+        // Byte-identity of the big dir and the 2-dir layout are spec-
+        // asserted; here the oracle proves the merge lost and invented
+        // nothing.
+        val p = tmp("compaction_binpack")
+        GraftTableWriter.drop(s, p)
+        val o = table(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey",
+            round($"o_totalprice" * 100).cast("long").as("price_c"))
+        VersionedTable.append(o.filter($"o_orderkey" % 4 =!= 3), p)
+        for (i <- 0L until 6L)
+          VersionedTable.append(o.filter($"o_orderkey" % 24 === 4 * i + 3), p)
+        val n = o.count()
+        VersionedTable.compactSmall(s, p,
+          smallThresholdRows = n / 8, targetRowsPerFile = n / 2)
+        VersionedTable.read(s, p).orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders ORDER BY o_orderkey"""),
+      "Selective binpack compaction: only small-dir debris is rewritten, the " +
+        "healthy bulk is referenced unchanged — O(debris), not O(table)."),
+
+    "table_history" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The snapshots metadata table (Iceberg `table$snapshots` / Delta
+        // DESCRIBE HISTORY): the commit log of a table that went through
+        // overwrite -> append -> MOR upsert -> full compaction -> an
+        // exactly-once streaming append, queryable as a DataFrame. Pure
+        // manifest reads, O(commits) — nothing scans data, so the history
+        // of a 100 TB table costs the same as this one's.
+        val p = tmp("table_history")
+        GraftTableWriter.drop(s, p)
+        val o = table(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey",
+            round($"o_totalprice" * 100).cast("long").as("price_c"))
+        VersionedTable.overwrite(o.filter($"o_orderkey" % 2 === 0), p) // v1
+        VersionedTable.append(o.filter($"o_orderkey" % 2 =!= 0), p) // v2
+        VersionedTable.upsertMor(o.filter($"o_orderkey" % 100 === 0)
+          .withColumn("price_c", $"price_c" + 1L), p, Seq("o_orderkey")) // v3
+        VersionedTable.compact(s, p, targetRowsPerFile = 10000000L) // v4
+        VersionedTable.appendOnce(o.filter($"o_orderkey" % 997 === 0)
+          .select(($"o_orderkey" + 90000000L).as("o_orderkey"), $"o_custkey", $"price_c"),
+          p, batchId = 7L) // v5
+        VersionedTable.history(s, p).orderBy($"version")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(-1 AS BIGINT)),
+          (2, 2, 0, -1), (3, 3, 1, -1), (4, 1, 0, -1), (5, 2, 0, 7))
+        AS t(version, n_data_dirs, n_delete_dirs, last_batch)
+        ORDER BY version"""),
+      "Snapshots metadata table: the commit log (dir counts, MOR delete dirs, " +
+        "streaming batch high-water mark) as a queryable DataFrame, O(commits).")
   )
 }

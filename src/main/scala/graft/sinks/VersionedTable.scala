@@ -427,6 +427,62 @@ object VersionedTable {
     commit(spark, path, cur => Snapshot(0, Seq(d), lastBatch = cur.flatMap(_.lastBatch)))
   }
 
+  /** Selective small-file compaction (Iceberg's binpack
+    * `rewrite_data_files`): only dirs below `smallThresholdRows` are
+    * rewritten — binpacked into dirs of ~`targetRowsPerFile` — while every
+    * healthy dir is carried into the new snapshot untouched, stats and all.
+    * This is the compaction a 100 TB table actually runs: streaming sinks
+    * deposit one small dir per micro-batch, and collecting that debris must
+    * cost O(debris), never an O(table) rewrite ([[compact]] is the full
+    * rewrite). Row counts come from parquet footers (count-only scans), so
+    * planning is metadata-cheap. No-op — current version returned, no
+    * commit — when fewer than two dirs qualify. Refuses MOR tables:
+    * outstanding equality deletes change row liveness per-dir, so
+    * [[compact]] must materialize them first. Dirs appended concurrently
+    * between planning and commit survive (the commit keeps every dir it
+    * didn't explicitly rewrite). */
+  def compactSmall(spark: SparkSession, path: String, smallThresholdRows: Long,
+      targetRowsPerFile: Long): Int = {
+    require(smallThresholdRows > 0 && targetRowsPerFile > 0,
+      "thresholds must be positive")
+    val snap = latest(spark, path).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $path"))
+    require(snap.deletes.isEmpty,
+      s"compactSmall on a MOR table with outstanding deletes: run compact() first")
+    val counts = snap.dirs.map(d =>
+      d -> spark.read.parquet(new Path(path, d).toString).count())
+    val small = counts.filter(_._2 < smallThresholdRows).map(_._1)
+    if (small.size < 2) return snap.version
+    val smallSet = small.toSet
+    val total = counts.collect { case (d, n) if smallSet(d) => n }.sum
+    val parts = math.max(1L, (total + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(small.map(d => new Path(path, d).toString): _*)
+    val d = writeDataDir(merged.repartition(parts), path)
+    commit(spark, path, { cur =>
+      val c = cur.getOrElse(snap)
+      Snapshot(0, c.dirs.filterNot(smallSet) :+ d,
+        c.colStats.filter { case (dir, _) => !smallSet(dir) },
+        c.lastBatch,
+        c.dataSeq.filter { case (dir, _) => !smallSet(dir) } + (d -> nextV(cur)),
+        c.deletes, c.deleteKeys)
+    })
+  }
+
+  /** The table's commit history as a DataFrame — Iceberg's `snapshots`
+    * metadata table / Delta's DESCRIBE HISTORY: one row per retained
+    * snapshot with its data/delete dir counts and the streaming batch-id
+    * high-water mark. O(manifests) driver work; nothing scans data. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val filesystem = fs(spark, path)
+    manifests(filesystem, path).map(_._1).sorted.map { v =>
+      val s = readManifest(filesystem, path, v)
+      (v.toLong, s.dirs.size.toLong, s.deletes.size.toLong,
+        s.lastBatch.getOrElse(-1L))
+    }.toDF("version", "n_data_dirs", "n_delete_dirs", "last_batch")
+  }
+
   /** Change data feed between two snapshots (Iceberg's changelog scan):
     * every key that was inserted (`I`), updated (`U` — any non-key column
     * differs), or deleted (`D`) going from `fromV` to `toV`, with the
