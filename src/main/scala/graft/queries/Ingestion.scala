@@ -1334,5 +1334,44 @@ object Ingestion {
         ORDER BY version"""),
       "Snapshots metadata table: the commit log (dir counts, MOR delete dirs, " +
         "streaming batch high-water mark) as a queryable DataFrame, O(commits).")
+    ,
+
+    "hidden_partitioning" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Iceberg hidden partitioning (the days(ts) transform): ingest
+        // lands one dir per calendar day and each dir's manifest records
+        // [min, max] of the TRANSFORM — the day number is never written to
+        // the data files, and readers never learn it exists. A plain
+        // timestamp-range query translates (monotone transform ⇒ exact
+        // projection) to a day-number range, prunes to the ~7 of 30 day
+        // dirs, and the residual ts filter keeps the cut exact. Users
+        // query ts forever; the table re-partitions however it likes.
+        val p = tmp("hidden_partitioning")
+        GraftTableWriter.drop(s, p)
+        val usPerDay = 86400000000L
+        val ev = eventsTable(s, d)
+          .select($"event_id", micros($"ts").as("ts_us"), $"user_id",
+            round($"value" * 100).cast("long").as("v_c"))
+        val dayX = expr(s"ts_us div $usPerDay") // integer div: no double rounding
+        val days = ev.select(dayX).distinct()
+          .as[Long].collect().sorted // O(days) planning, like any partition listing
+        for (day <- days)
+          VersionedTable.appendWithHiddenStats(
+            ev.filter(dayX === day), p, "ts_day", dayX)
+        val lo = java.time.LocalDate.of(2024, 1, 10).toEpochDay * usPerDay
+        val hi = java.time.LocalDate.of(2024, 1, 17).toEpochDay * usPerDay
+        VersionedTable.readPruned(s, p, Seq(
+            VersionedTable.LongRange("ts_day", lo / usPerDay, (hi - 1) / usPerDay)))
+          .filter($"ts_us" >= lo && $"ts_us" < hi)
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+          CAST(round(value * 100) AS BIGINT) AS v_c
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-17'
+        ORDER BY event_id"""),
+      "Hidden partitioning: day-transform bounds live only in the manifest, the " +
+        "data never carries the partition column, ts predicates prune exactly.")
   )
 }

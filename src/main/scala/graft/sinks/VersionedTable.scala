@@ -292,6 +292,37 @@ object VersionedTable {
   def appendWithStats(df: DataFrame, path: String, statsCol: String): Int =
     appendWithStats(df, path, Seq(statsCol))
 
+  /** Append with HIDDEN-partitioning metrics — Iceberg's partition
+    * transforms (`days(ts)`, `months(ts)`, `truncate(w, col)`): per-dir
+    * [min, max] bounds are recorded for `name` = `transform` evaluated over
+    * the batch, while the transform column itself is NEVER written to the
+    * data files. Readers keep querying the BASE column; a monotone
+    * transform translates base-column predicates to transform-domain
+    * ranges exactly (Iceberg's projection rules), so
+    * `readPruned(LongRange(name, f(lo), f(hi)))` + the residual base
+    * filter is a correct, pruned scan. The transform must be long-typed
+    * (cast first). This is what lets a 100 TB table change users' query
+    * columns never, and its partitioning whenever. */
+  def appendWithHiddenStats(df: DataFrame, path: String, name: String,
+      transform: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{max, min}
+    require(!df.columns.contains(name),
+      s"hidden stats name $name collides with a data column; use appendWithStats")
+    val d = writeDataDir(df, path)
+    val row = df.agg(min(transform).cast("long").cast("string"),
+      max(transform).cast("long").cast("string")).head()
+    val bounds =
+      if (row.isNullAt(0)) Map.empty[String, ColBounds]
+      else Map(name -> ColBounds(row.getString(0), row.getString(1), "long"))
+    commit(df.sparkSession, path, cur =>
+      Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
+        cur.map(_.colStats).getOrElse(Map.empty) + (d -> bounds),
+        cur.flatMap(_.lastBatch),
+        cur.map(_.dataSeq).getOrElse(Map.empty) + (d -> nextV(cur)),
+        cur.map(_.deletes).getOrElse(Nil),
+        cur.map(_.deleteKeys).getOrElse(Nil)))
+  }
+
   /** Scan with manifest-level file skipping: only data dirs whose recorded
     * bounds can satisfy EVERY range in the conjunction are read at all
     * (a dir without bounds for some queried column is never pruned on that

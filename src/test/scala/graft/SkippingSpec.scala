@@ -41,6 +41,33 @@ class SkippingSpec extends SparkSpec {
     assert(VersionedTable.readPoint(spark, p, "id", 999999L).count() == 0)
   }
 
+  test("hidden partitioning: transform bounds prune, the column never reaches the data") {
+    val p = "/tmp/graft_tables/spec_hidden"
+    GraftTableWriter.drop(spark, p)
+    val rows = (0L until 1000L).map(i => (i, i / 100L)).toDF("id", "bucketSrc")
+      .select($"id") // the transform source is derived, not stored
+    for (b <- 0L until 10L)
+      VersionedTable.appendWithHiddenStats(
+        rows.filter(expr("id div 100") === b), p, "id_bucket", expr("id div 100"))
+    // the transform column is in NO data file's schema
+    assert(VersionedTable.read(spark, p).columns.toSeq == Seq("id"))
+    // a base-column range translates to bucket bounds and prunes exactly
+    val snap = VersionedTable.readManifestForTest(spark, p, 10)
+    val kept = VersionedTable.prunedDirs(snap,
+      Seq(VersionedTable.LongRange("id_bucket", 250L / 100L, 420L / 100L)))
+    assert(kept.size == 3, s"want the 3 dirs of buckets 2..4, got ${kept.size}")
+    val got = VersionedTable.readPruned(spark, p,
+        Seq(VersionedTable.LongRange("id_bucket", 250L / 100L, 420L / 100L)))
+      .filter($"id" >= 250L && $"id" <= 420L)
+      .as[Long].collect().toSet
+    assert(got == (250L to 420L).toSet)
+    // name collision with a data column is refused
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.appendWithHiddenStats(rows, p, "id", ($"id" / 100L).cast("long"))
+    }
+    assert(e.getMessage.contains("collides"))
+  }
+
   test("partition evolution: mixed-spec scans prune the new era, read the old, stay exact") {
     val p = "/tmp/graft_tables/spec_part_evo"
     GraftTableWriter.drop(spark, p)
