@@ -245,6 +245,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(sorts <= 2, s"expected the window sort (+ output order) only, got $sorts\n" + plan.take(3000))
   }
 
+  test("temporal join broadcasts the dim; the fact side never shuffles") {
+    // The batch shape of streaming_temporal_join's per-batch join: user_id
+    // equality must drive a BroadcastHashJoin with the interval containment
+    // as the residual condition. A SortMergeJoin (fact shuffle) or a
+    // nested-loop (equality lost to the residual) would not survive a
+    // 100 TB fact stream.
+    import org.apache.spark.sql.expressions.Window
+    val ev = eventsTable(spark, sf("sf0.001"))
+    val dimW = Window.partitionBy(col("dim_user"))
+      .orderBy(col("valid_from_us"), col("dim_version"))
+    val dim = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("dim_user"), col("event_id").as("dim_version"),
+        micros(col("ts")).as("valid_from_us"), col("value").as("dim_value"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(dimW))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), micros(col("ts")).as("ts_us"))
+    val joined = facts.join(broadcast(dim),
+      facts("user_id") === dim("dim_user") &&
+        facts("ts_us") >= dim("valid_from_us") &&
+        (dim("valid_to_us").isNull || facts("ts_us") < dim("valid_to_us")),
+      "left_outer")
+    joined.collect()
+    val plan = planOf(joined)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("delta-join IVM keeps every delta join an equi-join") {
     val plan = planOf(q("incremental_join_maintenance"))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
