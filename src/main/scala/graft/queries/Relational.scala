@@ -1419,5 +1419,46 @@ object Relational {
         ORDER BY semantics"""),
       "NULL-safe equality join (<=> ≡ IS NOT DISTINCT FROM) vs plain equality, " +
         "side by side — the NULL-keyed rows plain `=` silently drops.")
+    ,
+
+    "grouped_regression" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Per-group OLS (trend per event_type) the distributed way: ONE
+        // aggregation pass computes the sufficient statistics (n, Σx, Σy,
+        // Σxy, Σx²) with map-side partial aggregation — the 100 TB corpus
+        // is touched once, the closed-form solve is O(groups). Emitted as
+        // slope = slope_num/slope_den in EXACT integer arithmetic (x =
+        // hours since 2024-01-01, y = cents): bit-identical across
+        // engines, where a float covariance would differ by summation
+        // order. Headroom: |n·Σxy| < 2^63 up to ~1e6 rows/group at these
+        // magnitudes; past that, rescale x or widen to DECIMAL(38,0).
+        val t0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay * 86400000000L
+        val e = eventsTable(s, d).select($"event_type",
+          expr(s"(unix_micros(cast(ts as timestamp)) - ${t0}L) div 3600000000").as("x"),
+          round($"value" * 100).cast("long").as("y"))
+        e.groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"x").as("sum_x"), sum($"y").as("sum_y"),
+            sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+          .select($"event_type", $"n", $"sum_x", $"sum_y",
+            ($"n" * $"sxy" - $"sum_x" * $"sum_y").as("slope_num"),
+            ($"n" * $"sxx" - $"sum_x" * $"sum_x").as("slope_den"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+            (epoch_us(ts) - 1704067200000000) // 3600000000 AS x,
+            CAST(round(value * 100) AS BIGINT) AS y
+          FROM events),
+        a AS (SELECT event_type, count(*) AS n, sum(x) AS sum_x, sum(y) AS sum_y,
+            sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM e GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n, CAST(sum_x AS BIGINT) AS sum_x,
+          CAST(sum_y AS BIGINT) AS sum_y,
+          CAST(n * sxy - sum_x * sum_y AS BIGINT) AS slope_num,
+          CAST(n * sxx - sum_x * sum_x AS BIGINT) AS slope_den
+        FROM a ORDER BY event_type"""),
+      "Per-group OLS trend via sufficient statistics: one partial-aggregated " +
+        "pass, O(groups) solve, exact integer slope ratio across engines.")
   )
 }

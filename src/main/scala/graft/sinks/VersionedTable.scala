@@ -500,6 +500,29 @@ object VersionedTable {
     })
   }
 
+  /** The newest version whose manifest was committed at or before
+    * `tsMillis` — Delta's `TIMESTAMP AS OF` / Iceberg's as-of-timestamp
+    * read. The manifest file's modification time IS the commit instant:
+    * the rename-as-commit makes claiming the manifest name the atomic
+    * point of the commit, so its mtime is the only clock needed. Fails
+    * when `tsMillis` predates the first retained snapshot (same contract
+    * as both systems: expired history is not readable). */
+  def versionAsOf(spark: SparkSession, path: String, tsMillis: Long): Int = {
+    val filesystem = fs(spark, path)
+    val eligible = manifests(filesystem, path)
+      .filter { case (_, p) => filesystem.getFileStatus(p).getModificationTime <= tsMillis }
+      .map(_._1)
+    if (eligible.isEmpty)
+      throw new IllegalArgumentException(
+        s"no snapshot at $path committed at or before $tsMillis")
+    eligible.max
+  }
+
+  /** Read the snapshot current as of wall-clock `tsMillis` (see
+    * [[versionAsOf]]). */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    readVersion(spark, path, versionAsOf(spark, path, tsMillis))
+
   /** The table's commit history as a DataFrame — Iceberg's `snapshots`
     * metadata table / Delta's DESCRIBE HISTORY: one row per retained
     * snapshot with its data/delete dir counts and the streaming batch-id

@@ -42,6 +42,24 @@ class MaintenanceSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, p).last == 6)
   }
 
+  test("readAsOf pins the snapshot current at a wall-clock instant") {
+    val p = "/tmp/graft_tables/spec_asof_ts"
+    GraftTableWriter.drop(spark, p)
+    VersionedTable.overwrite(Seq((1L, "a")).toDF("id", "v"), p)
+    Thread.sleep(200)
+    val betweenCommits = System.currentTimeMillis()
+    Thread.sleep(200)
+    VersionedTable.append(Seq((2L, "b")).toDF("id", "v"), p)
+    assert(VersionedTable.versionAsOf(spark, p, betweenCommits) == 1)
+    assert(VersionedTable.readAsOf(spark, p, betweenCommits)
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+    assert(VersionedTable.versionAsOf(spark, p, System.currentTimeMillis()) == 2)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.versionAsOf(spark, p, 0L) // predates all retained history
+    }
+    assert(e.getMessage.contains("no snapshot"))
+  }
+
   test("compactSmall refuses a table with outstanding MOR deletes") {
     val p = "/tmp/graft_tables/spec_binpack_mor"
     GraftTableWriter.drop(spark, p)
