@@ -172,6 +172,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet == slices.flatten.toSet)
   }
 
+  test("streaming state is queryable offline through the state-store reader") {
+    // Flink exposes queryable state only through a live job; Structured
+    // Streaming's checkpoint is itself a table — the `statestore` data
+    // source reads any operator's keyed state OFFLINE. Operationally this
+    // is how a stuck 100 TB pipeline is debugged (inspect the offsets
+    // without touching the job) and how state is audited after a crash.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (_, _, ck) = Streams.workDirs("spec_state_reader")
+    val input = MemoryStream[ShardEvent]
+    val tracked = OffsetTracker.track(input.toDS(), Map.empty)
+    val q = tracked.writeStream.format("memory").queryName("state_reader_t")
+      .option("checkpointLocation", ck).outputMode("append").start()
+    input.addData(ShardEvent("a", 1), ShardEvent("a", 2), ShardEvent("b", 10))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val state = spark.read.format("statestore").load(ck)
+      .selectExpr("to_json(key) AS k", "to_json(value) AS v")
+      .as[(String, String)].collect().toSeq
+    assert(state.size == 2, state.toString)
+    val byShard = state.map { case (k, v) => (k.contains("\"a\""), v) }.toMap
+    assert(byShard(true).contains("2"), s"shard a consumed=2: $state")
+    assert(byShard(false).contains("1"), s"shard b consumed=1: $state")
+  }
+
   test("custom keyed state runs unchanged on the RocksDB state store") {
     // The 100 TB state path: the default HDFS-backed store keeps every
     // partition's state deserialized on-heap, so keyed state is bounded by
