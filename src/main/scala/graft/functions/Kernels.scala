@@ -253,6 +253,17 @@ object Kernels {
       Array[Any](best, bestD))
   }
 
+  /** Number of regex matches in the input, with the exact `Matcher.find()`
+    * loop `regexp_extract_all` uses — so `CountMatches` (the
+    * [[graft.RegexCountRewrite]] target) counts precisely the elements the
+    * array expression would have materialized, without allocating them. */
+  def countMatches(input: UTF8String, pattern: java.util.regex.Pattern): Int = {
+    val m = pattern.matcher(input.toString)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
   def cosine(x: ArrayData, y: ArrayData, lf: Boolean, rf: Boolean): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0

@@ -73,6 +73,69 @@ package object functions {
   private def litInt(fn: String, arg: String, e: Expression): Int =
     litLong(fn, arg, e).toInt
 
+  /** (name, builder) for every SQL-surface kernel — the single source of
+    * truth behind BOTH registration paths: [[registerAll]] (temp functions on
+    * an existing session) and [[graft.GraftExtensions]]
+    * (`spark.sql.extensions=graft.GraftExtensions`, the deployment path for
+    * SQL-only clients — Thrift server, notebooks — that never touch Scala).
+    */
+  private[graft] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_signature" -> { es =>
+      checkArity("minhash_signature", es, 1, 2)
+      MinHashSignature(es.head,
+        if (es.size > 1) litInt("minhash_signature", "numPerms", es(1)) else 64)
+    },
+    "simhash64" -> { es =>
+      checkArity("simhash64", es, 1, 1)
+      SimHash64(es.head)
+    },
+    "rolling_hash" -> { es =>
+      checkArity("rolling_hash", es, 1, 3)
+      RollingHash(es.head,
+        if (es.size > 1) litLong("rolling_hash", "base", es(1)) else 31L,
+        if (es.size > 2) litLong("rolling_hash", "mod", es(2)) else 1000000007L)
+    },
+    "sign_random_projection" -> { es =>
+      checkArity("sign_random_projection", es, 1, 3)
+      SignRandomProjection(es.head,
+        if (es.size > 1) litInt("sign_random_projection", "numBits", es(1)) else 16,
+        if (es.size > 2) litInt("sign_random_projection", "seed", es(2)) else 77)
+    },
+    "cosine_sim" -> { es =>
+      checkArity("cosine_sim", es, 2, 2)
+      CosineSim(es(0), es(1))
+    },
+    "word_shingles" -> { es =>
+      checkArity("word_shingles", es, 1, 2)
+      WordShingles(es.head, if (es.size > 1) litInt("word_shingles", "n", es(1)) else 3)
+    },
+    "minhash_bands" -> { es =>
+      checkArity("minhash_bands", es, 1, 3)
+      MinHashBands(es.head,
+        if (es.size > 1) litInt("minhash_bands", "numPerms", es(1)) else 64,
+        if (es.size > 2) litInt("minhash_bands", "bands", es(2)) else 16)
+    },
+    "l2_sq" -> { es =>
+      checkArity("l2_sq", es, 2, 2)
+      L2Sq(es(0), es(1))
+    },
+    "z_order" -> { es =>
+      checkArity("z_order", es, 2, 2)
+      ZOrder2(es(0), es(1))
+    },
+    "simhash_chunks" -> { es =>
+      checkArity("simhash_chunks", es, 1, 2)
+      SimHashChunks(es.head, if (es.size > 1) litInt("simhash_chunks", "chunks", es(1)) else 8)
+    },
+    "count_matches" -> { es =>
+      checkArity("count_matches", es, 2, 2)
+      es(1) match {
+        case Literal(p, _) if p != null => CountMatches(es(0), p.toString)
+        case other => throw new IllegalArgumentException(
+          s"count_matches: argument 'pattern' must be a string literal, got ${other.sql}")
+      }
+    })
+
   /** SQL registration, so the kernels are callable from spark.sql(...).
     * Optional parameters map to the constructor params of the kernels, e.g.
     * `word_shingles(text, 5)`, `minhash_bands(shingles, 128, 32)`,
@@ -80,53 +143,9 @@ package object functions {
     */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("minhash_signature", es => {
-      checkArity("minhash_signature", es, 1, 2)
-      MinHashSignature(es.head,
-        if (es.size > 1) litInt("minhash_signature", "numPerms", es(1)) else 64)
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64", es => {
-      checkArity("simhash64", es, 1, 1)
-      SimHash64(es.head)
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("rolling_hash", es => {
-      checkArity("rolling_hash", es, 1, 3)
-      RollingHash(es.head,
-        if (es.size > 1) litLong("rolling_hash", "base", es(1)) else 31L,
-        if (es.size > 2) litLong("rolling_hash", "mod", es(2)) else 1000000007L)
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("sign_random_projection", es => {
-      checkArity("sign_random_projection", es, 1, 3)
-      SignRandomProjection(es.head,
-        if (es.size > 1) litInt("sign_random_projection", "numBits", es(1)) else 16,
-        if (es.size > 2) litInt("sign_random_projection", "seed", es(2)) else 77)
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("cosine_sim", es => {
-      checkArity("cosine_sim", es, 2, 2)
-      CosineSim(es(0), es(1))
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("word_shingles", es => {
-      checkArity("word_shingles", es, 1, 2)
-      WordShingles(es.head, if (es.size > 1) litInt("word_shingles", "n", es(1)) else 3)
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_bands", es => {
-      checkArity("minhash_bands", es, 1, 3)
-      MinHashBands(es.head,
-        if (es.size > 1) litInt("minhash_bands", "numPerms", es(1)) else 64,
-        if (es.size > 2) litInt("minhash_bands", "bands", es(2)) else 16)
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("l2_sq", es => {
-      checkArity("l2_sq", es, 2, 2)
-      L2Sq(es(0), es(1))
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("z_order", es => {
-      checkArity("z_order", es, 2, 2)
-      ZOrder2(es(0), es(1))
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("simhash_chunks", es => {
-      checkArity("simhash_chunks", es, 1, 2)
-      SimHashChunks(es.head, if (es.size > 1) litInt("simhash_chunks", "chunks", es(1)) else 8)
-    }, "scala_udf")
+    sqlBuilders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b(_), "scala_udf")
+    }
   }
 
   // ---- text primitives (match the DuckDB oracle expressions exactly) ----

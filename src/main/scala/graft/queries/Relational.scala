@@ -1460,5 +1460,197 @@ object Relational {
         FROM a ORDER BY event_type"""),
       "Per-group OLS trend via sufficient statistics: one partial-aggregated " +
         "pass, O(groups) solve, exact integer slope ratio across engines.")
+    ,
+
+    "corr_matrix" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Pairwise Pearson correlation matrix over the three bounded lineitem
+        // measures, per return flag — the grouped_regression pattern widened
+        // to every pair: ONE partial-aggregated pass computes the shared
+        // sufficient statistics (n, Σx per measure, Σxy per pair), the
+        // closed-form correlation components come out of an O(groups)
+        // projection. Emitted as exact integer numerator/denominators
+        // (corr² = num²/(den_x·den_y)) — bit-identical across engines where
+        // a streaming float corr would differ by reduction order. Headroom:
+        // measures ≤ 500 after scaling, so |n·Σxy| < 2^63 up to ~10⁹
+        // rows/group; past that, center the measures or widen the three
+        // products to DECIMAL(38,0) (same one-pass shape).
+        val li = table(s, d, "lineitem").select($"l_returnflag",
+          round($"l_quantity").cast("long").as("q"),
+          round($"l_discount" * 100).cast("long").as("dd"),
+          round($"l_tax" * 100).cast("long").as("tt"))
+        val a = li.groupBy($"l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum($"q").as("sq"), sum($"dd").as("sd"), sum($"tt").as("st"),
+          sum($"q" * $"q").as("sqq"), sum($"dd" * $"dd").as("sdd"),
+          sum($"tt" * $"tt").as("stt"),
+          sum($"q" * $"dd").as("sqd"), sum($"q" * $"tt").as("sqt"),
+          sum($"dd" * $"tt").as("sdt"))
+        def pair(x: String, y: String, sx: String, sy: String, sxx: String,
+            syy: String, sxy: String) =
+          a.select($"l_returnflag", lit(x).as("x_col"), lit(y).as("y_col"), $"n",
+            (($"n" * col(sxy)) - (col(sx) * col(sy))).as("corr_num"),
+            (($"n" * col(sxx)) - (col(sx) * col(sx))).as("den_x"),
+            (($"n" * col(syy)) - (col(sy) * col(sy))).as("den_y"))
+        pair("quantity", "discount", "sq", "sd", "sqq", "sdd", "sqd")
+          .unionByName(pair("quantity", "tax", "sq", "st", "sqq", "stt", "sqt"))
+          .unionByName(pair("discount", "tax", "sd", "st", "sdd", "stt", "sdt"))
+          .orderBy($"l_returnflag", $"x_col", $"y_col")
+      },
+      Some("""WITH li AS (SELECT l_returnflag,
+            CAST(round(l_quantity) AS BIGINT) AS q,
+            CAST(round(l_discount * 100) AS BIGINT) AS dd,
+            CAST(round(l_tax * 100) AS BIGINT) AS tt
+          FROM lineitem),
+        a AS (SELECT l_returnflag, count(*) AS n,
+            sum(q) AS sq, sum(dd) AS sd, sum(tt) AS st,
+            sum(q*q) AS sqq, sum(dd*dd) AS sdd, sum(tt*tt) AS stt,
+            sum(q*dd) AS sqd, sum(q*tt) AS sqt, sum(dd*tt) AS sdt
+          FROM li GROUP BY 1)
+        SELECT l_returnflag, x_col, y_col, CAST(n AS BIGINT) AS n,
+          CAST(num AS BIGINT) AS corr_num,
+          CAST(dx AS BIGINT) AS den_x, CAST(dy AS BIGINT) AS den_y
+        FROM (
+          SELECT l_returnflag, 'quantity' AS x_col, 'discount' AS y_col, n,
+            n*sqd - sq*sd AS num, n*sqq - sq*sq AS dx, n*sdd - sd*sd AS dy FROM a
+          UNION ALL
+          SELECT l_returnflag, 'quantity', 'tax', n,
+            n*sqt - sq*st, n*sqq - sq*sq, n*stt - st*st FROM a
+          UNION ALL
+          SELECT l_returnflag, 'discount', 'tax', n,
+            n*sdt - sd*st, n*sdd - sd*sd, n*stt - st*st FROM a)
+        ORDER BY l_returnflag, x_col, y_col"""),
+      "Pairwise Pearson correlation matrix via shared sufficient statistics: one " +
+        "aggregation pass for all pairs, exact integer corr components across engines."),
+
+    "sliding_distinct" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Trailing-7-day distinct customers per order day. Spark windows
+        // cannot COUNT(DISTINCT) over a range frame, and collect_set per day
+        // is O(window·actors) state — the scale shape is the EXPANSION
+        // trick: each distinct (day, customer) contributes itself to the 7
+        // contribution days it can be visible in, dedup, count. Cost is a
+        // bounded 7× row blowup of the DISTINCT day-customer pairs (already
+        // aggregated, never raw orders), two hash shuffles, no per-group
+        // state. Days are epoch-day integers; only days that exist as order
+        // dates are emitted (inner join against the day dimension).
+        val o = table(s, d, "orders").select(
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"),
+          $"o_custkey")
+        val dayCust = o.distinct()
+        val contrib = dayCust
+          .select(explode(sequence($"day", $"day" + 6)).as("d"), $"o_custkey")
+          .distinct()
+        val days = o.select($"day".as("d")).distinct()
+        contrib.join(days, "d")
+          .groupBy($"d")
+          .agg(count(lit(1)).as("n_active_7d"))
+          .orderBy($"d")
+      },
+      Some("""WITH o AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day, o_custkey
+          FROM orders),
+        dc AS (SELECT DISTINCT day, o_custkey FROM o),
+        contrib AS (SELECT DISTINCT day + g AS d, o_custkey
+          FROM dc, generate_series(0, 6) AS t(g)),
+        days AS (SELECT DISTINCT day AS d FROM o)
+        SELECT d, count(*) AS n_active_7d
+        FROM contrib JOIN days USING (d)
+        GROUP BY d ORDER BY d"""),
+      "Trailing-7-day distinct actors per day via the window-expansion trick: " +
+        "bounded 7x blowup of distinct (day, actor) pairs, no per-day set state, " +
+        "no COUNT(DISTINCT) window."),
+
+    "changepoint_cusum" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Two-sided CUSUM over the daily order-revenue series, in exact
+        // integer arithmetic. The textbook recurrence S_t = max(0, S_{t-1} +
+        // x_t − k) is sequential; the distributed form is its closed
+        // solution over prefix sums: S⁺_t = P_t − min(0, min_{j≤t} P_j) and
+        // S⁻_t = max(0, max_{j≤t} P_j) − P_t with P = cumsum(x − k),
+        // k = ⌊mean⌋ — running min/max of a prefix sum, both plain window
+        // functions. The window is ordered over DAYS (the series is
+        // pre-aggregated from raw orders first), so the single-partition
+        // window holds O(days) rows no matter how many raw orders feed it —
+        // at 100 TB the heavy reduction happened in the groupBy.
+        val daily = table(s, d, "orders")
+          .select(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"),
+            round($"o_totalprice" * 100).cast("long").as("cents"))
+          .groupBy($"day").agg(sum($"cents").as("rev"))
+        val stats = daily.agg(sum($"rev").as("tot"), count(lit(1)).as("nd"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        daily.crossJoin(broadcast(stats))
+          .withColumn("drift", $"rev" - expr("tot div nd"))
+          .withColumn("p", sum($"drift").over(w))
+          .withColumn("cusum_pos", $"p" - least(lit(0L), min($"p").over(w)))
+          .withColumn("cusum_neg", greatest(lit(0L), max($"p").over(w)) - $"p")
+          .select($"day", $"rev", $"cusum_pos", $"cusum_neg")
+          .orderBy($"day")
+      },
+      Some("""WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+          FROM orders GROUP BY 1),
+        st AS (SELECT CAST(sum(rev) AS BIGINT) AS tot, count(*) AS nd FROM daily),
+        p AS (SELECT day, rev,
+            CAST(sum(rev - (SELECT tot // nd FROM st)) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+          FROM daily)
+        SELECT day, rev,
+          p - least(0, CAST(min(p) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS BIGINT)) AS cusum_pos,
+          greatest(0, CAST(max(p) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS BIGINT)) - p AS cusum_neg
+        FROM p ORDER BY day"""),
+      "Two-sided integer CUSUM changepoint statistic: the sequential recurrence " +
+        "solved as prefix-sum minus running-min — plain window functions over the " +
+        "pre-aggregated daily series."),
+
+    "approx_distinct_intersection" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Bottom-k (KMV) sketches per event type, then pairwise
+        // INTERSECTION cardinality estimates — the set operation HLL
+        // (approx_distinct_by_group) cannot deliver: inclusion–exclusion
+        // over HLL drowns small overlaps in the union's error, while the
+        // KMV union sketch is computable exactly from the two sketches and
+        // carries an unbiased Jaccard estimate (Beyer et al., SIGMOD'07).
+        // Distribution: ONE pass — distinct (type, hash), then the
+        // bounded-state k-min aggregate (TopKAgg, O(k) per group per
+        // partition, map-side partial merge); the driver sees only
+        // O(groups · k) longs and combines the 10 pairs. Deterministic:
+        // xxhash64 is seedless-stable, so the estimates are reproducible
+        // bit-for-bit at any cluster size.
+        val K = 64
+        val sk = eventsTable(s, d)
+          .select($"event_type", xxhash64($"user_id").as("h")).distinct()
+          .groupBy($"event_type")
+          .agg(graft.functions.topk_pairs($"h", $"h", K).as("tk"))
+        val sketches = sk.collect()
+          .map(r => r.getString(0) ->
+            r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)).toArray.sorted)
+          .sortBy(_._1)
+        val rows = for {
+          (ta, a) <- sketches.toSeq
+          (tb, b) <- sketches.toSeq if ta < tb
+        } yield {
+          val u = graft.operators.Kmv.union(a, b, K)
+          val (_, inter) = graft.operators.Kmv.intersection(a, b, K)
+          (ta, tb,
+            math.round(graft.operators.Kmv.estimate(a, K)),
+            math.round(graft.operators.Kmv.estimate(b, K)),
+            math.round(graft.operators.Kmv.estimate(u, K)),
+            math.round(inter))
+        }
+        rows.toDF("type_a", "type_b", "est_a", "est_b", "est_union", "est_inter")
+          .orderBy($"type_a", $"type_b")
+      },
+      None,
+      "Pairwise distinct-user intersection estimates from mergeable bottom-k " +
+        "sketches: one bounded-state aggregation pass, O(groups*k) driver combine; " +
+        "error-bound + exact-recovery specs in KmvSpec (no SQL oracle - DuckDB has " +
+        "no xxhash64).")
   )
 }

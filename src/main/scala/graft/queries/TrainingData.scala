@@ -1357,5 +1357,68 @@ object TrainingData {
             k -> CASE WHEN bs[k] * 63 > list_sum(bs) THEN (1::BIGINT << (k - 1)) ELSE 0 END)) AS BIGINT) AS ahash63
         FROM s ORDER BY doc_id"""),
       "Perceptual average-hash (aHash) fingerprint over payload bytes: 63 block-vs-" +
-        "mean bits packed to a BIGINT, integer-exact — the image near-dup primitive."))
+        "mean bits packed to a BIGINT, integer-exact — the image near-dup primitive."),
+
+    "sparse_cosine_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Weighted sparse-vector cosine similarity join over the 3-gram
+        // shingle space — the TF-IDF complement to the SET-similarity
+        // near-dup family (Jaccard ignores term multiplicity and weighting;
+        // this doesn't). All-integer, all-exact:
+        //   weight(doc, g) = tf · (10⁶ div df)   (rarity-scaled, integer)
+        //   pair qualifies iff cos ≥ 0.6  ⇔  25·dot² ≥ 9·‖a‖²·‖b‖²,
+        // the τ² cross-multiplied form — no sqrt, no doubles; the one
+        // comparison that exceeds 63 bits runs in DECIMAL(38,0) (Spark) /
+        // HUGEINT (DuckDB), never emitted. Scale shape: inverted-index join
+        // keyed by shingle with a df ≤ 50 posting-list cap (drops ubiquitous
+        // terms the way every sparse-similarity system drops stop-words —
+        // they contribute ~0 weight but quadratic candidates), one shuffle
+        // by shingle, one by pair; never all-pairs.
+        val toks = ascii_tokens($"text")
+        val grams = transform(
+          sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+          i => concat_ws(" ",
+            coalesce(try_element_at(toks, i), lit("")),
+            coalesce(try_element_at(toks, i + 1), lit("")),
+            coalesce(try_element_at(toks, i + 2), lit(""))))
+        val tf = docs(s, d).select($"doc_id", explode(grams).as("g"))
+          .groupBy($"doc_id", $"g").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy($"g").agg(count(lit(1)).as("df"))
+          .filter($"df" <= 50)
+        val w = tf.join(df, "g")
+          .select($"doc_id", $"g", ($"tf" * expr("1000000 div df")).as("wt"))
+        val nrm = w.groupBy($"doc_id").agg(sum($"wt" * $"wt").as("n2"))
+        val dot = w.as("a").join(w.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(sum(col("a.wt") * col("b.wt")).as("dot"))
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        dot
+          .join(nrm.select($"doc_id".as("id_a"), $"n2".as("na2")), "id_a")
+          .join(nrm.select($"doc_id".as("id_b"), $"n2".as("nb2")), "id_b")
+          .filter(lit(25).cast(dec) * $"dot" * $"dot" >= lit(9).cast(dec) * $"na2" * $"nb2")
+          .select($"id_a", $"id_b", $"dot", $"na2", $"nb2")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+          FROM documents),
+        gr AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+            i -> coalesce(w[i],'') || ' ' || coalesce(w[i+1],'') || ' ' || coalesce(w[i+2],''))) AS g
+          FROM tok),
+        tf AS (SELECT doc_id, g, count(*) AS tf FROM gr GROUP BY 1, 2),
+        df AS (SELECT g, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 50),
+        w AS (SELECT tf.doc_id, tf.g, CAST(tf.tf * (1000000 // df.df) AS BIGINT) AS wt
+          FROM tf JOIN df USING (g)),
+        nrm AS (SELECT doc_id, CAST(sum(wt*wt) AS BIGINT) AS n2 FROM w GROUP BY 1),
+        dt AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(sum(a.wt*b.wt) AS BIGINT) AS dot
+          FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b, dot, na.n2 AS na2, nb.n2 AS nb2
+        FROM dt JOIN nrm na ON dt.id_a = na.doc_id JOIN nrm nb ON dt.id_b = nb.doc_id
+        WHERE 25 * CAST(dot AS HUGEINT) * dot >= 9 * CAST(na.n2 AS HUGEINT) * nb.n2
+        ORDER BY id_a, id_b"""),
+      "TF-IDF-weighted sparse cosine similarity join (cos >= 0.6) over the shingle " +
+        "inverted index: integer weights, cross-multiplied tau-squared test in wide " +
+        "integers, df-capped posting lists — exact, no sqrt, no all-pairs."))
 }
