@@ -1487,15 +1487,22 @@ object Relational {
           sum($"tt" * $"tt").as("stt"),
           sum($"q" * $"dd").as("sqd"), sum($"q" * $"tt").as("sqt"),
           sum($"dd" * $"tt").as("sdt"))
-        def pair(x: String, y: String, sx: String, sy: String, sxx: String,
+        // expand the three pairs FROM the single aggregated row (explode of
+        // structs), never as a union of three selects over the aggregate — a
+        // union re-plans the aggregate per branch (the plan audit counts the
+        // scans: 6 with union, 1 here)
+        def pairStruct(x: String, y: String, sx: String, sy: String, sxx: String,
             syy: String, sxy: String) =
-          a.select($"l_returnflag", lit(x).as("x_col"), lit(y).as("y_col"), $"n",
+          struct(lit(x).as("x_col"), lit(y).as("y_col"),
             (($"n" * col(sxy)) - (col(sx) * col(sy))).as("corr_num"),
             (($"n" * col(sxx)) - (col(sx) * col(sx))).as("den_x"),
             (($"n" * col(syy)) - (col(sy) * col(sy))).as("den_y"))
-        pair("quantity", "discount", "sq", "sd", "sqq", "sdd", "sqd")
-          .unionByName(pair("quantity", "tax", "sq", "st", "sqq", "stt", "sqt"))
-          .unionByName(pair("discount", "tax", "sd", "st", "sdd", "stt", "sdt"))
+        a.select($"l_returnflag", $"n", explode(array(
+            pairStruct("quantity", "discount", "sq", "sd", "sqq", "sdd", "sqd"),
+            pairStruct("quantity", "tax", "sq", "st", "sqq", "stt", "sqt"),
+            pairStruct("discount", "tax", "sd", "st", "sdd", "stt", "sdt"))).as("p"))
+          .select($"l_returnflag", $"p.x_col", $"p.y_col", $"n",
+            $"p.corr_num", $"p.den_x", $"p.den_y")
           .orderBy($"l_returnflag", $"x_col", $"y_col")
       },
       Some("""WITH li AS (SELECT l_returnflag,

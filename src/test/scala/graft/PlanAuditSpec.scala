@@ -278,4 +278,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
+
+  test("sparse cosine join stays on the shingle inverted index — no cartesian, no nested loop") {
+    val df = q("sparse_cosine_join")
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the dot-product reduction pre-aggregates map-side before its exchange
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("corr_matrix computes every pair from ONE aggregation over ONE scan") {
+    val df = q("corr_matrix")
+    df.collect()
+    val plan = planOf(df)
+    // one lineitem scan feeding a shared aggregate; the three pair
+    // projections expand from it (explode), not three union branches.
+    // AQE's toString appends an "== Initial Plan ==" copy — count final only.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator.count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans\n" + plan.take(3000))
+    assert(plan.contains("ReusedExchange") || plan.contains("partial_sum"), plan.take(3000))
+  }
+
+  test("sliding_distinct joins its day dimension via broadcast (no per-day state, no range window)") {
+    val df = q("sliding_distinct")
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), "expansion trick must not fall back to a window\n" + plan.take(3000))
+  }
+
+  test("changepoint_cusum windows only the pre-aggregated daily series") {
+    val df = q("changepoint_cusum")
+    df.collect()
+    val plan = planOf(df)
+    // the heavy reduction (groupBy day) happens BEFORE the single-partition
+    // window: a partial aggregate must appear, and the window's exchange is
+    // a SinglePartition over O(days) rows, never raw orders
+    assert(plan.contains("partial_sum"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+  }
 }
