@@ -781,6 +781,62 @@ object Ingestion {
       "Out-of-order-safe conditional upsert (MERGE WHEN MATCHED AND newer): one " +
         "union+latestByKey shuffle; stale CDC replays provably lose."),
 
+    "merge_into_full" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The full MERGE INTO statement (Upsert.merge): actions DERIVED from
+        // the join outcome + conditions, not from pre-tagged ops. Batch
+        // convention: price_c = 0 is a tombstone — WHEN MATCHED it deletes,
+        // WHEN NOT MATCHED the insert clause's condition refuses to insert
+        // it (the classic CDC trap: an unconditional INSERT * would
+        // resurrect tombstones of never-seen keys as zero-price rows).
+        //   %40 == 0             -> update (price + 777)
+        //   %200 == 0 (matched)  -> tombstone: delete
+        //   key+20M for %1001    -> insert
+        //   key+30M for %2003    -> tombstone for a key that never existed:
+        //                           must produce NOTHING
+        val base = table(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey",
+            round($"o_totalprice" * 100).cast("long").as("price_c"))
+        val o = table(s, d, "orders")
+        val src = o.filter($"o_orderkey" % 40 === 0)
+          .select($"o_orderkey", $"o_custkey",
+            when($"o_orderkey" % 200 === 0, lit(0L))
+              .otherwise(round($"o_totalprice" * 100).cast("long") + 777L).as("price_c"))
+          .unionByName(o.filter($"o_orderkey" % 1001 === 0)
+            .select(($"o_orderkey" + 20000000L).as("o_orderkey"), $"o_custkey",
+              round($"o_totalprice" * 100).cast("long").as("price_c")))
+          .unionByName(o.filter($"o_orderkey" % 2003 === 0)
+            .select(($"o_orderkey" + 30000000L).as("o_orderkey"), $"o_custkey",
+              lit(0L).as("price_c")))
+        graft.operators.Upsert.merge(base, src, Seq("o_orderkey"),
+            deleteWhen = (_, srcRow) => srcRow.getField("price_c") === 0L,
+            insertWhen = srcRow => srcRow.getField("price_c") =!= 0L)
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders),
+        src AS (
+          SELECT o_orderkey, o_custkey,
+            CASE WHEN o_orderkey % 200 = 0 THEN 0
+                 ELSE CAST(round(o_totalprice * 100) AS BIGINT) + 777 END AS price_c
+          FROM orders WHERE o_orderkey % 40 = 0
+          UNION ALL SELECT o_orderkey + 20000000, o_custkey,
+            CAST(round(o_totalprice * 100) AS BIGINT)
+          FROM orders WHERE o_orderkey % 1001 = 0
+          UNION ALL SELECT o_orderkey + 30000000, o_custkey, 0
+          FROM orders WHERE o_orderkey % 2003 = 0)
+        SELECT coalesce(b.o_orderkey, s.o_orderkey) AS o_orderkey,
+          CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE b.o_custkey END AS o_custkey,
+          CASE WHEN s.o_orderkey IS NOT NULL THEN s.price_c ELSE b.price_c END AS price_c
+        FROM base b FULL JOIN src s ON b.o_orderkey = s.o_orderkey
+        WHERE NOT (b.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL AND s.price_c = 0)
+          AND NOT (b.o_orderkey IS NULL AND s.price_c = 0)
+        ORDER BY o_orderkey"""),
+      "Full MERGE INTO: matched-and-condition DELETE, matched UPDATE SET *, " +
+        "not-matched-and-condition INSERT in ONE keyed full-outer join; tombstones " +
+        "of unseen keys provably do not resurrect; in-plan cardinality guard."),
+
     "skew_diagnostics" -> Q(
       (s, d) => {
         import s.implicits._

@@ -93,4 +93,61 @@ class UpsertSpec extends SparkSpec {
     assert(got == Set((1L, "a", 10, 1.0), (2L, "a", 20, 2.0),
       (3L, "b", 10, 30.0), (4L, "c", 99, 4.0)))
   }
+
+  // ---- Upsert.merge (full MERGE INTO semantics) --------------------------
+
+  private def mergeRows(out: org.apache.spark.sql.DataFrame) =
+    out.select($"k", $"v", $"tag").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2)))
+      .toSet
+
+  test("merge: matched update, matched-and-cond delete, not-matched-and-cond insert") {
+    val base = Seq((1L, 10L, "b"), (2L, 20L, "b"), (3L, 30L, "b"))
+      .toDF("k", "v", "tag")
+    val src = Seq(
+      (2L, 99L, "s"),           // matched -> update
+      (3L, 0L, "s"),            // matched + tombstone -> delete
+      (4L, 40L, "s"),           // not matched -> insert
+      (5L, 0L, "s"))            // not matched tombstone -> refused by insertWhen
+      .toDF("k", "v", "tag")
+    val out = graft.operators.Upsert.merge(base, src, Seq("k"),
+      deleteWhen = (_, s) => s.getField("v") === 0L,
+      insertWhen = s => s.getField("v") =!= 0L)
+    assert(mergeRows(out) == Set(
+      (1L, Some(10L), "b"),     // untouched target passes through
+      (2L, Some(99L), "s"),
+      (4L, Some(40L), "s")))
+  }
+
+  test("merge: a legitimately-NULL source field overwrites on match (no per-field coalesce)") {
+    val base = Seq((1L, Some(10L), "b")).toDF("k", "v", "tag")
+    val src = Seq((1L, None: Option[Long], "s")).toDF("k", "v", "tag")
+    val out = graft.operators.Upsert.merge(base, src, Seq("k"),
+      deleteWhen = (_, _) => lit(false))
+    assert(mergeRows(out) == Set((1L, None, "s")),
+      "NULL source payload must win on match, not fall back to the target value")
+  }
+
+  test("merge: NULL-evaluating delete condition is NOT satisfied (row kept, updated)") {
+    val base = Seq((1L, Some(10L), "b")).toDF("k", "v", "tag")
+    val src = Seq((1L, None: Option[Long], "s")).toDF("k", "v", "tag")
+    // s.v === 0 evaluates NULL for the null payload: three-valued logic says
+    // the clause does not fire -> the row must survive as an update
+    val out = graft.operators.Upsert.merge(base, src, Seq("k"),
+      deleteWhen = (_, s) => s.getField("v") === 0L)
+    assert(mergeRows(out) == Set((1L, None, "s")))
+  }
+
+  test("merge: duplicate source keys raise (the MERGE cardinality rule)") {
+    val base = Seq((1L, 10L, "b")).toDF("k", "v", "tag")
+    val src = Seq((1L, 11L, "s"), (1L, 12L, "s")).toDF("k", "v", "tag")
+    val e = intercept[Exception] {
+      graft.operators.Upsert.merge(base, src, Seq("k"),
+        deleteWhen = (_, _) => lit(false)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("MERGE cardinality violation")),
+      s"expected the cardinality guard, got: $e")
+  }
 }
