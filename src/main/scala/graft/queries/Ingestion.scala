@@ -837,6 +837,55 @@ object Ingestion {
         "not-matched-and-condition INSERT in ONE keyed full-outer join; tombstones " +
         "of unseen keys provably do not resurrect; in-plan cardinality guard."),
 
+    "metadata_count" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Iceberg's COUNT(*) aggregate pushdown: every data dir carries a
+        // _rowcount sidecar summed from its parquet FOOTERS at write time
+        // (driver-side, no Spark job), so the count of a 100 TB table is
+        // answered from O(dirs) tiny files — no data pages, no executors.
+        // VersionedTableSpec proves the no-data-read claim by physically
+        // moving the data dirs away and counting anyway, and that
+        // outstanding MOR deletes refuse the metadata path (row liveness
+        // then depends on data) until compact().
+        val p = tmp("meta_count")
+        GraftTableWriter.drop(s, p)
+        val o = table(s, d, "orders").select($"o_orderkey", $"o_custkey")
+        VersionedTable.overwrite(o.filter($"o_orderkey" % 2 === 0), p)
+        VersionedTable.append(o.filter($"o_orderkey" % 2 =!= 0), p)
+        Seq(VersionedTable.countFromMetadata(s, p)
+          .getOrElse(sys.error("metadata count unavailable"))).toDF("n_rows")
+      },
+      Some("SELECT count(*) AS n_rows FROM orders"),
+      "Metadata-only COUNT(*): per-dir footer-summed _rowcount sidecars, " +
+        "O(dirs) driver I/O, zero data files opened."),
+
+    "table_files" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The `files` metadata table (Iceberg table$files): one row per live
+        // data dir — ordinal, commit sequence, record count from the
+        // sidecar, bounds-column count. Dir names are wall-clock-uniqued so
+        // ordinals (not names) are exposed.
+        val p = tmp("files_meta")
+        GraftTableWriter.drop(s, p)
+        val o = table(s, d, "orders").select($"o_orderkey", $"o_custkey")
+        VersionedTable.overwrite(o.filter($"o_orderkey" % 3 === 0), p)
+        VersionedTable.append(o.filter($"o_orderkey" % 3 === 1), p)
+        VersionedTable.append(o.filter($"o_orderkey" % 3 === 2), p)
+        VersionedTable.filesMetadata(s, p).orderBy($"file_ordinal")
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS file_ordinal, CAST(0 AS BIGINT) AS commit_seq,
+          (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS n_rows,
+          CAST(0 AS BIGINT) AS n_stat_cols
+        UNION ALL SELECT 2, 2,
+          (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 1), 0
+        UNION ALL SELECT 3, 3,
+          (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 2), 0
+        ORDER BY file_ordinal"""),
+      "files metadata table: per-dir commit sequence, sidecar record count, " +
+        "stats-column count — table introspection without scanning data."),
+
     "skew_diagnostics" -> Q(
       (s, d) => {
         import s.implicits._

@@ -752,7 +752,92 @@ object VersionedTable {
   private def writeDataDir(df: DataFrame, path: String): String = {
     val d = s"d-${System.nanoTime()}-${counter.incrementAndGet()}"
     df.write.parquet(new Path(path, d).toString)
+    writeRowCountSidecar(df.sparkSession, new Path(path, d))
     d
+  }
+
+  /** Per-dir record-count sidecar (`_rowcount`), the Iceberg
+    * `record_count` file metric: summed from the parquet FOOTERS of the
+    * just-written dir on the driver — a few KB of I/O per file, NO Spark
+    * job, no data pages touched. Data dirs are immutable, so the count
+    * never needs maintenance, rides along when a clone references the dir
+    * absolutely, and [[countFromMetadata]] can answer COUNT(*) without
+    * opening any data file. Failure to write the sidecar is non-fatal —
+    * it is an optimization, and readers treat a missing sidecar as
+    * "metadata cannot answer". */
+  private def writeRowCountSidecar(spark: SparkSession, dir: Path): Unit =
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val filesystem = dir.getFileSystem(conf)
+      val total = filesystem.listStatus(dir)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+      val out = filesystem.create(new Path(dir, RowCountFile), true)
+      try out.write(total.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case _: Exception => () }
+
+  private val RowCountFile = "_rowcount"
+
+  /** The dir's sidecar count, if recorded. */
+  private def readRowCountSidecar(filesystem: FileSystem, path: String, dir: String): Option[Long] =
+    try {
+      // Path(parent, child) resolves absolute children to themselves — the
+      // same mechanism readSnapshot uses for clone-borrowed absolute dirs
+      val p = new Path(new Path(path, dir), RowCountFile)
+      if (!filesystem.exists(p)) None
+      else {
+        val in = filesystem.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        Some(s.trim.toLong)
+      }
+    } catch { case _: Exception => None }
+
+  /** Metadata-only `COUNT(*)` — Iceberg's aggregate pushdown: answered by
+    * summing the per-dir `_rowcount` sidecars of the (current or
+    * time-traveled) snapshot, without opening ANY data file. Returns None
+    * when metadata alone cannot be exact:
+    *  - outstanding equality deletes (merge-on-read: row liveness depends
+    *    on data until [[compact]] materializes the merge), or
+    *  - any dir lacking a sidecar (written by an older build).
+    * Callers fall back to `read(...).count()` — same contract as Iceberg
+    * falling off the metadata path when a file lacks metrics. */
+  def countFromMetadata(spark: SparkSession, path: String,
+      version: Option[Int] = None): Option[Long] = {
+    val filesystem = fs(spark, path)
+    val snap = version match {
+      case Some(v) => snapshot(spark, path, v)
+      case None    => latest(spark, path)
+    }
+    snap.flatMap { sn =>
+      if (sn.deletes.nonEmpty) None
+      else {
+        val counts = sn.dirs.map(d => readRowCountSidecar(filesystem, path, d))
+        if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+      }
+    }
+  }
+
+  /** The `files` metadata table (Iceberg's `table$files`): one row per live
+    * data dir of the current snapshot — commit sequence, record count (−1
+    * when no sidecar), and how many columns carry manifest bounds. Ordinal
+    * is the position in the snapshot's dir list (dir names themselves are
+    * uniqued by wall clock, deliberately not exposed in query results). */
+  def filesMetadata(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val filesystem = fs(spark, path)
+    latest(spark, path).map { sn =>
+      sn.dirs.zipWithIndex.map { case (d, i) =>
+        ((i + 1).toLong,
+          sn.dataSeq.get(d).map(_.toLong).getOrElse(0L),
+          readRowCountSidecar(filesystem, path, d).getOrElse(-1L),
+          sn.colStats.get(d).map(_.size.toLong).getOrElse(0L))
+      }.toDF("file_ordinal", "commit_seq", "n_rows", "n_stat_cols")
+    }.getOrElse(Seq.empty[(Long, Long, Long, Long)]
+      .toDF("file_ordinal", "commit_seq", "n_rows", "n_stat_cols"))
   }
 
   /** Commit a snapshot whose dir list is a FUNCTION of the snapshot it lands

@@ -442,4 +442,71 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, path).size == 9)
     assert(VersionedTable.read(spark, path).count() == 9)
   }
+
+  // ---- metadata-only COUNT(*) + files metadata ---------------------------
+
+  test("countFromMetadata answers without opening any data file (dirs physically removed)") {
+    val path = "/tmp/graft_tables/spec_meta_count"
+    GraftTableWriter.drop(spark, path)
+    val df = (1L to 100L).toDF("id")
+    VersionedTable.overwrite(df.filter($"id" <= 40), path)
+    VersionedTable.append(df.filter($"id" > 40), path)
+    assert(VersionedTable.countFromMetadata(spark, path) == Some(100L))
+    assert(VersionedTable.countFromMetadata(spark, path, Some(1)) == Some(40L),
+      "time-traveled metadata count must see only v1's dirs")
+    // THE no-data-read proof: move every parquet file away; the sidecars
+    // stay; the metadata count still answers while a scan would now fail
+    val root = java.nio.file.Paths.get(path)
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        java.nio.file.Files.move(p, p.resolveSibling(p.getFileName.toString + ".hidden"))
+    }
+    assert(VersionedTable.countFromMetadata(spark, path) == Some(100L),
+      "count must come from sidecars alone, not from data files")
+  }
+
+  test("countFromMetadata refuses while MOR deletes are outstanding, answers after compact") {
+    val path = "/tmp/graft_tables/spec_meta_count_mor"
+    GraftTableWriter.drop(spark, path)
+    val df = (1L to 50L).map(i => (i, i * 10)).toDF("k", "v")
+    VersionedTable.overwrite(df, path)
+    VersionedTable.upsertMor(Seq((7L, 999L)).toDF("k", "v"), path, Seq("k"))
+    assert(VersionedTable.countFromMetadata(spark, path).isEmpty,
+      "equality deletes outstanding: row liveness depends on data, metadata must refuse")
+    VersionedTable.compact(spark, path, 1000000L)
+    assert(VersionedTable.countFromMetadata(spark, path) == Some(50L))
+    assert(VersionedTable.read(spark, path).count() == 50L)
+  }
+
+  test("countFromMetadata degrades to None when a dir lacks its sidecar") {
+    val path = "/tmp/graft_tables/spec_meta_count_nosc"
+    GraftTableWriter.drop(spark, path)
+    VersionedTable.overwrite((1L to 30L).toDF("id"), path)
+    val root = java.nio.file.Paths.get(path)
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.getFileName.toString == "_rowcount") java.nio.file.Files.delete(p)
+    }
+    assert(VersionedTable.countFromMetadata(spark, path).isEmpty,
+      "a sidecar-less dir (older build) must fall off the metadata path, not guess")
+  }
+
+  test("filesMetadata lists live dirs with sequences and sidecar counts; clones inherit") {
+    val path = "/tmp/graft_tables/spec_files_meta"
+    GraftTableWriter.drop(spark, path)
+    val df = (1L to 90L).toDF("id")
+    VersionedTable.overwrite(df.filter($"id" <= 30), path)
+    VersionedTable.append(df.filter($"id" > 30 && $"id" <= 60), path)
+    VersionedTable.append(df.filter($"id" > 60), path)
+    val rows = VersionedTable.filesMetadata(spark, path)
+      .orderBy($"file_ordinal")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 30L), (2L, 30L), (3L, 30L)), rows.toString)
+    // a zero-copy clone references the same dirs absolutely — the sidecars
+    // ride along and the clone's metadata count works immediately
+    val clonePath = "/tmp/graft_tables/spec_files_meta_clone"
+    GraftTableWriter.drop(spark, clonePath)
+    VersionedTable.cloneAt(spark, path, clonePath,
+      VersionedTable.versions(spark, path).max)
+    assert(VersionedTable.countFromMetadata(spark, clonePath) == Some(90L))
+  }
 }
