@@ -886,6 +886,33 @@ object Ingestion {
       "files metadata table: per-dir commit sequence, sidecar record count, " +
         "stats-column count — table introspection without scanning data."),
 
+    "metadata_minmax" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // MIN/MAX aggregate pushdown from the manifest's per-dir bounds —
+        // exact because per-dir bounds are true min/max of non-NULL values
+        // and SQL MIN/MAX ignore NULLs; refuses on MOR deletes or any
+        // stats-less dir (spec-locked). Long and string types both fold.
+        val p = tmp("meta_minmax")
+        GraftTableWriter.drop(s, p)
+        val o = table(s, d, "orders").select($"o_orderkey", $"o_orderstatus")
+        VersionedTable.appendWithStats(o.filter($"o_orderkey" % 2 === 0), p,
+          Seq("o_orderkey", "o_orderstatus"))
+        VersionedTable.appendWithStats(o.filter($"o_orderkey" % 2 =!= 0), p,
+          Seq("o_orderkey", "o_orderstatus"))
+        val k = VersionedTable.minMaxFromMetadata(s, p, "o_orderkey")
+          .getOrElse(sys.error("metadata minmax unavailable for o_orderkey"))
+        val st = VersionedTable.minMaxFromMetadata(s, p, "o_orderstatus")
+          .getOrElse(sys.error("metadata minmax unavailable for o_orderstatus"))
+        Seq((k.lo.toLong, k.hi.toLong, st.lo, st.hi))
+          .toDF("key_min", "key_max", "status_min", "status_max")
+      },
+      Some("""SELECT min(o_orderkey) AS key_min, max(o_orderkey) AS key_max,
+          min(o_orderstatus) AS status_min, max(o_orderstatus) AS status_max
+        FROM orders"""),
+      "Metadata-only MIN/MAX: manifest bounds folded per recorded type, zero " +
+        "data files opened; refusal paths (MOR deletes, stats-less dir) spec-locked."),
+
     "skew_diagnostics" -> Q(
       (s, d) => {
         import s.implicits._

@@ -821,6 +821,41 @@ object VersionedTable {
     }
   }
 
+  /** Metadata-only MIN/MAX of a stats-tracked column (the aggregate-pushdown
+    * sibling of [[countFromMetadata]]): folds the per-dir manifest bounds —
+    * min of los, max of his, compared per the recorded type — without
+    * opening any data file. Exact because per-dir bounds are true min/max of
+    * the dir's non-NULL values, and SQL MIN/MAX ignore NULLs. Refuses
+    * (None) whenever metadata cannot be exact:
+    *  - outstanding MOR equality deletes (a delete may remove the extreme
+    *    row),
+    *  - ANY dir lacking bounds for the column — indistinguishable between
+    *    "stats never recorded" and "column all-NULL in that dir", and the
+    *    former would make a metadata answer wrong, so both refuse. */
+  def minMaxFromMetadata(spark: SparkSession, path: String, column: String,
+      version: Option[Int] = None): Option[ColBounds] = {
+    val snap = version match {
+      case Some(v) => snapshot(spark, path, v)
+      case None    => latest(spark, path)
+    }
+    snap.flatMap { sn =>
+      if (sn.deletes.nonEmpty) None
+      else {
+        val bs = sn.dirs.map(d => sn.colStats.get(d).flatMap(_.get(column)))
+        if (bs.isEmpty || bs.exists(_.isEmpty)) None
+        else {
+          val all = bs.flatten
+          val typ = all.head.typ
+          if (all.exists(_.typ != typ)) None
+          else if (typ == "long")
+            Some(ColBounds(all.map(_.lo.toLong).min.toString,
+              all.map(_.hi.toLong).max.toString, typ))
+          else Some(ColBounds(all.map(_.lo).min, all.map(_.hi).max, typ))
+        }
+      }
+    }
+  }
+
   /** The `files` metadata table (Iceberg's `table$files`): one row per live
     * data dir of the current snapshot — commit sequence, record count (−1
     * when no sidecar), and how many columns carry manifest bounds. Ordinal

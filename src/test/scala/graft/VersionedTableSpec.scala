@@ -490,6 +490,42 @@ class VersionedTableSpec extends SparkSpec {
       "a sidecar-less dir (older build) must fall off the metadata path, not guess")
   }
 
+  test("minMaxFromMetadata folds manifest bounds; refuses on stats-less dirs and MOR deletes") {
+    val path = "/tmp/graft_tables/spec_meta_minmax"
+    GraftTableWriter.drop(spark, path)
+    val df = Seq((5L, "m"), (17L, "a"), (9L, "z")).toDF("k", "s")
+    val df2 = Seq((2L, "q"), (30L, "b")).toDF("k", "s")
+    VersionedTable.appendWithStats(df, path, Seq("k", "s"))
+    VersionedTable.appendWithStats(df2, path, Seq("k", "s"))
+    val k = VersionedTable.minMaxFromMetadata(spark, path, "k").get
+    assert((k.lo.toLong, k.hi.toLong) == (2L, 30L))
+    val s2 = VersionedTable.minMaxFromMetadata(spark, path, "s").get
+    assert((s2.lo, s2.hi) == ("a", "z"))
+    // version-pinned: v1 saw only the first batch
+    val k1 = VersionedTable.minMaxFromMetadata(spark, path, "k", Some(1)).get
+    assert((k1.lo.toLong, k1.hi.toLong) == (5L, 17L))
+    // no-data-read proof: remove the parquet files, bounds still answer
+    val root = java.nio.file.Paths.get(path)
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        java.nio.file.Files.delete(p)
+    }
+    assert(VersionedTable.minMaxFromMetadata(spark, path, "k").isDefined)
+    // a dir WITHOUT stats poisons the metadata path (could hold the extreme)
+    val path2 = "/tmp/graft_tables/spec_meta_minmax_nostats"
+    GraftTableWriter.drop(spark, path2)
+    VersionedTable.appendWithStats(df, path2, Seq("k"))
+    VersionedTable.append(df2, path2)
+    assert(VersionedTable.minMaxFromMetadata(spark, path2, "k").isEmpty,
+      "a stats-less dir must refuse the metadata answer, not guess")
+    // outstanding MOR deletes: the extreme row may be dead, refuse
+    val path3 = "/tmp/graft_tables/spec_meta_minmax_mor"
+    GraftTableWriter.drop(spark, path3)
+    VersionedTable.appendWithStats(df, path3, Seq("k"))
+    VersionedTable.upsertMor(Seq((17L, "gone")).toDF("k", "s"), path3, Seq("k"))
+    assert(VersionedTable.minMaxFromMetadata(spark, path3, "k").isEmpty)
+  }
+
   test("filesMetadata lists live dirs with sequences and sidecar counts; clones inherit") {
     val path = "/tmp/graft_tables/spec_files_meta"
     GraftTableWriter.drop(spark, path)
