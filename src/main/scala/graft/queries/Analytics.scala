@@ -1,0 +1,241 @@
+package graft.queries
+
+import graft.{core, Q}
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.2 additions: business-analytics operators over the event/order tables.
+  *
+  * Shapes here the rest of the relational module doesn't cover: arg-extrema
+  * aggregation (OHLC open/close via `min_by`/`max_by` on a composite BIGINT
+  * order — one hash aggregate, no per-bucket window sort), duration-weighted
+  * averages as integer-exact sufficient statistics, per-column survivorship
+  * (filtered arg-max per column in ONE aggregate pass), privacy risk scans,
+  * and association-rule mining in parts-per-million integer arithmetic.
+  *
+  * All money/ratio outputs follow the SURVEY §5 scaled-integer conventions
+  * (BIGINT units of 10^-k; integer `div` on both engines) so driver hashing
+  * is representation-proof.
+  */
+object Analytics {
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    "ohlc_bars" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // OHLC candlesticks: per (event_type, day), the first/last value by
+        // event time plus min/max. open/close are ARG-extrema — min_by/max_by
+        // on a composite order (micros within the day, event_id tiebreak,
+        // packed into one BIGINT so both engines compare identically) — so
+        // the whole bar is ONE partial-aggregating hash aggregate: no
+        // per-bucket sort, no window. At 100 TB this is a single shuffle
+        // keyed by (type, day) with map-side combine; a window formulation
+        // would sort every bucket.
+        val off = micros($"ts") - micros(date_trunc("day", $"ts"))
+        val ord = off * lit(10000000L) + $"event_id"
+        eventsTable(s, d)
+          .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+          .agg(
+            min_by($"value", ord).as("open"),
+            max($"value").as("high"),
+            min($"value").as("low"),
+            max_by($"value", ord).as("close"),
+            count(lit(1)).as("n"))
+          .select(micros($"day").as("day_us"), $"event_type",
+            $"open", $"high", $"low", $"close", $"n")
+          .orderBy($"day_us", $"event_type")
+      },
+      Some("""WITH e AS (
+          SELECT event_type, date_trunc('day', ts) AS day, value,
+                 (epoch_us(ts) - epoch_us(date_trunc('day', ts))) * 10000000
+                   + event_id AS ord
+          FROM events)
+        SELECT epoch_us(day) AS day_us, event_type,
+               arg_min(value, ord) AS open, max(value) AS high,
+               min(value) AS low, arg_max(value, ord) AS close,
+               count(*) AS n
+        FROM e GROUP BY event_type, day ORDER BY day_us, event_type"""),
+      "OHLC bars: arg-extrema (min_by/max_by on a packed BIGINT order) fold " +
+        "open/close into the same single hash aggregate as high/low — no " +
+        "per-bucket window sort at any scale."),
+
+    "time_weighted_avg" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Duration-weighted mean (sensor/billing semantics): each reading
+        // holds until the next one for the same type, so its weight is that
+        // interval. lead() needs one sort per type partition — unavoidable
+        // for interval construction — but the aggregate emits integer-exact
+        // SUFFICIENT STATISTICS (weighted sum in 10^-2 units, total
+        // milliseconds) instead of a drifting double division; the quotient
+        // is integer `div`, identical on both engines. The last reading per
+        // type has no successor and carries zero weight on both sides.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"us", $"event_id")
+        val withDur = eventsTable(s, d)
+          .select($"event_type", $"event_id", micros($"ts").as("us"), $"value")
+          .withColumn("dur_us", coalesce(lead($"us", 1).over(w), $"us") - $"us")
+          // integer div PER ROW (Spark's `/` on longs is double division —
+          // summing fractional milliseconds would drift from the mirror)
+          .withColumn("dur_ms", expr("dur_us div 1000"))
+        withDur
+          .groupBy($"event_type")
+          .agg(
+            moneyE(sum(dec2($"value") * $"dur_ms".cast(DecimalType(18, 0))), 2)
+              .as("wsum_c"),
+            sum($"dur_ms").cast(LongType).as("dur_ms"))
+          .withColumn("twa_c", expr("wsum_c div dur_ms"))
+          .select($"event_type", $"dur_ms", $"wsum_c", $"twa_c")
+          .orderBy($"event_type")
+      },
+      Some(s"""WITH e AS (
+          SELECT event_type, epoch_us(ts) AS us, value,
+                 (coalesce(lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                    ORDER BY epoch_us(ts), event_id), epoch_us(ts))
+                   - epoch_us(ts)) // 1000 AS dur_ms
+          FROM events)
+        SELECT event_type, CAST(SUM(dur_ms) AS BIGINT) AS dur_ms,
+               ${moneyESql("SUM(CAST(value AS DECIMAL(18,2)) * CAST(dur_ms AS DECIMAL(18,0)))", 2)} AS wsum_c,
+               ${moneyESql("SUM(CAST(value AS DECIMAL(18,2)) * CAST(dur_ms AS DECIMAL(18,0)))", 2)} // CAST(SUM(dur_ms) AS BIGINT) AS twa_c
+        FROM e GROUP BY event_type ORDER BY event_type"""),
+      "Time-weighted average via integer-exact sufficient statistics: " +
+        "value x holding-interval in scaled-decimal, quotient by integer div " +
+        "on both engines — no floating division anywhere."),
+
+    "golden_record" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Survivorship / golden-record merge (the MDM consolidation step):
+        // per customer, each attribute independently takes its most recent
+        // NON-NULL observation — different columns may win from different
+        // rows. Emulates a sparse multi-source feed deterministically:
+        // status is unreported by the "F-source" and priority by urgent
+        // rows, so the per-column filtered recency is load-bearing, not
+        // vacuous. ONE aggregate pass: max_by over an order that is NULLed
+        // where the column is unobserved (null orders are ignored by
+        // max_by / arg_max FILTER on both engines) — no per-column
+        // self-joins, no windows; scales as a single keyed shuffle.
+        val ord = unix_date($"o_orderdate".cast(DateType)).cast(LongType) *
+          lit(10000000000L) + $"o_orderkey"
+        val src = table(s, d, "orders")
+          .withColumn("status_obs",
+            when($"o_orderstatus" === "F", lit(null).cast(StringType))
+              .otherwise($"o_orderstatus"))
+          .withColumn("prio_obs",
+            when($"o_orderpriority".startsWith("1"), lit(null).cast(StringType))
+              .otherwise($"o_orderpriority"))
+        src.groupBy($"o_custkey")
+          .agg(
+            max_by($"status_obs", when($"status_obs".isNotNull, ord)).as("last_status"),
+            max_by($"prio_obs", when($"prio_obs".isNotNull, ord)).as("last_priority"),
+            count(lit(1)).as("n_orders"),
+            moneyE(sum(dec2($"o_totalprice")), 2).as("lifetime_value_c"),
+            max(ord).as("last_seen_ord"))
+          .orderBy($"o_custkey")
+      },
+      Some(s"""WITH src AS (
+          SELECT o_custkey,
+                 CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderstatus END AS status_obs,
+                 CASE WHEN o_orderpriority LIKE '1%' THEN NULL ELSE o_orderpriority END AS prio_obs,
+                 o_totalprice,
+                 CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                   * 10000000000 + o_orderkey AS ord
+          FROM orders)
+        SELECT o_custkey,
+               arg_max(status_obs, ord) FILTER (status_obs IS NOT NULL) AS last_status,
+               arg_max(prio_obs, ord) FILTER (prio_obs IS NOT NULL) AS last_priority,
+               count(*) AS n_orders,
+               ${moneyESql("SUM(CAST(o_totalprice AS DECIMAL(18,2)))", 2)} AS lifetime_value_c,
+               max(ord) AS last_seen_ord
+        FROM src GROUP BY o_custkey ORDER BY o_custkey"""),
+      "Golden-record survivorship: per-column latest-non-null in one " +
+        "aggregate pass (max_by with NULLed order ≡ arg_max FILTER), " +
+        "different columns winning from different source rows."),
+
+    "k_anonymity" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Privacy risk scan: quasi-identifier combinations (nation, market
+        // segment, account-balance band) whose group is smaller than k=5 —
+        // the re-identifiable rows a training-data release must suppress or
+        // generalize. One hash aggregate + a HAVING filter; the band edge
+        // uses floor on the same IEEE double op both engines share.
+        table(s, d, "customer")
+          .groupBy($"c_nationkey", $"c_mktsegment",
+            floor($"c_acctbal" / lit(1000.0)).cast(LongType).as("bal_band"))
+          .agg(count(lit(1)).as("group_size"))
+          .filter($"group_size" < 5)
+          .orderBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+      },
+      Some("""SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               count(*) AS group_size
+        FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 5
+        ORDER BY 1, 2, 3"""),
+      "k-anonymity violation scan: quasi-identifier groups below k=5, one " +
+        "aggregate + HAVING — the release-gate privacy check."),
+
+    "association_rules" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Association rules over order baskets: for each co-purchased part
+        // pair, support/confidence/lift in parts-per-million INTEGER
+        // arithmetic (exact on both engines; no floating ratios). Pair
+        // generation reuses the bounded-basket self-join (≤7 items/order →
+        // O(rows×basket) pairs, never O(N²)); per-part counts join back
+        // BROADCAST (O(parts) rows at this key space; at a 100 TB key space
+        // the same plan degrades gracefully to a shuffled hash join under
+        // AQE — nothing here requires the broadcast). Rules are emitted in
+        // both directions since confidence is asymmetric.
+        val op = table(s, d, "lineitem")
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val nOrders = table(s, d, "orders").select($"o_orderkey").distinct().count()
+        val partCnt = op.groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+        val pairs = op.as("a").join(op.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+          .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter($"n_ab" >= 3)
+        val rules = pairs
+          .select($"pa".as("antecedent"), $"pb".as("consequent"), $"n_ab")
+          .unionByName(pairs.select($"pb".as("antecedent"), $"pa".as("consequent"), $"n_ab"))
+        rules
+          .join(broadcast(partCnt).withColumnRenamed("cnt", "cnt_a"),
+            $"antecedent" === $"l_partkey").drop("l_partkey")
+          .join(broadcast(partCnt).withColumnRenamed("cnt", "cnt_b"),
+            $"consequent" === $"l_partkey").drop("l_partkey")
+          .withColumn("support_ppm", expr(s"n_ab * 1000000 div $nOrders"))
+          .withColumn("confidence_ppm", expr("n_ab * 1000000 div cnt_a"))
+          .withColumn("lift_ppm", expr(s"n_ab * $nOrders * 1000000 div (cnt_a * cnt_b)"))
+          .select($"antecedent", $"consequent", $"n_ab",
+            $"support_ppm", $"confidence_ppm", $"lift_ppm")
+          .orderBy(desc("confidence_ppm"), $"antecedent", $"consequent")
+          .limit(100)
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          n AS (SELECT count(DISTINCT o_orderkey) AS n_orders FROM orders),
+          pc AS (SELECT l_partkey, count(*) AS cnt FROM op GROUP BY 1),
+          pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+                 FROM op a JOIN op b
+                   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                 GROUP BY 1, 2 HAVING count(*) >= 3),
+          rules AS (
+            SELECT pa AS antecedent, pb AS consequent, n_ab FROM pr
+            UNION ALL
+            SELECT pb AS antecedent, pa AS consequent, n_ab FROM pr)
+        SELECT antecedent, consequent, n_ab,
+               n_ab * 1000000 // n.n_orders AS support_ppm,
+               n_ab * 1000000 // ca.cnt AS confidence_ppm,
+               n_ab * n.n_orders * 1000000 // (ca.cnt * cb.cnt) AS lift_ppm
+        FROM rules, n
+        JOIN pc ca ON rules.antecedent = ca.l_partkey
+        JOIN pc cb ON rules.consequent = cb.l_partkey
+        ORDER BY confidence_ppm DESC, antecedent, consequent LIMIT 100"""),
+      "Association rules (support/confidence/lift) in ppm integer math: " +
+        "bounded-basket pair join, broadcast per-part counts, both rule " +
+        "directions, deterministic top-100.")
+  )
+}

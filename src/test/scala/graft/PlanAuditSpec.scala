@@ -320,4 +320,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), plan.take(3000))
     assert(plan.contains("Window"), plan.take(3000))
   }
+
+  test("ohlc_bars folds open/close into ONE hash aggregate — no per-bucket window sort") {
+    val df = q("ohlc_bars")
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), "arg-extrema must not fall back to a window\n" + plan.take(3000))
+    // partial (map-side) min_by/max_by before the (type, day) exchange
+    assert(plan.contains("partial_min") || plan.contains("partial_max"), plan.take(3000))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected 1 events scan, got $scans\n" + plan.take(3000))
+  }
+
+  test("golden_record survivorship is ONE aggregate pass — no per-column self-joins") {
+    val df = q("golden_record")
+    df.collect()
+    val plan = planOf(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator.count(l => l.contains("FileScan parquet") && l.contains("orders"))
+    assert(scans == 1, s"expected 1 orders scan, got $scans\n" + plan.take(3000))
+    assert(!finalPlan.contains("Join"), "per-column recency must not join\n" + plan.take(3000))
+    assert(plan.contains("partial_max"), plan.take(3000))
+  }
+
+  test("association_rules joins per-part counts broadcast; pair join stays equi") {
+    val df = q("association_rules")
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // top-100 must not materialize a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("time_weighted_avg windows raw events but aggregates before emission") {
+    val df = q("time_weighted_avg")
+    df.collect()
+    val plan = planOf(df)
+    // one sort per type partition for lead(), then partial-aggregated stats
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("partial_sum"), plan.take(3000))
+  }
 }
