@@ -31,6 +31,19 @@ object Graph {
       .unionByName(cs.select((col("supp") + SuppOffset).as("src"), col("cust").as("dst")))
   }
 
+  /** [[edges]] with a deterministic integer weight per undirected edge
+    * (both directions share it), derived identically in the DuckDB oracle. */
+  private def weightedEdges(s: SparkSession, d: String): DataFrame = {
+    val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+      .withColumn("w", lit(1L) + (col("cust") * 31 + col("supp")) % 9)
+    cs.select(col("cust").as("src"), (col("supp") + SuppOffset).as("dst"), col("w"))
+      .unionByName(cs.select((col("supp") + SuppOffset).as("src"), col("cust").as("dst"), col("w")))
+  }
+
   /** The same fixed-point unrolled: r0 → (dangling, inflow, r_i) per
     * iteration. `//` is DuckDB's integer floor division = Spark's `DIV` on
     * the all-positive ranks; sums are CAST back to BIGINT because DuckDB
@@ -99,6 +112,76 @@ object Graph {
         GROUP BY node ORDER BY node"""),
       "Per-node triangle counts on the part co-purchase graph via the degree-ordered " +
         "wedge join (out-degree capped at O(sqrt(m)) by orientation — hub-skew-proof) " +
-        "vs the canonical a<b<c triple-join oracle.")
+        "vs the canonical a<b<c triple-join oracle."),
+
+    "graph_shortest_paths" -> Q(
+      (s, d) => {
+        // Multi-source unweighted shortest paths to depth 4 over the
+        // customer–supplier graph: proper frontier BFS (anti-join settled,
+        // frontier carries only NEWLY reached nodes — state O(reached),
+        // shrinking frontier). The oracle uses the naive walk-level
+        // expansion + MIN, output-equivalent (min walk length = shortest
+        // distance) but the shape that would NOT scale — the engine runs
+        // the one that does.
+        val sources = table(s, d, "customer")
+          .filter(col("c_custkey") <= 20)
+          .select(col("c_custkey").as("node"))
+        graft.operators.Bfs.shortestPaths(edges(s, d), sources, 4)
+          .orderBy(col("node"))
+      },
+      Some(s"""WITH ed0 AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          edges AS (SELECT cust AS src, supp + $SuppOffset AS dst FROM ed0
+            UNION ALL SELECT supp + $SuppOffset, cust FROM ed0),
+          l0 AS (SELECT DISTINCT c_custkey AS node FROM customer WHERE c_custkey <= 20),
+          l1 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN l0 ON e.src = l0.node),
+          l2 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN l1 ON e.src = l1.node),
+          l3 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN l2 ON e.src = l2.node),
+          l4 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN l3 ON e.src = l3.node),
+          alld AS (SELECT node, 0 AS dist FROM l0
+            UNION ALL SELECT node, 1 FROM l1
+            UNION ALL SELECT node, 2 FROM l2
+            UNION ALL SELECT node, 3 FROM l3
+            UNION ALL SELECT node, 4 FROM l4)
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        FROM alld GROUP BY node ORDER BY node"""),
+      "Bounded-depth multi-source BFS as shrinking-frontier iterative joins " +
+        "(anti-join settled each hop) vs the naive walk-level + MIN oracle."),
+
+    "graph_weighted_paths" -> Q(
+      (s, d) => {
+        // Weighted companion of graph_shortest_paths: cheapest ≤4-edge path
+        // by Bellman–Ford delta relaxation (only nodes whose distance
+        // improved last round relax their out-edges). Integer edge weights
+        // 1 + (cust*31 + supp) % 9 — deterministic, derived identically on
+        // both engines — keep every distance bit-exact, so the iterative
+        // fixed point is oracle-checkable with no tolerance gate. The oracle
+        // unrolls the textbook (non-delta) relaxation: identical output by
+        // the Bellman–Ford invariant, quadratically more relaxation work —
+        // the engine runs the shape that scales.
+        val sources = table(s, d, "customer")
+          .filter(col("c_custkey") <= 20)
+          .select(col("c_custkey").as("node"))
+        graft.operators.Bfs.weightedShortestPaths(weightedEdges(s, d), sources, 4)
+          .orderBy(col("node"))
+      },
+      Some(s"""WITH ed0 AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          edw AS (SELECT cust, supp, 1 + (cust*31 + supp) % 9 AS w FROM ed0),
+          edges AS (SELECT cust AS src, supp + $SuppOffset AS dst, w FROM edw
+            UNION ALL SELECT supp + $SuppOffset, cust, w FROM edw),
+          d0 AS (SELECT c_custkey AS node, 0 AS dist FROM customer WHERE c_custkey <= 20),
+          d1 AS (SELECT node, min(dist) AS dist FROM (SELECT node, dist FROM d0
+            UNION ALL SELECT e.dst, d0.dist + e.w FROM edges e JOIN d0 ON e.src = d0.node) GROUP BY node),
+          d2 AS (SELECT node, min(dist) AS dist FROM (SELECT node, dist FROM d1
+            UNION ALL SELECT e.dst, d1.dist + e.w FROM edges e JOIN d1 ON e.src = d1.node) GROUP BY node),
+          d3 AS (SELECT node, min(dist) AS dist FROM (SELECT node, dist FROM d2
+            UNION ALL SELECT e.dst, d2.dist + e.w FROM edges e JOIN d2 ON e.src = d2.node) GROUP BY node),
+          d4 AS (SELECT node, min(dist) AS dist FROM (SELECT node, dist FROM d3
+            UNION ALL SELECT e.dst, d3.dist + e.w FROM edges e JOIN d3 ON e.src = d3.node) GROUP BY node)
+        SELECT node, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY node"""),
+      "Bounded-hop weighted shortest paths via delta-relaxation Bellman-Ford " +
+        "(frontier = improved nodes only) vs the unrolled textbook relaxation, " +
+        "bit-exact on integer weights.")
   )
 }
