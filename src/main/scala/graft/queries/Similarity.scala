@@ -138,5 +138,85 @@ object Similarity {
       (s, d) => Ann.knnGraphLsh(emb(s, d), k = 3),
       None, // approximate: edge recall vs knn_graph is spec-checked (AnnSpec)
       "Banded kNN graph: each node ranks only its SRP bucket collisions — " +
-        "one (table,bucket) shuffle instead of the N² cross join."))
+        "one (table,bucket) shuffle instead of the N² cross join."),
+
+    "hybrid_retrieval_rrf" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Hybrid lexical+vector retrieval fused by reciprocal-rank fusion
+        // (RRF, Cormack et al.): score(d) = Σ 1/(60 + rank_i(d)) over the two
+        // systems — the standard RAG-stack retrieval composite. Each system
+        // produces a BOUNDED top-50 list (lexical: the ranked_retrieval
+        // tf×idf pipeline, TakeOrderedAndProject; vector: broadcast-query
+        // brute-force cosine), so the rank windows and the full-outer fuse
+        // run on ≤50 rows each — fusion cost is O(listSize), independent of
+        // corpus size, which is what makes RRF the scalable fusion: only the
+        // per-system retrieval touches the corpus. Ranks are integers and
+        // both engines compute the identical 1/(60+r) doubles, so the fused
+        // scores hash-match exactly.
+        val doc = table(s, d, "documents")
+        val terms = Seq("vector", "join", "scan")
+        val toks = doc.select($"doc_id",
+          explode(graft.functions.ascii_tokens(col("text"))).as("tok"))
+        val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+        val qtoks = toks.filter($"tok".isin(terms: _*))
+        val dfT = qtoks.select($"doc_id", $"tok").distinct()
+          .groupBy($"tok").agg(count(lit(1)).as("df"))
+        val n = doc.agg(count(lit(1)).as("n_docs"))
+        val textTop = qtoks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+          .join(broadcast(dfT), "tok")
+          .crossJoin(broadcast(n))
+          .withColumn("w", expr("(n_docs * 1000000) div df"))
+          .groupBy($"doc_id").agg(sum($"tf" * $"w").as("score_num"))
+          .join(dl, "doc_id")
+          .withColumn("ts", $"score_num".cast("double") / $"dl")
+          .orderBy(desc("ts"), $"doc_id").limit(50)
+        val wT = org.apache.spark.sql.expressions.Window.orderBy(desc("ts"), $"doc_id")
+        val textRank = textTop // ≤50 rows: the unpartitioned window is bounded
+          .withColumn("rank_text", row_number().over(wT).cast("long"))
+          .select($"doc_id", $"rank_text")
+        val e = emb(s, d)
+        val vecRank = Ann.bruteForceTopK(
+            e.filter($"vec_id" === 0), e.filter($"vec_id" =!= 0), k = 50)
+          .select($"neighbor_id".as("doc_id"), $"rank".as("rank_vec"))
+        textRank.join(vecRank, Seq("doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60) + $"rank_text"), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + $"rank_vec"), lit(0.0)))
+          .orderBy(desc("rrf"), $"doc_id").limit(20)
+          .select($"doc_id", $"rank_text", $"rank_vec", $"rrf")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents),
+          dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+          qt AS (SELECT * FROM toks WHERE tok IN ('vector', 'join', 'scan')),
+          dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM qt GROUP BY tok),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          tf AS (SELECT doc_id, tok, count(*) AS tf FROM qt GROUP BY doc_id, tok),
+          sc AS (SELECT doc_id, CAST(sum(tf * ((n_docs * 1000000) // df)) AS BIGINT) AS score_num
+            FROM tf JOIN dft USING (tok) CROSS JOIN n GROUP BY doc_id),
+          ts AS (SELECT sc.doc_id, CAST(score_num AS DOUBLE) / dl AS ts
+            FROM sc JOIN dl USING (doc_id)),
+          tr AS (SELECT doc_id, rank_text FROM (SELECT doc_id,
+              row_number() OVER (ORDER BY ts DESC, doc_id) AS rank_text FROM ts)
+            WHERE rank_text <= 50),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          p AS (SELECT c.vec_id AS doc_id,
+              ${sumSql("q.v[i] * c.v[i]")} AS dot,
+              ${sumSql("q.v[i] * q.v[i]")} AS nq,
+              ${sumSql("c.v[i] * c.v[i]")} AS nc
+            FROM e q, e c WHERE q.vec_id = 0 AND c.vec_id <> 0),
+          vr AS (SELECT doc_id, rank_vec FROM (SELECT doc_id,
+              row_number() OVER (ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, doc_id) AS rank_vec
+              FROM p)
+            WHERE rank_vec <= 50),
+          fused AS (SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id, rank_text, rank_vec,
+              coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_text), CAST(0.0 AS DOUBLE))
+              + coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_vec), CAST(0.0 AS DOUBLE)) AS rrf
+            FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
+        SELECT doc_id, rank_text, rank_vec, rrf FROM fused
+        ORDER BY rrf DESC, doc_id LIMIT 20"""),
+      "Reciprocal-rank fusion of bounded top-50 lexical (tf x idf) and vector " +
+        "(cosine) retrieval lists: fusion cost independent of corpus size, " +
+        "integer ranks keep the fused doubles bit-exact."))
 }
