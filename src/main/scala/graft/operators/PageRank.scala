@@ -68,4 +68,60 @@ object PageRank {
     }
     ranks.select(col("node"), col("r").as("rank_scaled")).orderBy("node")
   }
+
+  /** PERSONALIZED PageRank (random walk with restart): the teleport mass —
+    * and the dangling mass — return only to the `sources` set instead of
+    * uniformly to every node, so ranks measure proximity to the seeds (the
+    * recommendation / local-community primitive). Same scaled-integer
+    * discipline and per-iteration shape as [[run]]: two keyed shuffles, an
+    * O(1) dangling scalar, localCheckpoint lineage truncation; the only new
+    * plan element is a broadcast-sized `is_src` flag join (|S| rows).
+    *
+    * Sources not present in the edge set are ignored (mirroring the SQL
+    * replay, which intersects the seed predicate with `nodes`).
+    *
+    * @return (node, rank_scaled): units of 10^-12 of the restart mass; nodes
+    *         unreachable from the sources rank 0.
+    */
+  def personalized(edges: DataFrame, sources: DataFrame, iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val eDeg = e.join(deg, "src").localCheckpoint()
+    val srcNodes = deg.select(col("src").as("node")).localCheckpoint()
+    val srcs = sources.select(col("node").cast("long").as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi").localCheckpoint()
+    val m = srcs.count()
+    require(m >= 1, "no source node present in the graph")
+    val init = scale / m
+    val tele = (15L * init) / 100L
+    val isSrc = srcs.withColumn("is_src", lit(1L)).localCheckpoint()
+
+    var ranks = nodes.join(isSrc, Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_src").isNotNull, lit(init)).otherwise(lit(0L)).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val dang = ranks.join(srcNodes, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+      val inflow = eDeg.join(ranks, eDeg("src") === ranks("node"))
+        .select(col("dst"), expr("r DIV deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("infl"))
+      ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+        .join(isSrc, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"CASE WHEN is_src IS NOT NULL THEN CAST($tele AS BIGINT) " +
+            "ELSE CAST(0 AS BIGINT) END + " +
+            s"(85 * (coalesce(infl, CAST(0 AS BIGINT)) + " +
+            s"CASE WHEN is_src IS NOT NULL THEN CAST(${dang / m} AS BIGINT) " +
+            "ELSE CAST(0 AS BIGINT) END)) DIV 100").as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank_scaled")).orderBy("node")
+  }
 }

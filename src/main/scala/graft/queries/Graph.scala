@@ -74,6 +74,44 @@ object Graph {
       s"\n      SELECT node, r AS rank_scaled FROM r$iters ORDER BY node"
   }
 
+  /** [[pagerankSql]] with the teleport (and dangling) mass restarting only at
+    * the seed set (customers ≤ 20) — the personalized-PageRank recurrence,
+    * unrolled. Seeds in SQL are `node <= 20`: custkeys sit below
+    * `SuppOffset`, so that predicate over `nodes` is exactly the
+    * sources-present-in-graph intersection the operator computes. */
+  private def pprSql(iters: Int): String = {
+    val head = s"""WITH ed0 AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT cust AS src, supp + $SuppOffset AS dst FROM ed0
+        UNION ALL SELECT supp + $SuppOffset, cust FROM ed0),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      srcs AS (SELECT node FROM nodes WHERE node <= 20),
+      mm AS (SELECT count(*) AS m FROM srcs),
+      r0 AS (SELECT n.node, CASE WHEN s.node IS NOT NULL
+            THEN $Scale // (SELECT m FROM mm) ELSE 0 END AS r
+          FROM nodes n LEFT JOIN srcs s ON n.node = s.node)"""
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""d$i AS (SELECT coalesce(CAST(sum(r.r) AS BIGINT), 0) AS dang
+          FROM r$p r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL),
+        c$i AS (SELECT e.dst AS node, CAST(sum(r.r // dg.deg) AS BIGINT) AS infl
+          FROM edges e JOIN r$p r ON e.src = r.node JOIN deg dg ON e.src = dg.src
+          GROUP BY e.dst),
+        r$i AS (SELECT n.node,
+            CASE WHEN s.node IS NOT NULL
+              THEN (15 * ($Scale // (SELECT m FROM mm))) // 100 ELSE 0 END
+            + (85 * (coalesce(c.infl, 0)
+                     + CASE WHEN s.node IS NOT NULL
+                         THEN (SELECT dang FROM d$i) // (SELECT m FROM mm)
+                         ELSE 0 END)) // 100 AS r
+          FROM nodes n LEFT JOIN c$i c ON n.node = c.node
+            LEFT JOIN srcs s ON n.node = s.node)"""
+    }
+    (head +: steps).mkString(",\n      ") +
+      s"\n      SELECT node, r AS rank_scaled FROM r$iters ORDER BY node"
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     "graph_pagerank" -> Q(
@@ -182,6 +220,24 @@ object Graph {
         SELECT node, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY node"""),
       "Bounded-hop weighted shortest paths via delta-relaxation Bellman-Ford " +
         "(frontier = improved nodes only) vs the unrolled textbook relaxation, " +
-        "bit-exact on integer weights.")
+        "bit-exact on integer weights."),
+
+    "graph_pagerank_personalized" -> Q(
+      (s, d) => {
+        // Random walk with restart from customers ≤ 20: teleport AND
+        // dangling mass return only to the seed set, so rank_scaled measures
+        // proximity to those customers (the recommendation / local-community
+        // signal) rather than global link quality. Same scaled-integer
+        // bit-exact iterate as graph_pagerank; the oracle unrolls the
+        // seed-restricted recurrence.
+        val sources = table(s, d, "customer")
+          .filter(col("c_custkey") <= 20)
+          .select(col("c_custkey").as("node"))
+        PageRank.personalized(edges(s, d), sources, Iters, Scale)
+      },
+      Some(pprSql(Iters)),
+      "Personalized PageRank (random walk with restart to the seed set) in " +
+        "scaled-integer arithmetic — bit-exact vs the unrolled seed-restricted " +
+        "SQL replay; two shuffles per iteration plus a |S|-row flag join.")
   )
 }

@@ -65,4 +65,60 @@ class PageRankSpec extends SparkSpec {
       .filter { case (a, b) => a != b }
     assert(run(edges, 3) == run(edges, 3))
   }
+
+  // ---- personalized (random walk with restart) ----------------------------
+
+  /** The seed-restricted recurrence, sequentially: teleport and dangling
+    * mass go only to `sources` (∩ nodes), everything else as [[replay]]. */
+  private def replayPpr(edges: Seq[(Long, Long)], sources: Seq[Long],
+      iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    val srcs = sources.distinct.filter(nodes.contains).toSet
+    val m = srcs.size.toLong
+    val init = Scale / m
+    val tele = (15L * init) / 100L
+    var r: Map[Long, Long] = nodes.map(v => v -> (if (srcs(v)) init else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(deg.contains).map(r).sum
+      val infl = e.groupBy(_._2).map { case (d, in) =>
+        d -> in.map { case (s, _) => r(s) / deg(s) }.sum
+      }
+      r = nodes.map { v =>
+        val restart = if (srcs(v)) tele else 0L
+        val dShare = if (srcs(v)) dang / m else 0L
+        v -> (restart + (85L * (infl.getOrElse(v, 0L) + dShare)) / 100L)
+      }.toMap
+    }
+    r
+  }
+
+  private def runPpr(edges: Seq[(Long, Long)], sources: Seq[Long],
+      iters: Int): Map[Long, Long] =
+    PageRank.personalized(edges.toDF("src", "dst"), sources.toDF("node"), iters, Scale)
+      .as[(Long, Long)].collect().toMap
+
+  test("personalized: matches the sequential replay, dangling mass returns to seeds") {
+    // 4 is a sink: its mass must flow back to the seed set, not uniformly
+    val edges = Seq[(Long, Long)]((1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 4))
+    assert(runPpr(edges, Seq(1L), 5) == replayPpr(edges, Seq(1L), 5))
+  }
+
+  test("personalized: matches the replay on a random digraph with multiple seeds") {
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(400)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+    val seeds = Seq(0L, 1L, 2L, 99L) // 99 absent from the graph: must be ignored
+    assert(runPpr(edges, seeds, 4) == replayPpr(edges, seeds, 4))
+  }
+
+  test("personalized: nodes unreachable from the seeds rank 0, locality holds") {
+    // two disjoint cycles; seeding in the first must leave the second at 0
+    val c1 = Seq[(Long, Long)]((1, 2), (2, 3), (3, 1))
+    val c2 = Seq[(Long, Long)]((10, 11), (11, 12), (12, 10))
+    val r = runPpr(c1 ++ c2, Seq(1L), 4)
+    assert(Seq(10L, 11L, 12L).forall(r(_) == 0L), s"leaked mass: $r")
+    assert(r(1L) > r(2L), "seed should outrank its downstream neighbor")
+  }
 }
