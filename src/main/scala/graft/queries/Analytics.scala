@@ -28,14 +28,16 @@ object Analytics {
         import s.implicits._
         // OHLC candlesticks: per (event_type, day), the first/last value by
         // event time plus min/max. open/close are ARG-extrema — min_by/max_by
-        // on a composite order (micros within the day, event_id tiebreak,
-        // packed into one BIGINT so both engines compare identically) — so
-        // the whole bar is ONE partial-aggregating hash aggregate: no
-        // per-bucket sort, no window. At 100 TB this is a single shuffle
-        // keyed by (type, day) with map-side combine; a window formulation
-        // would sort every bucket.
+        // on a STRUCT order (micros within the day, event_id tiebreak,
+        // compared lexicographically) — so the whole bar is ONE
+        // partial-aggregating hash aggregate: no per-bucket sort, no window.
+        // The struct order is collision-free at ANY event_id domain (a packed
+        // `off*K + event_id` BIGINT would collide once event_id ≥ K and
+        // overflow near 2^63 — unacceptable at 100 TB). At scale this is a
+        // single shuffle keyed by (type, day) with map-side combine; a window
+        // formulation would sort every bucket.
         val off = micros($"ts") - micros(date_trunc("day", $"ts"))
-        val ord = off * lit(10000000L) + $"event_id"
+        val ord = struct(off.as("o"), $"event_id".as("e"))
         eventsTable(s, d)
           .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
           .agg(
@@ -48,16 +50,27 @@ object Analytics {
             $"open", $"high", $"low", $"close", $"n")
           .orderBy($"day_us", $"event_type")
       },
+      // DuckDB 1.0 arg_min cannot order by a struct, so the oracle mirrors
+      // the lexicographic (off, event_id) tiebreak with row_number windows —
+      // fine for the oracle, which only ever runs at verification scale.
       Some("""WITH e AS (
           SELECT event_type, date_trunc('day', ts) AS day, value,
-                 (epoch_us(ts) - epoch_us(date_trunc('day', ts))) * 10000000
-                   + event_id AS ord
-          FROM events)
+                 epoch_us(ts) - epoch_us(date_trunc('day', ts)) AS off,
+                 event_id
+          FROM events),
+        r AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY event_type, day
+                                    ORDER BY off, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, day
+                                    ORDER BY off DESC, event_id DESC) AS rn_d
+          FROM e)
         SELECT epoch_us(day) AS day_us, event_type,
-               arg_min(value, ord) AS open, max(value) AS high,
-               min(value) AS low, arg_max(value, ord) AS close,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high, min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
                count(*) AS n
-        FROM e GROUP BY event_type, day ORDER BY day_us, event_type"""),
+        FROM r GROUP BY event_type, day ORDER BY day_us, event_type"""),
       "OHLC bars: arg-extrema (min_by/max_by on a packed BIGINT order) fold " +
         "open/close into the same single hash aggregate as high/low — no " +
         "per-bucket window sort at any scale."),
@@ -87,7 +100,12 @@ object Analytics {
             moneyE(sum(dec2($"value") * $"dur_ms".cast(DecimalType(18, 0))), 2)
               .as("wsum_c"),
             sum($"dur_ms").cast(LongType).as("dur_ms"))
-          .withColumn("twa_c", expr("wsum_c div dur_ms"))
+          // explicit zero guard: a single-reading group has total duration 0;
+          // Spark's `div` would yield NULL but DuckDB's `//` raises, so BOTH
+          // engines take the same CASE branch and stay comparable on edge data
+          .withColumn("twa_c",
+            when($"dur_ms" === 0L, lit(null).cast(LongType))
+              .otherwise(expr("wsum_c div dur_ms")))
           .select($"event_type", $"dur_ms", $"wsum_c", $"twa_c")
           .orderBy($"event_type")
       },
@@ -99,7 +117,9 @@ object Analytics {
           FROM events)
         SELECT event_type, CAST(SUM(dur_ms) AS BIGINT) AS dur_ms,
                ${moneyESql("SUM(CAST(value AS DECIMAL(18,2)) * CAST(dur_ms AS DECIMAL(18,0)))", 2)} AS wsum_c,
-               ${moneyESql("SUM(CAST(value AS DECIMAL(18,2)) * CAST(dur_ms AS DECIMAL(18,0)))", 2)} // CAST(SUM(dur_ms) AS BIGINT) AS twa_c
+               CASE WHEN CAST(SUM(dur_ms) AS BIGINT) = 0 THEN NULL
+                    ELSE ${moneyESql("SUM(CAST(value AS DECIMAL(18,2)) * CAST(dur_ms AS DECIMAL(18,0)))", 2)} // CAST(SUM(dur_ms) AS BIGINT)
+               END AS twa_c
         FROM e GROUP BY event_type ORDER BY event_type"""),
       "Time-weighted average via integer-exact sufficient statistics: " +
         "value x holding-interval in scaled-decimal, quotient by integer div " +

@@ -850,7 +850,18 @@ object VersionedTable {
           else if (typ == "long")
             Some(ColBounds(all.map(_.lo.toLong).min.toString,
               all.map(_.hi.toLong).max.toString, typ))
-          else Some(ColBounds(all.map(_.lo).min, all.map(_.hi).max, typ))
+          else {
+            // The per-dir bounds were recorded by Spark min/max over
+            // UTF8String — UTF-8 BYTE order, which disagrees with Java
+            // String's UTF-16 code-unit order for supplementary-plane
+            // characters. Fold with the same UTF-8 byte comparison the
+            // bounds were computed under, or the metadata answer could
+            // differ from the data-path answer on non-ASCII extremes.
+            val utf8: Ordering[String] = (a: String, b: String) =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(a)
+                .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+            Some(ColBounds(all.map(_.lo).min(utf8), all.map(_.hi).max(utf8), typ))
+          }
         }
       }
     }

@@ -114,11 +114,17 @@ class PageRankSpec extends SparkSpec {
   }
 
   test("personalized: nodes unreachable from the seeds rank 0, locality holds") {
-    // two disjoint cycles; seeding in the first must leave the second at 0
+    // Two disjoint cycles; seeding in the first must leave the second at 0.
+    // Seed-outranks-neighbor is a CONVERGENCE property: on a 3-cycle the mass
+    // oscillates for small iteration counts (at iters=4, r(2) > r(1)), so we
+    // run to iters=20 where the fixed point (r1≈0.389 > r2≈0.330) has settled,
+    // and pin the exact values against the sequential replay as well.
     val c1 = Seq[(Long, Long)]((1, 2), (2, 3), (3, 1))
     val c2 = Seq[(Long, Long)]((10, 11), (11, 12), (12, 10))
-    val r = runPpr(c1 ++ c2, Seq(1L), 4)
+    val iters = 20
+    val r = runPpr(c1 ++ c2, Seq(1L), iters)
+    assert(r == replayPpr(c1 ++ c2, Seq(1L), iters))
     assert(Seq(10L, 11L, 12L).forall(r(_) == 0L), s"leaked mass: $r")
-    assert(r(1L) > r(2L), "seed should outrank its downstream neighbor")
+    assert(r(1L) > r(2L), "seed should outrank its downstream neighbor at convergence")
   }
 }

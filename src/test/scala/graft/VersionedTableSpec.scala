@@ -526,6 +526,26 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.minMaxFromMetadata(spark, path3, "k").isEmpty)
   }
 
+  test("minMaxFromMetadata folds string bounds in UTF-8 byte order, matching the data path") {
+    // "�" (REPLACEMENT CHARACTER, UTF-16 code unit 0xFFFD) sorts ABOVE
+    // "😀" (emoji, surrogate pair starting 0xD83D) under Java
+    // String order, but BELOW it under the UTF-8 byte order Spark's min/max
+    // computed the per-dir bounds with (4-byte emoji encoding > 3-byte
+    // U+FFFD). The folded metadata answer must agree with the data path.
+    val path = "/tmp/graft_tables/spec_meta_minmax_utf8"
+    GraftTableWriter.drop(spark, path)
+    val emoji = new String(Character.toChars(0x1F600))
+    VersionedTable.appendWithStats(Seq((1L, "�")).toDF("k", "s"), path, Seq("s"))
+    VersionedTable.appendWithStats(Seq((2L, emoji)).toDF("k", "s"), path, Seq("s"))
+    val b = VersionedTable.minMaxFromMetadata(spark, path, "s").get
+    val Seq(dataLo, dataHi) = VersionedTable.read(spark, path)
+      .agg(min($"s"), max($"s")).as[(String, String)].collect().toSeq
+      .flatMap(t => Seq(t._1, t._2))
+    assert((b.lo, b.hi) == (dataLo, dataHi),
+      s"metadata fold (${b.lo}, ${b.hi}) diverged from data path ($dataLo, $dataHi)")
+    assert(b.hi == emoji, "UTF-8 byte order must rank the 4-byte emoji highest")
+  }
+
   test("filesMetadata lists live dirs with sequences and sidecar counts; clones inherit") {
     val path = "/tmp/graft_tables/spec_files_meta"
     GraftTableWriter.drop(spark, path)
