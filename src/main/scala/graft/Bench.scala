@@ -8,12 +8,25 @@ import org.apache.spark.sql.SparkSession
   * result without collecting it to the driver).
   */
 object Bench {
-  private val headline: Seq[String] = Seq(
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q6_forecast_revenue", "q15_topk_orders", "q16_time_bucket",
-    "dedup_exact", "dedup_minhash_lsh", "ngram_jaccard_pairs",
-    "embedding_cosine_topk", "text_token_count", "text_langid",
-    "upsert_merge", "incremental_offset_read", "pipeline_training_data")
+  /** Headline queries, each with its PINNED reference seconds at sf0.1 /
+    * local[32] on this host (SURVEY §6 BENCH_BASELINE): the r5 closing run
+    * for the original 15, the r6 pinning run for the 5 families added in r6.
+    * Per-round regressions are judged against these stored numbers, not
+    * against cross-round host noise.
+    */
+  private val headline: Seq[(String, Double)] = Seq(
+    "q1_pricing_summary" -> 1.000, "q3_shipping_priority" -> 1.090,
+    "q5_local_supplier" -> 1.231, "q6_forecast_revenue" -> 0.216,
+    "q15_topk_orders" -> 0.177, "q16_time_bucket" -> 0.270,
+    "dedup_exact" -> 0.284, "dedup_minhash_lsh" -> 1.136,
+    "ngram_jaccard_pairs" -> 2.592, "embedding_cosine_topk" -> 0.340,
+    "text_token_count" -> 0.127, "text_langid" -> 0.136,
+    "upsert_merge" -> 0.299, "incremental_offset_read" -> 0.329,
+    "pipeline_training_data" -> 0.572,
+    // r6 additions: one representative per family landed since r4
+    "graph_pagerank" -> 2.062, "exact_substring_spans" -> 0.345,
+    "interval_overlap_join" -> 0.766, "incremental_join_maintenance" -> 1.571,
+    "ann_ivf_pq" -> 1.018)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,23 +43,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries
-    val results = headline.flatMap { name =>
+    val results = headline.flatMap { case (name, base) =>
       qs.get(name).map { fn =>
         try {
           fn(spark, sfDir).count() // warm-up: JIT + codegen + file listing
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
-          name -> (System.nanoTime() - t0) / 1e9
+          (name, (System.nanoTime() - t0) / 1e9, base)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> -1.0
+          (name, -1.0, base)
         }
       }
     }
-    val qJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qJson = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val bJson = results.map { case (k, _, b) => "\"" + k + "\":" + f"$b%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val baseTotal = results.map(_._3).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"baseline":$bJson,"baseline_total":$baseTotal%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,22 +26,25 @@ object Bfs {
     * @param sources (node) seed set, distance 0
     * @param maxDepth inclusive hop bound
     * @return (node, dist) for every node reached within maxDepth hops */
-  def shortestPaths(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
-    // localCheckpoint per hop truncates the growing lineage (the PageRank /
+  def shortestPaths(edges: DataFrame, sources: DataFrame, maxDepth: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // Checkpoint per hop truncates the growing lineage (the PageRank /
     // KMeans iterative-operator discipline) and keeps every join a fresh
-    // two-sided equi-join rather than an ambiguous self-join.
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint()
-    var settled = sources.select(col("node").cast("long").as("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+    // two-sided equi-join rather than an ambiguous self-join; reliable
+    // when checkpointDir is set (executor-loss-safe), local otherwise.
+    val ckpt = new Checkpointer(checkpointDir)
+    val e = ckpt(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")))
+    var settled = ckpt(sources.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L)))
     var frontier = settled.select(col("node"))
     var k = 1
     while (k <= maxDepth) {
       val discovered = frontier.select(col("node").as("src"))
         .join(e, "src").select(col("dst").as("node")).distinct()
-      val fresh = discovered.join(settled, Seq("node"), "left_anti")
-        .withColumn("dist", lit(k.toLong)).localCheckpoint()
-      settled = settled.unionByName(fresh).localCheckpoint()
+      val fresh = ckpt(discovered.join(settled, Seq("node"), "left_anti")
+        .withColumn("dist", lit(k.toLong)))
+      settled = ckpt(settled.unionByName(fresh))
       frontier = fresh.select(col("node"))
       k += 1
     }
@@ -64,11 +67,13 @@ object Bfs {
     *
     * @param edges (src, dst, w) directed weighted edge list, w ≥ 0
     * @return (node, dist) cheapest ≤-maxHops-edge path weight per reached node */
-  def weightedShortestPaths(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"), col("w").cast("long").as("w")).localCheckpoint()
-    var dist = sources.select(col("node").cast("long").as("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+  def weightedShortestPaths(edges: DataFrame, sources: DataFrame, maxHops: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = new Checkpointer(checkpointDir)
+    val e = ckpt(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w")))
+    var dist = ckpt(sources.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L)))
     var frontier = dist
     var k = 1
     while (k <= maxHops) {
@@ -76,11 +81,11 @@ object Bfs {
         .join(e, "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("nd"))
         .groupBy("node").agg(min(col("nd")).as("nd"))
-      val better = cand.join(dist, Seq("node"), "left_outer")
+      val better = ckpt(cand.join(dist, Seq("node"), "left_outer")
         .filter(col("dist").isNull || col("nd") < col("dist"))
-        .select(col("node"), col("nd").as("dist")).localCheckpoint()
-      dist = dist.unionByName(better)
-        .groupBy("node").agg(min(col("dist")).as("dist")).localCheckpoint()
+        .select(col("node"), col("nd").as("dist")))
+      dist = ckpt(dist.unionByName(better)
+        .groupBy("node").agg(min(col("dist")).as("dist")))
       frontier = better
       k += 1
     }

@@ -28,13 +28,24 @@ object KMeans {
       centroids: Array[Array[Double]],   // k × d
       inertia: Seq[Double])              // per completed iteration
 
-  def lloyd(emb: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): Result = {
+  def lloyd(emb: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
+      checkpointDir: Option[String] = None): Result = {
     require(k >= 1 && iters >= 1, "k and iters must be positive")
+    // The iterate state (the codebook) is driver-held, so unlike PageRank
+    // there is no growing lineage to truncate — but every iteration re-scans
+    // `emb`. With a checkpointDir, the projected input is materialized ONCE
+    // to reliable storage: iterations re-read the checkpoint instead of
+    // re-running the upstream plan (and an executor loss costs a file
+    // re-read, not an upstream recompute). Bit-identical either way.
+    val embP = new Checkpointer(checkpointDir) match {
+      case ck if checkpointDir.isDefined => ck(emb.select(col(idCol), col(vecCol)))
+      case _ => emb
+    }
     val spark = emb.sparkSession
     import spark.implicits._
 
     // deterministic seeding: the k lowest-id vectors
-    var centroids: Array[Array[Double]] = emb
+    var centroids: Array[Array[Double]] = embP
       .select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(k)
       .select(col(vecCol).cast("array<double>")).as[Seq[Double]]
@@ -46,7 +57,7 @@ object KMeans {
       // the expression tree stays O(1) however large k gets, where a fold of
       // per-centroid when() branches would grow O(k) and leave codegen
       val best = nearest_centroid(col(vecCol), centroids)
-      emb.select(col(idCol).as("id"), col(vecCol).as("vec"), best.as("best"))
+      embP.select(col(idCol).as("id"), col(vecCol).as("vec"), best.as("best"))
         .select($"id", $"vec", $"best.cluster".as("cluster"), $"best.dist_sq".as("dist_sq"))
     }
 

@@ -255,23 +255,23 @@ object NearDup {
     * Classic distributed min-label propagation: each iteration joins labels
     * across edges and takes the per-node min, converging in O(diameter)
     * rounds (near-dup clusters are tiny, so 2–3 in practice). Each iteration
-    * is a shuffle-join — no driver-side graph; `localCheckpoint` truncates
-    * the growing lineage between rounds.
+    * is a shuffle-join — no driver-side graph; a [[Checkpointer]] truncates
+    * the growing lineage between rounds (reliable when `checkpointDir` is
+    * set — the executor-loss-safe mode for cluster runs).
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+  def connectedComponents(pairs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = new Checkpointer(checkpointDir)
+    val edges = ckpt(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
     while (changed > 0) {
       val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+      val next = ckpt(labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min("label").as("label")))
       changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") < col("o.label")).count()
       labels = next

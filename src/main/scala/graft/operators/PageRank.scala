@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   *  - dangling mass (nodes with no out-edges): one O(1) scalar aggregate
   *    collected to the driver and re-entered as a literal, the same
   *    bounded-collect contract as KMeans' inertia / Bpe's argmax;
-  *  - ranks are localCheckpoint'ed per iteration to truncate lineage.
+  *  - ranks are checkpointed per iteration to truncate lineage
+  *    ([[Checkpointer]]: executor-local by default, reliable when a
+  *    `checkpointDir` is given — the executor-loss-safe cluster mode).
   * Nothing driver-side ever exceeds O(1) per iteration; at 100 TB the two
   * shuffles per iteration are the whole cost, and AQE coalesces/skew-splits
   * them like any other keyed exchange.
@@ -36,18 +38,20 @@ object PageRank {
     * @return (node: long, rank_scaled: long) — ranks in units of 10^-12 of
     *         the total mass `scale`, every node present.
     */
-  def run(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
+  def run(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, "iters must be positive")
-    val e = edges.select(col("src").cast("long").as("src"),
+    val ckpt = new Checkpointer(checkpointDir)
+    val e = ckpt(edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .distinct())
+    val nodes = ckpt(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // (src, dst, deg) staged once — iterations re-scan it, never re-join it
-    val eDeg = e.join(deg, "src").localCheckpoint()
-    val srcNodes = deg.select(col("src").as("node")).localCheckpoint()
+    val eDeg = ckpt(e.join(deg, "src"))
+    val srcNodes = ckpt(deg.select(col("src").as("node")))
 
     val init = scale / n // integer floor division, mirrored by `scale // n`
     var ranks = nodes.select(col("node"), lit(init).as("r"))
@@ -59,12 +63,11 @@ object PageRank {
       val inflow = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst"), expr("r DIV deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("infl"))
-      ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+      ranks = ckpt(nodes.join(inflow, nodes("node") === inflow("dst"), "left")
         .select(nodes("node"),
           expr(s"CAST(${(15L * init) / 100L} AS BIGINT) + " +
             s"(85 * (coalesce(infl, CAST(0 AS BIGINT)) + CAST(${dang / n} AS BIGINT))) DIV 100")
-            .as("r"))
-        .localCheckpoint()
+            .as("r")))
     }
     ranks.select(col("node"), col("r").as("rank_scaled")).orderBy("node")
   }
@@ -74,7 +77,7 @@ object PageRank {
     * uniformly to every node, so ranks measure proximity to the seeds (the
     * recommendation / local-community primitive). Same scaled-integer
     * discipline and per-iteration shape as [[run]]: two keyed shuffles, an
-    * O(1) dangling scalar, localCheckpoint lineage truncation; the only new
+    * O(1) dangling scalar, [[Checkpointer]] lineage truncation; the only new
     * plan element is a broadcast-sized `is_src` flag join (|S| rows).
     *
     * Sources not present in the edge set are ignored (mirroring the SQL
@@ -84,43 +87,43 @@ object PageRank {
     *         unreachable from the sources rank 0.
     */
   def personalized(edges: DataFrame, sources: DataFrame, iters: Int,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, "iters must be positive")
-    val e = edges.select(col("src").cast("long").as("src"),
+    val ckpt = new Checkpointer(checkpointDir)
+    val e = ckpt(edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .distinct())
+    val nodes = ckpt(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val eDeg = e.join(deg, "src").localCheckpoint()
-    val srcNodes = deg.select(col("src").as("node")).localCheckpoint()
-    val srcs = sources.select(col("node").cast("long").as("node")).distinct()
-      .join(nodes, Seq("node"), "left_semi").localCheckpoint()
+    val eDeg = ckpt(e.join(deg, "src"))
+    val srcNodes = ckpt(deg.select(col("src").as("node")))
+    val srcs = ckpt(sources.select(col("node").cast("long").as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi"))
     val m = srcs.count()
     require(m >= 1, "no source node present in the graph")
     val init = scale / m
     val tele = (15L * init) / 100L
-    val isSrc = srcs.withColumn("is_src", lit(1L)).localCheckpoint()
+    val isSrc = ckpt(srcs.withColumn("is_src", lit(1L)))
 
-    var ranks = nodes.join(isSrc, Seq("node"), "left")
+    var ranks = ckpt(nodes.join(isSrc, Seq("node"), "left")
       .select(col("node"),
-        when(col("is_src").isNotNull, lit(init)).otherwise(lit(0L)).as("r"))
-      .localCheckpoint()
+        when(col("is_src").isNotNull, lit(init)).otherwise(lit(0L)).as("r")))
     for (_ <- 1 to iters) {
       val dang = ranks.join(srcNodes, Seq("node"), "left_anti")
         .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
       val inflow = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst"), expr("r DIV deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("infl"))
-      ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+      ranks = ckpt(nodes.join(inflow, nodes("node") === inflow("dst"), "left")
         .join(isSrc, Seq("node"), "left")
         .select(col("node"),
           expr(s"CASE WHEN is_src IS NOT NULL THEN CAST($tele AS BIGINT) " +
             "ELSE CAST(0 AS BIGINT) END + " +
             s"(85 * (coalesce(infl, CAST(0 AS BIGINT)) + " +
             s"CASE WHEN is_src IS NOT NULL THEN CAST(${dang / m} AS BIGINT) " +
-            "ELSE CAST(0 AS BIGINT) END)) DIV 100").as("r"))
-        .localCheckpoint()
+            "ELSE CAST(0 AS BIGINT) END)) DIV 100").as("r")))
     }
     ranks.select(col("node"), col("r").as("rank_scaled")).orderBy("node")
   }
