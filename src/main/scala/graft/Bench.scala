@@ -60,8 +60,11 @@ object Bench {
       .mkString("{", ",", "}")
     val bJson = results.map { case (k, _, b) => "\"" + k + "\":" + f"$b%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val baseTotal = results.map(_._3).sum
+    // both totals over the same set: a failed query (timed -1) contributes
+    // to neither, so total-vs-baseline_total stays a like-for-like ratio
+    val ok = results.filter(_._2 >= 0)
+    val total = ok.map(_._2).sum
+    val baseTotal = ok.map(_._3).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"baseline":$bJson,"baseline_total":$baseTotal%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -87,9 +87,24 @@ object Kernels {
     var i = 0
     while (i < arr.numElements()) {
       val s = arr.getUTF8String(i)
-      val h1 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0x12345678)
-      val h2 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0x0FEDCBA9)
-      val h = (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+      // 64-bit token hash as two independent 32-bit polynomial byte hashes
+      // (mod 2^32), concatenated. Chosen over murmur3 because it is exactly
+      // replayable in portable SQL — `list_reduce(codes, (a,b) ->
+      // (a*P + b) % 4294967296)` — which is what lets the whole SimHash
+      // surface be ORACLE-checked in DuckDB instead of rows-only. Multiplier
+      // magnitudes (≥ 2^20) wrap the 32-bit space from the third byte on,
+      // so bit votes stay well mixed for real tokens.
+      var h1 = 0L
+      var h2 = 0L
+      var j = 0
+      val n = s.numBytes
+      while (j < n) {
+        val b = (s.getByte(j) & 0xFF).toLong
+        h1 = (h1 * 1000003L + b) & 0xFFFFFFFFL
+        h2 = (h2 * 16777619L + b) & 0xFFFFFFFFL
+        j += 1
+      }
+      val h = (h1 << 32) | h2
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -166,7 +166,8 @@ object Ann {
   def semanticDedup(vectors: DataFrame, minCosine: Double,
       k: Int = 8, iters: Int = 3, maxClusterSize: Int = 4096,
       subTables: Int = 8, subBits: Int = 4): DataFrame = {
-    val r = KMeans.lloyd(vectors, "vec_id", "embedding", k, iters)
+    val r = KMeans.lloyd(vectors, "vec_id", "embedding", k, iters,
+      trackInertia = false)
     val av = r.assignments.select(col("id").as("vec_id"), col("cluster"))
       .join(vectors.select(col("vec_id"), col("embedding")), "vec_id")
     val pairs = clusterPairs(av, minCosine, maxClusterSize, subTables, subBits)

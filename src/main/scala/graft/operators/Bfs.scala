@@ -38,13 +38,20 @@ object Bfs {
     var settled = ckpt(sources.select(col("node").cast("long").as("node")).distinct()
       .withColumn("dist", lit(0L)))
     var frontier = settled.select(col("node"))
+    var prevFresh: Option[DataFrame] = None
     var k = 1
     while (k <= maxDepth) {
       val discovered = frontier.select(col("node").as("src"))
         .join(e, "src").select(col("dst").as("node")).distinct()
       val fresh = ckpt(discovered.join(settled, Seq("node"), "left_anti")
         .withColumn("dist", lit(k.toLong)))
+      // fresh(k) is materialized, so fresh(k-1) — whose only consumer was
+      // this hop's frontier join — is now retirable; settled(k-1) after
+      // settled(k) below
+      prevFresh.foreach(ckpt.retire); prevFresh = Some(fresh)
+      val prevSettled = settled
       settled = ckpt(settled.unionByName(fresh))
+      ckpt.retire(prevSettled)
       frontier = fresh.select(col("node"))
       k += 1
     }
@@ -75,6 +82,7 @@ object Bfs {
     var dist = ckpt(sources.select(col("node").cast("long").as("node")).distinct()
       .withColumn("dist", lit(0L)))
     var frontier = dist
+    var prevBetter: Option[DataFrame] = None
     var k = 1
     while (k <= maxHops) {
       val cand = frontier.select(col("node").as("src"), col("dist"))
@@ -84,8 +92,11 @@ object Bfs {
       val better = ckpt(cand.join(dist, Seq("node"), "left_outer")
         .filter(col("dist").isNull || col("nd") < col("dist"))
         .select(col("node"), col("nd").as("dist")))
+      prevBetter.foreach(ckpt.retire); prevBetter = Some(better)
+      val prevDist = dist
       dist = ckpt(dist.unionByName(better)
         .groupBy("node").agg(min(col("dist")).as("dist")))
+      ckpt.retire(prevDist) // superseded once dist(k) is materialized
       frontier = better
       k += 1
     }

@@ -274,6 +274,7 @@ object NearDup {
         .groupBy("id").agg(min("label").as("label")))
       changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") < col("o.label")).count()
+      ckpt.retire(labels) // last consumer (the changed-count) is done
       labels = next
     }
     labels.select(col("id").as("doc_id"), col("label").as("component_id"))

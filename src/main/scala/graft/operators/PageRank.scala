@@ -22,9 +22,9 @@ import org.apache.spark.sql.functions._
   *    edge table is pre-joined with out-degrees ONCE and checkpointed, so
   *    the degree join is not repaid per iteration);
   *  - inflow: groupBy dst with partial aggregation — one shuffle by dst;
-  *  - dangling mass (nodes with no out-edges): one O(1) scalar aggregate
-  *    collected to the driver and re-entered as a literal, the same
-  *    bounded-collect contract as KMeans' inertia / Bpe's argmax;
+  *  - dangling mass (nodes with no out-edges): one O(1) scalar aggregate,
+  *    joined back in as a broadcast one-row side — never collected, so the
+  *    whole iteration is a single job (the checkpoint materialization);
   *  - ranks are checkpointed per iteration to truncate lineage
   *    ([[Checkpointer]]: executor-local by default, reliable when a
   *    `checkpointDir` is given — the executor-loss-safe cluster mode).
@@ -51,23 +51,38 @@ object PageRank {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // (src, dst, deg) staged once — iterations re-scan it, never re-join it
     val eDeg = ckpt(e.join(deg, "src"))
-    val srcNodes = ckpt(deg.select(col("src").as("node")))
 
     val init = scale / n // integer floor division, mirrored by `scale // n`
-    var ranks = nodes.select(col("node"), lit(init).as("r"))
+    // The iterate carries its STATIC per-node flag (is_dangling) instead of
+    // re-joining a lookup frame every round: the dangling-mass term becomes
+    // a filterless aggregate over the iterate itself, and the rank update
+    // joins the iterate (already every node) — not a separate node list.
+    // Fewer stages per iteration, and at 100 TB one less co-partitioned
+    // frame to keep resident.
+    var ranks = ckpt(nodes.join(deg.select(col("src").as("node"), lit(1).as("has_out")),
+        Seq("node"), "left")
+      .select(col("node"), lit(init).as("r"), col("has_out").isNull.as("is_dang")))
     for (_ <- 1 to iters) {
       // dangling mass: rank held by nodes with no out-edges, redistributed
-      // uniformly. O(1) driver scalar per iteration.
-      val dang = ranks.join(srcNodes, Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+      // uniformly. A one-row aggregate joined back in (broadcast nested-loop
+      // of a single row) instead of a driver collect: the whole iteration is
+      // then ONE job — the checkpoint materialization — not two. Bit-exact
+      // either way (`sum DIV n` on the all-positive ranks ≡ the collected
+      // Long division).
+      val dang = ranks.filter(col("is_dang"))
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
       val inflow = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst"), expr("r DIV deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("infl"))
-      ranks = ckpt(nodes.join(inflow, nodes("node") === inflow("dst"), "left")
-        .select(nodes("node"),
+      val prev = ranks
+      ranks = ckpt(ranks.join(inflow, ranks("node") === inflow("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(ranks("node"),
           expr(s"CAST(${(15L * init) / 100L} AS BIGINT) + " +
-            s"(85 * (coalesce(infl, CAST(0 AS BIGINT)) + CAST(${dang / n} AS BIGINT))) DIV 100")
-            .as("r")))
+            s"(85 * (coalesce(infl, CAST(0 AS BIGINT)) + dang DIV CAST($n AS BIGINT))) DIV 100")
+            .as("r"),
+          ranks("is_dang")))
+      ckpt.retire(prev) // superseded iterate: files dead once ranks exists
     }
     ranks.select(col("node"), col("r").as("rank_scaled")).orderBy("node")
   }
@@ -98,32 +113,41 @@ object PageRank {
       .union(e.select(col("dst").as("node"))).distinct())
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val eDeg = ckpt(e.join(deg, "src"))
-    val srcNodes = ckpt(deg.select(col("src").as("node")))
     val srcs = ckpt(sources.select(col("node").cast("long").as("node")).distinct()
       .join(nodes, Seq("node"), "left_semi"))
     val m = srcs.count()
     require(m >= 1, "no source node present in the graph")
     val init = scale / m
     val tele = (15L * init) / 100L
-    val isSrc = ckpt(srcs.withColumn("is_src", lit(1L)))
 
-    var ranks = ckpt(nodes.join(isSrc, Seq("node"), "left")
+    // Both static per-node flags (is_src: teleport target; is_dang: no
+    // out-edges) ride in the iterate itself — no per-iteration lookup joins,
+    // same shape as [[run]].
+    var ranks = ckpt(nodes
+      .join(srcs.withColumn("s", lit(1)), Seq("node"), "left")
+      .join(deg.select(col("src").as("node"), lit(1).as("has_out")), Seq("node"), "left")
       .select(col("node"),
-        when(col("is_src").isNotNull, lit(init)).otherwise(lit(0L)).as("r")))
+        when(col("s").isNotNull, lit(init)).otherwise(lit(0L)).as("r"),
+        col("s").isNotNull.as("is_src"),
+        col("has_out").isNull.as("is_dang")))
     for (_ <- 1 to iters) {
-      val dang = ranks.join(srcNodes, Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+      // same one-row-aggregate inlining as [[run]]: one job per iteration
+      val dang = ranks.filter(col("is_dang"))
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
       val inflow = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst"), expr("r DIV deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("infl"))
-      ranks = ckpt(nodes.join(inflow, nodes("node") === inflow("dst"), "left")
-        .join(isSrc, Seq("node"), "left")
-        .select(col("node"),
-          expr(s"CASE WHEN is_src IS NOT NULL THEN CAST($tele AS BIGINT) " +
+      val prev = ranks
+      ranks = ckpt(ranks.join(inflow, ranks("node") === inflow("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(ranks("node"),
+          expr(s"CASE WHEN is_src THEN CAST($tele AS BIGINT) " +
             "ELSE CAST(0 AS BIGINT) END + " +
             s"(85 * (coalesce(infl, CAST(0 AS BIGINT)) + " +
-            s"CASE WHEN is_src IS NOT NULL THEN CAST(${dang / m} AS BIGINT) " +
-            "ELSE CAST(0 AS BIGINT) END)) DIV 100").as("r")))
+            s"CASE WHEN is_src THEN dang DIV CAST($m AS BIGINT) " +
+            "ELSE CAST(0 AS BIGINT) END)) DIV 100").as("r"),
+          ranks("is_src"), ranks("is_dang")))
+      ckpt.retire(prev)
     }
     ranks.select(col("node"), col("r").as("rank_scaled")).orderBy("node")
   }

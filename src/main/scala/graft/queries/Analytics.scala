@@ -9,8 +9,9 @@ import org.apache.spark.sql.types._
 /** §2.2 additions: business-analytics operators over the event/order tables.
   *
   * Shapes here the rest of the relational module doesn't cover: arg-extrema
-  * aggregation (OHLC open/close via `min_by`/`max_by` on a composite BIGINT
-  * order — one hash aggregate, no per-bucket window sort), duration-weighted
+  * aggregation (OHLC open/close via `min_by`/`max_by` on a lexicographic
+  * (off, event_id) struct order — one hash aggregate, no per-bucket window
+  * sort), duration-weighted
   * averages as integer-exact sufficient statistics, per-column survivorship
   * (filtered arg-max per column in ONE aggregate pass), privacy risk scans,
   * and association-rule mining in parts-per-million integer arithmetic.
@@ -71,9 +72,9 @@ object Analytics {
                max(CASE WHEN rn_d = 1 THEN value END) AS close,
                count(*) AS n
         FROM r GROUP BY event_type, day ORDER BY day_us, event_type"""),
-      "OHLC bars: arg-extrema (min_by/max_by on a packed BIGINT order) fold " +
-        "open/close into the same single hash aggregate as high/low — no " +
-        "per-bucket window sort at any scale."),
+      "OHLC bars: arg-extrema (min_by/max_by on a struct (off, event_id) " +
+        "lexicographic order) fold open/close into the same single hash " +
+        "aggregate as high/low — no per-bucket window sort at any scale."),
 
     "time_weighted_avg" -> Q(
       (s, d) => {

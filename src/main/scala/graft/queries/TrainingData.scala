@@ -33,6 +33,44 @@ object TrainingData {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))"
 
+  /** Unrolled SQL replay of [[graft.operators.KMeans.lloydQuantized]]: one
+    * (assign → integer-mean update) CTE pair per iteration over the
+    * floor(x·scale + 0.5) quantized vectors, then the census of the final
+    * assignment. `//` is DuckDB's truncating integer division — the exact
+    * mirror of the engine's `sum / count` on Longs. Empty clusters keep the
+    * previous centroid via the LEFT JOIN + coalesce. */
+  private def kmeansQuantizedSql(k: Int, iters: Int, scale: Long, dim: Int): String = {
+    def assign(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, cl FROM (
+          SELECT q.vec_id, c.cl,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              list_sum(list_transform(generate_series(1, $dim),
+                i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), c.cl) AS rn
+          FROM q CROSS JOIN $cents c) WHERE rn = 1)"""
+    val head = s"""WITH q AS (SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT)) AS v
+      FROM embeddings),
+      dims AS (SELECT unnest(generate_series(1, $dim)) AS i),
+      c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
+        FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $k))"""
+    val steps = (1 to iters).map { t =>
+      val p = t - 1
+      s"""${assign(s"a$t", s"c$p")},
+        m$t AS (SELECT a.cl, d.i, CAST(sum(q.v[d.i]) AS BIGINT) // count(*) AS m
+          FROM a$t a JOIN q ON a.vec_id = q.vec_id CROSS JOIN dims d
+          GROUP BY a.cl, d.i),
+        c$t AS (SELECT p.cl, coalesce(mm.v, p.v) AS v
+          FROM c$p p LEFT JOIN
+            (SELECT cl, list(m ORDER BY i) AS v FROM m$t GROUP BY cl) mm
+            ON p.cl = mm.cl)"""
+    }
+    val fin = s"""${assign("fin", s"c$iters")}
+      SELECT cl AS cluster, count(*) AS n_members FROM fin
+      GROUP BY cl ORDER BY cl"""
+    ((head +: steps).mkString(",\n      ")) + ",\n      " + fin
+  }
+
   /** DuckDB mirror of [[NearDup.wordShingles3]]. */
   private val shinglesCte =
     """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
@@ -157,9 +195,49 @@ object TrainingData {
 
     "dedup_simhash" -> Q(
       (s, d) => NearDup.simhashPairs(docs(s, d), maxHamming = 3),
-      None, // simhash is not SQL-expressible; exactness is spec-checked vs brute force
+      // Full oracle: the token hash is two 32-bit polynomial byte hashes
+      // (mod 2^32, exactly replayable with list_reduce), the per-bit
+      // majority vote is an integer sum, and Hamming distance is
+      // bit_count(xor) over the two halves. The oracle scores EVERY pair
+      // brute-force; the engine's pigeonhole banding is exact (k flips
+      // cannot touch all k+1 chunks), so the sets must match bit-for-bit.
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tk
+          FROM documents),
+        th AS (SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(1, length(tk)),
+                i -> CAST(ascii(substr(tk, i, 1)) AS BIGINT))),
+              (a, b) -> (a * 1000003 + b) % 4294967296) AS h1,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(1, length(tk)),
+                i -> CAST(ascii(substr(tk, i, 1)) AS BIGINT))),
+              (a, b) -> (a * 16777619 + b) % 4294967296) AS h2
+          FROM tok),
+        votes AS (
+          SELECT doc_id, b.b,
+            sum(CASE WHEN b.b < 32
+                THEN CASE WHEN (h2 // (CAST(1 AS BIGINT) << b.b)) % 2 = 1 THEN 1 ELSE -1 END
+                ELSE CASE WHEN (h1 // (CAST(1 AS BIGINT) << (b.b - 32))) % 2 = 1 THEN 1 ELSE -1 END
+              END) AS v
+          FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+          GROUP BY doc_id, b.b),
+        simbits AS (
+          SELECT doc_id,
+            CAST(sum(CASE WHEN v > 0 AND b < 32 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo,
+            CAST(sum(CASE WHEN v > 0 AND b >= 32 THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi
+          FROM votes GROUP BY doc_id),
+        sim AS (
+          SELECT d.doc_id, coalesce(s.lo, 0) AS lo, coalesce(s.hi, 0) AS hi
+          FROM documents d LEFT JOIN simbits s ON d.doc_id = s.doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        ORDER BY id_a, id_b"""),
       "SimHash(64-bit) pairs within Hamming ≤ 3 via exact pigeonhole banding (4 chunks × 16 bits: " +
-        "16-bit match keys keep random chunk collisions — and thus candidate fan-out — negligible)."),
+        "16-bit match keys keep random chunk collisions — and thus candidate fan-out — negligible); " +
+        "oracle replays the polynomial token hash + bit votes and scores every pair brute-force."),
 
     "dedup_groups" -> Q(
       (s, d) => NearDup.connectedComponents(NearDup.exactJaccardPairs(docs(s, d), 0.5)),
@@ -1062,19 +1140,26 @@ object TrainingData {
     "kmeans_embeddings" -> Q(
       (s, d) => {
         import s.implicits._
-        // IVF coarse-quantizer training: 5 Lloyd iterations at k=8 over the
-        // embeddings (centroids broadcast, one (cluster,dim) shuffle per
-        // iteration). Output is the deterministic cluster census; inertia
-        // monotonicity + determinism are spec-checked (KMeansSpec) - the
-        // iterative double arithmetic is not SQL-replayable.
+        // IVF coarse-quantizer training, ORACLE-CHECKED: 5 integer-exact
+        // Lloyd iterations at k=8 over embeddings quantized to units of
+        // 10^-3 (floor(x·1000 + 0.5); truncating integer centroid means).
+        // Scaled-integer arithmetic is order-independent, so the iterative
+        // fixed point is bit-exact against the unrolled SQL replay — the
+        // PageRank discipline applied to clustering. The float Lloyd
+        // ([[graft.operators.KMeans.lloyd]]) remains the production IVF
+        // training path, spec-checked in KMeansSpec (monotone inertia,
+        // determinism, true-argmin).
         val emb = table(s, d, "embeddings")
-        val r = graft.operators.KMeans.lloyd(emb, "vec_id", "embedding", k = 8, iters = 5)
+        val r = graft.operators.KMeans.lloydQuantized(
+          emb, "vec_id", "embedding", k = 8, iters = 5)
         r.assignments.groupBy($"cluster")
           .agg(count(lit(1)).as("n_members"))
           .orderBy($"cluster")
       },
-      None, // iterative; monotone-inertia + determinism specs instead
-      "Distributed Lloyd k-means (IVF training): per-cluster census after 5 iterations."),
+      Some(kmeansQuantizedSql(k = 8, iters = 5, scale = 1000L, dim = 64)),
+      "Integer-exact quantized Lloyd k-means (units of 10^-3, truncating integer " +
+        "centroid means): per-cluster census after 5 iterations, bit-exact vs the " +
+        "unrolled SQL replay."),
 
     "multimodal_decode" -> Q(
       (s, d) => docs(s, d)
