@@ -72,6 +72,11 @@ package object functions {
   }
   private def litInt(fn: String, arg: String, e: Expression): Int =
     litLong(fn, arg, e).toInt
+  private def litBool(fn: String, arg: String, e: Expression): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be a boolean literal, got ${other.sql}")
+  }
 
   /** (name, builder) for every SQL-surface kernel — the single source of
     * truth behind BOTH registration paths: [[registerAll]] (temp functions on
@@ -134,6 +139,15 @@ package object functions {
         case other => throw new IllegalArgumentException(
           s"count_matches: argument 'pattern' must be a string literal, got ${other.sql}")
       }
+    },
+    // Aggregate kernel: the analyzer wraps a bare AggregateFunction from a
+    // registry builder in a Complete AggregateExpression, so SQL users get
+    // the bounded-state per-group top-K (`topk_pairs(p, v, 5, true)`) with
+    // the same O(k) heap + map-side partial aggregation as the column API.
+    "topk_pairs" -> { es =>
+      checkArity("topk_pairs", es, 3, 4)
+      TopKPairs(es(0), es(1), litInt("topk_pairs", "k", es(2)),
+        if (es.size > 3) litBool("topk_pairs", "descending", es(3)) else false)
     })
 
   /** SQL registration, so the kernels are callable from spark.sql(...).

@@ -151,18 +151,24 @@ object VersionedTable {
     val d = writeDataDir(df, path)
     val del = writeDataDir(
       df.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(), path)
-    commit(spark, path, cur => {
-      require(cur.forall(s => s.deleteKeys.isEmpty || s.deleteKeys == keys),
-        s"merge-on-read keys $keys conflict with recorded ${cur.map(_.deleteKeys).getOrElse(Nil)}")
-      val v = nextV(cur)
-      Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
-        cur.map(_.colStats).getOrElse(Map.empty),
-        Some(batchId),
-        cur.map(_.dataSeq).getOrElse(Map.empty) + (d -> v),
-        cur.map(_.deletes).getOrElse(Nil) :+ (del -> v),
-        keys)
-    })
-    true
+    // exactly-once guard re-run IN the commit lock, like [[appendOnce]]:
+    // concurrent deliveries of one batch cannot both land
+    try {
+      commit(spark, path, cur => {
+        if (cur.exists(_.lastBatch.exists(_ >= batchId)))
+          throw new CommitAborted(s"batch $batchId already committed")
+        require(cur.forall(s => s.deleteKeys.isEmpty || s.deleteKeys == keys),
+          s"merge-on-read keys $keys conflict with recorded ${cur.map(_.deleteKeys).getOrElse(Nil)}")
+        val v = nextV(cur)
+        Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
+          cur.map(_.colStats).getOrElse(Map.empty),
+          Some(batchId),
+          cur.map(_.dataSeq).getOrElse(Map.empty) + (d -> v),
+          cur.map(_.deletes).getOrElse(Nil) :+ (del -> v),
+          keys)
+      })
+      true
+    } catch { case _: CommitAborted => false }
   }
 
   /** Equality DELETE as a merge-on-read commit: rows whose key is in
@@ -226,14 +232,23 @@ object VersionedTable {
     val already = latest(df.sparkSession, path).exists(_.lastBatch.exists(_ >= batchId))
     if (already) return false // replay: committed data already contains it
     val d = writeDataDir(df, path)
-    commit(df.sparkSession, path, cur =>
-      Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
-        cur.map(_.colStats).getOrElse(Map.empty),
-        Some(batchId),
-        cur.map(_.dataSeq).getOrElse(Map.empty) + (d -> nextV(cur)),
-        cur.map(_.deletes).getOrElse(Nil),
-        cur.map(_.deleteKeys).getOrElse(Nil)))
-    true
+    // The pre-check above is an optimization (skip the write on an obvious
+    // replay); the GUARD is re-run inside the commit lock — two concurrent
+    // deliveries of the same batch both pass the pre-check, but only the
+    // first can commit (the second aborts in-lock and reports false).
+    try {
+      commit(df.sparkSession, path, { cur =>
+        if (cur.exists(_.lastBatch.exists(_ >= batchId)))
+          throw new CommitAborted(s"batch $batchId already committed")
+        Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
+          cur.map(_.colStats).getOrElse(Map.empty),
+          Some(batchId),
+          cur.map(_.dataSeq).getOrElse(Map.empty) + (d -> nextV(cur)),
+          cur.map(_.deletes).getOrElse(Nil),
+          cur.map(_.deleteKeys).getOrElse(Nil))
+      })
+      true
+    } catch { case _: CommitAborted => false }
   }
 
   /** Idempotent equality-field upsert keyed by batch id — [[appendOnce]]'s
@@ -490,14 +505,25 @@ object VersionedTable {
     val merged = spark.read.option("mergeSchema", "true")
       .parquet(small.map(d => new Path(path, d).toString): _*)
     val d = writeDataDir(merged.repartition(parts), path)
-    commit(spark, path, { cur =>
-      val c = cur.getOrElse(snap)
-      Snapshot(0, c.dirs.filterNot(smallSet) :+ d,
-        c.colStats.filter { case (dir, _) => !smallSet(dir) },
-        c.lastBatch,
-        c.dataSeq.filter { case (dir, _) => !smallSet(dir) } + (d -> nextV(cur)),
-        c.deletes, c.deleteKeys)
-    })
+    try {
+      commit(spark, path, { cur =>
+        val c = cur.getOrElse(snap)
+        // In-lock revalidation: an equality delete committed between
+        // planning and commit would change row liveness — the rewritten
+        // dir would take a NEWER sequence than the delete and resurrect
+        // rows the delete killed. Compaction must never change liveness,
+        // so it steps aside (no-op) and lets the caller re-plan.
+        if (c.deletes.nonEmpty)
+          throw new CommitAborted("MOR deletes landed mid-compaction")
+        Snapshot(0, c.dirs.filterNot(smallSet) :+ d,
+          c.colStats.filter { case (dir, _) => !smallSet(dir) },
+          c.lastBatch,
+          c.dataSeq.filter { case (dir, _) => !smallSet(dir) } + (d -> nextV(cur)),
+          c.deletes, c.deleteKeys)
+      })
+    } catch { case _: CommitAborted =>
+      latest(spark, path).map(_.version).getOrElse(snap.version)
+    }
   }
 
   /** The newest version whose manifest was committed at or before
@@ -646,12 +672,31 @@ object VersionedTable {
     val (drop, stay) = all.splitAt(math.max(all.size - keep, 0))
     if (drop.isEmpty) return
     def allDirs(s: Snapshot): Seq[String] = s.dirs ++ s.deletes.map(_._1)
-    val live = stay.flatMap { case (v, _) => allDirs(readManifest(filesystem, path, v)) }.toSet
+    // A concurrent expire may delete a to-be-dropped manifest between our
+    // listing and our read: treat a vanished manifest as already expired
+    // (its dirs were handled by whoever deleted it) instead of failing.
+    def tryRead(v: Int): Option[Snapshot] =
+      try Some(readManifest(filesystem, path, v))
+      catch { case _: java.io.IOException | _: java.io.FileNotFoundException => None }
+    // Liveness is a PATH-IDENTITY property, not a string property: after a
+    // [[publish]], the kept manifests reference this table's own dirs by
+    // ABSOLUTE path (re-qualified through the branch) while dropped old
+    // manifests hold the same dirs RELATIVE — compare everything absolute,
+    // or expire deletes a dir the latest snapshot still reads.
+    val pathAbs = filesystem.makeQualified(new Path(path)).toUri.getPath
+    def absOf(d: String): String = if (d.startsWith("/")) d else s"$pathAbs/$d"
+    // kept manifests are never deleted by any expire — read them strictly
+    // (an unreadable KEPT manifest must abort, or `live` would undercount
+    // and a referenced dir could be deleted)
+    val live = stay.flatMap { case (v, _) => allDirs(readManifest(filesystem, path, v)) }
+      .map(absOf).toSet
     drop.foreach { case (v, p) =>
-      val dead = allDirs(readManifest(filesystem, path, v)).filterNot(live)
-        .filterNot(_.startsWith("/")) // borrowed (clone-referenced) dirs are not ours
-      filesystem.delete(p, false)
-      dead.foreach(d => filesystem.delete(new Path(path, d), true))
+      tryRead(v).foreach { s =>
+        val dead = allDirs(s).filterNot(d => live(absOf(d)))
+          .filterNot(_.startsWith("/")) // borrowed (clone-referenced) dirs are not ours
+        filesystem.delete(p, false)
+        dead.foreach(d => filesystem.delete(new Path(path, d), true))
+      }
     }
   }
 
@@ -896,6 +941,14 @@ object VersionedTable {
     lock.synchronized { commitLocked(spark, path, dirsFor) }
   }
 
+  /** Thrown by a commit callback to abandon the commit while holding the
+    * table lock — the in-lock guard path for ops whose precondition must be
+    * re-validated against the CURRENT snapshot (exactly-once batch ids,
+    * compaction vs. concurrent MOR deletes). Callers catch it and map it to
+    * their no-op result; no manifest is written, and the op's staged data
+    * dir becomes ordinary [[removeOrphans]] debris. */
+  private final class CommitAborted(val why: String) extends RuntimeException(why)
+
   private def commitLocked(spark: SparkSession, path: String,
       dirsFor: Option[Snapshot] => Snapshot): Int = {
     val filesystem = fs(spark, path)
@@ -903,11 +956,14 @@ object VersionedTable {
     while (true) {
       val cur = latest(spark, path)
       val v = cur.map(_.version).getOrElse(0) + 1
+      // build the snapshot BEFORE creating the tmp file: a throwing callback
+      // (publish conflict, CommitAborted guard) must not leak a tmp manifest
+      val snapJson = manifestJson(v, dirsFor(cur)).getBytes("UTF-8")
       val meta = new Path(path, MetaDir)
       filesystem.mkdirs(meta)
       val tmp = new Path(meta, s".tmp-${System.nanoTime()}-${counter.incrementAndGet()}")
       val out = filesystem.create(tmp, false)
-      out.write(manifestJson(v, dirsFor(cur)).getBytes("UTF-8"))
+      out.write(snapJson)
       out.close()
       val dst = new Path(meta, manifestName(v))
       // rename-as-commit: only one writer can claim v; a loser retries at v+1
