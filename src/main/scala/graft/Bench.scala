@@ -9,24 +9,29 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** Headline queries, each with its PINNED reference seconds at sf0.1 /
-    * local[32] on this host (SURVEY §6 BENCH_BASELINE): the r5 closing run
-    * for the original 15, the r6 pinning run for the 5 families added in r6.
-    * Per-round regressions are judged against these stored numbers, not
-    * against cross-round host noise.
+    * local[32] (SURVEY §6 BENCH_BASELINE). RE-PINNED in r7: the r6 pins for
+    * the five families added that round did not reproduce on the same code
+    * and host (ann_ivf_pq "1.0 s" measured 52 s — the pinning run was
+    * invalid) and masked real many-small-jobs overhead that r7 then fixed
+    * (joint PQ training, cached Lloyd, PageRank flag-carrying iterate).
+    * These numbers are the per-query MIN of two complete back-to-back
+    * `graft.Bench` runs on a quiet host after those fixes — min, not mean,
+    * because host contention only ever adds time, so the min is the
+    * reproducible cost of the code. Per-round regressions are judged
+    * against these stored numbers, not against cross-round host noise.
     */
   private val headline: Seq[(String, Double)] = Seq(
-    "q1_pricing_summary" -> 1.000, "q3_shipping_priority" -> 1.090,
-    "q5_local_supplier" -> 1.231, "q6_forecast_revenue" -> 0.216,
-    "q15_topk_orders" -> 0.177, "q16_time_bucket" -> 0.270,
-    "dedup_exact" -> 0.284, "dedup_minhash_lsh" -> 1.136,
-    "ngram_jaccard_pairs" -> 2.592, "embedding_cosine_topk" -> 0.340,
-    "text_token_count" -> 0.127, "text_langid" -> 0.136,
-    "upsert_merge" -> 0.299, "incremental_offset_read" -> 0.329,
-    "pipeline_training_data" -> 0.572,
-    // r6 additions: one representative per family landed since r4
-    "graph_pagerank" -> 2.062, "exact_substring_spans" -> 0.345,
-    "interval_overlap_join" -> 0.766, "incremental_join_maintenance" -> 1.571,
-    "ann_ivf_pq" -> 1.018)
+    "q1_pricing_summary" -> 0.586, "q3_shipping_priority" -> 1.138,
+    "q5_local_supplier" -> 1.098, "q6_forecast_revenue" -> 0.201,
+    "q15_topk_orders" -> 0.170, "q16_time_bucket" -> 0.251,
+    "dedup_exact" -> 0.249, "dedup_minhash_lsh" -> 0.967,
+    "ngram_jaccard_pairs" -> 2.367, "embedding_cosine_topk" -> 0.301,
+    "text_token_count" -> 0.128, "text_langid" -> 0.127,
+    "upsert_merge" -> 0.307, "incremental_offset_read" -> 0.295,
+    "pipeline_training_data" -> 0.577,
+    "graph_pagerank" -> 5.160, "exact_substring_spans" -> 1.819,
+    "interval_overlap_join" -> 0.687, "incremental_join_maintenance" -> 2.223,
+    "ann_ivf_pq" -> 4.381)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

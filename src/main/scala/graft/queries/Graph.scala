@@ -112,7 +112,54 @@ object Graph {
       s"\n      SELECT node, r AS rank_scaled FROM r$iters ORDER BY node"
   }
 
+  /** Unrolled SQL replay of [[graft.operators.KCore.kCore]]: `rounds`
+    * peel steps as chained CTEs (keep-set = degree ≥ k, both endpoints must
+    * survive). Peeling is monotone, so extra rounds past convergence are
+    * no-ops and the fixed unroll equals the engine's early-exited fixpoint. */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val head = s"""WITH e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+          greatest(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      r0 AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0)"""
+    val steps = (1 to rounds).map { i =>
+      val p = i - 1
+      // MATERIALIZED: each round is referenced three times (twice via IN,
+      // once as the next round's base) — inlined, the expansion grows 3^i
+      // and the replay never finishes; materialized, it is linear in rounds
+      s"""k$i AS MATERIALIZED (SELECT src FROM r$p GROUP BY src HAVING count(*) >= $k),
+        r$i AS MATERIALIZED (SELECT src, dst FROM r$p
+          WHERE src IN (SELECT src FROM k$i) AND dst IN (SELECT src FROM k$i))"""
+    }
+    (head +: steps).mkString(",\n      ") +
+      s"\n      SELECT src AS node, count(*) AS core_degree FROM r$rounds" +
+      "\n      GROUP BY src ORDER BY node"
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+
+    "graph_kcore" -> Q(
+      (s, d) => {
+        // k-core of the part co-purchase graph (the triangles edge set):
+        // peel nodes of degree < 80 until stable — the "dense enough to
+        // matter" curation filter. Converges in 5 rounds at sf0.01/sf0.1;
+        // rounds=6 is the fixed unroll both engines replay (monotone:
+        // post-convergence rounds are no-ops, so early exit ≡ fixed count).
+        val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        val e0 = li.as("a")
+          .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(least(col("a.l_partkey"), col("b.l_partkey")).as("u"),
+            greatest(col("a.l_partkey"), col("b.l_partkey")).as("v"))
+          .distinct()
+        val e = e0.select(col("u").as("src"), col("v").as("dst"))
+          .unionByName(e0.select(col("v").as("src"), col("u").as("dst")))
+        graft.operators.KCore.kCore(e, k = 80, rounds = 6)
+      },
+      Some(kcoreSql(k = 80, rounds = 6)),
+      "k-core extraction by iterative peeling (degree >= 80 fixpoint on the part " +
+        "co-purchase graph): one degree aggregate + two semi-joins per round, " +
+        "integer-exact vs the unrolled-CTE peel replay."),
 
     "graph_pagerank" -> Q(
       (s, d) => PageRank.run(edges(s, d), Iters, Scale),

@@ -52,17 +52,68 @@ object ScaleBench {
 
     // 30× (≈ 150 k docs) probes past the fixed-overhead regime: at 10× the
     // banded paths still measured ≈ 1.2× wall, i.e. overhead dominated and
-    // the true slope was unmeasured (r4 verdict item 5).
+    // the true slope was unmeasured (r4 verdict item 5). The two banded
+    // near-dup paths additionally run 100× (≈ 500 k docs, r5 verdict item
+    // 7) — the factor where a quadratic candidate path would already be
+    // ~100× over budget.
     val factors = Seq(1, 3, 10, 30)
+    val nearDupFactors = Seq(1, 3, 10, 30, 100)
     val docQueryNames = Set("dedup_minhash_lsh", "ngram_jaccard_pairs",
       "doc_lm_score", "deterministic_shuffle", "grouped_prefix_sum")
     val earlyOnly: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     // materialize each scaled corpus so staging cost never pollutes the timing
+    val nearDupWanted = Set("dedup_minhash_lsh", "ngram_jaccard_pairs")
+      .exists(n => earlyOnly.forall(_.contains(n)))
+    val stagedFactors =
+      if (nearDupWanted) nearDupFactors.toSet ++ factors else factors.toSet
     val staged: Map[Int, String] =
       if (docQueryNames.exists(n => earlyOnly.forall(_.contains(n))))
-        factors.map { k =>
+        stagedFactors.toSeq.sorted.map { k =>
           val p = s"$outDir/docs_x$k"
           scaled(docs, k).write.mode("overwrite").parquet(p)
+          k -> p
+        }.toMap
+      else Map.empty
+
+    // ---- adversarial skew corpora (r5 verdict item 7) -------------------
+    // Hot-SHINGLE skew: every 5th doc gains one UNPREFIXED boilerplate
+    // sentence, shared across ALL replicas — its shingles' posting lists
+    // grow with the whole corpus (20% of docs), the classic boilerplate
+    // hot-key. True τ=0.8 pairs are unchanged (a handful of common shingles
+    // cannot push two otherwise-disjoint docs over τ), so any superlinear
+    // growth here is candidate blowup through the hot shingles: the
+    // prefix-filter (ngram) and banding (minhash) must shrug it off.
+    val Boiler = "all rights reserved terms of service apply contact the site operator"
+    def skewedDocs(k: Int): DataFrame =
+      scaled(docs, k).withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" " + Boiler)))
+          .otherwise(col("text")))
+    val skewDocNames = Set("ngram_jaccard_skew", "minhash_lsh_skew")
+    val stagedSkew: Map[Int, String] =
+      if (skewDocNames.exists(n => earlyOnly.forall(_.contains(n))))
+        factors.map { k =>
+          val p = s"$outDir/docs_skew_x$k"
+          skewedDocs(k).write.mode("overwrite").parquet(p)
+          k -> p
+        }.toMap
+      else Map.empty
+
+    // Power-law KEY skew for the salted join: half the fact rows land on
+    // ONE key, the rest spread uniformly — the single-melted-reducer case.
+    // The salted join must grow linearly (the hot key spreads over
+    // numSalts reducers); the same join UNSALTED and non-broadcast is the
+    // AQE-skew-split audit subject below.
+    def skewedFact(k: Int): DataFrame =
+      spark.range(600000L * k).select(
+        when(col("id") % 2 === 0, lit(0L)).otherwise(col("id") % 10000L).as("k"),
+        (col("id") % 997L).as("v"))
+    val skewDim = spark.range(10000L)
+      .select(col("id").as("k"), (col("id") % 5).as("seg"))
+    val stagedFact: Map[Int, String] =
+      if (earlyOnly.forall(_.contains("salted_join_skew")))
+        factors.map { k =>
+          val p = s"$outDir/fact_skew_x$k"
+          skewedFact(k).write.mode("overwrite").parquet(p)
           k -> p
         }.toMap
       else Map.empty
@@ -123,12 +174,22 @@ object ScaleBench {
           (col("o_totalprice") * 100).cast("long").as("x"),
           (col("o_orderkey") % 9973).as("y")), "x", "y").count()
 
+    def saltedSkewJoin(d: DataFrame): Long =
+      graft.operators.SkewJoin.saltedJoin(d, skewDim, "k")
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .count()
+
     val queries: Seq[(String, DataFrame => Long)] = Seq(
       "dedup_minhash_lsh" -> (d => NearDup.minhashLshPairs(d, 0.8).count()),
       "ngram_jaccard_pairs" -> (d => NearDup.exactJaccardPairs(d, 0.8).count()),
       "doc_lm_score" -> lmScore,
       "deterministic_shuffle" -> globalShuffle,
       "grouped_prefix_sum" -> groupedScan)
+    val skewQueries: Seq[(String, DataFrame => Long)] = Seq(
+      "ngram_jaccard_skew" -> (d => NearDup.exactJaccardPairs(d, 0.8).count()),
+      "minhash_lsh_skew" -> (d => NearDup.minhashLshPairs(d, 0.8).count()))
+    val factQueries: Seq[(String, DataFrame => Long)] = Seq(
+      "salted_join_skew" -> saltedSkewJoin)
     val orderQueries: Seq[(String, DataFrame => Long)] = Seq(
       "interval_overlap" -> intervalOverlapScaled,
       "skyline_prefix_max" -> skylineScaled)
@@ -150,9 +211,16 @@ object ScaleBench {
         }.toMap
       else Map.empty
 
+    def factorsOf(name: String): Seq[Int] =
+      if (Set("dedup_minhash_lsh", "ngram_jaccard_pairs")(name)) nearDupFactors
+      else factors
     val plans: Seq[(String, Int, String, DataFrame => Long)] =
-      (for ((name, run) <- queries if wanted(name); k <- factors)
+      (for ((name, run) <- queries if wanted(name); k <- factorsOf(name))
         yield (name, k, staged(k), run)) ++
+      (for ((name, run) <- skewQueries if wanted(name); k <- factors)
+        yield (name, k, stagedSkew(k), run)) ++
+      (for ((name, run) <- factQueries if wanted(name); k <- factors)
+        yield (name, k, stagedFact(k), run)) ++
       (for ((name, run) <- orderQueries if wanted(name); k <- factors)
         yield (name, k, stagedOrders(k), run))
 
@@ -164,15 +232,54 @@ object ScaleBench {
       (name, k, sec, rows)
     }
 
-    val summary = (queries ++ orderQueries).filter { case (n, _) => wanted(n) }
+    val summary = (queries ++ skewQueries ++ factQueries ++ orderQueries)
+      .filter { case (n, _) => wanted(n) }
       .map { case (name, _) =>
         val byK = results.filter(_._1 == name).map(r => r._2 -> r._3).toMap
-        val g10 = byK(10) / byK(1)
-        val g30 = byK(30) / byK(1)
-        s""""$name":{"t1":${f"${byK(1)}%.2f"},"t10":${f"${byK(10)}%.2f"},"t30":${f"${byK(30)}%.2f"},""" +
-          s""""growth_10x":${f"$g10%.1f"},"growth_30x":${f"$g30%.1f"}}"""
+        val growths = byK.keys.toSeq.sorted.filter(_ > 1)
+          .map(k => s""""growth_${k}x":${f"${byK(k) / byK(1)}%.1f"}""")
+        val times = byK.toSeq.sorted
+          .map { case (k, s) => s""""t$k":${f"$s%.2f"}""" }
+        s""""$name":{${(times ++ growths).mkString(",")}}"""
       }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_growth","factors":${factors.mkString("[", ",", "]")},"detail":$summary}""")
+
+    // ---- AQE skew-split audit (r5 verdict item 7) -----------------------
+    // The UNSALTED skewed join, denied its broadcast (the 100 TB case where
+    // the dim is too big to ship): does AQE's OptimizeSkewedJoin split the
+    // melted partition? Recorded, not asserted — the salted path above is
+    // the deterministic layout; AQE is the safety net when nobody salted.
+    if (earlyOnly.forall(_.contains("salted_join_skew")) && stagedFact.nonEmpty) {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def measure(): (Double, Boolean) = {
+        val d = spark.read.parquet(stagedFact(factors.max))
+        val plain = d.join(skewDim, "k")
+          .groupBy(col("seg")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        // inspect THIS QueryExecution after running it — count() would spin
+        // up its own and leave plain's AQE plan unfinalized
+        val (sec, _) = time(plain.collect())
+        (sec, plain.queryExecution.executedPlan.toString.contains("skew=true"))
+      }
+      try {
+        // Default thresholds: skew detection is COMPRESSED-byte-based, and
+        // the constant hot key lz4-compresses ~50×, so the melted partition
+        // reads far under the 256 MB default at this toy scale (real 100 TB
+        // shuffle data doesn't compress like a constant column — defaults
+        // hold there).
+        val (sec, engaged) = measure()
+        // thresholds scaled to the corpus's compressed size: the melted
+        // partition now clears them and OptimizeSkewedJoin must split it
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        val (secTuned, engagedTuned) = measure()
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        println(s"""{"metric":"aqe_skew_audit","factor":${factors.max},""" +
+          s""""unsalted_sec":${f"$sec%.2f"},"aqe_skew_split":$engaged,""" +
+          s""""unsalted_sec_tuned":${f"$secTuned%.2f"},"aqe_skew_split_tuned":$engagedTuned}""")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
     spark.stop()
   }
 }

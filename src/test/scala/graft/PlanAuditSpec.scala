@@ -363,4 +363,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), plan.take(3000))
     assert(plan.contains("partial_sum"), plan.take(3000))
   }
+
+  test("salted join spreads the key space: join keys include the salt, dim " +
+    "replicates via explode, aggregation is partial before the exchange") {
+    val df = q("salted_join_agg")
+    df.collect()
+    val plan = planOf(df)
+    // the join must be keyed by (key, salt) — the salt IS the skew dissolver
+    assert(plan.contains("__salt"), plan.take(3000))
+    // dim replication is a generator (explode of the salt sequence), never a
+    // cartesian with a salt-range table
+    assert(plan.contains("Generate explode"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // map-side combine before the segment exchange: the post-join aggregate
+    // shrinks to O(groups) per task regardless of how hot any key was
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      plan.take(3000))
+  }
 }
