@@ -73,20 +73,22 @@ object Pq {
   def train(emb: DataFrame, m: Int, k: Int, iters: Int): Model = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val subDim = dim / m
     val unit = normalized(emb)
-    val sub = unit.select(col("vec_id"), posexplode(array((0 until m).map(j =>
-        slice(col("embedding"), j * subDim + 1, subDim).cast("array<double>")): _*)))
-      .withColumnsRenamed(Map("pos" -> "j", "col" -> "sub"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Seeding: the k lowest-id unit vectors, sliced driver-side — the same
-    // per-subspace seeds as k lowest-id rows of each sub-frame, one action.
+    // per-subspace seeds as k lowest-id rows of each sub-frame. ONE action:
+    // the vector dimension is read off the first seed instead of a separate
+    // size() probe job.
     val seeds = unit.orderBy(col("vec_id")).limit(k)
       .select(col("embedding").cast("array<double>")).as[Seq[Double]]
       .collect().map(_.toArray)
     require(seeds.length == k, s"need at least $k vectors to seed, got ${seeds.length}")
+    val dim = seeds(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val sub = unit.select(col("vec_id"), posexplode(array((0 until m).map(j =>
+        slice(col("embedding"), j * subDim + 1, subDim).cast("array<double>")): _*)))
+      .withColumnsRenamed(Map("pos" -> "j", "col" -> "sub"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m, k)((j, c) => seeds(c).slice(j * subDim, (j + 1) * subDim))
     for (_ <- 1 to iters) {

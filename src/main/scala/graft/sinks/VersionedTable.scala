@@ -256,15 +256,37 @@ object VersionedTable {
     * at-least-once foreachBatch delivery). */
   def upsertOnce(df: DataFrame, path: String, keys: Seq[String], batchId: Long): Boolean = {
     val spark = df.sparkSession
-    val cur = latest(spark, path)
-    if (cur.exists(_.lastBatch.exists(_ >= batchId))) return false
-    val merged = cur match {
-      case None => df
-      case Some(snap) => Upsert.upsert(readSnapshot(spark, path, snap), df, keys)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try {
+        val planned = latest(spark, path)
+        if (planned.exists(_.lastBatch.exists(_ >= batchId))) return false
+        val merged = planned match {
+          case None => df
+          case Some(snap) => Upsert.upsert(readSnapshot(spark, path, snap), df, keys)
+        }
+        val d = writeDataDir(merged, path)
+        // both guards re-run IN the lock: the exactly-once high-water mark
+        // (concurrent redelivery) and the COW snapshot validation
+        // (concurrent writer) — [[upsert]]'s protocol plus [[appendOnce]]'s
+        commit(spark, path, { cur =>
+          if (cur.exists(_.lastBatch.exists(_ >= batchId)))
+            throw new CommitAborted(s"batch $batchId already committed")
+          if (cur.map(_.version) != planned.map(_.version))
+            throw new CommitAborted("table advanced during the COW merge")
+          Snapshot(0, Seq(d), Map.empty, Some(batchId))
+        })
+        return true
+      } catch {
+        case a: CommitAborted =>
+          if (a.why.contains("already committed")) return false
+          if (attempts >= 10) throw new IllegalStateException(
+            s"upsertOnce lost the optimistic race $attempts times at $path")
+        case e: Throwable if isStaleRead(e) && attempts < 10 => // re-plan
+      }
     }
-    val d = writeDataDir(merged, path)
-    commit(spark, path, _ => Snapshot(0, Seq(d), Map.empty, Some(batchId)))
-    true
+    false // unreachable
   }
 
   /** Append with per-dir column metrics (Iceberg's file-level min/max
@@ -443,14 +465,60 @@ object VersionedTable {
     * safe) — a conflicting commit between read and commit would need the
     * merge re-run, which this format surfaces by version-bumping, not by
     * silently overwriting. */
+  /** Copy-on-write upsert with VALIDATED optimistic retry (the Iceberg
+    * copy-on-write MERGE protocol): the merge is computed against the
+    * snapshot read at planning time, and the commit callback re-checks —
+    * inside the table lock — that the table is STILL at that snapshot. A
+    * concurrent commit (append, MOR upsert, anything) aborts this attempt
+    * and the whole merge re-plans against the new state, so no concurrent
+    * writer's rows are ever silently overwritten; the abandoned data dir is
+    * ordinary [[removeOrphans]] debris. Bounded retries: at some contention
+    * level a COW rewrite should fail loudly rather than starve. */
   def upsert(df: DataFrame, path: String, keys: Seq[String]): Int = {
     val spark = df.sparkSession
-    latest(spark, path) match {
-      case None => overwrite(df, path)
-      case Some(snap) =>
-        val merged = Upsert.upsert(readSnapshot(spark, path, snap), df, keys)
-        overwrite(merged, path)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try {
+        val planned = latest(spark, path)
+        val merged = planned match {
+          case None => df
+          case Some(snap) => Upsert.upsert(readSnapshot(spark, path, snap), df, keys)
+        }
+        val d = writeDataDir(merged, path)
+        return commit(spark, path, { cur =>
+          if (cur.map(_.version) != planned.map(_.version))
+            throw new CommitAborted(s"table advanced past " +
+              s"v${planned.map(_.version).getOrElse(0)} during the COW merge")
+          Snapshot(0, Seq(d), lastBatch = cur.flatMap(_.lastBatch))
+        })
+      } catch {
+        case _: CommitAborted if attempts < 10 => // re-plan against the new state
+        case e: CommitAborted => throw new IllegalStateException(
+          s"upsert lost the optimistic race $attempts times at $path: ${e.why}")
+        // A planning read can see its snapshot's dirs vanish mid-merge when
+        // concurrent rewrites + expire outpace it (retention < merge
+        // duration — Iceberg's VACUUM-vs-reader caveat). For a WRITER the
+        // recovery is mechanical: re-plan against the current snapshot.
+        case e: Throwable if isStaleRead(e) && attempts < 10 =>
+      }
     }
+    -1 // unreachable
+  }
+
+  /** A read that failed because a planned snapshot's data dirs were
+    * rewritten away and expired while the operation ran — the retryable
+    * stale-planning signature, as opposed to a genuine error. */
+  private def isStaleRead(t: Throwable): Boolean = {
+    var c: Throwable = t
+    while (c != null) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = c.getMessage
+      if (m != null && (m.contains("PATH_NOT_FOUND") ||
+        m.contains("FileNotFoundException"))) return true
+      c = if (c.getCause eq c) null else c.getCause
+    }
+    false
   }
 
   /** Small-file compaction (Iceberg's rewrite_data_files / OPTIMIZE): rewrite
@@ -460,17 +528,39 @@ object VersionedTable {
     * until [[expire]] reclaims them. `targetRowsPerFile` is the local
     * analogue of Iceberg's write.target-file-size-bytes: the streaming-ingest
     * maintenance op that keeps scan task counts bounded after thousands of
-    * tiny micro-batch appends. Like [[upsert]], concurrent writers must be
-    * externally serialized (the rewrite is computed against the snapshot
-    * current at call time). */
+    * tiny micro-batch appends. Like [[upsert]], the rewrite is computed
+    * against the snapshot current at call time and committed under
+    * VALIDATED optimistic retry — a concurrent commit aborts the attempt
+    * in-lock and the rewrite re-plans, so nothing is silently dropped. */
   def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Int = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
-    val snap = latest(spark, path).getOrElse(
-      throw new IllegalStateException(s"no snapshots at $path"))
-    val data = readSnapshot(spark, path, snap)
-    val parts = math.max(1L, (data.count() + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val d = writeDataDir(data.repartition(parts), path)
-    commit(spark, path, cur => Snapshot(0, Seq(d), lastBatch = cur.flatMap(_.lastBatch)))
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try {
+        val snap = latest(spark, path).getOrElse(
+          throw new IllegalStateException(s"no snapshots at $path"))
+        val data = readSnapshot(spark, path, snap)
+        val parts = math.max(1L, (data.count() + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+        val d = writeDataDir(data.repartition(parts), path)
+        // full rewrite replaces every dir and materializes every delete —
+        // valid only against the EXACT snapshot it read. A concurrent
+        // commit (whose dirs/deletes the rewrite doesn't contain) aborts
+        // this attempt; the rewrite re-plans against the new state.
+        return commit(spark, path, { cur =>
+          if (cur.map(_.version) != Some(snap.version))
+            throw new CommitAborted(s"table advanced past v${snap.version} " +
+              "during the rewrite")
+          Snapshot(0, Seq(d), lastBatch = cur.flatMap(_.lastBatch))
+        })
+      } catch {
+        case _: CommitAborted if attempts < 10 => // re-plan
+        case e: CommitAborted => throw new IllegalStateException(
+          s"compact lost the optimistic race $attempts times at $path: ${e.why}")
+        case e: Throwable if isStaleRead(e) && attempts < 10 => // re-plan
+      }
+    }
+    -1 // unreachable
   }
 
   /** Selective small-file compaction (Iceberg's binpack
@@ -515,6 +605,12 @@ object VersionedTable {
         // so it steps aside (no-op) and lets the caller re-plan.
         if (c.deletes.nonEmpty)
           throw new CommitAborted("MOR deletes landed mid-compaction")
+        // ... and every dir this rewrite replaces must STILL be in the
+        // current snapshot: if a concurrent full rewrite (compact/COW
+        // upsert) already absorbed them, committing the binpacked copy
+        // would append a second, stale copy of those rows
+        if (!small.forall(c.dirs.contains))
+          throw new CommitAborted("planned dirs were rewritten concurrently")
         Snapshot(0, c.dirs.filterNot(smallSet) :+ d,
           c.colStats.filter { case (dir, _) => !smallSet(dir) },
           c.lastBatch,

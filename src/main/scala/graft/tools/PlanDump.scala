@@ -81,7 +81,15 @@ object PlanDump {
       "upsert_merge_on_read" ->
         ("Merge-on-read scan: sequence-stamped data dirs union, delete dirs collapse to " +
           "(key -> max seq), ONE key-hash left join resolves liveness - the read-time cost " +
-          "upsertMor deferred; the compacted side reads with no join at all."))
+          "upsertMor deferred; the compacted side reads with no join at all."),
+      "salted_join_agg" ->
+        ("Skew-safe salted join: fact keyed by (key, __salt) against the explode-replicated " +
+          "dim - the hot key spreads over numSalts reducers; partial aggregation before the " +
+          "segment exchange keeps post-join state O(groups) per task."),
+      "graph_kcore" ->
+        ("k-core peeling round (r7): one map-side-combined degree aggregate + two semi-joins " +
+          "per round against the O(survivors) keep-set; iterates checkpointed and retired - " +
+          "the plan shown is the final census over the converged core."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit artifact\n\n")
     sb.append("Generated by `graft.tools.PlanDump` at sf0.01 (plans are scale-" +
