@@ -66,11 +66,13 @@ object Bench {
     val bJson = results.map { case (k, _, b) => "\"" + k + "\":" + f"$b%.3f" }
       .mkString("{", ",", "}")
     // both totals over the same set: a failed query (timed -1) contributes
-    // to neither, so total-vs-baseline_total stays a like-for-like ratio
+    // to neither, so total-vs-baseline_total stays a like-for-like ratio;
+    // the dropped queries are named so a shrunken comparison set is visible
     val ok = results.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
     val baseTotal = ok.map(_._3).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"baseline":$bJson,"baseline_total":$baseTotal%.3f,"sf":"$sfDir"}""")
+    val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"baseline":$bJson,"baseline_total":$baseTotal%.3f,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
