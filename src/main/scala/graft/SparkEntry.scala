@@ -13,6 +13,7 @@ object SparkEntry {
       _root_.graft.queries.Analytics.defs ++
       _root_.graft.queries.Ingestion.defs ++
       _root_.graft.queries.TrainingData.defs ++
+      _root_.graft.queries.Curation.defs ++
       _root_.graft.queries.Similarity.defs ++
       _root_.graft.queries.Graph.defs ++
       _root_.graft.queries.Streaming.defs ++

@@ -81,6 +81,17 @@ object core {
     * Verify/Bench/GraftSession). Nanos are micro-aligned in this data, and
     * DuckDB also surfaces the column at micros, so `ts DIV 1000` is exact.
     * Integer DIV, not `/`: epoch nanos (~1.7e18) overflow double precision. */
+  /** Integer floor division on BIGINT columns — Spark's `DIV` ≡ DuckDB's `//`
+    * on the non-negative integers every scaled emission here uses. Routed
+    * through Catalyst's IntegralDivide (not `floor(a / b)`): the double
+    * quotient loses exactness past 2^53 and can round across an integer
+    * boundary, while DIV never leaves integer arithmetic. */
+  def idiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.shims._
+    toCol(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      toExpr(a), toExpr(b)))
+  }
+
   def eventsTable(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {

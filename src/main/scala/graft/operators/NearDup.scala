@@ -104,6 +104,59 @@ object NearDup {
     jaccardOfCandidates(cand, sets, minJaccard)
   }
 
+  /** Exact ordered-pair shingle CONTAINMENT join: every (A, B), A ≠ B, with
+    * c(A→B) = |S(A) ∩ S(B)| / |S(A)| ≥ τ — the asymmetric cousin of
+    * [[exactJaccardPairs]] that catches supersets (B extends A) which
+    * symmetric Jaccard misses, the contamination/quotation shape.
+    *
+    * Same prefix-filter discipline, adapted to the asymmetric predicate:
+    * c(A→B) ≥ τ forces overlap o ≥ ⌈τ·|A|⌉, so by the prefix lemma A's
+    * prefix — its |A| − ⌈τ·|A|⌉ + 1 globally-rarest shingles — must hit
+    * S(B). Candidates are therefore A-prefix rows joined against the FULL
+    * inverted index on the B side; the prefix side holds rare shingles
+    * almost exclusively, so the Σ df_prefix(s)·df(s) pair count stays far
+    * from the Σ df(s)² hot-shingle blowup. A length filter (|B| ≥ ⌈τ·|A|⌉,
+    * since o ≤ |B|) prunes the rest before the array-intersect verify.
+    * One shuffle by shingle for candidates, one by doc for prefix ranks —
+    * no cross join, recall exact (the filters are lossless).
+    *
+    * The final predicate is the all-integer `n_common·10⁶ ÷ |A| ≥ τ_e6`
+    * (floor division), identical on both engines — no double compare.
+    */
+  def containmentPairs(docs: DataFrame, contE6: Long): DataFrame = {
+    val sets = shingled(docs)
+    val inv = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+      explode(col("shingles")).as("shingle"))
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "shingle")
+    // o_min(A) = ceil(τ·|A|) in pure integer arithmetic: (n·τe6 + 1e6 − 1) DIV 1e6.
+    val oMin = graft.core.idiv(col("n_sh") * contE6 + lit(999999L), lit(1000000L))
+    // dfreq join deliberately unhinted — O(vocabulary) rows; see
+    // exactJaccardPairs for the broadcast-OOM rationale (AQE is the guard).
+    val ranked = inv.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(wDoc))
+    val prefix = ranked
+      .filter(col("rk") <= col("n_sh") - oMin + 1)
+      .select(col("doc_id"), col("n_sh"), col("shingle"))
+    val full = ranked.select(col("doc_id"), col("n_sh"), col("shingle"))
+    val cand = prefix.as("a").join(full.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") =!= col("b.doc_id")
+          && col("b.n_sh") * lit(1000000L) >= col("a.n_sh") * contE6)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val a = sets.select(col("doc_id").as("id_a"), col("shingles").as("sa"))
+    val b = sets.select(col("doc_id").as("id_b"), col("shingles").as("sb"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_common"),
+        size(col("sa")).cast("long").as("n_a"))
+      .withColumn("cont_e6", graft.core.idiv(col("n_common") * 1000000L, col("n_a")))
+      .filter(col("cont_e6") >= contE6)
+      .orderBy("id_a", "id_b")
+  }
+
   /** MinHash(64) + LSH(16 bands × 4 rows) near-dup pairs with exact-Jaccard
     * verification of candidates. For J ≥ 0.9 pairs the per-pair miss
     * probability is (1−0.9⁴)¹⁶ ≈ 4e-8; candidates are then verified with the

@@ -257,6 +257,73 @@ object Analytics {
         ORDER BY confidence_ppm DESC, antecedent, consequent LIMIT 100"""),
       "Association rules (support/confidence/lift) in ppm integer math: " +
         "bounded-basket pair join, broadcast per-part counts, both rule " +
-        "directions, deterministic top-100.")
+        "directions, deterministic top-100."),
+
+    "autocorr_lags" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Per-series autocorrelation at lags 1..5 — the seasonality probe a
+        // metrics pipeline runs before fitting anything. The series key is
+        // event_type (the window partitions by it; per-series length is the
+        // scale bound, exactly like any keyed time-series store). ONE window
+        // pass computes all five lags; centering is avoided by the sufficient-
+        // statistics identity n·Σxy − Σx·Σy, so every sum is integer-exact
+        // over x = floor(100·value) and the only doubles are the final
+        // IEEE-exact sqrt/divide of identical BIGINTs on both engines.
+        // Magnitudes: x ≤ 5·10⁴, so n·Σx² ≤ n²·x̄² stays under 2⁶³ while
+        // n ≤ ~6·10⁴ per series — beyond that, shard the series or widen to
+        // DECIMAL(38,0).
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("ts", "event_id")
+        val base = eventsTable(s, d)
+          .select($"event_type", $"ts", $"event_id",
+            floor($"value" * 100).cast("long").as("x"))
+          .select($"event_type", $"x",
+            lag($"x", 1).over(w).as("l1"), lag($"x", 2).over(w).as("l2"),
+            lag($"x", 3).over(w).as("l3"), lag($"x", 4).over(w).as("l4"),
+            lag($"x", 5).over(w).as("l5"))
+        base.selectExpr("event_type", "x",
+            "stack(5, 1L, l1, 2L, l2, 3L, l3, 4L, l4, 5L, l5) AS (lag_k, lx)")
+          .filter($"lx".isNotNull)
+          .groupBy($"event_type", $"lag_k")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum($"x").as("sx"), sum($"lx").as("sy"), sum($"x" * $"lx").as("sxy"),
+            sum($"x" * $"x").as("sxx"), sum($"lx" * $"lx").as("syy"))
+          .select($"event_type", $"lag_k", $"n_pairs",
+            ($"n_pairs" * $"sxy" - $"sx" * $"sy").as("num"),
+            ($"n_pairs" * $"sxx" - $"sx" * $"sx").as("den_x"),
+            ($"n_pairs" * $"syy" - $"sy" * $"sy").as("den_y"))
+          .withColumn("rho", $"num".cast("double") /
+            (sqrt($"den_x".cast("double")) * sqrt($"den_y".cast("double"))))
+          .orderBy("event_type", "lag_k")
+      },
+      Some("""WITH e AS (SELECT event_type,
+            CAST(floor(value * 100) AS BIGINT) AS x,
+            lag(CAST(floor(value * 100) AS BIGINT), 1) OVER w AS l1,
+            lag(CAST(floor(value * 100) AS BIGINT), 2) OVER w AS l2,
+            lag(CAST(floor(value * 100) AS BIGINT), 3) OVER w AS l3,
+            lag(CAST(floor(value * 100) AS BIGINT), 4) OVER w AS l4,
+            lag(CAST(floor(value * 100) AS BIGINT), 5) OVER w AS l5
+          FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        u AS (SELECT event_type, 1 AS k, x, l1 AS lx FROM e
+          UNION ALL SELECT event_type, 2, x, l2 FROM e
+          UNION ALL SELECT event_type, 3, x, l3 FROM e
+          UNION ALL SELECT event_type, 4, x, l4 FROM e
+          UNION ALL SELECT event_type, 5, x, l5 FROM e),
+        g AS (SELECT event_type, k, count(*) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(lx) AS BIGINT) AS sy,
+            CAST(sum(x * lx) AS BIGINT) AS sxy,
+            CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(lx * lx) AS BIGINT) AS syy
+          FROM u WHERE lx IS NOT NULL GROUP BY 1, 2)
+        SELECT event_type, CAST(k AS BIGINT) AS lag_k, n AS n_pairs,
+          n * sxy - sx * sy AS num,
+          n * sxx - sx * sx AS den_x, n * syy - sy * sy AS den_y,
+          CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+        FROM g ORDER BY event_type, lag_k"""),
+      "Lag-1..5 autocorrelation per series: one window pass for all lags, " +
+        "integer sufficient statistics (n·Σxy − Σx·Σy), doubles only in the " +
+        "final IEEE-exact sqrt/divide of identical BIGINTs.")
   )
 }

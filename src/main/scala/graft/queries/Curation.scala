@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.Q
+import graft.core._
+import graft.functions._
+import graft.operators.NearDup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a pretraining pipeline runs between raw ingest
+  * and dedup: rule-battery quality filtering (the Gopher/C4 family),
+  * asymmetric containment detection (quotation / superset near-dups that
+  * symmetric Jaccard misses), and collocation mining (bigram PMI — the
+  * statistic behind multi-word-token candidates and boilerplate phrases).
+  *
+  * All verdicts are integer arithmetic (scaled e3/e6 floor divisions) so the
+  * DuckDB oracles replay them bit-exactly — no double thresholds anywhere.
+  * Reference scope: the reference pipeline ships rows from Snowflake into
+  * Iceberg unfiltered (SnowflakeProcessFunction.java); the curation battery
+  * is the training-data surface the brief adds on top.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "that")
+  private val stopInList = stopEn.mkString("('", "','", "')")
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    "gopher_quality_filters" -> Q(
+      (s, d) => {
+        // Gopher-style (Rae et al. 2021) doc-level rule battery from ONE
+        // (doc_id, token) count table: word-count floor, mean-word-length
+        // band, stopword floor, max-single-token-share cap. Two shuffles
+        // total — (doc_id, tok) then doc_id — per-doc state is O(types),
+        // and every rule is a scaled-integer floor division both engines
+        // compute identically. Flags emitted as 0/1 BIGINTs so a 100 TB run
+        // can aggregate drop-reasons without reparsing strings.
+        val tc = docs(s, d)
+          .select(col("doc_id"), explode(ascii_tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        tc.groupBy("doc_id").agg(
+            sum(col("c")).as("n_words"),
+            count(lit(1)).as("n_types"),
+            max(col("c")).as("max_tok"),
+            sum(col("c") * length(col("tok")).cast("long")).as("n_tok_chars"),
+            sum(when(col("tok").isin(stopEn: _*), col("c")).otherwise(lit(0L))).as("n_stop"))
+          .withColumn("mean_len_e3",
+            idiv(lit(1000L) * col("n_tok_chars"), greatest(col("n_words"), lit(1L))))
+          .withColumn("max_frac_e6",
+            idiv(lit(1000000L) * col("max_tok"), greatest(col("n_words"), lit(1L))))
+          .withColumn("f_words", (col("n_words") >= 20L).cast("long"))
+          .withColumn("f_mean_len",
+            (col("mean_len_e3") >= 3000L && col("mean_len_e3") <= 10000L).cast("long"))
+          .withColumn("f_stop", (col("n_stop") >= 2L).cast("long"))
+          .withColumn("f_repetition", (col("max_frac_e6") <= 120000L).cast("long"))
+          .withColumn("keep",
+            (col("f_words") === 1L && col("f_mean_len") === 1L
+              && col("f_stop") === 1L && col("f_repetition") === 1L).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents),
+          tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+          st AS (SELECT doc_id,
+              CAST(sum(c) AS BIGINT) AS n_words,
+              count(*) AS n_types,
+              CAST(max(c) AS BIGINT) AS max_tok,
+              CAST(sum(c * length(tok)) AS BIGINT) AS n_tok_chars,
+              CAST(sum(CASE WHEN tok IN $stopInList THEN c ELSE 0 END) AS BIGINT) AS n_stop
+            FROM tc GROUP BY 1),
+          fx AS (SELECT *,
+              (1000 * n_tok_chars) // greatest(n_words, 1) AS mean_len_e3,
+              (1000000 * max_tok) // greatest(n_words, 1) AS max_frac_e6
+            FROM st),
+          fl AS (SELECT *,
+              CAST(CASE WHEN n_words >= 20 THEN 1 ELSE 0 END AS BIGINT) AS f_words,
+              CAST(CASE WHEN mean_len_e3 BETWEEN 3000 AND 10000 THEN 1 ELSE 0 END AS BIGINT) AS f_mean_len,
+              CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS f_stop,
+              CAST(CASE WHEN max_frac_e6 <= 120000 THEN 1 ELSE 0 END AS BIGINT) AS f_repetition
+            FROM fx)
+        SELECT doc_id, n_words, n_types, max_tok, n_tok_chars, n_stop,
+          mean_len_e3, max_frac_e6, f_words, f_mean_len, f_stop, f_repetition,
+          CAST(f_words * f_mean_len * f_stop * f_repetition AS BIGINT) AS keep
+        FROM fl ORDER BY doc_id"""),
+      "Gopher-style quality rule battery: word-count / mean-word-length / " +
+        "stopword / repetition gates as integer floor divisions, 0/1 flag " +
+        "columns plus the combined keep verdict."),
+
+    "doc_containment" -> Q(
+      (s, d) => NearDup.containmentPairs(
+        docs(s, d).select(col("doc_id"), col("text")), contE6 = 500000L),
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+          sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+            i -> coalesce(w[i],'') || ' ' || coalesce(w[i+1],'') || ' ' || coalesce(w[i+2],''))) AS s FROM tok)
+        SELECT id_a, id_b, n_common, n_a, cont_e6 FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+            CAST(len(a.s) AS BIGINT) AS n_a,
+            (1000000 * len(list_intersect(a.s, b.s))) // len(a.s) AS cont_e6
+          FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+        WHERE cont_e6 >= 500000 ORDER BY id_a, id_b"""),
+      "Asymmetric shingle-containment pairs (|A∩B|/|A| ≥ 0.5, ordered): " +
+        "prefix-filtered inverted index on the A side against the full index " +
+        "on the B side — supersets that symmetric Jaccard misses, no cross " +
+        "join, verified with the exact integer containment."),
+
+    "bigram_pmi" -> Q(
+      (s, d) => {
+        // Collocation mining: pointwise-mutual-information-ranked adjacent
+        // word pairs. Positional bigrams (not basket co-occurrence — that is
+        // association_rules' shape): cxy = corpus occurrences of bigram
+        // (x,y), cx = unigram occurrences, NB = total bigrams. The score is
+        // the PMI lift cxy·NB / (cx·cy) in e6 floor arithmetic — monotone in
+        // log-PMI, so the ranking IS the PMI ranking without either engine
+        // taking a log. Magnitude bound: 10⁶·cxy·NB ≤ 9.2·10¹⁸ holds while
+        // NB·cxy ≤ 9.2·10¹² (≈ a 3M-token corpus at the observed bigram
+        // repetition) — past that, promote the numerator to DECIMAL(38,0);
+        // the sf0.1 values sit 4 orders of magnitude under the edge.
+        // Bigrams are built in ONE narrow pass — zip the token array with its
+        // own tail (no positional self-join, nothing shuffles until the
+        // counts); the oracle's join-on-pos+1 produces the same pairs.
+        val arr = docs(s, d).select(ascii_tokens(col("text")).as("w"))
+        val nMinus1 = greatest(size(col("w")) - 1, lit(0))
+        val bg = arr.select(explode(zip_with(
+            slice(col("w"), lit(1), nMinus1), slice(col("w"), lit(2), nMinus1),
+            (a, b) => struct(a.as("tok_a"), b.as("tok_b")))).as("p"))
+          .select(col("p.tok_a"), col("p.tok_b"))
+        val uni = arr.select(explode(col("w")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cx"))
+        val nb = bg.agg(count(lit(1)).as("nb"))
+        bg.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("cxy"))
+          .filter(col("cxy") >= 5L)
+          .join(uni.select(col("tok").as("tok_a"), col("cx").as("cx_a")), "tok_a")
+          .join(uni.select(col("tok").as("tok_b"), col("cx").as("cx_b")), "tok_b")
+          .crossJoin(broadcast(nb))
+          .withColumn("pmi_e6",
+            idiv(lit(1000000L) * col("cxy") * col("nb"), col("cx_a") * col("cx_b")))
+          .select(col("tok_a"), col("tok_b"), col("cxy"), col("cx_a"), col("cx_b"), col("pmi_e6"))
+          .orderBy(desc("pmi_e6"), col("tok_a"), col("tok_b"))
+          .limit(100)
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+          toks AS (SELECT doc_id, unnest(w) AS tok, unnest(generate_series(1, len(w))) AS pos FROM t),
+          bg AS (SELECT a.tok AS tok_a, b.tok AS tok_b
+            FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+          uni AS (SELECT tok, count(*) AS cx FROM toks GROUP BY 1),
+          nb AS (SELECT count(*) AS nb FROM bg),
+          p AS (SELECT tok_a, tok_b, count(*) AS cxy FROM bg GROUP BY 1, 2 HAVING count(*) >= 5)
+        SELECT p.tok_a, p.tok_b, p.cxy, ca.cx AS cx_a, cb.cx AS cx_b,
+          (1000000 * p.cxy * nb.nb) // (ca.cx * cb.cx) AS pmi_e6
+        FROM p, nb
+        JOIN uni ca ON ca.tok = p.tok_a
+        JOIN uni cb ON cb.tok = p.tok_b
+        ORDER BY pmi_e6 DESC, tok_a, tok_b LIMIT 100"""),
+      "PMI-ranked adjacent-word collocations: positional bigram counts vs " +
+        "unigram marginals, e6 integer lift (monotone in log-PMI), " +
+        "deterministic top-100.")
+  )
+}

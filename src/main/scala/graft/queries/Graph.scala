@@ -136,7 +136,55 @@ object Graph {
       "\n      GROUP BY src ORDER BY node"
   }
 
+  /** Unrolled SQL replay of [[graft.operators.LabelProp.run]]: per round,
+    * (node, label) in-neighbor counts then the argmax with smallest-label
+    * tie-break. The oracle's row_number window is output-identical to the
+    * engine's `max(struct(cnt, −label))` one-pass aggregate — the engine
+    * runs the shape that scales. MATERIALIZED for the same 3^i-expansion
+    * reason as [[kcoreSql]]. */
+  private def labelPropSql(rounds: Int): String = {
+    val head = s"""WITH e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+          greatest(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      edges AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+      l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    val steps = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""c$i AS MATERIALIZED (SELECT e.dst AS node, l.label, count(*) AS cnt
+          FROM edges e JOIN l$p l ON e.src = l.node GROUP BY 1, 2),
+        l$i AS MATERIALIZED (SELECT node, label FROM (SELECT node, label,
+            row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+          FROM c$i) WHERE rn = 1)"""
+    }
+    (head +: steps).mkString(",\n      ") +
+      s"\n      SELECT node, label FROM l$rounds ORDER BY node"
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+
+    "graph_label_propagation" -> Q(
+      (s, d) => {
+        // Community detection on the part co-purchase graph (the k-core /
+        // triangles edge set — non-bipartite, so labels actually mix).
+        // 4 synchronous rounds, deterministic min-label tie-break; the
+        // fixed unroll is what the SQL replay mirrors (synchronous LPA has
+        // no convergence guarantee to wait for).
+        val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        val e0 = li.as("a")
+          .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(least(col("a.l_partkey"), col("b.l_partkey")).as("u"),
+            greatest(col("a.l_partkey"), col("b.l_partkey")).as("v"))
+          .distinct()
+        val e = e0.select(col("u").as("src"), col("v").as("dst"))
+          .unionByName(e0.select(col("v").as("src"), col("u").as("dst")))
+        graft.operators.LabelProp.run(e, rounds = 4)
+      },
+      Some(labelPropSql(rounds = 4)),
+      "Synchronous label propagation (4 rounds, min-label tie-break) on the " +
+        "part co-purchase graph: one join + two hash aggregates per round " +
+        "(struct-argmax, no per-node window), bit-exact vs the unrolled replay."),
 
     "graph_kcore" -> Q(
       (s, d) => {

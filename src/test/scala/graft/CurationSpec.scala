@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.NearDup
+import org.apache.spark.sql.functions._
+
+/** Curation-operator proofs: the prefix-filtered containment join equals the
+  * brute-force all-ordered-pairs containment (the filters are lossless, not
+  * heuristic), containment is asymmetric in the direction the operator
+  * claims (subset → superset scores 10⁶), and the Gopher rule battery's
+  * flags recompute from its own emitted statistics.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // tiny corpus with a known subset/superset pair: doc 2 is a strict prefix
+  // of doc 1, doc 3 is unrelated, doc 4 = doc 3 with one extra word.
+  private val corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "alpha beta gamma delta epsilon zeta"),
+    (3L, "one two three four five six seven eight"),
+    (4L, "one two three four five six seven eight nine")
+  ).toDF("doc_id", "text")
+
+  /** all ordered pairs, exact shingle containment, no filters anywhere */
+  private def brute(minContE6: Long): Set[(Long, Long, Long, Long, Long)] = {
+    val sets = NearDup.shingled(corpus)
+      .as[(Long, Seq[String])].collect().toMap
+    (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+      common = sa.toSet.intersect(sb.toSet).size.toLong
+      cont = common * 1000000L / sa.size
+      if cont >= minContE6
+    } yield (a, b, common, sa.size.toLong, cont)).toSet
+  }
+
+  test("containment join equals brute force on the handcrafted corpus") {
+    val got = NearDup.containmentPairs(corpus, 500000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == brute(500000L), s"got $got\nwant ${brute(500000L)}")
+  }
+
+  test("containment join equals brute force on sf0.001 documents") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sets = NearDup.shingled(docs).as[(Long, Seq[String])].collect().toMap
+    val want = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+      common = sa.toSet.intersect(sb.toSet).size.toLong
+      cont = common * 1000000L / sa.size
+      if cont >= 500000L
+    } yield (a, b)).toSet
+    val got = NearDup.containmentPairs(docs, 500000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("containment is asymmetric: strict subset scores 1e6, superset less") {
+    val got = NearDup.containmentPairs(corpus, 100000L)
+      .select("id_a", "id_b", "cont_e6").as[(Long, Long, Long)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    // doc 2's shingles are a strict subset of doc 1's → containment 2→1 = 1.0
+    assert(got((2L, 1L)) == 1000000L)
+    assert(got((1L, 2L)) < 1000000L)
+    assert(got((4L, 3L)) < got((3L, 4L)),
+      "the smaller doc must be better-contained in the larger")
+  }
+
+  test("gopher battery: flags recompute from the emitted statistics") {
+    val rows = graft.SparkEntry.queries("gopher_quality_filters")(spark, sf("sf0.001"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nWords = r.getAs[Long]("n_words")
+      val meanE3 = r.getAs[Long]("mean_len_e3")
+      val maxE6 = r.getAs[Long]("max_frac_e6")
+      val nStop = r.getAs[Long]("n_stop")
+      assert(r.getAs[Long]("f_words") == (if (nWords >= 20) 1L else 0L))
+      assert(r.getAs[Long]("f_mean_len") == (if (meanE3 >= 3000 && meanE3 <= 10000) 1L else 0L))
+      assert(r.getAs[Long]("f_stop") == (if (nStop >= 2) 1L else 0L))
+      assert(r.getAs[Long]("f_repetition") == (if (maxE6 <= 120000) 1L else 0L))
+      assert(r.getAs[Long]("mean_len_e3") == 1000L * r.getAs[Long]("n_tok_chars") / math.max(nWords, 1L))
+      assert(r.getAs[Long]("keep") ==
+        r.getAs[Long]("f_words") * r.getAs[Long]("f_mean_len")
+          * r.getAs[Long]("f_stop") * r.getAs[Long]("f_repetition"))
+    }
+  }
+
+  test("bigram PMI matches a naive local recompute on sf0.001") {
+    val got = graft.SparkEntry.queries("bigram_pmi")(spark, sf("sf0.001"))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    val texts = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("text").as[String].collect()
+    val docTokens = texts.map(t => "[a-z]+".r.findAllIn(t.toLowerCase).toVector)
+    val uni = docTokens.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bigrams = docTokens.flatMap(w => w.zip(w.drop(1)))
+    val nb = bigrams.size.toLong
+    val want = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 5L)
+      .map { case ((a, b), cxy) =>
+        (a, b, cxy, uni(a), uni(b), 1000000L * cxy * nb / (uni(a) * uni(b)))
+      }.toSeq
+      .sortBy { case (a, b, _, _, _, p) => (-p, a, b) }
+      .take(100)
+    assert(got.toSeq == want)
+  }
+}
