@@ -74,6 +74,44 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Multi-probe LSH top-K: each query probes its own SRP bucket PLUS every
+    * bucket at Hamming distance 1 (one flipped hyperplane sign) in each
+    * table — the Lv et al. (VLDB'07) trade: a near neighbor that lands just
+    * across ONE hyperplane is still found, so fewer tables reach the recall
+    * that plain LSH needs many tables for. Cost model at 100 TB: probes
+    * multiply only the tiny broadcast QUERY side (numTables·(1+numBits)
+    * rows per query); the corpus is still bucketed ONCE per table — the
+    * index memory (the scale bottleneck of multi-table LSH) does not grow
+    * with probes. Same single (tbl, bucket) equi-join shape as [[lshTopK]].
+    */
+  def lshMultiProbeTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      numTables: Int = 4, numBits: Int = 4): DataFrame = {
+    // candidate side: one bucket per table (identical to lshTopK's side)
+    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        posexplode(array((0 until numTables).map(t =>
+          sign_random_projection(col("embedding"), numBits, seed = 1000 + t)): _*)))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    // query side: base bucket + all numBits single-bit flips of it
+    val probes = (vb: Column) => array((0 until numTables).flatMap { t =>
+      val base = sign_random_projection(vb, numBits, seed = 1000 + t)
+      (base +: (0 until numBits).map(j => base.bitwiseXOR(lit(1 << j))))
+        .map(b => struct(lit(t).as("tbl"), b.as("bucket")))
+    }: _*)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(probes(col("embedding"))).as("p"))
+      .select(col("query_id"), col("qv"), col("p.tbl").as("tbl"), col("p.bucket").as("bucket"))
+    val cand = broadcast(q).join(c, Seq("tbl", "bucket"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** SRP-banded near-dup pairs — the scale path for [[pairsAboveThreshold]]:
     * vectors meet only inside an (table, bucket) collision, so the pair space
     * shrinks from N²/2 to the bucket co-occupancy; survivors are verified

@@ -142,7 +142,7 @@ object Graph {
     * engine's `max(struct(cnt, −label))` one-pass aggregate — the engine
     * runs the shape that scales. MATERIALIZED for the same 3^i-expansion
     * reason as [[kcoreSql]]. */
-  private def labelPropSql(rounds: Int): String = {
+  private def labelPropCtes(rounds: Int): String = {
     val head = s"""WITH e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
           greatest(a.l_partkey, b.l_partkey) AS v
         FROM lineitem a JOIN lineitem b
@@ -157,9 +157,39 @@ object Graph {
             row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
           FROM c$i) WHERE rn = 1)"""
     }
-    (head +: steps).mkString(",\n      ") +
-      s"\n      SELECT node, label FROM l$rounds ORDER BY node"
+    (head +: steps).mkString(",\n      ")
   }
+
+  private def labelPropSql(rounds: Int): String =
+    labelPropCtes(rounds) +
+      s"\n      SELECT node, label FROM l$rounds ORDER BY node"
+
+  /** Newman modularity of the round-`rounds` LPA partition, all-integer:
+    * per community c, q_e9 = 10⁹·(in_c·m2 − tot_c²) ÷ m2² with the products
+    * in HUGEINT (mirrors the engine's DECIMAL(38,0)) and the signed floor
+    * division SIGN-SPLIT so DuckDB's floor `//` equals Spark's truncating
+    * `DIV` (they differ on negatives; both divide non-negatives here). */
+  private def modularitySql(rounds: Int): String =
+    labelPropCtes(rounds) + s""",
+      el AS (SELECT e.src, e.dst, la.label AS ls, lb.label AS ld
+        FROM edges e JOIN l$rounds la ON e.src = la.node
+          JOIN l$rounds lb ON e.dst = lb.node),
+      m2 AS (SELECT count(*) AS m2 FROM el),
+      dg AS (SELECT src, ls, count(*) AS deg FROM el GROUP BY 1, 2),
+      tot AS (SELECT ls AS community, CAST(sum(deg) AS BIGINT) AS tot_degree,
+          count(*) AS n_nodes FROM dg GROUP BY 1),
+      wi AS (SELECT ls AS community, count(*) AS in_edges FROM el
+        WHERE ls = ld GROUP BY 1),
+      pc AS (SELECT t.community, t.n_nodes, coalesce(w.in_edges, 0) AS in_edges,
+          t.tot_degree,
+          CAST(coalesce(w.in_edges, 0) AS HUGEINT) * CAST(m2.m2 AS HUGEINT)
+            - CAST(t.tot_degree AS HUGEINT) * CAST(t.tot_degree AS HUGEINT) AS num,
+          CAST(m2.m2 AS HUGEINT) * CAST(m2.m2 AS HUGEINT) AS den
+        FROM tot t LEFT JOIN wi w ON t.community = w.community, m2)
+      SELECT community, n_nodes, in_edges, tot_degree,
+        CAST(CASE WHEN num >= 0 THEN (1000000000 * num) // den
+             ELSE -((1000000000 * (-num)) // den) END AS BIGINT) AS q_e9
+      FROM pc ORDER BY community"""
 
   val defs: Seq[(String, Q)] = Seq(
 
@@ -185,6 +215,57 @@ object Graph {
       "Synchronous label propagation (4 rounds, min-label tie-break) on the " +
         "part co-purchase graph: one join + two hash aggregates per round " +
         "(struct-argmax, no per-node window), bit-exact vs the unrolled replay."),
+
+    "graph_modularity" -> Q(
+      (s, d) => {
+        // Partition-quality audit of the LPA communities: per-community
+        // Newman modularity contribution q_c = in_c/m2 − (tot_c/m2)², scaled
+        // to e9 integer arithmetic with the products in DECIMAL(38,0)
+        // (tot_c² overflows BIGINT once tot_c > ~3·10⁹, i.e. long before
+        // 100 TB). The division is sign-split because the contribution CAN
+        // be negative and floor (DuckDB //) ≠ truncation (Spark DIV) on
+        // negatives — both engines only ever divide non-negatives here.
+        // Shapes: two label joins on the edge list (co-partitioned), then
+        // O(communities) aggregates; the m2 scalar is a broadcast.
+        val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        val e0 = li.as("a")
+          .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(least(col("a.l_partkey"), col("b.l_partkey")).as("u"),
+            greatest(col("a.l_partkey"), col("b.l_partkey")).as("v"))
+          .distinct()
+        val e = e0.select(col("u").as("src"), col("v").as("dst"))
+          .unionByName(e0.select(col("v").as("src"), col("u").as("dst")))
+        val lab = graft.operators.LabelProp.run(e, rounds = 4)
+        val el = e
+          .join(lab.select(col("node").as("src"), col("label").as("ls")), "src")
+          .join(lab.select(col("node").as("dst"), col("label").as("ld")), "dst")
+        val m2df = el.agg(count(lit(1)).as("m2"))
+        val deg = el.groupBy(col("src"), col("ls")).agg(count(lit(1)).as("deg"))
+        val tot = deg.groupBy(col("ls").as("community"))
+          .agg(sum(col("deg")).as("tot_degree"), count(lit(1)).as("n_nodes"))
+        val win = el.filter(col("ls") === col("ld"))
+          .groupBy(col("ls").as("community")).agg(count(lit(1)).as("in_edges"))
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val joined = tot.join(win, Seq("community"), "left")
+          .withColumn("in_edges", coalesce(col("in_edges"), lit(0L)))
+          .crossJoin(broadcast(m2df))
+        val num = col("in_edges").cast(d38) * col("m2").cast(d38) -
+          col("tot_degree").cast(d38) * col("tot_degree").cast(d38)
+        val den = col("m2").cast(d38) * col("m2").cast(d38)
+        joined
+          .withColumn("num", num).withColumn("den", den)
+          .withColumn("q_e9",
+            when(col("num") >= 0, idiv(lit(1000000000L).cast(d38) * col("num"), col("den")))
+              .otherwise(-idiv(lit(1000000000L).cast(d38) * -col("num"), col("den"))))
+          .select(col("community"), col("n_nodes"), col("in_edges"),
+            col("tot_degree"), col("q_e9"))
+          .orderBy("community")
+      },
+      Some(modularitySql(rounds = 4)),
+      "Newman modularity of the LPA partition in e9 integer arithmetic " +
+        "(DECIMAL(38,0)/HUGEINT products, sign-split floor-vs-trunc-safe " +
+        "division): per-community in/total-degree aggregates, broadcast m2."),
 
     "graph_kcore" -> Q(
       (s, d) => {

@@ -85,6 +85,16 @@ object Similarity {
       None, // approximate: recall vs embedding_cosine_topk is spec-checked
       "Sign-random-projection LSH ANN (4 tables × 8 bits), candidates = bucket collisions only."),
 
+    "ann_lsh_multiprobe" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        Ann.lshMultiProbeTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5)
+      },
+      None, // approximate: recall ≥ same-budget plain LSH is spec-checked
+      "Multi-probe LSH ANN: each query also probes the Hamming-1 buckets, so " +
+        "recall rises without more tables — probe fan-out multiplies only the " +
+        "broadcast query side, never the corpus index."),
+
     "dedup_embedding_lsh" -> Q(
       (s, d) => Ann.lshPairs(emb(s, d), 0.45),
       None, // approximate recall of the exact pair set; spec-bounded

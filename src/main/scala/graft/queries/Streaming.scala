@@ -653,5 +653,40 @@ object Streaming {
               ORDER BY event_id % 4 DESC, event_id DESC) AS rn
           FROM events) WHERE rn = 1 ORDER BY user_id, event_type"""),
       "The reference's sink verbatim: streaming CDC upsert as merge-on-read equality " +
-        "deletes + batch-id exactly-once (O(batch) per commit, nothing rewritten)."))
+        "deletes + batch-id exactly-once (O(batch) per commit, nothing rewritten)."),
+
+    "streaming_topk" -> Q(
+      (s, d) => {
+        val (src, out, ck) = Streams.workDirs("streaming_topk")
+        val staged = Streams.stagedStream(eventsTable(s, d), src, nFiles = 4)
+        // Continuous leaderboard: top-3 events by value per (hour, type),
+        // maintained by the custom TopKPairs TypedImperativeAggregate INSIDE
+        // the streaming state store — each micro-batch merges into the O(k)
+        // heap buffer, so state is 3 pairs per group, not the full history
+        // (a row_number window would need every event retained). This is the
+        // operator's incremental-execution proof: the same kernel as
+        // grouped_topk, now surviving buffer serialization across 4 batches.
+        val pr = (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          * 10000).cast("long")
+        val agg = staged
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(graft.functions.topk_pairs(pr, col("event_id"), 3,
+            descending = true).as("tk"))
+          .select(micros(col("window.start")).as("bucket_us"), col("event_type"),
+            explode(col("tk")).as("e"))
+          .select(col("bucket_us"), col("event_type"),
+            col("e.v").as("event_id"), col("e.p").as("value_e4"))
+        Streams.runCompleteOverwrite(agg, out, ck)
+      },
+      Some("""SELECT bucket_us, event_type, event_id, value_e4 FROM (
+          SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type, event_id,
+            CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS value_e4,
+            row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+              ORDER BY CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) DESC,
+                event_id) AS rn
+          FROM events) WHERE rn <= 3"""),
+      "Streaming per-(hour,type) top-3 leaderboard through the bounded-state " +
+        "TopKPairs aggregate: O(k) heap buffers in the state store, merged " +
+        "incrementally across micro-batches — no full-history retention."))
 }

@@ -49,6 +49,16 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall@5 = $recall")
   }
 
+  test("multi-probe LSH recall@5 >= same-table-budget plain LSH, above the floor") {
+    // Same 4-table × 4-bit budget: multi-probe adds the Hamming-1 probes on
+    // the query side only, so its candidate set is a superset of plain
+    // LSH's per table — recall can only rise for the same index memory.
+    val plain = recallVsExact(Ann.lshTopK(queries, cands, 5, numTables = 4, numBits = 4), 5)
+    val multi = recallVsExact(Ann.lshMultiProbeTopK(queries, cands, 5, numTables = 4, numBits = 4), 5)
+    assert(multi >= plain, s"multi-probe $multi < plain $plain")
+    assert(multi >= 0.3, s"multi-probe recall@5 = $multi")
+  }
+
   test("SQ8 ANN recall@5 is near-exact (int8 error is per-element, not per-subspace)") {
     val recall = recallVsExact(Sq8.topK(queries, cands, 5), 5)
     // max-abs int8 quantization perturbs each element by <= scale/254, so the
