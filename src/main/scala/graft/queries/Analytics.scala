@@ -325,5 +325,119 @@ object Analytics {
       "Lag-1..5 autocorrelation per series: one window pass for all lags, " +
         "integer sufficient statistics (n·Σxy − Σx·Σy), doubles only in the " +
         "final IEEE-exact sqrt/divide of identical BIGINTs.")
+  ) ++ Seq(
+
+    "anomaly_zscore" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Per-series 3σ outlier flags WITHOUT computing a single float:
+        // |x−μ| > 3σ  ⟺  (n·x−S)² > 9·(n·Σx²−S²)  after multiplying through
+        // by n² — so z² = (n·x−S)²/(n·Σx²−S²) is emitted as an e6-scaled
+        // integer both engines floor-divide identically (numerator squared,
+        // denominator ≥ 0: no negative operand ever reaches the division).
+        // Shape: one partial-aggregated stats pass per event_type, then the
+        // O(series) stats frame joins back broadcast — no window, no sort,
+        // so the scan side streams at 100 TB. Products run in DECIMAL(38,0)
+        // (HUGEINT in the mirror): n·x ~ 10⁹ already at sf0.1, and (n·x−S)²
+        // crosses 2⁶³ two orders of magnitude later — BIGINT would overflow
+        // exactly when the data got big enough to matter.
+        val v = eventsTable(s, d).select($"event_id", $"event_type",
+          (dec2($"value") * 100).cast(LongType).as("value_c"))
+        val st = v.groupBy($"event_type").agg(
+          count(lit(1)).as("n"), sum($"value_c").as("s"),
+          sum($"value_c" * $"value_c").as("ss"))
+        val d38 = DecimalType(38, 0)
+        val num0 = ($"n" * $"value_c" - $"s").cast(d38)
+        val den = greatest(
+          $"n".cast(d38) * $"ss" - $"s".cast(d38) * $"s", lit(1L).cast(d38))
+        v.join(broadcast(st), "event_type")
+          .withColumn("z2_e6", idiv(lit(1000000L) * num0 * num0, den))
+          .filter($"z2_e6" > 9000000L)
+          .select($"event_id", $"event_type", $"value_c", $"z2_e6")
+          .orderBy($"event_id")
+      },
+      Some("""WITH v AS (SELECT event_id, event_type,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_c
+            FROM events),
+          st AS (SELECT event_type, count(*) AS n,
+              CAST(sum(value_c) AS BIGINT) AS s,
+              CAST(sum(value_c * value_c) AS BIGINT) AS ss
+            FROM v GROUP BY 1),
+          z AS (SELECT event_id, v.event_type, value_c,
+              CAST((1000000 * CAST(st.n * value_c - st.s AS HUGEINT)
+                            * CAST(st.n * value_c - st.s AS HUGEINT))
+                   // greatest(CAST(st.n AS HUGEINT) * st.ss
+                              - CAST(st.s AS HUGEINT) * st.s, 1)
+                   AS BIGINT) AS z2_e6
+            FROM v JOIN st ON v.event_type = st.event_type)
+        SELECT event_id, event_type, value_c, z2_e6 FROM z
+        WHERE z2_e6 > 9000000 ORDER BY event_id"""),
+      "Integer-exact 3σ outlier scan: (n·x−S)² > 9·(n·Σx²−S²) with products " +
+        "in DECIMAL(38,0)/HUGEINT — broadcast stats join, no window, no " +
+        "floats anywhere."),
+
+    "event_path_topk" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Sequence mining: each user's first-5 event-type path, then the
+        // most common paths — the onboarding-funnel shape a product
+        // pipeline mines before building anything fancier. The window sorts
+        // per user (per-key volume is the scale bound, as for any
+        // sessionizer); after the rn ≤ 5 filter the per-user state is O(5).
+        // The path string is built order-deterministically on both engines:
+        // array_sort on (rn, type) structs ≡ string_agg ORDER BY rn.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val firstN = eventsTable(s, d)
+          .select($"user_id", $"event_type", row_number().over(w).as("rn"))
+          .filter($"rn" <= 5)
+        firstN.groupBy($"user_id")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct($"rn", $"event_type"))),
+              x => x.getField("event_type")), ">").as("path"))
+          .groupBy($"path").agg(count(lit(1)).as("n_users"))
+          .orderBy(desc("n_users"), $"path")
+          .limit(20)
+      },
+      Some("""WITH r AS (SELECT user_id, event_type,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events),
+          p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM r WHERE rn <= 5 GROUP BY 1)
+        SELECT path, count(*) AS n_users FROM p
+        GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20"""),
+      "First-5-event path mining per user: windowed take-5, deterministic " +
+        "in-order path join, top-20 paths with a full tiebreak."),
+
+    "l_diversity" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The companion release-gate to k_anonymity: a QI group can be
+        // large (k-anonymous) yet still leak if every member shares the
+        // sensitive value. Flags QI groups whose distinct-sensitive count
+        // is < 3 over the released customer×orders join. LEFT join keeps
+        // order-less customers (0 distinct priorities — maximally
+        // homogeneous, exactly the rows a release must catch); Spark's
+        // null-skipping countDistinct ≡ DuckDB's count(DISTINCT col).
+        val c = table(s, d, "customer")
+          .select($"c_custkey", $"c_nationkey", $"c_mktsegment",
+            floor($"c_acctbal" / lit(1000.0)).cast(LongType).as("bal_band"))
+        val o = table(s, d, "orders").select($"o_custkey", $"o_orderpriority")
+        c.join(o, $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+          .agg(count(lit(1)).as("group_size"),
+            countDistinct($"o_orderpriority").as("n_sensitive"))
+          .filter($"n_sensitive" < 3)
+          .orderBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+      },
+      Some("""SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               count(*) AS group_size,
+               count(DISTINCT o_orderpriority) AS n_sensitive
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1, 2, 3 HAVING count(DISTINCT o_orderpriority) < 3
+        ORDER BY 1, 2, 3"""),
+      "l-diversity violation scan (l=3): QI groups whose sensitive " +
+        "attribute is near-homogeneous — the leak k-anonymity alone misses.")
   )
 }

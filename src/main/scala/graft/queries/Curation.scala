@@ -158,5 +158,45 @@ object Curation {
       "PMI-ranked adjacent-word collocations: positional bigram counts vs " +
         "unigram marginals, e6 integer lift (monotone in log-PMI), " +
         "deterministic top-100.")
+  ) ++ Seq(
+
+    "source_mix_hhi" -> Q(
+      (s, d) => {
+        // Data-mixture concentration audit: per language, the Herfindahl
+        // index of source shares (HHI_e12 = 10¹²·Σc² ÷ S², floor) plus the
+        // top source's share — the "is this slice secretly one crawler?"
+        // check a mixture rebalance runs first. Two hash aggregates, both
+        // partially aggregated map-side; the Σc² product is DECIMAL(38,0)
+        // (HUGEINT in the mirror) because 10¹²·Σc² crosses 2⁶³ as soon as a
+        // lang holds ~10⁵ docs of one source — i.e. immediately at scale.
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        docs(s, d).groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("lang"))
+          .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_sources"),
+            max(col("c")).as("max_c"), sum(col("c") * col("c")).as("sum_c2"))
+          .withColumn("top_share_e6",
+            idiv(lit(1000000L) * col("max_c"), col("n_docs")))
+          .withColumn("hhi_e12",
+            idiv(lit(1000000000000L).cast(d38) * col("sum_c2").cast(d38),
+              col("n_docs").cast(d38) * col("n_docs").cast(d38)))
+          .select(col("lang"), col("n_docs"), col("n_sources"),
+            col("top_share_e6"), col("hhi_e12"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH sc AS (SELECT lang, source, count(*) AS c
+            FROM documents GROUP BY 1, 2),
+          g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+              count(*) AS n_sources, CAST(max(c) AS BIGINT) AS max_c,
+              CAST(sum(c * c) AS BIGINT) AS sum_c2
+            FROM sc GROUP BY 1)
+        SELECT lang, n_docs, n_sources,
+          (1000000 * max_c) // n_docs AS top_share_e6,
+          CAST((1000000000000 * CAST(sum_c2 AS HUGEINT))
+               // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS hhi_e12
+        FROM g ORDER BY lang"""),
+      "Herfindahl source-concentration per language slice: e12 integer HHI " +
+        "+ e6 top-source share, two partial-aggregated passes, " +
+        "DECIMAL(38,0)/HUGEINT products.")
   )
 }

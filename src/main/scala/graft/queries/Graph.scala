@@ -414,6 +414,65 @@ object Graph {
       Some(pprSql(Iters)),
       "Personalized PageRank (random walk with restart to the seed set) in " +
         "scaled-integer arithmetic — bit-exact vs the unrolled seed-restricted " +
-        "SQL replay; two shuffles per iteration plus a |S|-row flag join.")
+        "SQL replay; two shuffles per iteration plus a |S|-row flag join."),
+
+    "graph_link_prediction" -> Q(
+      (s, d) => {
+        // Link prediction for a seed cohort (parts < 500) on the co-purchase
+        // graph: common-neighbor counts over NON-adjacent pairs, with the
+        // neighborhood-Jaccard tiebreak in e6 integer arithmetic — the
+        // candidate-generation pass of a recommender. Shapes: the wedge
+        // join fans out ONLY from the seed side (cost O(Σ_{u∈seeds} deg(u)²
+        // /avg), not the full graph's wedge count); existing edges drop via
+        // a co-partitioned anti-join; the O(nodes) degree frame joins twice
+        // (AQE picks broadcast at small |V|, shuffled-hash beyond — nothing
+        // requires the broadcast). Hub skew on the intermediate-node side is
+        // the same exposure as any wedge pass — production caps hub degree
+        // before the join; here order baskets bound the degrees.
+        val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        val e0 = li.as("a")
+          .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(least(col("a.l_partkey"), col("b.l_partkey")).as("u"),
+            greatest(col("a.l_partkey"), col("b.l_partkey")).as("v"))
+          .distinct()
+        val e = e0.select(col("u").as("src"), col("v").as("dst"))
+          .unionByName(e0.select(col("v").as("src"), col("u").as("dst")))
+        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val wedges = e.filter(col("src") < 500)
+          .select(col("src").as("u"), col("dst").as("w"))
+          .join(e.select(col("src").as("w"), col("dst").as("v")), "w")
+          .filter(col("v") =!= col("u"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+        wedges
+          .join(e.select(col("src").as("u"), col("dst").as("v")),
+            Seq("u", "v"), "left_anti")
+          .join(deg.select(col("src").as("u"), col("deg").as("deg_u")), "u")
+          .join(deg.select(col("src").as("v"), col("deg").as("deg_v")), "v")
+          .withColumn("jaccard_e6",
+            idiv(lit(1000000L) * col("cn"), col("deg_u") + col("deg_v") - col("cn")))
+          .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
+            col("jaccard_e6"))
+          .orderBy(desc("cn"), desc("jaccard_e6"), col("u"), col("v"))
+          .limit(100)
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+            greatest(a.l_partkey, b.l_partkey) AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        e AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        wed AS (SELECT a.src AS u, b.dst AS v, count(*) AS cn
+          FROM e a JOIN e b ON a.dst = b.src AND b.dst <> a.src
+          WHERE a.src < 500 GROUP BY 1, 2),
+        na AS (SELECT w.u, w.v, w.cn FROM wed w
+          LEFT JOIN e ON e.src = w.u AND e.dst = w.v WHERE e.src IS NULL)
+        SELECT na.u, na.v, na.cn, du.deg AS deg_u, dv.deg AS deg_v,
+          (1000000 * na.cn) // (du.deg + dv.deg - na.cn) AS jaccard_e6
+        FROM na JOIN deg du ON na.u = du.src JOIN deg dv ON na.v = dv.src
+        ORDER BY cn DESC, jaccard_e6 DESC, u, v LIMIT 100"""),
+      "Common-neighbor link prediction from a seed cohort: seed-side wedge " +
+        "join, anti-join out existing edges, e6 neighborhood-Jaccard " +
+        "tiebreak — deterministic top-100 candidate pairs.")
   )
 }

@@ -46,4 +46,71 @@ class AnalyticsSpec extends SparkSpec {
     assert(differing > 0,
       "NULLing never changed a winner - the survivorship path is untested by this data")
   }
+
+  test("anomaly_zscore: integer flags bracket the double z-score rule") {
+    // the integer rule (n·x−S)² > 9·(n·Σx²−S²) is |z|>3 multiplied through
+    // by n² — so away from the exact z=3 boundary it must agree with the
+    // float computation; assert the two-sided bracket instead of equality
+    // so a boundary tie can never flake the suite.
+    val d = sf("sf0.001")
+    val flagged = SparkEntry.queries("anomaly_zscore")(spark, d)
+      .select($"event_id").as[Long].collect().toSet
+    val ev = core.eventsTable(spark, d)
+      .select($"event_id", $"event_type", $"value").as[(Long, String, Double)]
+      .collect()
+    val stats = ev.groupBy(_._2).map { case (t, xs) =>
+      val v = xs.map(e => math.round(e._3 * 100).toDouble)
+      val n = v.length.toDouble
+      val mu = v.sum / n
+      val sd = math.sqrt(v.map(x => (x - mu) * (x - mu)).sum / n)
+      t -> (mu, sd)
+    }
+    val z = ev.map { case (id, t, x) =>
+      val (mu, sd) = stats(t); id -> math.abs(math.round(x * 100) - mu) / sd
+    }.toMap
+    assert(flagged.nonEmpty)
+    flagged.foreach(id => assert(z(id) > 2.99, s"flagged $id has z=${z(id)}"))
+    z.filter(_._2 > 3.01).keys.foreach(id =>
+      assert(flagged.contains(id), s"unflagged $id has z=${z(id)}"))
+  }
+
+  test("event_path_topk: paths recompute from a local per-user replay") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("event_path_topk")(spark, d)
+      .as[(String, Long)].collect()
+    val ev = core.eventsTable(spark, d)
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val local = ev.groupBy(_._1).map { case (_, es) =>
+      es.sortBy(e => (e._2, e._3)).take(5).map(_._4).mkString(">")
+    }.groupBy(identity).map { case (p, ps) => p -> ps.size.toLong }
+    // the emitted counts must match the replay exactly, and the ranking
+    // must be the count-desc/path-asc order over the replay's top-20
+    got.foreach { case (p, n) => assert(local(p) == n, s"count mismatch at $p") }
+    val want = local.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq == want)
+  }
+
+  test("l_diversity: reported groups are exactly the <3-distinct ones") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("l_diversity")(spark, d)
+      .select($"c_nationkey", $"c_mktsegment", $"bal_band", $"n_sensitive")
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_._4 < 3))
+    // recompute every group's distinct-sensitive count locally
+    val c = core.table(spark, d, "customer")
+      .select($"c_custkey", $"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / 1000.0).cast("long"))
+      .as[(Long, Long, String, Long)].collect()
+    val o = core.table(spark, d, "orders")
+      .select($"o_custkey", $"o_orderpriority").as[(Long, String)].collect()
+      .groupBy(_._1)
+    val groups = c.groupBy(x => (x._2, x._3, x._4)).map { case (k, cs) =>
+      k -> cs.flatMap(x => o.getOrElse(x._1, Array.empty[(Long, String)]).map(_._2))
+        .distinct.length.toLong
+    }
+    val want = groups.filter(_._2 < 3).map { case ((n, m, b), ds) => (n, m, b, ds) }.toSet
+    assert(got.toSet == want)
+  }
 }

@@ -103,4 +103,25 @@ class CurationSpec extends SparkSpec {
       .take(100)
     assert(got.toSeq == want)
   }
+
+  test("source_mix_hhi matches a naive local recompute and its bounds") {
+    val got = graft.SparkEntry.queries("source_mix_hhi")(spark, sf("sf0.001"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("lang", "source").as[(String, String)].collect()
+    val want = docs.groupBy(_._1).map { case (lang, ds) =>
+      val bySrc = ds.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n = ds.size.toLong
+      val sumC2 = bySrc.values.map(c => BigInt(c) * c).sum
+      (lang, n, bySrc.size.toLong, 1000000L * bySrc.values.max / n,
+        (BigInt(1000000000000L) * sumC2 / (BigInt(n) * n)).toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want)
+    got.foreach { case (_, _, nSrc, topE6, hhiE12) =>
+      // HHI bounds: 1/n_sources ≤ HHI ≤ 1, and top-share² ≤ HHI (floor slack)
+      assert(hhiE12 >= 1000000000000L / nSrc - 1 && hhiE12 <= 1000000000000L)
+      assert(BigInt(topE6) * topE6 <= BigInt(hhiE12) + 1,
+        "top_share^2 (e12) must lower-bound the HHI")
+    }
+  }
 }
