@@ -439,5 +439,128 @@ object Analytics {
         ORDER BY 1, 2, 3"""),
       "l-diversity violation scan (l=3): QI groups whose sensitive " +
         "attribute is near-homogeneous — the leak k-anonymity alone misses.")
+  ) ++ Seq(
+
+    "benford_digit_audit" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Benford's-law audit of the money column — the fabricated-data
+        // tripwire every financial QA battery runs. First significant
+        // digit of o_totalprice vs the log10(1+1/d) expectation, which is
+        // pinned as e6 INTEGER literals (the only way both engines agree
+        // bit-for-bit; computing log10 at runtime would reintroduce float
+        // reduction order). One hash aggregate over 9 groups; the total is
+        // a broadcast scalar.
+        val digit = floor($"o_totalprice").cast(LongType)
+          .cast(StringType).substr(1, 1).cast(LongType)
+        val byDigit = table(s, d, "orders")
+          .select(digit.as("digit"))
+          .groupBy($"digit").agg(count(lit(1)).as("n"))
+        val total = byDigit.agg(sum($"n").as("total"))
+        byDigit.crossJoin(broadcast(total))
+          .withColumn("obs_share_e6", idiv(lit(1000000L) * $"n", $"total"))
+          .withColumn("exp_share_e6", expr("""CASE digit
+            WHEN 1 THEN 301029L WHEN 2 THEN 176091L WHEN 3 THEN 124938L
+            WHEN 4 THEN 96910L  WHEN 5 THEN 79181L  WHEN 6 THEN 66946L
+            WHEN 7 THEN 57991L  WHEN 8 THEN 51152L  ELSE 45757L END"""))
+          .withColumn("dev_e6", abs($"obs_share_e6" - $"exp_share_e6"))
+          .select($"digit", $"n", $"obs_share_e6", $"exp_share_e6", $"dev_e6")
+          .orderBy($"digit")
+      },
+      Some("""WITH b AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM orders),
+          g AS (SELECT digit, count(*) AS n FROM b GROUP BY 1),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+        SELECT digit, n,
+          (1000000 * n) // t.total AS obs_share_e6,
+          CAST(CASE digit
+            WHEN 1 THEN 301029 WHEN 2 THEN 176091 WHEN 3 THEN 124938
+            WHEN 4 THEN 96910  WHEN 5 THEN 79181  WHEN 6 THEN 66946
+            WHEN 7 THEN 57991  WHEN 8 THEN 51152  ELSE 45757 END AS BIGINT) AS exp_share_e6,
+          abs((1000000 * n) // t.total - CASE digit
+            WHEN 1 THEN 301029 WHEN 2 THEN 176091 WHEN 3 THEN 124938
+            WHEN 4 THEN 96910  WHEN 5 THEN 79181  WHEN 6 THEN 66946
+            WHEN 7 THEN 57991  WHEN 8 THEN 51152  ELSE 45757 END) AS dev_e6
+        FROM g, t ORDER BY digit"""),
+      "Benford first-digit audit: observed vs log10(1+1/d) shares as e6 " +
+        "integers (expectation pinned as literals — no runtime log10), " +
+        "9-group aggregate + broadcast total."),
+
+    "dow_seasonality" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Calendar seasonality profile: per (event_type, day-of-week), the
+        // value index vs the series' overall mean — index_e6 =
+        // 10⁶·(sum_dow·n_total)÷(n_dow·sum_total), the cross-multiplied
+        // mean ratio so no division happens before the final floor. The
+        // numerator crosses 2⁶³ at ~10⁵ events/series (sum_dow ~ 5·10⁸
+        // cents × n_total 10⁵ × 10⁶), so products run DECIMAL(38,0)/
+        // HUGEINT. Spark dayofweek is 1=Sunday; DuckDB dow is 0=Sunday —
+        // the mirror adds 1.
+        val d38 = DecimalType(38, 0)
+        val v = eventsTable(s, d).select($"event_type",
+          dayofweek($"ts").cast(LongType).as("dow"),
+          (dec2($"value") * 100).cast(LongType).as("vc"))
+        val byDow = v.groupBy($"event_type", $"dow")
+          .agg(count(lit(1)).as("n_dow"), sum($"vc").as("sum_dow"))
+        val byType = v.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_total"), sum($"vc").as("sum_total"))
+        byDow.join(broadcast(byType), "event_type")
+          .withColumn("index_e6",
+            idiv(lit(1000000L).cast(d38) * $"sum_dow".cast(d38) * $"n_total",
+              $"n_dow".cast(d38) * $"sum_total"))
+          .select($"event_type", $"dow", $"n_dow", $"sum_dow", $"index_e6")
+          .orderBy($"event_type", $"dow")
+      },
+      Some("""WITH v AS (SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+            FROM events),
+          bd AS (SELECT event_type, dow, count(*) AS n_dow,
+              CAST(sum(vc) AS BIGINT) AS sum_dow FROM v GROUP BY 1, 2),
+          bt AS (SELECT event_type, count(*) AS n_total,
+              CAST(sum(vc) AS BIGINT) AS sum_total FROM v GROUP BY 1)
+        SELECT bd.event_type, dow, n_dow, sum_dow,
+          CAST((1000000 * CAST(sum_dow AS HUGEINT) * n_total)
+               // (CAST(n_dow AS HUGEINT) * sum_total) AS BIGINT) AS index_e6
+        FROM bd JOIN bt ON bd.event_type = bt.event_type
+        ORDER BY bd.event_type, dow"""),
+      "Day-of-week seasonality index per series: cross-multiplied mean " +
+        "ratio in e6 integer arithmetic (DECIMAL(38,0)/HUGEINT), broadcast " +
+        "per-series totals."),
+
+    "fk_integrity_audit" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Referential-integrity audit across the star schema: orphan counts
+        // for every FK edge, one row per relation — the cheap contract
+        // check an ingest runs before anything downstream trusts a join.
+        // Each check is a left-anti join (shuffled hash / broadcast under
+        // AQE) feeding a count; a healthy snapshot reports zeros, and the
+        // zeros are the assertion.
+        def orphans(name: String, fact: DataFrame, dim: DataFrame,
+            fk: String, pk: String): DataFrame =
+          fact.select(col(fk)).join(dim.select(col(pk)),
+              col(fk) === col(pk), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+            .select(lit(name).as("fk_edge"), $"n_orphans")
+        val li = table(s, d, "lineitem")
+        orphans("lineitem->orders", li, table(s, d, "orders"), "l_orderkey", "o_orderkey")
+          .unionByName(orphans("lineitem->part", li, table(s, d, "part"), "l_partkey", "p_partkey"))
+          .unionByName(orphans("lineitem->supplier", li, table(s, d, "supplier"), "l_suppkey", "s_suppkey"))
+          .unionByName(orphans("orders->customer", table(s, d, "orders"),
+            table(s, d, "customer"), "o_custkey", "c_custkey"))
+          .orderBy($"fk_edge")
+      },
+      Some("""SELECT 'lineitem->orders' AS fk_edge, count(*) AS n_orphans
+          FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        UNION ALL SELECT 'lineitem->part', count(*)
+          FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+        UNION ALL SELECT 'lineitem->supplier', count(*)
+          FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+        UNION ALL SELECT 'orders->customer', count(*)
+          FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        ORDER BY fk_edge"""),
+      "Referential-integrity audit: per-FK-edge orphan counts via anti-join " +
+        "aggregates — the star-schema contract check, one row per edge.")
   )
 }

@@ -198,5 +198,81 @@ object Curation {
       "Herfindahl source-concentration per language slice: e12 integer HHI " +
         "+ e6 top-source share, two partial-aggregated passes, " +
         "DECIMAL(38,0)/HUGEINT products.")
+  ) ++ Seq(
+
+    "token_diversity" -> Q(
+      (s, d) => {
+        // Per-doc lexical-diversity scores, all integer: type-token ratio
+        // (n_types/S, e6 floor) and Gini impurity 1 − Σc²/S² (the
+        // log-free stand-in for token entropy — same ordering on the
+        // degenerate/repetitive docs a quality gate drops). One (doc,tok)
+        // count table → one doc aggregate; per-doc Σc² ≤ S² ≤ 10⁸ keeps
+        // everything in BIGINT at any corpus size (the bound is per-DOC
+        // length, not corpus size — that's why this one needs no HUGEINT).
+        val tc = docs(s, d)
+          .select(col("doc_id"), explode(ascii_tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        tc.groupBy("doc_id").agg(
+            sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+            sum(col("c") * col("c")).as("sum_c2"))
+          .withColumn("ttr_e6",
+            idiv(lit(1000000L) * col("n_types"), col("n_tokens")))
+          .withColumn("gini_e6", lit(1000000L) -
+            idiv(lit(1000000L) * col("sum_c2"), col("n_tokens") * col("n_tokens")))
+          .select(col("doc_id"), col("n_tokens"), col("n_types"),
+            col("ttr_e6"), col("gini_e6"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents),
+          tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+          g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              count(*) AS n_types, CAST(sum(c * c) AS BIGINT) AS sum_c2
+            FROM tc GROUP BY 1)
+        SELECT doc_id, n_tokens, n_types,
+          (1000000 * n_types) // n_tokens AS ttr_e6,
+          1000000 - (1000000 * sum_c2) // (n_tokens * n_tokens) AS gini_e6
+        FROM g ORDER BY doc_id"""),
+      "Per-doc lexical diversity: e6 type-token ratio + Gini impurity " +
+        "1 − Σc²/S² (log-free entropy stand-in), all-BIGINT because the " +
+        "bound is per-doc length."),
+
+    "shingle_novelty" -> Q(
+      (s, d) => {
+        // Novelty profiling in corpus order: per doc, the fraction of its
+        // 3-gram shingles whose GLOBAL first occurrence (min doc_id) is
+        // this doc — the marginal-contribution signal a dedup-aware
+        // sampler maximizes (a doc of entirely seen shingles adds ~nothing
+        // even if no single pair crosses the near-dup bar). Shapes: one
+        // (shingle → min doc) aggregate, joined back to the postings on
+        // the shingle key (co-partitioned: same key, back-to-back), then a
+        // doc-level count — never any pairwise comparison.
+        val sh = docs(s, d)
+          .select(col("doc_id"),
+            explode(graft.functions.word_shingles(col("text"), 3)).as("g"))
+          .distinct()
+        val firstDoc = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+        sh.join(firstDoc, "g")
+          .groupBy(col("doc_id")).agg(
+            count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_e6",
+            idiv(lit(1000000L) * col("n_novel"), col("n_shingles")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+          sh AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id,
+              unnest(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                i -> coalesce(w[i],'') || ' ' || coalesce(w[i+1],'') || ' ' || coalesce(w[i+2],''))) AS g
+            FROM tok)),
+          fd AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        SELECT sh.doc_id, count(*) AS n_shingles,
+          CAST(sum(CASE WHEN fd.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          (1000000 * CAST(sum(CASE WHEN fd.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS novelty_e6
+        FROM sh JOIN fd ON sh.g = fd.g
+        GROUP BY 1 ORDER BY doc_id"""),
+      "Corpus-order novelty per doc: fraction of shingles first seen here " +
+        "(min-doc attribution join, co-partitioned on the shingle key) — " +
+        "the marginal-contribution signal for dedup-aware sampling.")
   )
 }

@@ -1444,6 +1444,51 @@ object TrainingData {
       "Perceptual average-hash (aHash) fingerprint over payload bytes: 63 block-vs-" +
         "mean bits packed to a BIGINT, integer-exact — the image near-dup primitive."),
 
+    "multimodal_dhash" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Difference-hash companion to multimodal_ahash: bit k = block k's
+        // byte-sum > block k+1's (the gradient direction), 62 bits from 63
+        // blocks packed into a non-negative BIGINT. dHash is the robust
+        // sibling in image near-dup stacks — global-brightness shifts that
+        // flip aHash bits leave adjacent-block ORDER intact; over the same
+        // plumbing a real pipeline swaps byte sums for luma pixels. Same
+        // single-pass column expressions, no shuffle before the sort.
+        val padded = rpad($"text", 252, " ")
+        val bytes = transform(sequence(lit(1), lit(252)),
+          i => ascii(padded.substr(i, lit(1))).cast("long"))
+        val blockSums = transform(sequence(lit(0), lit(62)),
+          b => aggregate(slice(bytes, b * 4 + 1, lit(4)), lit(0L), _ + _))
+        docs(s, d)
+          .filter(length($"text") > 0)
+          .select($"doc_id", blockSums.as("bs"))
+          .select($"doc_id",
+            aggregate(
+              zip_with(slice($"bs", 1, 62), slice($"bs", 2, 62),
+                (a, b) => when(a > b, lit(1L)).otherwise(lit(0L))),
+              struct(lit(0L).as("acc"), lit(1L).as("p")),
+              (st, bit) => struct(
+                (st.getField("acc") + bit * st.getField("p")).as("acc"),
+                (st.getField("p") * 2).as("p")),
+              st => st.getField("acc")).as("dhash62"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+            list_transform(generate_series(1, 252),
+              i -> CAST(ascii(substr(rpad(text, 252, ' '), i, 1)) AS BIGINT)) AS bytes
+          FROM documents WHERE len(text) > 0),
+        s AS (SELECT doc_id,
+            list_transform(generate_series(0, 62),
+              k -> CAST(list_sum(list_slice(bytes, k * 4 + 1, k * 4 + 4)) AS BIGINT)) AS bs
+          FROM b)
+        SELECT doc_id,
+          CAST(list_sum(list_transform(generate_series(1, 62),
+            k -> CASE WHEN bs[k] > bs[k + 1] THEN (1::BIGINT << (k - 1)) ELSE 0 END)) AS BIGINT) AS dhash62
+        FROM s ORDER BY doc_id"""),
+      "Perceptual difference-hash (dHash): 62 adjacent-block gradient bits " +
+        "packed to a BIGINT — brightness-shift-robust image near-dup " +
+        "fingerprint, integer-exact."),
+
     "sparse_cosine_join" -> Q(
       (s, d) => {
         import s.implicits._

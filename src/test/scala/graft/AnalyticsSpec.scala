@@ -113,4 +113,53 @@ class AnalyticsSpec extends SparkSpec {
     val want = groups.filter(_._2 < 3).map { case ((n, m, b), ds) => (n, m, b, ds) }.toSet
     assert(got.toSet == want)
   }
+
+  test("benford_digit_audit: local replay + share bookkeeping") {
+    val got = SparkEntry.queries("benford_digit_audit")(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == (1L to 9L))
+    val prices = core.table(spark, sf("sf0.001"), "orders")
+      .select($"o_totalprice").as[Double].collect()
+    val counts = prices.map(p => p.toLong.toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = prices.length.toLong
+    got.foreach { case (dg, n, obs, exp, dev) =>
+      assert(n == counts(dg))
+      assert(obs == 1000000L * n / total)
+      assert(dev == math.abs(obs - exp))
+    }
+    // floored shares sum to 1e6 minus at most 9 ulps of floor slack
+    val sumObs = got.map(_._3).sum
+    assert(sumObs > 1000000L - 9 && sumObs <= 1000000L)
+  }
+
+  test("dow_seasonality: index recomputes from local sums") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("dow_seasonality")(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val ev = core.eventsTable(spark, d)
+      .select($"event_type", dayofweek($"ts").cast("long"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(String, Long, Long)].collect()
+    val byType = ev.groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._3).sum)).toMap
+    val byDow = ev.groupBy(x => (x._1, x._2)).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._3).sum)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (t, dow, nDow, sumDow, idx) =>
+      val (nTot, sumTot) = byType(t)
+      assert((nDow, sumDow) == byDow((t, dow)))
+      val want = (BigInt(1000000) * sumDow * nTot / (BigInt(nDow) * sumTot)).toLong
+      assert(idx == want, s"index mismatch at ($t,$dow)")
+    }
+  }
+
+  test("fk_integrity_audit: the star schema is referentially intact") {
+    val got = SparkEntry.queries("fk_integrity_audit")(spark, sf("sf0.001"))
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("lineitem->orders", "lineitem->part",
+      "lineitem->supplier", "orders->customer"))
+    assert(got.values.forall(_ == 0L),
+      s"synthetic TPC-H data must have no orphans, got $got")
+  }
 }

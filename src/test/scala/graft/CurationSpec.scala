@@ -124,4 +124,44 @@ class CurationSpec extends SparkSpec {
         "top_share^2 (e12) must lower-bound the HHI")
     }
   }
+
+  test("token_diversity matches a naive local recompute on sf0.001") {
+    val got = graft.SparkEntry.queries("token_diversity")(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val want = docs.map { case (id, t) =>
+      val toks = "[a-z]+".r.findAllIn(t.toLowerCase).toVector
+      val c = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val s = toks.size.toLong
+      val sumC2 = c.values.map(x => x * x).sum
+      (id, s, c.size.toLong, 1000000L * c.size / s, 1000000L - 1000000L * sumC2 / (s * s))
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("shingle_novelty: min-doc attribution equals the local replay") {
+    val got = graft.SparkEntry.queries("shingle_novelty")(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long)].collect()
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val w = "[a-z]+".r.findAllIn(t.toLowerCase).toVector
+      (0 until math.max(w.size - 2, 1)).map { i =>
+        (0 to 2).map(k => if (i + k < w.size) w(i + k) else "").mkString(" ")
+      }.toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }
+    val firstDoc = sh.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = sh.map { case (id, gs) =>
+      val novel = gs.count(g => firstDoc(g) == id).toLong
+      (id, gs.size.toLong, novel, 1000000L * novel / gs.size)
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // the smallest doc_id is by definition all-novel
+    assert(got.minBy(_._1)._4 == 1000000L)
+    // every first occurrence is attributed exactly once across the corpus
+    assert(got.map(_._3).sum == firstDoc.size.toLong)
+  }
 }
