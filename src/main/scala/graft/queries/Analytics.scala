@@ -562,5 +562,179 @@ object Analytics {
         ORDER BY fk_edge"""),
       "Referential-integrity audit: per-FK-edge orphan counts via anti-join " +
         "aggregates — the star-schema contract check, one row per edge.")
+  ) ++ Seq(
+
+    "rfm_segmentation" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // RFM customer segmentation with NO single-task window: each
+        // quartile rank comes from GlobalOrder's range-partitioned
+        // zipWithIndex scan over the O(customers) aggregate (a global
+        // ntile()/row_number() window would funnel every customer through
+        // one task — the exact anti-pattern dict_encode already avoids).
+        // Buckets are (4·rank) div n on the (metric, custkey)-total order,
+        // which both engines replay as row_number arithmetic.
+        val base = table(s, d, "orders").groupBy($"o_custkey").agg(
+          max(unix_date($"o_orderdate".cast("date")).cast(LongType)).as("recency_d"),
+          count(lit(1)).as("frequency"),
+          moneyE(sum(dec2($"o_totalprice")), 2).as("monetary_c"))
+        val n = lit(base.count())
+        def bucket(metric: String, out: String)(df: DataFrame): DataFrame =
+          graft.operators.GlobalOrder
+            .withGlobalIndex(df, Seq(col(metric).asc, col("o_custkey").asc), "rk")
+            .withColumn(out, idiv(lit(4L) * col("rk"), n) + 1L)
+            .drop("rk")
+        val ranked = bucket("monetary_c", "m_bucket")(
+          bucket("frequency", "f_bucket")(
+            bucket("recency_d", "r_bucket")(base)))
+        ranked
+          .withColumn("segment", concat(lit("R"), $"r_bucket",
+            lit("F"), $"f_bucket", lit("M"), $"m_bucket"))
+          .select($"o_custkey", $"recency_d", $"frequency", $"monetary_c",
+            $"r_bucket", $"f_bucket", $"m_bucket", $"segment")
+          .orderBy($"o_custkey")
+      },
+      Some(s"""WITH base AS (SELECT o_custkey,
+            CAST(max(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS recency_d,
+            count(*) AS frequency,
+            ${moneyESql("sum(CAST(o_totalprice AS DECIMAL(18,2)))", 2)} AS monetary_c
+          FROM orders GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM base),
+        rk AS (SELECT base.*,
+            (4 * (row_number() OVER (ORDER BY recency_d, o_custkey) - 1)) // n.n + 1 AS r_bucket,
+            (4 * (row_number() OVER (ORDER BY frequency, o_custkey) - 1)) // n.n + 1 AS f_bucket,
+            (4 * (row_number() OVER (ORDER BY monetary_c, o_custkey) - 1)) // n.n + 1 AS m_bucket
+          FROM base, n)
+        SELECT o_custkey, recency_d, frequency, monetary_c,
+          r_bucket, f_bucket, m_bucket,
+          'R' || r_bucket || 'F' || f_bucket || 'M' || m_bucket AS segment
+        FROM rk ORDER BY o_custkey"""),
+      "RFM quartile segmentation: three GlobalOrder distributed ranks over " +
+        "the customer aggregate (no one-task ntile window), (4·rank) div n " +
+        "buckets, engine-portable total orders."),
+
+    "ab_welch_t" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Daily A/B comparison (treatment = click, control = view): the
+        // Welch t statistic from integer sufficient statistics — every sum
+        // is a BIGINT, and the doubles appear only in the FINAL fixed
+        // sequence of IEEE ops both engines execute identically on
+        // identical integers (the autocorr_lags discipline). Magnitude
+        // bound: n·Σx² stays under 2⁵³ (double-exact) up to ~10⁶ events
+        // per (day, arm) — past that, pre-scale the cents.
+        val v = eventsTable(s, d)
+          .filter($"event_type".isin("click", "view"))
+          .select(micros(date_trunc("day", $"ts")).as("day_us"),
+            $"event_type", (dec2($"value") * 100).cast(LongType).as("vc"))
+        val st = v.groupBy($"day_us").pivot("event_type", Seq("click", "view"))
+          .agg(count(lit(1)).as("n"), sum($"vc").as("s"),
+            sum($"vc" * $"vc").as("ss"))
+        val (n1, s1, ss1) = ($"click_n", $"click_s", $"click_ss")
+        val (n2, s2, ss2) = ($"view_n", $"view_s", $"view_ss")
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val var1 = (dd(n1) * dd(ss1) - dd(s1) * dd(s1)) / (dd(n1) * (dd(n1) - 1.0))
+        val var2 = (dd(n2) * dd(ss2) - dd(s2) * dd(s2)) / (dd(n2) * (dd(n2) - 1.0))
+        st.filter(n1 > 1 && n2 > 1)
+          .withColumn("t_stat",
+            (dd(s1) / dd(n1) - dd(s2) / dd(n2)) /
+              sqrt(var1 / dd(n1) + var2 / dd(n2)))
+          .select($"day_us", n1.as("n_treat"), n2.as("n_ctrl"), $"t_stat")
+          .orderBy($"day_us")
+      },
+      Some("""WITH v AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+            FROM events WHERE event_type IN ('click', 'view')),
+          g AS (SELECT day_us,
+              count(*) FILTER (event_type = 'click') AS n1,
+              CAST(coalesce(sum(vc) FILTER (event_type = 'click'), 0) AS BIGINT) AS s1,
+              CAST(coalesce(sum(vc * vc) FILTER (event_type = 'click'), 0) AS BIGINT) AS ss1,
+              count(*) FILTER (event_type = 'view') AS n2,
+              CAST(coalesce(sum(vc) FILTER (event_type = 'view'), 0) AS BIGINT) AS s2,
+              CAST(coalesce(sum(vc * vc) FILTER (event_type = 'view'), 0) AS BIGINT) AS ss2
+            FROM v GROUP BY 1)
+        SELECT day_us, n1 AS n_treat, n2 AS n_ctrl,
+          (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+          / sqrt((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+                 + (CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                   / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE))
+          AS t_stat
+        FROM g WHERE n1 > 1 AND n2 > 1 ORDER BY day_us"""),
+      "Daily Welch t-test from integer sufficient statistics: BIGINT sums, " +
+        "doubles only in the final identical IEEE sequence — the " +
+        "autocorr_lags discipline applied to A/B comparison."),
+
+    "clamped_running_balance" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Inventory-style clamped running balance per user: purchases debit,
+        // everything else credits, and the balance floors at zero — a fold
+        // NO window sum expresses (the clamp makes it order-sensitive and
+        // non-linear). Per-key sequential fold over the user's ordered
+        // history: collect_list + array_sort + aggregate() on the engine,
+        // list_reduce on the mirror. Per-key history length is the scale
+        // bound, exactly like any sessionizer; keys are independent.
+        val v = eventsTable(s, d).select($"user_id",
+          struct(micros($"ts").as("ts_us"), $"event_id",
+            when($"event_type" === "purchase", -(dec2($"value") * 100).cast(LongType))
+              .otherwise((dec2($"value") * 100).cast(LongType)).as("delta"))
+            .as("e"))
+        v.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            array_sort(collect_list($"e")).as("es"))
+          .withColumn("final_balance_c",
+            aggregate(transform($"es", e => e.getField("delta")),
+              lit(0L), (acc, x) => greatest(acc + x, lit(0L))))
+          .select($"user_id", $"n_events", $"final_balance_c")
+          .orderBy($"user_id")
+      },
+      Some("""WITH v AS (SELECT user_id, ts, event_id,
+              CASE WHEN event_type = 'purchase'
+                THEN -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS delta
+            FROM events)
+        SELECT user_id, count(*) AS n_events,
+          list_reduce(list_prepend(CAST(0 AS BIGINT), list(delta ORDER BY ts, event_id)),
+            (acc, x) -> greatest(acc + x, 0)) AS final_balance_c
+        FROM v GROUP BY 1 ORDER BY user_id"""),
+      "Zero-clamped running balance per user (order-sensitive non-linear " +
+        "fold no window sum expresses): sorted per-key fold, " +
+        "aggregate() ≡ list_reduce."),
+
+    "column_profile" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Dataset profiling: per-column row/null/distinct counts over the
+        // events table in ONE logical pass (Spark expands the multi-
+        // countDistinct internally; the scale path swaps countDistinct for
+        // approx_count_distinct with zero shape change). The profile is
+        // what a schema-drift monitor alerts on.
+        val ev = eventsTable(s, d).select($"event_id", micros($"ts").as("ts_us"),
+          $"user_id", $"event_type", $"value", $"props")
+        val cols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
+        val agg = ev.agg(count(lit(1)).as("n_rows"),
+          cols.flatMap(c => Seq(
+            count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"))): _*)
+        agg.select(explode(array(cols.map(c => struct(
+            lit(c).as("column_name"), $"n_rows",
+            ($"n_rows" - col(s"nn_$c")).as("n_nulls"),
+            col(s"nd_$c").as("n_distinct"))): _*)).as("p"))
+          .select($"p.column_name", $"p.n_rows", $"p.n_nulls", $"p.n_distinct")
+          .orderBy($"column_name")
+      },
+      Some("""WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+            event_type, value, props FROM events)
+        SELECT 'event_id' AS column_name, count(*) AS n_rows,
+            count(*) - count(event_id) AS n_nulls, count(DISTINCT event_id) AS n_distinct FROM ev
+        UNION ALL SELECT 'ts_us', count(*), count(*) - count(ts_us), count(DISTINCT ts_us) FROM ev
+        UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id), count(DISTINCT user_id) FROM ev
+        UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type), count(DISTINCT event_type) FROM ev
+        UNION ALL SELECT 'value', count(*), count(*) - count(value), count(DISTINCT value) FROM ev
+        UNION ALL SELECT 'props', count(*), count(*) - count(props), count(DISTINCT props) FROM ev
+        ORDER BY column_name"""),
+      "Per-column profile (rows/nulls/distincts) in one logical pass — the " +
+        "schema-drift monitor's input; approx_count_distinct is the " +
+        "zero-shape-change scale path.")
   )
 }

@@ -688,5 +688,58 @@ object Streaming {
           FROM events) WHERE rn <= 3"""),
       "Streaming per-(hour,type) top-3 leaderboard through the bounded-state " +
         "TopKPairs aggregate: O(k) heap buffers in the state store, merged " +
-        "incrementally across micro-batches — no full-history retention."))
+        "incrementally across micro-batches — no full-history retention."),
+
+    "streaming_prefix_anomaly" -> Q(
+      (s, d) => {
+        // Online 3σ anomaly gate: each event is scored against the running
+        // (n, S, SS) of every STRICTLY EARLIER event of its series — O(1)
+        // state per key where the batch window replay retains the full
+        // partition. Arrival order is the semantics here, so the staging is
+        // TIME-SLICED (quartile ranges of ts written sequentially, mod-time
+        // = batch order — the streaming_upsert_mor idiom): every event of
+        // batch k precedes batch k+1, ties can't split because slices cut
+        // on ts value. Warmup 30 mutes the noisy cold start.
+        val (src, out, ck) = Streams.workDirs("streaming_prefix_anomaly")
+        val ev = eventsTable(s, d).select(col("event_type"),
+          micros(col("ts")).as("ts_us"), col("event_id"),
+          (dec2(col("value")) * 100).cast("long").as("value_c"))
+        // O(3) driver scalars; boundary precision is irrelevant to the
+        // result (any ts-respecting cut yields the same prefix order)
+        val cuts = ev.stat.approxQuantile("ts_us", Array(0.25, 0.5, 0.75), 0.001)
+          .map(_.toLong)
+        val slices = Seq(
+          col("ts_us") < cuts(0),
+          col("ts_us") >= cuts(0) && col("ts_us") < cuts(1),
+          col("ts_us") >= cuts(1) && col("ts_us") < cuts(2),
+          col("ts_us") >= cuts(2))
+        slices.foreach { p => // sequential appends: mod-time = batch order
+          ev.filter(p).coalesce(1).write.mode("append").parquet(src)
+        }
+        val staged = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val flags = graft.streaming.PrefixAnomaly
+          .flagged(staged, warmup = 30L, thresholdE6 = 9000000L)
+        Streams.runAppend(flags.toDF(), out, ck).orderBy(col("event_id"))
+      },
+      Some("""WITH v AS (SELECT event_id, event_type, ts,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_c
+            FROM events),
+          w AS (SELECT event_id, event_type, value_c,
+              count(*) OVER pre AS n,
+              CAST(coalesce(sum(value_c) OVER pre, 0) AS BIGINT) AS s,
+              CAST(coalesce(sum(value_c * value_c) OVER pre, 0) AS BIGINT) AS ss
+            FROM v WINDOW pre AS (PARTITION BY event_type ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+          z AS (SELECT event_id, event_type, value_c,
+              CAST((1000000 * CAST(n * value_c - s AS HUGEINT)
+                            * CAST(n * value_c - s AS HUGEINT))
+                   // greatest(CAST(n AS HUGEINT) * ss
+                              - CAST(s AS HUGEINT) * s, 1) AS BIGINT) AS z2_e6
+            FROM w WHERE n >= 30)
+        SELECT event_id, event_type, value_c, z2_e6 FROM z
+        WHERE z2_e6 > 9000000 ORDER BY event_id"""),
+      "Online prefix z-score anomaly gate: flatMapGroupsWithState with " +
+        "THREE BIGINTs of state per series vs the full-partition batch " +
+        "window replay — integer-exact across 4 time-sliced micro-batches."))
 }

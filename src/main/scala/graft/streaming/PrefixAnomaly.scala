@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming prefix anomaly detection: flag each event whose value is a 3σ
+  * outlier against the running statistics of every STRICTLY EARLIER event of
+  * its series — the online form of the batch `anomaly_zscore` scan, with the
+  * z² rule in the same all-integer cross-multiplied arithmetic:
+  *
+  *   z² = (n·x − S)² / (n·Σx² − S²)   over the prefix (n, S, Σx²)
+  *
+  * State per key is THREE BIGINTs (n, S, SS) — O(1), not O(history): the
+  * whole point of running this as a stateful stream instead of a window
+  * (DuckDB's `ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING` replays the
+  * identical semantics for the oracle, but retains the full partition).
+  * Within a micro-batch the group's rows are folded in (ts, id) order;
+  * across micro-batches order holds because the caller stages time-sliced
+  * batches (every event in batch k precedes every event in batch k+1) — the
+  * same sequential-staging contract streaming_upsert_mor documents.
+  *
+  * Products run in BigInt on the JVM side ((n·x−S)² crosses 2⁶³ around 10⁵
+  * rows/series at cent scale) and the emitted z² is the e6-scaled floor
+  * both engines compute identically.
+  *
+  * Reference scope: the reference pipeline ships rows with no in-flight
+  * analytics (SnowflakeProcessFunction.java); the online anomaly gate is
+  * part of the training-data surface the brief adds.
+  */
+object PrefixAnomaly {
+
+  case class In(event_type: String, ts_us: Long, event_id: Long, value_c: Long)
+  case class Stats(n: Long, s: Long, ss: Long)
+  case class Flag(event_id: Long, event_type: String, value_c: Long, z2_e6: Long)
+
+  /** z²·10⁶ of `x` against prefix `st`, floored; -1 below the warmup. */
+  def z2E6(st: Stats, x: Long, warmup: Long): Long =
+    if (st.n < warmup) -1L
+    else {
+      val num = BigInt(st.n) * x - st.s
+      val den = (BigInt(st.n) * st.ss - BigInt(st.s) * st.s).max(BigInt(1))
+      (BigInt(1000000) * num * num / den).toLong
+    }
+
+  def push(st: Stats, x: Long): Stats =
+    Stats(st.n + 1, st.s + x, st.ss + x * x)
+
+  /** The streaming transform: events(event_type, ts_us, event_id, value_c)
+    * → flagged outliers, state = (n, S, SS) per event_type. */
+  def flagged(events: DataFrame, warmup: Long, thresholdE6: Long): Dataset[Flag] = {
+    import events.sparkSession.implicits._
+    events.selectExpr("event_type", "ts_us", "event_id", "value_c").as[In]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[In], state: GroupState[Stats]) =>
+          var st = state.getOption.getOrElse(Stats(0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Flag]
+          it.toSeq.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
+            val z2 = z2E6(st, r.value_c, warmup)
+            if (z2 > thresholdE6) out += Flag(r.event_id, key, r.value_c, z2)
+            st = push(st, r.value_c)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

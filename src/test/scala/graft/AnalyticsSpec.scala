@@ -162,4 +162,95 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.forall(_ == 0L),
       s"synthetic TPC-H data must have no orphans, got $got")
   }
+
+  test("rfm_segmentation: buckets are balanced and metric-monotone") {
+    val got = SparkEntry.queries("rfm_segmentation")(spark, sf("sf0.001"))
+      .select($"o_custkey", $"recency_d", $"frequency", $"monetary_c",
+        $"r_bucket", $"f_bucket", $"m_bucket")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val n = got.length
+    // (4·rank) div n buckets split n into quarters differing by ≤ 1
+    Seq(got.map(_._5), got.map(_._6), got.map(_._7)).foreach { bs =>
+      val sizes = bs.groupBy(identity).view.mapValues(_.size).toMap
+      assert(sizes.keySet == Set(1L, 2L, 3L, 4L))
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"unbalanced buckets $sizes over $n customers")
+    }
+    // monotone: sorting by (metric, custkey) must sort the bucket column
+    def monotone(metric: (Long, Long, Long, Long, Long, Long, Long) => Long,
+        bucket: (Long, Long, Long, Long, Long, Long, Long) => Long): Unit = {
+      val sorted = got.sortBy(r => (metric.apply(r._1, r._2, r._3, r._4, r._5, r._6, r._7),
+        r._1))
+      val bs = sorted.map(r => bucket.apply(r._1, r._2, r._3, r._4, r._5, r._6, r._7))
+      assert(bs.toSeq == bs.toSeq.sorted, "bucket not monotone in its metric")
+    }
+    monotone((_, r, _, _, _, _, _) => r, (_, _, _, _, b, _, _) => b)
+    monotone((_, _, f, _, _, _, _) => f, (_, _, _, _, _, b, _) => b)
+    monotone((_, _, _, m, _, _, _) => m, (_, _, _, _, _, _, b) => b)
+  }
+
+  test("ab_welch_t: t statistic recomputes from local integer sums") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("ab_welch_t")(spark, d)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val ev = core.eventsTable(spark, d)
+      .filter($"event_type".isin("click", "view"))
+      .select(unix_micros(date_trunc("day", $"ts")), $"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, String, Long)].collect()
+    val byDay = ev.groupBy(_._1)
+    got.foreach { case (day, n1, n2, t) =>
+      val xs = byDay(day)
+      val a = xs.filter(_._2 == "click").map(_._3)
+      val b = xs.filter(_._2 == "view").map(_._3)
+      assert(n1 == a.length.toLong && n2 == b.length.toLong)
+      def stats(v: Array[Long]) = {
+        val n = v.length.toDouble; val s = v.sum.toDouble
+        val ss = v.map(x => x * x).sum.toDouble
+        (s / n, (n * ss - s * s) / (n * (n - 1.0)) / n)
+      }
+      val (m1, se1) = stats(a); val (m2, se2) = stats(b)
+      val want = (m1 - m2) / math.sqrt(se1 + se2)
+      assert(t == want, s"t mismatch at day $day: $t vs $want")
+    }
+  }
+
+  test("clamped_running_balance: local fold replay + clamp actually fires") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("clamped_running_balance")(spark, d)
+      .as[(Long, Long, Long)].collect()
+    val ev = core.eventsTable(spark, d)
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, Long, Long, String, Long)].collect()
+    var clampFired = false
+    val want = ev.groupBy(_._1).map { case (u, es) =>
+      val deltas = es.sortBy(e => (e._2, e._3))
+        .map(e => if (e._4 == "purchase") -e._5 else e._5)
+      val bal = deltas.foldLeft(0L) { (acc, x) =>
+        val nxt = acc + x
+        if (nxt < 0L) { clampFired = true; 0L } else nxt
+      }
+      (u, es.length.toLong, bal)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want)
+    assert(clampFired, "no user's balance ever hit the floor - the clamp is untested")
+    assert(got.forall(_._3 >= 0L))
+  }
+
+  test("column_profile: counts recompute from a local pass") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("column_profile")(spark, d)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val ev = core.eventsTable(spark, d).collect()
+    val n = ev.length.toLong
+    assert(got.keySet == Set("event_id", "ts_us", "user_id", "event_type", "value", "props"))
+    got.values.foreach { case (_, rows, nulls, distinct) =>
+      assert(rows == n); assert(nulls >= 0L && distinct <= n)
+    }
+    assert(got("event_id")._4 == n, "event_id must be unique")
+    val types = ev.map(_.getAs[String]("event_type")).distinct.length.toLong
+    assert(got("event_type")._4 == types)
+  }
 }
