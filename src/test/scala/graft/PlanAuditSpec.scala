@@ -381,4 +381,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial_sum"),
       plan.take(3000))
   }
+
+  test("anomaly_zscore broadcasts the O(series) stats frame and never sorts the scan") {
+    val df = q("anomaly_zscore")
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // the design claim: no window, so no per-partition sort on the scan side
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      plan.take(3000))
+  }
+
+  test("link prediction stays equi-join end to end (wedges, anti-join, degrees)") {
+    val df = q("graph_link_prediction")
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // top-100 with a deterministic order must not global-sort the candidates
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("clamped_running_balance has no Window operator (fold, not window sum)") {
+    val df = q("clamped_running_balance")
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), plan.take(3000))
+    // per-key fold = one hash aggregate exchange, partial where possible
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate") ||
+      plan.contains("HashAggregate"), plan.take(3000))
+  }
+
+  test("shingle_novelty's attribution join is co-partitioned on the shingle key") {
+    val df = q("shingle_novelty")
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // exactly two shingle-keyed exchanges per plan: the (doc_id, g)
+    // distinct and the g-keyed min-doc aggregate — the join back adds NO
+    // further shuffle (broadcast here, g-co-partitioned at scale). The AQE
+    // plan string prints the final AND initial plans, so each appears
+    // twice; more than 4 would mean the join added an unkeyed reshuffle.
+    val gExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("g#"))
+    assert(gExchanges <= 4, s"expected <=4 shingle-keyed exchange prints, got $gExchanges\n" +
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
 }
