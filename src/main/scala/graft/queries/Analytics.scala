@@ -736,5 +736,169 @@ object Analytics {
       "Per-column profile (rows/nulls/distincts) in one logical pass — the " +
         "schema-drift monitor's input; approx_count_distinct is the " +
         "zero-shape-change scale path.")
+  ) ++ Seq(
+
+    "histogram_drift_tvd" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Distribution-drift monitor: total-variation distance between the
+        // first week's value histogram and the rest, per series. TV is the
+        // log-free drift statistic (PSI needs ln): with common denominators
+        //   TV = Σ|n1_i·N2 − n2_i·N1| / (2·N1·N2)
+        // every term is integer and the single floor happens at the end.
+        // Shapes: one (type, band) aggregate, O(types) totals joined back
+        // broadcast, one O(types·bands) reduce. Products cross 2⁶³ around
+        // 10⁵ rows/slice — DECIMAL(38,0)/HUGEINT from the start.
+        val d38 = DecimalType(38, 0)
+        val cut = lit("2024-01-08").cast(TimestampType)
+        val v = eventsTable(s, d).select($"event_type",
+          least(idiv((dec2($"value") * 100).cast(LongType), lit(5000L)), lit(9L)).as("band"),
+          when($"ts" < cut, 1L).otherwise(0L).as("in_a"))
+        val h = v.groupBy($"event_type", $"band").agg(
+          sum($"in_a").as("n_a"), sum(lit(1L) - $"in_a").as("n_b"))
+        val t = h.groupBy($"event_type").agg(
+          sum($"n_a").as("tot_a"), sum($"n_b").as("tot_b"))
+        h.join(broadcast(t), "event_type")
+          .groupBy($"event_type").agg(
+            max($"tot_a").as("n_week1"), max($"tot_b").as("n_rest"),
+            sum(abs($"n_a".cast(d38) * $"tot_b" - $"n_b".cast(d38) * $"tot_a")).as("num"))
+          .withColumn("tvd_e6", idiv(lit(1000000L).cast(d38) * $"num",
+            lit(2L).cast(d38) * $"n_week1" * $"n_rest"))
+          .select($"event_type", $"n_week1", $"n_rest", $"tvd_e6")
+          .orderBy($"event_type")
+      },
+      Some("""WITH v AS (SELECT event_type,
+              least((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) // 5000, 9) AS band,
+              CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END AS in_a
+            FROM events),
+          h AS (SELECT event_type, band, CAST(sum(in_a) AS BIGINT) AS n_a,
+              CAST(sum(1 - in_a) AS BIGINT) AS n_b FROM v GROUP BY 1, 2),
+          t AS (SELECT event_type, CAST(sum(n_a) AS BIGINT) AS tot_a,
+              CAST(sum(n_b) AS BIGINT) AS tot_b FROM h GROUP BY 1)
+        SELECT h.event_type, max(tot_a) AS n_week1, max(tot_b) AS n_rest,
+          CAST((1000000 * sum(abs(CAST(n_a AS HUGEINT) * tot_b - CAST(n_b AS HUGEINT) * tot_a)))
+               // (2 * CAST(max(tot_a) AS HUGEINT) * max(tot_b)) AS BIGINT) AS tvd_e6
+        FROM h JOIN t ON h.event_type = t.event_type
+        GROUP BY 1 ORDER BY h.event_type"""),
+      "Histogram drift as total-variation distance (the log-free PSI " +
+        "stand-in): common-denominator integer form, one floor at the end, " +
+        "DECIMAL(38,0)/HUGEINT products."),
+
+    "chi2_independence" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Independence audit of (event_type × day-of-week): the χ²
+        // statistic with every cell multiplied through to integers —
+        //   cell_e6 = 10⁶·(O·N − R·C)² div (N·R·C)
+        // floored PER CELL then summed (well-defined identically on both
+        // engines; the e6 scale makes the per-cell floor loss ≤ 10⁻⁶ of a
+        // unit). O·N and R·C cross 2⁶³ immediately at scale: DECIMAL(38,0)/
+        // HUGEINT. One contingency aggregate + two marginal reductions,
+        // all broadcast-sized.
+        val d38 = DecimalType(38, 0)
+        val cells = eventsTable(s, d)
+          .groupBy($"event_type", dayofweek($"ts").cast(LongType).as("dow"))
+          .agg(count(lit(1)).as("o"))
+        val rows = cells.groupBy($"event_type").agg(sum($"o").as("r"))
+        val colsM = cells.groupBy($"dow").agg(sum($"o").as("c"))
+        val n = cells.agg(sum($"o").as("n"))
+        cells.join(broadcast(rows), "event_type")
+          .join(broadcast(colsM), "dow")
+          .crossJoin(broadcast(n))
+          .withColumn("dev", $"o".cast(d38) * $"n" - $"r".cast(d38) * $"c")
+          .withColumn("cell_e6",
+            idiv(lit(1000000L).cast(d38) * $"dev" * $"dev",
+              $"n".cast(d38) * $"r" * $"c"))
+          .agg(count(lit(1)).as("n_cells"),
+            ((countDistinct($"event_type") - 1) * (countDistinct($"dow") - 1)).as("dof"),
+            sum($"cell_e6").as("chi2_e6"))
+          .select($"n_cells", $"dof", $"chi2_e6")
+      },
+      Some("""WITH cells AS (SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+              count(*) AS o FROM events GROUP BY 1, 2),
+          r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+          c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+          n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+          z AS (SELECT cells.event_type, cells.dow, o, r.r, c.c, n.n,
+              CAST(o AS HUGEINT) * n.n - CAST(r.r AS HUGEINT) * c.c AS dev
+            FROM cells JOIN r ON cells.event_type = r.event_type
+              JOIN c ON cells.dow = c.dow, n)
+        SELECT count(*) AS n_cells,
+          (count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS dof,
+          CAST(sum((1000000 * dev * dev) // (CAST(n AS HUGEINT) * r * c)) AS BIGINT) AS chi2_e6
+        FROM z"""),
+      "χ² independence audit (type × day-of-week): per-cell integer " +
+        "(O·N−R·C)² div (N·R·C) floors summed — no expected-count " +
+        "fractions, HUGEINT products, broadcast marginals."),
+
+    "ts_interpolate_linear" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Linear interpolation over hourly series gaps — the companion to
+        // gap_fill's forward-fill (forward-fill repeats; this draws the
+        // line). Known points = a sparse deterministic subsample's hourly
+        // sums; the spine explodes from per-series bounds; prev/next known
+        // points come from two ignore-nulls windows (one sort per series —
+        // series length is the scale bound). The interpolation
+        //   v = v_prev + (Δv·(h−h_prev)) div (h_next−h_prev)
+        // SIGN-SPLITS the division: Δv can be negative and floor (DuckDB
+        // //) ≠ truncation (Spark DIV) there, so both engines only ever
+        // divide non-negatives.
+        val known = eventsTable(s, d)
+          .filter($"event_id" % 23 === 0)
+          .groupBy($"event_type",
+            idiv(micros($"ts"), lit(3600000000L)).as("hr"))
+          .agg(sum((dec2($"value") * 100).cast(LongType)).as("v"))
+        val spine = known.groupBy($"event_type")
+          .agg(min($"hr").as("h0"), max($"hr").as("h1"))
+          .select($"event_type", explode(sequence($"h0", $"h1")).as("hr"))
+        val j = spine.join(known, Seq("event_type", "hr"), "left")
+        val wPrev = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"hr")
+          .rowsBetween(Long.MinValue, 0)
+        val wNext = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"hr")
+          .rowsBetween(0, Long.MaxValue)
+        val prevHr = last(when($"v".isNotNull, $"hr"), ignoreNulls = true).over(wPrev)
+        val prevV = last($"v", ignoreNulls = true).over(wPrev)
+        val nextHr = first(when($"v".isNotNull, $"hr"), ignoreNulls = true).over(wNext)
+        val nextV = first($"v", ignoreNulls = true).over(wNext)
+        val num = (nextV - prevV) * ($"hr" - prevHr)
+        val den = nextHr - prevHr
+        val interp = prevV + when(num >= 0, idiv(num, den))
+          .otherwise(-idiv(-num, den))
+        j.select($"event_type", $"hr",
+            when($"v".isNotNull, $"v").otherwise(interp).as("v_c"),
+            $"v".isNull.as("is_interp"))
+          .orderBy($"event_type", $"hr")
+      },
+      Some("""WITH known AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+              CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+            FROM events WHERE event_id % 23 = 0 GROUP BY 1, 2),
+          b AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1 FROM known GROUP BY 1),
+          g AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hr FROM b),
+          j AS (SELECT g.event_type, g.hr, known.v FROM g
+            LEFT JOIN known ON g.event_type = known.event_type AND g.hr = known.hr),
+          w AS (SELECT event_type, hr, v,
+              last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER wp AS prev_hr,
+              last_value(v IGNORE NULLS) OVER wp AS prev_v,
+              first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER wn AS next_hr,
+              first_value(v IGNORE NULLS) OVER wn AS next_v
+            FROM j WINDOW
+              wp AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wn AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT event_type, hr,
+          CASE WHEN v IS NOT NULL THEN v
+            ELSE prev_v + CASE WHEN (next_v - prev_v) * (hr - prev_hr) >= 0
+              THEN ((next_v - prev_v) * (hr - prev_hr)) // (next_hr - prev_hr)
+              ELSE -((-((next_v - prev_v) * (hr - prev_hr))) // (next_hr - prev_hr)) END
+          END AS v_c,
+          v IS NULL AS is_interp
+        FROM w ORDER BY event_type, hr"""),
+      "Linear interpolation over hourly gaps (gap_fill draws a line, not a " +
+        "step): ignore-nulls prev/next windows per series, sign-split " +
+        "integer division — bit-exact on both engines.")
   )
 }

@@ -741,5 +741,49 @@ object Streaming {
         WHERE z2_e6 > 9000000 ORDER BY event_id"""),
       "Online prefix z-score anomaly gate: flatMapGroupsWithState with " +
         "THREE BIGINTs of state per series vs the full-partition batch " +
-        "window replay — integer-exact across 4 time-sliced micro-batches."))
+        "window replay — integer-exact across 4 time-sliced micro-batches."),
+
+    "streaming_late_dim_backfill" -> Q(
+      (s, d) => {
+        // The CDC race the reference's topology assumes away: the fact feed
+        // outruns the dimension feed. Facts with no dim yet buffer in keyed
+        // state and re-emit enriched when the late dim lands; the final
+        // output is EXACTLY the batch inner join (nothing dropped, nothing
+        // null-padded), and was_buffered records which facts had to wait —
+        // deterministic from the staging rule, so the oracle predicts it:
+        // batch order is facts(even event_id) → dims(even user) →
+        // facts(odd event_id) → dims(odd user), hence a fact buffered iff
+        // it was in batch 1 (no dims at all yet) or its user's dim is odd.
+        val (src, out, ck) = Streams.workDirs("streaming_late_dim_backfill")
+        val ev = eventsTable(s, d)
+        val facts = ev.select(lit("f").as("kind"), col("user_id"),
+          col("event_id"), (dec2(col("value")) * 100).cast("long").as("value_c"),
+          lit("").as("segment"))
+        val dims = ev.select(col("user_id")).distinct()
+          .select(lit("d").as("kind"), col("user_id"),
+            lit(-1L).as("event_id"), lit(0L).as("value_c"),
+            concat(lit("S"), (col("user_id") % 5).cast("string")).as("segment"))
+        Seq(facts.filter(col("event_id") % 2 === 0),
+            dims.filter(col("user_id") % 2 === 0),
+            facts.filter(col("event_id") % 2 === 1),
+            dims.filter(col("user_id") % 2 === 1))
+          .foreach { b => // sequential appends: mod-time = batch order
+            b.coalesce(1).write.mode("append").parquet(src)
+          }
+        val staged = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val joined = graft.streaming.LateDimJoin.joined(staged)
+        Streams.runAppend(joined.toDF(), out, ck).orderBy(col("event_id"))
+      },
+      Some("""WITH f AS (SELECT event_id, user_id,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_c
+            FROM events),
+          dm AS (SELECT DISTINCT user_id,
+              'S' || CAST(user_id % 5 AS VARCHAR) AS segment FROM events)
+        SELECT f.event_id, f.user_id, f.value_c, dm.segment,
+          (f.event_id % 2 = 0 OR f.user_id % 2 = 1) AS was_buffered
+        FROM f JOIN dm ON f.user_id = dm.user_id ORDER BY f.event_id"""),
+      "Late-dimension backfill join: facts buffer in keyed state until the " +
+        "lagging dim arrives, then drain enriched — output ≡ the batch " +
+        "inner join, state O(race window) not O(history)."))
 }

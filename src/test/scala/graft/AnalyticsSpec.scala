@@ -253,4 +253,83 @@ class AnalyticsSpec extends SparkSpec {
     val types = ev.map(_.getAs[String]("event_type")).distinct.length.toLong
     assert(got("event_type")._4 == types)
   }
+
+  test("histogram_drift_tvd: local recompute + TV bounds") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("histogram_drift_tvd")(spark, d)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val cut = java.time.Instant.parse("2024-01-08T00:00:00Z").toEpochMilli * 1000L
+    val ev = core.eventsTable(spark, d)
+      .select($"event_type", unix_micros($"ts"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (t, nA, nB, tvd) =>
+      assert(tvd >= 0L && tvd <= 1000000L)
+      val xs = ev.filter(_._1 == t)
+      val a = xs.filter(_._2 < cut).map(e => math.min(e._3 / 5000L, 9L))
+      val b = xs.filter(_._2 >= cut).map(e => math.min(e._3 / 5000L, 9L))
+      assert(nA == a.length.toLong && nB == b.length.toLong)
+      val num = (0L to 9L).map { band =>
+        (BigInt(a.count(_ == band)) * b.length - BigInt(b.count(_ == band)) * a.length).abs
+      }.sum
+      val want = (BigInt(1000000) * num / (BigInt(2) * a.length * b.length)).toLong
+      assert(tvd == want, s"tvd mismatch for $t")
+    }
+  }
+
+  test("chi2_independence: statistic recomputes from the local contingency table") {
+    val d = sf("sf0.001")
+    val Array((nCells, dof, chi2)) =
+      SparkEntry.queries("chi2_independence")(spark, d)
+        .as[(Long, Long, Long)].collect()
+    val ev = core.eventsTable(spark, d)
+      .select($"event_type", dayofweek($"ts").cast("long"))
+      .as[(String, Long)].collect()
+    val cells = ev.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = ev.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cols = ev.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = ev.length.toLong
+    assert(nCells == cells.size.toLong)
+    assert(dof == (rows.size - 1).toLong * (cols.size - 1).toLong)
+    val want = cells.map { case ((t, w), o) =>
+      val dev = BigInt(o) * n - BigInt(rows(t)) * cols(w)
+      BigInt(1000000) * dev * dev / (BigInt(n) * rows(t) * cols(w))
+    }.sum
+    assert(BigInt(chi2) == want)
+  }
+
+  test("ts_interpolate_linear: knowns preserved, gaps on the integer line") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("ts_interpolate_linear")(spark, d)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(got.exists(_._4) && got.exists(!_._4),
+      "need both known and interpolated rows to test anything")
+    val byType = got.groupBy(_._1)
+    byType.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      // spine is contiguous and ends on known points
+      assert(sorted.map(_._2).toSeq == (sorted.head._2 to sorted.last._2))
+      assert(!sorted.head._4 && !sorted.last._4)
+      // every interpolated value sits between its neighboring knowns
+      // (floor-linear ⇒ within [min,max] of the bracketing known values)
+      val knowns = sorted.filter(!_._4)
+      knowns.sliding(2).foreach {
+        case Array(lo, hi) =>
+          val inner = sorted.filter(r => r._2 > lo._2 && r._2 < hi._2)
+          inner.foreach { r =>
+            assert(r._4, s"gap row ${r._2} not flagged interpolated")
+            val (mn, mx) = (math.min(lo._3, hi._3), math.max(lo._3, hi._3))
+            assert(r._3 >= mn && r._3 <= mx,
+              s"interpolated ${r._3} outside [$mn,$mx] at hr ${r._2}")
+            // exact floor-linear value
+            val num = (hi._3 - lo._3) * (r._2 - lo._2)
+            val den = hi._2 - lo._2
+            val want = lo._3 + (if (num >= 0) num / den else -((-num) / den))
+            assert(r._3 == want)
+          }
+        case _ =>
+      }
+    }
+  }
 }
