@@ -900,5 +900,52 @@ object Analytics {
       "Linear interpolation over hourly gaps (gap_fill draws a line, not a " +
         "step): ignore-nulls prev/next windows per series, sign-split " +
         "integer division — bit-exact on both engines.")
+  ) ++ Seq(
+
+    "quantile_normalize" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Cross-distribution quantile normalization: each click value maps
+        // to its EXACT percentile within the view (reference) distribution
+        // — the drift-robust feature transform (percent_rank_normalize
+        // ranks within one distribution; this ranks against another).
+        // Distributed-exact composition of two existing operators: the
+        // reference CDF is PrefixSum's two-job scan over the O(distinct
+        // values) count table (NO single-task window), and the lookup is
+        // the as-of join (greatest reference value ≤ x). percentile =
+        // count(ref ≤ x)/N_ref, e6 floor; values below every reference
+        // map to 0 via the left as-of + coalesce.
+        val vc = (dec2($"value") * 100).cast(LongType)
+        val ref = eventsTable(s, d).filter($"event_type" === "view")
+          .select(vc.as("rv"))
+        val refCnt = ref.groupBy($"rv").agg(count(lit(1)).as("c"))
+          .withColumn("g", lit(0L))
+        val cdf = graft.operators.PrefixSum
+          .groupedRunningTotal(refCnt, Seq("g"), Seq($"rv"), "c", "cum")
+          .select($"g", $"rv", $"cum")
+        val nRef = lit(ref.count())
+        val scored = eventsTable(s, d).filter($"event_type" === "click")
+          .select($"event_id", vc.as("value_c")).withColumn("g", lit(0L))
+        graft.operators.AsOfJoin
+          .leftAsOf(scored, cdf, "g", "g", "value_c", "rv", Seq("cum"))
+          .withColumn("pct_e6",
+            idiv(lit(1000000L) * coalesce($"cum", lit(0L)), nRef))
+          .select($"event_id", $"value_c", $"pct_e6")
+          .orderBy($"event_id")
+      },
+      Some("""WITH ref AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS rv
+            FROM events WHERE event_type = 'view'),
+          n AS (SELECT count(*) AS nr FROM ref),
+          rv AS (SELECT rv, count(*) AS c FROM ref GROUP BY 1),
+          cdf AS (SELECT rv, CAST(sum(c) OVER (ORDER BY rv) AS BIGINT) AS cum FROM rv),
+          cl AS (SELECT event_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_c
+            FROM events WHERE event_type = 'click')
+        SELECT event_id, value_c,
+          (1000000 * coalesce(cdf.cum, 0)) // (SELECT nr FROM n) AS pct_e6
+        FROM cl ASOF LEFT JOIN cdf ON cl.value_c >= cdf.rv
+        ORDER BY event_id"""),
+      "Exact cross-distribution quantile transform: PrefixSum CDF over the " +
+        "reference's distinct values (no one-task window) + as-of lookup — " +
+        "count(ref ≤ x)/N in e6 integer arithmetic.")
   )
 }

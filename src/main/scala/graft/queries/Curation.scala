@@ -273,6 +273,46 @@ object Curation {
         GROUP BY 1 ORDER BY doc_id"""),
       "Corpus-order novelty per doc: fraction of shingles first seen here " +
         "(min-doc attribution join, co-partitioned on the shingle key) — " +
-        "the marginal-contribution signal for dedup-aware sampling.")
+        "the marginal-contribution signal for dedup-aware sampling."),
+
+    "vocab_coverage" -> Q(
+      (s, d) => {
+        // Tokenizer-vocabulary coverage audit: what fraction of each doc's
+        // token OCCURRENCES the top-25 corpus vocabulary covers — the
+        // pre-flight check before committing to a fixed vocab (high OOV
+        // slices are where a tokenizer bleeds compression). The top-K
+        // vocabulary is TakeOrdered-bounded (deterministic (count, token)
+        // tiebreak) and joins back broadcast — O(K), corpus-independent;
+        // the per-doc pass is the same (doc, tok) count table the quality
+        // battery uses.
+        val tok = docs(s, d)
+          .select(col("doc_id"), explode(ascii_tokens(col("text"))).as("tok"))
+        val tc = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        val vocab = tc.groupBy("tok").agg(sum(col("c")).as("cn"))
+          .orderBy(desc("cn"), col("tok")).limit(25)
+          .select(col("tok"), lit(1L).as("in_vocab"))
+        tc.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("doc_id").agg(
+            sum(col("c")).as("n_tokens"),
+            sum(when(col("in_vocab") === 1L, col("c")).otherwise(0L)).as("n_covered"))
+          .withColumn("coverage_e6",
+            idiv(lit(1000000L) * col("n_covered"), col("n_tokens")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents),
+          tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+          vocab AS (SELECT tok FROM (SELECT tok, CAST(sum(c) AS BIGINT) AS cn,
+              row_number() OVER (ORDER BY CAST(sum(c) AS BIGINT) DESC, tok) AS rn
+            FROM tc GROUP BY tok) WHERE rn <= 25)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN v.tok IS NOT NULL THEN c ELSE 0 END) AS BIGINT) AS n_covered,
+          (1000000 * CAST(sum(CASE WHEN v.tok IS NOT NULL THEN c ELSE 0 END) AS BIGINT))
+            // CAST(sum(c) AS BIGINT) AS coverage_e6
+        FROM tc LEFT JOIN vocab v ON tc.tok = v.tok
+        GROUP BY doc_id ORDER BY doc_id"""),
+      "Top-K vocabulary coverage per doc (the OOV-rate audit): bounded " +
+        "TakeOrdered vocab broadcast back over the (doc,tok) counts, e6 " +
+        "occurrence coverage.")
   )
 }

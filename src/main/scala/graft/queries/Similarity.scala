@@ -228,5 +228,58 @@ object Similarity {
         ORDER BY rrf DESC, doc_id LIMIT 20"""),
       "Reciprocal-rank fusion of bounded top-50 lexical (tf x idf) and vector " +
         "(cosine) retrieval lists: fusion cost independent of corpus size, " +
-        "integer ranks keep the fused doubles bit-exact."))
+        "integer ranks keep the fused doubles bit-exact."),
+
+    "embedding_label_outliers" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Mislabeled-example candidates: per label, the 5 vectors farthest
+        // from their label's centroid — the label-noise audit every
+        // classification corpus runs. Arithmetic is the kmeans_embeddings
+        // discipline: embeddings quantized to integer 10⁻³ units
+        // (floor(x·1000+0.5)), centroid = SIGN-SPLIT integer mean per dim
+        // (sums of negatives floor≠trunc), distance = integer Σ(v−c)².
+        // Shapes: one (label, dim) aggregate (O(labels·64) — broadcast),
+        // join back on (label, dim), one vec aggregate, then a per-LABEL
+        // top-5 window (partitioned — never global).
+        val q = emb(s, d).select($"vec_id", $"label".cast("long").as("label"),
+          posexplode(transform($"embedding".cast("array<double>"),
+            x => floor(x * 1000 + 0.5).cast("long"))).as(Seq("dim", "v")))
+        val c = q.groupBy($"label", $"dim")
+          .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+          .withColumn("cd", when($"sv" >= 0, idiv($"sv", $"n"))
+            .otherwise(-idiv(-$"sv", $"n")))
+          .select($"label", $"dim", $"cd")
+        val dist = q.join(broadcast(c), Seq("label", "dim"))
+          .groupBy($"vec_id", $"label")
+          .agg(sum(($"v" - $"cd") * ($"v" - $"cd")).as("dist_sq"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"label").orderBy(desc("dist_sq"), $"vec_id")
+        dist.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+          .select($"label", $"vec_id", $"dist_sq", $"rn".cast("long").as("rn"))
+          .orderBy($"label", $"rn")
+      },
+      Some("""WITH q0 AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+              list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+            FROM embeddings),
+          d AS (SELECT vec_id, label, unnest(qv) AS v,
+              unnest(generate_series(0, len(qv) - 1)) AS dim FROM q0),
+          c AS (SELECT label, dim,
+              CASE WHEN sum(v) >= 0 THEN CAST(sum(v) AS BIGINT) // count(*)
+                ELSE -(CAST(-sum(v) AS BIGINT) // count(*)) END AS cd
+            FROM d GROUP BY 1, 2),
+          dist AS (SELECT d.vec_id, d.label,
+              CAST(sum((v - cd) * (v - cd)) AS BIGINT) AS dist_sq
+            FROM d JOIN c ON d.label = c.label AND d.dim = c.dim
+            GROUP BY 1, 2),
+          r AS (SELECT label, vec_id, dist_sq,
+              CAST(row_number() OVER (PARTITION BY label
+                ORDER BY dist_sq DESC, vec_id) AS BIGINT) AS rn
+            FROM dist)
+        SELECT label, vec_id, dist_sq, rn FROM r WHERE rn <= 5
+        ORDER BY label, rn"""),
+      "Label-noise audit: per-label top-5 centroid outliers in quantized " +
+        "integer arithmetic (sign-split centroid means, integer distances) " +
+        "— broadcast centroids, partitioned top-k window."))
 }

@@ -59,7 +59,8 @@ object ScaleBench {
     val factors = Seq(1, 3, 10, 30)
     val nearDupFactors = Seq(1, 3, 10, 30, 100)
     val docQueryNames = Set("dedup_minhash_lsh", "ngram_jaccard_pairs",
-      "doc_lm_score", "deterministic_shuffle", "grouped_prefix_sum")
+      "doc_lm_score", "deterministic_shuffle", "grouped_prefix_sum",
+      "shingle_novelty")
     val earlyOnly: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     // materialize each scaled corpus so staging cost never pollutes the timing
     val nearDupWanted = Set("dedup_minhash_lsh", "ngram_jaccard_pairs")
@@ -174,6 +175,43 @@ object ScaleBench {
           (col("o_totalprice") * 100).cast("long").as("x"),
           (col("o_orderkey") % 9973).as("y")), "x", "y").count()
 
+    // shingle_novelty's shape inline: the disjoint replica vocabularies grow
+    // the first-occurrence table exactly K×, so linear wall here validates
+    // the min-doc attribution join (one g-keyed aggregate + one join back).
+    def noveltyScaled(d: DataFrame): Long = {
+      val sh = d.select(col("doc_id"),
+        explode(graft.functions.word_shingles(col("text"), 3)).as("g")).distinct()
+      val fd = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(fd, "g").groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .count()
+    }
+
+    // graph_link_prediction's wedge pass on replicated lineitem (both keys
+    // offset → K disjoint co-purchase subgraphs, per-replica wedge count
+    // constant): ideal wall is linear; a superlinear slope would mean the
+    // wedge join is leaking across replicas or re-shuffling unkeyed.
+    def linkPredScaled(li0: DataFrame): Long = {
+      val li = li0.select(col("l_orderkey"), col("l_partkey"))
+      val e0 = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(least(col("a.l_partkey"), col("b.l_partkey")).as("u"),
+          greatest(col("a.l_partkey"), col("b.l_partkey")).as("v"))
+        .distinct()
+      val e = e0.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(e0.select(col("v").as("src"), col("u").as("dst")))
+      // seeds replicate with the graph (src % replicaStride < 500)
+      val wedges = e.filter(col("src") % 100000000L < 500)
+        .select(col("src").as("u"), col("dst").as("w"))
+        .join(e.select(col("src").as("w"), col("dst").as("v")), "w")
+        .filter(col("v") =!= col("u"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+      wedges.join(e.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti").count()
+    }
+
     def saltedSkewJoin(d: DataFrame): Long =
       graft.operators.SkewJoin.saltedJoin(d, skewDim, "k")
         .groupBy(col("seg")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
@@ -184,7 +222,8 @@ object ScaleBench {
       "ngram_jaccard_pairs" -> (d => NearDup.exactJaccardPairs(d, 0.8).count()),
       "doc_lm_score" -> lmScore,
       "deterministic_shuffle" -> globalShuffle,
-      "grouped_prefix_sum" -> groupedScan)
+      "grouped_prefix_sum" -> groupedScan,
+      "shingle_novelty" -> noveltyScaled)
     val skewQueries: Seq[(String, DataFrame => Long)] = Seq(
       "ngram_jaccard_skew" -> (d => NearDup.exactJaccardPairs(d, 0.8).count()),
       "minhash_lsh_skew" -> (d => NearDup.minhashLshPairs(d, 0.8).count()))
@@ -193,6 +232,8 @@ object ScaleBench {
     val orderQueries: Seq[(String, DataFrame => Long)] = Seq(
       "interval_overlap" -> intervalOverlapScaled,
       "skyline_prefix_max" -> skylineScaled)
+    val lineitemQueries: Seq[(String, DataFrame => Long)] = Seq(
+      "link_prediction_wedges" -> linkPredScaled)
 
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     def wanted(n: String) = only.forall(_.contains(n))
@@ -211,6 +252,20 @@ object ScaleBench {
         }.toMap
       else Map.empty
 
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    val stagedLineitem: Map[Int, String] =
+      if (lineitemQueries.exists { case (n, _) => wanted(n) })
+        factors.map { k =>
+          val p = s"$outDir/lineitem_x$k"
+          (0 until k).map(r => lineitem
+              .withColumn("l_orderkey", col("l_orderkey") + lit(r * 100000000L))
+              .withColumn("l_partkey", col("l_partkey") + lit(r * 100000000L)))
+            .reduce(_ unionByName _).write.mode("overwrite").parquet(p)
+          k -> p
+        }.toMap
+      else Map.empty
+
     def factorsOf(name: String): Seq[Int] =
       if (Set("dedup_minhash_lsh", "ngram_jaccard_pairs")(name)) nearDupFactors
       else factors
@@ -222,7 +277,9 @@ object ScaleBench {
       (for ((name, run) <- factQueries if wanted(name); k <- factors)
         yield (name, k, stagedFact(k), run)) ++
       (for ((name, run) <- orderQueries if wanted(name); k <- factors)
-        yield (name, k, stagedOrders(k), run))
+        yield (name, k, stagedOrders(k), run)) ++
+      (for ((name, run) <- lineitemQueries if wanted(name); k <- factors)
+        yield (name, k, stagedLineitem(k), run))
 
     val results = plans.map { case (name, k, path, run) =>
       val d = spark.read.parquet(path)
@@ -232,7 +289,7 @@ object ScaleBench {
       (name, k, sec, rows)
     }
 
-    val summary = (queries ++ skewQueries ++ factQueries ++ orderQueries)
+    val summary = (queries ++ skewQueries ++ factQueries ++ orderQueries ++ lineitemQueries)
       .filter { case (n, _) => wanted(n) }
       .map { case (name, _) =>
         val byK = results.filter(_._1 == name).map(r => r._2 -> r._3).toMap

@@ -332,4 +332,24 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("quantile_normalize: exact CDF lookup + monotone in the value") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("quantile_normalize")(spark, d)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val ev = core.eventsTable(spark, d)
+      .select($"event_type", ($"value".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    val ref = ev.filter(_._1 == "view").map(_._2).sorted
+    got.foreach { case (_, vc, pct) =>
+      val cum = ref.count(_ <= vc).toLong
+      assert(pct == 1000000L * cum / ref.length, s"pct mismatch at value $vc")
+    }
+    // monotone: a larger value can never map to a smaller percentile
+    got.sortBy(_._2).map(_._3).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b)
+      case _ =>
+    }
+  }
 }

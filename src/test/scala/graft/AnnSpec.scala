@@ -224,4 +224,31 @@ class AnnSpec extends SparkSpec {
       .as[(Long, Int)].collect()
     assert(kept.toSeq == again.toSeq)
   }
+
+  test("embedding_label_outliers: quantized-integer replay from the raw vectors") {
+    val got = SparkEntry.queries("embedding_label_outliers")(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long)].collect()
+    val vecs = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(label AS BIGINT)", "CAST(embedding AS ARRAY<DOUBLE>)")
+      .as[(Long, Long, Seq[Double])].collect()
+      .map { case (id, l, v) =>
+        (id, l, v.map(x => math.floor(x * 1000 + 0.5).toLong).toArray)
+      }
+    val byLabel = vecs.groupBy(_._2)
+    val want = byLabel.toSeq.flatMap { case (label, vs) =>
+      val dims = vs.head._3.length
+      val cent = (0 until dims).map { d =>
+        val s = vs.map(_._3(d)).sum; val n = vs.length.toLong
+        if (s >= 0) s / n else -((-s) / n)
+      }
+      vs.map { case (id, _, q) =>
+        val d2 = q.zip(cent).map { case (v, c) => (v - c) * (v - c) }.sum
+        (label, id, d2)
+      }.sortBy { case (_, id, d2) => (-d2, id) }
+        .take(5).zipWithIndex
+        .map { case ((l, id, d2), i) => (l, id, d2, (i + 1).toLong) }
+    }.sortBy(r => (r._1, r._4))
+    assert(got.toSeq == want)
+    assert(got.nonEmpty && got.map(_._1).distinct.length > 1)
+  }
 }

@@ -164,4 +164,22 @@ class CurationSpec extends SparkSpec {
     // every first occurrence is attributed exactly once across the corpus
     assert(got.map(_._3).sum == firstDoc.size.toLong)
   }
+
+  test("vocab_coverage matches a local top-25 recompute and the cap binds") {
+    val got = graft.SparkEntry.queries("vocab_coverage")(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long)].collect()
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> "[a-z]+".r.findAllIn(t.toLowerCase).toVector }
+    val counts = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(25).map(_._1).toSet
+    val want = toks.map { case (id, ws) =>
+      val n = ws.size.toLong
+      val cov = ws.count(vocab).toLong
+      (id, n, cov, 1000000L * cov / n)
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    assert(got.exists(_._4 < 1000000L),
+      "every doc fully covered - the top-25 cap binds nothing on this corpus")
+  }
 }

@@ -133,4 +133,52 @@ class SqlSurfaceSpec extends SparkSpec {
         WHERE CAST(n_common AS DOUBLE) / n_union >= 0.5
         ORDER BY id_a, id_b""")
   }
+
+  test("anomaly_zscore runs as pure SQL (DECIMAL(38,0) products, div)") {
+    assertSame("anomaly_zscore",
+      """WITH v AS (SELECT event_id, event_type,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_c
+          FROM events),
+        st AS (SELECT event_type, count(*) AS n, sum(value_c) AS s,
+            sum(value_c * value_c) AS ss FROM v GROUP BY event_type),
+        z AS (SELECT event_id, v.event_type, value_c,
+            (1000000L * CAST(st.n * value_c - st.s AS DECIMAL(38,0))
+                      * CAST(st.n * value_c - st.s AS DECIMAL(38,0)))
+            div greatest(CAST(st.n AS DECIMAL(38,0)) * st.ss
+                         - CAST(st.s AS DECIMAL(38,0)) * st.s,
+                         CAST(1 AS DECIMAL(38,0))) AS z2_e6
+          FROM v JOIN st ON v.event_type = st.event_type)
+        SELECT event_id, event_type, value_c, z2_e6 FROM z
+        WHERE z2_e6 > 9000000 ORDER BY event_id""")
+  }
+
+  test("source_mix_hhi runs as pure SQL") {
+    assertSame("source_mix_hhi",
+      """WITH sc AS (SELECT lang, source, count(*) AS c
+            FROM documents GROUP BY lang, source),
+          g AS (SELECT lang, sum(c) AS n_docs, count(*) AS n_sources,
+              max(c) AS max_c, sum(c * c) AS sum_c2 FROM sc GROUP BY lang)
+        SELECT lang, n_docs, n_sources,
+          (1000000L * max_c) div n_docs AS top_share_e6,
+          (CAST(1000000000000L AS DECIMAL(38,0)) * CAST(sum_c2 AS DECIMAL(38,0)))
+            div (CAST(n_docs AS DECIMAL(38,0)) * CAST(n_docs AS DECIMAL(38,0))) AS hhi_e12
+        FROM g ORDER BY lang""")
+  }
+
+  test("benford_digit_audit runs as pure SQL") {
+    assertSame("benford_digit_audit",
+      """WITH b AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT) AS digit
+            FROM orders),
+          g AS (SELECT digit, count(*) AS n FROM b GROUP BY digit),
+          t AS (SELECT sum(n) AS total FROM g),
+          x AS (SELECT digit, n, (1000000L * n) div t.total AS obs_share_e6,
+              CASE digit
+                WHEN 1 THEN 301029L WHEN 2 THEN 176091L WHEN 3 THEN 124938L
+                WHEN 4 THEN 96910L  WHEN 5 THEN 79181L  WHEN 6 THEN 66946L
+                WHEN 7 THEN 57991L  WHEN 8 THEN 51152L  ELSE 45757L END AS exp_share_e6
+            FROM g, t)
+        SELECT digit, n, obs_share_e6, exp_share_e6,
+          abs(obs_share_e6 - exp_share_e6) AS dev_e6
+        FROM x ORDER BY digit""")
+  }
 }
