@@ -947,5 +947,65 @@ object Analytics {
       "Exact cross-distribution quantile transform: PrefixSum CDF over the " +
         "reference's distinct values (no one-task window) + as-of lookup — " +
         "count(ref ≤ x)/N in e6 integer arithmetic.")
+  ) ++ Seq(
+
+    "ewma_integer" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Recursive exponential smoothing with rational α = 1/4 in pure
+        // integers: l ← (3·l + x) div 4 per step. The PER-STEP floor makes
+        // this genuinely fold-shaped — no closed form survives the
+        // flooring (decayed_rolling_sum's window trick needs exact
+        // geometric weights), so it runs as the ordered per-series fold
+        // (collect+sort+aggregate ≡ list_reduce), values all non-negative
+        // so floor = trunc. Emits the final smoothed level per series —
+        // the state a forecaster would checkpoint.
+        val hourly = eventsTable(s, d)
+          .groupBy($"event_type", idiv(micros($"ts"), lit(3600000000L)).as("hr"))
+          .agg(sum((dec2($"value") * 100).cast(LongType)).as("v"))
+        hourly.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_points"),
+            array_sort(collect_list(struct($"hr", $"v"))).as("es"))
+          .withColumn("ewma_c",
+            aggregate(transform($"es", e => e.getField("v")),
+              lit(0L), (acc, x) => idiv(lit(3L) * acc + x, lit(4L))))
+          .select($"event_type", $"n_points", $"ewma_c")
+          .orderBy($"event_type")
+      },
+      Some("""WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+              CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+            FROM events GROUP BY 1, 2)
+        SELECT event_type, count(*) AS n_points,
+          list_reduce(list_prepend(CAST(0 AS BIGINT), list(v ORDER BY hr)),
+            (acc, x) -> (3 * acc + x) // 4) AS ewma_c
+        FROM h GROUP BY 1 ORDER BY event_type"""),
+      "Integer EWMA (α=1/4, per-step floor — genuinely fold-shaped, no " +
+        "closed form): ordered per-series aggregate() ≡ list_reduce, final " +
+        "smoothed level per series."),
+
+    "pseudonymize_audit" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Privacy-preserving analytics: user ids replaced by salted-hash
+        // pseudonyms (stable within the release, unlinkable without the
+        // pepper), and the per-pseudonym aggregates prove the analytics
+        // survive the substitution. The 48-bit pseudonym space makes
+        // accidental collisions detectable (n_users vs distinct
+        // pseudonyms — a collision would silently merge two users'
+        // histories); both engines lowercase-hex md5 identically.
+        val p = substring(md5(concat(lit("pepper1:"), $"user_id".cast("string"))), 1, 12)
+        eventsTable(s, d)
+          .select(p.as("pseudonym"), (dec2($"value") * 100).cast(LongType).as("vc"))
+          .groupBy($"pseudonym")
+          .agg(count(lit(1)).as("n_events"), sum($"vc").as("sum_value_c"))
+          .orderBy($"pseudonym")
+      },
+      Some("""SELECT substr(md5('pepper1:' || CAST(user_id AS VARCHAR)), 1, 12) AS pseudonym,
+          count(*) AS n_events,
+          CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_value_c
+        FROM events GROUP BY 1 ORDER BY pseudonym"""),
+      "Salted-hash pseudonymization with per-pseudonym aggregates: stable " +
+        "unlinkable ids, analytics intact — the release-side privacy " +
+        "transform beside k_anonymity/l_diversity.")
   )
 }

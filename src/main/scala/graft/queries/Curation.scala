@@ -313,6 +313,40 @@ object Curation {
         GROUP BY doc_id ORDER BY doc_id"""),
       "Top-K vocabulary coverage per doc (the OOV-rate audit): bounded " +
         "TakeOrdered vocab broadcast back over the (doc,tok) counts, e6 " +
-        "occurrence coverage.")
+        "occurrence coverage."),
+
+    "shard_packing" -> Q(
+      (s, d) => {
+        // Token-budget shard assignment (the pretraining writer's layout
+        // step): docs in deterministic corpus order pack next-fit into
+        // 500-token shards — shard = start_offset div budget, where the
+        // start offset is the EXCLUSIVE prefix sum of token counts. The
+        // running total comes from PrefixSum's two-job range-exchange scan
+        // (an ORDER BY-all window would funnel the corpus through one
+        // task); the oracle replays it with exactly that window, the shape
+        // that checks the result but wouldn't scale.
+        val counts = docs(s, d)
+          .select(col("doc_id"),
+            size(ascii_tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("g", lit(0L))
+        graft.operators.PrefixSum
+          .groupedRunningTotal(counts, Seq("g"), Seq(col("doc_id")), "n_tokens", "cum")
+          .withColumn("start_off", col("cum") - col("n_tokens"))
+          .withColumn("shard", idiv(col("start_off"), lit(500L)))
+          .select(col("doc_id"), col("n_tokens"), col("start_off"), col("shard"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+            FROM documents),
+          p AS (SELECT doc_id, n_tokens,
+              CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+            FROM c)
+        SELECT doc_id, n_tokens, start_off, start_off // 500 AS shard
+        FROM p ORDER BY doc_id"""),
+      "Next-fit token-budget shard packing: exclusive prefix sum via the " +
+        "distributed PrefixSum scan (no ORDER-BY-all window), shard = " +
+        "start_offset div budget.")
   )
 }

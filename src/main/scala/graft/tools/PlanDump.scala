@@ -89,7 +89,23 @@ object PlanDump {
       "graph_kcore" ->
         ("k-core peeling round (r7): one map-side-combined degree aggregate + two semi-joins " +
           "per round against the O(survivors) keep-set; iterates checkpointed and retired - " +
-          "the plan shown is the final census over the converged core."))
+          "the plan shown is the final census over the converged core."),
+      "anomaly_zscore" ->
+        ("Integer z-score outlier scan (r7): O(series) stats aggregate joins back BROADCAST; " +
+          "no Window, no sort on the scan side - the event scan streams straight through " +
+          "the codegen'd DECIMAL(38,0) comparison."),
+      "graph_link_prediction" ->
+        ("Seed-cohort wedge pass (r7): seed filter BEFORE the wedge self-join, anti-join " +
+          "removes existing edges, degree frame joins AQE-sized, top-100 as " +
+          "TakeOrderedAndProject - equi-joins end to end."),
+      "quantile_normalize" ->
+        ("Cross-distribution quantile transform (r7): the reference CDF is PrefixSum's " +
+          "range-exchange scan over distinct values (no one-task window), the percentile " +
+          "lookup is the as-of join's single ordered window over the unioned sides."),
+      "shingle_novelty" ->
+        ("Min-doc attribution (r7): (doc,shingle) distinct -> g-keyed min aggregate -> join " +
+          "back on g (broadcast here, co-partitioned at scale) -> doc-level census; " +
+          "no pairwise comparison anywhere."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit artifact\n\n")
     sb.append("Generated by `graft.tools.PlanDump` at sf0.01 (plans are scale-" +

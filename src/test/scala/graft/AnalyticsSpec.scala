@@ -352,4 +352,43 @@ class AnalyticsSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("ewma_integer: per-series fold replays locally") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("ewma_integer")(spark, d)
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val ev = core.eventsTable(spark, d)
+      .select($"event_type", unix_micros($"ts"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (t, n, ewma) =>
+      val hourly = ev.filter(_._1 == t).groupBy(_._2 / 3600000000L)
+        .view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1).map(_._2)
+      assert(n == hourly.length.toLong)
+      assert(ewma == hourly.foldLeft(0L)((acc, x) => (3 * acc + x) / 4))
+    }
+  }
+
+  test("pseudonymize_audit: stable, collision-free, aggregates intact") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("pseudonymize_audit")(spark, d)
+      .as[(String, Long, Long)].collect()
+    val ev = core.eventsTable(spark, d)
+      .select($"user_id", ($"value".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, Long)].collect()
+    val perUser = ev.groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+    // one pseudonym per user at this scale (48-bit space, 150 users)
+    assert(got.length == perUser.size)
+    def pseud(u: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"pepper1:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    }
+    val byP = perUser.map { case (u, agg) => pseud(u) -> agg }
+    got.foreach { case (p, n, s) =>
+      assert(byP(p) == ((n, s)), s"aggregate mismatch at $p")
+    }
+  }
 }

@@ -182,4 +182,19 @@ class CurationSpec extends SparkSpec {
     assert(got.exists(_._4 < 1000000L),
       "every doc fully covered - the top-25 cap binds nothing on this corpus")
   }
+
+  test("shard_packing: exclusive offsets chain and shards respect the budget") {
+    val got = graft.SparkEntry.queries("shard_packing")(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // offsets chain exactly: start(i+1) = start(i) + n_tokens(i)
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 == a._3 + a._2)
+      case _ =>
+    }
+    assert(got.head._3 == 0L)
+    got.foreach { case (_, _, off, shard) => assert(shard == off / 500L) }
+    // packing is real: more than one shard, and some shard holds >1 doc
+    assert(got.map(_._4).distinct.length > 1)
+    assert(got.groupBy(_._4).values.exists(_.length > 1))
+  }
 }
