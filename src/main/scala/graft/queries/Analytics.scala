@@ -1006,6 +1006,371 @@ object Analytics {
         FROM events GROUP BY 1 ORDER BY pseudonym"""),
       "Salted-hash pseudonymization with per-pseudonym aggregates: stable " +
         "unlinkable ids, analytics intact — the release-side privacy " +
-        "transform beside k_anonymity/l_diversity.")
+        "transform beside k_anonymity/l_diversity."),
+
+    "vwap_bars" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Volume-weighted average price per (month, returnflag): the bar
+        // statistic OHLC doesn't carry. Sufficient statistics are integer —
+        // numerator Σ price_c·qty in DECIMAL(38,0) (price_c ≤ 10⁷ cents ×
+        // qty ≤ 10² per row; the BIGINT sum would saturate near 10 TB, the
+        // decimal never does), denominator Σ qty in BIGINT — so the e2 floor
+        // quotient is bit-identical on both engines. ONE hash aggregate with
+        // map-side combine; no window, no second pass.
+        val d38 = DecimalType(38, 0)
+        val priceC = (dec2($"l_extendedprice") * 100).cast(LongType)
+        val qty = $"l_quantity".cast(LongType)
+        table(s, d, "lineitem")
+          .select(date_trunc("month", $"l_shipdate").as("mon"), $"l_returnflag",
+            (priceC * qty).cast(d38).as("pq"), qty.as("q"))
+          .groupBy($"mon", $"l_returnflag")
+          .agg(sum($"pq").as("num"), sum($"q").as("volume"),
+            count(lit(1)).as("n_lines"))
+          .select(micros($"mon").as("mon_us"), $"l_returnflag",
+            idiv($"num", $"volume").as("vwap_c"), $"volume", $"n_lines")
+          .orderBy($"mon_us", $"l_returnflag")
+      },
+      Some("""SELECT epoch_us(date_trunc('month', l_shipdate)) AS mon_us, l_returnflag,
+          CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) AS HUGEINT))
+            // CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS BIGINT) AS vwap_c,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS volume,
+          count(*) AS n_lines
+        FROM lineitem GROUP BY 1, 2 ORDER BY mon_us, l_returnflag"""),
+      "Volume-weighted average price bars per (month, returnflag): integer " +
+        "sufficient statistics (DECIMAL(38,0) price x qty numerator, BIGINT " +
+        "volume), one partial-aggregating shuffle, e2 floor quotient."),
+
+    "max_drawdown" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Per-user maximum drawdown of the cumulative event-value series:
+        // running balance (cumsum in exact cents), running peak, drawdown =
+        // peak − balance, then the per-user max. Two stacked windows over
+        // the SAME (user_id, ts, event_id) sort — Spark plans them in one
+        // sort + one window stage, so the cost is a single per-user
+        // partition sort, the floor for any per-entity sequence statistic.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        eventsTable(s, d)
+          .select($"user_id", $"ts", $"event_id",
+            (dec2($"value") * 100).cast(LongType).as("vc"))
+          .withColumn("bal", sum($"vc").over(w))
+          .withColumn("peak", max($"bal").over(w))
+          .groupBy($"user_id")
+          .agg(max($"peak" - $"bal").as("max_drawdown_c"),
+            max($"peak").as("peak_c"),
+            count(lit(1)).as("n_events"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH b AS (SELECT user_id, ts, event_id,
+            sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+          FROM events),
+          p AS (SELECT user_id, bal,
+            max(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+          FROM b)
+        SELECT user_id, CAST(max(peak - bal) AS BIGINT) AS max_drawdown_c,
+          CAST(max(peak) AS BIGINT) AS peak_c,
+          count(*) AS n_events
+        FROM p GROUP BY user_id ORDER BY user_id"""),
+      "Per-user maximum drawdown (peak minus balance of the running cents " +
+        "cumsum): two stacked windows sharing one per-user sort, then a " +
+        "hash aggregate — the risk statistic beside clamped_running_balance."),
+
+    "rolling_median" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Exact rolling median of the last ≤10 event values per user. The
+        // frame is ROWS-bounded (10), so per-row state is O(10) regardless
+        // of corpus size; the only heavy step is the per-user sort every
+        // sequence statistic shares. Emitted as TWICE the median in cents
+        // (BIGINT): percentile-0.5 linear interpolation lands on integers
+        // or exact halves, and 2x keeps the comparison in integer space —
+        // no double columns for the driver to canonicalize.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+        eventsTable(s, d)
+          .select($"user_id", $"ts", $"event_id",
+            (dec2($"value") * 100).cast(LongType).as("vc"))
+          .withColumn("med2_c",
+            (expr("percentile(vc, 0.5)").over(w) * 2).cast(LongType))
+          .select($"user_id", $"event_id", $"vc", $"med2_c")
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""SELECT user_id, event_id,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+          CAST(2 * median(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS med2_c
+        FROM events ORDER BY user_id, event_id"""),
+      "Exact rolling median over a 10-row frame per user (percentile-0.5 " +
+        "window agg ≡ DuckDB windowed median), emitted as 2x-median cents " +
+        "BIGINT so even-frame halves stay integer-exact."),
+
+    "equi_depth_histogram" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Equi-depth (equal-frequency) 8-bucket histogram of order totals —
+        // the optimizer-statistics shape where equal-WIDTH histograms
+        // (event_value_histogram) mislead on skew. Bucket of the row at
+        // global rank i (0-based, total order with orderkey tiebreak) is
+        // (8·i) div N. The rank comes from GlobalOrder.withGlobalIndex —
+        // range-exchange sort + per-partition offsets — NOT row_number()
+        // over an empty partition, which would funnel 100 TB through one
+        // task. N joins in as a broadcast one-row aggregate.
+        val px = table(s, d, "orders")
+          .select($"o_orderkey", (dec2($"o_totalprice") * 100).cast(LongType).as("pc"))
+        val idx = graft.operators.GlobalOrder.withGlobalIndex(
+          px, Seq(col("pc"), col("o_orderkey")), "idx")
+        val n = px.agg(count(lit(1)).as("n"))
+        idx.crossJoin(broadcast(n))
+          .withColumn("bucket", idiv($"idx" * 8, $"n"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_rows"), min($"pc").as("lo_c"), max($"pc").as("hi_c"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH r AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+            row_number() OVER (ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+                               o_orderkey) - 1 AS idx,
+            count(*) OVER () AS n
+          FROM orders)
+        SELECT (8 * idx) // n AS bucket, count(*) AS n_rows,
+          min(pc) AS lo_c, max(pc) AS hi_c
+        FROM r GROUP BY 1 ORDER BY bucket"""),
+      "Equi-depth 8-bucket histogram of order totals: distributed global " +
+        "rank (range-exchange sort + per-partition offsets, no single-task " +
+        "window), bucket = (8 x rank) div N with N broadcast."),
+
+    "candidate_key_audit" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Candidate-key discovery audit: for each proposed key column set,
+        // one groupBy(key).count pass folded to (n_rows, n_groups,
+        // dup_rows, max_group, is_key). Each candidate is an independent
+        // single-shuffle aggregate — a 100 TB profiler runs them in one
+        // scan via grouping sets when the candidates nest; these don't, so
+        // the union of three partial-aggregating passes IS the minimal
+        // shape, and no pass ever holds more than O(groups) state.
+        val o = table(s, d, "orders")
+        def audit(name: String, cols: Seq[String]): DataFrame =
+          o.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
+            .agg(sum($"c").as("n_rows"), count(lit(1)).as("n_groups"),
+              sum($"c" - 1).as("dup_rows"), max($"c").as("max_group"))
+            .select(lit(name).as("candidate"), $"n_rows", $"n_groups",
+              $"dup_rows", $"max_group",
+              ($"dup_rows" === 0L).cast(LongType).as("is_key"))
+        audit("o_orderkey", Seq("o_orderkey"))
+          .unionByName(audit("o_custkey", Seq("o_custkey")))
+          .unionByName(audit("o_custkey,o_orderdate", Seq("o_custkey", "o_orderdate")))
+          .orderBy($"candidate")
+      },
+      Some("""WITH a1 AS (SELECT count(*) AS c FROM orders GROUP BY o_orderkey),
+          a2 AS (SELECT count(*) AS c FROM orders GROUP BY o_custkey),
+          a3 AS (SELECT count(*) AS c FROM orders GROUP BY o_custkey, o_orderdate),
+          f1 AS (SELECT 'o_orderkey' AS candidate, CAST(sum(c) AS BIGINT) AS n_rows,
+              count(*) AS n_groups, CAST(sum(c - 1) AS BIGINT) AS dup_rows,
+              max(c) AS max_group FROM a1),
+          f2 AS (SELECT 'o_custkey', CAST(sum(c) AS BIGINT), count(*),
+              CAST(sum(c - 1) AS BIGINT), max(c) FROM a2),
+          f3 AS (SELECT 'o_custkey,o_orderdate', CAST(sum(c) AS BIGINT), count(*),
+              CAST(sum(c - 1) AS BIGINT), max(c) FROM a3),
+          u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
+        SELECT candidate, n_rows, n_groups, dup_rows, max_group,
+          CAST(CASE WHEN dup_rows = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_key
+        FROM u ORDER BY candidate"""),
+      "Candidate-key audit over proposed key column sets: per candidate one " +
+        "groupBy-count pass folded to duplicate statistics and an is_key " +
+        "verdict — the uniqueness half of a schema profiler."),
+
+    "functional_dependency_audit" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Functional-dependency audit X → Y: distinct (X, Y) pairs, then
+        // per-X distinct-Y counts, folded to (n_lhs, n_violating,
+        // max_rhs_per_lhs, holds). Two shuffles per FD (pair distinct is
+        // the map-side-combinable heavy one); per-FD state is O(distinct
+        // pairs), never O(rows). The three audited FDs deliberately mix
+        // one that holds and two that don't — the audit's value is the
+        // violation count, not a boolean.
+        val li = table(s, d, "lineitem")
+        def fd(name: String, x: String, y: String): DataFrame =
+          li.select(col(x).as("lhs"), col(y).as("rhs")).distinct()
+            .groupBy($"lhs").agg(count(lit(1)).as("nrhs"))
+            .agg(count(lit(1)).as("n_lhs"),
+              sum(($"nrhs" > 1L).cast(LongType)).as("n_violating"),
+              max($"nrhs").as("max_rhs"))
+            .select(lit(name).as("fd"), $"n_lhs", $"n_violating", $"max_rhs",
+              ($"n_violating" === 0L).cast(LongType).as("holds"))
+        fd("l_orderkey->l_returnflag", "l_orderkey", "l_returnflag")
+          .unionByName(fd("l_partkey->l_suppkey", "l_partkey", "l_suppkey"))
+          .unionByName(fd("l_orderkey->l_linestatus", "l_orderkey", "l_linestatus"))
+          .orderBy($"fd")
+      },
+      Some("""WITH p1 AS (SELECT DISTINCT l_orderkey AS lhs, l_returnflag AS rhs FROM lineitem),
+          p2 AS (SELECT DISTINCT l_partkey AS lhs, l_suppkey AS rhs FROM lineitem),
+          p3 AS (SELECT DISTINCT l_orderkey AS lhs, l_linestatus AS rhs FROM lineitem),
+          g1 AS (SELECT lhs, count(*) AS nrhs FROM p1 GROUP BY 1),
+          g2 AS (SELECT lhs, count(*) AS nrhs FROM p2 GROUP BY 1),
+          g3 AS (SELECT lhs, count(*) AS nrhs FROM p3 GROUP BY 1),
+          f1 AS (SELECT 'l_orderkey->l_returnflag' AS fd, count(*) AS n_lhs,
+              CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+              max(nrhs) AS max_rhs FROM g1),
+          f2 AS (SELECT 'l_partkey->l_suppkey', count(*),
+              CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT), max(nrhs) FROM g2),
+          f3 AS (SELECT 'l_orderkey->l_linestatus', count(*),
+              CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT), max(nrhs) FROM g3),
+          u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
+        SELECT fd, n_lhs, n_violating, max_rhs,
+          CAST(CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+        FROM u ORDER BY fd"""),
+      "Functional-dependency audit (X determines Y?): distinct-pair pass " +
+        "then per-LHS distinct-RHS fold — violation counts and max RHS " +
+        "multiplicity per dependency, the FD half of a schema profiler."),
+
+    "t_closeness" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // t-closeness — the third release gate after k_anonymity (group
+        // size) and l_diversity (distinct sensitive values): how far each
+        // QI group's DISTRIBUTION over the ordered sensitive attribute
+        // (account-balance band 0..9) sits from the global one, as the
+        // ordered earth-mover's distance Σ|cumF_g − cumF| / (m−1). All
+        // rational arithmetic stays integral — cum_g·N − cum_G·n_g in
+        // DECIMAL(38,0) (the cross product overflows BIGINT once n_g·N
+        // passes 9.2e18, i.e. at real corpus scale) and one e6 floor
+        // division at the end. Shapes: one (QI, band) aggregate over the
+        // data, then everything downstream is O(groups × 10 bands) — the
+        // dense band grid comes from a broadcast 10-row cross join, the
+        // cumsums are 10-row windows.
+        val d38 = DecimalType(38, 0)
+        val m = 10
+        val banded = table(s, d, "customer")
+          .select($"c_nationkey".cast(LongType).as("nat"), $"c_mktsegment".as("seg"),
+            floor(($"c_acctbal" + 1000.0) / lit(1100.0)).cast(LongType).as("band"))
+        val cnt = banded.groupBy($"nat", $"seg", $"band").agg(count(lit(1)).as("c"))
+        val groups = cnt.select($"nat", $"seg").distinct()
+          .join(cnt.groupBy($"nat", $"seg").agg(sum($"c").as("n_g")), Seq("nat", "seg"))
+        val bands = banded.sparkSession.range(0, m).select($"id".as("band"))
+        val glob = cnt.groupBy($"band").agg(sum($"c").as("cg"))
+        val nTot = cnt.agg(sum($"c").as("n")) // one row, broadcast below
+        val wg = org.apache.spark.sql.expressions.Window
+          .partitionBy("nat", "seg").orderBy("band")
+        val wG = org.apache.spark.sql.expressions.Window.orderBy("band")
+        val dense = groups.crossJoin(broadcast(bands))
+          .join(cnt, Seq("nat", "seg", "band"), "left")
+          .withColumn("c", coalesce($"c", lit(0L)))
+          .withColumn("cum_g", sum($"c").over(wg))
+        val gcum = broadcast(glob
+          .join(bands, Seq("band"), "right")
+          .withColumn("cg", coalesce($"cg", lit(0L)))
+          .withColumn("cum_all", sum($"cg").over(wG))
+          .select($"band", $"cum_all"))
+        dense.join(gcum, "band").crossJoin(broadcast(nTot))
+          .filter($"band" < m - 1) // EMD sums the m-1 interior prefixes
+          .withColumn("diff",
+            abs($"cum_g".cast(d38) * $"n".cast(d38) - $"cum_all".cast(d38) * $"n_g".cast(d38)))
+          .groupBy($"nat", $"seg", $"n_g", $"n")
+          .agg(sum($"diff").as("emd_num"))
+          .select($"nat", $"seg", $"n_g",
+            idiv(lit(1000000L).cast(d38) * $"emd_num",
+              $"n_g".cast(d38) * $"n".cast(d38) * lit(m - 1).cast(d38)).as("t_e6"))
+          .withColumn("breach", ($"t_e6" > 200000L).cast(LongType))
+          .orderBy($"nat", $"seg")
+      },
+      Some("""WITH b AS (SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+            CAST(floor((c_acctbal + 1000.0) / 1100.0) AS BIGINT) AS band
+          FROM customer),
+        cnt AS (SELECT nat, seg, band, count(*) AS c FROM b GROUP BY 1, 2, 3),
+        grp AS (SELECT nat, seg, CAST(sum(c) AS BIGINT) AS n_g FROM cnt GROUP BY 1, 2),
+        bands AS (SELECT unnest(generate_series(0, 9)) AS band),
+        dense AS (SELECT g.nat, g.seg, g.n_g, bd.band, coalesce(c.c, 0) AS c
+          FROM grp g CROSS JOIN bands bd
+          LEFT JOIN cnt c ON c.nat = g.nat AND c.seg = g.seg AND c.band = bd.band),
+        cg AS (SELECT *, CAST(sum(c) OVER (PARTITION BY nat, seg ORDER BY band
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_g FROM dense),
+        gl AS (SELECT bd.band, CAST(coalesce(sum(c.c), 0) AS BIGINT) AS cgl
+          FROM bands bd LEFT JOIN cnt c ON c.band = bd.band GROUP BY 1),
+        gcum AS (SELECT band, CAST(sum(cgl) OVER (ORDER BY band
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all FROM gl),
+        nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+        j AS (SELECT cgx.nat, cgx.seg, cgx.n_g, nt.n,
+            abs(CAST(cgx.cum_g AS HUGEINT) * nt.n - CAST(gc.cum_all AS HUGEINT) * cgx.n_g) AS diff
+          FROM cg cgx JOIN gcum gc ON cgx.band = gc.band, nt WHERE cgx.band < 9),
+        e AS (SELECT nat, seg, n_g,
+            CAST((1000000 * sum(diff)) // (CAST(n_g AS HUGEINT) * n * 9) AS BIGINT) AS t_e6
+          FROM j GROUP BY nat, seg, n_g, n)
+        SELECT nat, seg, n_g, t_e6,
+          CAST(CASE WHEN t_e6 > 200000 THEN 1 ELSE 0 END AS BIGINT) AS breach
+        FROM e ORDER BY nat, seg"""),
+      "t-closeness release gate: ordered earth-mover's distance between " +
+        "each QI group's sensitive-band distribution and the global one, " +
+        "exact rational arithmetic in DECIMAL(38,0)/HUGEINT, e6 verdicts; " +
+        "everything past one (QI, band) aggregate is O(groups x bands)."),
+
+    "dp_noisy_counts" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Differentially-private-release shape: per-nation counts with
+        // additive integer noise and non-negativity clamp. The noise is a
+        // SEEDED LCG on the group key — deterministic on both engines (a
+        // real release swaps in calibrated Laplace draws; the sandbox
+        // demands replayability, and the pipeline shape — aggregate, add
+        // per-group noise, clamp, NEVER emit the true count — is what's
+        // under test). One hash aggregate; noise is a per-GROUP scalar op.
+        val noise = (lit(1103515245L) * $"c_nationkey".cast(LongType) + 12345L) % 2147483648L % 21L - 10L
+        table(s, d, "customer")
+          .groupBy($"c_nationkey".cast(LongType).as("c_nationkey"))
+          .agg(count(lit(1)).as("true_c"))
+          .select($"c_nationkey",
+            greatest(lit(0L), $"true_c" + noise).as("noisy_count"))
+          .orderBy($"c_nationkey")
+      },
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+          greatest(0, count(*) + (1103515245 * CAST(c_nationkey AS BIGINT) + 12345) % 2147483648 % 21 - 10) AS noisy_count
+        FROM customer GROUP BY 1 ORDER BY 1"""),
+      "Noisy-count release: per-group counts plus seeded integer noise " +
+        "(deterministic LCG standing in for Laplace) with a non-negativity " +
+        "clamp — the true count never leaves the aggregate."),
+
+    "target_encode_smoothed" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Smoothed target encoding — the categorical-feature transform a
+        // training pipeline fits on the label column: segment value →
+        // (Σ_target + m·global_mean) / (n + m) with prior weight m=20.
+        // Integer cents end-to-end: global mean floors once (gm = S div N,
+        // broadcast one-row aggregate), then one floor per segment — both
+        // engines replay the exact same two divisions. Sums ride
+        // DECIMAL(38,0): a BIGINT Σprice_c saturates near 10 TB.
+        val d38 = DecimalType(38, 0)
+        val j = table(s, d, "orders")
+          .join(table(s, d, "customer"), $"o_custkey" === $"c_custkey")
+          .select($"c_mktsegment".as("segment"),
+            (dec2($"o_totalprice") * 100).cast(LongType).cast(d38).as("pc"))
+        val per = j.groupBy($"segment")
+          .agg(count(lit(1)).as("n_orders"), sum($"pc").as("sum_c"))
+        val glob = j.agg(sum($"pc").as("s_all"), count(lit(1)).as("n_all"))
+          .select(idiv($"s_all", $"n_all".cast(d38)).as("gm_c"))
+        per.crossJoin(broadcast(glob))
+          .select($"segment", $"n_orders", $"gm_c",
+            idiv($"sum_c" + lit(20L).cast(d38) * $"gm_c".cast(d38),
+              ($"n_orders" + 20L).cast(d38)).as("enc_c"))
+          .orderBy($"segment")
+      },
+      Some("""WITH j AS (SELECT c_mktsegment AS segment,
+            CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT) AS pc
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        g AS (SELECT CAST(sum(pc) // count(*) AS BIGINT) AS gm_c FROM j),
+        p AS (SELECT segment, count(*) AS n_orders, sum(pc) AS sum_c FROM j GROUP BY 1)
+        SELECT segment, n_orders, g.gm_c,
+          CAST((p.sum_c + 20 * CAST(g.gm_c AS HUGEINT)) // (p.n_orders + 20) AS BIGINT) AS enc_c
+        FROM p, g ORDER BY segment"""),
+      "Smoothed target encoding of a categorical by the label mean: exact " +
+        "integer-cents prior blend (n·mean + m·global_mean)/(n+m), one " +
+        "aggregate plus a broadcast global-mean scalar.")
   )
 }

@@ -347,6 +347,50 @@ object Curation {
         FROM p ORDER BY doc_id"""),
       "Next-fit token-budget shard packing: exclusive prefix sum via the " +
         "distributed PrefixSum scan (no ORDER-BY-all window), shard = " +
-        "start_offset div budget.")
+        "start_offset div budget."),
+
+    "pii_scan" -> Q(
+      (s, d) => {
+        // PII exposure audit before a corpus ships: per-source counts of
+        // email-shaped, phone-shaped, and long-digit-run matches. Pure
+        // per-row regexp_count (codegen'd builtin, non-overlapping matches
+        // in both engines — the patterns avoid constructs where Java regex
+        // and RE2 diverge) folded by ONE source-keyed aggregate; the scan
+        // reads two columns. Zero hits still prove the negative — the
+        // audit's contract is the count, not the find.
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+        val phone = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+        val digits = "[0-9]{9,}"
+        docs(s, d)
+          .select(col("source"),
+            regexp_count(col("text"), lit(email)).cast("long").as("e"),
+            regexp_count(col("text"), lit(phone)).cast("long").as("p"),
+            regexp_count(col("text"), lit(digits)).cast("long").as("g"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("e") > 0L).cast("long")).as("docs_email"),
+            sum((col("p") > 0L).cast("long")).as("docs_phone"),
+            sum((col("g") > 0L).cast("long")).as("docs_digitrun"),
+            sum(col("e")).as("hits_email"),
+            sum(col("p")).as("hits_phone"),
+            sum(col("g")).as("hits_digitrun"))
+          .orderBy("source")
+      },
+      Some("""WITH m AS (SELECT source,
+            CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS e,
+            CAST(len(regexp_extract_all(text, '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]')) AS BIGINT) AS p,
+            CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS g
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+          CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_phone,
+          CAST(sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_digitrun,
+          CAST(sum(e) AS BIGINT) AS hits_email,
+          CAST(sum(p) AS BIGINT) AS hits_phone,
+          CAST(sum(g) AS BIGINT) AS hits_digitrun
+        FROM m GROUP BY source ORDER BY source"""),
+      "Per-source PII exposure audit: regexp_count of email / phone / " +
+        "long-digit-run shapes per document, one source-keyed fold — doc " +
+        "and hit counts per pattern class.")
   )
 }

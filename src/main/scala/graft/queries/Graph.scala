@@ -112,6 +112,36 @@ object Graph {
       s"\n      SELECT node, r AS rank_scaled FROM r$iters ORDER BY node"
   }
 
+  /** Unrolled SQL replay of [[graft.operators.Hits.run]]: per round an
+    * authority half-step (in-edge sum of hub scores, sum-normalized to
+    * Scale) then a hub half-step over the fresh authorities. The `Scale·raw`
+    * products ride HUGEINT ≡ the engine's DECIMAL(38,0); `//` ≡ DIV on the
+    * all-positive scores. */
+  private def hitsSql(rounds: Int): String = {
+    val head = s"""WITH ed0 AS (SELECT DISTINCT o_custkey AS src, l_suppkey + $SuppOffset AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      hubs AS (SELECT DISTINCT src AS node FROM ed0),
+      nh AS (SELECT count(*) AS n FROM hubs),
+      h0 AS (SELECT node, $Scale // (SELECT n FROM nh) AS h FROM hubs)"""
+    val steps = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""ra$i AS (SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS raw
+          FROM ed0 e JOIN h$p h ON e.src = h.node GROUP BY 1),
+        ta$i AS (SELECT CAST(sum(raw) AS HUGEINT) AS t FROM ra$i),
+        a$i AS (SELECT node, CAST((CAST($Scale AS HUGEINT) * raw) // (SELECT t FROM ta$i) AS BIGINT) AS a
+          FROM ra$i),
+        rh$i AS (SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS raw
+          FROM ed0 e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+        th$i AS (SELECT CAST(sum(raw) AS HUGEINT) AS t FROM rh$i),
+        h$i AS (SELECT node, CAST((CAST($Scale AS HUGEINT) * raw) // (SELECT t FROM th$i) AS BIGINT) AS h
+          FROM rh$i)"""
+    }
+    (head +: steps).mkString(",\n      ") +
+      s"""\n      SELECT node, 'hub' AS role, h AS score_scaled FROM h$rounds
+      UNION ALL SELECT node, 'auth', a FROM a$rounds
+      ORDER BY role, node"""
+  }
+
   /** Unrolled SQL replay of [[graft.operators.KCore.kCore]]: `rounds`
     * peel steps as chained CTEs (keep-set = degree ≥ k, both endpoints must
     * survive). Peeling is monotone, so extra rounds past convergence are
@@ -473,6 +503,29 @@ object Graph {
         ORDER BY cn DESC, jaccard_e6 DESC, u, v LIMIT 100"""),
       "Common-neighbor link prediction from a seed cohort: seed-side wedge " +
         "join, anti-join out existing edges, e6 neighborhood-Jaccard " +
-        "tiebreak — deterministic top-100 candidate pairs.")
+        "tiebreak — deterministic top-100 candidate pairs."),
+
+    "graph_hits" -> Q(
+      (s, d) => {
+        // HITS hubs & authorities on the DIRECTED customer→supplier edge
+        // set (the natural bipartite orientation: customers point at the
+        // suppliers they buy from, so hub scores rank customers and
+        // authority scores rank suppliers). Same scaled-integer discipline
+        // as PageRank: each half-step is one edge join + one aggregate,
+        // then a sum-normalization back to Scale via a broadcast one-row
+        // total with the product in DECIMAL(38,0) (Scale·raw overflows
+        // BIGINT immediately: 10¹²·10¹⁶). 3 rounds, bit-exact vs the
+        // unrolled replay.
+        val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val e = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(col("o_custkey").as("src"), (col("l_suppkey") + SuppOffset).as("dst"))
+          .distinct()
+        graft.operators.Hits.run(e, rounds = 3, scale = Scale)
+      },
+      Some(hitsSql(rounds = 3)),
+      "HITS hubs/authorities (3 rounds, scaled-integer with DECIMAL(38,0) " +
+        "normalization products): two join+aggregate half-steps per round " +
+        "plus broadcast one-row totals — bit-exact vs the unrolled SQL replay.")
   )
 }

@@ -785,5 +785,83 @@ object Streaming {
         FROM f JOIN dm ON f.user_id = dm.user_id ORDER BY f.event_id"""),
       "Late-dimension backfill join: facts buffer in keyed state until the " +
         "lagging dim arrives, then drain enriched — output ≡ the batch " +
-        "inner join, state O(race window) not O(history)."))
+        "inner join, state O(race window) not O(history)."),
+
+    "streaming_scd2" -> Q(
+      (s, d) => {
+        // INCREMENTAL SCD2 maintenance: the history table of
+        // cdc_scd2_history built micro-batch by micro-batch instead of in
+        // one windowed pass. Per batch, work is O(batch + affected open
+        // rows): new versions get their intra-batch [from, to) intervals
+        // from a lead() window, the previously-OPEN row of each touched key
+        // is fetched back (broadcast semi-join of batch keys against the
+        // open slice; at 100 TB that fetch is the bloom-sidecar point-read
+        // path, bloom_point_lookup) and closed at the first new version's
+        // valid_from, and both sets flow through the versioned equality
+        // upsert keyed by (user, type, event_id) — the closed copy of a row
+        // replaces its open copy because non-null valid_to wins the upsert
+        // ordering. Batches arrive in event_id order (range-staged files),
+        // matching the CDC source contract; the final table is
+        // row-identical to the batch window build.
+        val (src, out, ck) = Streams.workDirs("streaming_scd2")
+        val input = eventsTable(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("value"), micros(col("ts")).as("valid_from_us"))
+        // CDC arrives in commit order: stage 4 contiguous event_id slices as
+        // SEQUENTIAL appends (file-source mod-time order = slice order).
+        val mx = input.agg(max(col("event_id"))).head.getLong(0)
+        (1 to 4).foreach { i =>
+          val lo = if (i == 1) Long.MinValue else (i - 1) * (mx / 4)
+          val hi = if (i == 4) Long.MaxValue else i * (mx / 4)
+          input.filter(col("event_id") > lo && col("event_id") <= hi)
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+        val staged = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val tablePath = s"$out/table"
+        val keys = Seq("user_id", "event_type", "event_id")
+        val q = staged.writeStream
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val sp = batch.sparkSession
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id", "event_type").orderBy("event_id")
+            val b = batch
+              .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+            val firstPerKey = b.groupBy(col("user_id"), col("event_type"))
+              .agg(min(struct(col("event_id"), col("valid_from_us"))).as("f"))
+              .select(col("user_id"), col("event_type"),
+                col("f.valid_from_us").as("next_from"))
+            val closers =
+              if (graft.sinks.GraftTableWriter.exists(sp, tablePath))
+                sp.read.parquet(tablePath)
+                  .filter(col("valid_to_us").isNull)
+                  .join(broadcast(firstPerKey), Seq("user_id", "event_type"))
+                  .withColumn("valid_to_us", col("next_from"))
+                  .drop("next_from")
+              else b.limit(0)
+            graft.sinks.GraftTableWriter.upsertVersioned(
+              b.unionByName(closers), tablePath, keys,
+              Seq(col("valid_to_us").desc_nulls_last))
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(tablePath)
+          .withColumn("is_current", col("valid_to_us").isNull)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("value"), col("valid_from_us"), col("valid_to_us"), col("is_current"))
+          .orderBy(col("user_id"), col("event_type"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_type, event_id, value,
+          epoch_us(ts) AS valid_from_us,
+          lead(epoch_us(ts)) OVER w AS valid_to_us,
+          lead(epoch_us(ts)) OVER w IS NULL AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY event_id)
+        ORDER BY user_id, event_type, event_id"""),
+      "Micro-batch-incremental SCD2: per batch, lead() intervals within the " +
+        "batch + close-the-open-row fetch-back, through the versioned " +
+        "equality upsert — O(batch) maintenance, row-identical to the " +
+        "batch window build."))
 }

@@ -429,4 +429,61 @@ class PlanAuditSpec extends SparkSpec {
     assert(gExchanges <= 4, s"expected <=4 shingle-keyed exchange prints, got $gExchanges\n" +
       plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
+
+  test("vwap_bars is one partial-aggregating pass reading only 4 columns") {
+    val df = q("vwap_bars")
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("partial_sum") || plan.contains("partial"), plan.take(3000))
+    val scan = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("l_shipdate", "l_returnflag", "l_extendedprice", "l_quantity")
+      .forall(scan.contains), scan)
+    assert(!scan.contains("l_partkey") && !scan.contains("l_orderkey"), scan)
+  }
+
+  test("max_drawdown stacks both windows over ONE per-user sort") {
+    val df = q("max_drawdown")
+    df.collect()
+    val plan = planOf(df)
+    // the two window functions (running sum, running max) must share a
+    // single sort: exactly one Sort node keyed by (user_id, ts, event_id)
+    val sorts = plan.linesIterator.count(l => l.trim.startsWith("Sort ") ||
+      l.contains("+- Sort "))
+    assert(sorts <= 2, s"expected the windows to share one sort (<=2 prints incl AQE), got $sorts\n" +
+      plan.linesIterator.filter(_.contains("Sort")).mkString("\n"))
+  }
+
+  test("equi_depth_histogram has no single-partition window") {
+    val df = q("equi_depth_histogram")
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), "global rank must come from GlobalOrder, " +
+      "not row_number over an empty partition:\n" + plan.take(3000))
+  }
+
+  test("t_closeness broadcasts every O(bands)/O(groups) side") {
+    val df = q("t_closeness")
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the only non-broadcast exchanges allowed are the (QI, band) aggregate
+    // ones — the dense-grid, global-cum and total joins all ride broadcast
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(3000))
+  }
+
+  test("target_encode_smoothed joins orders->customer broadcast and folds once") {
+    val df = q("target_encode_smoothed")
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("graph_hits iterations never collect: plan is joins + aggregates only") {
+    val df = q("graph_hits")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
