@@ -53,5 +53,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => b(es)))
     }
     ext.injectOptimizerRule(_ => RegexCountRewrite)
+    // whole-operator custom plan: AsOfJoinPlan -> AsOfJoinExec (§2.2 as-of)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

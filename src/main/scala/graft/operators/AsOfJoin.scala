@@ -36,7 +36,71 @@ object AsOfJoin {
       rightKey: String,
       leftTime: String,
       rightTime: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String]): DataFrame =
+    impl(left, right, leftKey, rightKey, leftTime, rightTime, payload,
+      forward = false)
+
+  /** FORWARD as-of: attach the EARLIEST right row with time >= the left
+    * row's time (the "next quote after the trade" / "first shipment after
+    * the order" direction). Identical single-exchange union+window plan —
+    * only the frame flips to [current, +∞) with a `first(_, ignoreNulls)`
+    * carry-backward, and at equal times the left row sorts first so an
+    * exactly-simultaneous right row still matches (inclusive, mirroring
+    * [[leftAsOf]]). */
+  def leftAsOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String]): DataFrame =
+    impl(left, right, leftKey, rightKey, leftTime, rightTime, payload,
+      forward = true)
+
+  /** NATIVE as-of join: plans through [[graft.plans.AsOfJoinPlan]] →
+    * [[graft.plans.AsOfJoinExec]] — a custom physical operator that asks
+    * Catalyst for the SMJ contract (co-partitioned by key, sorted by
+    * (key, time)) and streams one O(n+m) merge per partition with O(1)
+    * state, instead of sorting the padded union through a window. Same
+    * semantics as [[leftAsOf]]/[[leftAsOfForward]] (spec-proven equal);
+    * times must be non-null LongType micros. The strategy self-registers on
+    * the calling session, so no extensions config is required. */
+  def leftAsOfNative(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      forward: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.graft.shims
+    val spark = left.sparkSession
+    shims.ensureStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not found"))
+    shims.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lp, rp,
+      Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
+      attr(lp, leftTime), attr(rp, rightTime),
+      payload.map(attr(rp, _).asInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.Attribute]),
+      forward))
+  }
+
+  private def impl(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      forward: Boolean): DataFrame = {
     require(payload.nonEmpty, "as-of join needs at least one right payload column")
     val reserved = payload.toSet ++ Set("__side", "__payload")
     val clash = left.columns.filter(reserved)
@@ -45,22 +109,34 @@ object AsOfJoin {
     val payloadType = org.apache.spark.sql.types.StructType(
       payload.map(p => org.apache.spark.sql.types.StructField(p, right.schema(p).dataType)))
     val otherLeft = left.columns.filterNot(c => c == leftKey || c == leftTime).toSeq
+    // marker choice keeps the match INCLUSIVE at equal times in both
+    // directions: backward sorts right rows first (they enter the trailing
+    // frame), forward sorts left rows first (right rows stay in the leading
+    // frame).
+    val leftMark = if (forward) 0 else 1
     val lAug = left
       .select((left.columns.map(col).toSeq ++ Seq(
-        lit(1).as("__side"),
+        lit(leftMark).as("__side"),
         lit(null).cast(payloadType).as("__payload"))): _*)
     val rAug = right.select(
-      (Seq(col(rightKey).as(leftKey), col(rightTime).as(leftTime), lit(0).as("__side"),
+      (Seq(col(rightKey).as(leftKey), col(rightTime).as(leftTime),
+        lit(1 - leftMark).as("__side"),
         struct(payload.map(col): _*).as("__payload")) ++
         otherLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val unioned = lAug.unionByName(rAug)
-    val w = Window
+    val base = Window
       .partitionBy(col(leftKey))
       .orderBy(col(leftTime), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried =
+      if (forward)
+        first(col("__payload"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("__payload"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     unioned
-      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+      .withColumn("__payload", carried)
+      .filter(col("__side") === leftMark)
       .select((left.columns.map(col).toSeq ++
         payload.map(p => col("__payload").getField(p).as(p))): _*)
   }

@@ -1371,6 +1371,122 @@ object Analytics {
         FROM p, g ORDER BY segment"""),
       "Smoothed target encoding of a categorical by the label mean: exact " +
         "integer-cents prior blend (n·mean + m·global_mean)/(n+m), one " +
-        "aggregate plus a broadcast global-mean scalar.")
+        "aggregate plus a broadcast global-mean scalar."),
+
+    "interarrival_stats" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Per-user inter-event-gap statistics — the burstiness profile a
+        // rate limiter or bot detector reads. One lag() over the shared
+        // per-user sort, then integer sufficient statistics: mean gap =
+        // Σg div n in µs, population variance = (n·Σg² − (Σg)²) div n²
+        // emitted in SECONDS² (µs² overflows BIGINT output); Σg² rides
+        // DECIMAL(38,0) (a 1-hour gap squares to 1.3e19 µs² — one gap
+        // already breaks BIGINT).
+        val d38 = DecimalType(38, 0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us", "event_id")
+        eventsTable(s, d)
+          .select($"user_id", micros($"ts").as("ts_us"), $"event_id")
+          .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(w))
+          .filter($"gap_us".isNotNull)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            sum($"gap_us").as("sum_g"),
+            sum($"gap_us".cast(d38) * $"gap_us".cast(d38)).as("sum_g2"),
+            max($"gap_us").as("max_gap_us"))
+          .select($"user_id", $"n_gaps",
+            idiv($"sum_g", $"n_gaps").as("mean_gap_us"),
+            $"max_gap_us",
+            idiv($"n_gaps".cast(d38) * $"sum_g2" - $"sum_g".cast(d38) * $"sum_g".cast(d38),
+              $"n_gaps".cast(d38) * $"n_gaps".cast(d38) * lit(1000000000000L).cast(d38))
+              .as("var_gap_s2"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH g AS (SELECT user_id,
+            epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events),
+        a AS (SELECT user_id, count(*) AS n_gaps,
+            CAST(sum(gap_us) AS BIGINT) AS sum_g,
+            sum(CAST(gap_us AS HUGEINT) * gap_us) AS sum_g2,
+            max(gap_us) AS max_gap_us
+          FROM g WHERE gap_us IS NOT NULL GROUP BY 1)
+        SELECT user_id, n_gaps, sum_g // n_gaps AS mean_gap_us, max_gap_us,
+          CAST((CAST(n_gaps AS HUGEINT) * sum_g2 - CAST(sum_g AS HUGEINT) * sum_g)
+            // (CAST(n_gaps AS HUGEINT) * n_gaps * 1000000000000) AS BIGINT) AS var_gap_s2
+        FROM a ORDER BY user_id"""),
+      "Per-user inter-arrival statistics: one lag() on the shared per-user " +
+        "sort, then integer sufficient statistics — mean/max gap in µs and " +
+        "population variance in s² via DECIMAL(38,0)/HUGEINT products."),
+
+    "near_duplicate_events" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Duplicate-payment shape: pairs of events with the same (user,
+        // whole-dollar amount) within 1 day. The scale path is time-bucket
+        // blocking — bucket = ts div 1d; the probe side expands to its
+        // 3 adjacent buckets, so the join is a pure EQUI-join on (user,
+        // amount, bucket) and each qualifying pair matches in exactly one
+        // probe (the left row's single bucket) — no dedup pass, no range
+        // join, no cartesian. The oracle runs the quadratic self-join the
+        // engine must never contain.
+        val B = 86400000000L // 1 day in µs
+        val base = eventsTable(s, d)
+          .select($"user_id", $"event_id", micros($"ts").as("ts_us"),
+            floor($"value").cast(LongType).as("value_c"))
+          .withColumn("bucket", idiv($"ts_us", lit(B)))
+        val probes = base
+          .withColumn("probe", explode(array($"bucket" - 1, $"bucket", $"bucket" + 1)))
+        base.as("a").join(probes.as("b"),
+            $"a.user_id" === $"b.user_id" && $"a.value_c" === $"b.value_c" &&
+              $"a.bucket" === $"b.probe" && $"a.event_id" < $"b.event_id")
+          .filter(abs($"b.ts_us" - $"a.ts_us") <= B)
+          .select($"a.user_id".as("user_id"), $"a.event_id".as("id_a"),
+            $"b.event_id".as("id_b"), ($"b.ts_us" - $"a.ts_us").as("gap_us"),
+            $"a.value_c".as("value_c"))
+          .orderBy($"user_id", $"id_a", $"id_b")
+      },
+      Some("""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+          epoch_us(b.ts) - epoch_us(a.ts) AS gap_us,
+          CAST(floor(a.value) AS BIGINT) AS value_c
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+          AND CAST(floor(a.value) AS BIGINT) = CAST(floor(b.value) AS BIGINT)
+          AND a.event_id < b.event_id
+          AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 86400000000
+        ORDER BY a.user_id, id_a, id_b"""),
+      "Same-(user, amount-band) event pairs within 1 day via time-bucket " +
+        "blocking: pure equi-join on (user, amount, bucket) with 3-bucket " +
+        "probe expansion, each pair matched exactly once — the duplicate-" +
+        "payment detector that never goes quadratic."),
+
+    "cumulative_new_users" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The growth curve: first-seen day per user (one aggregate over the
+        // raw events), daily new-user counts, then the cumulative total.
+        // The only window runs over the O(days) daily frame — bounded by
+        // the calendar, not the corpus — the same shape changepoint_cusum
+        // documents; everything corpus-sized is hash aggregates.
+        val firstDay = eventsTable(s, d)
+          .groupBy($"user_id")
+          .agg(min(date_trunc("day", $"ts")).as("d0"))
+        val daily = firstDay.groupBy($"d0").agg(count(lit(1)).as("new_users"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"d0")
+          .rowsBetween(Long.MinValue, 0)
+        daily
+          .withColumn("cum_users", sum($"new_users").over(w))
+          .select(micros($"d0").as("day_us"), $"new_users", $"cum_users")
+          .orderBy($"day_us")
+      },
+      Some("""WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS d0
+          FROM events GROUP BY 1),
+        dd AS (SELECT d0, count(*) AS new_users FROM f GROUP BY 1)
+        SELECT epoch_us(d0) AS day_us, new_users,
+          CAST(sum(new_users) OVER (ORDER BY d0
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        FROM dd ORDER BY day_us"""),
+      "New-user growth curve: first-seen day per user, daily counts, " +
+        "cumulative sum over the O(days) bounded frame only.")
   )
 }

@@ -337,6 +337,110 @@ object Relational {
         ORDER BY l.event_id"""),
       "as-of join: single-shuffle union+window plan (operators.AsOfJoin)"),
 
+    "asof_join_native" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // q18's as-of frames through the CUSTOM PHYSICAL OPERATOR
+        // (plans.AsOfJoinExec): Catalyst plans the children co-partitioned
+        // by key and sorted by (key, time) — reusing any existing layout —
+        // then one O(n+m) merge per partition with O(1) state replaces the
+        // union+window's padded-frame sort. Same oracle as q18.
+        val left = eventsTable(s, d)
+          .select($"event_id", $"user_id", micros($"ts").as("tsu"))
+        val right = table(s, d, "orders")
+          .groupBy($"o_custkey", $"o_orderdate")
+          .agg(max($"o_totalprice").as("o_val"))
+          .select($"o_custkey", micros($"o_orderdate").as("otsu"),
+            micros($"o_orderdate").as("asof_ts_us"), $"o_val")
+        AsOfJoin.leftAsOfNative(left, right, "user_id", "o_custkey", "tsu", "otsu",
+            Seq("asof_ts_us", "o_val"))
+          .select($"event_id", $"user_id", $"tsu", $"asof_ts_us", $"o_val")
+          .orderBy($"event_id")
+      },
+      Some("""WITH r AS (
+          SELECT o_custkey AS k, epoch_us(o_orderdate) AS otsu, MAX(o_totalprice) AS o_val
+          FROM orders GROUP BY 1, 2),
+        l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events)
+        SELECT l.event_id, l.user_id, l.tsu, r.otsu AS asof_ts_us, r.o_val
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.k AND l.tsu >= r.otsu
+        ORDER BY l.event_id"""),
+      "Native physical as-of join: custom LogicalPlan + SparkStrategy + " +
+        "SparkPlan (SMJ distribution/ordering contract, O(n+m) streaming " +
+        "merge, O(1) state) — the whole-operator extension path."),
+
+    "asof_join_forward" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // FORWARD as-of: each event picks the EARLIEST order on/after it —
+        // the "next shipment after the order" / "next quote after the
+        // trade" direction the backward join can't express. Same
+        // single-exchange union+window plan as q18, frame flipped to
+        // [current, +∞) with first(ignoreNulls).
+        val left = eventsTable(s, d)
+          .select($"event_id", $"user_id", micros($"ts").as("tsu"))
+        val right = table(s, d, "orders")
+          .groupBy($"o_custkey", $"o_orderdate")
+          .agg(max($"o_totalprice").as("o_val"))
+          .select($"o_custkey", micros($"o_orderdate").as("otsu"),
+            micros($"o_orderdate").as("next_ts_us"), $"o_val")
+        AsOfJoin.leftAsOfForward(left, right, "user_id", "o_custkey", "tsu", "otsu",
+            Seq("next_ts_us", "o_val"))
+          .select($"event_id", $"user_id", $"tsu", $"next_ts_us", $"o_val")
+          .orderBy($"event_id")
+      },
+      Some("""WITH r AS (
+          SELECT o_custkey AS k, epoch_us(o_orderdate) AS otsu, MAX(o_totalprice) AS o_val
+          FROM orders GROUP BY 1, 2),
+        l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events)
+        SELECT l.event_id, l.user_id, l.tsu, r.otsu AS next_ts_us, r.o_val
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.k AND l.tsu <= r.otsu
+        ORDER BY l.event_id"""),
+      "Forward as-of join (earliest right row at-or-after each left time): " +
+        "the q18 union+window plan with a [current, +inf) first() frame — " +
+        "still one exchange, inclusive at equal times."),
+
+    "weighted_median" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Quantity-WEIGHTED median price per returnflag — the weighted
+        // quantile the plain median/percentile family can't express. The
+        // running weight comes from PrefixSum's two-job range-exchange scan
+        // (three flags = three window partitions would funnel 100 TB
+        // through 3 tasks); the median is then the smallest price whose
+        // inclusive cumulative weight covers half the total, 2·cum ≥ tot in
+        // pure integers.
+        val rows = table(s, d, "lineitem")
+          .select($"l_returnflag".as("flag"),
+            (dec2($"l_extendedprice") * 100).cast("long").as("price_c"),
+            $"l_quantity".cast("long").as("qty"),
+            $"l_orderkey", $"l_linenumber")
+        val cum = graft.operators.PrefixSum.groupedRunningTotal(
+          rows, Seq("flag"),
+          Seq(col("price_c"), col("l_orderkey"), col("l_linenumber")), "qty", "cum")
+        val tot = rows.groupBy($"flag").agg(sum($"qty").as("tot"))
+        cum.join(broadcast(tot), "flag")
+          .filter(lit(2L) * $"cum" >= $"tot")
+          .groupBy($"flag", $"tot")
+          .agg(min($"price_c").as("weighted_median_c"))
+          .select($"flag", $"weighted_median_c", $"tot".as("total_qty"))
+          .orderBy($"flag")
+      },
+      Some("""WITH r AS (SELECT l_returnflag AS flag,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+            CAST(l_quantity AS BIGINT) AS qty, l_orderkey, l_linenumber
+          FROM lineitem),
+        c AS (SELECT flag, price_c,
+            CAST(sum(qty) OVER (PARTITION BY flag
+              ORDER BY price_c, l_orderkey, l_linenumber
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+            CAST(sum(qty) OVER (PARTITION BY flag) AS BIGINT) AS tot
+          FROM r)
+        SELECT flag, min(price_c) AS weighted_median_c, tot AS total_qty
+        FROM c WHERE 2 * cum >= tot GROUP BY flag, tot ORDER BY flag"""),
+      "Quantity-weighted median price per group: distributed running weight " +
+        "via PrefixSum (no 3-partition window funnel), median = smallest " +
+        "price with 2x cumulative weight >= total, all-integer."),
+
     "asof_join_tolerance" -> Q(
       (s, d) => {
         import s.implicits._

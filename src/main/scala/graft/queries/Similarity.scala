@@ -281,5 +281,58 @@ object Similarity {
         ORDER BY label, rn"""),
       "Label-noise audit: per-label top-5 centroid outliers in quantized " +
         "integer arithmetic (sign-split centroid means, integer distances) " +
-        "— broadcast centroids, partitioned top-k window."))
+        "— broadcast centroids, partitioned top-k window."),
+
+    "knn_classify" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // k-NN classification — the eval loop over the embedding store:
+        // each held-out query (vec_id < 20) takes the majority label of its
+        // 5 exact-cosine nearest neighbors among the rest, ties broken by
+        // smaller label. Exactness rides the CosineSim double discipline
+        // (sequential sums, bit-identical in the mirror); the vote is the
+        // LabelProp one-pass `max(struct(cnt, −label))` argmax — no
+        // per-query window beyond the top-k itself. Scale: queries
+        // broadcast, candidates stream map-side, one tiny per-query top-k
+        // shuffle, then O(queries·k) vote rows.
+        val e = emb(s, d)
+        val labels = e.select($"vec_id", $"label".cast("long").as("lbl"))
+        val topk = graft.operators.Ann.bruteForceTopK(
+          e.filter($"vec_id" < 20), e.filter($"vec_id" >= 20), k = 5)
+        val votes = topk
+          .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+          .groupBy($"query_id", $"lbl").agg(count(lit(1)).as("cnt"))
+          .groupBy($"query_id")
+          .agg(max(struct($"cnt", (-$"lbl").as("neg"))).as("win"))
+          .select($"query_id", $"win.cnt".as("votes"), (-$"win.neg").as("pred_label"))
+        votes
+          .join(labels.withColumnRenamed("vec_id", "query_id")
+            .withColumnRenamed("lbl", "true_label"), "query_id")
+          .select($"query_id", $"true_label", $"pred_label", $"votes",
+            ($"true_label" === $"pred_label").cast("long").as("correct"))
+          .orderBy($"query_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.lbl,
+          ${sumSql("q.v[i] * c.v[i]")} AS dot,
+          ${sumSql("q.v[i] * q.v[i]")} AS nq,
+          ${sumSql("c.v[i] * c.v[i]")} AS nc
+        FROM e q, e c WHERE q.vec_id < 20 AND c.vec_id >= 20),
+        r AS (SELECT query_id, neighbor_id, lbl,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, neighbor_id) AS rank
+        FROM p),
+        vc AS (SELECT query_id, lbl, count(*) AS cnt FROM r WHERE rank <= 5
+          GROUP BY 1, 2),
+        w AS (SELECT query_id, lbl AS pred_label, cnt AS votes,
+          row_number() OVER (PARTITION BY query_id ORDER BY cnt DESC, lbl) AS rn
+        FROM vc)
+        SELECT w.query_id, e.lbl AS true_label, w.pred_label, w.votes,
+          CAST(CASE WHEN e.lbl = w.pred_label THEN 1 ELSE 0 END AS BIGINT) AS correct
+        FROM w JOIN e ON w.query_id = e.vec_id WHERE w.rn = 1
+        ORDER BY w.query_id"""),
+      "Majority-vote k-NN classification over exact cosine top-5: broadcast " +
+        "queries, one-pass struct-argmax vote, per-query verdict vs the " +
+        "true label."))
 }

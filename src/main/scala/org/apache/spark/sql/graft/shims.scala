@@ -13,4 +13,22 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shims {
   def toCol(e: Expression): Column = ExpressionUtils.column(e)
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame from a hand-built LogicalPlan (`Dataset.ofRows` is
+    * `private[sql]` in the classic module) — the construction path for
+    * custom logical operators like graft.plans.AsOfJoinPlan. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to the session's experimental list
+    * (`experimental` lives on the classic session only). */
+  def ensureStrategy(spark: org.apache.spark.sql.SparkSession,
+      s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s))
+      exp.extraStrategies = exp.extraStrategies :+ s
+  }
 }
