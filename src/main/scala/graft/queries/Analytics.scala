@@ -1487,6 +1487,184 @@ object Analytics {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         FROM dd ORDER BY day_us"""),
       "New-user growth curve: first-seen day per user, daily counts, " +
-        "cumulative sum over the O(days) bounded frame only.")
+        "cumulative sum over the O(days) bounded frame only."),
+
+    "mann_whitney_u" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Mann–Whitney U — the rank-based two-sample test beside
+        // ab_welch_t, for when the value distribution is nowhere near
+        // normal. Ranks are exact INTEGERS by doubling: with ties sharing
+        // the average rank, 2·avgrank = 2·cum_before + cnt + 1 is always
+        // integral. The rank table is O(distinct values) built by one
+        // aggregate + PrefixSum's two-job scan — no rank() window over the
+        // full corpus; rank sums ride DECIMAL(38,0) (Σ2r ≈ 2N² passes
+        // BIGINT near 2e9 rows). 2U = 2R − n(n+1) per arm.
+        val d38 = DecimalType(38, 0)
+        val rows = eventsTable(s, d)
+          .select(($"user_id" % 2).as("arm"),
+            (dec2($"value") * 100).cast(LongType).as("vc"))
+        val byVal = rows.groupBy($"vc")
+          .agg(count(lit(1)).as("cnt"),
+            sum(when($"arm" === 1L, 1L).otherwise(0L)).as("n1v"))
+          .withColumn("g", lit(0L))
+        val cum = graft.operators.PrefixSum
+          .groupedRunningTotal(byVal, Seq("g"), Seq(col("vc")), "cnt", "cumcnt")
+          .withColumn("r2", lit(2L) * (col("cumcnt") - col("cnt")) + col("cnt") + 1L)
+        val agg = cum.agg(
+          sum($"n1v").as("n1"), sum($"cnt" - $"n1v").as("n0"),
+          sum($"n1v".cast(d38) * $"r2".cast(d38)).as("r2s1"),
+          sum(($"cnt" - $"n1v").cast(d38) * $"r2".cast(d38)).as("r2s0"))
+        agg.select(lit(0L).as("arm"), $"n0".as("n"), $"r2s0".cast(LongType).as("r2_sum"),
+            ($"r2s0" - $"n0".cast(d38) * ($"n0" + 1L).cast(d38)).cast(LongType).as("u2"))
+          .unionByName(agg.select(lit(1L).as("arm"), $"n1".as("n"),
+            $"r2s1".cast(LongType).as("r2_sum"),
+            ($"r2s1" - $"n1".cast(d38) * ($"n1" + 1L).cast(d38)).cast(LongType).as("u2")))
+          .orderBy($"arm")
+      },
+      Some("""WITH r AS (SELECT user_id % 2 AS arm,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM events),
+        w AS (SELECT arm,
+            2 * rank() OVER (ORDER BY vc) + count(*) OVER (PARTITION BY vc) - 1 AS r2
+          FROM r),
+        a AS (SELECT arm, count(*) AS n, sum(CAST(r2 AS HUGEINT)) AS r2_sum
+          FROM w GROUP BY 1)
+        SELECT CAST(arm AS BIGINT) AS arm, n, CAST(r2_sum AS BIGINT) AS r2_sum,
+          CAST(r2_sum - CAST(n AS HUGEINT) * (n + 1) AS BIGINT) AS u2
+        FROM a ORDER BY arm"""),
+      "Mann-Whitney U (rank two-sample test): doubled tie-averaged ranks " +
+        "stay integral, O(distinct) rank table via aggregate + PrefixSum — " +
+        "no corpus-wide rank window — DECIMAL(38,0) rank sums, 2U per arm."),
+
+    "ks_two_sample" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Two-sample Kolmogorov–Smirnov D — the distribution-equality test
+        // completing the suite (Welch mean, MWU location, χ² independence,
+        // KS shape). D = max over values of |F1−F2|, computed as the exact
+        // rational |cum1·n0 − cum0·n1| with ONE e6 floor at the end (the
+        // max of the scaled numerators IS the max of the rationals — the
+        // denominator n1·n0 is constant). Two PrefixSum scans over the
+        // O(distinct values) frame (total cum and arm-1 cum; arm-0 falls
+        // out by subtraction), argmax value tie-broken smallest via the
+        // one-pass struct max.
+        val d38 = DecimalType(38, 0)
+        val rows = eventsTable(s, d)
+          .select(($"user_id" % 2).as("arm"),
+            (dec2($"value") * 100).cast(LongType).as("vc"))
+        val byVal = rows.groupBy($"vc")
+          .agg(count(lit(1)).as("cnt"),
+            sum(when($"arm" === 1L, 1L).otherwise(0L)).as("n1v"))
+          .withColumn("g", lit(0L))
+        val c1 = graft.operators.PrefixSum
+          .groupedRunningTotal(byVal, Seq("g"), Seq(col("vc")), "cnt", "cumc")
+        val c2 = graft.operators.PrefixSum
+          .groupedRunningTotal(c1, Seq("g"), Seq(col("vc")), "n1v", "cum1")
+        val tot = byVal.agg(sum($"n1v").as("n1"), sum($"cnt" - $"n1v").as("n0"))
+        val diffs = c2.crossJoin(broadcast(tot))
+          .withColumn("diff",
+            abs($"cum1".cast(d38) * $"n0".cast(d38) -
+              ($"cumc" - $"cum1").cast(d38) * $"n1".cast(d38)))
+        diffs
+          .agg(max(struct($"diff", (-$"vc").as("negv"))).as("w"),
+            first($"n1").as("n1"), first($"n0").as("n0"))
+          .select($"n1", $"n0",
+            idiv(lit(1000000L).cast(d38) * $"w.diff",
+              $"n1".cast(d38) * $"n0".cast(d38)).as("d_e6"),
+            (-$"w.negv").as("at_value_c"))
+      },
+      Some("""WITH r AS (SELECT user_id % 2 AS arm,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM events),
+        v AS (SELECT vc, count(*) AS cnt,
+            sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1v
+          FROM r GROUP BY 1),
+        c AS (SELECT vc,
+            CAST(sum(cnt) OVER (ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc,
+            CAST(sum(n1v) OVER (ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1
+          FROM v),
+        t AS (SELECT CAST(sum(n1v) AS BIGINT) AS n1, CAST(sum(cnt - n1v) AS BIGINT) AS n0 FROM v),
+        dd AS (SELECT c.vc,
+            abs(CAST(c.cum1 AS HUGEINT) * t.n0 - CAST(c.cumc - c.cum1 AS HUGEINT) * t.n1) AS diff
+          FROM c, t),
+        m AS (SELECT diff, vc FROM dd ORDER BY diff DESC, vc ASC LIMIT 1)
+        SELECT t.n1, t.n0,
+          CAST((1000000 * m.diff) // (CAST(t.n1 AS HUGEINT) * t.n0) AS BIGINT) AS d_e6,
+          m.vc AS at_value_c
+        FROM m, t"""),
+      "Two-sample Kolmogorov-Smirnov: exact rational sup|F1-F2| via " +
+        "cross-multiplied integer CDFs over the O(distinct) value frame " +
+        "(two PrefixSum scans), one e6 floor, deterministic argmax."),
+
+    "gini_concentration" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Gini coefficient of order revenue per market segment — the
+        // concentration statistic behind "top x% of orders carry y% of
+        // revenue". Exact rational: G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx)
+        // over each segment's ascending price ranks; ranks come from
+        // PrefixSum's running count (range-exchange, no per-segment
+        // window funnel — 5 segments would mean 5 tasks), products ride
+        // DECIMAL(38,0), one e6 floor.
+        val d38 = DecimalType(38, 0)
+        val rows = table(s, d, "orders")
+          .join(table(s, d, "customer"), $"o_custkey" === $"c_custkey")
+          .select($"c_mktsegment".as("segment"),
+            (dec2($"o_totalprice") * 100).cast(LongType).as("pc"),
+            $"o_orderkey")
+          .withColumn("one", lit(1L))
+        val ranked = graft.operators.PrefixSum.groupedRunningTotal(
+          rows, Seq("segment"), Seq(col("pc"), col("o_orderkey")), "one", "i")
+        ranked.groupBy($"segment")
+          .agg(count(lit(1)).as("n"), sum($"pc").as("sumx"),
+            sum($"i".cast(d38) * $"pc".cast(d38)).as("sumix"))
+          .select($"segment", $"n",
+            idiv(lit(1000000L).cast(d38) *
+                (lit(2L).cast(d38) * $"sumix" - ($"n" + 1L).cast(d38) * $"sumx".cast(d38)),
+              $"n".cast(d38) * $"sumx".cast(d38)).as("gini_e6"))
+          .orderBy($"segment")
+      },
+      Some("""WITH r AS (SELECT c_mktsegment AS segment,
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc, o_orderkey
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        w AS (SELECT segment, pc,
+            row_number() OVER (PARTITION BY segment ORDER BY pc, o_orderkey) AS i
+          FROM r),
+        a AS (SELECT segment, count(*) AS n, CAST(sum(pc) AS HUGEINT) AS sumx,
+            sum(CAST(i AS HUGEINT) * pc) AS sumix
+          FROM w GROUP BY 1)
+        SELECT segment, n,
+          CAST((1000000 * (2 * sumix - (n + 1) * sumx)) // (CAST(n AS HUGEINT) * sumx) AS BIGINT) AS gini_e6
+        FROM a ORDER BY segment"""),
+      "Gini revenue concentration per segment: exact rational " +
+        "(2 sum(i x) - (n+1) sum(x)) / (n sum(x)) with PrefixSum ranks " +
+        "(no per-segment window funnel), DECIMAL(38,0) products, e6 floor."),
+
+    "staleness_audit" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Pipeline-health audit: per event stream (type), how far its
+        // latest event lags the freshest event anywhere — the "this feed
+        // died upstream" tripwire. One per-type max aggregate + a broadcast
+        // global max; lag in µs with a 3-day staleness verdict.
+        val perType = eventsTable(s, d)
+          .groupBy($"event_type")
+          .agg(max(micros($"ts")).as("last_ts_us"), count(lit(1)).as("n_events"))
+        val global = perType.agg(max($"last_ts_us").as("global_ts_us"))
+        perType.crossJoin(broadcast(global))
+          .select($"event_type", $"n_events", $"last_ts_us",
+            ($"global_ts_us" - $"last_ts_us").as("lag_us"),
+            (($"global_ts_us" - $"last_ts_us") > 259200000000L).cast(LongType).as("is_stale"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH p AS (SELECT event_type, max(epoch_us(ts)) AS last_ts_us,
+            count(*) AS n_events FROM events GROUP BY 1),
+        g AS (SELECT max(last_ts_us) AS global_ts_us FROM p)
+        SELECT event_type, n_events, last_ts_us,
+          g.global_ts_us - last_ts_us AS lag_us,
+          CAST(CASE WHEN g.global_ts_us - last_ts_us > 259200000000 THEN 1 ELSE 0 END AS BIGINT) AS is_stale
+        FROM p, g ORDER BY event_type"""),
+      "Per-stream staleness audit: latest event per type vs the global " +
+        "freshest, lag in microseconds with a 3-day verdict — one aggregate " +
+        "plus a broadcast scalar.")
   )
 }

@@ -284,35 +284,91 @@ object Similarity {
         "— broadcast centroids, partitioned top-k window."),
 
     "knn_classify" -> Q(
+      (s, d) => knnVerdicts(s, d).orderBy(col("query_id")),
+      Some(s"""$knnCteSql
+        SELECT query_id, true_label, pred_label, votes, correct FROM v
+        ORDER BY query_id"""),
+      "Majority-vote k-NN classification over exact cosine top-5: broadcast " +
+        "queries, one-pass struct-argmax vote, per-query verdict vs the " +
+        "true label."),
+
+    "classification_report" -> Q(
       (s, d) => {
         import s.implicits._
-        // k-NN classification — the eval loop over the embedding store:
-        // each held-out query (vec_id < 20) takes the majority label of its
-        // 5 exact-cosine nearest neighbors among the rest, ties broken by
-        // smaller label. Exactness rides the CosineSim double discipline
-        // (sequential sums, bit-identical in the mirror); the vote is the
-        // LabelProp one-pass `max(struct(cnt, −label))` argmax — no
-        // per-query window beyond the top-k itself. Scale: queries
-        // broadcast, candidates stream map-side, one tiny per-query top-k
-        // shuffle, then O(queries·k) vote rows.
-        val e = emb(s, d)
-        val labels = e.select($"vec_id", $"label".cast("long").as("lbl"))
-        val topk = graft.operators.Ann.bruteForceTopK(
-          e.filter($"vec_id" < 20), e.filter($"vec_id" >= 20), k = 5)
-        val votes = topk
-          .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
-          .groupBy($"query_id", $"lbl").agg(count(lit(1)).as("cnt"))
-          .groupBy($"query_id")
-          .agg(max(struct($"cnt", (-$"lbl").as("neg"))).as("win"))
-          .select($"query_id", $"win.cnt".as("votes"), (-$"win.neg").as("pred_label"))
-        votes
-          .join(labels.withColumnRenamed("vec_id", "query_id")
-            .withColumnRenamed("lbl", "true_label"), "query_id")
-          .select($"query_id", $"true_label", $"pred_label", $"votes",
-            ($"true_label" === $"pred_label").cast("long").as("correct"))
-          .orderBy($"query_id")
+        // The eval summary over knn_classify's verdicts: per-label TP/FP/FN
+        // with e6 precision/recall/F1. The label frame is the union of
+        // truth and prediction labels (so a label that only ever appears as
+        // a wrong prediction still reports precision 0); the three count
+        // frames are O(labels) aggregates over the verdict table, the
+        // joins all broadcast. greatest(·, 1) guards the 0/0 labels both
+        // engines identically.
+        val v = knnVerdicts(s, d)
+        val labels = v.select($"true_label".as("label"))
+          .unionByName(v.select($"pred_label".as("label"))).distinct()
+        val tp = v.filter($"correct" === 1L)
+          .groupBy($"true_label".as("label")).agg(count(lit(1)).as("tp"))
+        val fp = v.filter($"correct" === 0L)
+          .groupBy($"pred_label".as("label")).agg(count(lit(1)).as("fp"))
+        val fn = v.filter($"correct" === 0L)
+          .groupBy($"true_label".as("label")).agg(count(lit(1)).as("fn"))
+        labels
+          .join(tp, Seq("label"), "left").join(fp, Seq("label"), "left")
+          .join(fn, Seq("label"), "left")
+          .select($"label", coalesce($"tp", lit(0L)).as("tp"),
+            coalesce($"fp", lit(0L)).as("fp"), coalesce($"fn", lit(0L)).as("fn"))
+          .select($"label", $"tp", $"fp", $"fn",
+            idiv(lit(1000000L) * $"tp", greatest($"tp" + $"fp", lit(1L))).as("precision_e6"),
+            idiv(lit(1000000L) * $"tp", greatest($"tp" + $"fn", lit(1L))).as("recall_e6"),
+            idiv(lit(2000000L) * $"tp",
+              greatest(lit(2L) * $"tp" + $"fp" + $"fn", lit(1L))).as("f1_e6"))
+          .orderBy($"label")
       },
-      Some(s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+      Some(s"""$knnCteSql,
+        lbls AS (SELECT DISTINCT true_label AS label FROM v
+          UNION SELECT DISTINCT pred_label FROM v),
+        tp AS (SELECT true_label AS label, count(*) AS tp FROM v WHERE correct = 1 GROUP BY 1),
+        fp AS (SELECT pred_label AS label, count(*) AS fp FROM v WHERE correct = 0 GROUP BY 1),
+        fn AS (SELECT true_label AS label, count(*) AS fn FROM v WHERE correct = 0 GROUP BY 1),
+        m AS (SELECT l.label, coalesce(tp.tp, 0) AS tp, coalesce(fp.fp, 0) AS fp,
+            coalesce(fn.fn, 0) AS fn
+          FROM lbls l LEFT JOIN tp ON l.label = tp.label
+          LEFT JOIN fp ON l.label = fp.label LEFT JOIN fn ON l.label = fn.label)
+        SELECT label, tp, fp, fn,
+          (1000000 * tp) // greatest(tp + fp, 1) AS precision_e6,
+          (1000000 * tp) // greatest(tp + fn, 1) AS recall_e6,
+          (2000000 * tp) // greatest(2 * tp + fp + fn, 1) AS f1_e6
+        FROM m ORDER BY label"""),
+      "Per-label precision/recall/F1 over the k-NN verdicts: truth-union-" +
+        "prediction label frame, O(labels) count aggregates, e6 metrics " +
+        "with identical 0/0 guards on both engines."))
+
+  /** Shared k-NN verdict pipeline (knn_classify, classification_report):
+    * exact cosine top-5 per held-out query (vec_id < 20) against the rest,
+    * majority label with smallest-label ties via the one-pass struct
+    * argmax. Broadcast queries, map-side cosine kernel, one tiny per-query
+    * top-k shuffle, then O(queries·k) vote rows. */
+  private def knnVerdicts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    val labels = e.select($"vec_id", $"label".cast("long").as("lbl"))
+    val topk = graft.operators.Ann.bruteForceTopK(
+      e.filter($"vec_id" < 20), e.filter($"vec_id" >= 20), k = 5)
+    val votes = topk
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .groupBy($"query_id", $"lbl").agg(count(lit(1)).as("cnt"))
+      .groupBy($"query_id")
+      .agg(max(struct($"cnt", (-$"lbl").as("neg"))).as("win"))
+      .select($"query_id", $"win.cnt".as("votes"), (-$"win.neg").as("pred_label"))
+    votes
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("lbl", "true_label"), "query_id")
+      .select($"query_id", $"true_label", $"pred_label", $"votes",
+        ($"true_label" === $"pred_label").cast("long").as("correct"))
+  }
+
+  /** DuckDB mirror of [[knnVerdicts]] as a `WITH …` prefix ending in `v`. */
+  private lazy val knnCteSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.lbl,
           ${sumSql("q.v[i] * c.v[i]")} AS dot,
@@ -327,12 +383,8 @@ object Similarity {
           GROUP BY 1, 2),
         w AS (SELECT query_id, lbl AS pred_label, cnt AS votes,
           row_number() OVER (PARTITION BY query_id ORDER BY cnt DESC, lbl) AS rn
-        FROM vc)
-        SELECT w.query_id, e.lbl AS true_label, w.pred_label, w.votes,
+        FROM vc),
+        v AS (SELECT w.query_id, e.lbl AS true_label, w.pred_label, w.votes,
           CAST(CASE WHEN e.lbl = w.pred_label THEN 1 ELSE 0 END AS BIGINT) AS correct
-        FROM w JOIN e ON w.query_id = e.vec_id WHERE w.rn = 1
-        ORDER BY w.query_id"""),
-      "Majority-vote k-NN classification over exact cosine top-5: broadcast " +
-        "queries, one-pass struct-argmax vote, per-query verdict vs the " +
-        "true label."))
+        FROM w JOIN e ON w.query_id = e.vec_id WHERE w.rn = 1)"""
 }

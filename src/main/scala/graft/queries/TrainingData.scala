@@ -709,6 +709,53 @@ object TrainingData {
         FROM documents) ORDER BY doc_id"""),
       "Stopword-list n-gram language-ID heuristic with deterministic argmax tie-break."),
 
+    "langid_confusion" -> Q(
+      (s, d) => {
+        // The language-ID EVAL surface: full confusion matrix of declared
+        // vs predicted language plus per-truth-row recall share — what a
+        // curation pipeline reads before trusting text_langid's routing.
+        // Same scorer as text_langid, then one (lang, predicted) aggregate
+        // and a broadcast per-lang total for the e6 share.
+        val toks = ascii_tokens(col("text"))
+        val scored = docs(s, d).select(col("doc_id"), col("lang"),
+          stopCount(toks, stopEn).as("s_en"), stopCount(toks, stopDe).as("s_de"),
+          stopCount(toks, stopFr).as("s_fr"), stopCount(toks, stopEs).as("s_es"),
+          stopCount(toks, stopZh).as("s_zh"))
+          .withColumn("predicted",
+            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr")
+              && col("s_en") >= col("s_es") && col("s_en") >= col("s_zh"), "en")
+              .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es")
+                && col("s_de") >= col("s_zh"), "de")
+              .when(col("s_fr") >= col("s_es") && col("s_fr") >= col("s_zh"), "fr")
+              .when(col("s_es") >= col("s_zh"), "es")
+              .otherwise("zh"))
+        val cells = scored.groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+        val totals = cells.groupBy(col("lang")).agg(sum(col("n_docs")).as("tot"))
+        cells.join(broadcast(totals), "lang")
+          .select(col("lang"), col("predicted"), col("n_docs"),
+            idiv(lit(1000000L) * col("n_docs"), col("tot")).as("share_e6"),
+            (col("lang") === col("predicted")).cast("long").as("is_diagonal"))
+          .orderBy(col("lang"), col("predicted"))
+      },
+      Some(s"""WITH p AS (SELECT doc_id, lang,
+          CASE WHEN ${stopCountSql(stopEn)} >= ${stopCountSql(stopDe)} AND ${stopCountSql(stopEn)} >= ${stopCountSql(stopFr)}
+                AND ${stopCountSql(stopEn)} >= ${stopCountSql(stopEs)} AND ${stopCountSql(stopEn)} >= ${stopCountSql(stopZh)} THEN 'en'
+               WHEN ${stopCountSql(stopDe)} >= ${stopCountSql(stopFr)} AND ${stopCountSql(stopDe)} >= ${stopCountSql(stopEs)}
+                AND ${stopCountSql(stopDe)} >= ${stopCountSql(stopZh)} THEN 'de'
+               WHEN ${stopCountSql(stopFr)} >= ${stopCountSql(stopEs)} AND ${stopCountSql(stopFr)} >= ${stopCountSql(stopZh)} THEN 'fr'
+               WHEN ${stopCountSql(stopEs)} >= ${stopCountSql(stopZh)} THEN 'es'
+               ELSE 'zh' END AS predicted
+        FROM documents),
+        c AS (SELECT lang, predicted, count(*) AS n_docs FROM p GROUP BY 1, 2),
+        t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS tot FROM c GROUP BY 1)
+        SELECT c.lang, c.predicted, c.n_docs,
+          (1000000 * c.n_docs) // t.tot AS share_e6,
+          CAST(CASE WHEN c.lang = c.predicted THEN 1 ELSE 0 END AS BIGINT) AS is_diagonal
+        FROM c JOIN t ON c.lang = t.lang ORDER BY c.lang, c.predicted"""),
+      "Language-ID confusion matrix (declared x predicted) with per-truth " +
+        "e6 recall shares — the eval loop over the text_langid router."),
+
     "text_repetition" -> Q(
       (s, d) => {
         // Intra-doc repetition: type-token ratio and the most-frequent-token

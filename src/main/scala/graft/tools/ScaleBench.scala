@@ -175,6 +175,32 @@ object ScaleBench {
           (col("o_totalprice") * 100).cast("long").as("x"),
           (col("o_orderkey") % 9973).as("y")), "x", "y").count()
 
+    // as-of join, window encoding vs the native physical operator
+    // (plans.AsOfJoinExec), on identical frames: left = every order probing
+    // at its date (+ a deterministic sub-day offset so probe times straddle
+    // right times), right = per-(customer, day) maxima. Replicas offset both
+    // keys, so per-replica match structure is constant and ideal growth is
+    // linear for BOTH; the delta between the two curves is the padded-union
+    // window sort vs the O(n+m) merge.
+    def asofScaled(native: Boolean)(d: DataFrame): Long = {
+      val left = d.select(col("o_orderkey").as("event_id"),
+        col("o_custkey").as("k"),
+        (org.apache.spark.sql.functions.unix_micros(col("o_orderdate").cast("timestamp"))
+          + col("o_orderkey") % 86400000000L).as("t"))
+      val right = d.groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_totalprice")).as("o_val"))
+        .select(col("o_custkey").as("rk"),
+          org.apache.spark.sql.functions.unix_micros(col("o_orderdate").cast("timestamp")).as("rt"),
+          org.apache.spark.sql.functions.unix_micros(col("o_orderdate").cast("timestamp")).as("asof_t"),
+          col("o_val"))
+      val j =
+        if (native) graft.operators.AsOfJoin.leftAsOfNative(
+          left, right, "k", "rk", "t", "rt", Seq("asof_t", "o_val"))
+        else graft.operators.AsOfJoin.leftAsOf(
+          left, right, "k", "rk", "t", "rt", Seq("asof_t", "o_val"))
+      j.filter(col("o_val").isNotNull).count()
+    }
+
     // shingle_novelty's shape inline: the disjoint replica vocabularies grow
     // the first-occurrence table exactly K×, so linear wall here validates
     // the min-doc attribution join (one g-keyed aggregate + one join back).
@@ -231,7 +257,9 @@ object ScaleBench {
       "salted_join_skew" -> saltedSkewJoin)
     val orderQueries: Seq[(String, DataFrame => Long)] = Seq(
       "interval_overlap" -> intervalOverlapScaled,
-      "skyline_prefix_max" -> skylineScaled)
+      "skyline_prefix_max" -> skylineScaled,
+      "asof_window" -> asofScaled(native = false),
+      "asof_native" -> asofScaled(native = true))
     val lineitemQueries: Seq[(String, DataFrame => Long)] = Seq(
       "link_prediction_wedges" -> linkPredScaled)
 
