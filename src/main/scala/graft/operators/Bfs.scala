@@ -102,4 +102,51 @@ object Bfs {
     }
     dist
   }
+
+  /** TIME-RESPECTING reachability (temporal graph): earliest arrival at each
+    * node using only paths whose edge timestamps strictly increase — an edge
+    * (u, v, t) is traversable only when `t > arrival(u)`. The propagation
+    * shape every "who could information have reached, in causal order"
+    * analysis needs (contact tracing, fraud-ring spread, rumor paths) and
+    * what plain BFS gets WRONG: a structural path is useless if its later
+    * hop happened before its earlier one.
+    *
+    * Same delta-relaxation discipline as [[weightedShortestPaths]]: only
+    * nodes whose arrival improved relax their out-edges (sound because a
+    * smaller arrival only ever UNLOCKS more edges — `t > arr` is monotone in
+    * arr — so the improved node is the only place new paths can start), one
+    * keyed shuffle + one aggregate per hop, [[Checkpointer]] lineage
+    * truncation. Seeds start at arrival 0.
+    *
+    * @param edges (src, dst, t) directed timestamped edges
+    * @return (node, arr) earliest arrival per reached node; seeds arr 0 */
+  def temporalReachability(edges: DataFrame, sources: DataFrame, maxHops: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = new Checkpointer(checkpointDir)
+    val e = ckpt(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("t").cast("long").as("t")))
+    var arr = ckpt(sources.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("arr", lit(0L)))
+    var frontier = arr
+    var prevBetter: Option[DataFrame] = None
+    var k = 1
+    while (k <= maxHops) {
+      val cand = frontier.select(col("node").as("src"), col("arr"))
+        .join(e, "src")
+        .filter(col("t") > col("arr"))
+        .select(col("dst").as("node"), col("t").as("na"))
+        .groupBy("node").agg(min(col("na")).as("na"))
+      val better = ckpt(cand.join(arr, Seq("node"), "left_outer")
+        .filter(col("arr").isNull || col("na") < col("arr"))
+        .select(col("node"), col("na").as("arr")))
+      prevBetter.foreach(ckpt.retire); prevBetter = Some(better)
+      val prevArr = arr
+      arr = ckpt(arr.unionByName(better)
+        .groupBy("node").agg(min(col("arr")).as("arr")))
+      ckpt.retire(prevArr)
+      frontier = better
+      k += 1
+    }
+    arr
+  }
 }

@@ -391,6 +391,55 @@ object Curation {
         FROM m GROUP BY source ORDER BY source"""),
       "Per-source PII exposure audit: regexp_count of email / phone / " +
         "long-digit-run shapes per document, one source-keyed fold — doc " +
-        "and hit counts per pattern class.")
+        "and hit counts per pattern class."),
+
+    "dataset_card" -> Q(
+      (s, d) => {
+        // The release artifact: one (metric, value) summary table a dataset
+        // card publishes — corpus size, source/language breadth, token
+        // volume, exact-duplicate rate, length profile. Each metric is one
+        // aggregate over the corpus scan; the md5 duplicate count is the
+        // dedup_exact statistic folded to a single number. Everything lands
+        // as BIGINT so the card diffs cleanly across releases.
+        val dd = docs(s, d)
+        val base = dd.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(size(ascii_tokens(col("text"))).cast("long")).as("total_tokens"),
+          sum((length(col("text")) >= 1000).cast("long")).as("docs_ge_1k_chars"),
+          sum(col("n_chars")).as("total_chars"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("exact_dup_docs"))
+        base.selectExpr(
+          "stack(7, " +
+            "'n_docs', n_docs, " +
+            "'n_sources', n_sources, " +
+            "'n_langs', n_langs, " +
+            "'total_tokens', total_tokens, " +
+            "'docs_ge_1k_chars', docs_ge_1k_chars, " +
+            "'total_chars', total_chars, " +
+            "'exact_dup_docs', exact_dup_docs) AS (metric, value)")
+          .orderBy(col("metric"))
+      },
+      Some("""WITH a AS (SELECT count(*) AS n_docs,
+            count(DISTINCT source) AS n_sources,
+            count(DISTINCT lang) AS n_langs,
+            CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS total_tokens,
+            CAST(sum(CASE WHEN length(text) >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS docs_ge_1k_chars,
+            CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            count(*) - count(DISTINCT md5(text)) AS exact_dup_docs
+          FROM documents)
+        SELECT metric, value FROM (
+          SELECT 'n_docs' AS metric, n_docs AS value FROM a
+          UNION ALL SELECT 'n_sources', n_sources FROM a
+          UNION ALL SELECT 'n_langs', n_langs FROM a
+          UNION ALL SELECT 'total_tokens', total_tokens FROM a
+          UNION ALL SELECT 'docs_ge_1k_chars', docs_ge_1k_chars FROM a
+          UNION ALL SELECT 'total_chars', total_chars FROM a
+          UNION ALL SELECT 'exact_dup_docs', exact_dup_docs FROM a)
+        ORDER BY metric"""),
+      "Dataset-card summary table: corpus size, source/language breadth, " +
+        "token volume, exact-dup rate, length profile — one scan, stacked " +
+        "to (metric, value) BIGINT rows.")
   )
 }

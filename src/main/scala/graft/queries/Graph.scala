@@ -526,6 +526,54 @@ object Graph {
       Some(hitsSql(rounds = 3)),
       "HITS hubs/authorities (3 rounds, scaled-integer with DECIMAL(38,0) " +
         "normalization products): two join+aggregate half-steps per round " +
-        "plus broadcast one-row totals — bit-exact vs the unrolled SQL replay.")
+        "plus broadcast one-row totals — bit-exact vs the unrolled SQL replay."),
+
+    "graph_temporal_reachability" -> Q(
+      (s, d) => {
+        // Time-respecting reachability from customers ≤ 20: each hop must
+        // use an order STRICTLY LATER than the arrival at its source — the
+        // propagation semantics structural BFS gets wrong. Edge timestamp =
+        // the order date (both directions share it); 3 hops of
+        // delta-relaxation (operators.Bfs.temporalReachability), earliest
+        // arrival in epoch µs, integer-exact vs the unrolled full-relaxation
+        // replay (equivalent by the label-correcting invariant — the
+        // engine runs the delta shape that scales).
+        val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val ed = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+          .distinct() // keep PARALLEL edges: later re-orders open later paths
+        val e = ed.select(col("cust").as("src"), (col("supp") + SuppOffset).as("dst"), col("t"))
+          .unionByName(ed.select((col("supp") + SuppOffset).as("src"),
+            col("cust").as("dst"), col("t")))
+        val sources = table(s, d, "customer")
+          .filter(col("c_custkey") <= 20)
+          .select(col("c_custkey").as("node"))
+        graft.operators.Bfs.temporalReachability(e, sources, maxHops = 3)
+          .select(col("node"), col("arr").as("arrival_us"))
+          .orderBy(col("node"))
+      },
+      Some(s"""WITH ed AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp,
+            epoch_us(o_orderdate) AS t
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS (SELECT cust AS src, supp + $SuppOffset AS dst, t FROM ed
+          UNION ALL SELECT supp + $SuppOffset, cust, t FROM ed),
+        r0 AS (SELECT c_custkey AS node, CAST(0 AS BIGINT) AS arr
+          FROM customer WHERE c_custkey <= 20),
+        r1 AS (SELECT node, min(arr) AS arr FROM (SELECT node, arr FROM r0
+          UNION ALL SELECT e.dst, e.t FROM edges e JOIN r0 p
+            ON e.src = p.node AND e.t > p.arr) GROUP BY node),
+        r2 AS (SELECT node, min(arr) AS arr FROM (SELECT node, arr FROM r1
+          UNION ALL SELECT e.dst, e.t FROM edges e JOIN r1 p
+            ON e.src = p.node AND e.t > p.arr) GROUP BY node),
+        r3 AS (SELECT node, min(arr) AS arr FROM (SELECT node, arr FROM r2
+          UNION ALL SELECT e.dst, e.t FROM edges e JOIN r2 p
+            ON e.src = p.node AND e.t > p.arr) GROUP BY node)
+        SELECT node, CAST(arr AS BIGINT) AS arrival_us FROM r3 ORDER BY node"""),
+      "Time-respecting temporal reachability (edges usable only strictly " +
+        "after arrival at their source): 3-hop delta-relaxation earliest " +
+        "arrival, integer-exact vs the unrolled full-relaxation replay.")
   )
 }

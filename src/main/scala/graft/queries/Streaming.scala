@@ -863,5 +863,96 @@ object Streaming {
       "Micro-batch-incremental SCD2: per batch, lead() intervals within the " +
         "batch + close-the-open-row fetch-back, through the versioned " +
         "equality upsert — O(batch) maintenance, row-identical to the " +
-        "batch window build."))
+        "batch window build."),
+
+    "streaming_drift_monitor" -> Q(
+      (s, d) => {
+        // Continuous distribution-drift monitoring — the live counterpart
+        // of histogram_drift_tvd: every micro-batch folds to a 10-band
+        // value histogram (state O(bands), emitted online, never the
+        // rows), and each batch's total-variation distance against the
+        // FIRST batch (the reference window) is the drift verdict. TVD in
+        // the common-denominator integer form Σ|c_b·N₀ − c₀·N_b| ÷
+        // 2·N_b·N₀ — one e6 floor, HUGEINT-free since counts are
+        // per-batch. Batches arrive in commit order (sequential
+        // event_id-slice staging, the SCD2 pattern).
+        val (src, out, ck) = Streams.workDirs("streaming_drift_monitor")
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val input = eventsTable(s, d)
+          .select(col("event_id"),
+            (dec2(col("value")) * 100).cast("long").as("value_c"))
+        val mx = input.agg(max(col("event_id"))).head.getLong(0)
+        (1 to 4).foreach { i =>
+          val lo = if (i == 1) Long.MinValue else (i - 1) * (mx / 4)
+          val hi = if (i == 4) Long.MaxValue else i * (mx / 4)
+          input.filter(col("event_id") > lo && col("event_id") <= hi)
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+        val histDir = s"$out/hist"
+        val staged = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val q = staged.writeStream
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch
+              .select(least(greatest(idiv(col("value_c"), lit(10000L)), lit(0L)),
+                lit(9L)).as("band"))
+              .groupBy(col("band")).agg(count(lit(1)).as("cnt"))
+              .withColumn("batch_id", lit(batchId))
+              .coalesce(1).write.mode("append").parquet(histDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // dense (batch × band) grid: a band EMPTY in one batch but present
+        // in the other must still contribute its |c_b·N0 − c0·N_b| term
+        val hist = s.read.parquet(histDir)
+        val totals = hist.groupBy(col("batch_id")).agg(sum(col("cnt")).as("n"))
+        val bands = s.range(0, 10).select(col("id").as("band"))
+        val ref = bands.join(hist.filter(col("batch_id") === 0L), Seq("band"), "left")
+          .select(col("band"), coalesce(col("cnt"), lit(0L)).as("c0"))
+        val refN = totals.filter(col("batch_id") === 0L)
+          .select(col("n").as("n0"))
+        totals.crossJoin(broadcast(bands))
+          .join(hist, Seq("batch_id", "band"), "left")
+          .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+          .join(broadcast(ref), "band")
+          .crossJoin(broadcast(refN))
+          .groupBy(col("batch_id"), col("n"), col("n0"))
+          .agg(sum(abs(col("cnt").cast(d38) * col("n0").cast(d38) -
+            col("c0").cast(d38) * col("n").cast(d38))).as("num"))
+          .select(col("batch_id"), col("n").as("n_rows"),
+            idiv(lit(1000000L).cast(d38) * col("num"),
+              lit(2L).cast(d38) * col("n").cast(d38) * col("n0").cast(d38))
+              .as("tvd_e6"))
+          .orderBy(col("batch_id"))
+      },
+      Some("""WITH mx AS (SELECT max(event_id) AS m FROM events),
+        sl AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_c,
+            CASE WHEN event_id <= (SELECT m // 4 FROM mx) THEN 0
+                 WHEN event_id <= 2 * (SELECT m // 4 FROM mx) THEN 1
+                 WHEN event_id <= 3 * (SELECT m // 4 FROM mx) THEN 2
+                 ELSE 3 END AS batch_id
+          FROM events),
+        h AS (SELECT batch_id,
+            least(greatest(value_c // 10000, 0), 9) AS band, count(*) AS cnt
+          FROM sl GROUP BY 1, 2),
+        t AS (SELECT batch_id, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+        bands AS (SELECT unnest(generate_series(0, 9)) AS band),
+        r AS (SELECT b.band, coalesce(h.cnt, 0) AS c0
+          FROM bands b LEFT JOIN h ON h.band = b.band AND h.batch_id = 0),
+        rn AS (SELECT n AS n0 FROM t WHERE batch_id = 0),
+        j AS (SELECT t.batch_id, t.n, b.band, coalesce(h.cnt, 0) AS cnt
+          FROM t CROSS JOIN bands b
+          LEFT JOIN h ON h.batch_id = t.batch_id AND h.band = b.band),
+        a AS (SELECT j.batch_id, j.n, rn.n0,
+            sum(abs(CAST(j.cnt AS HUGEINT) * rn.n0 - CAST(r.c0 AS HUGEINT) * j.n)) AS num
+          FROM j JOIN r ON j.band = r.band, rn
+          GROUP BY 1, 2, 3)
+        SELECT CAST(batch_id AS BIGINT) AS batch_id, n AS n_rows,
+          CAST((1000000 * num) // (2 * CAST(n AS HUGEINT) * n0) AS BIGINT) AS tvd_e6
+        FROM a ORDER BY batch_id"""),
+      "Streaming drift monitor: per-micro-batch 10-band histograms (O(bands) " +
+        "state, emitted online), total-variation distance vs the first batch " +
+        "in common-denominator integer form — the live histogram_drift_tvd."))
 }
