@@ -337,6 +337,185 @@ object Relational {
         ORDER BY l.event_id"""),
       "as-of join: single-shuffle union+window plan (operators.AsOfJoin)"),
 
+    "sessionize_capped" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Sessionization with BOTH a 48-hour inactivity gap AND a
+        // 50-event cap per session (the runaway-bot guard q17's pure
+        // gap-split lacks). The cap composes windowed: gap sessions first
+        // (cumsum of gap-break flags), then rn-within-session div 50 —
+        // two window passes sharing ONE per-user sort.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("us", "event_id")
+        val ev = eventsTable(s, d)
+          .select($"user_id", $"event_id", micros($"ts").as("us"))
+          .withColumn("brk",
+            (coalesce($"us" - lag($"us", 1).over(w), lit(0L)) > 172800000000L).cast(LongType))
+          .withColumn("gap_sess", sum($"brk").over(w))
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "gap_sess").orderBy("us", "event_id")
+        ev.withColumn("sess",
+            $"gap_sess" * 1000L + idiv(row_number().over(w2).cast(LongType) - 1L, lit(50L)))
+          .groupBy($"user_id", $"sess")
+          .agg(count(lit(1)).as("n_events"), min($"us").as("start_us"),
+            max($"us").as("end_us"))
+          .orderBy($"user_id", $"sess")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        b AS (SELECT user_id, event_id, us,
+            CASE WHEN coalesce(us - lag(us) OVER w, 0) > 172800000000 THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        g AS (SELECT user_id, event_id, us,
+            CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gap_sess
+          FROM b),
+        c AS (SELECT user_id, us, gap_sess,
+            gap_sess * 1000 + (CAST(row_number() OVER (PARTITION BY user_id, gap_sess
+              ORDER BY us, event_id) AS BIGINT) - 1) // 50 AS sess
+          FROM g)
+        SELECT user_id, sess, count(*) AS n_events, min(us) AS start_us,
+          max(us) AS end_us
+        FROM c GROUP BY 1, 2 ORDER BY user_id, sess"""),
+      "Capped sessionization (48-hour gap AND 50-event cap): gap-cumsum " +
+        "sessions then rn-div-cap sub-split, two windows over one per-user " +
+        "sort — the runaway-session guard plain gap-split lacks."),
+
+    "basket_size_histogram" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Order-size profile: line-item count per order, folded to a
+        // histogram of basket sizes with e6 shares — the distribution
+        // behind every per-order fan-out bound (triangles, pair joins)
+        // documented in §4. Two aggregates, second one O(distinct sizes).
+        val sizes = table(s, d, "lineitem")
+          .groupBy($"l_orderkey").agg(count(lit(1)).as("basket"))
+        val hist = sizes.groupBy($"basket").agg(count(lit(1)).as("n_orders"))
+        val tot = hist.agg(sum($"n_orders").as("t"))
+        hist.crossJoin(broadcast(tot))
+          .select($"basket", $"n_orders",
+            idiv(lit(1000000L) * $"n_orders", $"t").as("share_e6"))
+          .orderBy($"basket")
+      },
+      Some("""WITH s AS (SELECT l_orderkey, count(*) AS basket FROM lineitem GROUP BY 1),
+        h AS (SELECT basket, count(*) AS n_orders FROM s GROUP BY 1),
+        t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS t FROM h)
+        SELECT basket, n_orders, (1000000 * n_orders) // t.t AS share_e6
+        FROM h, t ORDER BY basket"""),
+      "Basket-size histogram: per-order line counts folded to an " +
+        "O(distinct sizes) distribution with e6 shares — the fan-out " +
+        "profile behind every per-order pair bound."),
+
+    "cep_pattern_match" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Flink-CEP `next` semantics as a batch window: STRICT contiguity
+        // of view→click→purchase over each user's stream FILTERED to those
+        // types (CEP's relevant-event projection), with a 1-day window
+        // bound on the whole match. Unlike funnel_analysis (earliest
+        // per-stage, one conversion per user) this counts EVERY match and
+        // enforces adjacency — two lead() columns over one per-user sort,
+        // no self-joins. Per-user history is the scale bound, as for any
+        // sequence operator.
+        val ev = eventsTable(s, d)
+          .filter($"event_type".isin("view", "click", "purchase"))
+          .select($"user_id", $"event_id", micros($"ts").as("us"), $"event_type")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("us", "event_id")
+        ev.withColumn("t1", lead($"event_type", 1).over(w))
+          .withColumn("u1", lead($"us", 1).over(w))
+          .withColumn("t2", lead($"event_type", 2).over(w))
+          .withColumn("u2", lead($"us", 2).over(w))
+          .filter($"event_type" === "view" && $"t1" === "click" &&
+            $"t2" === "purchase" && $"u2" - $"us" <= 86400000000L)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_matches"), min($"us").as("first_match_us"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+          FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        m AS (SELECT user_id, us, event_type,
+            lead(event_type, 1) OVER w AS t1,
+            lead(event_type, 2) OVER w AS t2,
+            lead(us, 2) OVER w AS u2
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        SELECT user_id, count(*) AS n_matches, min(us) AS first_match_us
+        FROM m
+        WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+          AND u2 - us <= 86400000000
+        GROUP BY user_id ORDER BY user_id"""),
+      "CEP strict-contiguity pattern match (view>click>purchase adjacent in " +
+        "the filtered stream, 1-day bound): two lead() columns over one " +
+        "per-user sort, every match counted — the Flink-CEP `next` shape."),
+
+    "q4_order_priority" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // TPC-H Q4's shape on this schema: orders in a quarter with at
+        // least one LATE line item (shipped > 90 days after the order
+        // date), counted by priority. The EXISTS is a left-semi join with
+        // the lateness predicate inside the join condition — one
+        // co-partitioned shuffle pair, then an O(priorities) aggregate.
+        val o = table(s, d, "orders")
+          .filter($"o_orderdate" >= core.ts("1995-01-01") &&
+            $"o_orderdate" < core.ts("1995-04-01"))
+        val li = table(s, d, "lineitem").select($"l_orderkey", $"l_shipdate")
+        o.join(li, o("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"), "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1995-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      "TPC-H Q4 shape (EXISTS late line item, count by priority): semi join " +
+        "with the lateness predicate in the join condition, O(priorities) " +
+        "aggregate."),
+
+    "q22_sales_opportunity" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // TPC-H Q22's shape: wealthy-but-inactive customers — balance above
+        // the average POSITIVE balance (broadcast scalar subquery), no
+        // RECENT orders (anti join on the filtered order stream — pure
+        // inactivity, Q22's NOT EXISTS), grouped by nation. Exact cents;
+        // the avg floors once on both engines.
+        val c = table(s, d, "customer")
+          .select($"c_custkey", $"c_nationkey".cast(LongType).as("nation"),
+            (dec2($"c_acctbal") * 100).cast(LongType).as("bal_c"))
+        val avgPos = c.filter($"bal_c" > 0L)
+          .agg(idiv(sum($"bal_c"), count(lit(1))).as("avg_bal_c"))
+        c.crossJoin(broadcast(avgPos))
+          .filter($"bal_c" > $"avg_bal_c")
+          .join(table(s, d, "orders")
+              .filter($"o_orderdate" >= core.ts("1999-01-01"))
+              .select($"o_custkey"),
+            $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"nation")
+          .agg(count(lit(1)).as("n_custs"), sum($"bal_c").as("total_bal_c"))
+          .orderBy($"nation")
+      },
+      Some("""WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+            CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+          FROM customer),
+        a AS (SELECT CAST(sum(bal_c) AS BIGINT) // count(*) AS avg_bal_c
+          FROM c WHERE bal_c > 0)
+        SELECT nation, count(*) AS n_custs,
+          CAST(sum(bal_c) AS BIGINT) AS total_bal_c
+        FROM c, a
+        WHERE c.bal_c > a.avg_bal_c
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY nation ORDER BY nation"""),
+      "TPC-H Q22 shape (above-average balance, no recent orders, by nation): " +
+        "broadcast scalar-subquery threshold + anti join + one aggregate, " +
+        "exact integer cents."),
+
     "asof_join_native" -> Q(
       (s, d) => {
         import s.implicits._
