@@ -1665,6 +1665,54 @@ object Analytics {
         FROM p, g ORDER BY event_type"""),
       "Per-stream staleness audit: latest event per type vs the global " +
         "freshest, lag in microseconds with a 3-day verdict — one aggregate " +
-        "plus a broadcast scalar.")
+        "plus a broadcast scalar."),
+
+    "reconciliation_audit" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Cross-table financial reconciliation: the order header total vs
+        // the sum of its line extensions ext·(1−disc)·(1+tax), folded to
+        // per-status mismatch counts — the ledger-integrity audit every
+        // ingest pipeline runs between fact tables. Exact rational cents:
+        // ext_c·(100−disc_pct)·(100+tax_pct) per line (2-decimal fractions
+        // → integral percents; DECIMAL(38,0) products), ONE floor by 10⁴
+        // per order, abs diff against the header, $1 tolerance. One line
+        // aggregate co-partitioned with the header join, O(statuses) fold.
+        val d38 = DecimalType(38, 0)
+        val li = table(s, d, "lineitem")
+          .select($"l_orderkey",
+            ((dec2($"l_extendedprice") * 100).cast(LongType).cast(d38) *
+              (lit(100L) - (dec2($"l_discount") * 100).cast(LongType)).cast(d38) *
+              (lit(100L) + (dec2($"l_tax") * 100).cast(LongType)).cast(d38)).as("ln"))
+          .groupBy($"l_orderkey").agg(sum($"ln").as("lines_num"))
+        val o = table(s, d, "orders")
+          .select($"o_orderkey", $"o_orderstatus",
+            (dec2($"o_totalprice") * 100).cast(LongType).as("total_c"))
+        o.join(li, $"o_orderkey" === $"l_orderkey", "left")
+          .select($"o_orderstatus",
+            abs($"total_c" - coalesce(idiv($"lines_num", lit(10000L).cast(d38)), lit(0L)))
+              .as("diff_c"))
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(($"diff_c" > 100L).cast(LongType)).as("n_mismatched"),
+            max($"diff_c").as("max_abs_diff_c"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""WITH li AS (SELECT l_orderkey,
+            sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+              * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+              * (100 + CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT))) AS lines_num
+          FROM lineitem GROUP BY 1),
+        j AS (SELECT o_orderstatus,
+            abs(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              - coalesce(CAST(li.lines_num // 10000 AS BIGINT), 0)) AS diff_c
+          FROM orders LEFT JOIN li ON o_orderkey = l_orderkey)
+        SELECT o_orderstatus, count(*) AS n_orders,
+          CAST(sum(CASE WHEN diff_c > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+          max(diff_c) AS max_abs_diff_c
+        FROM j GROUP BY 1 ORDER BY o_orderstatus"""),
+      "Ledger reconciliation (order header vs line-extension sums in exact " +
+        "rational cents, one floor per order, $1 tolerance): per-status " +
+        "mismatch counts — the fact-table integrity audit.")
   )
 }

@@ -574,6 +574,74 @@ object Graph {
         SELECT node, CAST(arr AS BIGINT) AS arrival_us FROM r3 ORDER BY node"""),
       "Time-respecting temporal reachability (edges usable only strictly " +
         "after arrival at their source): 3-hop delta-relaxation earliest " +
-        "arrival, integer-exact vs the unrolled full-relaxation replay.")
+        "arrival, integer-exact vs the unrolled full-relaxation replay."),
+
+    "graph_degree_assortativity" -> Q(
+      (s, d) => {
+        // Degree assortativity of the part co-purchase graph: does a
+        // high-degree part link to other high-degree parts (assortative,
+        // r > 0) or to leaves (disassortative, r < 0)? Pearson r over the
+        // (deg(src), deg(dst)) pairs of the symmetric edge list — Sy/Syy
+        // fold into Sx/Sxx by symmetry. sqrt-free emission: sign(cov) plus
+        // r²·10⁶ from the ONE-floor-per-factor reduction cov_e = cov_n DIV
+        // n, var_e = var_n DIV n (raw cov_n² would cross DECIMAL(38,0)
+        // around 10⁸ edges; the reduced squares stay inside it to ~10¹⁹ —
+        // both engines replay the identical floors). One degree aggregate,
+        // two co-partitioned joins, a single global sufficient-stats fold.
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        val e0 = li.as("a")
+          .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(least(col("a.l_partkey"), col("b.l_partkey")).as("u"),
+            greatest(col("a.l_partkey"), col("b.l_partkey")).as("v"))
+          .distinct()
+        val e = e0.select(col("u").as("src"), col("v").as("dst"))
+          .unionByName(e0.select(col("v").as("src"), col("u").as("dst")))
+        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val pairs = e
+          .join(deg.select(col("src"), col("deg").as("x")), "src")
+          .join(deg.select(col("src").as("dst"), col("deg").as("y")), "dst")
+        val sums = pairs.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+          sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"))
+        val covN = col("n").cast(d38) * col("sxy") - col("sx").cast(d38) * col("sx").cast(d38)
+        val varN = col("n").cast(d38) * col("sxx") - col("sx").cast(d38) * col("sx").cast(d38)
+        sums
+          .withColumn("cov_e",
+            when(covN >= 0, idiv(covN, col("n").cast(d38)))
+              .otherwise(-idiv(-covN, col("n").cast(d38))))
+          .withColumn("var_e", idiv(varN, col("n").cast(d38)))
+          .select(col("n").as("n_pairs"),
+            signum(col("cov_e")).cast("long").as("r_sign"),
+            idiv(lit(1000000L).cast(d38) * col("cov_e").cast(d38) * col("cov_e").cast(d38),
+              col("var_e").cast(d38) * col("var_e").cast(d38)).as("r2_e6"))
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+            greatest(a.l_partkey, b.l_partkey) AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        e AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+        dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        p AS (SELECT dx.deg AS x, dy.deg AS y FROM e
+          JOIN dg dx ON e.src = dx.src JOIN dg dy ON e.dst = dy.src),
+        s AS (SELECT count(*) AS n, CAST(sum(x) AS HUGEINT) AS sx,
+            sum(CAST(x AS HUGEINT) * x) AS sxx,
+            sum(CAST(x AS HUGEINT) * y) AS sxy
+          FROM p),
+        f AS (SELECT n,
+            CASE WHEN n * sxy - sx * sx >= 0
+              THEN (n * sxy - sx * sx) // n
+              ELSE -((-(n * sxy - sx * sx)) // n) END AS cov_e,
+            (n * sxx - sx * sx) // n AS var_e
+          FROM s)
+        SELECT n AS n_pairs,
+          CAST(CASE WHEN cov_e > 0 THEN 1 WHEN cov_e < 0 THEN -1 ELSE 0 END AS BIGINT) AS r_sign,
+          CAST((1000000 * cov_e * cov_e) // (var_e * var_e) AS BIGINT) AS r2_e6
+        FROM f"""),
+      "Degree assortativity (sign + r2 in e6, sqrt-free): one degree " +
+        "aggregate, two co-partitioned endpoint joins, a single " +
+        "sufficient-stats fold with replayed DIV-n reductions.")
   )
 }

@@ -954,5 +954,51 @@ object Streaming {
         FROM a ORDER BY batch_id"""),
       "Streaming drift monitor: per-micro-batch 10-band histograms (O(bands) " +
         "state, emitted online), total-variation distance vs the first batch " +
-        "in common-denominator integer form — the live histogram_drift_tvd."))
+        "in common-denominator integer form — the live histogram_drift_tvd."),
+
+    "streaming_cep" -> Q(
+      (s, d) => {
+        // Flink-CEP on Structured Streaming: the batch cep_pattern_match
+        // state machine (strict view→click→purchase contiguity over the
+        // type-filtered stream, 1-day bound) with O(1) keyed state — the
+        // last TWO relevant events per user — so matches spanning
+        // micro-batch boundaries fire where a per-batch window would drop
+        // them. Event-id slices stage in time order (event_id order ≡ time
+        // order in this CDC stream, and the fold re-sorts within batch).
+        // Output ≡ the batch window build, row for row.
+        val (src, out, ck) = Streams.workDirs("streaming_cep")
+        val input = eventsTable(s, d)
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), micros(col("ts")).as("us"),
+            col("event_id"), col("event_type"))
+        val mx = input.agg(max(col("event_id"))).head.getLong(0)
+        (1 to 4).foreach { i =>
+          val lo = if (i == 1) Long.MinValue else (i - 1) * (mx / 4)
+          val hi = if (i == 4) Long.MaxValue else i * (mx / 4)
+          input.filter(col("event_id") > lo && col("event_id") <= hi)
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+        val staged = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val m = graft.streaming.CepMatch.matches(staged, windowUs = 86400000000L)
+        Streams.runAppend(m.toDF(), out, ck)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_matches"), min(col("view_us")).as("first_match_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+          FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        m AS (SELECT user_id, us, event_type,
+            lead(event_type, 1) OVER w AS t1,
+            lead(event_type, 2) OVER w AS t2,
+            lead(us, 2) OVER w AS u2
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        SELECT user_id, count(*) AS n_matches, min(us) AS first_match_us
+        FROM m
+        WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+          AND u2 - us <= 86400000000
+        GROUP BY user_id ORDER BY user_id"""),
+      "Streaming CEP (Flink-CEP next semantics as keyed state): last-two-" +
+        "events O(1) state per user, cross-batch matches fire, output ≡ " +
+        "the batch strict-contiguity window build."))
 }
