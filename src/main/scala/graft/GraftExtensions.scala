@@ -37,6 +37,49 @@ object RegexCountRewrite extends Rule[LogicalPlan] {
     }
 }
 
+/** Parser extension — the fourth Spark extension point beside the injected
+  * functions, the [[RegexCountRewrite]] optimizer rule, and the
+  * [[graft.plans.AsOfJoinStrategy]] planner strategy: a ONE-statement SQL
+  * dialect addition
+  *
+  *   GRAFT DEDUP <table> THRESHOLD <tau>
+  *
+  * that plans straight into the banded MinHash near-dup pipeline
+  * (operators.NearDup.minhashLshPairs) over the named table — the
+  * whole-OPERATOR SQL surface for clients that only speak SQL (Thrift
+  * server, notebooks). Everything that doesn't match the statement shape
+  * delegates verbatim to Spark's parser, so the dialect is purely additive;
+  * the statement resolves its table through the active session's catalog
+  * (temp views included) and returns the pair plan ((id_a, id_b, jaccard
+  * verdict columns) exactly as the DataFrame API emits them.
+  */
+class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+    extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+  import org.apache.spark.sql.catalyst.parser.ParserInterface
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private val DedupStmt =
+    """(?is)\s*GRAFT\s+DEDUP\s+([A-Za-z_][A-Za-z0-9_.]*)\s+THRESHOLD\s+([0-9]*\.?[0-9]+)\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case DedupStmt(tableName, tau) =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.operators.NearDup
+        .minhashLshPairs(spark.table(tableName), tau.toDouble)
+        .queryExecution.logical
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(s: String) = delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String) = delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String) = delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String) = delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String) = delegate.parseQuery(s)
+  override def parseRoutineParam(s: String) = delegate.parseRoutineParam(s)
+  override def parseDataType(s: String) = delegate.parseDataType(s)
+  override def parseTableSchema(s: String) = delegate.parseTableSchema(s)
+}
+
 /** `spark.sql.extensions=graft.GraftExtensions` — the zero-code install path
   * (SQL-only clients, Thrift server, spark-submit conf on a shared cluster):
   * injects every graft SQL function ([[graft.functions.sqlBuilders]], the
@@ -55,5 +98,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RegexCountRewrite)
     // whole-operator custom plan: AsOfJoinPlan -> AsOfJoinExec (§2.2 as-of)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // one-statement dialect: GRAFT DEDUP <table> THRESHOLD <tau>
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }

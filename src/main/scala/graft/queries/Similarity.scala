@@ -340,7 +340,52 @@ object Similarity {
         FROM m ORDER BY label"""),
       "Per-label precision/recall/F1 over the k-NN verdicts: truth-union-" +
         "prediction label frame, O(labels) count aggregates, e6 metrics " +
-        "with identical 0/0 guards on both engines."))
+        "with identical 0/0 guards on both engines."),
+
+    "embedding_covariance" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Exact integer covariance matrix of the first 16 embedding
+        // dimensions — the sufficient-statistics block under PCA/whitening
+        // (the power-iteration that follows is O(dim²) driver work; THIS is
+        // the distributed part). Quantized units (floor(x·1000 + 0.5), the
+        // kmeans/label-outliers discipline) keep every product integral:
+        // cov_num(i,j) = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ in DECIMAL(38,0), emitted
+        // upper-triangular. Shape: one posexplode + a vec_id-keyed
+        // self-join (fan-out bounded by dims², not corpus), one (i,j)
+        // aggregate.
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val ex = emb(s, d)
+          .select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
+          .filter($"dim" < 16)
+          .select($"vec_id", $"dim".cast("long").as("dim"),
+            floor($"x".cast("double") * 1000.0 + 0.5).cast("long").as("q"))
+        ex.as("a").join(ex.as("b"),
+            $"a.vec_id" === $"b.vec_id" && $"a.dim" <= $"b.dim")
+          .groupBy($"a.dim".as("dim_i"), $"b.dim".as("dim_j"))
+          .agg(count(lit(1)).as("n"),
+            sum($"a.q").as("si"), sum($"b.q").as("sj"),
+            sum($"a.q".cast(d38) * $"b.q".cast(d38)).as("sij"))
+          .select($"dim_i", $"dim_j", $"n",
+            ($"n".cast(d38) * $"sij" - $"si".cast(d38) * $"sj".cast(d38))
+              .cast("long").as("cov_num"))
+          .orderBy($"dim_i", $"dim_j")
+      },
+      Some("""WITH ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+            CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+          FROM embeddings, unnest(generate_series(1, 16)) AS t(i)),
+        p AS (SELECT a.dim AS dim_i, b.dim AS dim_j, count(*) AS n,
+            CAST(sum(a.q) AS BIGINT) AS si, CAST(sum(b.q) AS BIGINT) AS sj,
+            sum(CAST(a.q AS HUGEINT) * b.q) AS sij
+          FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+          GROUP BY 1, 2)
+        SELECT dim_i, dim_j, n,
+          CAST(n * sij - CAST(si AS HUGEINT) * sj AS BIGINT) AS cov_num
+        FROM p ORDER BY dim_i, dim_j"""),
+      "Exact integer covariance of the first 16 embedding dims (quantized " +
+        "units, n-scaled numerator in DECIMAL(38,0)): one posexplode + " +
+        "vec-keyed self-join with dims-squared bounded fan-out — the " +
+        "distributed sufficient-statistics block under PCA."))
 
   /** Shared k-NN verdict pipeline (knn_classify, classification_report):
     * exact cosine top-5 per held-out query (vec_id < 20) against the rest,

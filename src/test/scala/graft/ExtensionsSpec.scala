@@ -140,4 +140,24 @@ class ExtensionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("GRAFT DEDUP statement plans the MinHash near-dup pipeline from pure SQL") {
+    withExtensionsSession() { s2 =>
+      core.table(s2, sf("sf0.001"), "documents")
+        .select(col("doc_id"), col("text"))
+        .createOrReplaceTempView("parser_docs")
+      val viaSql = s2.sql("GRAFT DEDUP parser_docs THRESHOLD 0.8")
+        .collect().map(_.toSeq).toSet
+      val viaApi = graft.operators.NearDup
+        .minhashLshPairs(s2.table("parser_docs"), 0.8)
+        .collect().map(_.toSeq).toSet
+      assert(viaSql == viaApi && viaSql.nonEmpty,
+        s"sql=${viaSql.size} api=${viaApi.size}")
+      // the dialect is additive: ordinary SQL still parses through the
+      // delegate, and a malformed GRAFT statement errors instead of
+      // silently delegating
+      assert(s2.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
+      intercept[Exception] { s2.sql("GRAFT DEDUP THRESHOLD 0.8").collect() }
+    }
+  }
 }

@@ -181,4 +181,31 @@ class SqlSurfaceSpec extends SparkSpec {
           abs(obs_share_e6 - exp_share_e6) AS dev_e6
         FROM x ORDER BY digit""")
   }
+
+  test("cep_pattern_match runs as pure SQL") {
+    assertSame("cep_pattern_match",
+      """WITH ev AS (SELECT user_id, event_id, unix_micros(ts) AS us, event_type
+            FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+          m AS (SELECT user_id, us, event_type,
+              lead(event_type, 1) OVER w AS t1,
+              lead(event_type, 2) OVER w AS t2,
+              lead(us, 2) OVER w AS u2
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        SELECT user_id, count(*) AS n_matches, min(us) AS first_match_us
+        FROM m
+        WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+          AND u2 - us <= 86400000000L
+        GROUP BY user_id ORDER BY user_id""")
+  }
+
+  test("vwap_bars runs as pure SQL") {
+    assertSame("vwap_bars",
+      """SELECT unix_micros(date_trunc('month', l_shipdate)) AS mon_us, l_returnflag,
+          sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)))
+            div sum(CAST(l_quantity AS BIGINT)) AS vwap_c,
+          sum(CAST(l_quantity AS BIGINT)) AS volume,
+          count(*) AS n_lines
+        FROM lineitem GROUP BY 1, 2 ORDER BY mon_us, l_returnflag""")
+  }
 }
