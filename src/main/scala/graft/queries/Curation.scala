@@ -440,6 +440,66 @@ object Curation {
         ORDER BY metric"""),
       "Dataset-card summary table: corpus size, source/language breadth, " +
         "token volume, exact-dup rate, length profile — one scan, stacked " +
-        "to (metric, value) BIGINT rows.")
+        "to (metric, value) BIGINT rows."),
+
+    "vocab_growth_curve" -> Q(
+      (s, d) => {
+        // Heaps-law vocabulary growth: cumulative distinct tokens after
+        // each 50-doc ingest bucket — the curve that says when a corpus
+        // stops teaching a tokenizer new TYPES — measured on 3-word
+        // shingles (this corpus's 60-word unigram vocabulary saturates in
+        // one bucket; the shingle space keeps growing). First occurrence
+        // per shingle (one aggregate), bucket by the introducing doc, the
+        // cumulative rides PrefixSum's two-job scan: the bucket frame is
+        // O(docs/50), far past any window-over-everything at corpus scale.
+        val first = docs(s, d)
+          .select(col("doc_id"),
+            explode(graft.functions.word_shingles(col("text"), 3)).as("tok"))
+          .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+        val buckets = first
+          .groupBy(idiv(col("first_doc"), lit(25L)).as("bucket"))
+          .agg(count(lit(1)).as("new_tokens"))
+          .withColumn("g", lit(0L))
+        graft.operators.PrefixSum
+          .groupedRunningTotal(buckets, Seq("g"), Seq(col("bucket")), "new_tokens", "cum_vocab")
+          .select(col("bucket"), col("new_tokens"), col("cum_vocab"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+          t AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              generate_series(1, greatest(len(ws) - 2, 1)),
+              i -> coalesce(ws[i],'') || ' ' || coalesce(ws[i+1],'') || ' ' || coalesce(ws[i+2],'')))) AS tok
+            FROM w),
+          f AS (SELECT tok, min(doc_id) AS first_doc FROM t GROUP BY 1),
+          b AS (SELECT first_doc // 25 AS bucket, count(*) AS new_tokens
+            FROM f GROUP BY 1)
+        SELECT bucket, new_tokens,
+          CAST(sum(new_tokens) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+        FROM b ORDER BY bucket"""),
+      "Vocabulary growth curve (Heaps' law) over 3-word shingles: " +
+        "first-occurrence doc per type, 25-doc ingest buckets, cumulative " +
+        "distinct types via PrefixSum — when the corpus stops teaching."),
+
+    "per_source_dedup_rates" -> Q(
+      (s, d) => {
+        // Where the duplicates live: per-source exact-duplicate rates (the
+        // dataset_card number broken out to its actionable granularity).
+        // One aggregate; md5 identity matches dedup_exact's.
+        docs(s, d)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text"))).as("n_unique"))
+          .select(col("source"), col("n_docs"), col("n_unique"),
+            idiv(lit(1000000L) * (col("n_docs") - col("n_unique")), col("n_docs"))
+              .as("dup_rate_e6"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+          count(DISTINCT md5(text)) AS n_unique,
+          (1000000 * (count(*) - count(DISTINCT md5(text)))) // count(*) AS dup_rate_e6
+        FROM documents GROUP BY 1 ORDER BY source"""),
+      "Per-source exact-duplicate rates (e6): the dataset-card dup number " +
+        "at its actionable granularity, one aggregate.")
   )
 }

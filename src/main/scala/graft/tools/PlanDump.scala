@@ -105,7 +105,25 @@ object PlanDump {
       "shingle_novelty" ->
         ("Min-doc attribution (r7): (doc,shingle) distinct -> g-keyed min aggregate -> join " +
           "back on g (broadcast here, co-partitioned at scale) -> doc-level census; " +
-          "no pairwise comparison anywhere."))
+          "no pairwise comparison anywhere."),
+      "asof_join_native" ->
+        ("Custom physical operator (r7 s2): AsOfJoin exec node between two key-partitioned, " +
+          "(key,time)-sorted children - the SMJ contract, so Catalyst inserts only missing " +
+          "exchanges/sorts; one O(n+m) streaming merge per partition, no Window, no padded union."),
+      "weighted_median" ->
+        ("Weighted quantile (r7 s2): running weight from PrefixSum's range-exchange scan " +
+          "(3 flags would otherwise funnel through 3 window tasks), broadcast totals, " +
+          "min-price-covering-half-weight fold."),
+      "equi_depth_histogram" ->
+        ("Equi-depth buckets (r7 s2): global rank from GlobalOrder (range exchange + " +
+          "per-partition offsets, NO row_number-over-empty-partition), N broadcast, " +
+          "one bucket aggregate."),
+      "cep_pattern_match" ->
+        ("Strict-contiguity CEP (r7 s2): type filter pushed to the scan, two lead() " +
+          "columns over ONE per-user sort, match census aggregate - no self-joins."),
+      "embedding_covariance" ->
+        ("PCA sufficient statistics (r7 s2): posexplode + vec-keyed self-join (fan-out " +
+          "bounded by dims^2 per vector, never corpus^2), one (i,j) partial-aggregated fold."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit artifact\n\n")
     sb.append("Generated by `graft.tools.PlanDump` at sf0.01 (plans are scale-" +
