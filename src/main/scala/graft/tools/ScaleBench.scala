@@ -255,11 +255,39 @@ object ScaleBench {
       "minhash_lsh_skew" -> (d => NearDup.minhashLshPairs(d, 0.8).count()))
     val factQueries: Seq[(String, DataFrame => Long)] = Seq(
       "salted_join_skew" -> saltedSkewJoin)
+    // the two new iterative graph operators on the replicated-orders
+    // bipartite graph (custkey → pseudo-supplier, both keys offset per
+    // replica → K disjoint subgraphs): per-replica structure is constant,
+    // so ideal wall is linear in K for both. HITS: per-round work is two
+    // edge joins + aggregates over the whole edge set. Temporal
+    // reachability: seeds replicate with the graph (custkey % stride ≤ 20),
+    // so frontier work also replicates.
+    def hitsScaled(d: DataFrame): Long = {
+      val e = d.select(col("o_custkey").as("src"),
+        (lit(2000000000L) + col("o_custkey") - col("o_custkey") % 1000L
+          + col("o_orderkey") % 1000L).as("dst")).distinct()
+      graft.operators.Hits.run(e, rounds = 3).count()
+    }
+    def temporalScaled(d: DataFrame): Long = {
+      val base = d.select(col("o_custkey").as("cust"),
+        (lit(2000000000L) + col("o_custkey") - col("o_custkey") % 1000L
+          + col("o_orderkey") % 1000L).as("supp"),
+        org.apache.spark.sql.functions.unix_micros(
+          col("o_orderdate").cast("timestamp")).as("t")).distinct()
+      val e = base.select(col("cust").as("src"), col("supp").as("dst"), col("t"))
+        .unionByName(base.select(col("supp").as("src"), col("cust").as("dst"), col("t")))
+      val seeds = d.select(col("o_custkey").as("node"))
+        .filter(col("o_custkey") % 100000000L <= 20).distinct()
+      graft.operators.Bfs.temporalReachability(e, seeds, maxHops = 3).count()
+    }
+
     val orderQueries: Seq[(String, DataFrame => Long)] = Seq(
       "interval_overlap" -> intervalOverlapScaled,
       "skyline_prefix_max" -> skylineScaled,
       "asof_window" -> asofScaled(native = false),
-      "asof_native" -> asofScaled(native = true))
+      "asof_native" -> asofScaled(native = true),
+      "hits_iterate" -> hitsScaled,
+      "temporal_reachability" -> temporalScaled)
     val lineitemQueries: Seq[(String, DataFrame => Long)] = Seq(
       "link_prediction_wedges" -> linkPredScaled)
 
