@@ -1321,6 +1321,60 @@ object Relational {
       "First-order Markov transition matrix of per-user event sequences " +
         "(user-partitioned lag + one pair-keyed count)."),
 
+    "markov_stationary" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Steady state of the event-type Markov chain — what
+        // event_transition_matrix's one-step probabilities converge to: 4
+        // power-iteration rounds from uniform in the PageRank
+        // scaled-integer discipline (v·c_ij DIV c_i contributions, integer
+        // sums order-independent → bit-exact vs the unrolled replay). The
+        // chain is O(types²) — every join here is broadcast-size — but the
+        // COUNT table comes from the full corpus scan, which is the
+        // distributed part; iterate cost is independent of corpus size.
+        val scale = 1000000000000L
+        val w = Window.partitionBy($"user_id").orderBy($"tsu", $"event_id")
+        val c = eventsTable(s, d)
+          .select($"user_id", $"event_id", micros($"ts").as("tsu"), $"event_type")
+          .withColumn("prev_type", lag($"event_type", 1).over(w))
+          .filter($"prev_type".isNotNull)
+          .groupBy($"prev_type".as("i"), $"event_type".as("j"))
+          .agg(count(lit(1)).as("cij"))
+        val ci = c.groupBy($"i").agg(sum($"cij").as("ci"))
+        val states = c.select($"i".as("state")).unionByName(c.select($"j".as("state"))).distinct()
+        val n = states.count()
+        var v = states.select($"state", lit(scale / n).as("v"))
+        for (_ <- 1 to 4) {
+          v = c.join(ci, "i")
+            .join(v.select($"state".as("i"), $"v"), "i")
+            .select($"j".as("state"), idiv($"v" * $"cij", $"ci").as("contrib"))
+            .groupBy($"state").agg(sum($"contrib").as("v"))
+        }
+        v.select($"state", $"v".as("pi_scaled")).orderBy($"state")
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type,
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+          FROM events),
+        c AS (SELECT prev_type AS i, event_type AS j, count(*) AS cij
+          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        ci AS (SELECT i, CAST(sum(cij) AS BIGINT) AS ci FROM c GROUP BY 1),
+        st AS (SELECT i AS state FROM c UNION SELECT j FROM c),
+        nn AS (SELECT count(*) AS n FROM st),
+        v0 AS (SELECT state, 1000000000000 // (SELECT n FROM nn) AS v FROM st),
+        v1 AS (SELECT c.j AS state, CAST(sum((v0.v * c.cij) // ci.ci) AS BIGINT) AS v
+          FROM c JOIN ci ON c.i = ci.i JOIN v0 ON v0.state = c.i GROUP BY 1),
+        v2 AS (SELECT c.j AS state, CAST(sum((v1.v * c.cij) // ci.ci) AS BIGINT) AS v
+          FROM c JOIN ci ON c.i = ci.i JOIN v1 ON v1.state = c.i GROUP BY 1),
+        v3 AS (SELECT c.j AS state, CAST(sum((v2.v * c.cij) // ci.ci) AS BIGINT) AS v
+          FROM c JOIN ci ON c.i = ci.i JOIN v2 ON v2.state = c.i GROUP BY 1),
+        v4 AS (SELECT c.j AS state, CAST(sum((v3.v * c.cij) // ci.ci) AS BIGINT) AS v
+          FROM c JOIN ci ON c.i = ci.i JOIN v3 ON v3.state = c.i GROUP BY 1)
+        SELECT state, v AS pi_scaled FROM v4 ORDER BY state"""),
+      "Markov steady state of the event-type chain: 4 scaled-integer power " +
+        "iterations (v·c_ij div c_i, bit-exact vs the unrolled replay); the " +
+        "corpus-sized work is the one transition-count scan, the iterate is " +
+        "O(types²) broadcast joins."),
+
     "decayed_rolling_sum" -> Q(
       (s, d) => {
         import s.implicits._
