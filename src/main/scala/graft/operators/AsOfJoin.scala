@@ -74,7 +74,8 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       payload: Seq[String],
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false,
+      toleranceUs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.graft.shims
     val spark = left.sparkSession
     shims.ensureStrategy(spark, graft.plans.AsOfJoinStrategy)
@@ -89,7 +90,7 @@ object AsOfJoin {
       attr(lp, leftTime), attr(rp, rightTime),
       payload.map(attr(rp, _).asInstanceOf[
         org.apache.spark.sql.catalyst.expressions.Attribute]),
-      forward))
+      forward, toleranceUs))
   }
 
   private def impl(

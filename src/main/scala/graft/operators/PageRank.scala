@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
   *    edge table is pre-joined with out-degrees ONCE and checkpointed, so
   *    the degree join is not repaid per iteration);
   *  - inflow: groupBy dst with partial aggregation — one shuffle by dst;
-  *  - dangling mass (nodes with no out-edges): one O(1) scalar aggregate,
-  *    joined back in as a broadcast one-row side — never collected, so the
-  *    whole iteration is a single job (the checkpoint materialization);
+  *  - dangling mass (nodes with no out-edges): one O(1) scalar aggregate
+  *    over the in-memory iterate, collected to the driver (a one-row,
+  *    milliseconds job) and inlined as a literal — measured faster than the
+  *    r7 `crossJoin(broadcast(…))` re-entry, whose BroadcastNestedLoopJoin
+  *    stage cost more than the collect it avoided (A/B in SURVEY §4), and
+  *    a zero mass (any symmetric graph) constant-folds out entirely;
   *  - ranks are checkpointed per iteration to truncate lineage
   *    ([[Checkpointer]]: executor-local by default, reliable when a
   *    `checkpointDir` is given — the executor-loss-safe cluster mode).
@@ -35,11 +38,21 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   /** @param edges (src: long, dst: long); duplicates are collapsed.
+    * @param dangBroadcast dangling-mass mechanics: `false` (default, the r8
+    *        A/B winner — SURVEY §4) computes the one-row dangling aggregate
+    *        as a tiny driver-collected job per iteration and inlines the
+    *        Long as a literal — when the mass is 0 (any symmetric graph) the
+    *        whole term constant-folds out of the update projection; `true`
+    *        re-enters it via `crossJoin(broadcast(…))`, keeping the driver
+    *        out of the loop at the price of a BroadcastNestedLoopJoin stage
+    *        per iteration. Bit-exact either way (`sum DIV n` on all-positive
+    *        ranks ≡ the collected Long division).
     * @return (node: long, rank_scaled: long) — ranks in units of 10^-12 of
     *         the total mass `scale`, every node present.
     */
   def run(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      dangBroadcast: Boolean = false): DataFrame = {
     require(iters >= 1, "iters must be positive")
     val ckpt = new Checkpointer(checkpointDir)
     val e = ckpt(edges.select(col("src").cast("long").as("src"),
@@ -64,24 +77,34 @@ object PageRank {
       .select(col("node"), lit(init).as("r"), col("has_out").isNull.as("is_dang")))
     for (_ <- 1 to iters) {
       // dangling mass: rank held by nodes with no out-edges, redistributed
-      // uniformly. A one-row aggregate joined back in (broadcast nested-loop
-      // of a single row) instead of a driver collect: the whole iteration is
-      // then ONE job — the checkpoint materialization — not two. Bit-exact
-      // either way (`sum DIV n` on the all-positive ranks ≡ the collected
-      // Long division).
-      val dang = ranks.filter(col("is_dang"))
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      // uniformly — a one-row aggregate either way (see `dangBroadcast`)
       val inflow = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst"), expr("r DIV deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("infl"))
       val prev = ranks
-      ranks = ckpt(ranks.join(inflow, ranks("node") === inflow("dst"), "left")
-        .crossJoin(broadcast(dang))
-        .select(ranks("node"),
+      val updated = ranks.join(inflow, ranks("node") === inflow("dst"), "left")
+      ranks = ckpt(if (dangBroadcast) {
+        val dang = ranks.filter(col("is_dang"))
+          .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+        updated.crossJoin(broadcast(dang))
+          .select(ranks("node"),
+            expr(s"CAST(${(15L * init) / 100L} AS BIGINT) + " +
+              s"(85 * (coalesce(infl, CAST(0 AS BIGINT)) + dang DIV CAST($n AS BIGINT))) DIV 100")
+              .as("r"),
+            ranks("is_dang"))
+      } else {
+        // O(1) driver scalar per iteration; dangShare == 0 (every symmetric
+        // graph) drops the term from the projection entirely
+        val dangVal = ranks.filter(col("is_dang"))
+          .agg(coalesce(sum(col("r")), lit(0L))).head.getLong(0)
+        val dangShare = dangVal / n
+        updated.select(ranks("node"),
           expr(s"CAST(${(15L * init) / 100L} AS BIGINT) + " +
-            s"(85 * (coalesce(infl, CAST(0 AS BIGINT)) + dang DIV CAST($n AS BIGINT))) DIV 100")
-            .as("r"),
-          ranks("is_dang")))
+            s"(85 * (coalesce(infl, CAST(0 AS BIGINT))" +
+            (if (dangShare == 0L) "" else s" + CAST($dangShare AS BIGINT)") +
+            ")) DIV 100").as("r"),
+          ranks("is_dang"))
+      })
       ckpt.retire(prev) // superseded iterate: files dead once ranks exists
     }
     ranks.select(col("node"), col("r").as("rank_scaled")).orderBy("node")
@@ -131,21 +154,23 @@ object PageRank {
         col("s").isNotNull.as("is_src"),
         col("has_out").isNull.as("is_dang")))
     for (_ <- 1 to iters) {
-      // same one-row-aggregate inlining as [[run]]: one job per iteration
-      val dang = ranks.filter(col("is_dang"))
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      // same O(1)-scalar dangling mechanics as [[run]] (r8 A/B winner):
+      // a tiny collected aggregate per iteration, inlined as a literal
       val inflow = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst"), expr("r DIV deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("infl"))
       val prev = ranks
+      val dangShare = ranks.filter(col("is_dang"))
+        .agg(coalesce(sum(col("r")), lit(0L))).head.getLong(0) / m
       ranks = ckpt(ranks.join(inflow, ranks("node") === inflow("dst"), "left")
-        .crossJoin(broadcast(dang))
         .select(ranks("node"),
           expr(s"CASE WHEN is_src THEN CAST($tele AS BIGINT) " +
             "ELSE CAST(0 AS BIGINT) END + " +
-            s"(85 * (coalesce(infl, CAST(0 AS BIGINT)) + " +
-            s"CASE WHEN is_src THEN dang DIV CAST($m AS BIGINT) " +
-            "ELSE CAST(0 AS BIGINT) END)) DIV 100").as("r"),
+            s"(85 * (coalesce(infl, CAST(0 AS BIGINT))" +
+            (if (dangShare == 0L) "" else
+              s" + CASE WHEN is_src THEN CAST($dangShare AS BIGINT) " +
+                "ELSE CAST(0 AS BIGINT) END") +
+            ")) DIV 100").as("r"),
           ranks("is_src"), ranks("is_dang")))
       ckpt.retire(prev)
     }

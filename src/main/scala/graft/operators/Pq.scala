@@ -45,6 +45,74 @@ object Pq {
   final case class Model(m: Int, k: Int, subDim: Int,
       codebooks: Array[Array[Array[Double]]])
 
+  /** One-call IVFADC+R pipeline — the r8 fast path behind `ann_ivf_pq`.
+    * Identical math to `train` + `ivfAdcTopK`, reshaped for job count and
+    * scan reuse:
+    *  - the candidate frame is NORMALIZED ONCE and persisted; seeding,
+    *    training, encoding and the exact re-rank all read that one
+    *    materialization instead of re-normalizing the parquet scan four
+    *    times;
+    *  - the IVF coarse quantizer trains INSIDE the joint PQ Lloyd: the
+    *    explode emits `m` subspace rows PLUS one full-vector row (j = m)
+    *    per vector, so each iteration is still ONE assignment scan + ONE
+    *    (j, cluster, dim) mean shuffle — covering all m codebooks AND the
+    *    coarse centroids. 1 + iters jobs replace the separate coarse
+    *    Lloyd's 1 + iters (same per-subspace seeds, same argmin
+    *    tie-breaks — output is bit-identical to the two-phase path,
+    *    PqSpec-checked).
+    */
+  def ivfPq(queries: DataFrame, candidates: DataFrame, m: Int, k: Int,
+      iters: Int, topK: Int, coarseK: Int = 8, nprobe: Int = 2,
+      rerank: Int = 10): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val unit = normalized(candidates)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ONE seeding action for both geometries: the max(k, coarseK)
+      // lowest-id unit vectors; PQ books slice them, the coarse book is the
+      // first coarseK rows whole — exactly the seeds the two-phase path picks
+      val seeds = unit.orderBy(col("vec_id")).limit(math.max(k, coarseK))
+        .select(col("embedding")).as[Seq[Double]].collect().map(_.toArray)
+      require(seeds.length >= math.max(k, coarseK),
+        s"need ${math.max(k, coarseK)} vectors to seed, got ${seeds.length}")
+      val dim = seeds(0).length
+      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+      val subDim = dim / m
+      // j = 0..m-1: the subspace slices; j = m: the whole vector (coarse)
+      val sub = unit.select(col("vec_id"), posexplode(array(
+          (0 until m).map(j => slice(col("embedding"), j * subDim + 1, subDim)) :+
+            col("embedding"): _*)))
+        .withColumnsRenamed(Map("pos" -> "j", "col" -> "sub"))
+      var books: Array[Array[Array[Double]]] =
+        Array.tabulate(m, k)((j, c) => seeds(c).slice(j * subDim, (j + 1) * subDim))
+      var coarse: Array[Array[Double]] = seeds.take(coarseK)
+      for (_ <- 1 to iters) {
+        val cluster = (0 until m).foldRight(
+          graft.functions.nearest_centroid(col("sub"), coarse).getField("cluster")) {
+          (j, acc) => when(col("j") === j,
+            graft.functions.nearest_centroid(col("sub"), books(j)).getField("cluster"))
+            .otherwise(acc)
+        }
+        val next = sub.select(col("j"), cluster.as("cluster"),
+            posexplode(col("sub")).as(Seq("dim", "x")))
+          .groupBy(col("j"), col("cluster"), col("dim")).agg(avg(col("x")).as("mean"))
+          .groupBy(col("j"), col("cluster"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+            s => s.getField("mean")).as("centroid"))
+          .as[(Int, Int, Seq[Double])].collect()
+        val ub = books.map(_.clone()); val uc = coarse.clone()
+        next.foreach { case (j, c, v) => // empty clusters keep their centroid
+          if (j == m) uc(c) = v.toArray else ub(j)(c) = v.toArray }
+        books = ub; coarse = uc
+      }
+      val model = Model(m, k, subDim, books)
+      adcQuery(queries, unit, model, coarse, topK, nprobe, rerank,
+        preNormalized = true)
+    } finally unit.unpersist(false)
+  }
+
   /** The whole pipeline runs on L2-NORMALIZED vectors: on unit vectors
     * ‖a−b‖² = 2 − 2·cos(a,b), so the ADC L2 ranking is exactly the cosine
     * ranking the rest of the similarity stack ([[Ann]]) uses — without
@@ -144,14 +212,30 @@ object Pq {
   def ivfAdcTopK(queries: DataFrame, candidates: DataFrame, model: Model,
       k: Int, coarseK: Int = 8, coarseIters: Int = 3, nprobe: Int = 2,
       rerank: Int = 10): DataFrame = {
+    val coarse = KMeans.lloyd(normalized(candidates), "vec_id", "embedding",
+      coarseK, coarseIters, trackInertia = false)
+    adcQuery(queries, candidates, model, coarse.centroids, k, nprobe, rerank,
+      preNormalized = false)
+  }
+
+  /** The ADC + re-rank stage against an already-trained model and coarse
+    * codebook; `preNormalized` skips the unit-normalization projections when
+    * the caller already materialized unit vectors ([[ivfPq]]). */
+  private def adcQuery(queries: DataFrame, candidates: DataFrame, model: Model,
+      coarseCentroids: Array[Array[Double]], k: Int, nprobe: Int,
+      rerank: Int, preNormalized: Boolean): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
 
-    val coarse = KMeans.lloyd(normalized(candidates), "vec_id", "embedding",
-      coarseK, coarseIters, trackInertia = false)
-    val codes = encode(candidates, model)
-      .join(coarse.assignments.select(col("id").as("vec_id"), col("cluster").as("cell")),
-        "vec_id")
+    val candUnit = if (preNormalized) candidates else normalized(candidates)
+    val codes = candUnit.select(col("vec_id"),
+      array((0 until model.m).map { j =>
+        graft.functions.nearest_centroid(
+          slice(col("embedding"), j * model.subDim + 1, model.subDim),
+          model.codebooks(j)).getField("cluster")
+      }: _*).as("codes"),
+      graft.functions.nearest_centroid(col("embedding"), coarseCentroids)
+        .getField("cluster").as("cell"))
 
     // Per query: the m×k ADC table plus its nprobe nearest coarse cells —
     // both exact driver-side float math over the driver-held codebooks.
@@ -167,7 +251,7 @@ object Pq {
       val lut: Seq[Seq[Double]] = (0 until model.m).map { j =>
         (0 until model.k).map(c => distSq(qv, model.codebooks(j)(c), j * model.subDim))
       }
-      val cells: Seq[Int] = coarse.centroids.zipWithIndex
+      val cells: Seq[Int] = coarseCentroids.zipWithIndex
         .map { case (cv, c) => (distSq(qv, cv, 0), c) }
         .sortBy { case (dist, c) => (dist, c) }.take(nprobe).map(_._2).toSeq
       (qid, lut, cells)

@@ -29,9 +29,13 @@ import org.apache.spark.sql.types.LongType
   *
   * Semantics (both directions, inclusive at equal times, mirroring
   * operators.AsOfJoin): backward = latest right row with rt <= lt within the
-  * key; forward = earliest right row with rt >= lt. Times must be
-  * non-null LongType (unix micros — the house convention); right rows unique
-  * per (key, time).
+  * key; forward = earliest right row with rt >= lt. With `toleranceUs` set,
+  * a match further than the bound (|lt − rt| > tol) emits the NULL payload —
+  * the kdb `wj` / Pandas `merge_asof(tolerance=)` staleness semantics, one
+  * extra comparison in the merge loop. Times must be non-null LongType (unix
+  * micros — the house convention); a NULL time fails loudly at runtime
+  * (doExecute checks every eval) instead of silently coercing to 0 and
+  * matching wrongly. Right rows unique per (key, time).
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -41,11 +45,13 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     payload: Seq[Attribute],
-    forward: Boolean) extends BinaryNode {
+    forward: Boolean,
+    toleranceUs: Option[Long] = None) extends BinaryNode {
 
   require(leftKeys.size == rightKeys.size, "key arity mismatch")
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     "as-of times must be LongType (unix micros)")
+  require(toleranceUs.forall(_ >= 0L), "as-of tolerance must be >= 0 micros")
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -58,8 +64,8 @@ case class AsOfJoinPlan(
 /** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]; a no-op on every other node. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, p, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, p, fwd) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, p, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, p, fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -72,7 +78,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     payload: Seq[Attribute],
-    forward: Boolean) extends BinaryExecNode {
+    forward: Boolean,
+    toleranceUs: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -99,6 +106,8 @@ case class AsOfJoinExec(
     val rOut = right.output
     val keyTypes = leftKeys.map(_.dataType)
     val fwd = forward
+    // tol < 0 ⇒ unbounded; one register comparison per emit when bounded
+    val tol = toleranceUs.getOrElse(-1L)
     val payloadAttrs = payload
     val (lKeys, rKeys, lTime, rTime, out) =
       (leftKeys, rightKeys, leftTime, rightTime, output)
@@ -117,31 +126,45 @@ case class AsOfJoinExec(
         .createNaturalAscendingOrdering(keyTypes)
       val joined = new JoinedRow
       val nullPayload = new GenericInternalRow(payloadAttrs.size)
+      // the documented non-null contract fails LOUDLY: a NULL time through
+      // asInstanceOf[Long] would silently become 0 and match wrongly
+      def timeOf(e: Expression, row: InternalRow, side: String): Long = {
+        val v = e.eval(row)
+        if (v == null) throw new IllegalStateException(
+          s"as-of join: NULL $side time — times must be non-null unix micros")
+        v.asInstanceOf[Long]
+      }
 
       var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
       def advanceRight(): Unit =
         rRow = if (rIter.hasNext) rIter.next() else null
-      // backward state: the latest matching payload and its key (copied —
-      // projections reuse their buffers)
+      // backward state: the latest matching payload, its time and its key
+      // (copied — projections reuse their buffers)
       var lastKey: UnsafeRow = null
       var lastPayload: UnsafeRow = null
+      var lastTime: Long = 0L
 
       lIter.map { l =>
         val lk = lKeyProj(l)
-        val lt = lTimeE.eval(l).asInstanceOf[Long]
+        val lt = timeOf(lTimeE, l, "left")
         if (!fwd) {
           var scan = true
           while (scan && rRow != null) {
             val rk = rKeyProj(rRow)
             val cmp = keyOrd.compare(rk, lk)
             if (cmp < 0) advanceRight()
-            else if (cmp == 0 && rTimeE.eval(rRow).asInstanceOf[Long] <= lt) {
-              lastKey = rk.copy()
-              lastPayload = rPayloadProj(rRow).copy()
-              advanceRight()
+            else if (cmp == 0) {
+              val rt = timeOf(rTimeE, rRow, "right")
+              if (rt <= lt) {
+                lastKey = rk.copy()
+                lastPayload = rPayloadProj(rRow).copy()
+                lastTime = rt
+                advanceRight()
+              } else scan = false
             } else scan = false
           }
-          val p = if (lastKey != null && keyOrd.compare(lastKey, lk) == 0)
+          val p = if (lastKey != null && keyOrd.compare(lastKey, lk) == 0 &&
+              (tol < 0L || lt - lastTime <= tol))
             lastPayload else nullPayload
           outProj(joined(l, p))
         } else {
@@ -150,11 +173,12 @@ case class AsOfJoinExec(
             val rk = rKeyProj(rRow)
             val cmp = keyOrd.compare(rk, lk)
             if (cmp < 0 ||
-                (cmp == 0 && rTimeE.eval(rRow).asInstanceOf[Long] < lt))
+                (cmp == 0 && timeOf(rTimeE, rRow, "right") < lt))
               advanceRight()
             else scan = false
           }
-          val p = if (rRow != null && keyOrd.compare(rKeyProj(rRow), lk) == 0)
+          val p = if (rRow != null && keyOrd.compare(rKeyProj(rRow), lk) == 0 &&
+              (tol < 0L || timeOf(rTimeE, rRow, "right") - lt <= tol))
             rPayloadProj(rRow) else nullPayload
           outProj(joined(l, p))
         }

@@ -445,13 +445,13 @@ object Curation {
     "vocab_growth_curve" -> Q(
       (s, d) => {
         // Heaps-law vocabulary growth: cumulative distinct tokens after
-        // each 50-doc ingest bucket — the curve that says when a corpus
+        // each 25-doc ingest bucket — the curve that says when a corpus
         // stops teaching a tokenizer new TYPES — measured on 3-word
         // shingles (this corpus's 60-word unigram vocabulary saturates in
         // one bucket; the shingle space keeps growing). First occurrence
         // per shingle (one aggregate), bucket by the introducing doc, the
         // cumulative rides PrefixSum's two-job scan: the bucket frame is
-        // O(docs/50), far past any window-over-everything at corpus scale.
+        // O(docs/25), far past any window-over-everything at corpus scale.
         val first = docs(s, d)
           .select(col("doc_id"),
             explode(graft.functions.word_shingles(col("text"), 3)).as("tok"))

@@ -43,6 +43,19 @@ object Ingestion {
       {"name":"value","type":"double"},
       {"name":"props","type":["null","string"]}]}"""
 
+  /** [[eventsAvroJson]] plus a `decimal` logical-type column — the shape a
+    * Snowflake NUMBER export actually has (bytes + decimal(p,s)); see
+    * AvroSchemaConverter's decimal branch. */
+  val eventsAvroDecimalJson: String =
+    """{"type":"record","name":"Events","fields":[
+      {"name":"event_id","type":"long"},
+      {"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}},
+      {"name":"user_id","type":"long"},
+      {"name":"event_type","type":"string"},
+      {"name":"value","type":"double"},
+      {"name":"value_dec","type":{"type":"bytes","logicalType":"decimal","precision":18,"scale":2}},
+      {"name":"props","type":["null","string"]}]}"""
+
   private def tmp(name: String) = s"/tmp/graft_tables/$name"
 
   private val ordersOutSql =
@@ -136,14 +149,27 @@ object Ingestion {
     "avro_schema_read" -> Q(
       (s, d) => {
         import s.implicits._
-        TypedIngest.fromAvro(eventsTable(s, d), eventsAvroJson)
+        // the decimal column arrives as its STRING form (exact integer-cents
+        // construction — both engines build the identical text) and the Avro
+        // `decimal` logical type drives the cast to DecimalType(18,2): the
+        // Snowflake-NUMBER-export path a bytes→binary fallback would lose
+        val cents = round($"value" * 100).cast("long")
+        val staged = eventsTable(s, d).withColumn("value_dec",
+          concat(idiv(cents, lit(100L)).cast("string"), lit("."),
+            lpad(pmod(cents, lit(100L)).cast("string"), 2, "0")))
+        TypedIngest.fromAvro(staged, eventsAvroDecimalJson)
           .select($"event_id", micros($"ts").as("tsu"), $"user_id", $"event_type",
-            $"value", $"props")
+            $"value", $"value_dec", $"props")
           .orderBy($"event_id")
       },
-      Some("""SELECT event_id, epoch_us(ts) AS tsu, user_id, event_type, value, props
+      Some("""SELECT event_id, epoch_us(ts) AS tsu, user_id, event_type, value,
+          CAST(CAST(CAST(round(value * 100) AS BIGINT) // 100 AS VARCHAR) || '.' ||
+            lpad(CAST(CAST(round(value * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0')
+            AS DECIMAL(18,2)) AS value_dec,
+          props
         FROM events ORDER BY event_id"""),
-      "Avro-schema-driven projection (AvroSchemaConverter)"),
+      "Avro-schema-driven projection (AvroSchemaConverter), including the " +
+        "`decimal` logical type (Snowflake NUMBER export shape) -> DecimalType(18,2)"),
 
     "cdc_latest_by_key" -> Q(
       (s, d) => {

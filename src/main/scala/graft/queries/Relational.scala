@@ -625,10 +625,12 @@ object Relational {
         import s.implicits._
         // As-of join with a staleness bound (the kdb `wj`/Pandas
         // `merge_asof(tolerance=)` semantics): a match older than 7 days is
-        // no match at all — stale reference data is worse than none. Same
-        // single-shuffle union+window plan as q18; the tolerance is one
-        // post-window predicate that NULLs the whole payload atomically, so
-        // it adds zero exchanges.
+        // no match at all — stale reference data is worse than none. Routed
+        // through the NATIVE physical as-of (plans.AsOfJoinExec) since r8:
+        // the tolerance is one register comparison in the O(n+m) merge
+        // loop, which NULLs the whole payload atomically — no padded union
+        // frame, no window buffer, and the measured ~1.4× native win now
+        // reaches the staleness-bounded variant.
         val tolUs = 7L * 86400000000L
         val left = eventsTable(s, d)
           .select($"event_id", $"user_id", micros($"ts").as("tsu"))
@@ -637,12 +639,9 @@ object Relational {
           .agg(max($"o_totalprice").as("o_val"))
           .select($"o_custkey", micros($"o_orderdate").as("otsu"),
             micros($"o_orderdate").as("asof_ts_us"), $"o_val")
-        AsOfJoin.leftAsOf(left, right, "user_id", "o_custkey", "tsu", "otsu",
-            Seq("asof_ts_us", "o_val"))
-          .withColumn("fresh", $"asof_ts_us".isNotNull && $"tsu" - $"asof_ts_us" <= tolUs)
-          .select($"event_id", $"user_id", $"tsu",
-            when($"fresh", $"asof_ts_us").as("asof_ts_us"),
-            when($"fresh", $"o_val").as("o_val"))
+        AsOfJoin.leftAsOfNative(left, right, "user_id", "o_custkey", "tsu", "otsu",
+            Seq("asof_ts_us", "o_val"), toleranceUs = Some(tolUs))
+          .select($"event_id", $"user_id", $"tsu", $"asof_ts_us", $"o_val")
           .orderBy($"event_id")
       },
       Some("""WITH r AS (
@@ -1343,11 +1342,18 @@ object Relational {
         val ci = c.groupBy($"i").agg(sum($"cij").as("ci"))
         val states = c.select($"i".as("state")).unionByName(c.select($"j".as("state"))).distinct()
         val n = states.count()
+        // v is scaled to 1e12, so v*cij overflows BIGINT once any transition
+        // count exceeds ~9.2e6 — route the product through DECIMAL(38,0)
+        // (same scale*count discipline as Hits/t_closeness/vwap_bars); the
+        // DIV result is back under 1e12 so the running value stays BIGINT.
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
         var v = states.select($"state", lit(scale / n).as("v"))
         for (_ <- 1 to 4) {
           v = c.join(ci, "i")
             .join(v.select($"state".as("i"), $"v"), "i")
-            .select($"j".as("state"), idiv($"v" * $"cij", $"ci").as("contrib"))
+            .select($"j".as("state"),
+              idiv($"v".cast(d38) * $"cij".cast(d38), $"ci".cast(d38))
+                .cast("long").as("contrib"))
             .groupBy($"state").agg(sum($"contrib").as("v"))
         }
         v.select($"state", $"v".as("pi_scaled")).orderBy($"state")
@@ -1361,13 +1367,13 @@ object Relational {
         st AS (SELECT i AS state FROM c UNION SELECT j FROM c),
         nn AS (SELECT count(*) AS n FROM st),
         v0 AS (SELECT state, 1000000000000 // (SELECT n FROM nn) AS v FROM st),
-        v1 AS (SELECT c.j AS state, CAST(sum((v0.v * c.cij) // ci.ci) AS BIGINT) AS v
+        v1 AS (SELECT c.j AS state, CAST(sum((CAST(v0.v AS HUGEINT) * c.cij) // ci.ci) AS BIGINT) AS v
           FROM c JOIN ci ON c.i = ci.i JOIN v0 ON v0.state = c.i GROUP BY 1),
-        v2 AS (SELECT c.j AS state, CAST(sum((v1.v * c.cij) // ci.ci) AS BIGINT) AS v
+        v2 AS (SELECT c.j AS state, CAST(sum((CAST(v1.v AS HUGEINT) * c.cij) // ci.ci) AS BIGINT) AS v
           FROM c JOIN ci ON c.i = ci.i JOIN v1 ON v1.state = c.i GROUP BY 1),
-        v3 AS (SELECT c.j AS state, CAST(sum((v2.v * c.cij) // ci.ci) AS BIGINT) AS v
+        v3 AS (SELECT c.j AS state, CAST(sum((CAST(v2.v AS HUGEINT) * c.cij) // ci.ci) AS BIGINT) AS v
           FROM c JOIN ci ON c.i = ci.i JOIN v2 ON v2.state = c.i GROUP BY 1),
-        v4 AS (SELECT c.j AS state, CAST(sum((v3.v * c.cij) // ci.ci) AS BIGINT) AS v
+        v4 AS (SELECT c.j AS state, CAST(sum((CAST(v3.v AS HUGEINT) * c.cij) // ci.ci) AS BIGINT) AS v
           FROM c JOIN ci ON c.i = ci.i JOIN v3 ON v3.state = c.i GROUP BY 1)
         SELECT state, v AS pi_scaled FROM v4 ORDER BY state"""),
       "Markov steady state of the event-type chain: 4 scaled-integer power " +
@@ -1685,10 +1691,12 @@ object Relational {
         import s.implicits._
         // Last-touch attribution: every purchase credits the latest click
         // by the same user within a 7-day lookback, else counts as organic.
-        // One AsOfJoin (union + single keyed sort window — no per-user
-        // loop), one tolerance predicate, one rollup. The attribution
-        // output is per-user: attributed/organic purchase counts and
-        // revenue in exact cents.
+        // Routed through the NATIVE as-of with the 7-day tolerance IN the
+        // merge loop (r8): the stale-click case comes back as a NULL
+        // payload directly — no post-window predicate, no padded union
+        // frame. One streamed merge, one rollup. The attribution output is
+        // per-user: attributed/organic purchase counts and revenue in
+        // exact cents.
         val tolUs = 7L * 86400000000L
         val ev = eventsTable(s, d)
         val purchases = ev.filter($"event_type" === "purchase")
@@ -1697,10 +1705,9 @@ object Relational {
         val clicks = ev.filter($"event_type" === "click")
           .select($"user_id".as("c_user"), micros($"ts").as("ctsu"),
             micros($"ts").as("click_ts"), $"event_id".as("click_id"))
-        AsOfJoin.leftAsOf(purchases, clicks, "user_id", "c_user", "tsu", "ctsu",
-            Seq("click_id", "click_ts"))
-          .withColumn("attributed",
-            $"click_id".isNotNull && $"tsu" - $"click_ts" <= tolUs)
+        AsOfJoin.leftAsOfNative(purchases, clicks, "user_id", "c_user", "tsu", "ctsu",
+            Seq("click_id", "click_ts"), toleranceUs = Some(tolUs))
+          .withColumn("attributed", $"click_id".isNotNull)
           .groupBy($"user_id")
           .agg(
             sum(when($"attributed", 1L).otherwise(0L)).as("n_attributed"),

@@ -119,9 +119,12 @@ object Similarity {
     "ann_ivf_pq" -> Q(
       (s, d) => {
         val e = emb(s, d)
-        val cands = e.filter(col("vec_id") >= 10)
-        val model = Pq.train(cands, m = 8, k = 16, iters = 3)
-        Pq.ivfAdcTopK(e.filter(col("vec_id") < 10), cands, model, k = 5, nprobe = 4)
+        // one-call fast path: normalized-once persisted candidates, coarse
+        // quantizer trained INSIDE the joint PQ Lloyd (1 shuffle/iteration
+        // for all 8 subspaces + the coarse geometry) — bit-identical output
+        // to the two-phase train + ivfAdcTopK (PqSpec), ~half the jobs
+        Pq.ivfPq(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+          m = 8, k = 16, iters = 3, topK = 5, nprobe = 4)
       },
       None, // approximate: recall vs embedding_cosine_topk is spec-checked
       "IVF-PQ ANN (IVFADC+R): 8×16 product-quantization codes (~30× smaller " +

@@ -43,7 +43,20 @@ object AvroSchemaConverter {
     case AvroSchema.Type.FLOAT   => (FloatType, false)
     case AvroSchema.Type.DOUBLE  => (DoubleType, false)
     case AvroSchema.Type.BOOLEAN => (BooleanType, false)
-    case AvroSchema.Type.BYTES | AvroSchema.Type.FIXED => (BinaryType, false)
+    case AvroSchema.Type.BYTES | AvroSchema.Type.FIXED =>
+      // Snowflake NUMBER columns export as bytes/fixed with the `decimal`
+      // logical type (the first type any real Snowflake table hits — the
+      // reference's 7-type JDBC switch sidesteps it,
+      // SnowflakeToRowDataMapFunction.java:66-84); without this branch a
+      // decimal-typed export would silently land as raw bytes
+      s.getLogicalType match {
+        case d: LogicalTypes.Decimal =>
+          require(d.getPrecision <= DecimalType.MAX_PRECISION,
+            s"avro decimal precision ${d.getPrecision} exceeds Spark's " +
+              s"max ${DecimalType.MAX_PRECISION}")
+          (DecimalType(d.getPrecision, d.getScale), false)
+        case _ => (BinaryType, false)
+      }
     case AvroSchema.Type.RECORD  => (toStruct(s), false)
     case AvroSchema.Type.ARRAY =>
       val (et, en) = toSpark(s.getElementType); (ArrayType(et, en), false)

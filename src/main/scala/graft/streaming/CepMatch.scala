@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming CEP: the strict-contiguity view→click→purchase pattern of the
@@ -11,11 +12,37 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * still fires because the pair survives in state — the case any per-batch
   * window replay drops.
   *
-  * Within a micro-batch the group folds in (us, event_id) order; across
-  * batches order holds by the sequential time-sliced staging contract
-  * (PrefixAnomaly's). Callers pre-filter to the relevant event types (CEP's
-  * relevant-event projection — strict contiguity is over the FILTERED
-  * stream).
+  * Resource bounds (r8):
+  *  - Keyed state EXPIRES: the stream carries a watermark
+  *    (`lateToleranceUs` behind max event time) and each key arms an
+  *    EventTimeTimeout `idleTimeoutUs` past its newest event; when the
+  *    watermark passes it the key is evicted, so the store no longer grows
+  *    with total distinct users forever — the Flink-CEP `within`-clause
+  *    state-TTL behavior. (EventTime, not ProcessingTime: a
+  *    processing-time timer re-arms `shouldRunAnotherBatch` forever and
+  *    deadlocks `Trigger.AvailableNow` backlog drains.) Eviction is
+  *    pattern-safe whenever `idleTimeoutUs >= windowUs`: an evicted prefix
+  *    could only have matched a purchase more than `windowUs` of event time
+  *    after it, which the `r.us - st.u1 <= windowUs` guard rejects anyway.
+  *  - Late events are handled EXPLICITLY, not by an implicit staging
+  *    contract: the watermark drops events more than `lateToleranceUs`
+  *    behind the stream high-mark before they reach the state machine, and
+  *    a within-tolerance straggler that is still older than its key's last
+  *    folded timestamp is skipped by the fold (documented Flink
+  *    `skip-late-elements` semantics) — it cannot join strict contiguity
+  *    without rewriting already-emitted history.
+  *
+  * Within a micro-batch the group folds in (us, event_id) order. That
+  * per-batch sort is a LOWER BOUND, not an implementation choice: the
+  * grouped iterator arrives in shuffle order, and strict contiguity over an
+  * unordered batch is undecidable until every event of the batch is seen
+  * (any later-arriving event may sit BETWEEN two already-seen events and
+  * break their adjacency) — so no O(1) incremental insertion into the keyed
+  * state can be correct. The buffer is therefore bounded by one key's slice
+  * of one micro-batch (not the stream), and the sort runs in place to keep
+  * the hot-key constant small. Callers pre-filter to the relevant event
+  * types (CEP's relevant-event projection — strict contiguity is over the
+  * FILTERED stream).
   */
 object CepMatch {
 
@@ -24,22 +51,53 @@ object CepMatch {
   case class St(t1: String, u1: Long, t2: String, u2: Long)
   case class Match(user_id: Long, view_us: Long, purchase_us: Long)
 
-  def matches(events: DataFrame, windowUs: Long): Dataset[Match] = {
+  def matches(events: DataFrame, windowUs: Long,
+      idleTimeoutUs: Long = 3600000000L,
+      lateToleranceUs: Long = 3600000000L): Dataset[Match] = {
     import events.sparkSession.implicits._
-    events.selectExpr("user_id", "us", "event_id", "event_type").as[In]
+    // the watermark column stays in the frame (not projected away): the
+    // event-time-timeout check requires the tagged column to reach the
+    // stateful operator; the In encoder simply ignores it
+    events.selectExpr("user_id", "us", "event_id", "event_type")
+      .withColumn("__ts", timestamp_micros(col("us")))
+      .withWatermark("__ts", s"${lateToleranceUs / 1000000L} seconds")
+      .as[In]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
         (key: Long, it: Iterator[In], state: GroupState[St]) =>
-          var st = state.getOption.getOrElse(St("", 0L, "", 0L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[Match]
-          it.toSeq.sortBy(r => (r.us, r.event_id)).foreach { r =>
-            if (st.t1 == "view" && st.t2 == "click" &&
-                r.event_type == "purchase" && r.us - st.u1 <= windowUs)
-              out += Match(key, st.u1, r.us)
-            st = St(st.t2, st.u2, r.event_type, r.us)
+          if (state.hasTimedOut) {
+            // idle-key eviction: drop the pattern prefix; any purchase this
+            // far out in event time fails the windowUs guard regardless
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(St("", 0L, "", 0L))
+            // lastUs: newest timestamp already folded into state — a
+            // straggler older than this is skipped explicitly
+            var lastUs = if (st.t2 == "") Long.MinValue else st.u2
+            val batch = it.toArray
+            java.util.Arrays.sort(batch,
+              Ordering.by((r: In) => (r.us, r.event_id)))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Match]
+            batch.foreach { r =>
+              if (r.us >= lastUs) { // empty state: lastUs=MinValue accepts any
+                if (st.t1 == "view" && st.t2 == "click" &&
+                    r.event_type == "purchase" && r.us - st.u1 <= windowUs)
+                  out += Match(key, st.u1, r.us)
+                st = St(st.t2, st.u2, r.event_type, r.us)
+                lastUs = r.us
+              } // else: late straggler, skipped (see Scaladoc)
+            }
+            state.update(st)
+            // arm the idle timer: fires once the watermark passes the key's
+            // newest event by idleTimeoutUs (clamped above the current
+            // watermark — setTimeoutTimestamp rejects past timestamps)
+            val wmMs = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+              math.max(lastUs / 1000L, wmMs) + math.max(idleTimeoutUs / 1000L, 1L))
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 }

@@ -46,22 +46,56 @@ object PrefixAnomaly {
     Stats(st.n + 1, st.s + x, st.ss + x * x)
 
   /** The streaming transform: events(event_type, ts_us, event_id, value_c)
-    * → flagged outliers, state = (n, S, SS) per event_type. */
-  def flagged(events: DataFrame, warmup: Long, thresholdE6: Long): Dataset[Flag] = {
+    * → flagged outliers, state = (n, S, SS) per event_type.
+    *
+    * The per-batch (ts, id) sort is the same lower bound CepMatch documents:
+    * the grouped iterator arrives in shuffle order, and "statistics of every
+    * STRICTLY EARLIER event" is order-dependent within the batch, so the
+    * one-key-one-batch slice must be buffered and ordered before the O(1)
+    * fold — in-place over an array to keep the hot-key constant small; the
+    * buffer is bounded by a batch, never the stream. Idle series are evicted
+    * once the stream's watermark (`lateToleranceUs` behind max event time)
+    * passes `idleTimeoutUs` beyond the series' newest event — EventTime, not
+    * ProcessingTime, so `Trigger.AvailableNow` drains still terminate (see
+    * CepMatch). State is a running prefix: eviction restarts the warmup for
+    * a series that went quiet, the documented trade. */
+  def flagged(events: DataFrame, warmup: Long, thresholdE6: Long,
+      idleTimeoutUs: Long = 3600000000L,
+      lateToleranceUs: Long = 3600000000L): Dataset[Flag] = {
     import events.sparkSession.implicits._
-    events.selectExpr("event_type", "ts_us", "event_id", "value_c").as[In]
+    // watermark column kept in-frame (event-time-timeout check needs it;
+    // the In encoder ignores extras) — see CepMatch
+    events.selectExpr("event_type", "ts_us", "event_id", "value_c")
+      .withColumn("__ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.col("ts_us")))
+      .withWatermark("__ts", s"${lateToleranceUs / 1000000L} seconds")
+      .as[In]
       .groupByKey(_.event_type)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
         (key: String, it: Iterator[In], state: GroupState[Stats]) =>
-          var st = state.getOption.getOrElse(Stats(0L, 0L, 0L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[Flag]
-          it.toSeq.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
-            val z2 = z2E6(st, r.value_c, warmup)
-            if (z2 > thresholdE6) out += Flag(r.event_id, key, r.value_c, z2)
-            st = push(st, r.value_c)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(Stats(0L, 0L, 0L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Flag]
+            val batch = it.toArray
+            java.util.Arrays.sort(batch,
+              Ordering.by((r: In) => (r.ts_us, r.event_id)))
+            var lastUs = Long.MinValue
+            batch.foreach { r =>
+              val z2 = z2E6(st, r.value_c, warmup)
+              if (z2 > thresholdE6) out += Flag(r.event_id, key, r.value_c, z2)
+              st = push(st, r.value_c)
+              lastUs = math.max(lastUs, r.ts_us)
+            }
+            state.update(st)
+            val wmMs = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+              math.max(lastUs / 1000L, wmMs) + math.max(idleTimeoutUs / 1000L, 1L))
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 }

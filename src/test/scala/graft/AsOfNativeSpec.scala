@@ -78,6 +78,70 @@ class AsOfNativeSpec extends SparkSpec {
     assert(keyed >= 2, s"expected both children key-partitioned\n$plan")
   }
 
+  test("tolerance: backward match staler than the bound NULLs atomically") {
+    // window-encoding reference: leftAsOf + post predicate NULLing payload
+    def windowed(tol: Long) =
+      AsOfJoin.leftAsOf(left, right, "k", "rk", "t", "rt", Seq("asof_t", "v"))
+        .withColumn("fresh", $"asof_t".isNotNull && $"t" - $"asof_t" <= tol)
+        .select($"event_id",
+          when($"fresh", $"asof_t").as("asof_t"), when($"fresh", $"v").as("v"))
+    for (tol <- Seq(0L, 49L, 50L, 400L, 849L, 1000000L)) {
+      val a = collect(windowed(tol))
+      val b = collect(AsOfJoin.leftAsOfNative(left, right, "k", "rk", "t", "rt",
+        Seq("asof_t", "v"), toleranceUs = Some(tol)))
+      assert(a == b, s"tol=$tol\nwindow: $a\nnative: $b")
+    }
+    // hand-check one: tol=400 — event 4 @999 last-matched b@150, 849 stale
+    val b400 = collect(AsOfJoin.leftAsOfNative(left, right, "k", "rk", "t", "rt",
+      Seq("asof_t", "v"), toleranceUs = Some(400L)))
+    assert(b400.find(_._1 == 4L).get == ((4L, None, None)), b400.toString)
+    assert(b400.find(_._1 == 2L).get == ((2L, Some(150L), Some("b"))), b400.toString)
+  }
+
+  test("tolerance: forward match further out than the bound NULLs atomically") {
+    def windowed(tol: Long) =
+      AsOfJoin.leftAsOfForward(left, right, "k", "rk", "t", "rt", Seq("asof_t", "v"))
+        .withColumn("fresh", $"asof_t".isNotNull && $"asof_t" - $"t" <= tol)
+        .select($"event_id",
+          when($"fresh", $"asof_t").as("asof_t"), when($"fresh", $"v").as("v"))
+    for (tol <- Seq(0L, 10L, 800L, 1000000L)) {
+      val a = collect(windowed(tol))
+      val b = collect(AsOfJoin.leftAsOfNative(left, right, "k", "rk", "t", "rt",
+        Seq("asof_t", "v"), forward = true, toleranceUs = Some(tol)))
+      assert(a == b, s"tol=$tol\nwindow: $a\nnative: $b")
+    }
+  }
+
+  test("tolerance: many keys across partitions match the window encoding") {
+    val l = (1L to 500L).map(i => (i, i % 37, i * 13 % 101)).toDF("event_id", "k", "t")
+    val r = (1L to 300L).map(j => (j % 41, j * 7 % 97, s"p$j")).toDF("rk", "rt", "v")
+      .groupBy($"rk", $"rt").agg(max($"v").as("v"))
+      .select($"rk", $"rt", $"rt".as("asof_t"), $"v")
+    for (tol <- Seq(0L, 7L, 30L, 1000L)) {
+      val a = collect(
+        AsOfJoin.leftAsOf(l, r, "k", "rk", "t", "rt", Seq("asof_t", "v"))
+          .withColumn("fresh", $"asof_t".isNotNull && $"t" - $"asof_t" <= tol)
+          .select($"event_id",
+            when($"fresh", $"asof_t").as("asof_t"), when($"fresh", $"v").as("v")))
+      val b = collect(AsOfJoin.leftAsOfNative(l, r, "k", "rk", "t", "rt",
+        Seq("asof_t", "v"), toleranceUs = Some(tol)))
+      assert(a == b, s"tol=$tol")
+    }
+  }
+
+  test("a NULL time fails loudly instead of coercing to 0") {
+    val lNull = Seq((1L, java.lang.Long.valueOf(10L), java.lang.Long.valueOf(100L)),
+        (2L, java.lang.Long.valueOf(10L), null.asInstanceOf[java.lang.Long]))
+      .toDF("event_id", "k", "t")
+    val e = intercept[org.apache.spark.SparkException] {
+      AsOfJoin.leftAsOfNative(lNull, right, "k", "rk", "t", "rt",
+        Seq("asof_t", "v")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("NULL left time")), e.toString)
+  }
+
   test("many keys across partitions: native matches a brute-force computation") {
     val l = (1L to 500L).map(i => (i, i % 37, i * 13 % 101)).toDF("event_id", "k", "t")
     val r = (1L to 300L).map(j => (j % 41, j * 7 % 97, s"p$j")).toDF("rk", "rt", "v")

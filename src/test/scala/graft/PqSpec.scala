@@ -54,6 +54,27 @@ class PqSpec extends SparkSpec {
       s"rerank made recall worse: $fullRecall < $noRerankRecall")
   }
 
+  test("fused ivfPq equals the two-phase train + ivfAdcTopK path") {
+    // the r8 fast path (normalized-once persist, coarse quantizer trained
+    // inside the joint PQ Lloyd) must be a pure re-shaping: same seeds, same
+    // per-iteration means, same routing — identical shortlist and ranking
+    val model = Pq.train(cands, m = 8, k = 16, iters = 3)
+    val twoPhase = Pq.ivfAdcTopK(queries, cands, model, k = 5, coarseK = 8,
+        coarseIters = 3, nprobe = 4)
+      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val fused = Pq.ivfPq(queries, cands, m = 8, k = 16, iters = 3, topK = 5,
+        coarseK = 8, nprobe = 4)
+      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(twoPhase.map(t => (t._1, t._2, t._3)) == fused.map(t => (t._1, t._2, t._3)),
+      s"two-phase ${twoPhase.size} rows vs fused ${fused.size}")
+    // cosine re-rank runs over unit vectors in the fused path: equal up to
+    // float rounding of the normalization
+    twoPhase.zip(fused).foreach { case (a, b) =>
+      assert(math.abs(a._4 - b._4) < 1e-9, s"$a vs $b") }
+  }
+
   test("pipeline is deterministic end-to-end") {
     def once(): Seq[(Long, Long, Long)] = {
       val model = Pq.train(cands, m = 4, k = 8, iters = 2)
