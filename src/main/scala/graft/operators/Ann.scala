@@ -217,6 +217,52 @@ object Ann {
       .orderBy("vec_id")
   }
 
+  /** [[semanticDedup]] in the ORACLE-CHECKABLE integer discipline: clusters
+    * come from [[KMeans.lloydQuantized]] (units of 10^-`log scale`,
+    * truncating integer means — the kmeans_embeddings fixed point), and the
+    * within-cluster admission test is division-free integer arithmetic on
+    * the SAME quantized vectors:
+    *
+    *   cos(a,b) ≥ τ  ⇔  dot > 0  ∧  dot²·tauDenSq ≥ tauNumSq·‖a‖²·‖b‖²
+    *
+    * with τ² = tauNumSq/tauDenSq and the products in DECIMAL(38,0) (dot² is
+    * ~10¹⁸ at this scale — BIGINT would overflow; DuckDB mirrors with
+    * HUGEINT). No floats anywhere ⇒ bit-exact against an unrolled SQL
+    * replay, making SemDeDup itself driver-checkable, not just spec-backed.
+    * The float [[semanticDedup]] (with its SRP hot-cluster sub-split)
+    * remains the production path; this variant pairs clusters exactly, so
+    * keep it to corpora whose cluster sizes are audited (the oracle's own
+    * pair space is the same quadratic).
+    */
+  def semanticDedupQuantized(vectors: DataFrame, tauNumSq: Long, tauDenSq: Long,
+      k: Int = 8, iters: Int = 3, scale: Long = 1000L): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val r = KMeans.lloydQuantized(vectors, "vec_id", "embedding", k, iters, scale)
+    val q = vectors.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => floor(x * scale + 0.5).cast("long")).as("v"))
+    val av = r.assignments.select(col("id").as("vec_id"), col("cluster"))
+    val withV = av.join(q, "vec_id")
+    val a = withV.select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = withV.select(col("cluster"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .withColumn("dot",
+        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0L), (acc, t) => acc + t))
+      .withColumn("na2", aggregate(col("va"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("nb2", aggregate(col("vb"), lit(0L), (acc, x) => acc + x * x))
+      .filter(col("dot") > 0 &&
+        col("dot").cast(d38) * col("dot").cast(d38) * lit(tauDenSq).cast(d38) >=
+          lit(tauNumSq).cast(d38) * col("na2").cast(d38) * col("nb2").cast(d38))
+      .select(col("id_a"), col("id_b"))
+    val dropped = NearDup.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id").as("vec_id"))
+    av.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+  }
+
   /** Within-cluster cosine ≥ τ pairs with a bounded pair space. Clusters at
     * or below `maxClusterSize` pair exactly (all member pairs, one shuffle
     * keyed by cluster). Oversized clusters — the skew case where one hot

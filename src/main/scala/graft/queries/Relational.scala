@@ -236,6 +236,36 @@ object Relational {
         GROUP BY n_name ORDER BY n_name"""),
       "conditional aggregation"),
 
+    "q13_custdist" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // TPC-H Q13 shape: the customer-order-count DISTRIBUTION, including
+        // the zero-order customers only a LEFT OUTER join can see (the
+        // histogram-of-a-groupBy double aggregate). The predicate stands in
+        // for Q13's o_comment filter (this corpus has no comment column).
+        // Scale shape: one shuffle on custkey for the outer join + count
+        // (partial aggregation map-side), then the second aggregate runs on
+        // O(distinct counts) rows — essentially free.
+        val c = table(s, d, "customer").select($"c_custkey")
+        val o = table(s, d, "orders")
+          .filter($"o_orderpriority" =!= "1-URGENT")
+          .select($"o_custkey", $"o_orderkey")
+        c.join(o, $"c_custkey" === $"o_custkey", "left_outer")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("c_count"))
+          .groupBy($"c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy($"custdist".desc, $"c_count".desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""),
+      "TPC-H Q13 shape (customer order-count distribution incl. zero-order " +
+        "customers): left-outer join + histogram-of-groupBy double aggregate."),
+
     "q14_union_agg" -> Q(
       (s, d) => {
         import s.implicits._

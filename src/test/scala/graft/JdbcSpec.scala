@@ -38,6 +38,35 @@ class JdbcSpec extends SparkSpec {
     assert(viaDb == viaParquet && viaDb.nonEmpty)
   }
 
+  test("dialect matrix: page SQL per dialect; LIMIT-dialect scope documented") {
+    import ShardedIngest.PagingDialect
+    // OffsetFetch (ANSI: Derby/SQL Server/Oracle/Snowflake) — live-proven in
+    // the tests above; LimitOffset (PostgreSQL/MySQL/SQLite/H2/DuckDB) —
+    // SQL-generation pinned here. No LIMIT-dialect engine ships in this
+    // sandbox (Derby only), so live coverage is single-dialect BY SCOPE:
+    // the page clause is the only dialect-dependent token in the query.
+    val ansi = ShardedIngest.pageSql("t", "shard", Seq("ts", "id"),
+      "cli'ck", offset = 7L, pageSize = 250L, PagingDialect.OffsetFetch)
+    assert(ansi ==
+      """SELECT * FROM t WHERE "shard" = 'cli''ck'
+        |ORDER BY "ts", "id"
+        |OFFSET 7 ROWS FETCH NEXT 250 ROWS ONLY""".stripMargin, ansi)
+    val lim = ShardedIngest.pageSql("t", "shard", Seq("ts", "id"),
+      "view", offset = 0L, pageSize = 100L, PagingDialect.LimitOffset)
+    assert(lim ==
+      """SELECT * FROM t WHERE "shard" = 'view'
+        |ORDER BY "ts", "id"
+        |LIMIT 100 OFFSET 0""".stripMargin, lim)
+    // Derby itself parses the LIMIT clause nowhere — assert the live path
+    // rejects the wrong dialect loudly rather than silently mis-paging
+    val e = intercept[Exception] {
+      ShardedIngest.viaJdbc(spark, url, "events_spec", "event_type",
+        Seq("tsu", "event_id"), Map.empty, 10L, Seq("click"),
+        dialect = PagingDialect.LimitOffset).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("viaJdbc offset advance replays the incremental contract") {
     val shards = ShardedIngest.discoverShardsJdbc(spark, url, "events_spec", "event_type")
     val page1 = ShardedIngest.viaJdbc(spark, url, "events_spec", "event_type",

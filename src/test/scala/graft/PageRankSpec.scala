@@ -39,6 +39,11 @@ class PageRankSpec extends SparkSpec {
     // 4 -> sink (no out-edges): exercises the dangling-mass redistribution
     val edges = Seq[(Long, Long)]((1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 4))
     assert(run(edges, 5) == replay(edges, 5))
+    // both dangling-mass mechanics (broadcast one-row vs collected literal,
+    // the PageRankAb A/B pair) are the same fixed point bit for bit
+    val collected = PageRank.run(edges.toDF("src", "dst"), 5, Scale,
+      dangBroadcast = false).as[(Long, Long)].collect().toMap
+    assert(collected == replay(edges, 5))
   }
 
   test("matches the replay on a denser random digraph") {

@@ -486,4 +486,40 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planOf(df)
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("tolerance-bounded as-of queries run on the NATIVE exec, no Window") {
+    // r8: asof_join_tolerance and attribution_last_touch route through
+    // plans.AsOfJoinExec with the bound in the merge loop — the plan must
+    // carry the custom node and no window fallback anywhere
+    for (name <- Seq("asof_join_tolerance", "attribution_last_touch")) {
+      val plan = planOf(q(name))
+      assert(plan.contains("AsOfJoin ["), s"$name missing native exec\n" + plan.take(3000))
+      assert(!plan.contains("Window"),
+        s"$name fell back to the union+window encoding\n" + plan.take(3000))
+    }
+  }
+
+  test("q13_custdist second aggregate runs on O(distinct counts) rows") {
+    val df = q("q13_custdist")
+    df.collect()
+    val plan = planOf(df)
+    // outer join + both aggregates partial-combine before their exchanges
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("seasonal_decompose windows the DAILY aggregate, not the raw events") {
+    val df = q("seasonal_decompose")
+    df.collect()
+    val plan = planOf(df)
+    // the Window's child must be the (event_type, day) aggregate — the scan
+    // side aggregates BEFORE any window touches it
+    val lines = plan.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0, plan.take(3000))
+    assert(lines.drop(winIdx).exists(_.contains("HashAggregate")),
+      "window must sit above the daily aggregate\n" + plan.take(3000))
+    // per-dow seasonal means join back broadcast (O(series×7) rows)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
 }

@@ -20,6 +20,10 @@ SKIP = {
     "stream_stream_left_join",  # same self-join, left-outer
     "dedup_representative",  # recursive-CTE closure (same as dedup_groups)
     "dedup_incremental",     # batch x corpus all-pairs Jaccard oracle
+    "streaming_neardup_ingest",  # 4x (batch x admitted) all-pairs Jaccard replay,
+                                 # and the banding-recall audit is pinned at sf0.01
+    "semantic_dedup",        # unrolled quantized k-means + within-cluster pairs
+                             # + recursive-CTE closure: O(cluster pairs) replay
 }
 
 spec = importlib.util.spec_from_file_location(
