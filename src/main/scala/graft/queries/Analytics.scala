@@ -1390,6 +1390,45 @@ object Analytics {
         "(deterministic LCG standing in for Laplace) with a non-negativity " +
         "clamp — the true count never leaves the aggregate."),
 
+    "dp_clipped_contributions" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // USER-LEVEL contribution bounding — the half of differential
+        // privacy dp_noisy_counts doesn't show: before any noise is
+        // calibrated, each user's total contribution to a released
+        // aggregate must be CLIPPED to a fixed cap C (sensitivity = C per
+        // user, however many events they have). Per (user, series): sum the
+        // user's cents, clip at C; per series: released clipped sum, user
+        // count, and how many users actually hit the cap (the
+        // clipping-rate diagnostic that decides whether C is strangling
+        // the signal). Two hash aggregates, exact integers.
+        val C = 5000000L // 50k.00 in cents
+        val perUser = eventsTable(s, d)
+          .select($"event_type", $"user_id",
+            (dec2($"value") * 100).cast(LongType).as("vc"))
+          .groupBy($"event_type", $"user_id")
+          .agg(sum($"vc").as("raw_c"))
+          .select($"event_type", $"user_id", $"raw_c",
+            least($"raw_c", lit(C)).as("clipped_c"))
+        perUser.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_users"),
+            sum($"raw_c").as("raw_sum_c"),
+            sum($"clipped_c").as("clipped_sum_c"),
+            sum(when($"raw_c" > C, 1L).otherwise(0L)).as("n_clipped"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH pu AS (SELECT event_type, user_id,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS raw_c
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, count(*) AS n_users,
+          CAST(sum(raw_c) AS BIGINT) AS raw_sum_c,
+          CAST(sum(least(raw_c, 5000000)) AS BIGINT) AS clipped_sum_c,
+          CAST(sum(CASE WHEN raw_c > 5000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        FROM pu GROUP BY 1 ORDER BY 1"""),
+      "User-level DP contribution bounding: per-user totals clipped at a " +
+        "fixed cap before release (sensitivity = cap), with the " +
+        "clipping-rate diagnostic — two exact-integer hash aggregates."),
+
     "target_encode_smoothed" -> Q(
       (s, d) => {
         import s.implicits._

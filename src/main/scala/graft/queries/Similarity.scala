@@ -456,7 +456,158 @@ object Similarity {
       "Exact integer covariance of the first 16 embedding dims (quantized " +
         "units, n-scaled numerator in DECIMAL(38,0)): one posexplode + " +
         "vec-keyed self-join with dims-squared bounded fan-out — the " +
-        "distributed sufficient-statistics block under PCA."))
+        "distributed sufficient-statistics block under PCA."),
+
+    "embedding_pca_power" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Dominant principal direction by POWER ITERATION over the exact
+        // integer covariance — the eigen-step embedding_covariance's
+        // Scaladoc promises: the corpus-sized work is the one covariance
+        // aggregate (posexplode + vec-keyed self-join, dims² fan-out); the
+        // iterate is O(dim²) on the collected 16×16 matrix — the sanctioned
+        // bounded driver artifact (centroids/sketches contract). Arithmetic
+        // is BigInt matvec + max-|component| renormalization back to 1e6
+        // scale with SIGN-SPLIT floor division (components go negative;
+        // Spark/JVM truncation ≡ DuckDB floor only after the sign split —
+        // the graph_modularity guard). 4 rounds from the all-ones vector:
+        // deterministic, bit-exact vs the unrolled SQL replay.
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val S = 1000000L
+        val ex = emb(s, d)
+          .select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
+          .filter($"dim" < 16)
+          .select($"vec_id", $"dim".cast("long").as("dim"),
+            floor($"x".cast("double") * 1000.0 + 0.5).cast("long").as("q"))
+        val cov = ex.as("a").join(ex.as("b"), $"a.vec_id" === $"b.vec_id")
+          .groupBy($"a.dim".as("i"), $"b.dim".as("j"))
+          .agg(count(lit(1)).as("n"),
+            sum($"a.q").as("si"), sum($"b.q").as("sj"),
+            sum($"a.q".cast(d38) * $"b.q".cast(d38)).as("sij"))
+          .select($"i", $"j",
+            ($"n".cast(d38) * $"sij" - $"si".cast(d38) * $"sj".cast(d38))
+              .cast("long").as("cov_num"))
+          .as[(Long, Long, Long)].collect()
+        val dim = 16
+        val c = Array.ofDim[Long](dim, dim)
+        cov.foreach { case (i, j, v) => c(i.toInt)(j.toInt) = v }
+        var v = Array.fill(dim)(S)
+        for (_ <- 1 to 4) {
+          val u = Array.tabulate(dim) { i =>
+            (0 until dim).foldLeft(BigInt(0))((acc, j) => acc + BigInt(c(i)(j)) * v(j))
+          }
+          val m = u.map(_.abs).max.max(BigInt(1))
+          v = u.map { ui =>
+            if (ui >= 0) ((ui * S) / m).toLong else (-((-ui * S) / m)).toLong
+          }
+        }
+        v.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
+          .toDF("dim", "v_scaled").orderBy("dim")
+      },
+      Some {
+        val head = """WITH ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+            CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+          FROM embeddings, unnest(generate_series(1, 16)) AS t(i)),
+        p AS (SELECT a.dim AS i, b.dim AS j, count(*) AS n,
+            CAST(sum(a.q) AS BIGINT) AS si, CAST(sum(b.q) AS BIGINT) AS sj,
+            sum(CAST(a.q AS HUGEINT) * b.q) AS sij
+          FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+          GROUP BY 1, 2),
+        cov AS (SELECT i, j, n * sij - CAST(si AS HUGEINT) * sj AS cov_num FROM p),
+        v0 AS (SELECT CAST(i - 1 AS BIGINT) AS i, CAST(1000000 AS HUGEINT) AS v
+          FROM unnest(generate_series(1, 16)) AS t(i))"""
+        val rounds = (1 to 4).map { t =>
+          val p = t - 1
+          s"""u$t AS (SELECT c.i, sum(c.cov_num * v$p.v) AS u
+              FROM cov c JOIN v$p ON v$p.i = c.j GROUP BY 1),
+            m$t AS (SELECT greatest(max(abs(u)), 1) AS m FROM u$t),
+            v$t AS (SELECT i, CASE WHEN u >= 0 THEN (u * 1000000) // m
+                ELSE -(((-u) * 1000000) // m) END AS v FROM u$t, m$t)"""
+        }
+        (head +: rounds).mkString(",\n        ") +
+          "\n        SELECT i AS dim, CAST(v AS BIGINT) AS v_scaled FROM v4 ORDER BY dim"
+      },
+      "Top principal direction of the 16-dim covariance block via 4 rounds " +
+        "of integer power iteration (BigInt matvec, max-component renorm to " +
+        "1e6, sign-split floor division): distributed sufficient statistics " +
+        "+ O(dim²) driver iterate, bit-exact vs the unrolled SQL replay."),
+
+    "calibration_bins" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Reliability diagram over the k-NN verdicts: does vote count
+        // actually track accuracy? Bin the predictions by their vote count
+        // (the 5-NN confidence proxy), report per-bin accuracy in e6 —
+        // the model-eval artifact that decides whether "4 of 5 neighbors
+        // agree" means anything. O(queries) input, one aggregate.
+        knnVerdicts(s, d)
+          .groupBy($"votes")
+          .agg(count(lit(1)).as("n"), sum($"correct").as("n_correct"))
+          .select($"votes", $"n", $"n_correct",
+            idiv(lit(1000000L) * $"n_correct", $"n").as("accuracy_e6"))
+          .orderBy($"votes")
+      },
+      Some(s"""$knnCteSql
+        SELECT votes, count(*) AS n, CAST(sum(correct) AS BIGINT) AS n_correct,
+          (1000000 * CAST(sum(correct) AS BIGINT)) // count(*) AS accuracy_e6
+        FROM v GROUP BY votes ORDER BY votes"""),
+      "k-NN calibration (reliability diagram): per-vote-count prediction " +
+        "accuracy in e6 — one aggregate over the verdict table."),
+
+    "coreset_lightweight" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Lightweight k-means coreset (the Bachem et al. 2018 shape): a
+        // small weighted subset whose k-means cost approximates the full
+        // corpus's — HALF sampled uniformly, HALF proportional to squared
+        // distance from the global mean, weights ∝ 1/(m·q). Deterministic
+        // integer re-expression (the sandbox demands replayability): the
+        // "uniform" half is the vec_id-hash rule (every (n/64)-th id), the
+        // "far" half is the top-64 by exact integer d², and the e6 weights
+        // are cross-multiplied integer ratios. The shift-by-10⁴ guard keeps
+        // the mean's integer division on non-negative sums (embedding
+        // coords go negative; (q+C)−(μ+C) cancels in d²). Corpus-sized
+        // work: one mean aggregate + one d² scan; selection is a top-k.
+        val m = 64L
+        val ex = emb(s, d)
+          .select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
+          .filter($"dim" < 16)
+          .select($"vec_id", $"dim",
+            (floor($"x".cast("double") * 1000.0 + 0.5).cast("long") + 10000L).as("qs"))
+        val mu = ex.groupBy($"dim").agg(
+          idiv(sum($"qs"), count(lit(1))).as("mu"), count(lit(1)).as("nd"))
+        val d2 = ex.join(broadcast(mu), "dim")
+          .groupBy($"vec_id")
+          .agg(sum(($"qs" - $"mu") * ($"qs" - $"mu")).as("d2"))
+        val n = d2.count()
+        val tot = d2.agg(sum($"d2")).head.getLong(0)
+        val far = d2.orderBy($"d2".desc, $"vec_id").limit(m.toInt)
+          .select($"vec_id", $"d2", lit("far").as("part"),
+            idiv(lit(1000000L) * tot, lit(2L * m) * greatest($"d2", lit(1L))).as("weight_e6"))
+        val uni = d2.filter($"vec_id" % greatest(lit(n / m), lit(1L)) === 0L)
+          .select($"vec_id", $"d2", lit("uniform").as("part"),
+            lit((1000000L * n) / (2L * m)).as("weight_e6"))
+        far.unionByName(uni).orderBy($"part", $"vec_id")
+      },
+      Some("""WITH ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+            CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) + 10000 AS qs
+          FROM embeddings, unnest(generate_series(1, 16)) AS t(i)),
+        mu AS (SELECT dim, CAST(sum(qs) AS BIGINT) // count(*) AS mu FROM ex GROUP BY 1),
+        d2 AS (SELECT vec_id, CAST(sum((qs - mu) * (qs - mu)) AS BIGINT) AS d2
+          FROM ex JOIN mu ON ex.dim = mu.dim GROUP BY 1),
+        st AS (SELECT count(*) AS n, CAST(sum(d2) AS BIGINT) AS tot FROM d2),
+        far AS (SELECT vec_id, d2, 'far' AS part,
+            (1000000 * (SELECT tot FROM st)) // (128 * greatest(d2, 1)) AS weight_e6
+          FROM d2 ORDER BY d2 DESC, vec_id LIMIT 64),
+        uni AS (SELECT vec_id, d2, 'uniform' AS part,
+            (1000000 * (SELECT n FROM st)) // 128 AS weight_e6
+          FROM d2 WHERE vec_id % greatest((SELECT n FROM st) // 64, 1) = 0)
+        SELECT * FROM far UNION ALL SELECT * FROM uni
+        ORDER BY part, vec_id"""),
+      "Lightweight k-means coreset: uniform half (deterministic id rule) + " +
+        "farthest-from-mean half (exact integer d² top-64) with e6 " +
+        "inverse-importance weights — one mean aggregate, one d² scan, one " +
+        "top-k; shift-by-C keeps the mean division non-negative."))
 
   /** Shared k-NN verdict pipeline (knn_classify, classification_report):
     * exact cosine top-5 per held-out query (vec_id < 20) against the rest,
