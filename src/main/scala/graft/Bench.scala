@@ -64,21 +64,27 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
     }.map(_._1).toSet
-    // K interleaved timed rounds: full suite per round, per-query MIN reported
+    // K interleaved timed rounds: full suite per round, per-query MIN
+    // reported. A query that fails ANY round is reported failed outright
+    // (-1, named, excluded from both totals) — min-of-surviving-rounds
+    // would read an intermittently-crashing query as healthy.
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    val roundFailed = scala.collection.mutable.Set.empty[String]
     for (_ <- 1 to rounds; (name, _) <- present if alive(name)) {
       try {
         val t0 = System.nanoTime()
         qs(name)(spark, sfDir).count()
         times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
+        roundFailed += name
         System.err.println(s"[bench] $name round failed: ${e.getMessage}")
       }
     }
     val results = present.map { case (name, base) =>
       val rs = times(name)
-      (name, if (rs.nonEmpty) rs.min else -1.0, base, rs)
+      val ok = rs.nonEmpty && !roundFailed(name)
+      (name, if (ok) rs.min else -1.0, base, rs)
     }
     val qJson = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

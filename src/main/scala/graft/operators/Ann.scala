@@ -235,13 +235,24 @@ object Ann {
     * pair space is the same quadratic).
     */
   def semanticDedupQuantized(vectors: DataFrame, tauNumSq: Long, tauDenSq: Long,
-      k: Int = 8, iters: Int = 3, scale: Long = 1000L): DataFrame = {
+      k: Int = 8, iters: Int = 3, scale: Long = 1000L,
+      maxClusterSize: Long = 65536L): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val r = KMeans.lloydQuantized(vectors, "vec_id", "embedding", k, iters, scale)
     val q = vectors.select(col("vec_id"),
       transform(col("embedding").cast("array<double>"),
         x => floor(x * scale + 0.5).cast("long")).as("v"))
     val av = r.assignments.select(col("id").as("vec_id"), col("cluster"))
+    // this exact-pair variant is deliberately sub-split-free (the oracle
+    // replays the identical pair space) — so a skewed codebook must fail
+    // LOUDLY before one hot cluster quietly re-creates the N² straggler
+    // the production float path's SRP sub-split exists to prevent
+    val biggest = av.groupBy(col("cluster")).count()
+      .agg(coalesce(max(col("count")), lit(0L))).head.getLong(0)
+    require(biggest <= maxClusterSize,
+      s"semanticDedupQuantized: cluster of $biggest members exceeds " +
+        s"maxClusterSize $maxClusterSize — use the SRP-sub-split " +
+        "semanticDedup for skewed codebooks (its pair space stays bounded)")
     val withV = av.join(q, "vec_id")
     val a = withV.select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
     val b = withV.select(col("cluster"), col("vec_id").as("id_b"), col("v").as("vb"))

@@ -19,9 +19,9 @@ object Graph {
 
   private val Iters = 4
   private val Scale = 1000000000000L
-  private val SuppOffset = 1000000L
+  private[graft] val SuppOffset = 1000000L // shared with tools.PageRankAb
 
-  private def edges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def edges(s: SparkSession, d: String): DataFrame = {
     val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val o = table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
     val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))

@@ -150,21 +150,28 @@ object Ingestion {
       (s, d) => {
         import s.implicits._
         // the decimal column arrives as its STRING form (exact integer-cents
-        // construction — both engines build the identical text) and the Avro
-        // `decimal` logical type drives the cast to DecimalType(18,2): the
-        // Snowflake-NUMBER-export path a bytes→binary fallback would lose
+        // construction) and the Avro `decimal` logical type drives the cast
+        // to DecimalType(18,2): the Snowflake-NUMBER-export path a
+        // bytes→binary fallback would lose. The build is SIGN-SPLIT over
+        // |cents| (sign prefix + abs quotient/remainder) so it is total:
+        // Spark's pmod and DuckDB's % disagree on negative operands, and a
+        // naive quotient||remainder would corrupt negative values — this
+        // corpus's values are non-negative, but the construction must not
+        // depend on that
         val cents = round($"value" * 100).cast("long")
         val staged = eventsTable(s, d).withColumn("value_dec",
-          concat(idiv(cents, lit(100L)).cast("string"), lit("."),
-            lpad(pmod(cents, lit(100L)).cast("string"), 2, "0")))
+          concat(when(cents < 0, "-").otherwise(""),
+            idiv(abs(cents), lit(100L)).cast("string"), lit("."),
+            lpad(pmod(abs(cents), lit(100L)).cast("string"), 2, "0")))
         TypedIngest.fromAvro(staged, eventsAvroDecimalJson)
           .select($"event_id", micros($"ts").as("tsu"), $"user_id", $"event_type",
             $"value", $"value_dec", $"props")
           .orderBy($"event_id")
       },
       Some("""SELECT event_id, epoch_us(ts) AS tsu, user_id, event_type, value,
-          CAST(CAST(CAST(round(value * 100) AS BIGINT) // 100 AS VARCHAR) || '.' ||
-            lpad(CAST(CAST(round(value * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0')
+          CAST((CASE WHEN round(value * 100) < 0 THEN '-' ELSE '' END) ||
+            CAST(abs(CAST(round(value * 100) AS BIGINT)) // 100 AS VARCHAR) || '.' ||
+            lpad(CAST(abs(CAST(round(value * 100) AS BIGINT)) % 100 AS VARCHAR), 2, '0')
             AS DECIMAL(18,2)) AS value_dec,
           props
         FROM events ORDER BY event_id"""),

@@ -485,16 +485,22 @@ object Similarity {
             sum($"a.q").as("si"), sum($"b.q").as("sj"),
             sum($"a.q".cast(d38) * $"b.q".cast(d38)).as("sij"))
           .select($"i", $"j",
+            // cov_num stays DECIMAL(38,0) to the driver: n·sij − si·sj
+            // grows ~N²·10⁶ and a long-narrowing here would null-overflow
+            // past ~3e6 vectors where the HUGEINT oracle still computes
             ($"n".cast(d38) * $"sij" - $"si".cast(d38) * $"sj".cast(d38))
-              .cast("long").as("cov_num"))
-          .as[(Long, Long, Long)].collect()
+              .as("cov_num"))
+          .collect()
         val dim = 16
-        val c = Array.ofDim[Long](dim, dim)
-        cov.foreach { case (i, j, v) => c(i.toInt)(j.toInt) = v }
+        val c = Array.fill(dim, dim)(BigInt(0))
+        cov.foreach { r =>
+          c(r.getLong(0).toInt)(r.getLong(1).toInt) =
+            BigInt(r.getDecimal(2).toBigInteger)
+        }
         var v = Array.fill(dim)(S)
         for (_ <- 1 to 4) {
           val u = Array.tabulate(dim) { i =>
-            (0 until dim).foldLeft(BigInt(0))((acc, j) => acc + BigInt(c(i)(j)) * v(j))
+            (0 until dim).foldLeft(BigInt(0))((acc, j) => acc + c(i)(j) * v(j))
           }
           val m = u.map(_.abs).max.max(BigInt(1))
           v = u.map { ui =>
@@ -581,9 +587,14 @@ object Similarity {
           .agg(sum(($"qs" - $"mu") * ($"qs" - $"mu")).as("d2"))
         val n = d2.count()
         val tot = d2.agg(sum($"d2")).head.getLong(0)
+        // 10⁶·tot crosses BIGINT near 6e5 vectors at this quantization —
+        // the product runs DECIMAL(38,0)/HUGEINT (the markov/Hits guard)
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
         val far = d2.orderBy($"d2".desc, $"vec_id").limit(m.toInt)
           .select($"vec_id", $"d2", lit("far").as("part"),
-            idiv(lit(1000000L) * tot, lit(2L * m) * greatest($"d2", lit(1L))).as("weight_e6"))
+            idiv(lit(1000000L).cast(d38) * lit(tot).cast(d38),
+              (lit(2L * m) * greatest($"d2", lit(1L))).cast(d38))
+              .cast("long").as("weight_e6"))
         val uni = d2.filter($"vec_id" % greatest(lit(n / m), lit(1L)) === 0L)
           .select($"vec_id", $"d2", lit("uniform").as("part"),
             lit((1000000L * n) / (2L * m)).as("weight_e6"))
@@ -597,7 +608,8 @@ object Similarity {
           FROM ex JOIN mu ON ex.dim = mu.dim GROUP BY 1),
         st AS (SELECT count(*) AS n, CAST(sum(d2) AS BIGINT) AS tot FROM d2),
         far AS (SELECT vec_id, d2, 'far' AS part,
-            (1000000 * (SELECT tot FROM st)) // (128 * greatest(d2, 1)) AS weight_e6
+            CAST((CAST(1000000 AS HUGEINT) * (SELECT tot FROM st))
+              // (128 * greatest(d2, 1)) AS BIGINT) AS weight_e6
           FROM d2 ORDER BY d2 DESC, vec_id LIMIT 64),
         uni AS (SELECT vec_id, d2, 'uniform' AS part,
             (1000000 * (SELECT n FROM st)) // 128 AS weight_e6

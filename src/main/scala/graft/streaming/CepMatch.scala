@@ -51,16 +51,25 @@ object CepMatch {
   case class St(t1: String, u1: Long, t2: String, u2: Long)
   case class Match(user_id: Long, view_us: Long, purchase_us: Long)
 
+  /** @param idleTimeoutUs idle-eviction bound; -1 (default) = 2·windowUs,
+    *        which makes eviction OUTPUT-PRESERVING (an evicted prefix could
+    *        only match a purchase the windowUs guard rejects anyway — the
+    *        safety condition is idleTimeoutUs >= windowUs). Passing an
+    *        explicit smaller bound is the LOSSY partial-match TTL trade
+    *        (tighter state at the price of dropping still-matchable
+    *        prefixes of keys idle past the bound) — an opt-in, never the
+    *        default. */
   def matches(events: DataFrame, windowUs: Long,
-      idleTimeoutUs: Long = 3600000000L,
+      idleTimeoutUs: Long = -1L,
       lateToleranceUs: Long = 3600000000L): Dataset[Match] = {
+    val idleUs = if (idleTimeoutUs < 0) 2L * windowUs else idleTimeoutUs
     import events.sparkSession.implicits._
     // the watermark column stays in the frame (not projected away): the
     // event-time-timeout check requires the tagged column to reach the
     // stateful operator; the In encoder simply ignores it
     events.selectExpr("user_id", "us", "event_id", "event_type")
       .withColumn("__ts", timestamp_micros(col("us")))
-      .withWatermark("__ts", s"${lateToleranceUs / 1000000L} seconds")
+      .withWatermark("__ts", s"${(lateToleranceUs + 999999L) / 1000000L} seconds")
       .as[In]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
@@ -95,7 +104,7 @@ object CepMatch {
             // watermark — setTimeoutTimestamp rejects past timestamps)
             val wmMs = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(
-              math.max(lastUs / 1000L, wmMs) + math.max(idleTimeoutUs / 1000L, 1L))
+              math.max(lastUs / 1000L, wmMs) + math.max(idleUs / 1000L, 1L))
             out.iterator
           }
       }

@@ -68,7 +68,7 @@ object PrefixAnomaly {
     events.selectExpr("event_type", "ts_us", "event_id", "value_c")
       .withColumn("__ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.col("ts_us")))
-      .withWatermark("__ts", s"${lateToleranceUs / 1000000L} seconds")
+      .withWatermark("__ts", s"${(lateToleranceUs + 999999L) / 1000000L} seconds")
       .as[In]
       .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append,

@@ -21,21 +21,12 @@ object PageRankAb {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import org.apache.spark.sql.functions._
-    def edges() = {
-      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val o = spark.read.parquet(s"$sfDir/orders.parquet")
-        .select(col("o_orderkey"), col("o_custkey"))
-      val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-        .distinct()
-      cs.select(col("cust").as("src"), (col("supp") + 1000000L).as("dst"))
-        .unionByName(cs.select((col("supp") + 1000000L).as("src"), col("cust").as("dst")))
-    }
+    // the A/B must arbitrate the exact graph the registered query runs on —
+    // reuse Graph's own edge builder instead of a drifting re-implementation
     def run(broadcastDang: Boolean): Double = {
       val t0 = System.nanoTime()
-      graft.operators.PageRank.run(edges(), iters = 4,
+      graft.operators.PageRank.run(
+        graft.queries.Graph.edges(spark, sfDir), iters = 4,
         dangBroadcast = broadcastDang).count()
       (System.nanoTime() - t0) / 1e9
     }

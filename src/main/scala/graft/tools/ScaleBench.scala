@@ -296,8 +296,15 @@ object ScaleBench {
         .select(col("o_custkey").as("rk"),
           org.apache.spark.sql.functions.unix_micros(col("o_orderdate").cast("timestamp")).as("rt"),
           col("o_val"))
-      left.repartition(col("k")).sortWithinPartitions(col("k"), col("t")).count() +
-        right.repartition(col("rk")).sortWithinPartitions(col("rk"), col("rt")).count()
+      // count() would let EliminateSorts strip the local sort from the
+      // logical plan (an order-agnostic aggregate above a Sort) and the
+      // baseline would silently measure exchange-only; toRdd materializes
+      // the physical plan AS PLANNED — SortExec included — without the
+      // row-encoder overhead of .rdd
+      left.repartition(col("k")).sortWithinPartitions(col("k"), col("t"))
+        .queryExecution.toRdd.count() +
+        right.repartition(col("rk")).sortWithinPartitions(col("rk"), col("rt"))
+          .queryExecution.toRdd.count()
     }
 
     val orderQueries: Seq[(String, DataFrame => Long)] = Seq(

@@ -45,7 +45,7 @@ class CepSpec extends SparkSpec {
 
   private def runCep(batches: Seq[Seq[(Long, Long, Long, String)]],
       windowUs: Long = 86400000000L,
-      idleTimeoutUs: Long = 3600000000L,
+      idleTimeoutUs: Long = -1L, // safe default: 2x window
       lateToleranceUs: Long = 3600000000L): Seq[(Long, Long, Long)] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
@@ -104,6 +104,9 @@ class CepSpec extends SparkSpec {
     // (5-day late tolerance) past that timer, so batch 3 — no user-1 data —
     // evicts the prefix; user 1's purchase in batch 4 (within the 30-day
     // pattern window AND above the watermark) then finds EMPTY state.
+    // The sub-window idle bound here is the documented LOSSY-TTL opt-in —
+    // this test exists to prove the eviction fires and drops exactly the
+    // prefix the control run (safe bound) matches.
     val T = 1000000000000L
     val day = 86400000000L
     val staging = Seq(
