@@ -268,6 +268,18 @@ object ScaleBench {
           + col("o_orderkey") % 1000L).as("dst")).distinct()
       graft.operators.Hits.run(e, rounds = 3).count()
     }
+    // Min-label components at scale (graph_components' operator): the
+    // replicated customer-supplier graph — each replica is a disjoint
+    // key-shifted copy, so component count grows K× while per-replica
+    // structure (and thus propagation-round count) stays CONSTANT; wall
+    // must track the per-round shuffles linearly, never the rounds.
+    def componentsScaled(d: DataFrame): Long = {
+      val pairs = d.select(col("o_custkey").as("id_a"),
+        (lit(2000000000L) + col("o_custkey") - col("o_custkey") % 1000L
+          + col("o_orderkey") % 1000L).as("id_b")).distinct()
+      graft.operators.NearDup.connectedComponents(pairs)
+        .select(countDistinct(col("component_id"))).head.getLong(0)
+    }
     def temporalScaled(d: DataFrame): Long = {
       val base = d.select(col("o_custkey").as("cust"),
         (lit(2000000000L) + col("o_custkey") - col("o_custkey") % 1000L
@@ -314,6 +326,7 @@ object ScaleBench {
       "asof_native" -> asofScaled(native = true),
       "asof_children" -> asofChildrenOnly,
       "hits_iterate" -> hitsScaled,
+      "components_minlabel" -> componentsScaled,
       "temporal_reachability" -> temporalScaled)
     val lineitemQueries: Seq[(String, DataFrame => Long)] = Seq(
       "link_prediction_wedges" -> linkPredScaled)
