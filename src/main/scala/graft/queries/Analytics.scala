@@ -1390,6 +1390,66 @@ object Analytics {
         "(deterministic LCG standing in for Laplace) with a non-negativity " +
         "clamp — the true count never leaves the aggregate."),
 
+    "survival_risk_table" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Survival analysis (time from signup to first purchase, right-
+        // censored at the corpus horizon): the Kaplan-Meier RISK TABLE —
+        // per duration day t: users still at risk, observed events d,
+        // censorings c. The risk table IS the exact-integer core of the
+        // estimator (S(t) = Π(1 − dᵢ/nᵢ) is a float product over exactly
+        // these columns), so it stays oracle-checkable where the product
+        // would drift. Corpus-sized work: two per-user argmin aggregates +
+        // one day-keyed count; the cumulative-at-risk window runs over the
+        // AGGREGATED day table — O(distinct durations) ≤ O(days) rows at
+        // any corpus scale, never the users.
+        val day = 86400000000L
+        val ev = eventsTable(s, d)
+        val horizon = ev.agg(max(micros($"ts"))).head.getLong(0)
+        val signup = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min(micros($"ts")).as("s0"))
+        val firstBuy = ev.filter($"event_type" === "purchase")
+          .select($"user_id", micros($"ts").as("pt"))
+          .join(signup, "user_id").filter($"pt" >= $"s0")
+          .groupBy($"user_id").agg(min($"pt").as("p0"))
+        val durations = signup.join(firstBuy, Seq("user_id"), "left")
+          .select($"user_id",
+            when($"p0".isNotNull, idiv($"p0" - $"s0", lit(day)))
+              .otherwise(idiv(lit(horizon) - $"s0", lit(day))).as("t"),
+            when($"p0".isNotNull, 1L).otherwise(0L).as("event"))
+        val byDay = durations.groupBy($"t")
+          .agg(sum($"event").as("d"), sum(lit(1L) - $"event").as("c"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"t")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val n = durations.count()
+        byDay
+          .withColumn("n_risk", lit(n) - coalesce(sum($"d" + $"c").over(w), lit(0L)))
+          .select($"t", $"n_risk", $"d", $"c")
+          .orderBy($"t")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+          hz AS (SELECT max(tsu) AS horizon FROM ev),
+          su AS (SELECT user_id, min(tsu) AS s0 FROM ev
+            WHERE event_type = 'signup' GROUP BY 1),
+          fb AS (SELECT ev.user_id, min(tsu) AS p0 FROM ev JOIN su USING (user_id)
+            WHERE event_type = 'purchase' AND tsu >= s0 GROUP BY 1),
+          dur AS (SELECT su.user_id,
+              CASE WHEN p0 IS NOT NULL THEN (p0 - s0) // 86400000000
+                ELSE ((SELECT horizon FROM hz) - s0) // 86400000000 END AS t,
+              CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS event
+            FROM su LEFT JOIN fb ON su.user_id = fb.user_id),
+          bd AS (SELECT t, CAST(sum(event) AS BIGINT) AS d,
+              CAST(sum(1 - event) AS BIGINT) AS c FROM dur GROUP BY 1)
+        SELECT t,
+          (SELECT count(*) FROM dur) - coalesce(CAST(sum(d + c) OVER
+            (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk,
+          d, c
+        FROM bd ORDER BY t"""),
+      "Kaplan-Meier risk table for signup -> first-purchase durations " +
+        "(right-censored at the corpus horizon): per-day at-risk/event/" +
+        "censor counts in exact integers — the estimator's core without " +
+        "the float product; cumulative window over O(days) aggregate rows."),
+
     "dp_clipped_contributions" -> Q(
       (s, d) => {
         import s.implicits._

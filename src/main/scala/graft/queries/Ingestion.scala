@@ -1219,6 +1219,46 @@ object Ingestion {
       "ORC write + readback round-trip: aggregates over the ORC copy must equal the " +
         "oracle computed from the original parquet — bit-exact format portability."),
 
+    "fixed_width_ingest" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Fixed-width text ingest — the mainframe/legacy-warehouse export
+        // shape (COBOL copybook layouts, Teradata FastExport): no
+        // delimiters, columns live at byte offsets. Stage the events table
+        // as fixed-width lines (right-padded strings, zero-padded
+        // integers), then parse with a schema-driven battery of
+        // substring+trim+cast projections — one codegen'd scan, the same
+        // single-pass shape TypedIngest gives delimited data. The oracle
+        // reads the ORIGINAL parquet, so any offset slip, pad/trim bug or
+        // lost digit in the round-trip surfaces as a hash mismatch.
+        val p = tmp("fixed_width_ingest")
+        GraftTableWriter.drop(s, p)
+        // layout: event_id[12] user_id[8] event_type[10] tsu[20] cents[12]
+        eventsTable(s, d)
+          .select(concat(
+            lpad($"event_id".cast("string"), 12, "0"),
+            lpad($"user_id".cast("string"), 8, "0"),
+            rpad($"event_type", 10, " "),
+            lpad(micros($"ts").cast("string"), 20, "0"),
+            lpad(round($"value" * 100).cast("long").cast("string"), 12, "0")
+          ).as("value"))
+          .write.mode("overwrite").text(p)
+        val raw = s.read.text(p)
+        raw.select(
+            substring($"value", 1, 12).cast("long").as("event_id"),
+            substring($"value", 13, 8).cast("long").as("user_id"),
+            rtrim(substring($"value", 21, 10)).as("event_type"),
+            substring($"value", 31, 20).cast("long").as("tsu"),
+            substring($"value", 51, 12).cast("long").as("v_c"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu,
+          CAST(round(value * 100) AS BIGINT) AS v_c
+        FROM events ORDER BY event_id"""),
+      "Fixed-width (copybook-style) text ingest: zero-padded/right-padded " +
+        "staging, offset-driven substring+trim+cast parse in one codegen'd " +
+        "scan — round-trip hash-exact vs the parquet-sourced oracle."),
+
     "jsonl_roundtrip" -> Q(
       (s, d) => {
         import s.implicits._
