@@ -242,7 +242,12 @@ object Ann {
     val q = vectors.select(col("vec_id"),
       transform(col("embedding").cast("array<double>"),
         x => floor(x * scale + 0.5).cast("long")).as("v"))
+    // persisted: the skew guard below plus the pair build and the survivor
+    // anti-join all read this frame — lloydQuantized returns its
+    // assignments UNPERSISTED, so without this each consumer would re-run
+    // the full assignment scan
     val av = r.assignments.select(col("id").as("vec_id"), col("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // this exact-pair variant is deliberately sub-split-free (the oracle
     // replays the identical pair space) — so a skewed codebook must fail
     // LOUDLY before one hot cluster quietly re-creates the N² straggler
@@ -266,12 +271,17 @@ object Ann {
         col("dot").cast(d38) * col("dot").cast(d38) * lit(tauDenSq).cast(d38) >=
           lit(tauNumSq).cast(d38) * col("na2").cast(d38) * col("nb2").cast(d38))
       .select(col("id_a"), col("id_b"))
+    // connectedComponents materializes its edges eagerly (checkpointed), so
+    // the cached av has served every consumer by here; non-blocking release
+    // (the lloyd house pattern — the lazy final join re-reads or recomputes)
     val dropped = NearDup.connectedComponents(pairs)
       .filter(col("doc_id") =!= col("component_id"))
       .select(col("doc_id").as("vec_id"))
-    av.join(dropped, Seq("vec_id"), "left_anti")
+    val out = av.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster"))
       .orderBy("vec_id")
+    av.unpersist(false)
+    out
   }
 
   /** Within-cluster cosine ≥ τ pairs with a bounded pair space. Clusters at

@@ -1419,11 +1419,13 @@ object Analytics {
             when($"p0".isNotNull, 1L).otherwise(0L).as("event"))
         val byDay = durations.groupBy($"t")
           .agg(sum($"event").as("d"), sum(lit(1L) - $"event").as("c"))
+        // at-risk = everyone whose duration is >= t ≡ the BACKWARD
+        // cumulative of (d+c) — in-plan over the O(days) aggregate, no
+        // second corpus-sized action just to learn the cohort size
         val w = org.apache.spark.sql.expressions.Window.orderBy($"t")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        val n = durations.count()
+          .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
         byDay
-          .withColumn("n_risk", lit(n) - coalesce(sum($"d" + $"c").over(w), lit(0L)))
+          .withColumn("n_risk", sum($"d" + $"c").over(w))
           .select($"t", $"n_risk", $"d", $"c")
           .orderBy($"t")
       },
@@ -1441,8 +1443,8 @@ object Analytics {
           bd AS (SELECT t, CAST(sum(event) AS BIGINT) AS d,
               CAST(sum(1 - event) AS BIGINT) AS c FROM dur GROUP BY 1)
         SELECT t,
-          (SELECT count(*) FROM dur) - coalesce(CAST(sum(d + c) OVER
-            (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk,
+          CAST(sum(d + c) OVER
+            (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk,
           d, c
         FROM bd ORDER BY t"""),
       "Kaplan-Meier risk table for signup -> first-purchase durations " +

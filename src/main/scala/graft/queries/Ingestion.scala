@@ -1233,14 +1233,25 @@ object Ingestion {
         // lost digit in the round-trip surfaces as a hash mismatch.
         val p = tmp("fixed_width_ingest")
         GraftTableWriter.drop(s, p)
-        // layout: event_id[12] user_id[8] event_type[10] tsu[20] cents[12]
+        // layout: event_id[12] user_id[8] event_type[10] tsu[20] cents[13].
+        // Fixed-width staging TRUNCATES over-width fields and zero-padding
+        // corrupts negatives, so (a) every field is guarded: a value wider
+        // than its slot raises instead of silently mangling ids, and (b)
+        // the signed cents field is SPACE-padded — both engines' string→
+        // BIGINT casts trim leading blanks, keeping '-' adjacent to the
+        // digits (the avro value_dec sign lesson applied to layouts).
+        def slot(c: org.apache.spark.sql.Column, w: Int, name: String) =
+          when(length(c) > w, raise_error(concat(
+            lit(s"fixed_width_ingest: $name wider than $w chars: "), c)))
+            .otherwise(c)
         eventsTable(s, d)
           .select(concat(
-            lpad($"event_id".cast("string"), 12, "0"),
-            lpad($"user_id".cast("string"), 8, "0"),
-            rpad($"event_type", 10, " "),
-            lpad(micros($"ts").cast("string"), 20, "0"),
-            lpad(round($"value" * 100).cast("long").cast("string"), 12, "0")
+            lpad(slot($"event_id".cast("string"), 12, "event_id"), 12, "0"),
+            lpad(slot($"user_id".cast("string"), 8, "user_id"), 8, "0"),
+            rpad(slot($"event_type", 10, "event_type"), 10, " "),
+            lpad(slot(micros($"ts").cast("string"), 20, "tsu"), 20, "0"),
+            lpad(slot(round($"value" * 100).cast("long").cast("string"), 13,
+              "cents"), 13, " ")
           ).as("value"))
           .write.mode("overwrite").text(p)
         val raw = s.read.text(p)
@@ -1249,7 +1260,7 @@ object Ingestion {
             substring($"value", 13, 8).cast("long").as("user_id"),
             rtrim(substring($"value", 21, 10)).as("event_type"),
             substring($"value", 31, 20).cast("long").as("tsu"),
-            substring($"value", 51, 12).cast("long").as("v_c"))
+            substring($"value", 51, 13).cast("long").as("v_c"))
           .orderBy($"event_id")
       },
       Some("""SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu,

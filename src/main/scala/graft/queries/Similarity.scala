@@ -437,9 +437,16 @@ object Similarity {
           .agg(count(lit(1)).as("n"),
             sum($"a.q").as("si"), sum($"b.q").as("sj"),
             sum($"a.q".cast(d38) * $"b.q".cast(d38)).as("sij"))
-          .select($"dim_i", $"dim_j", $"n",
-            ($"n".cast(d38) * $"sij" - $"si".cast(d38) * $"sj".cast(d38))
-              .cast("long").as("cov_num"))
+          .select($"dim_i", $"dim_j", $"n", {
+            // the BIGINT narrowing fails LOUDLY past ~3e6 vectors (the
+            // moneyE guard discipline): a silent non-ANSI NULL here would
+            // skew against the oracle's raising HUGEINT→BIGINT cast
+            val dec = $"n".cast(d38) * $"sij" - $"si".cast(d38) * $"sj".cast(d38)
+            when(abs(dec) > lit(Long.MaxValue),
+                raise_error(concat(lit("embedding_covariance: cov_num overflows BIGINT: "),
+                  dec.cast("string"))))
+              .otherwise(dec).cast("long").as("cov_num")
+          })
           .orderBy($"dim_i", $"dim_j")
       },
       Some("""WITH ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,

@@ -103,8 +103,12 @@ object CepMatch {
             // newest event by idleTimeoutUs (clamped above the current
             // watermark — setTimeoutTimestamp rejects past timestamps)
             val wmMs = state.getCurrentWatermarkMs()
+            // CEIL both ms conversions: floor would fire the timer up to
+            // ~2 ms before lastUs + idleUs and break the documented
+            // idleTimeoutUs >= windowUs output-preservation boundary
             state.setTimeoutTimestamp(
-              math.max(lastUs / 1000L, wmMs) + math.max(idleUs / 1000L, 1L))
+              math.max((lastUs + 999L) / 1000L, wmMs)
+                + math.max((idleUs + 999L) / 1000L, 1L))
             out.iterator
           }
       }

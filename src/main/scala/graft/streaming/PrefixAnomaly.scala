@@ -92,8 +92,11 @@ object PrefixAnomaly {
             }
             state.update(st)
             val wmMs = state.getCurrentWatermarkMs()
+            // ceil, not floor — see CepMatch: an early timer would shave
+            // up to ~2 ms off the requested idle bound
             state.setTimeoutTimestamp(
-              math.max(lastUs / 1000L, wmMs) + math.max(idleTimeoutUs / 1000L, 1L))
+              math.max((lastUs + 999L) / 1000L, wmMs)
+                + math.max((idleTimeoutUs + 999L) / 1000L, 1L))
             out.iterator
           }
       }

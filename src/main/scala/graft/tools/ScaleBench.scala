@@ -262,10 +262,12 @@ object ScaleBench {
     // edge joins + aggregates over the whole edge set. Temporal
     // reachability: seeds replicate with the graph (custkey % stride ≤ 20),
     // so frontier work also replicates.
+    // ONE pseudo-supplier key per (custkey-group, orderkey-residue): the
+    // shared replica graph all three iterate scale rows run on — factored
+    // so an edit cannot silently desynchronize the benchmark family
+    def replicaDst = lit(2000000000L) + col("o_custkey") - col("o_custkey") % 1000L + col("o_orderkey") % 1000L
     def hitsScaled(d: DataFrame): Long = {
-      val e = d.select(col("o_custkey").as("src"),
-        (lit(2000000000L) + col("o_custkey") - col("o_custkey") % 1000L
-          + col("o_orderkey") % 1000L).as("dst")).distinct()
+      val e = d.select(col("o_custkey").as("src"), replicaDst.as("dst")).distinct()
       graft.operators.Hits.run(e, rounds = 3).count()
     }
     // Min-label components at scale (graph_components' operator): the
@@ -274,16 +276,12 @@ object ScaleBench {
     // structure (and thus propagation-round count) stays CONSTANT; wall
     // must track the per-round shuffles linearly, never the rounds.
     def componentsScaled(d: DataFrame): Long = {
-      val pairs = d.select(col("o_custkey").as("id_a"),
-        (lit(2000000000L) + col("o_custkey") - col("o_custkey") % 1000L
-          + col("o_orderkey") % 1000L).as("id_b")).distinct()
+      val pairs = d.select(col("o_custkey").as("id_a"), replicaDst.as("id_b")).distinct()
       graft.operators.NearDup.connectedComponents(pairs)
         .select(countDistinct(col("component_id"))).head.getLong(0)
     }
     def temporalScaled(d: DataFrame): Long = {
-      val base = d.select(col("o_custkey").as("cust"),
-        (lit(2000000000L) + col("o_custkey") - col("o_custkey") % 1000L
-          + col("o_orderkey") % 1000L).as("supp"),
+      val base = d.select(col("o_custkey").as("cust"), replicaDst.as("supp"),
         org.apache.spark.sql.functions.unix_micros(
           col("o_orderdate").cast("timestamp")).as("t")).distinct()
       val e = base.select(col("cust").as("src"), col("supp").as("dst"), col("t"))
