@@ -1390,6 +1390,64 @@ object Analytics {
         "(deterministic LCG standing in for Laplace) with a non-negativity " +
         "clamp — the true count never leaves the aggregate."),
 
+    "anova_oneway" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // One-way ANOVA across the event-type arms (does mean spend differ
+        // between series?) — the k-group generalization of ab_welch_t.
+        // Everything from two aggregates of integer sufficient statistics
+        // (n_g, ΣX, ΣX² per group); the between/within sums of squares use
+        // PER-GROUP FLOORED S_g²/n_g terms (≤ 1 unit of floor loss per
+        // group, mirrored exactly by the oracle — determinism over the
+        // last invisible decimal), and the F statistic is one e6
+        // cross-multiplied division. DECIMAL(38,0)/HUGEINT products: S_g²
+        // crosses BIGINT shortly past ~1e9 summed cents.
+        val d38 = DecimalType(38, 0)
+        val v = eventsTable(s, d).select($"event_type",
+          (dec2($"value") * 100).cast(LongType).as("vc"))
+        val g = v.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_g"), sum($"vc").as("s_g"),
+            sum($"vc".cast(d38) * $"vc".cast(d38)).as("ss_g"))
+        // internal sums stay DECIMAL(38,0) (a long Σ S_g²/n_g overflows at
+        // extreme scale); the final BIGINT emissions fail loudly on
+        // overflow — the covariance/moneyE guard discipline
+        def toLongGuarded(c: org.apache.spark.sql.Column, name: String) =
+          when(abs(c) > lit(Long.MaxValue), raise_error(concat(
+            lit(s"anova_oneway: $name overflows BIGINT: "), c.cast("string"))))
+            .otherwise(c).cast("long")
+        val agg = g.agg(
+          count(lit(1)).as("k"), sum($"n_g").as("n"),
+          sum($"s_g").as("s"), sum($"ss_g").as("ss"),
+          sum(idiv($"s_g".cast(d38) * $"s_g".cast(d38), $"n_g".cast(d38))
+            .cast(d38)).as("a"))
+        agg.select($"k", $"n",
+            toLongGuarded($"a" - idiv($"s".cast(d38) * $"s".cast(d38),
+              $"n".cast(d38)).cast(d38), "ssb").as("ssb_c2"),
+            toLongGuarded($"ss" - $"a", "ssw").as("ssw_c2"))
+          .select($"k", $"n", $"ssb_c2", $"ssw_c2",
+            idiv(lit(1000000L).cast(d38) * $"ssb_c2".cast(d38) * ($"n" - $"k").cast(d38),
+              greatest($"ssw_c2".cast(d38) * ($"k" - 1).cast(d38), lit(1L).cast(d38)))
+              .cast("long").as("f_e6"))
+      },
+      Some("""WITH v AS (SELECT event_type,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM events),
+          g AS (SELECT event_type, count(*) AS n_g, CAST(sum(vc) AS BIGINT) AS s_g,
+              sum(CAST(vc AS HUGEINT) * vc) AS ss_g
+            FROM v GROUP BY 1),
+          t AS (SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+              CAST(sum(s_g) AS BIGINT) AS s, sum(ss_g) AS ss,
+              sum((CAST(s_g AS HUGEINT) * s_g) // n_g) AS a
+            FROM g)
+        SELECT k, n,
+          CAST(a - (CAST(s AS HUGEINT) * s) // n AS BIGINT) AS ssb_c2,
+          CAST(ss - a AS BIGINT) AS ssw_c2,
+          CAST((1000000 * (a - (CAST(s AS HUGEINT) * s) // n) * (n - k))
+            // greatest((ss - a) * (k - 1), 1) AS BIGINT) AS f_e6
+        FROM t"""),
+      "One-way ANOVA across the event-type arms: integer sufficient " +
+        "statistics, per-group floored S²/n terms mirrored exactly, e6 " +
+        "cross-multiplied F — two aggregates, no per-row second pass."),
+
     "survival_risk_table" -> Q(
       (s, d) => {
         import s.implicits._
