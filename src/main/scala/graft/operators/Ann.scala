@@ -234,9 +234,16 @@ object Ann {
     * keep it to corpora whose cluster sizes are audited (the oracle's own
     * pair space is the same quadratic).
     */
+  /** @param maxClusterSize loud-failure skew cap on the largest cluster.
+    *        Default 4096 ≈ 8.4M intra-cluster pairs on one cluster-keyed
+    *        shuffle partition — the same order as the float path's SRP
+    *        sub-split trigger; the r8 default (65536 ≈ 2.1e9 pairs) let a
+    *        single hot cluster re-create the exact N² straggler this guard
+    *        documents preventing. Callers with a bigger executor budget
+    *        raise it EXPLICITLY, sized to pairs ≈ cap²/2 per task. */
   def semanticDedupQuantized(vectors: DataFrame, tauNumSq: Long, tauDenSq: Long,
       k: Int = 8, iters: Int = 3, scale: Long = 1000L,
-      maxClusterSize: Long = 65536L): DataFrame = {
+      maxClusterSize: Long = 4096L): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val r = KMeans.lloydQuantized(vectors, "vec_id", "embedding", k, iters, scale)
     val q = vectors.select(col("vec_id"),

@@ -1415,11 +1415,22 @@ object Analytics {
           when(abs(c) > lit(Long.MaxValue), raise_error(concat(
             lit(s"anova_oneway: $name overflows BIGINT: "), c.cast("string"))))
             .otherwise(c).cast("long")
+        // Per-group quotient guard: Spark's IntegralDivide narrows to BIGINT
+        // no matter how wide the operands, so an S_g²/n_g term past
+        // Long.MaxValue would become a silent non-ANSI NULL dropped from
+        // sum(a) while DuckDB's HUGEINT // computes it exactly. Cap it
+        // loudly BEFORE the division: the quotient fits BIGINT iff
+        // S_g² ≤ Long.MaxValue · n_g (both sides exact in DECIMAL(38,0)).
+        val sg2 = $"s_g".cast(d38) * $"s_g".cast(d38)
+        val sg2Guarded = when(
+          sg2 > lit(Long.MaxValue).cast(d38) * $"n_g".cast(d38),
+          raise_error(concat(
+            lit("anova_oneway: per-group S_g^2/n_g overflows BIGINT: "),
+            sg2.cast("string")))).otherwise(sg2)
         val agg = g.agg(
           count(lit(1)).as("k"), sum($"n_g").as("n"),
           sum($"s_g").as("s"), sum($"ss_g").as("ss"),
-          sum(idiv($"s_g".cast(d38) * $"s_g".cast(d38), $"n_g".cast(d38))
-            .cast(d38)).as("a"))
+          sum(idiv(sg2Guarded, $"n_g".cast(d38)).cast(d38)).as("a"))
         agg.select($"k", $"n",
             toLongGuarded($"a" - idiv($"s".cast(d38) * $"s".cast(d38),
               $"n".cast(d38)).cast(d38), "ssb").as("ssb_c2"),

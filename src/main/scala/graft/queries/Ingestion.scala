@@ -56,6 +56,24 @@ object Ingestion {
       {"name":"value_dec","type":{"type":"bytes","logicalType":"decimal","precision":18,"scale":2}},
       {"name":"props","type":["null","string"]}]}"""
 
+  /** The reference's ACTUAL schema artifact, verbatim shape: an Avro IDL
+    * protocol with one all-string record
+    * (SnowFlakeTable.avdl:1-8 — `@namespace(...) protocol SnowTableProtocol
+    * { record SnowFlakeTable { string PRICE; string CATEGORY; string NAME;
+    * string UPDATED_AT; } }`). Parsed by [[graft.sources.AvroIdl]]; a user
+    * can point graft at the reference's own `.avdl` file unmodified. */
+  val snowFlakeTableIdl: String =
+    """@namespace("com.amazonaws.services.msf.avro")
+      |protocol SnowTableProtocol {
+      |        record SnowFlakeTable {
+      |                string PRICE;
+      |                string CATEGORY;
+      |                string NAME;
+      |                string UPDATED_AT;
+      |        }
+      |        }
+      |""".stripMargin
+
   private def tmp(name: String) = s"/tmp/graft_tables/$name"
 
   private val ordersOutSql =
@@ -163,20 +181,62 @@ object Ingestion {
           concat(when(cents < 0, "-").otherwise(""),
             idiv(abs(cents), lit(100L)).cast("string"), lit("."),
             lpad(pmod(abs(cents), lit(100L)).cast("string"), 2, "0")))
+        // the typed frame carries value_dec as DecimalType(18,2) — that IS
+        // the Avro-decimal conversion proof (also pinned in AvroSpec) — but
+        // the DRIVER-FACING output re-scales it to BIGINT cents: the repo's
+        // xfail_hash_probe family established that the harness hash-rejects
+        // DECIMAL-typed output columns regardless of value equality (SURVEY
+        // §5 "money stays scaled-integer"). value_dec * 100 is exact in
+        // decimal arithmetic, so the cast back to long is lossless.
         TypedIngest.fromAvro(staged, eventsAvroDecimalJson)
           .select($"event_id", micros($"ts").as("tsu"), $"user_id", $"event_type",
-            $"value", $"value_dec", $"props")
+            $"value", ($"value_dec" * 100).cast("long").as("value_dec_cents"),
+            $"props")
           .orderBy($"event_id")
       },
       Some("""SELECT event_id, epoch_us(ts) AS tsu, user_id, event_type, value,
-          CAST((CASE WHEN round(value * 100) < 0 THEN '-' ELSE '' END) ||
-            CAST(abs(CAST(round(value * 100) AS BIGINT)) // 100 AS VARCHAR) || '.' ||
-            lpad(CAST(abs(CAST(round(value * 100) AS BIGINT)) % 100 AS VARCHAR), 2, '0')
-            AS DECIMAL(18,2)) AS value_dec,
+          CAST(round(value * 100) AS BIGINT) AS value_dec_cents,
           props
         FROM events ORDER BY event_id"""),
       "Avro-schema-driven projection (AvroSchemaConverter), including the " +
-        "`decimal` logical type (Snowflake NUMBER export shape) -> DecimalType(18,2)"),
+        "`decimal` logical type (Snowflake NUMBER export shape) -> DecimalType(18,2); " +
+        "driver-facing output re-scaled to BIGINT cents per the hash-probe discipline"),
+
+    "avro_idl_read" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The reference's EXACT artifact path: its `.avdl` IDL protocol
+        // (not Avro JSON) drives the ingest schema. The part table plays
+        // the Snowflake source: every column staged to the record's
+        // all-string shape (PRICE via the sign-split integer-cents string
+        // so both engines format identically; UPDATED_AT as a
+        // second-granular timestamp string derived from the key — the
+        // shape ColumnSource.java's UPDATED_AT filter consumes). The
+        // IDL-derived StructType then drives TypedIngest: schema applied
+        // once at plan time, wrong/missing columns fail at analysis.
+        val cents = round($"p_retailprice" * 100).cast("long")
+        val staged = table(s, d, "part").select(
+          concat(when(cents < 0, "-").otherwise(""),
+            idiv(abs(cents), lit(100L)).cast("string"), lit("."),
+            lpad(pmod(abs(cents), lit(100L)).cast("string"), 2, "0")).as("PRICE"),
+          $"p_brand".as("CATEGORY"),
+          $"p_name".as("NAME"),
+          date_format(timestamp_seconds(lit(1690000000L) + $"p_partkey"),
+            "yyyy-MM-dd HH:mm:ss").as("UPDATED_AT"))
+        graft.sources.TypedIngest(staged,
+          graft.sources.AvroIdl.toStructType(snowFlakeTableIdl, "SnowFlakeTable"))
+          .orderBy($"UPDATED_AT")
+      },
+      Some("""SELECT
+          (CASE WHEN round(p_retailprice * 100) < 0 THEN '-' ELSE '' END) ||
+            CAST(abs(CAST(round(p_retailprice * 100) AS BIGINT)) // 100 AS VARCHAR) || '.' ||
+            lpad(CAST(abs(CAST(round(p_retailprice * 100) AS BIGINT)) % 100 AS VARCHAR), 2, '0')
+            AS PRICE,
+          p_brand AS CATEGORY, p_name AS NAME,
+          strftime(to_timestamp(1690000000 + p_partkey), '%Y-%m-%d %H:%M:%S') AS UPDATED_AT
+        FROM part ORDER BY UPDATED_AT"""),
+      "Avro IDL (.avdl) protocol-driven ingest: the reference's verbatim " +
+        "SnowFlakeTable record parsed by AvroIdl -> StructType -> TypedIngest"),
 
     "cdc_latest_by_key" -> Q(
       (s, d) => {
@@ -1235,21 +1295,24 @@ object Ingestion {
         GraftTableWriter.drop(s, p)
         // layout: event_id[12] user_id[8] event_type[10] tsu[20] cents[13].
         // Fixed-width staging TRUNCATES over-width fields and zero-padding
-        // corrupts negatives, so (a) every field is guarded: a value wider
-        // than its slot raises instead of silently mangling ids, and (b)
-        // the signed cents field is SPACE-padded — both engines' string→
-        // BIGINT casts trim leading blanks, keeping '-' adjacent to the
-        // digits (the avro value_dec sign lesson applied to layouts).
+        // corrupts negatives ('000-123' casts to a silent NULL), so (a)
+        // every field is guarded: a value wider than its slot raises
+        // instead of silently mangling ids, and (b) EVERY signed integer
+        // slot is SPACE-padded — both engines' string→BIGINT casts trim
+        // leading blanks, keeping '-' adjacent to the digits (the avro
+        // value_dec sign lesson applied uniformly: a pre-1970 timestamp or
+        // negative id round-trips like any other value instead of
+        // depending on this corpus's non-negativity).
         def slot(c: org.apache.spark.sql.Column, w: Int, name: String) =
           when(length(c) > w, raise_error(concat(
             lit(s"fixed_width_ingest: $name wider than $w chars: "), c)))
             .otherwise(c)
         eventsTable(s, d)
           .select(concat(
-            lpad(slot($"event_id".cast("string"), 12, "event_id"), 12, "0"),
-            lpad(slot($"user_id".cast("string"), 8, "user_id"), 8, "0"),
+            lpad(slot($"event_id".cast("string"), 12, "event_id"), 12, " "),
+            lpad(slot($"user_id".cast("string"), 8, "user_id"), 8, " "),
             rpad(slot($"event_type", 10, "event_type"), 10, " "),
-            lpad(slot(micros($"ts").cast("string"), 20, "tsu"), 20, "0"),
+            lpad(slot(micros($"ts").cast("string"), 20, "tsu"), 20, " "),
             lpad(slot(round($"value" * 100).cast("long").cast("string"), 13,
               "cents"), 13, " ")
           ).as("value"))
@@ -1266,7 +1329,7 @@ object Ingestion {
       Some("""SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu,
           CAST(round(value * 100) AS BIGINT) AS v_c
         FROM events ORDER BY event_id"""),
-      "Fixed-width (copybook-style) text ingest: zero-padded/right-padded " +
+      "Fixed-width (copybook-style) text ingest: space-padded (sign-safe) " +
         "staging, offset-driven substring+trim+cast parse in one codegen'd " +
         "scan — round-trip hash-exact vs the parquet-sourced oracle."),
 

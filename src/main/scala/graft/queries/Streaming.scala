@@ -762,11 +762,11 @@ object Streaming {
           .option("maxFilesPerTrigger", 1).parquet(src)
         // this query's oracle is the FULL-HISTORY prefix: state must never
         // expire mid-stream (eviction would restart the warmup and change
-        // the flags), so the idle bound is pushed past the corpus span; the
-        // operator's 1 h default serves open-ended production monitors
+        // the flags) — exactly the operator's drop-free unbounded default
+        // (r9); open-ended production monitors opt into bounds by passing
+        // lateToleranceUs >= 0
         val flags = graft.streaming.PrefixAnomaly
-          .flagged(staged, warmup = 30L, thresholdE6 = 9000000L,
-            idleTimeoutUs = 3650L * 86400000000L)
+          .flagged(staged, warmup = 30L, thresholdE6 = 9000000L)
         Streams.runAppend(flags.toDF(), out, ck).orderBy(col("event_id"))
       },
       Some("""WITH v AS (SELECT event_id, event_type, ts,
@@ -1030,8 +1030,12 @@ object Streaming {
         // idle eviction must DOMINATE the pattern window to be provably
         // output-preserving (CepMatch Scaladoc): an evicted prefix can then
         // only have matched a purchase the windowUs guard rejects anyway
+        // bounded state is opted into EXPLICITLY (r9: the operator default
+        // reverted to drop-free/unbounded): 1 h watermark + 2×window idle
+        // eviction, the production-monitor configuration
         val m = graft.streaming.CepMatch.matches(staged,
-          windowUs = 86400000000L, idleTimeoutUs = 2L * 86400000000L)
+          windowUs = 86400000000L, idleTimeoutUs = 2L * 86400000000L,
+          lateToleranceUs = 3600000000L)
         Streams.runAppend(m.toDF(), out, ck)
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_matches"), min(col("view_us")).as("first_match_us"))

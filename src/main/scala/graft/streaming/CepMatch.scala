@@ -12,7 +12,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * still fires because the pair survives in state — the case any per-batch
   * window replay drops.
   *
-  * Resource bounds (r8):
+  * Resource bounds (r8, OPT-IN since r9 — the default is the original
+  * drop-free/unbounded contract; pass `lateToleranceUs >= 0` to arm them):
   *  - Keyed state EXPIRES: the stream carries a watermark
   *    (`lateToleranceUs` behind max event time) and each key arms an
   *    EventTimeTimeout `idleTimeoutUs` past its newest event; when the
@@ -51,29 +52,48 @@ object CepMatch {
   case class St(t1: String, u1: Long, t2: String, u2: Long)
   case class Match(user_id: Long, view_us: Long, purchase_us: Long)
 
-  /** @param idleTimeoutUs idle-eviction bound; -1 (default) = 2·windowUs,
-    *        which makes eviction OUTPUT-PRESERVING (an evicted prefix could
-    *        only match a purchase the windowUs guard rejects anyway — the
-    *        safety condition is idleTimeoutUs >= windowUs). Passing an
-    *        explicit smaller bound is the LOSSY partial-match TTL trade
-    *        (tighter state at the price of dropping still-matchable
-    *        prefixes of keys idle past the bound) — an opt-in, never the
-    *        default. */
+  /** DEFAULTS ARE DROP-FREE AND UNBOUNDED: with `lateToleranceUs < 0` (the
+    * default) no watermark is attached, no event is ever dropped for
+    * lateness, and keyed state never expires — the operator's original
+    * (pre-r8) contract. Bounded state is an OPT-IN: pass
+    * `lateToleranceUs >= 0` to attach a watermark that bound, and idle keys
+    * are then evicted by an event-time timer (the Flink-CEP
+    * `within`-clause state-TTL behavior; required for an open-ended
+    * production stream whose key space grows forever).
+    *
+    * @param lateToleranceUs watermark delay; < 0 (default) = NO watermark:
+    *        drop-free, unbounded state. >= 0 = events further than this
+    *        behind the stream high-mark are dropped before the state
+    *        machine, and idle-key eviction arms.
+    * @param idleTimeoutUs idle-eviction bound (only with a watermark);
+    *        -1 (default) = 2·windowUs, which makes eviction
+    *        OUTPUT-PRESERVING (an evicted prefix could only match a
+    *        purchase the windowUs guard rejects anyway — the safety
+    *        condition is idleTimeoutUs >= windowUs). Passing an explicit
+    *        smaller bound is the LOSSY partial-match TTL trade (tighter
+    *        state at the price of dropping still-matchable prefixes of
+    *        keys idle past the bound) — an opt-in, never the default. */
   def matches(events: DataFrame, windowUs: Long,
       idleTimeoutUs: Long = -1L,
-      lateToleranceUs: Long = 3600000000L): Dataset[Match] = {
+      lateToleranceUs: Long = -1L): Dataset[Match] = {
+    val bounded = lateToleranceUs >= 0
     val idleUs = if (idleTimeoutUs < 0) 2L * windowUs else idleTimeoutUs
     import events.sparkSession.implicits._
     // the watermark column stays in the frame (not projected away): the
     // event-time-timeout check requires the tagged column to reach the
     // stateful operator; the In encoder simply ignores it
-    events.selectExpr("user_id", "us", "event_id", "event_type")
+    val tagged = events.selectExpr("user_id", "us", "event_id", "event_type")
       .withColumn("__ts", timestamp_micros(col("us")))
-      .withWatermark("__ts", s"${(lateToleranceUs + 999999L) / 1000000L} seconds")
-      .as[In]
+    val staged =
+      if (bounded)
+        tagged.withWatermark("__ts",
+          s"${(lateToleranceUs + 999999L) / 1000000L} seconds")
+      else tagged
+    staged.as[In]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-          GroupStateTimeout.EventTimeTimeout) {
+          if (bounded) GroupStateTimeout.EventTimeTimeout
+          else GroupStateTimeout.NoTimeout) {
         (key: Long, it: Iterator[In], state: GroupState[St]) =>
           if (state.hasTimedOut) {
             // idle-key eviction: drop the pattern prefix; any purchase this
@@ -99,16 +119,19 @@ object CepMatch {
               } // else: late straggler, skipped (see Scaladoc)
             }
             state.update(st)
-            // arm the idle timer: fires once the watermark passes the key's
-            // newest event by idleTimeoutUs (clamped above the current
-            // watermark — setTimeoutTimestamp rejects past timestamps)
-            val wmMs = state.getCurrentWatermarkMs()
-            // CEIL both ms conversions: floor would fire the timer up to
-            // ~2 ms before lastUs + idleUs and break the documented
-            // idleTimeoutUs >= windowUs output-preservation boundary
-            state.setTimeoutTimestamp(
-              math.max((lastUs + 999L) / 1000L, wmMs)
-                + math.max((idleUs + 999L) / 1000L, 1L))
+            if (bounded) {
+              // arm the idle timer: fires once the watermark passes the
+              // key's newest event by idleTimeoutUs (clamped above the
+              // current watermark — setTimeoutTimestamp rejects past
+              // timestamps)
+              val wmMs = state.getCurrentWatermarkMs()
+              // CEIL both ms conversions: floor would fire the timer up to
+              // ~2 ms before lastUs + idleUs and break the documented
+              // idleTimeoutUs >= windowUs output-preservation boundary
+              state.setTimeoutTimestamp(
+                math.max((lastUs + 999L) / 1000L, wmMs)
+                  + math.max((idleUs + 999L) / 1000L, 1L))
+            }
             out.iterator
           }
       }

@@ -53,26 +53,38 @@ object PrefixAnomaly {
     * STRICTLY EARLIER event" is order-dependent within the batch, so the
     * one-key-one-batch slice must be buffered and ordered before the O(1)
     * fold — in-place over an array to keep the hot-key constant small; the
-    * buffer is bounded by a batch, never the stream. Idle series are evicted
-    * once the stream's watermark (`lateToleranceUs` behind max event time)
-    * passes `idleTimeoutUs` beyond the series' newest event — EventTime, not
-    * ProcessingTime, so `Trigger.AvailableNow` drains still terminate (see
-    * CepMatch). State is a running prefix: eviction restarts the warmup for
-    * a series that went quiet, the documented trade. */
+    * buffer is bounded by a batch, never the stream.
+    *
+    * DEFAULTS ARE DROP-FREE AND UNBOUNDED (the operator's original
+    * contract): with `lateToleranceUs < 0` no watermark is attached, no
+    * event is dropped for lateness, and series state never expires.
+    * Bounded state is an OPT-IN for open-ended production monitors: pass
+    * `lateToleranceUs >= 0` to attach a watermark, and idle series are then
+    * evicted once the watermark passes `idleTimeoutUs` beyond the series'
+    * newest event — EventTime, not ProcessingTime, so
+    * `Trigger.AvailableNow` drains still terminate (see CepMatch). State
+    * is a running prefix: eviction restarts the warmup for a series that
+    * went quiet, the documented trade. */
   def flagged(events: DataFrame, warmup: Long, thresholdE6: Long,
       idleTimeoutUs: Long = 3600000000L,
-      lateToleranceUs: Long = 3600000000L): Dataset[Flag] = {
+      lateToleranceUs: Long = -1L): Dataset[Flag] = {
+    val bounded = lateToleranceUs >= 0
     import events.sparkSession.implicits._
     // watermark column kept in-frame (event-time-timeout check needs it;
     // the In encoder ignores extras) — see CepMatch
-    events.selectExpr("event_type", "ts_us", "event_id", "value_c")
+    val tagged = events.selectExpr("event_type", "ts_us", "event_id", "value_c")
       .withColumn("__ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.col("ts_us")))
-      .withWatermark("__ts", s"${(lateToleranceUs + 999999L) / 1000000L} seconds")
-      .as[In]
+    val staged =
+      if (bounded)
+        tagged.withWatermark("__ts",
+          s"${(lateToleranceUs + 999999L) / 1000000L} seconds")
+      else tagged
+    staged.as[In]
       .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append,
-          GroupStateTimeout.EventTimeTimeout) {
+          if (bounded) GroupStateTimeout.EventTimeTimeout
+          else GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[In], state: GroupState[Stats]) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -91,12 +103,14 @@ object PrefixAnomaly {
               lastUs = math.max(lastUs, r.ts_us)
             }
             state.update(st)
-            val wmMs = state.getCurrentWatermarkMs()
-            // ceil, not floor — see CepMatch: an early timer would shave
-            // up to ~2 ms off the requested idle bound
-            state.setTimeoutTimestamp(
-              math.max((lastUs + 999L) / 1000L, wmMs)
-                + math.max((idleTimeoutUs + 999L) / 1000L, 1L))
+            if (bounded) {
+              val wmMs = state.getCurrentWatermarkMs()
+              // ceil, not floor — see CepMatch: an early timer would shave
+              // up to ~2 ms off the requested idle bound
+              state.setTimeoutTimestamp(
+                math.max((lastUs + 999L) / 1000L, wmMs)
+                  + math.max((idleTimeoutUs + 999L) / 1000L, 1L))
+            }
             out.iterator
           }
       }

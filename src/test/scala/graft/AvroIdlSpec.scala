@@ -1,0 +1,117 @@
+package graft
+
+import graft.sources.AvroIdl
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AvroIdl: the reference's `.avdl` protocol shape (SnowFlakeTable.avdl:1-8)
+  * parses to the exact record schema the maven avro plugin would compile,
+  * and the full IDL type surface (logical shorthands, composites, nullable
+  * `?`, named references, defaults, annotations) maps through
+  * AvroSchemaConverter to the right Spark types.
+  */
+class AvroIdlSpec extends AnyFunSuite {
+
+  val refIdl: String =
+    """@namespace("com.amazonaws.services.msf.avro")
+      |protocol SnowTableProtocol {
+      |        record SnowFlakeTable {
+      |                string PRICE;
+      |                string CATEGORY;
+      |                string NAME;
+      |                string UPDATED_AT;
+      |        }
+      |        }
+      |""".stripMargin
+
+  test("the reference's verbatim SnowFlakeTable.avdl parses to its record") {
+    val p = AvroIdl.parseProtocol(refIdl)
+    assert(p.name == "SnowTableProtocol")
+    assert(p.namespace.contains("com.amazonaws.services.msf.avro"))
+    val rec = p.soleRecord
+    assert(rec.getFullName == "com.amazonaws.services.msf.avro.SnowFlakeTable")
+    assert(rec.getFields.size == 4)
+    import scala.jdk.CollectionConverters._
+    assert(rec.getFields.asScala.map(_.name).toSeq ==
+      Seq("PRICE", "CATEGORY", "NAME", "UPDATED_AT"))
+    assert(rec.getFields.asScala.forall(_.schema.getType == AvroSchema.Type.STRING))
+    val st = AvroIdl.toStructType(refIdl)
+    assert(st == StructType(Seq("PRICE", "CATEGORY", "NAME", "UPDATED_AT")
+      .map(StructField(_, StringType, nullable = false))))
+  }
+
+  test("logical shorthands, composites, nullable ?, decimal(p,s)") {
+    val st = AvroIdl.toStructType(
+      """protocol P {
+        |  // a line comment
+        |  record R {
+        |    /* a block comment */
+        |    long id;
+        |    timestamp_ms ts;
+        |    date d;
+        |    decimal(18,2) amt;
+        |    string? maybe;
+        |    union { null, double } u;
+        |    array<long> xs;
+        |    map<string> kv;
+        |    boolean flag = true;
+        |    int n = 7;
+        |  }
+        |}""".stripMargin)
+    assert(st("id").dataType == LongType && !st("id").nullable)
+    assert(st("ts").dataType == TimestampType)
+    assert(st("d").dataType == DateType)
+    assert(st("amt").dataType == DecimalType(18, 2))
+    assert(st("maybe").dataType == StringType && st("maybe").nullable)
+    assert(st("u").dataType == DoubleType && st("u").nullable)
+    assert(st("xs").dataType == ArrayType(LongType, containsNull = false))
+    assert(st("kv").dataType == MapType(StringType, StringType, valueContainsNull = false))
+    assert(st("flag").dataType == BooleanType)
+    assert(st("n").dataType == IntegerType)
+  }
+
+  test("named references between records resolve in declaration order") {
+    val p = AvroIdl.parseProtocol(
+      """@namespace("x.y")
+        |protocol P {
+        |  enum Color { RED, GREEN, BLUE }
+        |  fixed Hash(16);
+        |  record Inner { string a; Color c; }
+        |  record Outer { Inner one; array<Inner> many; Hash h; }
+        |}""".stripMargin)
+    val outer = p.record("Outer")
+    assert(outer.getField("one").schema.getFullName == "x.y.Inner")
+    assert(outer.getField("many").schema.getElementType.getFullName == "x.y.Inner")
+    assert(outer.getField("h").schema.getType == AvroSchema.Type.FIXED)
+    val st = AvroIdl.toStructType(
+      """@namespace("x.y")
+        |protocol P {
+        |  enum Color { RED, GREEN, BLUE }
+        |  record Inner { string a; Color c; }
+        |  record Outer { Inner one; }
+        |}""".stripMargin, "Outer")
+    assert(st("one").dataType.isInstanceOf[StructType])
+    assert(st("one").dataType.asInstanceOf[StructType]("c").dataType == StringType)
+  }
+
+  test("forward reference / unknown type / imports fail loudly") {
+    intercept[IllegalArgumentException] {
+      AvroIdl.parseProtocol("protocol P { record A { B b; } record B { int x; } }")
+    }
+    intercept[IllegalArgumentException] {
+      AvroIdl.parseProtocol("""protocol P { import idl "other.avdl"; record A { int x; } }""")
+    }
+  }
+
+  test("RPC message declarations are skipped, annotations ignored") {
+    val p = AvroIdl.parseProtocol(
+      """protocol P {
+        |  record A { @order("ignore") int x; }
+        |  void send(A a);
+        |  string ping();
+        |}""".stripMargin)
+    assert(p.types.map(_.getName) == Seq("A"))
+    assert(p.soleRecord.getField("x").schema.getType == AvroSchema.Type.INT)
+  }
+}

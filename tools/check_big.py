@@ -24,6 +24,11 @@ SKIP = {
                                  # and the banding-recall audit is pinned at sf0.01
     "semantic_dedup",        # unrolled quantized k-means + within-cluster pairs
                              # + recursive-CTE closure: O(cluster pairs) replay
+    "graph_components",      # recursive-CTE transitive closure: the reach set
+                             # materializes sum(|component|^2) rows (trading
+                             # blocs are large corpus fractions) — same
+                             # quadratic-replay class as dedup_groups;
+                             # correctness stays gated at sf0.01 by check.py
 }
 
 spec = importlib.util.spec_from_file_location(
