@@ -64,8 +64,16 @@ object PageRank {
       .union(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // (src, dst, deg) staged once — iterations re-scan it, never re-join it
-    val eDeg = ckpt(e.join(deg, "src"))
+    // (src, dst, deg) staged once — iterations re-scan it, never re-join it.
+    // Pre-partitioned BY THE JOIN KEY before the checkpoint: Dataset
+    // .checkpoint preserves the physical HashPartitioning in its LogicalRDD,
+    // so every iteration's edges⋈ranks join finds this side already
+    // distributed by src and inserts no exchange for it — the edge table
+    // (the big side at 100 TB) is shuffled once per RUN, not once per
+    // iteration.
+    val shufflePartitions = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val eDeg = ckpt(e.join(deg, "src").repartition(shufflePartitions, col("src")))
 
     val init = scale / n // integer floor division, mirrored by `scale // n`
     // The iterate carries its STATIC per-node flag (is_dangling) instead of
@@ -77,6 +85,14 @@ object PageRank {
     var ranks = ckpt(nodes.join(deg.select(col("src").as("node"), lit(1).as("has_out")),
         Seq("node"), "left")
       .select(col("node"), lit(init).as("r"), col("has_out").isNull.as("is_dang")))
+    // Dangling-freeness is a STATIC graph property (the dangling set never
+    // changes across iterations), so decide it ONCE: a graph where every
+    // node has an out-edge (e.g. any symmetric graph) carries zero dangling
+    // mass in every iteration, and the per-iteration dangling aggregate +
+    // broadcast re-entry drop out of the loop entirely — one aggregate per
+    // round instead of two (the r9 pagerank job-count cut). One O(nodes)
+    // count on the just-checkpointed iterate, repaid `iters` times.
+    val hasDang = ranks.filter(col("is_dang")).limit(1).count() > 0
     for (_ <- 1 to iters) {
       // dangling mass: rank held by nodes with no out-edges, redistributed
       // uniformly — a one-row aggregate either way (see `dangBroadcast`)
@@ -85,7 +101,14 @@ object PageRank {
         .groupBy("dst").agg(sum(col("c")).as("infl"))
       val prev = ranks
       val updated = ranks.join(inflow, ranks("node") === inflow("dst"), "left")
-      ranks = ckpt(if (dangBroadcast) {
+      ranks = ckpt(if (!hasDang) {
+        // dangling-free graph: the mass term is identically zero — no
+        // filter aggregate, no broadcast, no crossJoin, all iterations
+        updated.select(ranks("node"),
+          expr(s"CAST(${(15L * init) / 100L} AS BIGINT) + " +
+            "(85 * coalesce(infl, CAST(0 AS BIGINT))) DIV 100").as("r"),
+          ranks("is_dang"))
+      } else if (dangBroadcast) {
         val dang = ranks.filter(col("is_dang"))
           .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
         updated.crossJoin(broadcast(dang))
@@ -155,24 +178,35 @@ object PageRank {
         when(col("s").isNotNull, lit(init)).otherwise(lit(0L)).as("r"),
         col("s").isNotNull.as("is_src"),
         col("has_out").isNull.as("is_dang")))
+    // static dangling-freeness check, once — see [[run]]
+    val hasDang = ranks.filter(col("is_dang")).limit(1).count() > 0
     for (_ <- 1 to iters) {
-      // same broadcast one-row dangling mechanics as [[run]] (r8 A/B
-      // winner): the scalar's stage overlaps the inflow shuffle in one job
-      val dang = ranks.filter(col("is_dang"))
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
       val inflow = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst"), expr("r DIV deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("infl"))
       val prev = ranks
-      ranks = ckpt(ranks.join(inflow, ranks("node") === inflow("dst"), "left")
-        .crossJoin(broadcast(dang))
-        .select(ranks("node"),
-          expr(s"CASE WHEN is_src THEN CAST($tele AS BIGINT) " +
-            "ELSE CAST(0 AS BIGINT) END + " +
-            s"(85 * (coalesce(infl, CAST(0 AS BIGINT)) + " +
-            s"CASE WHEN is_src THEN dang DIV CAST($m AS BIGINT) " +
-            "ELSE CAST(0 AS BIGINT) END)) DIV 100").as("r"),
-          ranks("is_src"), ranks("is_dang")))
+      ranks = ckpt(if (!hasDang) {
+        ranks.join(inflow, ranks("node") === inflow("dst"), "left")
+          .select(ranks("node"),
+            expr(s"CASE WHEN is_src THEN CAST($tele AS BIGINT) " +
+              "ELSE CAST(0 AS BIGINT) END + " +
+              "(85 * coalesce(infl, CAST(0 AS BIGINT))) DIV 100").as("r"),
+            ranks("is_src"), ranks("is_dang"))
+      } else {
+        // same broadcast one-row dangling mechanics as [[run]] (r8 A/B
+        // winner): the scalar's stage overlaps the inflow shuffle in one job
+        val dang = ranks.filter(col("is_dang"))
+          .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+        ranks.join(inflow, ranks("node") === inflow("dst"), "left")
+          .crossJoin(broadcast(dang))
+          .select(ranks("node"),
+            expr(s"CASE WHEN is_src THEN CAST($tele AS BIGINT) " +
+              "ELSE CAST(0 AS BIGINT) END + " +
+              s"(85 * (coalesce(infl, CAST(0 AS BIGINT)) + " +
+              s"CASE WHEN is_src THEN dang DIV CAST($m AS BIGINT) " +
+              "ELSE CAST(0 AS BIGINT) END)) DIV 100").as("r"),
+            ranks("is_src"), ranks("is_dang"))
+      })
       ckpt.retire(prev)
     }
     ranks.select(col("node"), col("r").as("rank_scaled")).orderBy("node")

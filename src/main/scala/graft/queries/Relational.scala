@@ -161,11 +161,11 @@ object Relational {
         table(s, d, "orders")
           .groupBy($"o_orderpriority")
           .agg(countDistinct($"o_custkey").as("n_cust"), count(lit(1)).as("n_orders"),
-            sum(dec2($"o_totalprice")).cast(D18_2).as("sum_price"))
+            moneyE(sum(dec2($"o_totalprice")), 2).as("sum_price_e2"))
           .orderBy($"o_orderpriority")
       },
-      Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+      Some(s"""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders,
+        ${moneyESql("SUM(CAST(o_totalprice AS DECIMAL(18,2)))", 2)} AS sum_price_e2
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
       "multi-distinct aggregation"),
 
@@ -879,11 +879,11 @@ object Relational {
           .join(s.table("graft_customer_bkt"), $"o_custkey" === $"c_custkey")
           .groupBy($"c_mktsegment")
           .agg(count(lit(1)).as("n_orders"),
-            sum(dec2($"o_totalprice")).cast(D18_2).as("total_price"))
+            moneyE(sum(dec2($"o_totalprice")), 2).as("total_price_e2"))
           .orderBy($"c_mktsegment")
       },
-      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+        ${moneyESql("SUM(CAST(o_totalprice AS DECIMAL(18,2)))", 2)} AS total_price_e2
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
       "Bucket-co-located join: both sides pre-bucketed on the key, join runs exchange-free"),
@@ -908,11 +908,11 @@ object Relational {
             expectedItems = 100000L)
           .groupBy($"o_orderpriority")
           .agg(count(lit(1)).as("n_orders"),
-            sum(dec2($"o_totalprice")).cast(D18_2).as("total_price"))
+            moneyE(sum(dec2($"o_totalprice")), 2).as("total_price_e2"))
           .orderBy($"o_orderpriority")
       },
-      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+        ${moneyESql("SUM(CAST(o_totalprice AS DECIMAL(18,2)))", 2)} AS total_price_e2
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE c_mktsegment = 'AUTOMOBILE'
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
@@ -1154,11 +1154,11 @@ object Relational {
         graft.operators.SkewJoin.saltedJoin(fact, dim, "c_custkey")
           .groupBy($"c_mktsegment")
           .agg(count(lit(1)).as("n_orders"),
-            sum(dec2($"o_totalprice")).cast(D18_2).as("total_price"))
+            moneyE(sum(dec2($"o_totalprice")), 2).as("total_price_e2"))
           .orderBy($"c_mktsegment")
       },
-      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+        ${moneyESql("SUM(CAST(o_totalprice AS DECIMAL(18,2)))", 2)} AS total_price_e2
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
       "Skew-safe salted join (hash-salted fact × replicated dim) — provably identical to the plain join"),
