@@ -585,6 +585,51 @@ object Streaming {
       "Per-shard offset state across micro-batches via flatMapGroupsWithState " +
         "(the reference's ValueState offset loop, SnowflakeProcessFunction.java:88-122)."),
 
+    "streaming_new_shard_discovery" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // CONTINUOUS shard re-discovery (ColumnSource.java:39-54: the
+        // reference re-polls `SELECT DISTINCT shard` in an interval loop
+        // FOREVER, so a shard value that first appears after job start
+        // still enters the keyed stream). Composed end-to-end here: only
+        // click/view exist at "job start" (they alone carry stored
+        // offsets); error surfaces in micro-batch 2 and purchase/signup in
+        // micro-batch 3 — each brand-new key reaches OffsetTracker's
+        // flatMapGroupsWithState with NO state and NO stored offset, so it
+        // starts at offset 0 and loses no rows, exactly the interval
+        // loop's pick-it-up-next-poll behavior. Batches are staged with
+        // per-shard monotone event_id ranges, so the cross-batch
+        // sequence numbering equals one global per-shard row_number and
+        // the whole composition stays oracle-checkable.
+        val (src, out, ck) = Streams.workDirs("streaming_new_shard_discovery")
+        val ev = eventsTable(s, d).select($"event_type", $"event_id")
+        val maxId = ev.agg(max($"event_id")).head.getLong(0)
+        val (q1, q2) = (maxId / 3, 2 * maxId / 3)
+        val old = $"event_type".isin("click", "view")
+        val batches = Seq(
+          ev.filter(old && $"event_id" <= q1),
+          ev.filter((old && $"event_id" > q1 && $"event_id" <= q2) ||
+            ($"event_type" === "error" && $"event_id" <= q2)),
+          ev.filter((old || $"event_type" === "error") && $"event_id" > q2 ||
+            $"event_type".isin("purchase", "signup")))
+        val staged = Streams.stageOrderedBatches(batches, src)
+        // offsets for ONLY the shards known at job start — a re-discovered
+        // shard must fall through to getOrElse(0L), never a stale entry
+        val startOffsets = storedOffsets.view.filterKeys(Set("click", "view")).toMap
+        val tracked = OffsetTracker.track(staged.as[ShardEvent], startOffsets)
+        Streams.runAppend(tracked.toDF(), out, ck).orderBy($"event_type", $"seq")
+      },
+      Some("""WITH r AS (SELECT event_id, event_type,
+          row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS seq
+        FROM events)
+        SELECT event_id, event_type, seq FROM r
+        WHERE seq > (CASE WHEN event_type IN ('click', 'view') THEN 500 ELSE 0 END)
+        ORDER BY event_type, seq"""),
+      "Continuous shard re-discovery (ColumnSource's forever poll loop): " +
+        "shards first appearing in later micro-batches enter the offset " +
+        "tracker at offset 0 with zero row loss, composed with the stored-" +
+        "offset resume of the shards known at start."),
+
     "streaming_cdc_replication" -> Q(
       (s, d) => {
         import s.implicits._

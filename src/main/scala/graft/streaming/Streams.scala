@@ -44,6 +44,40 @@ object Streams {
       .parquet(srcDir)
   }
 
+  /** Stage `batches` as sequential parquet files (one file per batch) with
+    * STRICTLY INCREASING modification times, so a `maxFilesPerTrigger=1`
+    * file-source stream replays them as micro-batches in exactly this
+    * order. Sequential appends usually get increasing mod-times anyway;
+    * the explicit `setTimes` (one minute apart) removes the
+    * same-millisecond tie a fast local filesystem can produce, where the
+    * source's (modTime, path) ordering would fall back to path order. */
+  def stageOrderedBatches(batches: Seq[DataFrame], srcDir: String): DataFrame = {
+    require(batches.nonEmpty, "stageOrderedBatches needs at least one batch")
+    val spark = batches.head.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val before = listDataFiles(fs, srcDir)
+      b.coalesce(1).write.mode("append").parquet(srcDir)
+      (listDataFiles(fs, srcDir) -- before).foreach { p =>
+        fs.setTimes(p, base + i * 60000L, -1)
+      }
+    }
+    spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+  }
+
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Set[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSet
+  }
+
   /** Run a streamed transform to a parquet append sink until the backlog is
     * drained, then read the committed result back. */
   def runAppend(streamed: DataFrame, outDir: String, ckDir: String): DataFrame = {
