@@ -170,6 +170,26 @@ case class SignRandomProjection(child: Expression, numBits: Int = 16, seed: Int 
   override protected def withNewChildInternal(c: Expression): SignRandomProjection = copy(child = c)
 }
 
+/** [[SignRandomProjection]] with the LCG sign source
+  * ([[Kernels.signRandomProjectionPoly]]) — the bucket assignment a DuckDB
+  * oracle can replay in plain BIGINT arithmetic. */
+case class SignRandomProjectionPoly(child: Expression, numBits: Int = 16,
+    seed: Int = 77) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(Kernels.signRandomProjectionPoly(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numBits, seed, isFloat))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.signRandomProjectionPoly($c, $numBits, $seed, $isFloat)")
+  override protected def withNewChildInternal(c: Expression): SignRandomProjectionPoly =
+    copy(child = c)
+}
+
 /** Bloom-filter membership probe over a long key: `bloom.mightContainLong(c)`.
   * The filter is built once (driver-side, from a distributed aggregation of
   * the build side's keys) and shipped to executors inside the generated

@@ -151,6 +151,39 @@ object Kernels {
     h
   }
 
+  /** [[signRandomProjection]] with a SQL-REPLAYABLE sign source: the
+    * hyperplane sign for (bit j, dim i) comes from two rounds of the
+    * glibc LCG (a=1103515245, c=12345, m=2^31) over x = seed·100003 +
+    * j·8192 + i, taking bit 30 — every step is non-negative BIGINT
+    * arithmetic (`(a*x+c) % 2^31`, `// 2^30`), so a DuckDB oracle can
+    * reproduce the exact bucket ids where the Murmur3 variant cannot
+    * (Spark's Murmur3_x86_32 has no DuckDB twin). Same dot-product
+    * accumulation (sequential double adds) as the cosine kernels, which
+    * the cosine oracles already replay bit-exactly.
+    */
+  def signRandomProjectionPoly(arr: ArrayData, numBits: Int, seed: Int,
+      isFloat: Boolean): Int = {
+    val n = arr.numElements()
+    var bucket = 0
+    var j = 0
+    while (j < numBits) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = seed.toLong * 100003L + j.toLong * 8192L + i
+        val u1 = (1103515245L * x + 12345L) % 2147483648L
+        val u2 = (1103515245L * u1 + 12345L) % 2147483648L
+        val sign = if (((u2 >> 30) & 1L) == 1L) 1.0 else -1.0
+        val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        acc += sign * v
+        i += 1
+      }
+      if (acc >= 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+
   def signRandomProjection(arr: ArrayData, numBits: Int, seed: Int, isFloat: Boolean): Int = {
     val n = arr.numElements()
     var bucket = 0

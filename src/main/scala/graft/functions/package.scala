@@ -24,6 +24,9 @@ package object functions {
   def sign_random_projection(c: Column, numBits: Int = 16, seed: Int = 77): Column =
     toCol(SignRandomProjection(toExpr(c), numBits, seed))
 
+  def sign_random_projection_poly(c: Column, numBits: Int = 16, seed: Int = 77): Column =
+    toCol(SignRandomProjectionPoly(toExpr(c), numBits, seed))
+
   def cosine_sim(a: Column, b: Column): Column = toCol(CosineSim(toExpr(a), toExpr(b)))
 
   def word_shingles(c: Column, n: Int = 3): Column = toCol(WordShingles(toExpr(c), n))
@@ -105,6 +108,12 @@ package object functions {
       SignRandomProjection(es.head,
         if (es.size > 1) litInt("sign_random_projection", "numBits", es(1)) else 16,
         if (es.size > 2) litInt("sign_random_projection", "seed", es(2)) else 77)
+    },
+    "sign_random_projection_poly" -> { es =>
+      checkArity("sign_random_projection_poly", es, 1, 3)
+      SignRandomProjectionPoly(es.head,
+        if (es.size > 1) litInt("sign_random_projection_poly", "numBits", es(1)) else 16,
+        if (es.size > 2) litInt("sign_random_projection_poly", "seed", es(2)) else 77)
     },
     "cosine_sim" -> { es =>
       checkArity("cosine_sim", es, 2, 2)

@@ -53,12 +53,21 @@ object Ann {
     * Scale: one shuffle keyed by (table, bucket); recall grows with tables,
     * candidate count shrinks with bits.
     */
+  /** @param polySigns use the LCG sign source
+    *        ([[graft.functions.Kernels.signRandomProjectionPoly]]) instead
+    *        of Murmur3 — same LSH family and recall behavior, but the
+    *        bucket assignment is plain BIGINT arithmetic a DuckDB oracle
+    *        replays exactly (the r9 promotion of ann_lsh from a rows-only
+    *        recall spec to a full standing oracle). */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      numTables: Int = 8, numBits: Int = 4): DataFrame = {
+      numTables: Int = 8, numBits: Int = 4, polySigns: Boolean = false): DataFrame = {
+    val srp: (Column, Int, Int) => Column =
+      if (polySigns) (c, b, s) => sign_random_projection_poly(c, b, s)
+      else (c, b, s) => sign_random_projection(c, b, s)
     def bucketed(df: DataFrame, idCol: String, vecCol: String): DataFrame =
       df.select(col("vec_id").as(idCol), col("embedding").as(vecCol),
           posexplode(array((0 until numTables).map(t =>
-            sign_random_projection(col("embedding"), numBits, seed = 1000 + t)): _*)))
+            srp(col("embedding"), numBits, 1000 + t)): _*)))
         .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
     val q = bucketed(queries, "query_id", "qv")
     val c = bucketed(candidates, "neighbor_id", "cv")
@@ -161,10 +170,13 @@ object Ann {
     * nodes colliding with fewer than k peers emit fewer than k edges.
     */
   def knnGraphLsh(vectors: DataFrame, k: Int,
-      numTables: Int = 8, numBits: Int = 4): DataFrame = {
+      numTables: Int = 8, numBits: Int = 4, polySigns: Boolean = false): DataFrame = {
+    val srp: (Column, Int, Int) => Column =
+      if (polySigns) (c, b, s) => sign_random_projection_poly(c, b, s)
+      else (c, b, s) => sign_random_projection(c, b, s)
     val bucketed = vectors.select(col("vec_id"), col("embedding"),
         posexplode(array((0 until numTables).map(t =>
-          sign_random_projection(col("embedding"), numBits, seed = 3000 + t)): _*)))
+          srp(col("embedding"), numBits, 3000 + t)): _*)))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
     val cand = bucketed.as("a").join(bucketed.as("b"), Seq("tbl", "bucket"))
       .filter(col("a.vec_id") =!= col("b.vec_id"))

@@ -62,6 +62,71 @@ object Similarity {
       SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 3
       ORDER BY query_id, rank"""
 
+  /** DuckDB replay of [[Ann.lshTopK]] with `polySigns = true`: per (vector,
+    * table) the numBits hyperplane signs come from the same two-round LCG
+    * over x = seed·100003 + j·8192 + (i−1) ([[graft.functions.Kernels
+    * .signRandomProjectionPoly]]; 1-based SQL list index shifted back), the
+    * per-bit accumulations are the same sequential double sums the cosine
+    * oracles replay, then bucket-collision join, DISTINCT candidate pairs,
+    * exact cosine top-k.
+    */
+  /** The LCG bucket CTE shared by the LSH oracles: per (vector, table) the
+    * numBits signs from seedBase + tbl (see lshTopkSql doc). */
+  private def lshBucketCte(seedBase: Int, numTables: Int, numBits: Int): String = {
+    def sign(j: Int) =
+      s"""(CASE WHEN ((1103515245*((1103515245*(($seedBase + t.tbl)*100003 + ${j * 8192L} + (i-1))
+          + 12345) % 2147483648) + 12345) % 2147483648) // 1073741824 = 1
+        THEN 1.0 ELSE -1.0 END)"""
+    val bucketExpr = (0 until numBits).map { j =>
+      s"(CASE WHEN ${sumSql(s"${sign(j)} * q.v[i]")} >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""buck AS (SELECT q.vec_id, t.tbl, $bucketExpr AS bucket
+        FROM e q CROSS JOIN
+          (SELECT unnest(generate_series(0, ${numTables - 1})) AS tbl) t)"""
+  }
+
+  private def lshTopkSql(numTables: Int, numBits: Int, k: Int): String = {
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ${lshBucketCte(1000, numTables, numBits)},
+      cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        FROM buck qb JOIN buck cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+        WHERE qb.vec_id < 10 AND cb.vec_id >= 10),
+      p AS (SELECT cand.query_id, cand.neighbor_id,
+          ${sumSql("q.v[i] * c.v[i]")} AS dot,
+          ${sumSql("q.v[i] * q.v[i]")} AS nq,
+          ${sumSql("c.v[i] * c.v[i]")} AS nc
+        FROM cand JOIN e q ON q.vec_id = cand.query_id
+        JOIN e c ON c.vec_id = cand.neighbor_id),
+      r AS (SELECT query_id, neighbor_id, dot / (sqrt(nq) * sqrt(nc)) AS cosine,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, neighbor_id) AS rank
+      FROM p)
+      SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= $k
+      ORDER BY query_id, rank"""
+  }
+
+  /** DuckDB replay of [[Ann.knnGraphLsh]] with `polySigns = true`: the
+    * corpus self-join variant of [[lshTopkSql]] (seed base 3000, a ≠ b). */
+  private def knnGraphLshSql(numTables: Int, numBits: Int, k: Int): String = {
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ${lshBucketCte(3000, numTables, numBits)},
+      cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        FROM buck qb JOIN buck cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+        WHERE qb.vec_id <> cb.vec_id),
+      p AS (SELECT cand.query_id, cand.neighbor_id,
+          ${sumSql("q.v[i] * c.v[i]")} AS dot,
+          ${sumSql("q.v[i] * q.v[i]")} AS nq,
+          ${sumSql("c.v[i] * c.v[i]")} AS nc
+        FROM cand JOIN e q ON q.vec_id = cand.query_id
+        JOIN e c ON c.vec_id = cand.neighbor_id),
+      r AS (SELECT query_id, neighbor_id, dot / (sqrt(nq) * sqrt(nc)) AS cosine,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, neighbor_id) AS rank
+      FROM p)
+      SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= $k
+      ORDER BY query_id, rank"""
+  }
+
   /** Unrolled DuckDB replay of [[Ann.semanticDedupQuantized]]: the
     * kmeans_embeddings quantized-Lloyd CTE chain (assignment argmin +
     * truncating integer means per iteration), then within-cluster pairs
@@ -140,10 +205,19 @@ object Similarity {
     "ann_lsh" -> Q(
       (s, d) => {
         val e = emb(s, d)
-        Ann.lshTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5)
+        // FULL ORACLE since r9: the LCG (poly) sign source makes the bucket
+        // assignment plain BIGINT arithmetic, so the DuckDB replay computes
+        // the exact same buckets, candidate set, and cosine ranking — the
+        // recall-floor spec (AnnSpec) remains as the quality audit, and the
+        // oracle is a STANDING banding audit (any drift in bucketing,
+        // collision join, or dedup surfaces as a hash mismatch).
+        Ann.lshTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+          k = 5, numTables = 8, numBits = 4, polySigns = true)
       },
-      None, // approximate: recall vs embedding_cosine_topk is spec-checked
-      "Sign-random-projection LSH ANN (4 tables × 8 bits), candidates = bucket collisions only."),
+      Some(lshTopkSql(numTables = 8, numBits = 4, k = 5)),
+      "Sign-random-projection LSH ANN (8 tables × 4 bits, SQL-replayable LCG " +
+        "hyperplane signs), candidates = bucket collisions only — exact oracle " +
+        "over buckets + collision join + cosine re-rank."),
 
     "ann_lsh_multiprobe" -> Q(
       (s, d) => {
@@ -216,10 +290,14 @@ object Similarity {
         "excluded) — O(N²) oracle baseline; knn_graph_lsh is the scale path."),
 
     "knn_graph_lsh" -> Q(
-      (s, d) => Ann.knnGraphLsh(emb(s, d), k = 3),
-      None, // approximate: edge recall vs knn_graph is spec-checked (AnnSpec)
+      // FULL ORACLE since r9 (same LCG-sign promotion as ann_lsh): the
+      // banding itself is now driver-audited, the AnnSpec edge-recall floor
+      // vs knn_graph remains as the quality audit
+      (s, d) => Ann.knnGraphLsh(emb(s, d), k = 3, polySigns = true),
+      Some(knnGraphLshSql(numTables = 8, numBits = 4, k = 3)),
       "Banded kNN graph: each node ranks only its SRP bucket collisions — " +
-        "one (table,bucket) shuffle instead of the N² cross join."),
+        "one (table,bucket) shuffle instead of the N² cross join; " +
+        "SQL-replayable LCG signs make the banding a standing oracle."),
 
     "hybrid_retrieval_rrf" -> Q(
       (s, d) => {

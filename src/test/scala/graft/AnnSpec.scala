@@ -47,6 +47,12 @@ class AnnSpec extends SparkSpec {
     val recall = recallVsExact(Ann.lshTopK(queries, cands, 5), 5)
     // 490 candidates, top-5: random buckets would land ~1% recall.
     assert(recall >= 0.3, s"LSH recall@5 = $recall")
+    // the poly (LCG, SQL-replayable) sign source — the registered ann_lsh
+    // path since its r9 oracle promotion — is the same LSH family and must
+    // clear the same recall floor
+    val polyRecall = recallVsExact(
+      Ann.lshTopK(queries, cands, 5, polySigns = true), 5)
+    assert(polyRecall >= 0.3, s"poly-sign LSH recall@5 = $polyRecall")
   }
 
   test("multi-probe LSH recall@5 >= same-table-budget plain LSH, above the floor") {
@@ -97,7 +103,9 @@ class AnnSpec extends SparkSpec {
   test("banded kNN graph: edges are a subset of true-cosine edges with bounded recall loss") {
     val k = 3
     val exact = topkSets(Ann.knnGraphExact(emb, k))
-    val banded = Ann.knnGraphLsh(emb, k)
+    // poly (LCG) signs: the registered knn_graph_lsh path since its r9
+    // oracle promotion — the recall floor audits the same variant
+    val banded = Ann.knnGraphLsh(emb, k, polySigns = true)
     // every banded edge carries the TRUE cosine (verification is exact) and
     // ranks only co-bucketed peers, so per-node neighbors are a plausible
     // subset; recall is the quality metric
@@ -109,7 +117,8 @@ class AnnSpec extends SparkSpec {
     // 500 nodes, top-3 of 499: random candidates would land < 2% recall
     assert(recall >= 0.3, s"banded kNN graph recall@3 = $recall")
     // determinism: seeded SRP tables make the graph rerun-stable
-    assert(banded.collect().toSeq == Ann.knnGraphLsh(emb, k).collect().toSeq)
+    assert(banded.collect().toSeq ==
+      Ann.knnGraphLsh(emb, k, polySigns = true).collect().toSeq)
   }
 
   test("pairsAboveThreshold matches per-pair cosine recomputation") {
