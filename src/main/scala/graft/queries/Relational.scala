@@ -1087,6 +1087,60 @@ object Relational {
       "Ordered event funnel: per-stage user counts, each stage keyed off the " +
         "previous stage's first-event time"),
 
+    "funnel_conversion_windows" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Funnel with PER-STAGE CONVERSION WINDOWS (the product-analytics
+        // "convert within N days" semantics funnel_analysis lacks): the
+        // click must land within 1 day of the first view, the purchase
+        // within 2 days of that click — each stage's window is its own,
+        // measured from the PREVIOUS stage's qualifying event, not job
+        // time. Same co-partitioned per-stage aggregation shape (three
+        // user_id-keyed joins+aggs, no global window); per-stage latency
+        // reported as floored integer-microsecond averages, exact in both
+        // engines.
+        val w1 = 1L * 86400000000L; val w2 = 2L * 86400000000L
+        val ev = eventsTable(s, d).select($"user_id", $"event_type", micros($"ts").as("us"))
+        val viewed = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"us").as("t_view"))
+        val clicked = ev.filter($"event_type" === "click")
+          .join(viewed, "user_id")
+          .filter($"us" > $"t_view" && $"us" <= $"t_view" + w1)
+          .groupBy($"user_id").agg(min($"us").as("t_click"), min($"t_view").as("t_view0"))
+        val purchased = ev.filter($"event_type" === "purchase")
+          .join(clicked, "user_id")
+          .filter($"us" > $"t_click" && $"us" <= $"t_click" + w2)
+          .groupBy($"user_id").agg(min($"us").as("t_purchase"), min($"t_click").as("t_click0"))
+        viewed.agg(lit("1_view").as("stage"), count(lit(1)).as("n_users"),
+            lit(-1L).as("avg_lat_us"))
+          .unionByName(clicked.agg(lit("2_click").as("stage"), count(lit(1)).as("n_users"),
+            idiv(sum($"t_click" - $"t_view0"), count(lit(1))).as("avg_lat_us")))
+          .unionByName(purchased.agg(lit("3_purchase").as("stage"), count(lit(1)).as("n_users"),
+            idiv(sum($"t_purchase" - $"t_click0"), count(lit(1))).as("avg_lat_us")))
+          .orderBy($"stage")
+      },
+      Some(s"""WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_click, min(v.t_view) AS t_view0
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+            AND epoch_us(e.ts) <= v.t_view + ${1L * 86400000000L}
+          GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase, min(c.t_click) AS t_click0
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+            AND epoch_us(e.ts) <= c.t_click + ${2L * 86400000000L}
+          GROUP BY e.user_id)
+        SELECT '1_view' AS stage, count(*) AS n_users, CAST(-1 AS BIGINT) AS avg_lat_us FROM v
+        UNION ALL SELECT '2_click', count(*),
+          CAST(sum(t_click - t_view0) AS BIGINT) // count(*) FROM c
+        UNION ALL SELECT '3_purchase', count(*),
+          CAST(sum(t_purchase - t_click0) AS BIGINT) // count(*) FROM p
+        ORDER BY stage"""),
+      "Funnel with per-stage conversion windows (click within 1d of first " +
+        "view, purchase within 2d of that click) + floored integer average " +
+        "stage latencies — co-partitioned per-stage aggregation, no global window."),
+
     "retention_cohorts" -> Q(
       (s, d) => {
         import s.implicits._
@@ -1681,6 +1735,33 @@ object Relational {
         ORDER BY id, depth"""),
       "Ancestor closure to depth 3 (CONNECT BY surface) as iterative frontier " +
         "joins — one keyed shuffle per hop, ≡ the unrolled recursive-CTE oracle."),
+
+    "hierarchy_closure_full" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The UNBOUNDED variant of hierarchy_closure: frontier iteration to
+        // convergence (operators.Closure), oracle = a TRUE recursive CTE
+        // run to its fixpoint — no depth constant on either side. The part
+        // hierarchy (parent = id div 7) is ~log_7(n) deep, so the depth
+        // grows with the scale factor and a hardcoded unroll would
+        // silently truncate at 10x data: exactly the case the
+        // to-convergence loop exists for.
+        val e = table(s, d, "part")
+          .select($"p_partkey".cast("long").as("id"),
+            expr("p_partkey div 7").cast("long").as("pid"))
+          .filter($"pid" >= 1)
+        graft.operators.Closure.ancestors(e)
+      },
+      Some("""WITH RECURSIVE e AS (SELECT CAST(p_partkey AS BIGINT) AS id,
+            CAST(p_partkey // 7 AS BIGINT) AS pid FROM part WHERE p_partkey // 7 >= 1),
+          r(id, anc, depth) AS (
+            SELECT id, pid, CAST(1 AS BIGINT) FROM e
+            UNION ALL
+            SELECT r.id, e.pid, r.depth + 1 FROM r JOIN e ON r.anc = e.id)
+        SELECT id, anc, depth FROM r ORDER BY id, depth, anc"""),
+      "Ancestor closure to CONVERGENCE (arbitrary-depth recursive CTE): " +
+        "frontier joins until empty, emptiness-probe termination — vs " +
+        "DuckDB's native WITH RECURSIVE fixpoint."),
 
     "date_parts_suite" -> Q(
       (s, d) => {

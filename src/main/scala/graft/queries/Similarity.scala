@@ -127,6 +127,44 @@ object Similarity {
       ORDER BY query_id, rank"""
   }
 
+  /** DuckDB replay of [[graft.operators.Dbscan.dbscanQuantized]]: identical
+    * quantization, integer ε-test, HAVING-count core rule, recursive-CTE
+    * min-label closure of the core-core subgraph (self-edges keep isolated
+    * cores), min-cluster border assignment, −1 noise. Everything integer ⇒
+    * hash-exact. Quadratic replay (pair join + closure) — check_big SKIPs
+    * it like the other closure oracles.
+    */
+  private def dbscanSql(epsSq: Long, minPts: Int, scale: Long, dim: Int): String =
+    s"""WITH RECURSIVE q AS (SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT)) AS v
+      FROM embeddings),
+      nbr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM q a JOIN q b ON a.vec_id <> b.vec_id
+        WHERE list_sum(list_transform(generate_series(1, $dim),
+          i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) <= $epsSq),
+      core AS (SELECT id_a AS cid FROM nbr GROUP BY id_a
+        HAVING count(*) >= $minPts),
+      ce AS (SELECT n.id_a, n.id_b FROM nbr n
+        JOIN core c1 ON n.id_a = c1.cid JOIN core c2 ON n.id_b = c2.cid),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM ce
+                UNION SELECT cid, cid FROM core),
+      reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      comp AS (SELECT src AS cid, min(dst) AS component_id FROM reach GROUP BY src),
+      border AS (SELECT n.id_a AS vec_id, min(c.component_id) AS cluster
+        FROM nbr n JOIN core cb ON n.id_b = cb.cid
+        JOIN comp c ON c.cid = n.id_b
+        WHERE n.id_a NOT IN (SELECT cid FROM core)
+        GROUP BY n.id_a)
+      SELECT e.vec_id, coalesce(cm.component_id, b.cluster, -1) AS cluster,
+        (cm.cid IS NOT NULL) AS is_core
+      FROM embeddings e LEFT JOIN comp cm ON cm.cid = e.vec_id
+      LEFT JOIN border b ON b.vec_id = e.vec_id
+      ORDER BY e.vec_id"""
+
   /** Unrolled DuckDB replay of [[Ann.semanticDedupQuantized]]: the
     * kmeans_embeddings quantized-Lloyd CTE chain (assignment argmin +
     * truncating integer means per iteration), then within-cluster pairs
@@ -298,6 +336,18 @@ object Similarity {
       "Banded kNN graph: each node ranks only its SRP bucket collisions — " +
         "one (table,bucket) shuffle instead of the N² cross join; " +
         "SQL-replayable LCG signs make the banding a standing oracle."),
+
+    "dbscan_embeddings" -> Q(
+      // eps² = 1.3e6 quantized units ≈ the 0.1-1% pair-distance quantile of
+      // this corpus; minPts = 3 → ~10% core points, several multi-point
+      // density clusters, real border points AND real noise — the regime
+      // DBSCAN exists for
+      (s, d) => graft.operators.Dbscan.dbscanQuantized(emb(s, d),
+        epsSq = 1300000L, minPts = 3),
+      Some(dbscanSql(epsSq = 1300000L, minPts = 3, scale = 1000L, dim = 64)),
+      "DBSCAN density clustering (quantized-integer ε-test, min-label core " +
+        "components, canonical min-cluster border assignment, noise = -1) — " +
+        "the non-centroidal companion to kmeans_embeddings."),
 
     "hybrid_retrieval_rrf" -> Q(
       (s, d) => {

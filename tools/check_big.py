@@ -24,6 +24,7 @@ SKIP = {
                                  # and the banding-recall audit is pinned at sf0.01
     "semantic_dedup",        # unrolled quantized k-means + within-cluster pairs
                              # + recursive-CTE closure: O(cluster pairs) replay
+    "dbscan_embeddings",     # all-pairs eps-join + recursive-CTE closure replay
     "graph_components",      # recursive-CTE transitive closure: the reach set
                              # materializes sum(|component|^2) rows (trading
                              # blocs are large corpus fractions) — same
