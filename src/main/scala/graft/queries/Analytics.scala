@@ -1937,6 +1937,119 @@ object Analytics {
         FROM j GROUP BY 1 ORDER BY o_orderstatus"""),
       "Ledger reconciliation (order header vs line-extension sums in exact " +
         "rational cents, one floor per order, $1 tolerance): per-status " +
-        "mismatch counts — the fact-table integrity audit.")
+        "mismatch counts — the fact-table integrity audit."),
+
+    "cohort_ltv" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The LTV TRIANGLE: users cohorted by first-event week, purchase
+        // revenue accumulated by cohort age in weeks — the
+        // retention_cohorts companion that tracks MONEY, not presence
+        // (what a monetization dashboard actually plots). Two keyed
+        // aggregations (per-user first event; per (cohort, age) revenue)
+        // plus one cumulative window whose partitions are O(weeks) rows —
+        // never a window over the raw event log. Revenue stays integer
+        // cents end to end.
+        val wk = 7L * 86400000000L
+        val ev = eventsTable(s, d).select($"user_id", $"event_type",
+          micros($"ts").as("us"), (dec2($"value") * 100).cast("long").as("vc"))
+        val cohorts = ev.groupBy($"user_id")
+          .agg(idiv(min($"us"), lit(wk)).as("cohort_week"))
+        val sizes = cohorts.groupBy($"cohort_week")
+          .agg(count(lit(1)).as("n_users"))
+        val rev = ev.filter($"event_type" === "purchase")
+          .join(cohorts, "user_id")
+          .groupBy($"cohort_week",
+            (idiv($"us", lit(wk)) - $"cohort_week").as("age_week"))
+          .agg(sum($"vc").as("revenue_c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"cohort_week").orderBy($"age_week")
+        rev.withColumn("cum_revenue_c", sum($"revenue_c").over(w))
+          .join(sizes, "cohort_week")
+          .select($"cohort_week", $"age_week", $"n_users",
+            $"revenue_c", $"cum_revenue_c")
+          .orderBy($"cohort_week", $"age_week")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM events),
+        cohorts AS (SELECT user_id, min(us) // 604800000000 AS cohort_week
+          FROM ev GROUP BY user_id),
+        sizes AS (SELECT cohort_week, count(*) AS n_users FROM cohorts GROUP BY 1),
+        rev AS (SELECT c.cohort_week, e.us // 604800000000 - c.cohort_week AS age_week,
+            CAST(sum(e.vc) AS BIGINT) AS revenue_c
+          FROM ev e JOIN cohorts c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+        SELECT r.cohort_week, r.age_week, s.n_users, r.revenue_c,
+          CAST(sum(r.revenue_c) OVER (PARTITION BY r.cohort_week ORDER BY r.age_week) AS BIGINT)
+            AS cum_revenue_c
+        FROM rev r JOIN sizes s ON r.cohort_week = s.cohort_week
+        ORDER BY r.cohort_week, r.age_week"""),
+      "LTV triangle: signup-week cohorts × age-week cumulative purchase " +
+        "revenue in integer cents — the money companion to retention_cohorts."),
+
+    "phonetic_blocking_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Entity-resolution BLOCKING (the golden_record upstream): dirty
+        // name variants resolve to canonical names by meeting ONLY inside
+        // a phonetic-skeleton block (lowercase, strip vowels+spaces,
+        // collapse repeat runs), then exact levenshtein verification and
+        // deterministic min-(distance, name) pick. At 100 TB this is the
+        // point: the skeleton equi-join replaces the N² name cross join
+        // with hash-partitioned blocks, the same candidate-pruning stance
+        // as the MinHash/SimHash banding — but for short strings where
+        // shingling is meaningless. Dirty variants are synthesized
+        // deterministically (drop 3rd char / double 2nd char by key mod),
+        // so both engines stage identical corruption.
+        val p = table(s, d, "part").select($"p_partkey".cast("long").as("id"), $"p_name")
+        val dirty = p.select($"id",
+          when($"id" % 5 === 1,
+              concat(substring($"p_name", 1, 2), substring($"p_name", 4, 1000)))
+            .when($"id" % 5 === 2,
+              concat(substring($"p_name", 1, 2), substring($"p_name", 2, 1),
+                substring($"p_name", 3, 1000)))
+            .otherwise($"p_name").as("dirty_name"))
+        val canon = p.groupBy($"p_name").agg(min($"id").as("canon_id"))
+          .select($"p_name".as("canon_name"), $"canon_id")
+        // repeat-run collapse via one per-consonant `cc+` regex, NOT a
+        // backreference: DuckDB's RE2 engine has no backreferences (a
+        // (.)\1+ pattern silently fails to collapse there), while `cc+`
+        // collapses a run of any length identically in both engines.
+        def skel(c: org.apache.spark.sql.Column) = {
+          val stripped = regexp_replace(lower(c), "[aeiou ]", "")
+          "bcdfghjklmnpqrstvwxyz".foldLeft(stripped) { (acc, ch) =>
+            regexp_replace(acc, s"$ch$ch+", ch.toString)
+          }
+        }
+        val joined = dirty.withColumn("k", skel($"dirty_name"))
+          .join(canon.withColumn("k", skel($"canon_name")), "k")
+          .withColumn("lev", levenshtein($"dirty_name", $"canon_name"))
+          .filter($"lev" <= 2)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"id")
+          .orderBy($"lev", $"canon_name")
+        joined.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"id", $"dirty_name", $"canon_name", $"lev".cast("long").as("lev"))
+          .orderBy($"id")
+      },
+      Some("""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS id, p_name FROM part),
+        dirty AS (SELECT id,
+            CASE WHEN id % 5 = 1 THEN substr(p_name, 1, 2) || substr(p_name, 4)
+                 WHEN id % 5 = 2 THEN substr(p_name, 1, 2) || substr(p_name, 2, 1) || substr(p_name, 3)
+                 ELSE p_name END AS dirty_name
+          FROM p),
+        canon AS (SELECT p_name AS canon_name, min(id) AS canon_id FROM p GROUP BY 1),
+        blocked AS (SELECT d.id, d.dirty_name, c.canon_name,
+            levenshtein(d.dirty_name, c.canon_name) AS lev
+          FROM dirty d JOIN canon c
+            ON regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(d.dirty_name), '[aeiou ]', '', 'g'), 'bb+', 'b', 'g'), 'cc+', 'c', 'g'), 'dd+', 'd', 'g'), 'ff+', 'f', 'g'), 'gg+', 'g', 'g'), 'hh+', 'h', 'g'), 'jj+', 'j', 'g'), 'kk+', 'k', 'g'), 'll+', 'l', 'g'), 'mm+', 'm', 'g'), 'nn+', 'n', 'g'), 'pp+', 'p', 'g'), 'qq+', 'q', 'g'), 'rr+', 'r', 'g'), 'ss+', 's', 'g'), 'tt+', 't', 'g'), 'vv+', 'v', 'g'), 'ww+', 'w', 'g'), 'xx+', 'x', 'g'), 'yy+', 'y', 'g'), 'zz+', 'z', 'g')
+             = regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(c.canon_name), '[aeiou ]', '', 'g'), 'bb+', 'b', 'g'), 'cc+', 'c', 'g'), 'dd+', 'd', 'g'), 'ff+', 'f', 'g'), 'gg+', 'g', 'g'), 'hh+', 'h', 'g'), 'jj+', 'j', 'g'), 'kk+', 'k', 'g'), 'll+', 'l', 'g'), 'mm+', 'm', 'g'), 'nn+', 'n', 'g'), 'pp+', 'p', 'g'), 'qq+', 'q', 'g'), 'rr+', 'r', 'g'), 'ss+', 's', 'g'), 'tt+', 't', 'g'), 'vv+', 'v', 'g'), 'ww+', 'w', 'g'), 'xx+', 'x', 'g'), 'yy+', 'y', 'g'), 'zz+', 'z', 'g')
+          WHERE levenshtein(d.dirty_name, c.canon_name) <= 2),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY id
+            ORDER BY lev, canon_name) AS rn FROM blocked)
+        SELECT id, dirty_name, canon_name, CAST(lev AS BIGINT) AS lev
+        FROM ranked WHERE rn = 1 ORDER BY id"""),
+      "Phonetic-skeleton blocking join (entity resolution): dirty names meet " +
+        "canonical names only inside consonant-skeleton blocks, levenshtein " +
+        "verification, deterministic min-(distance, name) resolution.")
   )
 }

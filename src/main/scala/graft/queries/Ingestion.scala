@@ -577,6 +577,82 @@ object Ingestion {
       "Temporal point-in-time join: facts pick the SCD2 dimension version in effect " +
         "at their logical time (contiguous intervals -> backward as-of join, one shuffle)."),
 
+    "bitemporal_point_query" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // BITEMPORAL point queries: TRANSACTION time = the VersionedTable
+        // snapshot axis (what the database knew), VALID time = a
+        // valid_from column in the rows (when the fact was true in the
+        // world) — the two axes scd2_point_in_time_join (valid only) and
+        // versioned_time_travel (tx only) each cover half of. One tx
+        // commits BOTH mutation kinds the bitemporal model distinguishes:
+        // a RETROACTIVE CORRECTION (same valid_from, new price — the past
+        // was recorded wrong) and a NEW VALID PERIOD (future-dated row —
+        // the price changes in the world). Three (snap, vt) probes then
+        // disagree exactly where they should: the correction is visible
+        // only at snap 2; the new period only at snap 2 AND vt past its
+        // valid_from. Per probe: one keyed filter + latest-valid_from
+        // window over O(key history) rows.
+        val p = tmp("bitemporal_pq")
+        GraftTableWriter.drop(s, p)
+        val vf2002 = 1009843200000000L // epoch_us 2002-01-01 (UTC)
+        val vtEarly = 1007164800000000L // 2001-12-01: new period NOT yet valid
+        val vtLate = 1022889600000000L // 2002-06-01: new period valid
+        val base = table(s, d, "orders").select(
+          $"o_orderkey".cast("long").as("o_orderkey"),
+          micros($"o_orderdate").as("valid_from_us"),
+          round($"o_totalprice" * 100).cast("long").as("price_c"))
+        VersionedTable.overwrite(base, p) // tx snapshot 1
+        val corrections = base.filter($"o_orderkey" % 100 === 0)
+          .withColumn("price_c", $"price_c" + 100000L)
+        val newPeriods = base.filter($"o_orderkey" % 100 === 50)
+          .withColumn("valid_from_us", lit(vf2002))
+          .withColumn("price_c", $"price_c" + 50000L)
+        VersionedTable.upsert(corrections.unionByName(newPeriods), p,
+          Seq("o_orderkey", "valid_from_us")) // tx snapshot 2
+        def probe(snap: Int, vtUs: Long): DataFrame = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy($"o_orderkey").orderBy($"valid_from_us".desc)
+          VersionedTable.readVersion(s, p, snap)
+            .filter($"o_orderkey" % 10 === 0 && $"valid_from_us" <= vtUs)
+            .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+            .select(lit(snap.toLong).as("snap"), lit(vtUs).as("vt_us"),
+              $"o_orderkey", $"valid_from_us", $"price_c")
+        }
+        probe(1, vtLate).unionByName(probe(2, vtEarly)).unionByName(probe(2, vtLate))
+          .orderBy($"snap", $"vt_us", $"o_orderkey")
+      },
+      Some("""WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+            epoch_us(o_orderdate) AS valid_from_us,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+          FROM orders WHERE o_orderkey % 10 = 0),
+        v2 AS (
+          SELECT o_orderkey, valid_from_us,
+            CASE WHEN o_orderkey % 100 = 0 THEN price_c + 100000 ELSE price_c END AS price_c
+          FROM base
+          UNION ALL
+          SELECT o_orderkey, 1009843200000000, price_c + 50000
+          FROM base WHERE o_orderkey % 100 = 50),
+        probe AS (
+          SELECT CAST(1 AS BIGINT) AS snap, CAST(1022889600000000 AS BIGINT) AS vt_us,
+            o_orderkey, valid_from_us, price_c,
+            row_number() OVER (PARTITION BY o_orderkey ORDER BY valid_from_us DESC) AS rn
+          FROM base WHERE valid_from_us <= 1022889600000000
+          UNION ALL
+          SELECT 2, 1007164800000000, o_orderkey, valid_from_us, price_c,
+            row_number() OVER (PARTITION BY o_orderkey ORDER BY valid_from_us DESC)
+          FROM v2 WHERE valid_from_us <= 1007164800000000
+          UNION ALL
+          SELECT 2, 1022889600000000, o_orderkey, valid_from_us, price_c,
+            row_number() OVER (PARTITION BY o_orderkey ORDER BY valid_from_us DESC)
+          FROM v2 WHERE valid_from_us <= 1022889600000000)
+        SELECT snap, vt_us, o_orderkey, valid_from_us, price_c
+        FROM probe WHERE rn = 1 ORDER BY snap, vt_us, o_orderkey"""),
+      "Bitemporal point queries: transaction time = snapshot axis, valid time " +
+        "= in-row valid_from; one tx carries both a retroactive correction and " +
+        "a future-dated new valid period, and three (snap, vt) probes separate " +
+        "the two axes."),
+
     "incremental_agg_maintenance" -> Q(
       (s, d) => {
         import s.implicits._
