@@ -94,15 +94,18 @@ object Ann {
     * with probes. Same single (tbl, bucket) equi-join shape as [[lshTopK]].
     */
   def lshMultiProbeTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      numTables: Int = 4, numBits: Int = 4): DataFrame = {
+      numTables: Int = 4, numBits: Int = 4, polySigns: Boolean = false): DataFrame = {
+    val srp: (Column, Int, Int) => Column =
+      if (polySigns) (c, b, s) => sign_random_projection_poly(c, b, s)
+      else (c, b, s) => sign_random_projection(c, b, s)
     // candidate side: one bucket per table (identical to lshTopK's side)
     val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
         posexplode(array((0 until numTables).map(t =>
-          sign_random_projection(col("embedding"), numBits, seed = 1000 + t)): _*)))
+          srp(col("embedding"), numBits, 1000 + t)): _*)))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
     // query side: base bucket + all numBits single-bit flips of it
     val probes = (vb: Column) => array((0 until numTables).flatMap { t =>
-      val base = sign_random_projection(vb, numBits, seed = 1000 + t)
+      val base = srp(vb, numBits, 1000 + t)
       (base +: (0 until numBits).map(j => base.bitwiseXOR(lit(1 << j))))
         .map(b => struct(lit(t).as("tbl"), b.as("bucket")))
     }: _*)
@@ -128,10 +131,13 @@ object Ann {
     * table), spec-bounded in AnnSpec.
     */
   def lshPairs(vectors: DataFrame, minCosine: Double,
-      numTables: Int = 8, numBits: Int = 4): DataFrame = {
+      numTables: Int = 8, numBits: Int = 4, polySigns: Boolean = false): DataFrame = {
+    val srp: (Column, Int, Int) => Column =
+      if (polySigns) (c, b, s) => sign_random_projection_poly(c, b, s)
+      else (c, b, s) => sign_random_projection(c, b, s)
     val bucketed = vectors.select(col("vec_id"), col("embedding"),
         posexplode(array((0 until numTables).map(t =>
-          sign_random_projection(col("embedding"), numBits, seed = 2000 + t)): _*)))
+          srp(col("embedding"), numBits, 2000 + t)): _*)))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
     bucketed.as("a").join(bucketed.as("b"), Seq("tbl", "bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))

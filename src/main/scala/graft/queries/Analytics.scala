@@ -2050,6 +2050,66 @@ object Analytics {
         FROM ranked WHERE rn = 1 ORDER BY id"""),
       "Phonetic-skeleton blocking join (entity resolution): dirty names meet " +
         "canonical names only inside consonant-skeleton blocks, levenshtein " +
-        "verification, deterministic min-(distance, name) resolution.")
+        "verification, deterministic min-(distance, name) resolution."),
+
+    "bootstrap_ci_hash" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // DETERMINISTIC bootstrap confidence intervals for the per-type
+        // mean spend: B = 200 resamples where row r's weight in resample b
+        // is hash-derived (two glibc-LCG rounds over event_id·211 + b —
+        // the ann_lsh poly discipline — mapped u%4 → {0,1,2,1}: mean 1,
+        // var 1/2, an integer-exact multinomial-approximation resampling
+        // scheme), so the whole interval is a pure function of the data.
+        // Each resample mean is floored at e6; the CI bounds are the
+        // order-statistic 2.5%/97.5% picks (ranks 5 and 196 of 200).
+        // Scale: the B-fold blowup exists only BETWEEN the map-side
+        // partial aggregate and the (type, b) reduce — the shuffle carries
+        // B·|types| partial rows, never B·N; the final per-type window
+        // ranks 200 rows.
+        val B = 200
+        val ev = eventsTable(s, d).select($"event_type", $"event_id",
+          (dec2($"value") * 100).cast("long").as("vc"))
+        val withB = ev.select($"event_type", $"event_id", $"vc",
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        val x = $"event_id" * 211L + $"b"
+        val u1 = (lit(1103515245L) * x + 12345L) % 2147483648L
+        val u2 = (lit(1103515245L) * u1 + 12345L) % 2147483648L
+        val wgt = element_at(typedLit(Seq(0L, 1L, 2L, 1L)), (u2 % 4).cast("int") + 1)
+        val perB = withB.withColumn("w", wgt)
+          .groupBy($"event_type", $"b")
+          .agg(sum($"w" * $"vc").as("swv"), sum($"w").as("sw"))
+          .withColumn("mean_e6", idiv(lit(1000000L) * $"swv", greatest($"sw", lit(1L))))
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"mean_e6", $"b")
+        perB.withColumn("rk", row_number().over(wRank))
+          .groupBy($"event_type")
+          .agg(max(when($"rk" === 5, $"mean_e6")).as("mean_lo_e6"),
+            max(when($"rk" === 196, $"mean_e6")).as("mean_hi_e6"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, event_id,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM events),
+        wb AS (SELECT event_type, event_id, vc, b.b,
+            ((1103515245*((1103515245*(event_id*211 + b.b) + 12345) % 2147483648)
+              + 12345) % 2147483648) % 4 AS u
+          FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS b) b),
+        w AS (SELECT event_type, b, vc,
+            (CASE u WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 1 END) AS w
+          FROM wb),
+        perb AS (SELECT event_type, b,
+            CAST(sum(w * vc) AS BIGINT) AS swv, CAST(sum(w) AS BIGINT) AS sw
+          FROM w GROUP BY 1, 2),
+        m AS (SELECT event_type, b,
+            (1000000 * swv) // greatest(sw, 1) AS mean_e6 FROM perb),
+        r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY mean_e6, b) AS rk FROM m)
+        SELECT event_type,
+          CAST(max(CASE WHEN rk = 5 THEN mean_e6 END) AS BIGINT) AS mean_lo_e6,
+          CAST(max(CASE WHEN rk = 196 THEN mean_e6 END) AS BIGINT) AS mean_hi_e6
+        FROM r GROUP BY event_type ORDER BY event_type"""),
+      "Deterministic hash-weighted bootstrap (B=200, LCG {0,1,2,1} weights): " +
+        "order-statistic 95% CI of per-type mean spend, integer-exact end to " +
+        "end — map-side partials keep the shuffle at B x |types| rows.")
   )
 }

@@ -1844,6 +1844,72 @@ object Relational {
       "Last-touch attribution with a 7-day lookback (AsOfJoin + tolerance + rollup): " +
         "attributed vs organic purchase counts and revenue per user, exact cents."),
 
+    "attribution_position_based" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // MULTI-TOUCH position-based (U-shaped) attribution — the
+        // whole-path companion to attribution_last_touch: every click by
+        // the same user in the purchase's 7-day lookback is a touch, and
+        // the revenue splits first 40% / last 40% / middles share 20%
+        // (n=1 → 100%, n=2 → 50/50). MONEY-EXACT by construction: each
+        // non-final touch takes floor(rev·w/10000) basis-point cents and
+        // the FINAL touch takes the remainder, so per-purchase credits sum
+        // to rev_c exactly — no lost cents, mirrored floor-for-floor by
+        // the oracle. Shape: one per-user range join (touch paths), two
+        // windows over O(path) rows, one rollup; never a global window.
+        val look = 7L * 86400000000L
+        val ev = eventsTable(s, d)
+        val p = ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("p_id"), $"user_id", micros($"ts").as("ptsu"),
+            round($"value" * 100).cast("long").as("rev_c"))
+        val c = ev.filter($"event_type" === "click")
+          .select($"user_id", $"event_id".as("click_id"), micros($"ts").as("ctsu"))
+        val touches = p.join(c, Seq("user_id"))
+          .filter($"ctsu" < $"ptsu" && $"ctsu" >= $"ptsu" - look)
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy($"p_id").orderBy($"ctsu", $"click_id")
+        val withPos = touches
+          .withColumn("pos", row_number().over(wOrd).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"p_id")))
+        val bp = when($"n" === 1, lit(10000L))
+          .when($"n" === 2, lit(5000L))
+          .when($"pos" === 1 || $"pos" === $"n", lit(4000L))
+          .otherwise(idiv(lit(2000L), $"n" - 2))
+        val withFloor = withPos.withColumn("floor_c", idiv($"rev_c" * bp, lit(10000L)))
+        val wSum = org.apache.spark.sql.expressions.Window.partitionBy($"p_id")
+        val credited = withFloor
+          .withColumn("others_c", sum(when($"pos" === $"n", 0L).otherwise($"floor_c")).over(wSum))
+          .withColumn("credit_c",
+            when($"pos" === $"n", $"rev_c" - $"others_c").otherwise($"floor_c"))
+        credited.groupBy($"user_id")
+          .agg(countDistinct($"p_id").as("n_purchases"),
+            count(lit(1)).as("n_touches"),
+            sum($"credit_c").as("credited_rev_c"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS ptsu,
+            CAST(round(value * 100) AS BIGINT) AS rev_c
+          FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ctsu
+          FROM events WHERE event_type = 'click'),
+        t AS (SELECT p.*, c.click_id, c.ctsu FROM p JOIN c USING (user_id)
+          WHERE c.ctsu < p.ptsu AND c.ctsu >= p.ptsu - 604800000000),
+        pos AS (SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY ctsu, click_id) AS pos,
+            count(*) OVER (PARTITION BY p_id) AS n FROM t),
+        fl AS (SELECT *, rev_c * (CASE WHEN n = 1 THEN 10000 WHEN n = 2 THEN 5000
+            WHEN pos = 1 OR pos = n THEN 4000 ELSE 2000 // (n - 2) END) // 10000 AS floor_c
+          FROM pos),
+        cr AS (SELECT *, CASE WHEN pos = n THEN rev_c -
+            sum(CASE WHEN pos = n THEN 0 ELSE floor_c END) OVER (PARTITION BY p_id)
+          ELSE floor_c END AS credit_c FROM fl)
+        SELECT user_id, count(DISTINCT p_id) AS n_purchases,
+          count(*) AS n_touches, CAST(sum(credit_c) AS BIGINT) AS credited_rev_c
+        FROM cr GROUP BY user_id ORDER BY user_id"""),
+      "Position-based (U-shaped) multi-touch attribution: 40/20/40 basis-point " +
+        "splits over each purchase's 7-day touch path, final touch takes the " +
+        "floor remainder so per-purchase credits sum to the revenue exactly."),
+
     "null_safe_join" -> Q(
       (s, d) => {
         import s.implicits._

@@ -165,6 +165,54 @@ object Similarity {
       LEFT JOIN border b ON b.vec_id = e.vec_id
       ORDER BY e.vec_id"""
 
+  /** DuckDB replay of [[Ann.lshMultiProbeTopK]] with `polySigns = true`:
+    * candidate side = one LCG bucket per (vector, table); query side = the
+    * base bucket plus every single-bit xor flip (DuckDB `xor`), then the
+    * same collision join + DISTINCT + exact cosine top-k. */
+  private def lshMultiProbeSql(numTables: Int, numBits: Int, k: Int): String = {
+    val masks = 0 +: (0 until numBits).map(1 << _)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ${lshBucketCte(1000, numTables, numBits)},
+      probes AS (SELECT b.vec_id, b.tbl, xor(b.bucket, m.m) AS bucket
+        FROM buck b CROSS JOIN
+          (SELECT unnest(ARRAY[${masks.mkString(",")}]) AS m) m
+        WHERE b.vec_id < 10),
+      cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        FROM probes qb JOIN buck cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+        WHERE cb.vec_id >= 10),
+      p AS (SELECT cand.query_id, cand.neighbor_id,
+          ${sumSql("q.v[i] * c.v[i]")} AS dot,
+          ${sumSql("q.v[i] * q.v[i]")} AS nq,
+          ${sumSql("c.v[i] * c.v[i]")} AS nc
+        FROM cand JOIN e q ON q.vec_id = cand.query_id
+        JOIN e c ON c.vec_id = cand.neighbor_id),
+      r AS (SELECT query_id, neighbor_id, dot / (sqrt(nq) * sqrt(nc)) AS cosine,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, neighbor_id) AS rank
+      FROM p)
+      SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= $k
+      ORDER BY query_id, rank"""
+  }
+
+  /** DuckDB replay of [[Ann.lshPairs]] with `polySigns = true` (seed base
+    * 2000): banded candidate pairs, exact-cosine >= tau verification. */
+  private def lshPairsSql(numTables: Int, numBits: Int, minCosine: Double): String = {
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ${lshBucketCte(2000, numTables, numBits)},
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buck a JOIN buck b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id),
+      p AS (SELECT cand.id_a, cand.id_b,
+          ${sumSql("q.v[i] * c.v[i]")} AS dot,
+          ${sumSql("q.v[i] * q.v[i]")} AS nq,
+          ${sumSql("c.v[i] * c.v[i]")} AS nc
+        FROM cand JOIN e q ON q.vec_id = cand.id_a
+        JOIN e c ON c.vec_id = cand.id_b)
+      SELECT id_a, id_b, dot / (sqrt(nq) * sqrt(nc)) AS cosine FROM p
+      WHERE dot / (sqrt(nq) * sqrt(nc)) >= $minCosine
+      ORDER BY id_a, id_b"""
+  }
+
   /** Unrolled DuckDB replay of [[Ann.semanticDedupQuantized]]: the
     * kmeans_embeddings quantized-Lloyd CTE chain (assignment argmin +
     * truncating integer means per iteration), then within-cluster pairs
@@ -258,19 +306,25 @@ object Similarity {
         "over buckets + collision join + cosine re-rank."),
 
     "ann_lsh_multiprobe" -> Q(
+      // FULL ORACLE since r9 (the ann_lsh LCG promotion + DuckDB xor() for
+      // the Hamming-1 probe masks); the same-budget-recall spec stays
       (s, d) => {
         val e = emb(s, d)
-        Ann.lshMultiProbeTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5)
+        Ann.lshMultiProbeTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+          k = 5, numTables = 4, numBits = 4, polySigns = true)
       },
-      None, // approximate: recall ≥ same-budget plain LSH is spec-checked
+      Some(lshMultiProbeSql(numTables = 4, numBits = 4, k = 5)),
       "Multi-probe LSH ANN: each query also probes the Hamming-1 buckets, so " +
         "recall rises without more tables — probe fan-out multiplies only the " +
-        "broadcast query side, never the corpus index."),
+        "broadcast query side, never the corpus index; SQL-replayable LCG signs."),
 
     "dedup_embedding_lsh" -> Q(
-      (s, d) => Ann.lshPairs(emb(s, d), 0.45),
-      None, // approximate recall of the exact pair set; spec-bounded
-      "SRP-banded embedding near-dup pairs with exact-cosine verification (scale path for dedup_embedding)."),
+      // FULL ORACLE since r9 (LCG banding replay); recall-vs-exact stays
+      // spec-bounded in AnnSpec — the oracle pins the band+verify OUTPUT
+      (s, d) => Ann.lshPairs(emb(s, d), 0.45, polySigns = true),
+      Some(lshPairsSql(numTables = 8, numBits = 4, minCosine = 0.45)),
+      "SRP-banded embedding near-dup pairs with exact-cosine verification " +
+        "(scale path for dedup_embedding); SQL-replayable LCG banding."),
 
     "semantic_dedup" -> Q(
       // ORACLE-CHECKED since r8 via the quantized-integer discipline that

@@ -317,7 +317,24 @@ object ScaleBench {
           .queryExecution.toRdd.count()
     }
 
+    // Arbitrary-depth closure (operators.Closure / hierarchy_closure_full)
+    // on the replicated key-shifted hierarchy (parent = base div 7 inside
+    // each replica): per-replica depth is CONSTANT (log_7 of the base key
+    // space), so rounds don't grow with K and ideal wall is linear — a
+    // superlinear slope would mean the frontier join is leaking across
+    // replicas or the emptiness probes are rescanning history.
+    def closureScaled(d: DataFrame): Long = {
+      val base = col("o_orderkey") % 100000000L
+      val off = col("o_orderkey") - base
+      val e = d.select(col("o_orderkey").as("id"),
+          (off + expr("o_orderkey % 100000000 div 7")).as("pid"))
+        .filter(base >= 7)
+        .distinct()
+      graft.operators.Closure.ancestors(e).count()
+    }
+
     val orderQueries: Seq[(String, DataFrame => Long)] = Seq(
+      "closure_frontier" -> closureScaled,
       "interval_overlap" -> intervalOverlapScaled,
       "skyline_prefix_max" -> skylineScaled,
       "asof_window" -> asofScaled(native = false),

@@ -59,8 +59,12 @@ class AnnSpec extends SparkSpec {
     // Same 4-table × 4-bit budget: multi-probe adds the Hamming-1 probes on
     // the query side only, so its candidate set is a superset of plain
     // LSH's per table — recall can only rise for the same index memory.
-    val plain = recallVsExact(Ann.lshTopK(queries, cands, 5, numTables = 4, numBits = 4), 5)
-    val multi = recallVsExact(Ann.lshMultiProbeTopK(queries, cands, 5, numTables = 4, numBits = 4), 5)
+    // poly signs on both sides: the registered query path since the r9
+    // oracle promotion, and an apples-to-apples same-budget comparison
+    val plain = recallVsExact(Ann.lshTopK(queries, cands, 5,
+      numTables = 4, numBits = 4, polySigns = true), 5)
+    val multi = recallVsExact(Ann.lshMultiProbeTopK(queries, cands, 5,
+      numTables = 4, numBits = 4, polySigns = true), 5)
     assert(multi >= plain, s"multi-probe $multi < plain $plain")
     assert(multi >= 0.3, s"multi-probe recall@5 = $multi")
   }
@@ -93,7 +97,7 @@ class AnnSpec extends SparkSpec {
   test("SRP-banded pairs recall a majority of the exact tau-pairs") {
     val exact = Ann.pairsAboveThreshold(emb, 0.45)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
-    val banded = Ann.lshPairs(emb, 0.45)
+    val banded = Ann.lshPairs(emb, 0.45, polySigns = true) // the registered path (r9)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(banded.subsetOf(exact), "banded pairs must be exact-verified")
     val recall = banded.intersect(exact).size.toDouble / exact.size
