@@ -87,6 +87,23 @@ class CepSpec extends SparkSpec {
     assert(got == want, s"got ${got.size} want ${want.size}")
   }
 
+  test("default (unbounded) mode: no watermark, nothing dropped, arbitrarily late data folds") {
+    // the r9 default contract: lateToleranceUs < 0 attaches NO watermark
+    // and arms NO timers — a multi-day-late batch still reaches the state
+    // machine, keys never expire across long gaps, and AvailableNow-style
+    // drains terminate (NoTimeout arms nothing to re-trigger on)
+    val T = 1000000000000L
+    val day = 86400000000L
+    val got = runCep(Seq(
+      Seq((1L, T, 1L, "view"), (1L, T + 100L, 2L, "click")),
+      Seq((2L, T + 100 * day, 3L, "view")), // would push any watermark far ahead
+      // 100 days "late" relative to the stream high-mark: a bounded run
+      // would drop this purchase; the drop-free default must match it
+      Seq((1L, T + 200L, 4L, "purchase"))),
+      windowUs = day, idleTimeoutUs = -1L, lateToleranceUs = -1L)
+    assert(got == Seq((1L, T, T + 200L)), s"drop-free default lost the match: $got")
+  }
+
   test("late event in a later batch is dropped, not state-corrupting") {
     // batch 1 ends with (view@100us, click@200us); batch 2 carries the
     // purchase@300us AND a LATE view@150us. Under the explicit late-drop
