@@ -332,6 +332,90 @@ object TrainingData {
       "Sequence packing into 512-token context windows: per-source prefix-sum " +
         "offsets, chunk span per document."),
 
+    "span_corruption_t5" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // T5-style SPAN CORRUPTION — the denoising-pretraining transform:
+        // ~15% of tokens are masked by a deterministic two-round LCG over
+        // (doc_id·1000003 + pos) (the ann_lsh poly-hash discipline, so the
+        // oracle replays the exact mask), consecutive masked tokens fuse
+        // into one span, the input keeps unmasked tokens with one
+        // <extra_id_k> sentinel per span, and the target is each sentinel
+        // followed by its span's tokens. Assembly is position-keyed pieces
+        // (pos, rk) sorted per doc — an O(doc) sort inside each group,
+        // never a global order; the whole transform is two unions + one
+        // per-doc aggregation.
+        val toks = table(s, d, "documents").select($"doc_id",
+          posexplode(ascii_tokens($"text")))
+          .withColumnsRenamed(Map("pos" -> "pos", "col" -> "tok"))
+        val x = $"doc_id" * 1000003L + $"pos"
+        val u1 = (lit(1103515245L) * x + 12345L) % 2147483648L
+        val u2 = (lit(1103515245L) * u1 + 12345L) % 2147483648L
+        val w = Window.partitionBy($"doc_id").orderBy($"pos")
+        val flagged = toks.withColumn("m", (u2 % 100) < 15)
+          .withColumn("prev_m", lag($"m", 1, false).over(w))
+          .withColumn("st", $"m" && !$"prev_m")
+          .withColumn("span_k",
+            sum(when($"st", 1L).otherwise(0L)).over(w) - 1L)
+        val sent = concat(lit("<extra_id_"), $"span_k".cast("string"), lit(">"))
+        val inputPieces = flagged.filter(!$"m")
+          .select($"doc_id", $"pos", lit(1).as("rk"), $"tok".as("piece"))
+          .unionByName(flagged.filter($"st")
+            .select($"doc_id", $"pos", lit(0).as("rk"), sent.as("piece")))
+        val targetPieces = flagged.filter($"st")
+          .select($"doc_id", $"pos", lit(0).as("rk"), sent.as("piece"))
+          .unionByName(flagged.filter($"m")
+            .select($"doc_id", $"pos", lit(1).as("rk"), $"tok".as("piece")))
+        def assemble(pieces: DataFrame, out: String) = pieces
+          .groupBy($"doc_id")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct($"pos", $"rk", $"piece"))),
+            p => p("piece")), " ").as(out))
+        val stats = flagged.groupBy($"doc_id")
+          .agg(sum(when($"st", 1L).otherwise(0L)).as("n_spans"),
+            sum(when($"m", 1L).otherwise(0L)).as("n_masked"))
+        stats.join(assemble(inputPieces, "input_text"), Seq("doc_id"))
+          .join(assemble(targetPieces, "target_text"), Seq("doc_id"), "left")
+          .select($"doc_id", $"n_spans", $"n_masked",
+            $"input_text", coalesce($"target_text", lit("")).as("target_text"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH td AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+          FROM documents),
+        p0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS ip
+          FROM td WHERE len(w) >= 1),
+        tok AS (SELECT doc_id, ip - 1 AS pos, w[ip] AS tok,
+            ((1103515245*((1103515245*(doc_id*1000003 + ip - 1) + 12345) % 2147483648)
+              + 12345) % 2147483648) % 100 < 15 AS m
+          FROM p0),
+        fl AS (SELECT *, m AND NOT lag(m, 1, false)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS st
+          FROM tok),
+        sp AS (SELECT *, sum(CASE WHEN st THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS span_k
+          FROM fl),
+        ip AS (SELECT doc_id, pos, 1 AS rk, tok AS piece FROM sp WHERE NOT m
+          UNION ALL SELECT doc_id, pos, 0,
+            '<extra_id_' || CAST(span_k AS VARCHAR) || '>' FROM sp WHERE st),
+        tp AS (SELECT doc_id, pos, 0 AS rk,
+            '<extra_id_' || CAST(span_k AS VARCHAR) || '>' AS piece FROM sp WHERE st
+          UNION ALL SELECT doc_id, pos, 1, tok FROM sp WHERE m),
+        ia AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY pos, rk) AS input_text
+          FROM ip GROUP BY doc_id),
+        ta AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY pos, rk) AS target_text
+          FROM tp GROUP BY doc_id),
+        st AS (SELECT doc_id,
+            CAST(sum(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+            CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+          FROM sp GROUP BY doc_id)
+        SELECT st.doc_id, st.n_spans, st.n_masked, ia.input_text,
+          coalesce(ta.target_text, '') AS target_text
+        FROM st JOIN ia USING (doc_id) LEFT JOIN ta USING (doc_id)
+        ORDER BY st.doc_id"""),
+      "T5 span corruption: deterministic LCG token masking (~15%), " +
+        "consecutive masks fuse to sentinel spans, input/target pair built " +
+        "from position-keyed pieces — the denoising-pretraining transform."),
+
     "sample_by_hash" -> Q(
       (s, d) => docs(s, d)
         .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "2a")
