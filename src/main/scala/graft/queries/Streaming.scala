@@ -630,6 +630,55 @@ object Streaming {
         "tracker at offset 0 with zero row loss, composed with the stored-" +
         "offset resume of the shards known at start."),
 
+    "streaming_attribution" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Last-touch attribution as KEYED STREAMING STATE: per user the
+        // single most recent click rides GroupState, and a purchase
+        // arriving micro-batches later attributes against it with no
+        // reprocessing (the cross-batch case a per-batch join replay
+        // cannot cover). Batches are staged by EVENT-TIME slices, so
+        // per-user arrival order equals global (us, event_id) order and
+        // the composition replays as one batch SQL pass (last non-null
+        // click over the per-user (us, id)-ordered sequence).
+        val (src, out, ck) = Streams.workDirs("streaming_attribution")
+        val ev = eventsTable(s, d)
+          .filter($"event_type".isin("click", "purchase"))
+          .select($"user_id", micros($"ts").as("us"), $"event_id", $"event_type",
+            when($"event_type" === "purchase", round($"value" * 100).cast("long"))
+              .otherwise(0L).as("rev_c"))
+        val Seq(q1, q2) = Seq(0.33, 0.66).map(q =>
+          ev.stat.approxQuantile("us", Array(q), 0.0).head.toLong)
+        val staged = Streams.stageOrderedBatches(Seq(
+          ev.filter($"us" <= q1),
+          ev.filter($"us" > q1 && $"us" <= q2),
+          ev.filter($"us" > q2)), src)
+        val att = graft.streaming.StreamingAttribution
+          .attribute(staged, lookbackUs = 7L * 86400000000L)
+        Streams.runAppend(att.toDF(), out, ck).orderBy($"event_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+            CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS rev_c
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        w AS (SELECT *,
+            last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_us,
+            last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_id
+          FROM ev)
+        SELECT event_id, user_id, us AS purchase_us, rev_c,
+          CASE WHEN c_us IS NOT NULL AND us - c_us <= 604800000000
+            THEN c_id END AS click_id,
+          (c_us IS NOT NULL AND us - c_us <= 604800000000) AS attributed
+        FROM w WHERE event_type = 'purchase' ORDER BY event_id"""),
+      "Last-touch attribution as keyed streaming state (one click per user " +
+        "in GroupState, O(1) per key): purchases attribute across micro-batch " +
+        "boundaries with no reprocessing; replays as the batch last-non-null " +
+        "window rule."),
+
     "streaming_cdc_replication" -> Q(
       (s, d) => {
         import s.implicits._
