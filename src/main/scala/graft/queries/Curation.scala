@@ -500,6 +500,87 @@ object Curation {
           (1000000 * (count(*) - count(DISTINCT md5(text)))) // count(*) AS dup_rate_e6
         FROM documents GROUP BY 1 ORDER BY source"""),
       "Per-source exact-duplicate rates (e6): the dataset-card dup number " +
-        "at its actionable granularity, one aggregate.")
+        "at its actionable granularity, one aggregate."),
+
+    "url_canonicalize" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // URL CANONICALIZATION — the crawl-dedup step upstream of every
+        // text dedup (the same page arrives under scheme/host case
+        // variants, default ports, tracking params, shuffled query order,
+        // fragments, trailing slashes): lowercase scheme+host, strip the
+        // scheme's default port, drop utm_* params, sort the survivors,
+        // strip fragment and trailing slash. Raw URLs are synthesized
+        // deterministically from (doc_id, source) with exactly those
+        // variations, so distinct raw forms provably collapse. One
+        // projection + one aggregate; every string op is engine-identical
+        // (regexp groups, literal splits, lexicographic array sort).
+        val raw = concat(
+          when($"doc_id" % 2 === 0, "HTTPS").otherwise("https"), lit("://"),
+          when($"doc_id" % 3 === 0, "WWW.").otherwise("www."), $"source",
+          when($"doc_id" % 5 === 0, ".COM").otherwise(".com"),
+          when($"doc_id" % 7 === 0, ":443").otherwise(""),
+          lit("/docs/"), ($"doc_id" % 50).cast("string"),
+          when($"doc_id" % 4 === 0, "/").otherwise(""),
+          when($"doc_id" % 2 === 0,
+              concat(lit("?b=2&a="), ($"doc_id" % 10).cast("string"),
+                lit("&utm_source=feed")))
+            .otherwise(concat(lit("?a="), ($"doc_id" % 10).cast("string"), lit("&b=2"))),
+          when($"doc_id" % 6 === 0, concat(lit("#sec"), ($"doc_id" % 3).cast("string")))
+            .otherwise(""))
+        val withRaw = table(s, d, "documents").select($"doc_id", $"source")
+          .withColumn("raw", raw)
+        val noFrag = split($"raw", "#").getItem(0)
+        val prePath = split(noFrag, "\\?").getItem(0)
+        val query = split(noFrag, "\\?").getItem(1)
+        val scheme = lower(regexp_extract(prePath, "^([A-Za-z]+)://", 1))
+        val hostport = regexp_extract(prePath, "^[A-Za-z]+://([^/]+)", 1)
+        val host = lower(split(hostport, ":").getItem(0))
+        val path = regexp_replace(
+          regexp_extract(prePath, "^[A-Za-z]+://[^/]+(/.*)$", 1), "/$", "")
+        val params = array_sort(filter(split(query, "&"),
+          p => substring(p, 1, 4) =!= "utm_"))
+        val canon = concat(scheme, lit("://"), host, path,
+          when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+            .otherwise(""))
+        withRaw.withColumn("canonical_url", canon)
+          .groupBy($"canonical_url")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"raw").as("n_raw_forms"),
+            min($"doc_id").as("min_doc_id"))
+          .orderBy($"canonical_url")
+      },
+      Some("""WITH r AS (SELECT doc_id, source,
+          (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+          (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END) || source ||
+          (CASE WHEN doc_id % 5 = 0 THEN '.COM' ELSE '.com' END) ||
+          (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) ||
+          '/docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+          (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+          (CASE WHEN doc_id % 2 = 0
+            THEN '?b=2&a=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_source=feed'
+            ELSE '?a=' || CAST(doc_id % 10 AS VARCHAR) || '&b=2' END) ||
+          (CASE WHEN doc_id % 6 = 0 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
+            ELSE '' END) AS raw
+        FROM documents),
+        c AS (SELECT doc_id, raw,
+            lower(regexp_extract(pp, '^([A-Za-z]+)://', 1)) || '://' ||
+            lower(string_split(regexp_extract(pp, '^[A-Za-z]+://([^/]+)', 1), ':')[1]) ||
+            regexp_replace(regexp_extract(pp, '^[A-Za-z]+://[^/]+(/.*)$', 1), '/$', '') ||
+            (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END)
+              AS canonical_url
+          FROM (SELECT doc_id, raw,
+              string_split(string_split(raw, '#')[1], '?')[1] AS pp,
+              list_sort(list_filter(
+                string_split(string_split(string_split(raw, '#')[1], '?')[2], '&'),
+                p -> substr(p, 1, 4) <> 'utm_')) AS ps
+            FROM r))
+        SELECT canonical_url, count(*) AS n_docs,
+          count(DISTINCT raw) AS n_raw_forms,
+          min(doc_id) AS min_doc_id
+        FROM c GROUP BY 1 ORDER BY canonical_url"""),
+      "URL canonicalization (crawl dedup upstream): case, default-port, " +
+        "utm-param, query-order, fragment, and trailing-slash variants " +
+        "collapse to one canonical form — one projection + one aggregate.")
   )
 }
