@@ -679,6 +679,52 @@ object Streaming {
         "boundaries with no reprocessing; replays as the batch last-non-null " +
         "window rule."),
 
+    "streaming_funnel" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The per-stage-window funnel run LIVE: each user's stage
+        // transition is emitted exactly once from O(1) keyed state (the
+        // stateful twin of funnel_conversion_windows — same 1d/2d
+        // windows, so the two surfaces cross-validate). Time-sliced
+        // staging keeps per-user arrival order equal to global
+        // (us, event_id) order, making the transition stream replayable
+        // as the batch first-qualifying-event rules.
+        val (src, out, ck) = Streams.workDirs("streaming_funnel")
+        val ev = eventsTable(s, d)
+          .filter($"event_type".isin("view", "click", "purchase"))
+          .select($"user_id", micros($"ts").as("us"), $"event_id", $"event_type")
+        val Seq(q1, q2) = Seq(0.33, 0.66).map(q =>
+          ev.stat.approxQuantile("us", Array(q), 0.0).head.toLong)
+        val staged = Streams.stageOrderedBatches(Seq(
+          ev.filter($"us" <= q1),
+          ev.filter($"us" > q1 && $"us" <= q2),
+          ev.filter($"us" > q2)), src)
+        val tr = graft.streaming.StreamingFunnel.transitions(staged,
+          w1Us = 86400000000L, w2Us = 2L * 86400000000L)
+        Streams.runAppend(tr.toDF(), out, ck).orderBy($"user_id", $"stage")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+          FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        v AS (SELECT user_id, min(us) AS t_view FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.us) AS t_click FROM ev e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.us > v.t_view
+            AND e.us <= v.t_view + 86400000000
+          GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.us) AS t_purchase FROM ev e
+          JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.us > c.t_click
+            AND e.us <= c.t_click + 172800000000
+          GROUP BY e.user_id)
+        SELECT user_id, '1_view' AS stage, t_view AS us FROM v
+        UNION ALL SELECT user_id, '2_click', t_click FROM c
+        UNION ALL SELECT user_id, '3_purchase', t_purchase FROM p
+        ORDER BY user_id, stage"""),
+      "Per-stage-window funnel as keyed streaming state: stage transitions " +
+        "emitted exactly once, O(1) per user, cross-validating the batch " +
+        "funnel_conversion_windows rules."),
+
     "streaming_cdc_replication" -> Q(
       (s, d) => {
         import s.implicits._

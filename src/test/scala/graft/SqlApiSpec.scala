@@ -44,6 +44,16 @@ class SqlApiSpec extends SparkSpec {
     // minhash_bands(sh, 128, 32) yields 32 bands
     assert(spark.sql("SELECT size(minhash_bands(word_shingles(text), 128, 32)) AS n FROM sql_arity_docs")
       .head().getInt(0) == 32)
+    // sign_random_projection_poly (r9): reachable from SQL, equals the
+    // column API, and its LCG buckets stay within the numBits range
+    Seq((1L, Array(0.6f, -0.8f, 0.1f)), (2L, Array(-1.0f, 0.2f, 0.9f)))
+      .toDF("id", "vec").createOrReplaceTempView("sql_poly_docs")
+    val polySql = spark.sql(
+      "SELECT sign_random_projection_poly(vec, 4, 1000) AS b FROM sql_poly_docs")
+      .as[Int].collect().toSeq
+    val polyCol = spark.table("sql_poly_docs")
+      .select(sign_random_projection_poly($"vec", 4, 1000)).as[Int].collect().toSeq
+    assert(polySql == polyCol && polySql.forall(b => b >= 0 && b < 16))
     // wrong arity fails loudly instead of silently ignoring arguments
     intercept[Exception](spark.sql("SELECT word_shingles(text, 5, 9) FROM sql_arity_docs").collect())
     intercept[Exception](spark.sql("SELECT simhash64(text, 2) FROM sql_arity_docs").collect())
