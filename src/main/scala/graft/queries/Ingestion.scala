@@ -1180,6 +1180,61 @@ object Ingestion {
         ORDER BY rule"""),
       "pre-commit CDC batch validation: per-rule violation counts (nulls, ranges, dup keys, orphan FKs)"),
 
+    "constrained_append" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Write-side CHECK constraints (sinks.ConstrainedWrite — the Delta
+        // ADD CONSTRAINT CHECK surface with a quarantine instead of a
+        // batch abort): an orders batch with deterministically injected
+        // violations (negated price for %211 keys, unknown status for
+        // %199) appends; clean rows commit to the versioned table, each
+        // violator lands in the quarantine with the FIRST violated
+        // constraint's name (constraint order decides ties — a %211 AND
+        // %199 row reports price_positive). The readback proves the fork:
+        // accepted aggregate + per-constraint quarantine counts, with
+        // money exact through the negation.
+        val p = tmp("constrained_append")
+        val qp = tmp("constrained_append_q")
+        GraftTableWriter.drop(s, p); GraftTableWriter.drop(s, qp)
+        val src = table(s, d, "orders").select(
+          $"o_orderkey".cast("long").as("o_orderkey"),
+          when($"o_orderkey" % 211 === 0, -round($"o_totalprice" * 100).cast("long"))
+            .otherwise(round($"o_totalprice" * 100).cast("long")).as("price_c"),
+          when($"o_orderkey" % 199 === 0, lit("ZZ"))
+            .otherwise($"o_orderstatus").as("status"))
+        graft.sinks.ConstrainedWrite.append(src, p, qp, Seq(
+          "price_positive" -> ($"price_c" > 0),
+          "status_known" -> $"status".isin("F", "O", "P")))
+        val acc = VersionedTable.read(s, p)
+          .agg(lit("accepted").as("bucket"), count(lit(1)).as("n_rows"),
+            sum($"price_c").as("price_sum_c"))
+        val quar = s.read.parquet(qp)
+          .groupBy(concat(lit("q:"), $"_violated").as("bucket"))
+          .agg(count(lit(1)).as("n_rows"), sum($"price_c").as("price_sum_c"))
+        acc.unionByName(quar).orderBy($"bucket")
+      },
+      Some("""WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+            CASE WHEN o_orderkey % 211 = 0
+              THEN -CAST(round(o_totalprice * 100) AS BIGINT)
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS price_c,
+            CASE WHEN o_orderkey % 199 = 0 THEN 'ZZ' ELSE o_orderstatus END AS status
+          FROM orders),
+        tagged AS (SELECT *,
+            CASE WHEN NOT (price_c > 0) THEN 'price_positive'
+                 WHEN NOT (status IN ('F', 'O', 'P')) THEN 'status_known'
+            END AS v
+          FROM src)
+        SELECT 'accepted' AS bucket, count(*) AS n_rows,
+          CAST(sum(price_c) AS BIGINT) AS price_sum_c
+        FROM tagged WHERE v IS NULL
+        UNION ALL
+        SELECT 'q:' || v, count(*), CAST(sum(price_c) AS BIGINT)
+        FROM tagged WHERE v IS NOT NULL GROUP BY v
+        ORDER BY bucket"""),
+      "Write-side CHECK constraints with quarantine (ConstrainedWrite): " +
+        "clean rows commit, violators land with the first violated " +
+        "constraint's name — no silent drops, no bad row in the table."),
+
     "csv_quarantine_ingest" -> Q(
       (s, d) => {
         import s.implicits._
