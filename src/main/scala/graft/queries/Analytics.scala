@@ -1390,6 +1390,160 @@ object Analytics {
         "(deterministic LCG standing in for Laplace) with a non-negativity " +
         "clamp — the true count never leaves the aggregate."),
 
+    "anova_twoway" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // TWO-WAY ANOVA with interaction (event_type × day-of-week — does
+        // mean spend differ by series, by weekday, and does the weekday
+        // effect differ BETWEEN series?): the factorial companion to
+        // anova_oneway. One shuffle builds the 35 (a,b) CELL sufficient
+        // statistics (n, ΣX, ΣX²); every marginal and the grand total
+        // derive from the cells, so the corpus is scanned once. All
+        // quotient terms are PER-GROUP FLOORED (mirrored exactly by the
+        // oracle) with the same BIGINT-narrowing guard as anova_oneway,
+        // products in DECIMAL(38,0)/HUGEINT; F statistics are e6
+        // cross-multiplied floors.
+        val d38 = DecimalType(38, 0)
+        val v = eventsTable(s, d).select($"event_type".as("a"),
+          dayofweek($"ts").cast(LongType).as("b"),
+          (dec2($"value") * 100).cast(LongType).as("vc"))
+        val cells = v.groupBy($"a", $"b")
+          .agg(count(lit(1)).as("n"), sum($"vc").as("sv"),
+            sum($"vc".cast(d38) * $"vc".cast(d38)).as("ssq"))
+        // guarded floor(S²/n): Spark's IntegralDivide narrows to BIGINT,
+        // so a quotient past Long.MaxValue must raise, not NULL out
+        def qterm(sCol: org.apache.spark.sql.Column,
+            nCol: org.apache.spark.sql.Column, what: String) = {
+          val s2 = sCol.cast(d38) * sCol.cast(d38)
+          val guarded = when(s2 > lit(Long.MaxValue).cast(d38) * nCol.cast(d38),
+            raise_error(concat(lit(s"anova_twoway: $what S^2/n overflows BIGINT: "),
+              s2.cast("string")))).otherwise(s2)
+          idiv(guarded, nCol.cast(d38)).cast(d38)
+        }
+        val byA = cells.groupBy($"a").agg(sum($"n").as("n"), sum($"sv").as("sv"))
+          .agg(count(lit(1)).as("ka"), sum(qterm($"sv", $"n", "factor-A")).as("ta"))
+        val byB = cells.groupBy($"b").agg(sum($"n").as("n"), sum($"sv").as("sv"))
+          .agg(count(lit(1)).as("kb"), sum(qterm($"sv", $"n", "factor-B")).as("tb"))
+        val byAB = cells
+          .agg(count(lit(1)).as("kab"), sum(qterm($"sv", $"n", "cell")).as("tab"),
+            sum($"n").as("n"), sum($"sv").as("sv"), sum($"ssq").as("ssq"))
+        val joined = byAB.crossJoin(byA).crossJoin(byB)
+          .withColumn("c", qterm($"sv", $"n", "grand"))
+        def toL(c: org.apache.spark.sql.Column, name: String) =
+          when(abs(c) > lit(Long.MaxValue), raise_error(concat(
+            lit(s"anova_twoway: $name overflows BIGINT: "), c.cast("string"))))
+            .otherwise(c).cast("long")
+        val withSS = joined.select(
+          $"ka", $"kb", $"n",
+          toL($"ta" - $"c", "ssa").as("ssa_c2"),
+          toL($"tb" - $"c", "ssb").as("ssb_c2"),
+          toL($"tab" - $"ta" - $"tb" + $"c", "ssab").as("ssab_c2"),
+          toL($"ssq" - $"tab", "sse").as("sse_c2"))
+        def f(ss: org.apache.spark.sql.Column, df1: org.apache.spark.sql.Column,
+            sse: org.apache.spark.sql.Column, df2: org.apache.spark.sql.Column) =
+          idiv(lit(1000000L).cast(d38) * ss.cast(d38) * df2.cast(d38),
+            greatest(sse.cast(d38) * df1.cast(d38), lit(1L).cast(d38))).cast("long")
+        withSS.select($"ka", $"kb", $"n", $"ssa_c2", $"ssb_c2", $"ssab_c2", $"sse_c2",
+          f($"ssa_c2", $"ka" - 1, $"sse_c2",
+            $"n" - $"ka" * $"kb").as("fa_e6"),
+          f($"ssb_c2", $"kb" - 1, $"sse_c2",
+            $"n" - $"ka" * $"kb").as("fb_e6"),
+          f($"ssab_c2", ($"ka" - 1) * ($"kb" - 1), $"sse_c2",
+            $"n" - $"ka" * $"kb").as("fab_e6"))
+      },
+      Some("""WITH v AS (SELECT event_type AS a, CAST(dayofweek(ts) + 1 AS BIGINT) AS b,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM events),
+        cells AS (SELECT a, b, count(*) AS n, CAST(sum(vc) AS BIGINT) AS sv,
+            sum(CAST(vc AS HUGEINT) * vc) AS ssq
+          FROM v GROUP BY 1, 2),
+        ma AS (SELECT count(*) AS ka,
+            sum((CAST(sv AS HUGEINT) * sv) // n) AS ta
+          FROM (SELECT a, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sv) AS BIGINT) AS sv
+                FROM cells GROUP BY a)),
+        mb AS (SELECT count(*) AS kb,
+            sum((CAST(sv AS HUGEINT) * sv) // n) AS tb
+          FROM (SELECT b, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sv) AS BIGINT) AS sv
+                FROM cells GROUP BY b)),
+        mab AS (SELECT count(*) AS kab,
+            sum((CAST(sv AS HUGEINT) * sv) // n) AS tab,
+            CAST(sum(n) AS BIGINT) AS n, CAST(sum(sv) AS BIGINT) AS sv,
+            sum(ssq) AS ssq
+          FROM cells),
+        t AS (SELECT *, (CAST(sv AS HUGEINT) * sv) // n AS c FROM mab, ma, mb),
+        ss AS (SELECT ka, kb, n,
+            CAST(ta - c AS BIGINT) AS ssa_c2,
+            CAST(tb - c AS BIGINT) AS ssb_c2,
+            CAST(tab - ta - tb + c AS BIGINT) AS ssab_c2,
+            CAST(ssq - tab AS BIGINT) AS sse_c2
+          FROM t)
+        SELECT ka, kb, n, ssa_c2, ssb_c2, ssab_c2, sse_c2,
+          CAST((1000000 * CAST(ssa_c2 AS HUGEINT) * (n - ka * kb))
+            // greatest(CAST(sse_c2 AS HUGEINT) * (ka - 1), 1) AS BIGINT) AS fa_e6,
+          CAST((1000000 * CAST(ssb_c2 AS HUGEINT) * (n - ka * kb))
+            // greatest(CAST(sse_c2 AS HUGEINT) * (kb - 1), 1) AS BIGINT) AS fb_e6,
+          CAST((1000000 * CAST(ssab_c2 AS HUGEINT) * (n - ka * kb))
+            // greatest(CAST(sse_c2 AS HUGEINT) * ((ka - 1) * (kb - 1)), 1) AS BIGINT) AS fab_e6
+        FROM ss"""),
+      "Two-way ANOVA with interaction (event_type × weekday) from one pass " +
+        "of (a,b)-cell integer sufficient statistics: floored marginal/cell " +
+        "quotients mirrored exactly, e6 cross-multiplied F for both factors " +
+        "and the interaction."),
+
+    "theil_sen_slope" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // THEIL-SEN robust trend (median of pairwise slopes) per series —
+        // the outlier-proof companion to grouped_regression's OLS: one
+        // corrupted day moves OLS arbitrarily but shifts the slope MEDIAN
+        // by one rank. Deterministic quantized form: each (i<j) day pair
+        // contributes slope key trunc(10¹²·Δy/Δx) — Spark's IntegralDivide
+        // and DuckDB's integer // BOTH truncate toward zero (verified:
+        // -7//2 = -3 in DuckDB), so the quantized key is engine-identical
+        // with no sign correction — and the series' slope is the
+        // LOWER MEDIAN by (key, Δy, Δx) order (exact rational medians
+        // cannot average two middle elements in integers; the lower-median
+        // pick is the documented deterministic choice). Pair space is
+        // O(days²) per series over the ~200-row daily aggregate, never
+        // over raw events.
+        val dayUs = 86400000000L
+        val daily = eventsTable(s, d)
+          .select($"event_type", idiv(micros($"ts"), lit(dayUs)).as("dd"),
+            (dec2($"value") * 100).cast(LongType).as("vc"))
+          .groupBy($"event_type", $"dd").agg(sum($"vc").as("y"))
+        val pairs = daily.as("i").join(daily.as("j"),
+            $"i.event_type" === $"j.event_type" && $"i.dd" < $"j.dd")
+          .select($"i.event_type".as("event_type"),
+            ($"j.y" - $"i.y").as("dy"), ($"j.dd" - $"i.dd").as("dx"))
+          .withColumn("k", idiv(lit(1000000000000L) * $"dy", $"dx"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"k", $"dy", $"dx")
+        pairs
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("cnt", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"event_type")))
+          .filter($"rn" === idiv($"cnt" + 1L, lit(2L)))
+          .select($"event_type", $"cnt".as("n_pairs"), $"k".as("slope_e12"),
+            $"dy".as("med_dy"), $"dx".as("med_dx"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS dd,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        pairs AS (SELECT i.event_type, j.y - i.y AS dy, j.dd - i.dd AS dx,
+            (1000000000000 * (j.y - i.y)) // (j.dd - i.dd) AS k
+          FROM daily i JOIN daily j
+            ON i.event_type = j.event_type AND i.dd < j.dd),
+        r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY k, dy, dx) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS cnt
+          FROM pairs)
+        SELECT event_type, CAST(cnt AS BIGINT) AS n_pairs, k AS slope_e12,
+          dy AS med_dy, dx AS med_dx
+        FROM r WHERE rn = (cnt + 1) // 2 ORDER BY event_type"""),
+      "Theil-Sen robust trend per series: lower-median of e12-quantized " +
+        "pairwise daily slopes (truncating division, engine-identical) over " +
+        "the O(days²) pair space of the daily aggregate."),
+
     "anova_oneway" -> Q(
       (s, d) => {
         import s.implicits._
