@@ -416,6 +416,71 @@ object TrainingData {
         "consecutive masks fuse to sentinel spans, input/target pair built " +
         "from position-keyed pieces — the denoising-pretraining transform."),
 
+    "paragraph_dedup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // BLOCK-LEVEL dedup with reassembly — the C4/CCNet line-level
+        // dedup at paragraph granularity (this corpus has no newlines, so
+        // fixed 20-token blocks stand in for paragraphs): every block
+        // keeps only its FIRST occurrence corpus-wide ((doc_id, idx)
+        // order), later repeats are scrubbed and the doc reassembles from
+        // its survivors. The middle ground between doc-level dedup_exact
+        // (misses partial overlap) and exact_substring_spans (any-offset
+        // 30-gram suffix machinery): one md5-keyed window over blocks,
+        // one per-doc reassembly aggregate — the shape that runs at
+        // crawl scale.
+        val B = 20
+        val toks = table(s, d, "documents").select($"doc_id",
+          ascii_tokens($"text").as("w"))
+        val blocks = toks
+          .select($"doc_id", explode(sequence(lit(0),
+            greatest(idiv(size($"w") - 1, lit(B)), lit(0)))).as("bi"), $"w")
+          .select($"doc_id", $"bi",
+            array_join(slice($"w", $"bi" * B + 1, lit(B)), " ").as("btext"))
+          .filter(length($"btext") > 0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5($"btext")).orderBy($"doc_id", $"bi")
+        val ranked = blocks.withColumn("rn", row_number().over(w))
+        val stats = ranked.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"))
+        val clean = ranked.filter($"rn" === 1).groupBy($"doc_id")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct($"bi", $"btext"))),
+            p => p("btext")), " ").as("clean_text"))
+        stats.join(clean, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_blocks", $"n_kept",
+            length(coalesce($"clean_text", lit(""))).cast("long").as("clean_chars"),
+            md5(coalesce($"clean_text", lit(""))).as("clean_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH td AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+          FROM documents),
+        bi AS (SELECT doc_id, w,
+            unnest(generate_series(0, greatest((len(w) - 1) // 20, 0))) AS bi
+          FROM td),
+        blocks AS (SELECT doc_id, bi,
+            array_to_string(w[(bi * 20 + 1):(bi * 20 + 20)], ' ') AS btext
+          FROM bi),
+        nb AS (SELECT * FROM blocks WHERE len(btext) > 0),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY md5(btext)
+            ORDER BY doc_id, bi) AS rn FROM nb),
+        stats AS (SELECT doc_id, count(*) AS n_blocks,
+            CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          FROM ranked GROUP BY doc_id),
+        clean AS (SELECT doc_id,
+            string_agg(btext, ' ' ORDER BY bi) AS clean_text
+          FROM ranked WHERE rn = 1 GROUP BY doc_id)
+        SELECT s.doc_id, s.n_blocks, s.n_kept,
+          CAST(len(coalesce(c.clean_text, '')) AS BIGINT) AS clean_chars,
+          md5(coalesce(c.clean_text, '')) AS clean_md5
+        FROM stats s LEFT JOIN clean c ON s.doc_id = c.doc_id
+        ORDER BY s.doc_id"""),
+      "Block-level (paragraph-granular) dedup with reassembly — the C4 " +
+        "line-dedup shape: every 20-token block keeps its first corpus-wide " +
+        "occurrence, docs reassemble from survivors; one md5-keyed window + " +
+        "one per-doc aggregate."),
+
     "sample_by_hash" -> Q(
       (s, d) => docs(s, d)
         .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "2a")
