@@ -725,6 +725,68 @@ object Streaming {
         "emitted exactly once, O(1) per user, cross-validating the batch " +
         "funnel_conversion_windows rules."),
 
+    "streaming_constrained_ingest" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Write-side CHECK constraints INSIDE the streaming ingest (the
+        // constrained_append fork per micro-batch, effectively-once both
+        // ways): each batch's clean rows commit via appendOnce (batch-id
+        // high-water — replays land zero duplicates) and its violators
+        // overwrite a per-batch quarantine subdir (replays rewrite, never
+        // double-append). Readback proves no row was lost or duplicated
+        // across the fork: accepted + per-constraint quarantine buckets
+        // with exact money sums, identical to the batch rule replay.
+        val (src, out, ck) = Streams.workDirs("streaming_constrained_ingest")
+        val tablePath = s"$out/accepted"; val qPath = s"$out/quarantine"
+        val srcRows = table(s, d, "orders").select(
+          $"o_orderkey".cast("long").as("o_orderkey"),
+          when($"o_orderkey" % 211 === 0, -round($"o_totalprice" * 100).cast("long"))
+            .otherwise(round($"o_totalprice" * 100).cast("long")).as("price_c"),
+          when($"o_orderkey" % 199 === 0, lit("ZZ"))
+            .otherwise($"o_orderstatus").as("status"))
+        val staged = Streams.stagedStream(srcRows, src, nFiles = 3)
+        val q = staged.writeStream
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            graft.sinks.ConstrainedWrite.appendOnce(batch, tablePath, qPath,
+              batchId, Seq(
+                "price_positive" -> (col("price_c") > 0),
+                "status_known" -> col("status").isin("F", "O", "P")))
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val acc = VersionedTable.read(s, tablePath)
+          .agg(lit("accepted").as("bucket"), count(lit(1)).as("n_rows"),
+            sum($"price_c").as("price_sum_c"))
+        val quar = s.read.parquet(qPath)
+          .groupBy(concat(lit("q:"), $"_violated").as("bucket"))
+          .agg(count(lit(1)).as("n_rows"), sum($"price_c").as("price_sum_c"))
+        acc.unionByName(quar).orderBy($"bucket")
+      },
+      Some("""WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+            CASE WHEN o_orderkey % 211 = 0
+              THEN -CAST(round(o_totalprice * 100) AS BIGINT)
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS price_c,
+            CASE WHEN o_orderkey % 199 = 0 THEN 'ZZ' ELSE o_orderstatus END AS status
+          FROM orders),
+        tagged AS (SELECT *,
+            CASE WHEN NOT (price_c > 0) THEN 'price_positive'
+                 WHEN NOT (status IN ('F', 'O', 'P')) THEN 'status_known'
+            END AS v
+          FROM src)
+        SELECT 'accepted' AS bucket, count(*) AS n_rows,
+          CAST(sum(price_c) AS BIGINT) AS price_sum_c
+        FROM tagged WHERE v IS NULL
+        UNION ALL
+        SELECT 'q:' || v, count(*), CAST(sum(price_c) AS BIGINT)
+        FROM tagged WHERE v IS NOT NULL GROUP BY v
+        ORDER BY bucket"""),
+      "Streaming CHECK-constrained ingest: per-micro-batch fork, accepted " +
+        "side exactly-once via appendOnce, quarantine side idempotent " +
+        "per-batch overwrite — no loss, no duplication, no bad row in the " +
+        "table."),
+
     "streaming_cdc_replication" -> Q(
       (s, d) => {
         import s.implicits._

@@ -26,6 +26,28 @@ object ConstrainedWrite {
       when(!coalesce(c, lit(false)), lit(name)).otherwise(acc)
     }
 
+  /** [[append]] with STREAMING exactly-once semantics for `foreachBatch`:
+    * the clean side commits through [[VersionedTable.appendOnce]] (batch-id
+    * high-water guard — a replayed micro-batch after a crash lands zero
+    * duplicate rows), and the quarantine side writes to a PER-BATCH
+    * subdirectory in overwrite mode, so a replay rewrites the identical
+    * files instead of appending them twice. Both sides are idempotent per
+    * batchId — the whole fork is effectively-once.
+    */
+  def appendOnce(df: DataFrame, path: String, quarantinePath: String,
+      batchId: Long, constraints: Seq[(String, Column)]): Unit = {
+    require(constraints.nonEmpty, "constraints must be non-empty")
+    val tagged = df.withColumn("_violated", violationTag(constraints))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val clean = tagged.filter(col("_violated").isNull).drop("_violated")
+      val dirty = tagged.filter(col("_violated").isNotNull)
+      VersionedTable.appendOnce(clean, path, batchId)
+      dirty.write.mode("overwrite").parquet(s"$quarantinePath/batch=$batchId")
+      ()
+    } finally { tagged.unpersist(); () }
+  }
+
   /** Append `df` to `path` under the constraints; violators (tagged with
     * `_violated`) land in `quarantinePath`. Returns (accepted, quarantined)
     * row counts. */
