@@ -481,6 +481,59 @@ object TrainingData {
         "occurrence, docs reassemble from survivors; one md5-keyed window + " +
         "one per-doc aggregate."),
 
+    "contrastive_negative_sampling" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // NEGATIVE SAMPLING for contrastive training: every anchor doc
+        // draws k=3 deterministic negatives — LCG-probed doc ids, with
+        // candidates sharing the anchor's exact text identity (md5 twins —
+        // a "negative" that is literally the same document would poison
+        // the loss) REJECTED, and self-pairs excluded. Fixed 8-probe
+        // oversample then keep the first 3 survivors in probe order, so
+        // the draw is a pure function of the data (no rejection loop).
+        // Scale shape: probes are a projection (8 rows per anchor), the
+        // twin rejection is one md5-keyed join, the keep-3 is a bounded
+        // per-anchor window.
+        val n = table(s, d, "documents").count()
+        val docs0 = table(s, d, "documents")
+          .select($"doc_id", md5($"text").as("h"))
+        val probes = docs0.select($"doc_id", $"h",
+            explode(sequence(lit(0), lit(7))).as("p"))
+          .withColumn("x", $"doc_id" * 131L + $"p")
+          .withColumn("u1", (lit(1103515245L) * $"x" + 12345L) % 2147483648L)
+          .withColumn("cand", (lit(1103515245L) * $"u1" + 12345L) % 2147483648L % n)
+          .filter($"cand" =!= $"doc_id")
+        val joined = probes.join(
+            docs0.select($"doc_id".as("cand"), $"h".as("cand_h")), Seq("cand"))
+          .filter($"h" =!= $"cand_h")
+          // one candidate may be probed twice by the same anchor — dedup
+          // keeps the earliest probe index (min p per (anchor, cand))
+          .groupBy($"doc_id", $"cand").agg(min($"p").as("p"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"p", $"cand")
+        joined.withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 3)
+          .select($"doc_id", $"rank", $"cand".as("neg_id"))
+          .orderBy($"doc_id", $"rank")
+      },
+      Some("""WITH docs AS (SELECT doc_id, md5(text) AS h FROM documents),
+        n AS (SELECT count(*) AS n FROM docs),
+        probes AS (SELECT d.doc_id, d.h, p.p,
+            ((1103515245*((1103515245*(d.doc_id*131 + p.p) + 12345) % 2147483648)
+              + 12345) % 2147483648) % (SELECT n FROM n) AS cand
+          FROM docs d CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS p) p),
+        ok AS (SELECT pr.doc_id, pr.cand, min(pr.p) AS p
+          FROM probes pr JOIN docs c ON pr.cand = c.doc_id
+          WHERE pr.cand <> pr.doc_id AND pr.h <> c.h
+          GROUP BY pr.doc_id, pr.cand),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY p, cand) AS rank FROM ok)
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, cand AS neg_id
+        FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""),
+      "Deterministic contrastive negative sampling: 8 LCG probes per anchor, " +
+        "exact-dup twins and self-pairs rejected, first 3 survivors kept in " +
+        "probe order — a pure function of the corpus."),
+
     "sample_by_hash" -> Q(
       (s, d) => docs(s, d)
         .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "2a")
