@@ -1489,6 +1489,104 @@ object Analytics {
         "quotients mirrored exactly, e6 cross-multiplied F for both factors " +
         "and the interaction."),
 
+    "ftl_policy_replay" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // ONLINE-LEARNING REPLAY (full-information follow-the-leader): per
+        // day the FTL policy plays the arm (event_type) with the best
+        // e12-quantized PREFIX mean daily spend through YESTERDAY
+        // (truncating division, engine-identical; (qmean, arm) tiebreak),
+        // then realizes that arm's ACTUAL mean today — against the
+        // best-fixed-arm-in-hindsight baseline, the cumulative gap is the
+        // policy's regret curve. Everything is prefix aggregates over the
+        // (day, arm) grid (windows over O(days) partitions) — the
+        // observed-rewards state never depends on the policy's choices,
+        // which is exactly what makes full-information FTL replayable in
+        // one pass where a true bandit replay is sequential.
+        val dayUs = 86400000000L
+        val grid = eventsTable(s, d)
+          .select($"event_type".as("arm"), idiv(micros($"ts"), lit(dayUs)).as("dd"),
+            (dec2($"value") * 100).cast(LongType).as("vc"))
+          .groupBy($"arm", $"dd")
+          .agg(sum($"vc").as("sv"), count(lit(1)).as("n"))
+          // today's realized reward: the arm's e6-floored mean of the day
+          .withColumn("reward_e6", idiv(lit(1000000L) * $"sv", $"n"))
+        val wPrefix = org.apache.spark.sql.expressions.Window
+          .partitionBy($"arm").orderBy($"dd")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val withPrefix = grid
+          .withColumn("ps", sum($"sv").over(wPrefix))
+          .withColumn("pn", sum($"n").over(wPrefix))
+          .withColumn("qmean",
+            when($"pn".isNull, lit(Long.MinValue))
+              .otherwise(idiv(lit(1000000000000L).cast(DecimalType(38, 0)) *
+                $"ps".cast(DecimalType(38, 0)), $"pn".cast(DecimalType(38, 0)))))
+        // the day's leader: max (qmean, arm) across arms with history
+        val wDay = org.apache.spark.sql.expressions.Window
+          .partitionBy($"dd").orderBy($"qmean".desc, $"arm".desc)
+        val leader = withPrefix
+          .withColumn("rn", row_number().over(wDay)).filter($"rn" === 1)
+          .select($"dd", $"arm".as("ftl_arm"), $"qmean")
+          .filter($"qmean" =!= Long.MinValue) // day 1: no history, no play
+        val played = leader.join(
+          grid.select($"dd", $"arm".as("ftl_arm"), $"reward_e6"),
+          Seq("dd", "ftl_arm"))
+        // hindsight-best fixed arm: the arm with the max total e12 mean
+        val best = grid.groupBy($"arm")
+          .agg(sum($"sv").as("ts_"), sum($"n").as("tn"))
+          .withColumn("q", idiv(lit(1000000000000L).cast(DecimalType(38, 0)) *
+            $"ts_".cast(DecimalType(38, 0)), $"tn".cast(DecimalType(38, 0))))
+          .orderBy($"q".desc, $"arm".desc).limit(1)
+          .select($"arm".as("best_arm"))
+        val bestRewards = best.crossJoin(grid)
+          .filter($"arm" === $"best_arm")
+          .select($"dd", $"reward_e6".as("best_reward_e6"))
+        val wCum = org.apache.spark.sql.expressions.Window.orderBy($"dd")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        played.join(bestRewards, Seq("dd"))
+          .withColumn("cum_ftl_e6", sum($"reward_e6").over(wCum))
+          .withColumn("cum_best_e6", sum($"best_reward_e6").over(wCum))
+          .select($"dd", $"ftl_arm", $"reward_e6", $"best_reward_e6",
+            ($"cum_best_e6" - $"cum_ftl_e6").as("regret_e6"))
+          .orderBy($"dd")
+      },
+      Some("""WITH grid AS (SELECT event_type AS arm, epoch_us(ts) // 86400000000 AS dd,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sv,
+            count(*) AS n
+          FROM events GROUP BY 1, 2),
+        g AS (SELECT *, (1000000 * sv) // n AS reward_e6 FROM grid),
+        pre AS (SELECT *,
+            CAST(sum(sv) OVER (PARTITION BY arm ORDER BY dd
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS ps,
+            CAST(sum(n) OVER (PARTITION BY arm ORDER BY dd
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS pn
+          FROM g),
+        q AS (SELECT *, CASE WHEN pn IS NULL THEN -9223372036854775808
+            ELSE CAST((1000000000000 * CAST(ps AS HUGEINT)) // pn AS BIGINT)
+            END AS qmean FROM pre),
+        led AS (SELECT dd, arm AS ftl_arm, qmean,
+            row_number() OVER (PARTITION BY dd ORDER BY qmean DESC, arm DESC) AS rn
+          FROM q),
+        play AS (SELECT l.dd, l.ftl_arm, g.reward_e6
+          FROM led l JOIN g ON g.dd = l.dd AND g.arm = l.ftl_arm
+          WHERE l.rn = 1 AND l.qmean <> -9223372036854775808),
+        best AS (SELECT arm AS best_arm FROM
+            (SELECT arm, (1000000000000 * CAST(sum(sv) AS HUGEINT))
+                // CAST(sum(n) AS BIGINT) AS q
+              FROM grid GROUP BY arm)
+          ORDER BY q DESC, arm DESC LIMIT 1),
+        br AS (SELECT g.dd, g.reward_e6 AS best_reward_e6
+          FROM g JOIN best ON g.arm = best.best_arm)
+        SELECT p.dd, p.ftl_arm, p.reward_e6, br.best_reward_e6,
+          CAST(sum(br.best_reward_e6) OVER (ORDER BY p.dd) AS BIGINT)
+            - CAST(sum(p.reward_e6) OVER (ORDER BY p.dd) AS BIGINT) AS regret_e6
+        FROM play p JOIN br ON p.dd = br.dd
+        ORDER BY p.dd"""),
+      "Full-information follow-the-leader policy replay: per day the arm " +
+        "with the best quantized prefix mean plays, realizing that day's " +
+        "actual mean; cumulative regret vs the hindsight-best fixed arm — " +
+        "prefix windows over the (day, arm) grid, one pass."),
+
     "theil_sen_slope" -> Q(
       (s, d) => {
         import s.implicits._
@@ -1514,7 +1612,8 @@ object Analytics {
             $"i.event_type" === $"j.event_type" && $"i.dd" < $"j.dd")
           .select($"i.event_type".as("event_type"),
             ($"j.y" - $"i.y").as("dy"), ($"j.dd" - $"i.dd").as("dx"))
-          .withColumn("k", idiv(lit(1000000000000L) * $"dy", $"dx"))
+          .withColumn("k", idiv(lit(1000000000000L).cast(DecimalType(38, 0)) *
+            $"dy".cast(DecimalType(38, 0)), $"dx".cast(DecimalType(38, 0))))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"event_type").orderBy($"k", $"dy", $"dx")
         pairs
@@ -1530,7 +1629,8 @@ object Analytics {
             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
           FROM events GROUP BY 1, 2),
         pairs AS (SELECT i.event_type, j.y - i.y AS dy, j.dd - i.dd AS dx,
-            (1000000000000 * (j.y - i.y)) // (j.dd - i.dd) AS k
+            CAST((1000000000000 * CAST(j.y - i.y AS HUGEINT))
+              // (j.dd - i.dd) AS BIGINT) AS k
           FROM daily i JOIN daily j
             ON i.event_type = j.event_type AND i.dd < j.dd),
         r AS (SELECT *, row_number() OVER (PARTITION BY event_type
