@@ -1489,6 +1489,63 @@ object Analytics {
         "quotients mirrored exactly, e6 cross-multiplied F for both factors " +
         "and the interaction."),
 
+    "winsorized_stats" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // WINSORIZED per-series stats — the CLAMP companion to
+        // outlier_trim's drop: values below the exact P5 (or above the
+        // exact P95) move TO the fence instead of leaving the sample, so n
+        // is preserved (the estimator regulators prefer when every
+        // observation must stay accounted for). Exact integer fences by
+        // rank selection (lower-index pick at fractional ranks — the
+        // event_value_quantiles discipline), clamped integer sums, e6
+        // floored means. Two passes over the series: one rank window to
+        // select fences, one clamped aggregate.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"vc", $"event_id")
+        val v = eventsTable(s, d).select($"event_type", $"event_id",
+          (dec2($"value") * 100).cast(LongType).as("vc"))
+        val ranked = v.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"event_type")))
+        // fence index = 1 + trunc((n-1)*q): the lower-index exact pick
+        val fences = ranked
+          .groupBy($"event_type")
+          .agg(
+            max(when($"rn" === lit(1L) + idiv(($"n" - 1L) * 5L, lit(100L)), $"vc"))
+              .as("p5_c"),
+            max(when($"rn" === lit(1L) + idiv(($"n" - 1L) * 95L, lit(100L)), $"vc"))
+              .as("p95_c"))
+        v.join(fences, "event_type")
+          .withColumn("wc", greatest(least($"vc", $"p95_c"), $"p5_c"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), max($"p5_c").as("p5_c"),
+            max($"p95_c").as("p95_c"),
+            sum($"wc").as("wsum_c"),
+            idiv(lit(1000000L) * sum($"wc"), count(lit(1))).as("wmean_e6"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH v AS (SELECT event_type, event_id,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM events),
+        r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY vc, event_id) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM v),
+        f AS (SELECT event_type,
+            max(CASE WHEN rn = 1 + ((n - 1) * 5) // 100 THEN vc END) AS p5_c,
+            max(CASE WHEN rn = 1 + ((n - 1) * 95) // 100 THEN vc END) AS p95_c
+          FROM r GROUP BY event_type)
+        SELECT v.event_type, count(*) AS n, max(f.p5_c) AS p5_c,
+          max(f.p95_c) AS p95_c,
+          CAST(sum(greatest(least(v.vc, f.p95_c), f.p5_c)) AS BIGINT) AS wsum_c,
+          (1000000 * CAST(sum(greatest(least(v.vc, f.p95_c), f.p5_c)) AS BIGINT))
+            // count(*) AS wmean_e6
+        FROM v JOIN f ON v.event_type = f.event_type
+        GROUP BY v.event_type ORDER BY v.event_type"""),
+      "Winsorized per-series stats: exact rank-selected P5/P95 fences, " +
+        "values clamp to the fences (n preserved) — the clamp companion to " +
+        "outlier_trim's drop; two passes, per-series windows only."),
+
     "ftl_policy_replay" -> Q(
       (s, d) => {
         import s.implicits._

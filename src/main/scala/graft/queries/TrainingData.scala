@@ -481,6 +481,36 @@ object TrainingData {
         "occurrence, docs reassemble from survivors; one md5-keyed window + " +
         "one per-doc aggregate."),
 
+    "stratified_kfold" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Stratified K-FOLD assignment (k=5, strata = lang × source): docs
+        // rank inside their stratum by a deterministic hash order and take
+        // fold = rank % k — every fold holds an equal share of EVERY
+        // stratum (sizes differ by ≤ 1 per stratum by construction), the
+        // property plain hash-mod splitting only has in expectation.
+        // dataset_split is the 3-way content-hash range split; this is the
+        // cross-validation grid. Per-stratum windows over stratum-sized
+        // partitions — no global order.
+        val w = Window.partitionBy($"lang", $"source")
+          .orderBy(md5(concat(lit("kf:"), $"doc_id".cast("string"))), $"doc_id")
+        val folded = table(s, d, "documents")
+          .select($"doc_id", $"lang", $"source")
+          .withColumn("fold", (row_number().over(w).cast("long") - 1) % 5)
+        folded.groupBy($"lang", $"source", $"fold")
+          .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc_id"))
+          .orderBy($"lang", $"source", $"fold")
+      },
+      Some("""WITH f AS (SELECT doc_id, lang, source,
+            (row_number() OVER (PARTITION BY lang, source
+              ORDER BY md5('kf:' || CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5 AS fold
+          FROM documents)
+        SELECT lang, source, fold, count(*) AS n_docs, min(doc_id) AS min_doc_id
+        FROM f GROUP BY 1, 2, 3 ORDER BY lang, source, fold"""),
+      "Stratified 5-fold assignment (strata = lang × source): hash-ordered " +
+        "rank % k gives every fold an equal share of every stratum (±1), " +
+        "not just in expectation — per-stratum windows, no global order."),
+
     "contrastive_negative_sampling" -> Q(
       (s, d) => {
         import s.implicits._
