@@ -481,6 +481,95 @@ object TrainingData {
         "occurrence, docs reassemble from survivors; one md5-keyed window + " +
         "one per-doc aggregate."),
 
+    "pps_systematic_sample" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // PPS SYSTEMATIC SAMPLING (probability proportional to size — the
+        // survey-sampling standard for eval-set construction): walk the
+        // deterministically hash-ordered corpus accumulating token counts
+        // and select every doc whose cumulative interval crosses a
+        // multiple of T = total DIV 50, so long documents are selected
+        // with proportionally higher probability and exactly 50 hits land
+        // (a doc spanning several multiples records them all in n_hits).
+        // The cumulative walk is PrefixSum.groupedRunningTotal — the
+        // scale-correct scan (range partition + two jobs, O(partitions)
+        // driver state), never a one-task global window.
+        val toks = table(s, d, "documents")
+          .select($"doc_id", size(ascii_tokens($"text")).cast("long").as("n_tokens"))
+          .withColumn("g", lit(0L))
+          .withColumn("hk", md5(concat(lit("pps:"), $"doc_id".cast("string"))))
+        val total = toks.agg(sum($"n_tokens")).head.getLong(0)
+        val t = total / 50L
+        val cum = graft.operators.PrefixSum.groupedRunningTotal(
+          toks, Seq("g"), Seq($"hk", $"doc_id"), "n_tokens", "cum")
+        cum.withColumn("n_hits",
+            idiv($"cum", lit(t)) - idiv($"cum" - $"n_tokens", lit(t)))
+          .filter($"n_hits" > 0)
+          .select($"doc_id", $"n_tokens", $"cum", $"n_hits")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens,
+            md5('pps:' || CAST(doc_id AS VARCHAR)) AS hk
+          FROM documents),
+        t AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 50 AS t FROM toks),
+        c AS (SELECT doc_id, n_tokens,
+            CAST(sum(n_tokens) OVER (ORDER BY hk, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM toks)
+        SELECT doc_id, n_tokens, cum,
+          cum // (SELECT t FROM t) - (cum - n_tokens) // (SELECT t FROM t) AS n_hits
+        FROM c
+        WHERE cum // (SELECT t FROM t) > (cum - n_tokens) // (SELECT t FROM t)
+        ORDER BY doc_id"""),
+      "PPS systematic sampling: hash-ordered cumulative token walk selects " +
+        "every doc crossing a multiple of total/50 — long docs selected " +
+        "proportionally; PrefixSum scan, never a one-task global window."),
+
+    "token_budget_apportionment" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Hamilton (largest-remainder) APPORTIONMENT of a token budget
+        // across sources ∝ their token counts — the mixture-building step
+        // that turns target weights into integer per-source budgets which
+        // sum to the budget EXACTLY: floor shares first, then the leftover
+        // seats go to the largest remainders ((remainder, source)
+        // tiebreak). Pure integer arithmetic on an O(sources) frame.
+        val budget = 1000000000L
+        val srcToks = table(s, d, "documents")
+          .select($"source", size(ascii_tokens($"text")).cast("long").as("nt"))
+          .groupBy($"source").agg(sum($"nt").as("tokens"))
+        val total = srcToks.agg(sum($"tokens")).head.getLong(0)
+        val withFloor = srcToks
+          .withColumn("floor_alloc", idiv($"tokens" * budget, lit(total)))
+          .withColumn("rem", ($"tokens" * budget) % total)
+        val leftover = budget - withFloor.agg(sum($"floor_alloc")).head.getLong(0)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"rem".desc, $"source")
+        withFloor.withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("extra", when($"rk" <= leftover, 1L).otherwise(0L))
+          .select($"source", $"tokens", $"floor_alloc", $"extra",
+            ($"floor_alloc" + $"extra").as("alloc"))
+          .orderBy($"source")
+      },
+      Some("""WITH st AS (SELECT source,
+            CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS tokens
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM st),
+        f AS (SELECT source, tokens,
+            (tokens * 1000000000) // (SELECT total FROM tot) AS floor_alloc,
+            (tokens * 1000000000) % (SELECT total FROM tot) AS rem
+          FROM st),
+        lo AS (SELECT 1000000000 - CAST(sum(floor_alloc) AS BIGINT) AS leftover FROM f),
+        r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM f)
+        SELECT source, tokens, floor_alloc,
+          CAST(CASE WHEN rk <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END AS BIGINT) AS extra,
+          CAST(floor_alloc + CASE WHEN rk <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM r ORDER BY source"""),
+      "Hamilton largest-remainder apportionment of a 1e9-token budget " +
+        "across sources ∝ token counts: integer floors + remainder-ranked " +
+        "extras, allocations sum to the budget exactly."),
+
     "stratified_kfold" -> Q(
       (s, d) => {
         import s.implicits._
