@@ -39,7 +39,13 @@ object TrainingData {
     * assignment. `//` is DuckDB's truncating integer division — the exact
     * mirror of the engine's `sum / count` on Longs. Empty clusters keep the
     * previous centroid via the LEFT JOIN + coalesce. */
-  private def kmeansQuantizedSql(k: Int, iters: Int, scale: Long, dim: Int): String = {
+  /** @param tail optional custom ending appended verbatim after the
+    *        `fin(vec_id, cl)` CTE — start it with "," to add further CTEs
+    *        before the final SELECT; lets dependent oracles
+    *        (cluster_label_purity) reuse the exact unrolled Lloyd chain
+    *        instead of duplicating it. */
+  private def kmeansQuantizedSql(k: Int, iters: Int, scale: Long, dim: Int,
+      tail: Option[String] = None): String = {
     def assign(name: String, cents: String) =
       s"""$name AS (SELECT vec_id, cl FROM (
           SELECT q.vec_id, c.cl,
@@ -66,8 +72,8 @@ object TrainingData {
             ON p.cl = mm.cl)"""
     }
     val fin = s"""${assign("fin", s"c$iters")}
-      SELECT cl AS cluster, count(*) AS n_members FROM fin
-      GROUP BY cl ORDER BY cl"""
+      ${tail.getOrElse("""SELECT cl AS cluster, count(*) AS n_members FROM fin
+      GROUP BY cl ORDER BY cl""")}"""
     ((head +: steps).mkString(",\n      ")) + ",\n      " + fin
   }
 
@@ -1528,6 +1534,93 @@ object TrainingData {
       "Integer-exact quantized Lloyd k-means (units of 10^-3, truncating integer " +
         "centroid means): per-cluster census after 5 iterations, bit-exact vs the " +
         "unrolled SQL replay."),
+
+    "cluster_label_purity" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // CLUSTER QUALITY vs ground-truth labels: per quantized-Lloyd
+        // cluster, the majority label, its share, and the Gini impurity
+        // (e6-floored 1 − Σp² via exact cross-multiplied counts) — the
+        // audit that says whether the embedding clustering recovers the
+        // label structure (the k-means companion to
+        // embedding_label_outliers). Rides the SAME integer-exact
+        // clustering as kmeans_embeddings, so the whole composition stays
+        // bit-exact against the unrolled Lloyd replay (the oracle reuses
+        // that chain verbatim via the shared builder).
+        val emb = table(s, d, "embeddings")
+        val r = graft.operators.KMeans.lloydQuantized(
+          emb, "vec_id", "embedding", k = 8, iters = 5)
+        val withLabel = r.assignments.select($"id".as("vec_id"), $"cluster")
+          .join(emb.select($"vec_id", $"label"), "vec_id")
+        val perLabel = withLabel.groupBy($"cluster", $"label")
+          .agg(count(lit(1)).as("nl"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"cluster").orderBy($"nl".desc, $"label")
+        perLabel
+          .withColumn("rn", row_number().over(w))
+          .groupBy($"cluster")
+          .agg(sum($"nl").as("n_members"),
+            max(when($"rn" === 1, $"label")).as("majority_label"),
+            max(when($"rn" === 1, $"nl")).as("n_majority"),
+            idiv(lit(1000000L) * (sum($"nl") * sum($"nl") - sum($"nl" * $"nl")),
+              sum($"nl") * sum($"nl")).as("gini_e6"))
+          .orderBy($"cluster")
+      },
+      Some(kmeansQuantizedSql(k = 8, iters = 5, scale = 1000L, dim = 64,
+        tail = Some(""", pl AS (SELECT f.cl, e.label, count(*) AS nl
+          FROM fin f JOIN embeddings e ON f.vec_id = e.vec_id
+          GROUP BY f.cl, e.label),
+        r AS (SELECT *, row_number() OVER (PARTITION BY cl
+            ORDER BY nl DESC, label) AS rn FROM pl)
+        SELECT cl AS cluster, CAST(sum(nl) AS BIGINT) AS n_members,
+          max(CASE WHEN rn = 1 THEN label END) AS majority_label,
+          CAST(max(CASE WHEN rn = 1 THEN nl END) AS BIGINT) AS n_majority,
+          (1000000 * (CAST(sum(nl) AS BIGINT) * CAST(sum(nl) AS BIGINT)
+            - CAST(sum(nl * nl) AS BIGINT)))
+            // (CAST(sum(nl) AS BIGINT) * CAST(sum(nl) AS BIGINT)) AS gini_e6
+        FROM r GROUP BY cl ORDER BY cl"""))),
+      "Per-cluster label purity audit over the integer-exact quantized " +
+        "Lloyd clusters: majority label + share + e6 Gini impurity, " +
+        "bit-exact vs the reused unrolled-Lloyd oracle chain."),
+
+    "overdispersion_index" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Count-data OVERDISPERSION diagnostic: per series the
+        // variance-to-mean ratio of DAILY EVENT COUNTS (Poisson ⇒ 1;
+        // var/mean ≫ 1 ⇒ bursty arrivals, the signal that a Poisson rate
+        // model under-states tail load). Exact integer sufficient
+        // statistics over the tiny (series, day) grid: VMR_e6 =
+        // 10⁶·(d·Σc² − (Σc)²) // ((d−1)·Σc) — cross-multiplied, floored,
+        // HUGEINT/DECIMAL(38,0)-widened.
+        val dayUs = 86400000000L
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val daily = eventsTable(s, d)
+          .select($"event_type", idiv(micros($"ts"), lit(dayUs)).as("dd"))
+          .groupBy($"event_type", $"dd").agg(count(lit(1)).as("c"))
+        daily.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_days"), sum($"c").as("total"),
+            sum($"c".cast(d38) * $"c".cast(d38)).as("ssq"))
+          .select($"event_type", $"n_days", $"total",
+            idiv(lit(1000000L).cast(d38) *
+                ($"n_days".cast(d38) * $"ssq" - $"total".cast(d38) * $"total".cast(d38)),
+              ($"n_days" - 1).cast(d38) * $"total".cast(d38)).as("vmr_e6"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS dd,
+            count(*) AS c
+          FROM events GROUP BY 1, 2),
+        agg AS (SELECT event_type, count(*) AS n_days,
+            CAST(sum(c) AS BIGINT) AS total,
+            sum(CAST(c AS HUGEINT) * c) AS ssq
+          FROM daily GROUP BY event_type)
+        SELECT event_type, n_days, total,
+          CAST((1000000 * (n_days * ssq - CAST(total AS HUGEINT) * total))
+            // ((n_days - 1) * CAST(total AS HUGEINT)) AS BIGINT) AS vmr_e6
+        FROM agg ORDER BY event_type"""),
+      "Per-series variance-to-mean ratio of daily event counts (e6, " +
+        "cross-multiplied integer floors): the Poisson overdispersion " +
+        "diagnostic for bursty arrivals."),
 
     "multimodal_decode" -> Q(
       (s, d) => docs(s, d)
