@@ -1567,7 +1567,8 @@ object Analytics {
           .groupBy($"arm", $"dd")
           .agg(sum($"vc").as("sv"), count(lit(1)).as("n"))
           // today's realized reward: the arm's e6-floored mean of the day
-          .withColumn("reward_e6", idiv(lit(1000000L) * $"sv", $"n"))
+          .withColumn("reward_e6", idiv(lit(1000000L).cast(DecimalType(38, 0)) *
+            $"sv".cast(DecimalType(38, 0)), $"n".cast(DecimalType(38, 0))))
         val wPrefix = org.apache.spark.sql.expressions.Window
           .partitionBy($"arm").orderBy($"dd")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -1611,7 +1612,7 @@ object Analytics {
             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sv,
             count(*) AS n
           FROM events GROUP BY 1, 2),
-        g AS (SELECT *, (1000000 * sv) // n AS reward_e6 FROM grid),
+        g AS (SELECT *, CAST((1000000 * CAST(sv AS HUGEINT)) // n AS BIGINT) AS reward_e6 FROM grid),
         pre AS (SELECT *,
             CAST(sum(sv) OVER (PARTITION BY arm ORDER BY dd
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS ps,

@@ -546,9 +546,13 @@ object TrainingData {
           .select($"source", size(ascii_tokens($"text")).cast("long").as("nt"))
           .groupBy($"source").agg(sum($"nt").as("tokens"))
         val total = srcToks.agg(sum($"tokens")).head.getLong(0)
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        // tokens × budget crosses BIGINT at ~1e12 source tokens (the 100 TB
+        // regime) — widen before the divide, like every e-scaled product
+        val prod = $"tokens".cast(d38) * lit(budget).cast(d38)
         val withFloor = srcToks
-          .withColumn("floor_alloc", idiv($"tokens" * budget, lit(total)))
-          .withColumn("rem", ($"tokens" * budget) % total)
+          .withColumn("floor_alloc", idiv(prod, lit(total).cast(d38)))
+          .withColumn("rem", (prod % lit(total).cast(d38)).cast("long"))
         val leftover = budget - withFloor.agg(sum($"floor_alloc")).head.getLong(0)
         val w = org.apache.spark.sql.expressions.Window
           .orderBy($"rem".desc, $"source")
@@ -563,8 +567,8 @@ object TrainingData {
           FROM documents GROUP BY source),
         tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM st),
         f AS (SELECT source, tokens,
-            (tokens * 1000000000) // (SELECT total FROM tot) AS floor_alloc,
-            (tokens * 1000000000) % (SELECT total FROM tot) AS rem
+            CAST((CAST(tokens AS HUGEINT) * 1000000000) // (SELECT total FROM tot) AS BIGINT) AS floor_alloc,
+            CAST((CAST(tokens AS HUGEINT) * 1000000000) % (SELECT total FROM tot) AS BIGINT) AS rem
           FROM st),
         lo AS (SELECT 1000000000 - CAST(sum(floor_alloc) AS BIGINT) AS leftover FROM f),
         r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM f)
@@ -1562,8 +1566,12 @@ object TrainingData {
           .agg(sum($"nl").as("n_members"),
             max(when($"rn" === 1, $"label")).as("majority_label"),
             max(when($"rn" === 1, $"nl")).as("n_majority"),
-            idiv(lit(1000000L) * (sum($"nl") * sum($"nl") - sum($"nl" * $"nl")),
-              sum($"nl") * sum($"nl")).as("gini_e6"))
+            {
+              val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+              val n2 = sum($"nl").cast(d38) * sum($"nl").cast(d38)
+              idiv(lit(1000000L).cast(d38) *
+                (n2 - sum($"nl".cast(d38) * $"nl".cast(d38))), n2).as("gini_e6")
+            })
           .orderBy($"cluster")
       },
       Some(kmeansQuantizedSql(k = 8, iters = 5, scale = 1000L, dim = 64,
@@ -1575,9 +1583,9 @@ object TrainingData {
         SELECT cl AS cluster, CAST(sum(nl) AS BIGINT) AS n_members,
           max(CASE WHEN rn = 1 THEN label END) AS majority_label,
           CAST(max(CASE WHEN rn = 1 THEN nl END) AS BIGINT) AS n_majority,
-          (1000000 * (CAST(sum(nl) AS BIGINT) * CAST(sum(nl) AS BIGINT)
-            - CAST(sum(nl * nl) AS BIGINT)))
-            // (CAST(sum(nl) AS BIGINT) * CAST(sum(nl) AS BIGINT)) AS gini_e6
+          CAST((1000000 * (CAST(sum(nl) AS HUGEINT) * CAST(sum(nl) AS HUGEINT)
+            - sum(CAST(nl AS HUGEINT) * nl)))
+            // (CAST(sum(nl) AS HUGEINT) * CAST(sum(nl) AS HUGEINT)) AS BIGINT) AS gini_e6
         FROM r GROUP BY cl ORDER BY cl"""))),
       "Per-cluster label purity audit over the integer-exact quantized " +
         "Lloyd clusters: majority label + share + e6 Gini impurity, " +
