@@ -1489,6 +1489,61 @@ object Analytics {
         "quotients mirrored exactly, e6 cross-multiplied F for both factors " +
         "and the interaction."),
 
+    "conversion_latency_quantiles" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // EXACT conversion-latency quantiles by signup cohort: per user
+        // the first-view → first-qualifying-purchase latency (the funnel
+        // frame), then P50/P90 by rank selection inside each cohort week
+        // — the "how long does converting actually take, and is it
+        // drifting by cohort" product question, with the exact-quantile
+        // discipline (lower-index pick at fractional ranks) instead of a
+        // float percentile_approx. Windows partition by cohort (O(users)
+        // rows after the per-user aggregate), never the raw log.
+        val wk = 7L * 86400000000L
+        val ev = eventsTable(s, d).select($"user_id", $"event_type", micros($"ts").as("us"))
+        val viewed = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"us").as("t_view"))
+        val converted = ev.filter($"event_type" === "purchase")
+          .join(viewed, "user_id").filter($"us" > $"t_view")
+          .groupBy($"user_id").agg(min($"us").as("t_conv"), min($"t_view").as("t_view0"))
+          .select($"user_id", idiv($"t_view0", lit(wk)).as("cohort_week"),
+            ($"t_conv" - $"t_view0").as("lat_us"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"cohort_week").orderBy($"lat_us", $"user_id")
+        converted
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"cohort_week")))
+          .groupBy($"cohort_week")
+          .agg(max($"n").as("n_converted"),
+            max(when($"rn" === lit(1L) + idiv(($"n" - 1L) * 50L, lit(100L)), $"lat_us"))
+              .as("p50_lat_us"),
+            max(when($"rn" === lit(1L) + idiv(($"n" - 1L) * 90L, lit(100L)), $"lat_us"))
+              .as("p90_lat_us"))
+          .orderBy($"cohort_week")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        v AS (SELECT user_id, min(us) AS t_view FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.us) AS t_conv, min(v.t_view) AS t_view0
+          FROM ev e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.us > v.t_view
+          GROUP BY e.user_id),
+        lat AS (SELECT user_id, t_view0 // 604800000000 AS cohort_week,
+            t_conv - t_view0 AS lat_us FROM c),
+        r AS (SELECT *, row_number() OVER (PARTITION BY cohort_week
+              ORDER BY lat_us, user_id) AS rn,
+            count(*) OVER (PARTITION BY cohort_week) AS n
+          FROM lat)
+        SELECT cohort_week, CAST(max(n) AS BIGINT) AS n_converted,
+          max(CASE WHEN rn = 1 + ((n - 1) * 50) // 100 THEN lat_us END) AS p50_lat_us,
+          max(CASE WHEN rn = 1 + ((n - 1) * 90) // 100 THEN lat_us END) AS p90_lat_us
+        FROM r GROUP BY cohort_week ORDER BY cohort_week"""),
+      "Exact P50/P90 view→purchase conversion latency by signup cohort week " +
+        "(rank-selected quantiles over the per-user funnel frame, windows " +
+        "over cohort-sized partitions only)."),
+
     "winsorized_stats" -> Q(
       (s, d) => {
         import s.implicits._
