@@ -1539,6 +1539,71 @@ object TrainingData {
         "centroid means): per-cluster census after 5 iterations, bit-exact vs the " +
         "unrolled SQL replay."),
 
+    "retrieval_eval_mrr" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // IR EVALUATION harness (MRR + recall@10): five single-term
+        // queries run through the ranked_retrieval scorer (tf·w/dl; one
+        // exact-integer division to a double, doc_id tiebreak), graded
+        // against a deterministic relevance rule (tf ≥ 3 — "the doc is
+        // substantially about the term"). MRR uses the first relevant
+        // rank in the FULL ranking (the standard definition), recall@10
+        // the top-10 cut; both emitted as e6 floors of exact rationals.
+        // Per-query windows over posting-sized partitions — the eval
+        // never touches docs without the term.
+        val terms = Seq("vector", "join", "scan", "filter", "window")
+        val toks = docs(s, d).select($"doc_id",
+          explode(ascii_tokens(col("text"))).as("tok"))
+          .filter($"tok".isin(terms: _*))
+        val dl = docs(s, d).select($"doc_id",
+          size(ascii_tokens(col("text"))).cast("long").as("dl"))
+        val tf = toks.groupBy($"tok", $"doc_id").agg(count(lit(1)).as("tf"))
+          .join(dl, "doc_id")
+          .withColumn("score", ($"tf" * 1000000L).cast("double") / $"dl")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"tok").orderBy($"score".desc, $"doc_id")
+        val ranked = tf.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("rel", $"tf" >= 3)
+        ranked.groupBy($"tok")
+          .agg(sum(when($"rel", 1L).otherwise(0L)).as("n_relevant"),
+            min(when($"rel", $"rn")).as("first_rank"),
+            sum(when($"rel" && $"rn" <= 10, 1L).otherwise(0L)).as("rel_in_top10"))
+          .filter($"n_relevant" > 0)
+          .select($"tok", $"n_relevant", $"first_rank",
+            idiv(lit(1000000L), $"first_rank").as("mrr_e6"),
+            idiv(lit(1000000L) * $"rel_in_top10", $"n_relevant").as("recall10_e6"))
+          .orderBy($"tok")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents),
+        dl AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS dl
+          FROM documents),
+        tf AS (SELECT tok, t.doc_id, count(*) AS tf, max(dl.dl) AS dl
+          FROM toks t JOIN dl ON t.doc_id = dl.doc_id
+          WHERE tok IN ('vector', 'join', 'scan', 'filter', 'window')
+          GROUP BY tok, t.doc_id),
+        r AS (SELECT *, CAST(tf * 1000000 AS DOUBLE) / dl AS score,
+            row_number() OVER (PARTITION BY tok
+              ORDER BY CAST(tf * 1000000 AS DOUBLE) / dl DESC, doc_id) AS rn,
+            tf >= 3 AS rel
+          FROM tf),
+        agg AS (SELECT tok,
+            CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant,
+            min(CASE WHEN rel THEN rn END) AS first_rank,
+            CAST(sum(CASE WHEN rel AND rn <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+              AS rel_in_top10
+          FROM r GROUP BY tok)
+        SELECT tok, n_relevant, first_rank,
+          1000000 // first_rank AS mrr_e6,
+          (1000000 * rel_in_top10) // n_relevant AS recall10_e6
+        FROM agg WHERE n_relevant > 0 ORDER BY tok"""),
+      "IR evaluation harness: five single-term queries through the " +
+        "tf/dl ranker, graded against a deterministic tf >= 3 relevance " +
+        "rule — MRR over the full ranking and recall@10, e6-floored exact " +
+        "rationals."),
+
     "cluster_label_purity" -> Q(
       (s, d) => {
         import s.implicits._
