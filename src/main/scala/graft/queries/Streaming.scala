@@ -787,6 +787,52 @@ object Streaming {
         "per-batch overwrite — no loss, no duplication, no bad row in the " +
         "table."),
 
+    "streaming_token_budget" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // LIVE TOKEN-BUDGET enforcement per source (the
+        // token_budget_apportionment allocations enforced at ingest time):
+        // each source carries a running token count in GroupState and the
+        // moment a document pushes it past the source's budget (60% of its
+        // corpus total — so every source crosses mid-stream) ONE crossing
+        // row is emitted naming the crossing doc and the exact cumulative
+        // count. Docs are staged in global hash-order slices, so per-source
+        // arrival order is deterministic and the crossing replays as a
+        // batch prefix-sum rule. O(1) state per source; crossings are
+        // emitted exactly once (state carries a crossed flag).
+        val (src, out, ck) = Streams.workDirs("streaming_token_budget")
+        val docsT = table(s, d, "documents").select($"doc_id", $"source",
+          size(graft.functions.ascii_tokens($"text")).cast("long").as("n_tokens"),
+          md5(concat(lit("tb:"), $"doc_id".cast("string"))).as("hk"))
+        val budgets = docsT.groupBy($"source")
+          .agg(idiv(sum($"n_tokens") * 60L, lit(100L)).as("budget"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val Seq(q1, q2) = Seq("55555555", "aaaaaaaa").map(h => h) // hex thirds
+        val staged = Streams.stageOrderedBatches(Seq(
+          docsT.filter($"hk" <= q1),
+          docsT.filter($"hk" > q1 && $"hk" <= q2),
+          docsT.filter($"hk" > q2)), src)
+        val crossings = graft.streaming.TokenBudget.crossings(staged, budgets)
+        Streams.runAppend(crossings.toDF(), out, ck).orderBy($"source")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+            CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens,
+            md5('tb:' || CAST(doc_id AS VARCHAR)) AS hk
+          FROM documents),
+        b AS (SELECT source, (CAST(sum(n_tokens) AS BIGINT) * 60) // 100 AS budget
+          FROM t GROUP BY source),
+        c AS (SELECT t.*, b.budget,
+            CAST(sum(n_tokens) OVER (PARTITION BY t.source ORDER BY hk, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM t JOIN b ON t.source = b.source),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source, cum >= budget
+            ORDER BY hk, doc_id) AS rn FROM c)
+        SELECT source, doc_id AS crossing_doc_id, cum AS cum_tokens, budget
+        FROM r WHERE cum >= budget AND rn = 1 ORDER BY source"""),
+      "Per-source token budgets enforced live: running counts in GroupState, " +
+        "one crossing row per source the moment its budget is passed — " +
+        "replays as the batch prefix-sum first-crossing rule."),
+
     "streaming_cdc_replication" -> Q(
       (s, d) => {
         import s.implicits._
