@@ -151,15 +151,25 @@ object Kernels {
     h
   }
 
-  /** [[signRandomProjection]] with a SQL-REPLAYABLE sign source: the
-    * hyperplane sign for (bit j, dim i) comes from two rounds of the
-    * glibc LCG (a=1103515245, c=12345, m=2^31) over x = seed·100003 +
-    * j·8192 + i, taking bit 30 — every step is non-negative BIGINT
-    * arithmetic (`(a*x+c) % 2^31`, `// 2^30`), so a DuckDB oracle can
-    * reproduce the exact bucket ids where the Murmur3 variant cannot
-    * (Spark's Murmur3_x86_32 has no DuckDB twin). Same dot-product
-    * accumulation (sequential double adds) as the cosine kernels, which
-    * the cosine oracles already replay bit-exactly.
+  /** [[signRandomProjection]] with a SQL-REPLAYABLE sign source — every
+    * step non-negative BIGINT arithmetic (`(a*x+c) % 2^31`, `// 2^30`), so
+    * a DuckDB oracle can reproduce the exact bucket ids where the Murmur3
+    * variant cannot (Spark's Murmur3_x86_32 has no DuckDB twin).
+    *
+    * Each (seed, bit) hyperplane gets its OWN odd multiplier from two
+    * glibc-LCG rounds (a=1103515245, c=12345, m=2^31) of the lane key
+    * seed·100003 + j·8192:
+    *   h0 = lcg(seed·100003 + j·8192);  h1 = lcg(h0);  mult = 2·h1 + 1
+    *   sign_i = bit 30 of (mult·(i+1) + h0) mod 2^31
+    * The per-lane multiplier is what makes the hyperplane family diverse: a
+    * single affine map u(x) = A²x + C mod 2^31 over x = seedKey + i (the
+    * naive construction) renders EVERY (seed, bit) sign vector a shift of
+    * one Sturmian cut sequence bit30(A²·i + c') — i.e. one hyperplane up to
+    * sign, which collapses multi-table LSH to a single effective table and
+    * (worse) splits any cluster whose centroid straddles that lone
+    * hyperplane. Distinct odd multipliers give distinct cut sequences per
+    * lane. Same dot-product accumulation (sequential double adds) as the
+    * cosine kernels, which the cosine oracles already replay bit-exactly.
     */
   def signRandomProjectionPoly(arr: ArrayData, numBits: Int, seed: Int,
       isFloat: Boolean): Int = {
@@ -167,13 +177,14 @@ object Kernels {
     var bucket = 0
     var j = 0
     while (j < numBits) {
+      val h0 = (1103515245L * (seed.toLong * 100003L + j.toLong * 8192L)
+        + 12345L) % 2147483648L
+      val mult = 2L * ((1103515245L * h0 + 12345L) % 2147483648L) + 1L
       var acc = 0.0
       var i = 0
       while (i < n) {
-        val x = seed.toLong * 100003L + j.toLong * 8192L + i
-        val u1 = (1103515245L * x + 12345L) % 2147483648L
-        val u2 = (1103515245L * u1 + 12345L) % 2147483648L
-        val sign = if (((u2 >> 30) & 1L) == 1L) 1.0 else -1.0
+        val u = (mult * (i + 1L) + h0) % 2147483648L
+        val sign = if (((u >> 30) & 1L) == 1L) 1.0 else -1.0
         val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
         acc += sign * v
         i += 1

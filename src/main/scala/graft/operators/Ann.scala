@@ -382,4 +382,56 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
       .orderBy("query_id", "rank")
   }
+
+  /** INTEGER-EXACT IVF twin of [[ivfTopK]] — the kmeans_embeddings /
+    * semantic_dedup oracle discipline applied to the whole IVF pipeline:
+    * codebook = [[KMeans.lloydQuantized]] over the CANDIDATE set (floor
+    * quantization, truncating integer means), candidate cell = that
+    * training run's own argmin assignment, query probes = the `nprobe`
+    * integer-L2²-nearest final centroids (ties toward the lower cell id),
+    * within-cell ranking = integer L2² ascending with a neighbor_id
+    * tiebreak. Every number from training to ranking is BIGINT-valued, so
+    * the ENTIRE chain — not just the final cosine — replays bit-exact as
+    * unrolled SQL. The float [[ivfTopK]] stays the production path (recall
+    * specs in AnnSpec); this is the registered oracle surface.
+    *
+    * Same scale shape as [[ivfTopK]]: O(kCells·d) codebook broadcast both
+    * for training and probing, candidates shuffle once by cell.
+    */
+  def ivfTopKQuantized(queries: DataFrame, candidates: DataFrame, k: Int,
+      nprobe: Int = 2, kCells: Int = 8, iters: Int = 3,
+      scale: Long = 1000L): DataFrame = {
+    val r = KMeans.lloydQuantized(candidates, "vec_id", "embedding", kCells, iters, scale)
+    def quant(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col("vec_id").as(id),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * scale + 0.5).cast("long")).as(vec))
+    val cand = quant(candidates, "neighbor_id", "cv")
+      .join(r.assignments.select(col("id").as("neighbor_id"),
+        col("cluster").as("cell")), "neighbor_id")
+    // final centroids as a tiny exploded frame: integer-valued by
+    // construction (truncating means of integer sums)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = r.centroids.zipWithIndex
+      .map { case (v, i) => (i, v.map(_.toLong).toSeq) }.toSeq
+      .toDF("cell", "centv")
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, t) => acc + t)
+    val wProbe = Window.partitionBy("query_id").orderBy(col("cd2"), col("cell"))
+    val probes = quant(queries, "query_id", "qv")
+      .crossJoin(broadcast(centDf))
+      .withColumn("cd2", l2sq(col("qv"), col("centv")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
+    broadcast(probes).join(cand, "cell")
+      .select(col("query_id"), col("neighbor_id"), l2sq(col("qv"), col("cv")).as("d2"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("d2"))
+      .orderBy("query_id", "rank")
+  }
 }

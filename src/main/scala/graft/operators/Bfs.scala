@@ -58,6 +58,42 @@ object Bfs {
     settled
   }
 
+  /** PER-SOURCE bounded-depth BFS — [[shortestPaths]] keyed by (source,
+    * node) instead of collapsing to the min over sources: the landmark /
+    * sampled-source primitive centrality estimators build on (closeness,
+    * betweenness, eccentricity sketches à la Eppstein–Wang). State is
+    * O(|sources| · reached) — the point of SAMPLING the sources is exactly
+    * that |sources| is a small constant, so the multiplier is fixed and
+    * every hop stays one keyed shuffle + one distinct + one anti join, the
+    * [[shortestPaths]] shape with a wider key.
+    *
+    * @return (s, node, dist) for every (source, node) pair reached within
+    *         maxDepth hops; the (s, s, 0) self rows are included */
+  def perSourceDistances(edges: DataFrame, sources: DataFrame, maxDepth: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = new Checkpointer(checkpointDir)
+    val e = ckpt(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")))
+    var settled = ckpt(sources.select(col("node").cast("long")).distinct()
+      .select(col("node").as("s"), col("node"), lit(0L).as("dist")))
+    var frontier = settled.select(col("s"), col("node"))
+    var prevFresh: Option[DataFrame] = None
+    var k = 1
+    while (k <= maxDepth) {
+      val discovered = frontier.withColumnRenamed("node", "src")
+        .join(e, "src").select(col("s"), col("dst").as("node")).distinct()
+      val fresh = ckpt(discovered.join(settled, Seq("s", "node"), "left_anti")
+        .withColumn("dist", lit(k.toLong)))
+      prevFresh.foreach(ckpt.retire); prevFresh = Some(fresh)
+      val prevSettled = settled
+      settled = ckpt(settled.unionByName(fresh))
+      ckpt.retire(prevSettled)
+      frontier = fresh.select(col("s"), col("node"))
+      k += 1
+    }
+    settled
+  }
+
   /** Bounded-hop WEIGHTED shortest paths — Bellman–Ford with delta
     * relaxation: each round relaxes only out-edges of nodes whose distance
     * IMPROVED last round (the frontier), not every settled node, so work per

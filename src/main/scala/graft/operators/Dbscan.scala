@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -27,36 +28,29 @@ import org.apache.spark.sql.functions._
   *    output a pure function of the data);
   *  - NOISE: everything else (cluster −1).
   *
-  * Scale shape: the ε-neighborhood join here is the EXACT all-pairs
-  * baseline (the oracle replays the identical pair space) — same stance as
-  * [[Ann.pairsAboveThreshold]]. In 64 dimensions no exact blocking scheme
-  * prunes an ε-ball (the curse of dimensionality defeats grid cells), so
-  * the 100 TB path is the SRP-banded candidate pruning the embedding
-  * near-dup family already ships ([[Ann.lshPairs]] buckets, recall-bounded
-  * in AnnSpec): band → exact ε-verify inside collisions → same core/border
-  * rules. Degree counting, component propagation, and border assignment
-  * are all keyed shuffles with no driver-side state.
+  * Two neighbor-generation paths, trading recall for scale (the
+  * [[Ann.pairsAboveThreshold]] / [[Ann.lshPairs]] stance):
+  *  - [[dbscanQuantized]]: the EXACT all-pairs ε-join — the oracle-checked
+  *    correctness baseline, O(N²) pair space by construction;
+  *  - [[dbscanBanded]]: vectors meet only inside an SRP (table, bucket)
+  *    collision ([[Ann.lshPairs]] banding, LCG signs so the banding itself
+  *    is SQL-replayable), survivors verified with the identical integer
+  *    ε-test — the 100 TB path. Approximate in recall (an ε-pair may share
+  *    no bucket, which can split a cluster or demote a core point);
+  *    banded ≡ exact on dense-blob corpora is spec-checked in DbscanSpec.
+  *
+  * Degree counting, component propagation, and border assignment are all
+  * keyed shuffles with no driver-side state.
   */
 object Dbscan {
 
-  /** @return (vec_id, cluster, is_core) for EVERY input vector; noise rows
-    *         carry cluster = −1. */
-  def dbscanQuantized(vectors: DataFrame, epsSq: Long, minPts: Int,
-      scale: Long = 1000L): DataFrame = {
-    val q = vectors.select(col("vec_id"),
-      transform(col("embedding").cast("array<double>"),
-        x => floor(x * scale + 0.5).cast("long")).as("v"))
-    val a = q.select(col("vec_id").as("id_a"), col("v").as("va"))
-    val b = q.select(col("vec_id").as("id_b"), col("v").as("vb"))
-    // symmetric ε-neighbor list (both directions — degree and border
-    // assignment read it per id_a); integer L2², no floats
-    val nbr = a.join(b, col("id_a") =!= col("id_b"))
-      .withColumn("d2",
-        aggregate(zip_with(col("va"), col("vb"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, t) => acc + t))
-      .filter(col("d2") <= epsSq)
-      .select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Shared labeling tail over a SYMMETRIC ε-neighbor list (both
+    * directions present): core rule → min-label components of the
+    * core-core subgraph → min-cluster border assignment → noise. The
+    * output is materialized eagerly (localCheckpoint) so callers can
+    * unpersist the neighbor list without a recompute hazard.
+    */
+  private def label(nbr: DataFrame, allIds: DataFrame, minPts: Int): DataFrame = {
     val core = nbr.groupBy(col("id_a")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= minPts)
       .select(col("id_a").as("cid"))
@@ -79,12 +73,82 @@ object Dbscan {
       .select(col("id_a").as("vec_id"), col("cluster"))
     val coreOut = comp.select(col("cid").as("vec_id"),
       col("component_id").as("cluster"), lit(true).as("is_core"))
-    vectors.select(col("vec_id"))
+    allIds
       .join(coreOut, Seq("vec_id"), "left")
       .join(border.withColumnRenamed("cluster", "bcluster"), Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("cluster"), col("bcluster"), lit(-1L)).as("cluster"),
         coalesce(col("is_core"), lit(false)).as("is_core"))
       .orderBy(col("vec_id"))
+      // eager: cuts lineage off the cached neighbor list so it can be
+      // unpersisted here instead of leaking for the session lifetime
+      // (checkpoint blocks are ContextCleaner-managed, cache entries are not)
+      .localCheckpoint(true)
+  }
+
+  private def quantized(vectors: DataFrame, scale: Long): DataFrame =
+    vectors.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => floor(x * scale + 0.5).cast("long")).as("v"))
+
+  private def intL2Filter(pairs: DataFrame, epsSq: Long): DataFrame = pairs
+    .withColumn("d2",
+      aggregate(zip_with(col("va"), col("vb"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, t) => acc + t))
+    .filter(col("d2") <= epsSq)
+    .select(col("id_a"), col("id_b"))
+
+  /** Exact all-pairs variant — the correctness baseline.
+    * @return (vec_id, cluster, is_core) for EVERY input vector; noise rows
+    *         carry cluster = −1. */
+  def dbscanQuantized(vectors: DataFrame, epsSq: Long, minPts: Int,
+      scale: Long = 1000L): DataFrame = {
+    val q = quantized(vectors, scale)
+    val a = q.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = q.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    // symmetric ε-neighbor list (both directions — degree and border
+    // assignment read it per id_a); integer L2², no floats
+    val nbr = intL2Filter(a.join(b, col("id_a") =!= col("id_b")), epsSq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try label(nbr, vectors.select(col("vec_id")), minPts)
+    finally nbr.unpersist()
+  }
+
+  /** SRP-banded variant — the scale path: candidate pairs are the
+    * (table, bucket) collisions of [[Ann.lshPairs]]-style sign-random-
+    * projection banding (LCG sign source, seed base `seedBase`, so the
+    * banding replays in SQL), verified with the IDENTICAL integer ε-test.
+    * The pair space drops from N² to bucket co-occupancy and the heavy
+    * join shuffles once by (table, bucket). Recall is approximate: an
+    * ε-pair colliding in no table is missed, which can only DROP edges —
+    * degrees never inflate, so banded core ⊆ exact core.
+    */
+  def dbscanBanded(vectors: DataFrame, epsSq: Long, minPts: Int,
+      scale: Long = 1000L, numTables: Int = 8, numBits: Int = 4,
+      seedBase: Int = 5000): DataFrame = {
+    val nbr = bandedNeighbors(vectors, epsSq, scale, numTables, numBits, seedBase)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try label(nbr, vectors.select(col("vec_id")), minPts)
+    finally nbr.unpersist()
+  }
+
+  /** The banded symmetric ε-neighbor list on its own (lazy, unpersisted) —
+    * exposed so DbscanSpec can audit the candidate join's physical plan
+    * (no cartesian) pre-checkpoint. */
+  private[graft] def bandedNeighbors(vectors: DataFrame, epsSq: Long,
+      scale: Long, numTables: Int, numBits: Int, seedBase: Int): DataFrame = {
+    val bucketed = vectors.select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * scale + 0.5).cast("long")).as("v"),
+        posexplode(array((0 until numTables).map(t =>
+          sign_random_projection_poly(col("embedding"), numBits, seedBase + t)): _*)))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    // a ≠ b keeps BOTH directions of every collision → symmetric list
+    val cand = bucketed.as("a").join(bucketed.as("b"), Seq("tbl", "bucket"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+    intL2Filter(cand, epsSq)
   }
 }

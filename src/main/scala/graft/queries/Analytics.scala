@@ -2439,14 +2439,20 @@ object Analytics {
           (dec2($"value") * 100).cast("long").as("vc"))
         val withB = ev.select($"event_type", $"event_id", $"vc",
           explode(sequence(lit(0), lit(B - 1))).as("b"))
-        val x = $"event_id" * 211L + $"b"
+        // pre-reduced mod 2^31 before each multiply: no intermediate tops
+        // 1103515245·2^31 < 2^62, so the weights never silently wrap at
+        // large event_id (and u2 stays non-negative, keeping the
+        // element_at index in [1,4]); same values where no overflow.
+        val x = (($"event_id" % 2147483648L) * 211L + $"b") % 2147483648L
         val u1 = (lit(1103515245L) * x + 12345L) % 2147483648L
         val u2 = (lit(1103515245L) * u1 + 12345L) % 2147483648L
         val wgt = element_at(typedLit(Seq(0L, 1L, 2L, 1L)), (u2 % 4).cast("int") + 1)
         val perB = withB.withColumn("w", wgt)
           .groupBy($"event_type", $"b")
           .agg(sum($"w" * $"vc").as("swv"), sum($"w").as("sw"))
-          .withColumn("mean_e6", idiv(lit(1000000L) * $"swv", greatest($"sw", lit(1L))))
+          .withColumn("mean_e6", idiv(lit(1000000L).cast(DecimalType(38, 0)) *
+            $"swv".cast(DecimalType(38, 0)),
+            greatest($"sw", lit(1L)).cast(DecimalType(38, 0))).cast("long"))
         val wRank = org.apache.spark.sql.expressions.Window
           .partitionBy($"event_type").orderBy($"mean_e6", $"b")
         perB.withColumn("rk", row_number().over(wRank))
@@ -2458,7 +2464,7 @@ object Analytics {
       Some("""WITH ev AS (SELECT event_type, event_id,
             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM events),
         wb AS (SELECT event_type, event_id, vc, b.b,
-            ((1103515245*((1103515245*(event_id*211 + b.b) + 12345) % 2147483648)
+            ((1103515245*((1103515245*(((event_id % 2147483648)*211 + b.b) % 2147483648) + 12345) % 2147483648)
               + 12345) % 2147483648) % 4 AS u
           FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS b) b),
         w AS (SELECT event_type, b, vc,
@@ -2468,7 +2474,7 @@ object Analytics {
             CAST(sum(w * vc) AS BIGINT) AS swv, CAST(sum(w) AS BIGINT) AS sw
           FROM w GROUP BY 1, 2),
         m AS (SELECT event_type, b,
-            (1000000 * swv) // greatest(sw, 1) AS mean_e6 FROM perb),
+            CAST((1000000 * CAST(swv AS HUGEINT)) // greatest(sw, 1) AS BIGINT) AS mean_e6 FROM perb),
         r AS (SELECT *, row_number() OVER (PARTITION BY event_type
             ORDER BY mean_e6, b) AS rk FROM m)
         SELECT event_type,
@@ -2478,5 +2484,82 @@ object Analytics {
       "Deterministic hash-weighted bootstrap (B=200, LCG {0,1,2,1} weights): " +
         "order-statistic 95% CI of per-type mean spend, integer-exact end to " +
         "end — map-side partials keep the shuffle at B x |types| rows.")
+  ,
+
+    "spearman_corr" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Spearman rank correlation (quantity vs discount per return flag)
+        // — the MONOTONE-association companion to corr_matrix's Pearson:
+        // rank-transform both measures, then Pearson on the ranks. Ties
+        // take midranks, kept INTEGRAL as 2·midrank = 2·rank() + ties − 1
+        // (rank() is the min rank, so the doubling clears the half) —
+        // every downstream sufficient statistic stays integer. Emission is
+        // the assortativity discipline: sign + ρ²·10⁶ sqrt-free, with the
+        // DIV-n reduction on covariance/variances first so the squares
+        // stay inside DECIMAL(38,0) at any corpus size. Cost: two window
+        // sorts sharing one (flag) partition + one sufficient-stats fold.
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val li = table(s, d, "lineitem").select($"l_returnflag",
+          round($"l_quantity").cast("long").as("q"),
+          round($"l_discount" * 100).cast("long").as("dd"))
+        def rank2(c: String): org.apache.spark.sql.Column = {
+          val wOrd = org.apache.spark.sql.expressions.Window
+            .partitionBy($"l_returnflag").orderBy(col(c))
+          val wVal = org.apache.spark.sql.expressions.Window
+            .partitionBy($"l_returnflag", col(c))
+          rank().over(wOrd).cast("long") * 2 + count(lit(1)).over(wVal) - 1
+        }
+        val ranked = li.withColumn("rx", rank2("q")).withColumn("ry", rank2("dd"))
+        val sums = ranked.groupBy($"l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum($"rx").as("sx"), sum($"ry").as("sy"),
+          sum($"rx".cast(d38) * $"rx".cast(d38)).as("sxx"),
+          sum($"ry".cast(d38) * $"ry".cast(d38)).as("syy"),
+          sum($"rx".cast(d38) * $"ry".cast(d38)).as("sxy"))
+        val covN = $"n".cast(d38) * $"sxy" - $"sx".cast(d38) * $"sy".cast(d38)
+        val varXN = $"n".cast(d38) * $"sxx" - $"sx".cast(d38) * $"sx".cast(d38)
+        val varYN = $"n".cast(d38) * $"syy" - $"sy".cast(d38) * $"sy".cast(d38)
+        sums
+          .withColumn("cov_e", when(covN >= 0, idiv(covN, $"n".cast(d38)))
+            .otherwise(-idiv(-covN, $"n".cast(d38))))
+          .withColumn("varx_e", idiv(varXN, $"n".cast(d38)))
+          .withColumn("vary_e", idiv(varYN, $"n".cast(d38)))
+          .select($"l_returnflag", $"n",
+            signum($"cov_e").cast("long").as("rho_sign"),
+            idiv(lit(1000000L).cast(d38) * $"cov_e".cast(d38) * $"cov_e".cast(d38),
+              $"varx_e".cast(d38) * $"vary_e".cast(d38)).cast("long").as("rho2_e6"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH li AS (SELECT l_returnflag,
+            CAST(round(l_quantity) AS BIGINT) AS q,
+            CAST(round(l_discount * 100) AS BIGINT) AS dd FROM lineitem),
+        rk AS (SELECT l_returnflag,
+            rank() OVER (PARTITION BY l_returnflag ORDER BY q) * 2
+              + count(*) OVER (PARTITION BY l_returnflag, q) - 1 AS rx,
+            rank() OVER (PARTITION BY l_returnflag ORDER BY dd) * 2
+              + count(*) OVER (PARTITION BY l_returnflag, dd) - 1 AS ry
+          FROM li),
+        s AS (SELECT l_returnflag, count(*) AS n,
+            CAST(sum(rx) AS HUGEINT) AS sx, CAST(sum(ry) AS HUGEINT) AS sy,
+            sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+            sum(CAST(ry AS HUGEINT) * ry) AS syy,
+            sum(CAST(rx AS HUGEINT) * ry) AS sxy
+          FROM rk GROUP BY 1),
+        f AS (SELECT l_returnflag, n,
+            CASE WHEN n * sxy - sx * sy >= 0
+              THEN (n * sxy - sx * sy) // n
+              ELSE -((-(n * sxy - sx * sy)) // n) END AS cov_e,
+            (n * sxx - sx * sx) // n AS varx_e,
+            (n * syy - sy * sy) // n AS vary_e
+          FROM s)
+        SELECT l_returnflag, n,
+          CAST(CASE WHEN cov_e > 0 THEN 1 WHEN cov_e < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS rho_sign,
+          CAST((1000000 * cov_e * cov_e) // (varx_e * vary_e) AS BIGINT) AS rho2_e6
+        FROM f ORDER BY l_returnflag"""),
+      "Spearman rank correlation (sign + rho2 in e6, sqrt-free): integral " +
+        "2-midranks with tie handling, Pearson sufficient stats on the " +
+        "ranks, DIV-n reduction keeping every square inside DECIMAL(38,0).")
   )
 }

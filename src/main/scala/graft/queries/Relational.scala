@@ -477,6 +477,122 @@ object Relational {
         "the filtered stream, 1-day bound): two lead() columns over one " +
         "per-user sort, every match counted — the Flink-CEP `next` shape."),
 
+    "cep_followed_by" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Flink-CEP `followedBy` (RELAXED contiguity — Flink's default):
+        // view →followedBy click →followedBy purchase `within` 1 day.
+        // Non-matching events between stages are ignored, and each partial
+        // match takes the FIRST next-stage occurrence (followedBy, not
+        // followedByAny): a view's click is the minimum click rank after
+        // it, that click's purchase is the minimum purchase rank after it.
+        // Shape: one per-user rank window + one following-min window pass
+        // computing BOTH next-stage ranks, then two (user_id, rn)
+        // co-partitioned self-equi-joins — no cross join, per-user history
+        // is the scale bound exactly as in the strict variant.
+        val ev = eventsTable(s, d)
+          .filter($"event_type".isin("view", "click", "purchase"))
+          .select($"user_id", $"event_id", micros($"ts").as("us"), $"event_type")
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("us", "event_id")
+        val wFol = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("rn")
+          .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        val n = ev.withColumn("rn", row_number().over(wOrd).cast("long"))
+          .withColumn("next_click_rn",
+            min(when($"event_type" === "click", $"rn")).over(wFol))
+          .withColumn("next_purchase_rn",
+            min(when($"event_type" === "purchase", $"rn")).over(wFol))
+        val v = n.filter($"event_type" === "view")
+          .select($"user_id", $"us".as("view_us"), $"next_click_rn")
+        val c = n.select($"user_id", $"rn".as("crn"),
+          $"next_purchase_rn".as("prn"))
+        val p = n.select($"user_id", $"rn".as("prn2"), $"us".as("purchase_us"))
+        v.join(c, Seq("user_id")).filter($"next_click_rn" === $"crn")
+          .join(p, Seq("user_id")).filter($"prn" === $"prn2")
+          .filter($"purchase_us" - $"view_us" <= 86400000000L)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_matches"), min($"view_us").as("first_match_us"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+          FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY us, event_id) AS rn FROM ev),
+        n AS (SELECT *,
+            min(CASE WHEN event_type = 'click' THEN rn END) OVER f AS next_click_rn,
+            min(CASE WHEN event_type = 'purchase' THEN rn END) OVER f AS next_purchase_rn
+          FROM r WINDOW f AS (PARTITION BY user_id ORDER BY rn
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        m AS (SELECT v.user_id, v.us AS view_us, p.us AS purchase_us
+          FROM n v
+          JOIN n c ON v.user_id = c.user_id AND c.rn = v.next_click_rn
+          JOIN n p ON c.user_id = p.user_id AND p.rn = c.next_purchase_rn
+          WHERE v.event_type = 'view' AND p.us - v.us <= 86400000000)
+        SELECT user_id, count(*) AS n_matches, min(view_us) AS first_match_us
+        FROM m GROUP BY user_id ORDER BY user_id"""),
+      "CEP relaxed contiguity (Flink-CEP followedBy, its default semantic): " +
+        "view then first following click then first following purchase " +
+        "within 1 day — following-min window ranks + co-partitioned " +
+        "self-equi-joins, never a cross join."),
+
+    "cep_followed_by_quantified" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // `followedBy` with a QUANTIFIER — click.times(2): view →fB
+        // click →fB click →fB purchase within 1 day. Same following-min
+        // machinery; the second click is the first click AFTER the first
+        // click (every row already carries its own next_click_rn, so the
+        // chain is one more (user_id, rn) equi-join, not new window work).
+        val ev = eventsTable(s, d)
+          .filter($"event_type".isin("view", "click", "purchase"))
+          .select($"user_id", $"event_id", micros($"ts").as("us"), $"event_type")
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("us", "event_id")
+        val wFol = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("rn")
+          .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        val n = ev.withColumn("rn", row_number().over(wOrd).cast("long"))
+          .withColumn("next_click_rn",
+            min(when($"event_type" === "click", $"rn")).over(wFol))
+          .withColumn("next_purchase_rn",
+            min(when($"event_type" === "purchase", $"rn")).over(wFol))
+        val v = n.filter($"event_type" === "view")
+          .select($"user_id", $"us".as("view_us"), $"next_click_rn".as("c1rn"))
+        val c1 = n.select($"user_id", $"rn".as("c1rn2"),
+          $"next_click_rn".as("c2rn"))
+        val c2 = n.select($"user_id", $"rn".as("c2rn2"),
+          $"next_purchase_rn".as("prn"))
+        val p = n.select($"user_id", $"rn".as("prn2"), $"us".as("purchase_us"))
+        v.join(c1, Seq("user_id")).filter($"c1rn" === $"c1rn2")
+          .join(c2, Seq("user_id")).filter($"c2rn" === $"c2rn2")
+          .join(p, Seq("user_id")).filter($"prn" === $"prn2")
+          .filter($"purchase_us" - $"view_us" <= 86400000000L)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_matches"), min($"view_us").as("first_match_us"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+          FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY us, event_id) AS rn FROM ev),
+        n AS (SELECT *,
+            min(CASE WHEN event_type = 'click' THEN rn END) OVER f AS next_click_rn,
+            min(CASE WHEN event_type = 'purchase' THEN rn END) OVER f AS next_purchase_rn
+          FROM r WINDOW f AS (PARTITION BY user_id ORDER BY rn
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        m AS (SELECT v.user_id, v.us AS view_us, p.us AS purchase_us
+          FROM n v
+          JOIN n c1 ON v.user_id = c1.user_id AND c1.rn = v.next_click_rn
+          JOIN n c2 ON c1.user_id = c2.user_id AND c2.rn = c1.next_click_rn
+          JOIN n p ON c2.user_id = p.user_id AND p.rn = c2.next_purchase_rn
+          WHERE v.event_type = 'view' AND p.us - v.us <= 86400000000)
+        SELECT user_id, count(*) AS n_matches, min(view_us) AS first_match_us
+        FROM m GROUP BY user_id ORDER BY user_id"""),
+      "CEP followedBy with a times(2) quantifier: view, two successive " +
+        "first-following clicks, first following purchase, 1-day within — " +
+        "the quantifier is one extra co-partitioned equi-join."),
+
     "q4_order_priority" -> Q(
       (s, d) => {
         import s.implicits._

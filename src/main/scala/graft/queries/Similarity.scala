@@ -63,20 +63,27 @@ object Similarity {
       ORDER BY query_id, rank"""
 
   /** DuckDB replay of [[Ann.lshTopK]] with `polySigns = true`: per (vector,
-    * table) the numBits hyperplane signs come from the same two-round LCG
-    * over x = seed·100003 + j·8192 + (i−1) ([[graft.functions.Kernels
-    * .signRandomProjectionPoly]]; 1-based SQL list index shifted back), the
-    * per-bit accumulations are the same sequential double sums the cosine
-    * oracles replay, then bucket-collision join, DISTINCT candidate pairs,
-    * exact cosine top-k.
+    * table) the numBits hyperplane signs come from the same per-lane
+    * LCG-multiplier construction as [[graft.functions.Kernels
+    * .signRandomProjectionPoly]] (odd multiplier from two LCG rounds of the
+    * lane key, sign = bit 30 of mult·i + h0 mod 2^31), the per-bit
+    * accumulations are the same sequential double sums the cosine oracles
+    * replay, then bucket-collision join, DISTINCT candidate pairs, exact
+    * cosine top-k.
     */
   /** The LCG bucket CTE shared by the LSH oracles: per (vector, table) the
     * numBits signs from seedBase + tbl (see lshTopkSql doc). */
   private def lshBucketCte(seedBase: Int, numTables: Int, numBits: Int): String = {
-    def sign(j: Int) =
-      s"""(CASE WHEN ((1103515245*((1103515245*(($seedBase + t.tbl)*100003 + ${j * 8192L} + (i-1))
-          + 12345) % 2147483648) + 12345) % 2147483648) // 1073741824 = 1
+    // per-(table, bit) odd multiplier from two LCG rounds of the lane key,
+    // then sign_i = bit 30 of (mult·i + h0) mod 2^31 — the diverse-hyperplane
+    // construction of Kernels.signRandomProjectionPoly (SQL i is 1-based,
+    // matching the kernel's (i+1))
+    def sign(j: Int) = {
+      val h0 = s"((1103515245*(($seedBase + t.tbl)*100003 + ${j * 8192L}) + 12345) % 2147483648)"
+      s"""(CASE WHEN (((2*((1103515245*$h0 + 12345) % 2147483648) + 1) * i + $h0)
+          % 2147483648) // 1073741824 = 1
         THEN 1.0 ELSE -1.0 END)"""
+    }
     val bucketExpr = (0 until numBits).map { j =>
       s"(CASE WHEN ${sumSql(s"${sign(j)} * q.v[i]")} >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
@@ -143,7 +150,40 @@ object Similarity {
         FROM q a JOIN q b ON a.vec_id <> b.vec_id
         WHERE list_sum(list_transform(generate_series(1, $dim),
           i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) <= $epsSq),
-      core AS (SELECT id_a AS cid FROM nbr GROUP BY id_a
+      ${dbscanTailSql(minPts)}"""
+
+  /** DuckDB replay of [[graft.operators.Dbscan.dbscanBanded]]: SRP banding
+    * via the same LCG sign source as the other LSH oracles (seed base
+    * 5000), candidate pairs = DISTINCT (table, bucket) collisions, then the
+    * IDENTICAL quantized ε-verify and label tail as [[dbscanSql]] — the
+    * banding itself is part of the oracle contract, not just the labels.
+    */
+  private def dbscanLshSql(epsSq: Long, minPts: Int, scale: Long, dim: Int,
+      numTables: Int, numBits: Int): String =
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      qz AS (SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT)) AS v
+      FROM embeddings),
+      ${lshBucketCte(5000, numTables, numBits)},
+      cand AS (SELECT DISTINCT ab.vec_id AS id_a, bb.vec_id AS id_b
+        FROM buck ab JOIN buck bb ON ab.tbl = bb.tbl AND ab.bucket = bb.bucket
+        WHERE ab.vec_id <> bb.vec_id),
+      nbr AS (SELECT c.id_a, c.id_b
+        FROM cand c JOIN qz a ON a.vec_id = c.id_a JOIN qz b ON b.vec_id = c.id_b
+        WHERE list_sum(list_transform(generate_series(1, $dim),
+          i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) <= $epsSq),
+      ${dbscanTailSql(minPts)}"""
+
+  /** The label tail shared by [[dbscanSql]] and [[dbscanLshSql]]: HAVING-count
+    * core rule, recursive-CTE min-label closure of the core-core subgraph
+    * (self-edges keep isolated cores), min-cluster border assignment, −1
+    * noise. Everything integer ⇒ hash-exact. Quadratic replay (pair join +
+    * closure) — check_big SKIPs it like the other closure oracles.
+    */
+  private def dbscanTailSql(minPts: Int): String =
+    s"""core AS (SELECT id_a AS cid FROM nbr GROUP BY id_a
         HAVING count(*) >= $minPts),
       ce AS (SELECT n.id_a, n.id_b FROM nbr n
         JOIN core c1 ON n.id_a = c1.cid JOIN core c2 ON n.id_b = c2.cid),
@@ -220,25 +260,35 @@ object Similarity {
     * min-label closure (the dedup_groups pattern), and the survivor
     * anti-join. Everything integer ⇒ hash-exact vs the engine.
     */
-  private def semanticDedupQuantizedSql(k: Int, iters: Int, scale: Long,
-      dim: Int, tauNumSq: Long, tauDenSq: Long): String = {
-    def assign(name: String, cents: String) =
-      s"""$name AS (SELECT vec_id, cl FROM (
-          SELECT q.vec_id, c.cl,
-            row_number() OVER (PARTITION BY q.vec_id ORDER BY
-              list_sum(list_transform(generate_series(1, $dim),
-                i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), c.cl) AS rn
-          FROM q CROSS JOIN $cents c) WHERE rn = 1)"""
-    val head = s"""WITH RECURSIVE q AS (SELECT vec_id,
+  /** Argmin-assignment CTE over the quantized set `q` against centroid CTE
+    * `cents` — the shared step of every unrolled-Lloyd oracle here. */
+  private def lloydAssignCte(name: String, cents: String, dim: Int): String =
+    s"""$name AS (SELECT vec_id, cl FROM (
+        SELECT q.vec_id, c.cl,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            list_sum(list_transform(generate_series(1, $dim),
+              i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), c.cl) AS rn
+        FROM q CROSS JOIN $cents c) WHERE rn = 1)"""
+
+  /** The unrolled [[graft.operators.KMeans.lloydQuantized]] CTE chain over
+    * `where`-filtered embeddings: emits CTEs `q` (quantized training set),
+    * `dims`, `c0`…`c<iters>` (codebook per iteration — truncating integer
+    * means, empty clusters keep the previous centroid) and `fin(vec_id,
+    * cl)` (the final assignment). Callers prepend `WITH [RECURSIVE]` and
+    * append their tail. Shared by semantic_dedup and ann_ivf so dependent
+    * oracles replay the EXACT training chain, never a paraphrase. */
+  private def lloydChainCtes(k: Int, iters: Int, scale: Long, dim: Int,
+      where: String = ""): String = {
+    val head = s"""q AS (SELECT vec_id,
         list_transform(embedding,
           x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT)) AS v
-      FROM embeddings),
+      FROM embeddings$where),
       dims AS (SELECT unnest(generate_series(1, $dim)) AS i),
       c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
         FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $k))"""
     val steps = (1 to iters).map { t =>
       val p = t - 1
-      s"""${assign(s"a$t", s"c$p")},
+      s"""${lloydAssignCte(s"a$t", s"c$p", dim)},
         m$t AS (SELECT a.cl, d.i, CAST(sum(q.v[d.i]) AS BIGINT) // count(*) AS m
           FROM a$t a JOIN q ON a.vec_id = q.vec_id CROSS JOIN dims d
           GROUP BY a.cl, d.i),
@@ -247,7 +297,13 @@ object Similarity {
             (SELECT cl, list(m ORDER BY i) AS v FROM m$t GROUP BY cl) mm
             ON p.cl = mm.cl)"""
     }
-    val tail = s"""${assign("fin", s"c$iters")},
+    ((head +: steps) :+ lloydAssignCte("fin", s"c$iters", dim))
+      .mkString(",\n      ")
+  }
+
+  private def semanticDedupQuantizedSql(k: Int, iters: Int, scale: Long,
+      dim: Int, tauNumSq: Long, tauDenSq: Long): String = {
+    val tail = s"""
       pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           CAST(list_sum(list_transform(generate_series(1, $dim),
             i -> qa.v[i] * qb.v[i])) AS HUGEINT) AS dot,
@@ -270,7 +326,41 @@ object Similarity {
       SELECT f.vec_id, f.cl AS cluster FROM fin f
       WHERE f.vec_id NOT IN (SELECT vec_id FROM dropped)
       ORDER BY f.vec_id"""
-    ((head +: steps).mkString(",\n      ")) + ",\n      " + tail
+    s"WITH RECURSIVE ${lloydChainCtes(k, iters, scale, dim)},\n      $tail"
+  }
+
+  /** Unrolled DuckDB replay of [[Ann.ivfTopKQuantized]]: the quantized-Lloyd
+    * training chain over the CANDIDATE set (vec_id >= 10) verbatim via
+    * [[lloydChainCtes]], query probes = nprobe integer-L2²-nearest final
+    * centroids (ties toward the lower cell), within-cell ranking = integer
+    * L2² ascending with a neighbor_id tiebreak. Training, routing, and
+    * ranking are all BIGINT ⇒ hash-exact.
+    */
+  private def ivfQuantizedSql(k: Int, nprobe: Int, kCells: Int, iters: Int,
+      scale: Long, dim: Int): String = {
+    val l2 = (a: String, b: String) =>
+      s"""list_sum(list_transform(generate_series(1, $dim),
+          i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"""
+    s"""WITH ${lloydChainCtes(kCells, iters, scale, dim, " WHERE vec_id >= 10")},
+      qq AS (SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT)) AS v
+      FROM embeddings WHERE vec_id < 10),
+      probes AS (SELECT vec_id AS query_id, cl AS cell FROM (
+        SELECT qq.vec_id, c.cl,
+          row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+            ${l2("qq.v", "c.v")}, c.cl) AS rn
+        FROM qq CROSS JOIN c$iters c) WHERE rn <= $nprobe),
+      scored AS (SELECT p.query_id, f.vec_id AS neighbor_id,
+          ${l2("a.v", "b.v")} AS d2
+        FROM probes p JOIN fin f ON f.cl = p.cell
+        JOIN qq a ON a.vec_id = p.query_id
+        JOIN q b ON b.vec_id = f.vec_id),
+      r AS (SELECT query_id, neighbor_id, d2,
+        row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+      FROM scored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, d2
+      FROM r WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
   val defs: Seq[(String, Q)] = Seq(
@@ -342,13 +432,24 @@ object Similarity {
         "group — bit-exact vs the unrolled SQL replay."),
 
     "ann_ivf" -> Q(
+      // FULL ORACLE since r10 via the quantized-integer discipline: the
+      // registered entry routes codebook training (lloydQuantized over the
+      // candidate set), cell assignment, query probing, AND within-cell
+      // ranking (integer L2², neighbor_id tiebreak) through BIGINT
+      // arithmetic, bit-exact vs the unrolled-Lloyd + cell-routing SQL
+      // replay. The float ivfTopK (cosine ranking, label-mean codebook)
+      // stays the production path, recall-spec-backed in AnnSpec.
       (s, d) => {
         val e = emb(s, d)
-        Ann.ivfTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
-          Ann.centroids(e), k = 5)
+        Ann.ivfTopKQuantized(e.filter(col("vec_id") < 10),
+          e.filter(col("vec_id") >= 10), k = 5, nprobe = 2, kCells = 8, iters = 3)
       },
-      None, // approximate: recall vs embedding_cosine_topk is spec-checked
-      "IVF ANN: coarse-quantize to label-mean codebook, probe 2 nearest cells."),
+      Some(ivfQuantizedSql(k = 5, nprobe = 2, kCells = 8, iters = 3,
+        scale = 1000L, dim = 64)),
+      "IVF ANN, integer-exact twin: quantized-Lloyd codebook over the " +
+        "candidates, probe 2 nearest cells by integer L2², rank within " +
+        "probed cells by integer L2² — the whole train+route+rank chain " +
+        "replays as unrolled SQL."),
 
     "ann_ivf_pq" -> Q(
       (s, d) => {
@@ -402,6 +503,19 @@ object Similarity {
       "DBSCAN density clustering (quantized-integer ε-test, min-label core " +
         "components, canonical min-cluster border assignment, noise = -1) — " +
         "the non-centroidal companion to kmeans_embeddings."),
+
+    "dbscan_embeddings_lsh" -> Q(
+      // same ε/minPts regime as dbscan_embeddings; candidates pruned to SRP
+      // bucket collisions — the 100 TB path, with the banding itself inside
+      // the oracle contract (LCG signs replayed in SQL, seed base 5000)
+      (s, d) => graft.operators.Dbscan.dbscanBanded(emb(s, d),
+        epsSq = 1300000L, minPts = 3),
+      Some(dbscanLshSql(epsSq = 1300000L, minPts = 3, scale = 1000L, dim = 64,
+        numTables = 8, numBits = 4)),
+      "SRP-banded DBSCAN: the dbscan_embeddings scale path — ε-pairs meet " +
+        "only inside an LSH (table,bucket) collision, exact integer ε-verify " +
+        "on survivors, identical core/border/noise rules; one (table,bucket) " +
+        "shuffle instead of the N² cross join."),
 
     "hybrid_retrieval_rrf" -> Q(
       (s, d) => {

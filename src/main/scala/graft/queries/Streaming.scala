@@ -1303,5 +1303,56 @@ object Streaming {
         GROUP BY user_id ORDER BY user_id"""),
       "Streaming CEP (Flink-CEP next semantics as keyed state): last-two-" +
         "events O(1) state per user, cross-batch matches fire, output ≡ " +
-        "the batch strict-contiguity window build."))
+        "the batch strict-contiguity window build."),
+
+    "streaming_cep_followedby" -> Q(
+      (s, d) => {
+        // Flink-CEP's DEFAULT semantic on Structured Streaming: the batch
+        // cep_followed_by relaxed-contiguity pattern (view →followedBy
+        // click →followedBy purchase within 1 day) as a keyed state
+        // machine — pending-view / pending-pair lists bounded by the
+        // within window (CepFollowedBy Scaladoc), so matches whose stages
+        // land in different micro-batches fire where any per-batch window
+        // replay would drop them. Output ≡ the batch following-min build.
+        val (src, out, ck) = Streams.workDirs("streaming_cep_followedby")
+        val input = eventsTable(s, d)
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), micros(col("ts")).as("us"),
+            col("event_id"), col("event_type"))
+        val mx = input.agg(max(col("event_id"))).head.getLong(0)
+        (1 to 4).foreach { i =>
+          val lo = if (i == 1) Long.MinValue else (i - 1) * (mx / 4)
+          val hi = if (i == 4) Long.MaxValue else i * (mx / 4)
+          input.filter(col("event_id") > lo && col("event_id") <= hi)
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+        val staged = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val m = graft.streaming.CepFollowedBy.matches(staged,
+          windowUs = 86400000000L, idleTimeoutUs = 2L * 86400000000L,
+          lateToleranceUs = 3600000000L)
+        Streams.runAppend(m.toDF(), out, ck)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_matches"), min(col("view_us")).as("first_match_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+          FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY us, event_id) AS rn FROM ev),
+        n AS (SELECT *,
+            min(CASE WHEN event_type = 'click' THEN rn END) OVER f AS next_click_rn,
+            min(CASE WHEN event_type = 'purchase' THEN rn END) OVER f AS next_purchase_rn
+          FROM r WINDOW f AS (PARTITION BY user_id ORDER BY rn
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        m AS (SELECT v.user_id, v.us AS view_us, p.us AS purchase_us
+          FROM n v
+          JOIN n c ON v.user_id = c.user_id AND c.rn = v.next_click_rn
+          JOIN n p ON c.user_id = p.user_id AND p.rn = c.next_purchase_rn
+          WHERE v.event_type = 'view' AND p.us - v.us <= 86400000000)
+        SELECT user_id, count(*) AS n_matches, min(view_us) AS first_match_us
+        FROM m GROUP BY user_id ORDER BY user_id"""),
+      "Streaming relaxed-contiguity CEP (Flink-CEP followedBy as keyed " +
+        "state): within-window-bounded pending lists per user, cross-batch " +
+        "matches fire, output ≡ the batch following-min build."))
 }

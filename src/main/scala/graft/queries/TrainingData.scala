@@ -354,7 +354,11 @@ object TrainingData {
         val toks = table(s, d, "documents").select($"doc_id",
           posexplode(ascii_tokens($"text")))
           .withColumnsRenamed(Map("pos" -> "pos", "col" -> "tok"))
-        val x = $"doc_id" * 1000003L + $"pos"
+        // Every factor is pre-reduced mod 2^31 before multiplying so no
+        // intermediate exceeds 1103515245 * 2^31 < 2^62: identical mask
+        // values (mod distributes over ·/+), but no silent Long wrap on
+        // large doc_id — the oracle SQL carries the same reduction.
+        val x = (($"doc_id" % 2147483648L) * 1000003L + $"pos") % 2147483648L
         val u1 = (lit(1103515245L) * x + 12345L) % 2147483648L
         val u2 = (lit(1103515245L) * u1 + 12345L) % 2147483648L
         val w = Window.partitionBy($"doc_id").orderBy($"pos")
@@ -391,7 +395,7 @@ object TrainingData {
         p0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS ip
           FROM td WHERE len(w) >= 1),
         tok AS (SELECT doc_id, ip - 1 AS pos, w[ip] AS tok,
-            ((1103515245*((1103515245*(doc_id*1000003 + ip - 1) + 12345) % 2147483648)
+            ((1103515245*((1103515245*(((doc_id % 2147483648)*1000003 + ip - 1) % 2147483648) + 12345) % 2147483648)
               + 12345) % 2147483648) % 100 < 15 AS m
           FROM p0),
         fl AS (SELECT *, m AND NOT lag(m, 1, false)
@@ -628,7 +632,9 @@ object TrainingData {
           .select($"doc_id", md5($"text").as("h"))
         val probes = docs0.select($"doc_id", $"h",
             explode(sequence(lit(0), lit(7))).as("p"))
-          .withColumn("x", $"doc_id" * 131L + $"p")
+          // pre-reduced mod 2^31 before the LCG multiply (see
+          // span_corruption_t5): same values, no Long wrap at large doc_id
+          .withColumn("x", (($"doc_id" % 2147483648L) * 131L + $"p") % 2147483648L)
           .withColumn("u1", (lit(1103515245L) * $"x" + 12345L) % 2147483648L)
           .withColumn("cand", (lit(1103515245L) * $"u1" + 12345L) % 2147483648L % n)
           .filter($"cand" =!= $"doc_id")
@@ -648,7 +654,7 @@ object TrainingData {
       Some("""WITH docs AS (SELECT doc_id, md5(text) AS h FROM documents),
         n AS (SELECT count(*) AS n FROM docs),
         probes AS (SELECT d.doc_id, d.h, p.p,
-            ((1103515245*((1103515245*(d.doc_id*131 + p.p) + 12345) % 2147483648)
+            ((1103515245*((1103515245*(((d.doc_id % 2147483648)*131 + p.p) % 2147483648) + 12345) % 2147483648)
               + 12345) % 2147483648) % (SELECT n FROM n) AS cand
           FROM docs d CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS p) p),
         ok AS (SELECT pr.doc_id, pr.cand, min(pr.p) AS p
@@ -740,6 +746,44 @@ object TrainingData {
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < thresh ORDER BY doc_id"""),
       "Quality-weighted deterministic sampling: per-row acceptance probability " +
         "(1/256 quantization) decided by content-hash prefix vs hex threshold."),
+
+    "sequential_poisson_sample" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // FIXED-SIZE probability-proportional-to-size sample WITHOUT
+        // replacement — Ohlsson's sequential Poisson order sampling, the
+        // πps design statistics offices run (weighted_sample above is the
+        // Bernoulli cousin: per-row acceptance, RANDOM total size). Each
+        // doc draws r from two LCG rounds of its id and ranks by the order
+        // key r/w (w = token count, clamped ≥ 1): the k smallest keys are
+        // the sample, so heavy docs (small keys) are proportionally
+        // favored while the size is exactly k. The key is materialized as
+        // the e6 FLOOR ⌊10⁶·r/w⌋ with a doc_id tiebreak — pure BIGINT
+        // (10⁶·r < 2^51), deterministic, and order-identical on both
+        // engines where the float quotient would hang ties on libm. Plan
+        // shape: zero shuffles before TakeOrdered — a top-k tournament
+        // (per-partition heaps + O(k) driver merge), never a global sort.
+        val t = docs(s, d).select($"doc_id", $"lang",
+          size(ascii_tokens($"text")).cast("long").as("n_tok"))
+        val u1 = (lit(1103515245L) * ($"doc_id" % 2147483648L) + 12345L) % 2147483648L
+        val r = (lit(1103515245L) * u1 + 12345L) % 2147483648L
+        t.withColumn("skey", idiv(lit(1000000L) * r, greatest($"n_tok", lit(1L))))
+          .orderBy($"skey", $"doc_id").limit(100)
+          .select($"doc_id", $"lang", $"n_tok", $"skey")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+            CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tok,
+            ((1103515245*((1103515245*(doc_id % 2147483648) + 12345) % 2147483648)
+              + 12345) % 2147483648) AS r
+          FROM documents),
+        k AS (SELECT doc_id, lang, n_tok,
+            (1000000 * r) // greatest(n_tok, 1) AS skey FROM t),
+        s AS (SELECT * FROM k ORDER BY skey, doc_id LIMIT 100)
+        SELECT doc_id, lang, n_tok, skey FROM s ORDER BY doc_id"""),
+      "Sequential Poisson (order) sampling: fixed-size πps sample via the " +
+        "k smallest e6-floored r/w order keys — integer-exact ranking, " +
+        "top-k tournament instead of a global sort."),
 
     "dedup_incremental" -> Q(
       (s, d) => {
@@ -1674,6 +1718,10 @@ object TrainingData {
         daily.groupBy($"event_type")
           .agg(count(lit(1)).as("n_days"), sum($"c").as("total"),
             sum($"c".cast(d38) * $"c".cast(d38)).as("ssq"))
+          // a series seen on exactly one day has no sample variance: the
+          // (d−1) denominator would be 0, which Spark nulls and DuckDB
+          // raises on — filter it out identically on both engines
+          .filter($"n_days" > 1)
           .select($"event_type", $"n_days", $"total",
             idiv(lit(1000000L).cast(d38) *
                 ($"n_days".cast(d38) * $"ssq" - $"total".cast(d38) * $"total".cast(d38)),
@@ -1690,7 +1738,7 @@ object TrainingData {
         SELECT event_type, n_days, total,
           CAST((1000000 * (n_days * ssq - CAST(total AS HUGEINT) * total))
             // ((n_days - 1) * CAST(total AS HUGEINT)) AS BIGINT) AS vmr_e6
-        FROM agg ORDER BY event_type"""),
+        FROM agg WHERE n_days > 1 ORDER BY event_type"""),
       "Per-series variance-to-mean ratio of daily event counts (e6, " +
         "cross-multiplied integer floors): the Poisson overdispersion " +
         "diagnostic for bursty arrivals."),

@@ -45,7 +45,23 @@ object AvroIdl {
     }
   }
 
-  def parseProtocol(idl: String): Protocol = new Parser(tokenize(idl)).protocol()
+  def parseProtocol(idl: String): Protocol =
+    new Parser(tokenize(idl), baseDir = None, allowImports = false).protocol()
+
+  /** Parse a protocol FILE, resolving single-level `import idl "…"` /
+    * `import schema "…"` declarations against the file's own directory —
+    * the layout where a shared record (e.g. the reference's SnowFlakeTable
+    * shape) lives in a common `.avdl` imported by per-pipeline protocols.
+    * Imported files may not themselves import (single-level by design —
+    * loud, not silently flattened); unknown-type references stay as loud as
+    * in the single-file path. */
+  def parseProtocolFile(path: String): Protocol = {
+    val p = java.nio.file.Paths.get(path)
+    val idl = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    new Parser(tokenize(idl), baseDir = Option(p.getParent),
+      allowImports = true).protocol()
+  }
 
   /** IDL -> the named record's schema (or the sole record if unnamed). */
   def recordSchema(idl: String, record: String = ""): AvroSchema = {
@@ -112,7 +128,8 @@ object AvroIdl {
 
   // --------------------------------------------------------------- parser
 
-  private final class Parser(toks: Vector[Tok]) {
+  private final class Parser(toks: Vector[Tok],
+      baseDir: Option[java.nio.file.Path], allowImports: Boolean) {
     private var pos = 0
     private def peek: Tok = if (pos < toks.length) toks(pos)
       else throw new IllegalArgumentException("unexpected end of IDL")
@@ -170,7 +187,10 @@ object AvroIdl {
       expectPunct('{')
       val types = Seq.newBuilder[AvroSchema]
       val avroParser = new AvroSchema.Parser()
-      val known = mutable.LinkedHashSet[String]()  // short names, decl order
+      // short name -> FULL name, declaration order. A map (not a set):
+      // imported types keep their OWN namespace, so resolving a reference
+      // must not re-qualify the short name against this protocol's one.
+      val known = mutable.LinkedHashMap[String, String]()
       while (peek != Punct('}')) {
         // per-declaration annotations (e.g. @aliases) — skipped
         while (peek == Punct('@')) { next(); skipAnnotation() }
@@ -188,8 +208,43 @@ object AvroIdl {
             val json = fixedJson(namespace, known)
             types += avroParser.parse(json)
           case Ident("import") =>
-            // import idl/protocol/schema "file" — unsupported offline; loud
-            fail("IDL imports are not supported (offline parser)")
+            next()
+            val kind = expectIdent()
+            val file = next() match {
+              case Str(s) => s
+              case other  => fail(s"expected import file string, got $other")
+            }
+            expectPunct(';')
+            if (!allowImports) fail(
+              if (baseDir.isEmpty)
+                s"""import $kind "$file": imports need a file-based parse """ +
+                  "(parseProtocolFile) so relative paths resolve"
+              else
+                s"""import $kind "$file": nested imports are not """ +
+                  "supported (single-level by design)")
+            val dir = baseDir.get
+            val path = dir.resolve(file)
+            def readFile(): String = new String(
+              java.nio.file.Files.readAllBytes(path),
+              java.nio.charset.StandardCharsets.UTF_8)
+            kind match {
+              case "idl" =>
+                val sub = new Parser(tokenize(readFile()), Some(dir),
+                  allowImports = false).protocol()
+                // splice the imported named types in THEIR declaration
+                // order: register each with this protocol's parser (so
+                // later references resolve) under its own full name
+                sub.types.foreach { t =>
+                  types += avroParser.parse(t.toString)
+                  known += t.getName -> t.getFullName
+                }
+              case "schema" =>
+                val s = avroParser.parse(readFile())
+                types += s
+                known += s.getName -> s.getFullName
+              case other => fail(
+                s"unsupported import kind '$other' (idl and schema only)")
+            }
           case _ =>
             // an RPC message declaration: `T name(args);` — skip to ';'
             while (peek != Punct(';')) next()
@@ -205,9 +260,9 @@ object AvroIdl {
     private def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString } + "\""
 
-    private def recordJson(ns: Option[String], known: mutable.Set[String]): String = {
+    private def recordJson(ns: Option[String], known: mutable.Map[String, String]): String = {
       val name = expectIdent()
-      known += name
+      known += name -> qname(ns, name)
       expectPunct('{')
       val fields = Seq.newBuilder[String]
       while (peek != Punct('}')) {
@@ -233,9 +288,9 @@ object AvroIdl {
       s"""{"type":"record","name":${jstr(name)}$nsJson,"fields":[${fields.result().mkString(",")}]}"""
     }
 
-    private def enumJson(ns: Option[String], known: mutable.Set[String]): String = {
+    private def enumJson(ns: Option[String], known: mutable.Map[String, String]): String = {
       val name = expectIdent()
-      known += name
+      known += name -> qname(ns, name)
       expectPunct('{')
       val syms = Seq.newBuilder[String]
       while (peek != Punct('}')) next() match {
@@ -250,9 +305,9 @@ object AvroIdl {
       s"""{"type":"enum","name":${jstr(name)}$nsJson,"symbols":[${syms.result().mkString(",")}]}"""
     }
 
-    private def fixedJson(ns: Option[String], known: mutable.Set[String]): String = {
+    private def fixedJson(ns: Option[String], known: mutable.Map[String, String]): String = {
       val name = expectIdent()
-      known += name
+      known += name -> qname(ns, name)
       expectPunct('(')
       val size = next() match {
         case Num(s) => s
@@ -265,7 +320,7 @@ object AvroIdl {
     }
 
     /** One IDL type expression -> Avro JSON type. */
-    private def typeJson(ns: Option[String], known: mutable.Set[String]): String = {
+    private def typeJson(ns: Option[String], known: mutable.Map[String, String]): String = {
       while (peek == Punct('@')) { next(); skipAnnotation() }
       val base = next() match {
         case Ident("boolean") => "\"boolean\""
@@ -316,7 +371,7 @@ object AvroIdl {
           // full name so the shared Schema.Parser finds it); dotted names
           // pass through as-is
           if (ref.contains('.')) jstr(ref)
-          else if (known.contains(ref)) jstr(qname(ns, ref))
+          else if (known.contains(ref)) jstr(known(ref))
           else fail(s"unknown type '$ref' (not a primitive, not declared yet)")
         case other => fail(s"expected a type, got $other")
       }

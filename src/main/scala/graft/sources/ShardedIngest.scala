@@ -53,10 +53,16 @@ object ShardedIngest {
   sealed trait PagingDialect {
     /** The trailing page clause for (offset, pageSize). */
     def pageClause(offset: Long, pageSize: Long): String
+    /** How this database spells a case-exact column reference. ANSI default:
+      * double-quote the identifier verbatim (Derby/PostgreSQL/Oracle fold
+      * UNQUOTED identifiers, so quoting preserves whatever case the writer
+      * created). Dialects with a different fold direction override. */
+    def quoteIdentifier(ident: String): String =
+      "\"" + ident.replace("\"", "\"\"") + "\""
   }
   object PagingDialect {
     /** ANSI `OFFSET … ROWS FETCH NEXT … ROWS ONLY` — Derby, SQL Server
-      * 2012+, Oracle 12c+, DB2, Snowflake. The live-proven dialect
+      * 2012+, Oracle 12c+, DB2. The live-proven dialect
       * (JdbcSpec runs it against embedded Derby). */
     case object OffsetFetch extends PagingDialect {
       def pageClause(offset: Long, pageSize: Long): String =
@@ -70,6 +76,28 @@ object ShardedIngest {
       def pageClause(offset: Long, pageSize: Long): String =
         s"LIMIT $pageSize OFFSET $offset"
     }
+    /** Snowflake: the page clause is the reference's EXACT emission —
+      * `LIMIT n OFFSET k` (SnowflakeProcessFunction.java:100's
+      * `"… ORDER BY %s LIMIT %d OFFSET %d"`). Identifier quoting follows
+      * Snowflake's fold direction: UNQUOTED DDL creates UPPERCASE
+      * identifiers, so a plain (unquoted-safe) name is uppercased before
+      * quoting — `shard` must reach the wire as `"SHARD"` or the query
+      * misses the column a normal CREATE TABLE made; a name that was
+      * case-sensitively quoted at creation (any char outside
+      * [A-Za-z0-9_$], or lowercase-on-purpose via quotes) is quoted
+      * verbatim, which is the only way to reference it. Type mapping for
+      * this dialect lives in [[SnowflakeTypes]]. */
+    case object Snowflake extends PagingDialect {
+      def pageClause(offset: Long, pageSize: Long): String =
+        s"LIMIT $pageSize OFFSET $offset"
+      override def quoteIdentifier(ident: String): String = {
+        val unquotedSafe = ident.nonEmpty &&
+          ident.forall(c => c.isLetterOrDigit && c < 128 || c == '_' || c == '$') &&
+          !ident.head.isDigit
+        val name = if (unquotedSafe) ident.toUpperCase(java.util.Locale.ROOT) else ident
+        "\"" + name.replace("\"", "\"\"") + "\""
+      }
+    }
   }
 
   /** The exact per-shard poll SQL [[viaJdbc]] emits — factored out so the
@@ -77,8 +105,8 @@ object ShardedIngest {
   def pageSql(table: String, shardCol: String, sortCols: Seq[String],
       shard: String, offset: Long, pageSize: Long,
       dialect: PagingDialect): String =
-    s"""SELECT * FROM $table WHERE ${quoted(shardCol)} = ${sqlStringLiteral(shard)}
-       |ORDER BY ${sortCols.map(quoted).mkString(", ")}
+    s"""SELECT * FROM $table WHERE ${dialect.quoteIdentifier(shardCol)} = ${sqlStringLiteral(shard)}
+       |ORDER BY ${sortCols.map(dialect.quoteIdentifier).mkString(", ")}
        |${dialect.pageClause(offset, pageSize)}""".stripMargin
 
   /** Live-database analogue of [[page]]: the same
@@ -128,20 +156,16 @@ object ShardedIngest {
     * O(shards) rows — collected to drive the per-shard page scans.
     */
   def discoverShardsJdbc(
-      spark: SparkSession, url: String, table: String, shardCol: String): Seq[String] =
+      spark: SparkSession, url: String, table: String, shardCol: String,
+      dialect: PagingDialect = PagingDialect.OffsetFetch): Seq[String] =
     spark.read.format("jdbc")
       .option("url", url)
-      .option("query", s"SELECT DISTINCT ${quoted(shardCol)} AS shard FROM $table")
+      .option("query",
+        s"SELECT DISTINCT ${dialect.quoteIdentifier(shardCol)} AS shard FROM $table")
       .load()
       .collect().map(_.getString(0)).toSeq.sorted
 
   private def sqlStringLiteral(v: String): String = "'" + v.replace("'", "''") + "'"
-
-  /** ANSI-quoted column identifier — Spark's JDBC writer creates columns with
-    * their exact (typically lowercase) names, which unquoted SQL would
-    * case-fold away on ANSI databases like Derby.
-    */
-  private def quoted(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
 
   /** Advance the offset state after a page read: offset' = offset + rows
     * actually read (the reference's `offset += rowCount`,

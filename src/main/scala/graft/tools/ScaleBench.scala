@@ -448,6 +448,28 @@ object ScaleBench {
           s""""unsalted_sec_tuned":${f"$secTuned%.2f"},"aqe_skew_split_tuned":$engagedTuned}""")
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
+
+    // ---- chain-closure A/B (r9 verdict item 7) --------------------------
+    // The pathological-depth regime: a linked list `depth` deep, where the
+    // frontier shape pays one shuffle round PER LEVEL and the path-doubling
+    // shape converges in ~log2(depth) self-join rounds. Data is tiny by
+    // construction — this measures ROUND-COUNT cost (the scheduler+shuffle
+    // floor an O(depth) iterate pays at any data size), which is exactly
+    // what breaks frontier closure on deep hierarchies at 100 TB where a
+    // driver round-trip per level is the bottleneck, not bytes.
+    if (earlyOnly.exists(_.contains("closure_chain_ab"))) {
+      import spark.implicits._
+      val depth = 1000
+      val chain = (1L to depth.toLong).map(i => (i, i - 1)).toDF("id", "pid")
+        .repartition(4).cache()
+      chain.count()
+      val (dblSec, dblRows) = time(graft.operators.Closure.ancestorsDoubling(chain).count())
+      val (froSec, froRows) = time(graft.operators.Closure.ancestors(chain).count())
+      require(dblRows == froRows, s"A/B row mismatch: $dblRows vs $froRows")
+      println(s"""{"metric":"closure_chain_ab","depth":$depth,"rows":$froRows,""" +
+        s""""frontier_sec":${f"$froSec%.2f"},"doubling_sec":${f"$dblSec%.2f"},""" +
+        s""""speedup":${f"${froSec / dblSec}%.1f"}}""")
+    }
     spark.stop()
   }
 }

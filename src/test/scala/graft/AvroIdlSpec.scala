@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.AvroIdl
+import graft.sources.{AvroIdl, AvroSchemaConverter}
 import org.apache.avro.{Schema => AvroSchema}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -101,6 +101,59 @@ class AvroIdlSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       AvroIdl.parseProtocol("""protocol P { import idl "other.avdl"; record A { int x; } }""")
+    }
+  }
+
+  test("single-level imports: the reference record split across two files round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("avdl_import")
+    try {
+      // the shared file carries the reference's SnowFlakeTable shape under
+      // its OWN namespace, plus an enum the main record references
+      java.nio.file.Files.write(dir.resolve("common.avdl"),
+        """@namespace("com.shared")
+          |protocol Common {
+          |  enum Side { BUY, SELL }
+          |  record SnowFlakeTable { string PRICE; string TICKER; }
+          |}""".stripMargin.getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("main.avdl"),
+        """@namespace("com.pipeline")
+          |protocol Pipeline {
+          |  import idl "common.avdl";
+          |  record Enriched { SnowFlakeTable row; Side side; long seq; }
+          |}""".stripMargin.getBytes("UTF-8"))
+      val p = AvroIdl.parseProtocolFile(dir.resolve("main.avdl").toString)
+      // imported types splice in declaration order, under their own namespace
+      assert(p.types.map(_.getFullName) == Seq("com.shared.Side",
+        "com.shared.SnowFlakeTable", "com.pipeline.Enriched"))
+      val st = AvroSchemaConverter.toStruct(p.record("Enriched"))
+      val row = st("row").dataType.asInstanceOf[StructType]
+      assert(row.fieldNames.toSeq == Seq("PRICE", "TICKER"))
+      assert(st("side").dataType == StringType)
+      // `import schema` of plain Avro JSON resolves the same way
+      java.nio.file.Files.write(dir.resolve("ext.avsc"),
+        """{"type":"record","name":"Ext","namespace":"com.ext",
+          |"fields":[{"name":"v","type":"double"}]}""".stripMargin.getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("main2.avdl"),
+        """protocol P2 {
+          |  import schema "ext.avsc";
+          |  record Wrap { Ext e; }
+          |}""".stripMargin.getBytes("UTF-8"))
+      val p2 = AvroIdl.parseProtocolFile(dir.resolve("main2.avdl").toString)
+      assert(p2.record("Wrap").getField("e").schema.getFullName == "com.ext.Ext")
+      // nested imports stay loud: an imported file importing again is an
+      // error naming the single-level contract, not a silent flatten
+      java.nio.file.Files.write(dir.resolve("nested.avdl"),
+        """protocol N { import idl "common.avdl"; }""".getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("top.avdl"),
+        """protocol T { import idl "nested.avdl"; }""".getBytes("UTF-8"))
+      val e = intercept[IllegalArgumentException] {
+        AvroIdl.parseProtocolFile(dir.resolve("top.avdl").toString)
+      }
+      assert(e.getMessage.contains("single-level"), e.getMessage)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 

@@ -141,4 +141,80 @@ class CepSpec extends SparkSpec {
       idleTimeoutUs = 100 * day, lateToleranceUs = 5 * day)
     assert(kept == Seq((1L, T, T + 6 * day)), kept.toString)
   }
+
+  // ---- relaxed contiguity (followedBy) ----------------------------------
+
+  private def runFollowedBy(batches: Seq[Seq[(Long, Long, Long, String)]],
+      windowUs: Long = 86400000000L): Seq[(Long, Long, Long)] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String)]
+    val df = ms.toDF.toDF("user_id", "us", "event_id", "event_type")
+    val out = graft.streaming.CepFollowedBy.matches(df, windowUs = windowUs)
+    val q = out.writeStream.format("memory")
+      .queryName("cep_fb_out").outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        ms.addData(b: _*)
+        q.processAllAvailable()
+      }
+      spark.table("cep_fb_out")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    } finally {
+      q.stop(); spark.catalog.dropTempView("cep_fb_out")
+    }
+  }
+
+  test("streaming followedBy ≡ batch following-min build on real data") {
+    val d = sf("sf0.001")
+    val batch = SparkEntry.queries("cep_followed_by")(spark, d)
+      .as[(Long, Long, Long)].collect().toSet
+    val streamed = SparkEntry.queries("streaming_cep_followedby")(spark, d)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "degenerate corpus: no relaxed-contiguity matches")
+    assert(streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size} users")
+  }
+
+  test("followedBy matches across batch boundaries and through gap events") {
+    // view | click | purchase in THREE different micro-batches, with a
+    // non-matching click-after-purchase noise event in between stages —
+    // relaxed contiguity ignores it, and the pending lists survive the
+    // boundaries. Strict `next` on the same staging matches nothing
+    // (view/click/click/purchase is not adjacent view→click→purchase).
+    val staging = Seq(
+      Seq((1L, 100L, 1L, "view")),
+      Seq((1L, 200L, 2L, "click"), (1L, 250L, 3L, "click")),
+      Seq((1L, 300L, 4L, "purchase")))
+    assert(runFollowedBy(staging) == Seq((1L, 100L, 300L)))
+    assert(runCep(staging, lateToleranceUs = -1L).isEmpty,
+      "strict next must NOT match view,click,click,purchase")
+  }
+
+  test("followedBy: first-occurrence semantics and multi-view fan-in") {
+    // two views share the FIRST following click; the first purchase
+    // resolves both; a second purchase matches nothing (followedBy, not
+    // followedByAny)
+    val got = runFollowedBy(Seq(Seq(
+      (1L, 100L, 1L, "view"), (1L, 150L, 2L, "view"),
+      (1L, 200L, 3L, "click"),
+      (1L, 300L, 4L, "purchase"), (1L, 400L, 5L, "purchase"))))
+    assert(got == Seq((1L, 100L, 300L), (1L, 150L, 300L)), got.toString)
+  }
+
+  test("followedBy `within` bound prunes state and rejects out-of-window matches") {
+    val day = 86400000000L
+    // click arrives a window past the view → the view is pruned before
+    // pairing; the later purchase must not fire
+    val got = runFollowedBy(Seq(
+      Seq((1L, 100L, 1L, "view")),
+      Seq((1L, 100L + day + 1L, 2L, "click")),
+      Seq((1L, 100L + day + 2L, 3L, "purchase"))), windowUs = day)
+    assert(got.isEmpty, got.toString)
+    // boundary case: exactly at the window edge still matches
+    val edge = runFollowedBy(Seq(Seq(
+      (1L, 100L, 1L, "view"), (1L, 200L, 2L, "click"),
+      (1L, 100L + day, 3L, "purchase"))), windowUs = day)
+    assert(edge == Seq((1L, 100L, 100L + day)), edge.toString)
+  }
 }

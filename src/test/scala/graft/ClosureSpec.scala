@@ -45,4 +45,26 @@ class ClosureSpec extends SparkSpec {
     val got = Closure.ancestors(Seq.empty[(Long, Long)].toDF("id", "pid"))
     assert(got.count() == 0L)
   }
+
+  test("path doubling ≡ frontier on a 1000-deep chain, in O(log depth) rounds") {
+    // the pathological-depth regime the frontier shape is worst at: a
+    // linked list 1000 deep. Doubling must converge in ~10 self-join
+    // rounds (wall-clocked in ScaleBench; equivalence asserted here).
+    val edges = (1L to 1000L).map(i => (i, i - 1))
+    val viaDoubling = Closure.ancestorsDoubling(edges.toDF("id", "pid"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaDoubling == replay(edges), "doubling closure mismatch on chain")
+    assert(viaDoubling.map(_._3).max == 1000L)
+  }
+
+  test("path doubling ≡ frontier on the branchy forest") {
+    val rnd = new scala.util.Random(5)
+    val edges = (1L to 300L).map(i => (i, rnd.nextLong(i).max(0L)))
+      .filter { case (_, p) => p >= 1 }
+    val a = Closure.ancestors(edges.toDF("id", "pid"))
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Closure.ancestorsDoubling(edges.toDF("id", "pid"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b, "frontier vs doubling disagree on forest")
+  }
 }

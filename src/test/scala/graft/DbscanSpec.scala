@@ -86,4 +86,61 @@ class DbscanSpec extends SparkSpec {
     // noise is never core
     assert(rows.filter(_._2 == -1L).forall(!_._3))
   }
+
+  /** Pure tight blobs, centers pushed away from the origin: every ε-pair is
+    * intra-blob with a small ANGLE (SRP is an angular hash — L2-close pairs
+    * with near-origin norms can straddle hyperplanes, which is exactly the
+    * recall trade the demote-only test below covers on the noisy corpus). */
+  private def mkBlobs(n: Int, dim: Int, seed: Int): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Seq.fill(3) {
+      val c = Seq.fill(dim)(rnd.nextFloat() * 2 - 1)
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      c.map(x => (x / norm * 1.5).toFloat)
+    }
+    (0 until n).map { i =>
+      (i.toLong, centers(i % 3).map(c => c + (rnd.nextFloat() - 0.5f) * 0.06f))
+    }
+  }
+
+  test("banded DBSCAN equals exact on the dense-blob corpus") {
+    // tight blobs → intra-blob directions nearly identical → every ε-pair
+    // collides in at least one of 16 SRP tables; deterministic LCG signs
+    // make this a standing equivalence, not a flaky sample
+    for (seed <- Seq(11, 23)) {
+      val vecs = mkBlobs(120, 8, seed)
+      val df = vecs.toDF("vec_id", "embedding")
+      val exact = Dbscan.dbscanQuantized(df, 40000L, minPts = 3)
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+      val banded = Dbscan.dbscanBanded(df, 40000L, minPts = 3,
+          numTables = 16, numBits = 4)
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+      assert(banded.sameElements(exact),
+        s"seed $seed: ${banded.toSeq.diff(exact.toSeq).take(5)}")
+    }
+  }
+
+  test("banded neighbor recall: missed edges only ever demote, never invent") {
+    // at the default 8 tables a banded edge is always a true ε-pair
+    // (exact verify inside collisions), so banded core ⊆ exact core and
+    // every banded non-noise vector is non-noise in the exact run too
+    val vecs = mkVecs(120, 8, 7)
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact = Dbscan.dbscanQuantized(df, 40000L, minPts = 3)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    val banded = Dbscan.dbscanBanded(df, 40000L, minPts = 3)
+      .as[(Long, Long, Boolean)].collect()
+    banded.foreach { case (id, cl, core) =>
+      if (core) assert(exact(id)._3, s"banded invented core point $id")
+      if (cl >= 0) assert(exact(id)._2 >= 0, s"banded invented cluster member $id")
+    }
+  }
+
+  test("banded candidate join is a hash join on (table, bucket), no cartesian") {
+    val df = mkVecs(60, 8, 3).toDF("vec_id", "embedding")
+    val plan = Dbscan.bandedNeighbors(df, 40000L, 1000L, 8, 4, 5000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }

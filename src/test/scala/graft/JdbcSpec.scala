@@ -40,7 +40,7 @@ class JdbcSpec extends SparkSpec {
 
   test("dialect matrix: page SQL per dialect; LIMIT-dialect scope documented") {
     import ShardedIngest.PagingDialect
-    // OffsetFetch (ANSI: Derby/SQL Server/Oracle/Snowflake) — live-proven in
+    // OffsetFetch (ANSI: Derby/SQL Server/Oracle/DB2) — live-proven in
     // the tests above; LimitOffset (PostgreSQL/MySQL/SQLite/H2/DuckDB) —
     // SQL-generation pinned here. No LIMIT-dialect engine ships in this
     // sandbox (Derby only), so live coverage is single-dialect BY SCOPE:
@@ -65,6 +65,46 @@ class JdbcSpec extends SparkSpec {
         dialect = PagingDialect.LimitOffset).collect()
     }
     assert(e.getMessage != null)
+  }
+
+  test("Snowflake dialect: reference-exact page clause, fold-aware quoting, types") {
+    import ShardedIngest.PagingDialect
+    import graft.sources.SnowflakeTypes
+    import org.apache.spark.sql.types._
+    // the page clause is the reference's exact emission
+    // (SnowflakeProcessFunction.java:100: "… ORDER BY %s LIMIT %d OFFSET %d");
+    // unquoted-safe identifiers are uppercased-then-quoted, matching what
+    // unquoted CREATE TABLE DDL stored in Snowflake's catalog
+    val sf = ShardedIngest.pageSql("CUSTOMERS", "shard", Seq("ts", "id"),
+      "vi'ew", offset = 40L, pageSize = 20L, PagingDialect.Snowflake)
+    assert(sf ==
+      """SELECT * FROM CUSTOMERS WHERE "SHARD" = 'vi''ew'
+        |ORDER BY "TS", "ID"
+        |LIMIT 20 OFFSET 40""".stripMargin, sf)
+    // an identifier that could only exist via quoted DDL passes verbatim —
+    // uppercasing it would reference a different (nonexistent) column
+    assert(PagingDialect.Snowflake.quoteIdentifier("weird col") == "\"weird col\"")
+    assert(PagingDialect.Snowflake.quoteIdentifier("2col") == "\"2col\"")
+    assert(PagingDialect.Snowflake.quoteIdentifier("shard_2") == "\"SHARD_2\"")
+    // NUMBER(p,s) through the shared Avro-decimal path; integer synonyms are
+    // NUMBER(38,0) in the catalog; NTZ is wall-clock, LTZ/TZ are instants
+    assert(SnowflakeTypes.toSparkType("NUMBER(38,0)") == DecimalType(38, 0))
+    assert(SnowflakeTypes.toSparkType("number(18, 2)") == DecimalType(18, 2))
+    assert(SnowflakeTypes.toSparkType("INTEGER") == DecimalType(38, 0))
+    assert(SnowflakeTypes.toSparkType("TIMESTAMP_NTZ(9)") == TimestampNTZType)
+    assert(SnowflakeTypes.toSparkType("TIMESTAMP_LTZ(9)") == TimestampType)
+    assert(SnowflakeTypes.toSparkType("VARCHAR(16777216)") == StringType)
+    assert(SnowflakeTypes.toSparkType("FLOAT") == DoubleType)
+    assert(SnowflakeTypes.toSparkType("VARIANT") == StringType)
+    assert(SnowflakeTypes.toStructType(Seq(
+      "C_ID" -> "NUMBER(38,0)", "C_NAME" -> "VARCHAR(64)",
+      "C_TS" -> "TIMESTAMP_NTZ(9)")) == StructType(Seq(
+      StructField("C_ID", DecimalType(38, 0)),
+      StructField("C_NAME", StringType),
+      StructField("C_TS", TimestampNTZType))))
+    // loud on the unknown and on precision beyond Spark's decimal ceiling
+    intercept[IllegalArgumentException](SnowflakeTypes.toSparkType("GEOGRAPHY"))
+    intercept[IllegalArgumentException](SnowflakeTypes.toSparkType("NUMBER(39,0)"))
   }
 
   test("viaJdbc offset advance replays the incremental contract") {

@@ -87,4 +87,43 @@ class PrefixAnomalySpec extends SparkSpec {
     assert(continuous != reset,
       "per-batch reset produced identical flags - the slices never exercised carried state")
   }
+
+  test("hot key: one series' 100k-event micro-batch folds and equals the local replay") {
+    // a single skewed series delivers 100k events in ONE micro-batch — the
+    // documented buffered-batch lower bound (the grouped iterator arrives
+    // in shuffle order and "strictly earlier" is order-dependent, so the
+    // one-key-one-batch slice is sorted in place). The buffer is bounded by
+    // the micro-batch trigger knob, never the stream; this pins the hot-key
+    // constant at 100k and the fold's exactness at that size.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val n = 100000
+    val rnd = new scala.util.Random(13)
+    val evs = (1 to n).map { i =>
+      val v = if (i % 9973 == 0) 100000L else rnd.nextInt(100).toLong
+      ("hot", 1000L * i, i.toLong, v)
+    }
+    val ms = MemoryStream[(String, Long, Long, Long)]
+    val df = ms.toDF.toDF("event_type", "ts_us", "event_id", "value_c")
+    val out = PrefixAnomaly.flagged(df, warmup = 30L, thresholdE6 = 9000000L)
+    val q = out.writeStream.format("memory")
+      .queryName("pa_hotkey_out").outputMode("append").start()
+    val got =
+      try {
+        ms.addData(rnd.shuffle(evs): _*)
+        q.processAllAvailable()
+        spark.table("pa_hotkey_out")
+          .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+      } finally {
+        q.stop(); spark.catalog.dropTempView("pa_hotkey_out")
+      }
+    var st = Stats(0L, 0L, 0L)
+    val want = evs.flatMap { case (_, _, id, vc) =>
+      val z2 = PrefixAnomaly.z2E6(st, vc, 30L)
+      st = PrefixAnomaly.push(st, vc)
+      if (z2 > 9000000L) Some((id, "hot", vc, z2)) else None
+    }
+    assert(got == want, s"got ${got.size} flags, want ${want.size}")
+    assert(want.nonEmpty, "no spikes fired - the hot-key case is untested")
+  }
 }

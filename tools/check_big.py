@@ -25,6 +25,8 @@ SKIP = {
     "semantic_dedup",        # unrolled quantized k-means + within-cluster pairs
                              # + recursive-CTE closure: O(cluster pairs) replay
     "dbscan_embeddings",     # all-pairs eps-join + recursive-CTE closure replay
+    "dbscan_embeddings_lsh", # banded candidates, but the label tail is the
+                             # same recursive-CTE closure replay class
     "graph_components",      # recursive-CTE transitive closure: the reach set
                              # materializes sum(|component|^2) rows (trading
                              # blocs are large corpus fractions) — same
