@@ -2560,6 +2560,583 @@ object Analytics {
         FROM f ORDER BY l_returnflag"""),
       "Spearman rank correlation (sign + rho2 in e6, sqrt-free): integral " +
         "2-midranks with tie handling, Pearson sufficient stats on the " +
-        "ranks, DIV-n reduction keeping every square inside DECIMAL(38,0).")
+        "ranks, DIV-n reduction keeping every square inside DECIMAL(38,0)."),
+
+    "kaplan_meier_curve" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The Kaplan-Meier PRODUCT-LIMIT curve — the estimator
+        // survival_risk_table deliberately stopped short of (its doc: the
+        // Π(1−dᵢ/nᵢ) float product would drift). Here the product is
+        // SCALED-INTEGER SEQUENTIAL: s_i = ⌊s_{i−1}·(n_i−d_i)/n_i⌋ from
+        // s_0 = 10¹², each step exact (JVM BigInt intermediate, so
+        // s·(n−d) cannot wrap at any cohort size) and bit-replayable by the
+        // oracle's recursive CTE. The fold is inherently sequential, but it
+        // runs on ONE partition of the AGGREGATED day table — O(distinct
+        // duration days), calendar-bounded at any corpus scale — while the
+        // corpus-sized work (two per-user argmin aggregates + the day-keyed
+        // count) stays fully distributed, exactly like survival_risk_table.
+        val day = 86400000000L
+        val ev = eventsTable(s, d)
+        val horizon = ev.agg(max(micros($"ts"))).head.getLong(0)
+        val signup = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min(micros($"ts")).as("s0"))
+        val firstBuy = ev.filter($"event_type" === "purchase")
+          .select($"user_id", micros($"ts").as("pt"))
+          .join(signup, "user_id").filter($"pt" >= $"s0")
+          .groupBy($"user_id").agg(min($"pt").as("p0"))
+        val durations = signup.join(firstBuy, Seq("user_id"), "left")
+          .select(
+            when($"p0".isNotNull, idiv($"p0" - $"s0", lit(day)))
+              .otherwise(idiv(lit(horizon) - $"s0", lit(day))).as("t"),
+            when($"p0".isNotNull, 1L).otherwise(0L).as("event"))
+        val byDay = durations.groupBy($"t")
+          .agg(sum($"event").as("d"), sum(lit(1L) - $"event").as("c"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"t")
+          .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        graft.operators.KaplanMeier.productLimit(
+            byDay.withColumn("n_risk", sum($"d" + $"c").over(w)))
+          .orderBy($"t")
+      },
+      Some("""WITH RECURSIVE ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+          hz AS (SELECT max(tsu) AS horizon FROM ev),
+          su AS (SELECT user_id, min(tsu) AS s0 FROM ev
+            WHERE event_type = 'signup' GROUP BY 1),
+          fb AS (SELECT ev.user_id, min(tsu) AS p0 FROM ev JOIN su USING (user_id)
+            WHERE event_type = 'purchase' AND tsu >= s0 GROUP BY 1),
+          dur AS (SELECT
+              CASE WHEN p0 IS NOT NULL THEN (p0 - s0) // 86400000000
+                ELSE ((SELECT horizon FROM hz) - s0) // 86400000000 END AS t,
+              CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS event
+            FROM su LEFT JOIN fb ON su.user_id = fb.user_id),
+          bd AS (SELECT t, CAST(sum(event) AS BIGINT) AS d,
+              CAST(sum(1 - event) AS BIGINT) AS c FROM dur GROUP BY 1),
+          br AS (SELECT t, d,
+              CAST(sum(d + c) OVER
+                (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk,
+              row_number() OVER (ORDER BY t) AS rn
+            FROM bd),
+          km AS (
+            SELECT rn, t, n_risk, d,
+              CAST((CAST(1000000000000 AS HUGEINT) * (n_risk - d)) // n_risk AS BIGINT) AS s
+            FROM br WHERE rn = 1
+            UNION ALL
+            SELECT br.rn, br.t, br.n_risk, br.d,
+              CAST((CAST(km.s AS HUGEINT) * (br.n_risk - br.d)) // br.n_risk AS BIGINT)
+            FROM km JOIN br ON br.rn = km.rn + 1)
+        SELECT t, n_risk, d, s AS surv_e12 FROM km ORDER BY t"""),
+      "Kaplan-Meier product-limit survival curve in scaled-integer " +
+        "sequential arithmetic (s_i = floor(s_{i-1}(n_i-d_i)/n_i), e12): " +
+        "the fold is O(distinct days) on one partition AFTER the " +
+        "distributed per-user aggregates; oracle = recursive-CTE replay."),
+
+    "markov_attribution_removal" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Markov REMOVAL-EFFECT attribution — the data-driven multi-touch
+        // model beside last-touch and position-based: per-user journeys
+        // (touches until the first purchase, CONV/NULL absorbing) define a
+        // first-order chain; a channel's credit is how much conversion
+        // disappears when the channel is removed (its outgoing edges
+        // dropped, edges INTO it redirected to NULL). Conversion = K=4
+        // backward absorption value iterations in the scaled-integer
+        // discipline (exact BigInt numerator sums, one floor per state and
+        // iteration — bit-replayable as unrolled SQL). The corpus-sized
+        // work is ONE distributed transition-count scan; the O(channels²)
+        // count table is then solved on the driver for all 5 chain
+        // variants (operators.MarkovAbsorb — re-running 5×4 join
+        // iterations in-plan would replay the corpus scan ~40×). Channel
+        // set is a QUERY PARAMETER (literal on both engines), not
+        // data-derived, so the unrolled oracle is well-defined at any SF.
+        val channels = Seq("click", "error", "signup", "view")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"tsu", $"event_id")
+        val ev = eventsTable(s, d)
+          .filter($"event_type".isin(channels :+ "purchase": _*))
+          .select($"user_id", $"event_id", micros($"ts").as("tsu"), $"event_type")
+          .withColumn("cum_p",
+            sum(when($"event_type" === "purchase", 1L).otherwise(0L)).over(w))
+        val journey = ev
+          .filter($"cum_p" === 0L || ($"event_type" === "purchase" && $"cum_p" === 1L))
+          .withColumn("state",
+            when($"event_type" === "purchase", lit("CONV")).otherwise($"event_type"))
+        val steps = journey
+          .withColumn("prev", coalesce(lag($"state", 1).over(w), lit("START")))
+          .select($"prev".as("i"), $"state".as("j"))
+        val tails = journey.groupBy($"user_id")
+          .agg(max_by($"state", struct($"tsu", $"event_id")).as("i"))
+          .filter($"i" =!= "CONV")
+          .select($"i", lit("NULL").as("j"))
+        val c = steps.unionByName(tails)
+          .groupBy($"i", $"j").agg(count(lit(1)).as("cij"))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val res = graft.operators.MarkovAbsorb
+          .removalEffects(c, channels, iters = 4, scale = 1000000L)
+        val tot = res.map { case (_, re) => math.max(re, 0L) }.sum
+        val out = res.map { case (x, re) =>
+          val credit =
+            if (tot == 0L) 0L
+            else (BigInt(math.max(re, 0L)) * 1000000L / tot).toLong
+          (x, re, credit)
+        }
+        out.toDF("channel", "removal_effect_e6", "credit_e6")
+          .orderBy($"channel")
+      },
+      Some(markovRemovalSql),
+      "Markov removal-effect multi-touch attribution: journey chain from " +
+        "one distributed transition-count scan, K=4 scaled-integer " +
+        "absorption iterations per chain variant solved at O(channels²) " +
+        "driver scale; oracle = fully unrolled 5-variant SQL replay."),
+
+    "cuped_adjusted_ab" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // CUPED variance-reduced A/B readout (Deng et al. 2013, public):
+        // per-user pre-exposure covariate X (view-value cents) adjusts the
+        // outcome Y (purchase-value cents); θ = cov(X,Y)/var(X) from pooled
+        // integer sufficient statistics, arms split by the deterministic
+        // user_id parity rule. Everything stays an exact integer until ONE
+        // truncating division per output column: θ and the raw/adjusted
+        // treatment-control deltas come out as e6-scaled integers over a
+        // common exact denominator —
+        //   Δadj = [den·(Σyₜ·n_c − Σy_c·nₜ) − num·(Σxₜ·n_c − Σx_c·nₜ)]
+        //          / (den·nₜ·n_c)
+        // — so the result is bit-equal across engines where a float CUPED
+        // would drift with summation order. Magnitude: every product runs
+        // in DECIMAL(38,0)/HUGEINT; den·Σy·n stays inside 10³⁸ to ~10⁶
+        // users at these cent scales (past that, pre-scale cents→dollars —
+        // the corr_matrix widening note). One corpus scan, one hash
+        // aggregate per user, one global aggregate: no window, no shuffle
+        // beyond the user-keyed combine.
+        val d38 = DecimalType(38, 0)
+        val pu = eventsTable(s, d)
+          .select($"user_id",
+            when($"event_type" === "view", (dec2($"value") * 100).cast(LongType))
+              .otherwise(0L).as("xc"),
+            when($"event_type" === "purchase", (dec2($"value") * 100).cast(LongType))
+              .otherwise(0L).as("yc"))
+          .groupBy($"user_id")
+          .agg(sum($"xc").as("x"), sum($"yc").as("y"))
+          .withColumn("tr", pmod($"user_id", lit(2L)))
+        val st = pu.agg(
+          count(lit(1)).cast(d38).as("n"),
+          sum($"x").cast(d38).as("sx"), sum($"y").cast(d38).as("sy"),
+          sum($"x".cast(d38) * $"x".cast(d38)).as("sxx"),
+          sum($"x".cast(d38) * $"y".cast(d38)).as("sxy"),
+          sum(when($"tr" === 1L, 1L).otherwise(0L)).cast(d38).as("nt"),
+          sum(when($"tr" === 1L, $"x").otherwise(0L)).cast(d38).as("sxt"),
+          sum(when($"tr" === 1L, $"y").otherwise(0L)).cast(d38).as("syt"))
+        val num = $"n" * $"sxy" - $"sx" * $"sy"
+        val den = $"n" * $"sxx" - $"sx" * $"sx"
+        val nc = $"n" - $"nt"
+        val sxc = $"sx" - $"sxt"
+        val syc = $"sy" - $"syt"
+        val dyN = $"syt" * nc - syc * $"nt"
+        val dxN = $"sxt" * nc - sxc * $"nt"
+        val e6 = lit(1000000L).cast(d38)
+        st.select(
+          $"n".cast(LongType).as("n_users"),
+          $"nt".cast(LongType).as("n_treat"),
+          when(den === 0, 0L)
+            .otherwise(idiv(e6 * num, den).cast(LongType)).as("theta_e6"),
+          idiv(e6 * dyN, $"nt" * nc).cast(LongType).as("delta_raw_e6"),
+          when(den === 0, idiv(e6 * dyN, $"nt" * nc).cast(LongType))
+            .otherwise(idiv(e6 * (den * dyN - num * dxN), den * $"nt" * nc)
+              .cast(LongType)).as("delta_adj_e6"))
+      },
+      Some("""WITH pu AS (SELECT user_id,
+            CAST(sum(CASE WHEN event_type = 'view'
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS HUGEINT) AS x,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS HUGEINT) AS y
+          FROM events GROUP BY 1),
+        st AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+            sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy,
+            CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nt,
+            sum(CASE WHEN user_id % 2 = 1 THEN x ELSE 0 END) AS sxt,
+            sum(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END) AS syt
+          FROM pu),
+        f AS (SELECT n, nt,
+            n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+            syt * (n - nt) - (sy - syt) * nt AS dyn,
+            sxt * (n - nt) - (sx - sxt) * nt AS dxn
+          FROM st)
+        SELECT CAST(n AS BIGINT) AS n_users, CAST(nt AS BIGINT) AS n_treat,
+          CAST(CASE WHEN den = 0 THEN 0
+            WHEN 1000000 * num >= 0 THEN (1000000 * num) // den
+            ELSE -((-(1000000 * num)) // den) END AS BIGINT) AS theta_e6,
+          CAST(CASE WHEN 1000000 * dyn >= 0 THEN (1000000 * dyn) // (nt * (n - nt))
+            ELSE -((-(1000000 * dyn)) // (nt * (n - nt))) END AS BIGINT) AS delta_raw_e6,
+          CAST(CASE
+            WHEN den = 0 THEN
+              CASE WHEN 1000000 * dyn >= 0 THEN (1000000 * dyn) // (nt * (n - nt))
+                ELSE -((-(1000000 * dyn)) // (nt * (n - nt))) END
+            WHEN 1000000 * (den * dyn - num * dxn) >= 0
+              THEN (1000000 * (den * dyn - num * dxn)) // (den * nt * (n - nt))
+            ELSE -((-(1000000 * (den * dyn - num * dxn))) // (den * nt * (n - nt)))
+          END AS BIGINT) AS delta_adj_e6
+        FROM f"""),
+      "CUPED variance-reduced A/B delta from pooled integer sufficient " +
+        "statistics (theta = cov/var as an exact rational, one truncating " +
+        "e6 division per output) — bit-equal where float CUPED drifts."),
+
+    "holt_linear_smoothing" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Holt linear (double-exponential) smoothing of the per-type daily
+        // revenue series — the trend-aware companion to the truncated EWMA
+        // (decayed_rolling_sum) and the CUSUM changepoint: level and trend
+        // fold sequentially with α=1/5, β=1/10 as EXACT integer recurrences
+        // (one TRUNCATING division per component per step — matching the
+        // measured DuckDB `//` semantic on negative trends). No closed form
+        // exists once per-step flooring is in play, so the fold runs as the
+        // secondary-sort keyed pass in operators.HoltLinear: repartition by
+        // series, sortWithinPartitions, O(1) state — never a buffered
+        // group; the input is the day-AGGREGATED table (O(series × days),
+        // calendar-bounded), the corpus-sized work is the one upstream
+        // aggregate. Oracle = per-series recursive-CTE bit replay.
+        val byDay = eventsTable(s, d)
+          .groupBy($"event_type".as("k"),
+            micros(date_trunc("day", $"ts")).as("t"))
+          .agg(sum((dec2($"value") * 100).cast(LongType)).as("v"))
+        graft.operators.HoltLinear.smooth(byDay)
+          .select($"k".as("event_type"), $"t".as("day_us"), $"v".as("v_c"),
+            $"level".as("level_c"), $"trend".as("trend_c"),
+            $"forecast1".as("forecast1_c"))
+          .orderBy($"event_type", $"day_us")
+      },
+      Some("""WITH RECURSIVE bd AS (SELECT event_type AS k,
+            epoch_us(date_trunc('day', ts)) AS t,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+          FROM events GROUP BY 1, 2),
+        rd AS (SELECT k, t, v, row_number() OVER (PARTITION BY k ORDER BY t) AS rn FROM bd),
+        h AS (
+          SELECT k, rn, t, v, v AS level, CAST(0 AS BIGINT) AS trend
+          FROM rd WHERE rn = 1
+          UNION ALL
+          SELECT rd.k, rd.rn, rd.t, rd.v,
+            (rd.v + 4 * (h.level + h.trend)) // 5,
+            (((rd.v + 4 * (h.level + h.trend)) // 5) - h.level + 9 * h.trend) // 10
+          FROM h JOIN rd ON rd.k = h.k AND rd.rn = h.rn + 1)
+        SELECT k AS event_type, t AS day_us, v AS v_c, level AS level_c,
+          trend AS trend_c, level + trend AS forecast1_c
+        FROM h ORDER BY event_type, day_us"""),
+      "Holt linear smoothing (level+trend, alpha=1/5 beta=1/10) as a keyed " +
+        "secondary-sort integer fold with one truncating division per " +
+        "component per step — O(1) state per series, bit-replayed by a " +
+        "recursive CTE."),
+
+    "mann_kendall_trend" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Mann-Kendall trend test per event-type daily series — the
+        // NON-PARAMETRIC companion to theil_sen_slope (which estimates the
+        // slope this test decides the significance of): S = Σ_{i<j}
+        // sign(v_j − v_i) over day pairs, with the tie-corrected variance
+        // numerator 18·Var(S) = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) kept
+        // as an EXACT integer (no /18, no sqrt — the caller owns the final
+        // z if wanted). The pair self-join runs on the day-AGGREGATED
+        // table: O(days²) per series is calendar-bounded (~250k pairs per
+        // series at ANY corpus scale); the corpus-sized work is the one
+        // daily aggregate.
+        val bd = eventsTable(s, d)
+          .groupBy($"event_type".as("k"),
+            micros(date_trunc("day", $"ts")).as("t"))
+          .agg(sum((dec2($"value") * 100).cast(LongType)).as("v"))
+        val sStat = bd.as("a").join(bd.as("b"),
+            $"a.k" === $"b.k" && $"a.t" < $"b.t")
+          .groupBy($"a.k".as("k"))
+          .agg(sum(when($"b.v" > $"a.v", 1L)
+            .when($"b.v" < $"a.v", -1L).otherwise(0L)).as("s_stat"))
+        val nDays = bd.groupBy($"k").agg(count(lit(1)).as("n_days"))
+        val ties = bd.groupBy($"k", $"v").agg(count(lit(1)).as("c"))
+          .groupBy($"k")
+          .agg(sum($"c" * ($"c" - 1) * (lit(2L) * $"c" + 5)).as("tie_term"))
+        nDays.join(sStat, "k").join(ties, "k")
+          .select($"k".as("event_type"), $"n_days", $"s_stat",
+            ($"n_days" * ($"n_days" - 1) * (lit(2L) * $"n_days" + 5)
+              - $"tie_term").as("var18"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH bd AS (SELECT event_type AS k,
+            epoch_us(date_trunc('day', ts)) AS t,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+          FROM events GROUP BY 1, 2),
+        s AS (SELECT a.k,
+            CAST(sum(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+          FROM bd a JOIN bd b ON a.k = b.k AND a.t < b.t GROUP BY 1),
+        n AS (SELECT k, CAST(count(*) AS BIGINT) AS n_days FROM bd GROUP BY 1),
+        tg AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM bd GROUP BY k, v),
+        ti AS (SELECT k, CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie_term
+          FROM tg GROUP BY 1)
+        SELECT n.k AS event_type, n_days, s_stat,
+          CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT) AS var18
+        FROM n JOIN s ON n.k = s.k JOIN ti ON n.k = ti.k
+        ORDER BY event_type"""),
+      "Mann-Kendall trend test per daily series: exact-integer S and " +
+        "tie-corrected 18*Var(S); the pair join is calendar-bounded " +
+        "O(days^2) on the aggregated table, never the corpus."),
+
+    "mase_seasonal_naive" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Forecast-accuracy readout (MASE family): the lag-1 naive
+        // forecast's absolute-error sum scaled by the lag-7 seasonal
+        // naive's, per event-type daily series, both over the SAME
+        // evaluation rows (day index ≥ 8, so the ratio of sums IS the
+        // ratio of MAEs). Exact cents throughout; one truncating e6
+        // division at the end. mase_e6 < 1e6 ⇒ the weekly pattern carries
+        // real signal beyond persistence. Two lags share ONE per-series
+        // window sort over the day-aggregated table.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"k").orderBy($"t")
+        val bd = eventsTable(s, d)
+          .groupBy($"event_type".as("k"),
+            micros(date_trunc("day", $"ts")).as("t"))
+          .agg(sum((dec2($"value") * 100).cast(LongType)).as("v"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("l1", lag($"v", 1).over(w))
+          .withColumn("l7", lag($"v", 7).over(w))
+          .filter($"rn" >= 8)
+        bd.groupBy($"k".as("event_type"))
+          .agg(count(lit(1)).as("n_eval"),
+            sum(abs($"v" - $"l1")).as("mae1_c"),
+            sum(abs($"v" - $"l7")).as("mae7_c"))
+          .withColumn("mase_e6",
+            when($"mae7_c" === 0, 0L)
+              .otherwise(idiv(
+                $"mae1_c".cast(DecimalType(38, 0)) * 1000000L,
+                $"mae7_c".cast(DecimalType(38, 0))).cast(LongType)))
+          .orderBy($"event_type")
+      },
+      Some("""WITH bd AS (SELECT event_type AS k,
+            epoch_us(date_trunc('day', ts)) AS t,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+          FROM events GROUP BY 1, 2),
+        lg AS (SELECT k, v,
+            row_number() OVER w AS rn,
+            lag(v, 1) OVER w AS l1, lag(v, 7) OVER w AS l7
+          FROM bd WINDOW w AS (PARTITION BY k ORDER BY t)),
+        ag AS (SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_eval,
+            CAST(sum(abs(v - l1)) AS BIGINT) AS mae1_c,
+            CAST(sum(abs(v - l7)) AS BIGINT) AS mae7_c
+          FROM lg WHERE rn >= 8 GROUP BY 1)
+        SELECT event_type, n_eval, mae1_c, mae7_c,
+          CAST(CASE WHEN mae7_c = 0 THEN 0
+            ELSE (CAST(mae1_c AS HUGEINT) * 1000000) // mae7_c END AS BIGINT) AS mase_e6
+        FROM ag ORDER BY event_type"""),
+      "MASE-family forecast accuracy: lag-1 naive error scaled by the " +
+        "lag-7 seasonal naive over identical evaluation rows, exact cents, " +
+        "one e6 division; both lags share one per-series window sort."),
+
+    "shapley_attribution" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // EXACT Shapley-value attribution — the axiomatic capstone of the
+        // attribution family (last-touch / position-based / Markov
+        // removal): players = channels, v(S) = conversions among users
+        // whose pre-first-purchase touch SET ⊆ S. With 4 channels the
+        // value is exact (no permutation sampling): the corpus collapses
+        // to ≤ 2⁴ (mask, conversions) rows in ONE distributed aggregate —
+        // per-user bit flags via 5 conditional max's, one user-keyed
+        // combine — and operators.Shapley runs the O(2ⁿ·n) zeta transform
+        // + Shapley sum driver-side in exact BigInt, emitting 24·φ (n!·φ
+        // is integral by construction). credit_e6 = φ's share of
+        // 24·(v(N)−v(∅)) — the baseline no-touch conversions are never
+        // attributed, exactly as the axioms demand.
+        val channels = Seq("click", "error", "signup", "view")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"tsu", $"event_id")
+        val ev = eventsTable(s, d)
+          .filter($"event_type".isin(channels :+ "purchase": _*))
+          .select($"user_id", $"event_id", micros($"ts").as("tsu"), $"event_type")
+          .withColumn("cum_p",
+            sum(when($"event_type" === "purchase", 1L).otherwise(0L)).over(w))
+        val bitAggs = channels.zipWithIndex.map { case (ch, i) =>
+          max(when($"event_type" === ch && $"cum_p" === 0L, 1L).otherwise(0L))
+            .as(s"b$i")
+        }
+        val convAgg =
+          max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("conv")
+        val perUser = ev.groupBy($"user_id")
+          .agg(bitAggs.head, (bitAggs.tail :+ convAgg): _*)
+        val maskCounts = perUser.filter($"conv" === 1L)
+          .select(($"b0" + $"b1" * 2 + $"b2" * 4 + $"b3" * 8).cast("int").as("mask"))
+          .groupBy($"mask").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+        val phi = graft.operators.Shapley.phiScaled(maskCounts, channels.size)
+        val tot = phi.sum
+        val out = channels.zip(phi).map { case (ch, p) =>
+          (ch, p, if (tot == 0L) 0L else (BigInt(p) * 1000000L / tot).toLong)
+        }
+        out.toDF("channel", "phi24", "credit_e6").orderBy($"channel")
+      },
+      Some(shapleySql),
+      "Exact (unsampled) Shapley attribution over the 4-channel touch-set " +
+        "game: one distributed mask aggregate, O(2^n * n) exact-BigInt " +
+        "driver solve, 24*phi integral by construction; oracle = generated " +
+        "subset-lattice SQL replay."),
+
+    "shapley_attribution_dummy" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The Shapley DUMMY-PLAYER axiom as a runnable audit: re-run the
+        // same game with a 5th channel no user ever touches ('webinar' —
+        // absent from the corpus by construction). Its φ must be EXACTLY
+        // zero and every real channel's 5!·φ must equal 5·(its 4-channel
+        // 24·φ) — the invariance a sampled-permutation implementation
+        // only approximates. Same one-aggregate corpus shape; the lattice
+        // doubles to 2⁵ driver-side rows.
+        val channels = Seq("click", "error", "signup", "view", "webinar")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"tsu", $"event_id")
+        val ev = eventsTable(s, d)
+          .filter($"event_type".isin(channels :+ "purchase": _*))
+          .select($"user_id", $"event_id", micros($"ts").as("tsu"), $"event_type")
+          .withColumn("cum_p",
+            sum(when($"event_type" === "purchase", 1L).otherwise(0L)).over(w))
+        val bitAggs = channels.zipWithIndex.map { case (ch, i) =>
+          max(when($"event_type" === ch && $"cum_p" === 0L, 1L).otherwise(0L))
+            .as(s"b$i")
+        }
+        val convAgg =
+          max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("conv")
+        val perUser = ev.groupBy($"user_id")
+          .agg(bitAggs.head, (bitAggs.tail :+ convAgg): _*)
+        val maskCounts = perUser.filter($"conv" === 1L)
+          .select(($"b0" + $"b1" * 2 + $"b2" * 4 + $"b3" * 8 + $"b4" * 16)
+            .cast("int").as("mask"))
+          .groupBy($"mask").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+        val phi = graft.operators.Shapley.phiScaled(maskCounts, channels.size)
+        channels.zip(phi).map { case (ch, p) => (ch, p) }
+          .toDF("channel", "phi120").orderBy($"channel")
+      },
+      Some(shapleyDummySql),
+      "Dummy-player audit of the exact Shapley solve: an untouched 5th " +
+        "channel gets exactly zero and real channels scale by 5!/4! = 5 — " +
+        "the axiom a sampled implementation only approximates.")
   )
+
+  /** Generated subset-lattice SQL replaying operators.Shapley exactly:
+    * per-user bit flags → conv-mask counts → v(S) over the 2ⁿ lattice via
+    * the mask|S = S containment test → the n!·φ sum as a literal
+    * (channel, S∪{i}, S, |S|!(n−|S|−1)!) term table. Everything integral.
+    */
+  private def shapleyOracle(channels: Seq[String], withCredit: Boolean): String = {
+    val n = channels.size
+    val full = 1 << n
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    val bitCases = channels.zipWithIndex.map { case (ch, i) =>
+      s"max(CASE WHEN event_type = '$ch' AND cum_p = 0 THEN 1 ELSE 0 END) AS b$i"
+    }.mkString(",\n            ")
+    val maskExpr = channels.indices.map(i => s"${1 << i} * b$i").mkString(" + ")
+    val subsetVals = (0 until full).map(s => s"($s)").mkString(", ")
+    val terms = (for {
+      i <- channels.indices
+      s <- 0 until full if (s & (1 << i)) == 0
+    } yield {
+      val size = Integer.bitCount(s)
+      s"('${channels(i)}', ${s | (1 << i)}, $s, ${fact(size) * fact(n - size - 1)})"
+    }).mkString(",\n            ")
+    val inList = (channels :+ "purchase").map(c => s"'$c'").mkString(",")
+    val phiCol = s"phi${fact(n)}"
+    val finalSel =
+      if (withCredit)
+        s"""tot AS (SELECT CAST(sum($phiCol) AS BIGINT) AS t FROM res)
+        SELECT channel, $phiCol,
+          CASE WHEN (SELECT t FROM tot) = 0 THEN 0
+            ELSE CAST((CAST($phiCol AS HUGEINT) * 1000000)
+              // (SELECT t FROM tot) AS BIGINT) END AS credit_e6
+        FROM res ORDER BY channel"""
+      else s"""dummy_tail AS (SELECT 1)
+        SELECT channel, $phiCol FROM res ORDER BY channel"""
+    s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
+          FROM events WHERE event_type IN ($inList)),
+        cum AS (SELECT *, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS cum_p FROM ev),
+        pu AS (SELECT user_id,
+            $bitCases,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+          FROM cum GROUP BY 1),
+        cm AS (SELECT $maskExpr AS mask, CAST(count(*) AS BIGINT) AS n
+          FROM pu WHERE conv = 1 GROUP BY 1),
+        vs AS (SELECT ss.s AS s,
+            coalesce(sum(CASE WHEN (cm.mask | ss.s) = ss.s THEN cm.n ELSE 0 END), 0) AS v
+          FROM (VALUES $subsetVals) ss(s) LEFT JOIN cm ON true GROUP BY 1),
+        res AS (SELECT t.ch AS channel,
+            CAST(sum(t.w * (va.v - vb.v)) AS BIGINT) AS $phiCol
+          FROM (VALUES
+            $terms) t(ch, sbig, ssmall, w)
+          JOIN vs va ON va.s = t.sbig JOIN vs vb ON vb.s = t.ssmall
+          GROUP BY 1),
+        $finalSel"""
+  }
+
+  private lazy val shapleySql: String =
+    shapleyOracle(Seq("click", "error", "signup", "view"), withCredit = true)
+
+  private lazy val shapleyDummySql: String =
+    shapleyOracle(Seq("click", "error", "signup", "view", "webinar"), withCredit = false)
+
+  /** Unrolled SQL for markov_attribution_removal: the journey/transition
+    * derivation plus K=4 absorption iterations for the base chain and each
+    * single-channel-removed variant, mirroring MarkovAbsorb bit-for-bit.
+    * Generated (not hand-written) because the 5 variants × 4 iterations are
+    * mechanically identical CTE blocks.
+    */
+  private lazy val markovRemovalSql: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val scale = 1000000L
+    def iterBlock(v: String, k: Int): String = {
+      val pj =
+        if (k == 1) s"CASE WHEN c.j = 'CONV' THEN $scale ELSE 0 END"
+        else s"CASE WHEN c.j = 'CONV' THEN $scale ELSE coalesce(p.p, 0) END"
+      val joinPrev =
+        if (k == 1) "" else s" LEFT JOIN p${k - 1}_$v p ON p.st = c.j"
+      s"""p${k}_$v AS (SELECT c.i AS st,
+         CAST(sum(CAST(c.cij AS HUGEINT) * ($pj)) // min(ci.ci) AS BIGINT) AS p
+         FROM c_$v c JOIN ci_$v ci ON c.i = ci.i$joinPrev GROUP BY c.i)"""
+    }
+    def variant(v: String, cDef: String): String =
+      (s"c_$v AS ($cDef)" ::
+        s"ci_$v AS (SELECT i, CAST(sum(cij) AS BIGINT) AS ci FROM c_$v GROUP BY 1)" ::
+        (1 to 4).map(k => iterBlock(v, k)).toList).mkString(",\n")
+    val baseDef = "SELECT i, j, cij FROM c0"
+    def removedDef(x: String): String =
+      s"""SELECT i, CASE WHEN j = '$x' THEN 'NULL' ELSE j END AS j,
+          CAST(sum(cij) AS BIGINT) AS cij FROM c0 WHERE i <> '$x' GROUP BY 1, 2"""
+    val reUnion = channels.map { x =>
+      s"""SELECT '$x' AS channel,
+          (SELECT p FROM p4_base WHERE st = 'START')
+            - coalesce((SELECT p FROM p4_$x WHERE st = 'START'), 0) AS re"""
+    }.mkString("\n UNION ALL ")
+    s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
+          FROM events
+          WHERE event_type IN ('click','error','signup','view','purchase')),
+        cum AS (SELECT *, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS cum_p FROM ev),
+        j AS (SELECT user_id, tsu, event_id,
+            CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS state
+          FROM cum WHERE cum_p = 0 OR (event_type = 'purchase' AND cum_p = 1)),
+        steps AS (SELECT coalesce(lag(state) OVER
+            (PARTITION BY user_id ORDER BY tsu, event_id), 'START') AS i,
+            state AS j FROM j),
+        tl AS (SELECT user_id, state,
+            row_number() OVER (PARTITION BY user_id ORDER BY tsu DESC, event_id DESC) AS rn
+          FROM j),
+        tails AS (SELECT state AS i, 'NULL' AS j FROM tl WHERE rn = 1 AND state <> 'CONV'),
+        c0 AS (SELECT i, j, CAST(count(*) AS BIGINT) AS cij FROM
+          (SELECT i, j FROM steps UNION ALL SELECT i, j FROM tails) u GROUP BY 1, 2),
+        ${variant("base", baseDef)},
+        ${channels.map(x => variant(x, removedDef(x))).mkString(",\n")},
+        res AS ($reUnion),
+        tot AS (SELECT CAST(sum(CASE WHEN re > 0 THEN re ELSE 0 END) AS BIGINT) AS t FROM res)
+        SELECT channel, CAST(re AS BIGINT) AS removal_effect_e6,
+          CASE WHEN (SELECT t FROM tot) = 0 THEN 0
+            ELSE CAST((CAST(greatest(re, 0) AS HUGEINT) * 1000000)
+              // (SELECT t FROM tot) AS BIGINT) END AS credit_e6
+        FROM res ORDER BY channel"""
+  }
 }

@@ -2295,6 +2295,58 @@ object Relational {
       "Pairwise distinct-user intersection estimates from mergeable bottom-k " +
         "sketches: one bounded-state aggregation pass, O(groups*k) driver combine; " +
         "error-bound + exact-recovery specs in KmvSpec (no SQL oracle - DuckDB has " +
-        "no xxhash64).")
+        "no xxhash64)."),
+
+    "q21b_sole_late_supplier" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The TPC-H Q21 shape (suppliers who kept orders waiting) adapted to
+        // this schema: suppliers whose line items shipped late (> 60 days
+        // after the order date) on multi-supplier orders where EVERY OTHER
+        // supplier shipped on time — the classic double-correlated
+        // EXISTS/NOT-EXISTS, decorrelated Spark-first into two hash
+        // aggregates instead of two lineitem self-joins: per
+        // (order, supplier) fold the late flag, per order count suppliers
+        // and late suppliers, keep orders with >= 2 suppliers and exactly
+        // one late one, credit that supplier. Both aggregates shuffle on
+        // l_orderkey (AQE reuses the partitioning for the re-join); the
+        // supplier name lookup is a broadcast; the top-20 runs as
+        // TakeOrderedAndProject. No self-join ever materializes
+        // lineitem x lineitem.
+        val sixtyDaysUs = 60L * 86400000000L
+        val ol = table(s, d, "lineitem")
+          .join(table(s, d, "orders").select($"o_orderkey", $"o_orderdate"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"l_orderkey", $"l_suppkey",
+            when(micros($"l_shipdate") > micros($"o_orderdate") + sixtyDaysUs, 1L)
+              .otherwise(0L).as("lt"))
+          .groupBy($"l_orderkey", $"l_suppkey")
+          .agg(max($"lt").as("late"))
+        val po = ol.groupBy($"l_orderkey")
+          .agg(count(lit(1)).as("n_supp"), sum($"late").as("n_late"))
+          .filter($"n_supp" >= 2 && $"n_late" === 1)
+          .select($"l_orderkey")
+        ol.filter($"late" === 1L)
+          .join(po, "l_orderkey")
+          .groupBy($"l_suppkey").agg(count(lit(1)).as("numwait"))
+          .join(broadcast(table(s, d, "supplier").select($"s_suppkey", $"s_name")),
+            $"l_suppkey" === $"s_suppkey")
+          .select($"s_name", $"numwait")
+          .orderBy(desc("numwait"), $"s_name")
+          .limit(20)
+      },
+      Some("""WITH ol AS (SELECT l_orderkey, l_suppkey,
+            max(CASE WHEN epoch_us(l_shipdate) > epoch_us(o_orderdate) + 5184000000000
+              THEN 1 ELSE 0 END) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        po AS (SELECT l_orderkey FROM ol GROUP BY 1
+          HAVING count(*) >= 2 AND sum(late) = 1)
+        SELECT s_name, count(*) AS numwait
+        FROM ol JOIN po USING (l_orderkey) JOIN supplier ON l_suppkey = s_suppkey
+        WHERE late = 1
+        GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20"""),
+      "TPC-H Q21 shape (sole late supplier on multi-supplier orders): the " +
+        "double-correlated EXISTS decorrelated into two orderkey-keyed hash " +
+        "aggregates — no lineitem self-join; broadcast dim, TakeOrdered top-20.")
   )
 }
