@@ -2806,22 +2806,7 @@ object Analytics {
             $"forecast1".as("forecast1_c"))
           .orderBy($"event_type", $"day_us")
       },
-      Some("""WITH RECURSIVE bd AS (SELECT event_type AS k,
-            epoch_us(date_trunc('day', ts)) AS t,
-            CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
-          FROM events GROUP BY 1, 2),
-        rd AS (SELECT k, t, v, row_number() OVER (PARTITION BY k ORDER BY t) AS rn FROM bd),
-        h AS (
-          SELECT k, rn, t, v, v AS level, CAST(0 AS BIGINT) AS trend
-          FROM rd WHERE rn = 1
-          UNION ALL
-          SELECT rd.k, rd.rn, rd.t, rd.v,
-            (rd.v + 4 * (h.level + h.trend)) // 5,
-            (((rd.v + 4 * (h.level + h.trend)) // 5) - h.level + 9 * h.trend) // 10
-          FROM h JOIN rd ON rd.k = h.k AND rd.rn = h.rn + 1)
-        SELECT k AS event_type, t AS day_us, v AS v_c, level AS level_c,
-          trend AS trend_c, level + trend AS forecast1_c
-        FROM h ORDER BY event_type, day_us"""),
+      Some(holtOracleSql),
       "Holt linear smoothing (level+trend, alpha=1/5 beta=1/10) as a keyed " +
         "secondary-sort integer fold with one truncating division per " +
         "component per step — O(1) state per series, bit-replayed by a " +
@@ -3018,6 +3003,28 @@ object Analytics {
         "channel gets exactly zero and real channels scale by 5!/4! = 5 — " +
         "the axiom a sampled implementation only approximates.")
   )
+
+  /** The Holt linear recursive-CTE oracle — shared verbatim by the batch
+    * fold (holt_linear_smoothing) and its streaming twin
+    * (streaming_holt_forecast), which are row-identical by construction.
+    */
+  private[queries] lazy val holtOracleSql: String =
+    """WITH RECURSIVE bd AS (SELECT event_type AS k,
+            epoch_us(date_trunc('day', ts)) AS t,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+          FROM events GROUP BY 1, 2),
+        rd AS (SELECT k, t, v, row_number() OVER (PARTITION BY k ORDER BY t) AS rn FROM bd),
+        h AS (
+          SELECT k, rn, t, v, v AS level, CAST(0 AS BIGINT) AS trend
+          FROM rd WHERE rn = 1
+          UNION ALL
+          SELECT rd.k, rd.rn, rd.t, rd.v,
+            (rd.v + 4 * (h.level + h.trend)) // 5,
+            (((rd.v + 4 * (h.level + h.trend)) // 5) - h.level + 9 * h.trend) // 10
+          FROM h JOIN rd ON rd.k = h.k AND rd.rn = h.rn + 1)
+        SELECT k AS event_type, t AS day_us, v AS v_c, level AS level_c,
+          trend AS trend_c, level + trend AS forecast1_c
+        FROM h ORDER BY event_type, day_us"""
 
   /** Generated subset-lattice SQL replaying operators.Shapley exactly:
     * per-user bit flags → conv-mask counts → v(S) over the 2ⁿ lattice via

@@ -1354,5 +1354,49 @@ object Streaming {
         FROM m GROUP BY user_id ORDER BY user_id"""),
       "Streaming relaxed-contiguity CEP (Flink-CEP followedBy as keyed " +
         "state): within-window-bounded pending lists per user, cross-batch " +
-        "matches fire, output ≡ the batch following-min build."))
+        "matches fire, output ≡ the batch following-min build."),
+
+    "streaming_holt_forecast" -> Q(
+      (s, d) => {
+        // The ONLINE form of holt_linear_smoothing: each daily point of a
+        // series updates O(1) keyed state (level, trend) and emits its
+        // smoothed row + one-step forecast the moment it lands — the live
+        // forecast monitor, where the batch fold re-reads the whole
+        // series. Row-identical to the batch operator by construction
+        // (same truncating-division recurrences), so the SAME recursive-
+        // CTE oracle gates both. Staging is TIME-SLICED (quartile ranges
+        // of day_us written sequentially — the streaming_prefix_anomaly
+        // idiom): every point of batch k precedes batch k+1, so carried
+        // level/trend state is load-bearing across all three boundaries
+        // (HoltStreamSpec proves a per-batch reset changes the output).
+        val (src, out, ck) = Streams.workDirs("streaming_holt_forecast")
+        val byDay = eventsTable(s, d)
+          .groupBy(col("event_type").as("k"),
+            micros(date_trunc("day", col("ts"))).as("t"))
+          .agg(sum((dec2(col("value")) * 100).cast("long")).as("v"))
+        val cuts = byDay.stat.approxQuantile("t", Array(0.25, 0.5, 0.75), 0.001)
+          .map(_.toLong)
+        val slices = Seq(
+          col("t") < cuts(0),
+          col("t") >= cuts(0) && col("t") < cuts(1),
+          col("t") >= cuts(1) && col("t") < cuts(2),
+          col("t") >= cuts(2))
+        slices.foreach { p =>
+          byDay.filter(p).coalesce(1).write.mode("append").parquet(src)
+        }
+        val staged = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val sm = graft.streaming.HoltStream.smoothed(staged)
+        Streams.runAppend(
+            sm.toDF().select(col("k").as("event_type"), col("t").as("day_us"),
+              col("v").as("v_c"), col("level").as("level_c"),
+              col("trend").as("trend_c"), col("forecast1").as("forecast1_c")),
+            out, ck)
+          .orderBy(col("event_type"), col("day_us"))
+      },
+      Some(Analytics.holtOracleSql),
+      "Streaming Holt forecast: flatMapGroupsWithState with two longs of " +
+        "state per series vs the batch fold's full re-read — row-identical " +
+        "across 4 time-sliced micro-batches, gated by the same recursive-" +
+        "CTE oracle as holt_linear_smoothing."))
 }
