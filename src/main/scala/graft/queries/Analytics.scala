@@ -3001,7 +3001,71 @@ object Analytics {
       Some(shapleyDummySql),
       "Dummy-player audit of the exact Shapley solve: an untouched 5th " +
         "channel gets exactly zero and real channels scale by 5!/4! = 5 — " +
-        "the axiom a sampled implementation only approximates.")
+        "the axiom a sampled implementation only approximates."),
+
+    "ab_conversion_z2" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Two-proportion z² for CONVERSION RATES — the rate companion to
+        // ab_welch_t (values) and cuped_adjusted_ab (variance-reduced
+        // values): arms by the deterministic user_id-parity rule,
+        // conversion = any PREMIUM purchase (≥ $90 — every user in this
+        // corpus buys something, so the plain any-purchase rate is the
+        // degenerate C = N case; the threshold makes the rate a real
+        // Bernoulli while the guard still covers the degenerate corpus).
+        // The pooled two-proportion statistic is one EXACT rational —
+        //   z² = (c₁n₂ − c₂n₁)²·N / (n₁·n₂·C·(N−C)),  C = c₁+c₂, N = n₁+n₂
+        // — e6-floored once, every product in DECIMAL(38,0)/HUGEINT
+        // (safe to ~10⁷ users; past that pre-divide the counts by a
+        // common scale — the cuped_adjusted_ab widening note). Degenerate
+        // arms (no conversions anywhere, or all converting) guard to 0 on
+        // both engines instead of a NULL-vs-raise divergence. ONE
+        // user-keyed combine + one global aggregate.
+        val d38 = DecimalType(38, 0)
+        val pu = eventsTable(s, d)
+          .groupBy($"user_id")
+          .agg(max(when($"event_type" === "purchase"
+              && (dec2($"value") * 100).cast(LongType) >= 9000L, 1L)
+            .otherwise(0L)).as("conv"))
+          .withColumn("tr", pmod($"user_id", lit(2L)))
+        val st = pu.agg(
+          sum(when($"tr" === 1L, 1L).otherwise(0L)).cast(d38).as("n1"),
+          sum(when($"tr" === 1L, $"conv").otherwise(0L)).cast(d38).as("c1"),
+          sum(when($"tr" === 0L, 1L).otherwise(0L)).cast(d38).as("n2"),
+          sum(when($"tr" === 0L, $"conv").otherwise(0L)).cast(d38).as("c2"))
+        val bigN = $"n1" + $"n2"
+        val bigC = $"c1" + $"c2"
+        val num = ($"c1" * $"n2" - $"c2" * $"n1")
+        val den = $"n1" * $"n2" * bigC * (bigN - bigC)
+        st.select(
+          $"n1".cast(LongType).as("n_treat"),
+          $"c1".cast(LongType).as("conv_treat"),
+          $"n2".cast(LongType).as("n_ctrl"),
+          $"c2".cast(LongType).as("conv_ctrl"),
+          when(den === 0, 0L)
+            .otherwise(idiv(lit(1000000L).cast(d38) * num * num * bigN, den)
+              .cast(LongType)).as("z2_e6"))
+      },
+      Some("""WITH pu AS (SELECT user_id,
+            CAST(max(CASE WHEN event_type = 'purchase'
+              AND CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >= 9000
+              THEN 1 ELSE 0 END) AS HUGEINT) AS conv
+          FROM events GROUP BY 1),
+        st AS (SELECT
+            CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+            sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS c1,
+            CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+            sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS c2
+          FROM pu)
+        SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(c1 AS BIGINT) AS conv_treat,
+          CAST(n2 AS BIGINT) AS n_ctrl, CAST(c2 AS BIGINT) AS conv_ctrl,
+          CAST(CASE WHEN n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2) = 0 THEN 0
+            ELSE (1000000 * (c1 * n2 - c2 * n1) * (c1 * n2 - c2 * n1) * (n1 + n2))
+              // (n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2)) END AS BIGINT) AS z2_e6
+        FROM st"""),
+      "Two-proportion conversion z^2 as one exact e6-floored rational " +
+        "(pooled variance, parity arms, degenerate-arm guard) — the rate " +
+        "companion to ab_welch_t and cuped_adjusted_ab.")
   )
 
   /** The Holt linear recursive-CTE oracle — shared verbatim by the batch
