@@ -708,26 +708,26 @@ object Graph {
               .otherwise(0L)).as("harm_e6"))
           .orderBy(col("node"))
       },
-      Some(s"""WITH ed0 AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      Some(s"""WITH ed0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-          edges AS (SELECT cust AS src, supp + $SuppOffset AS dst FROM ed0
+          edges AS MATERIALIZED (SELECT cust AS src, supp + $SuppOffset AS dst FROM ed0
             UNION ALL SELECT supp + $SuppOffset, cust FROM ed0),
-          l0 AS (SELECT c_custkey AS s, c_custkey AS node FROM customer
+          l0 AS MATERIALIZED (SELECT c_custkey AS s, c_custkey AS node FROM customer
             WHERE c_custkey <= 10),
-          l1 AS (SELECT DISTINCT l0.s, e.dst AS node FROM edges e
+          l1 AS MATERIALIZED (SELECT DISTINCT l0.s, e.dst AS node FROM edges e
             JOIN l0 ON e.src = l0.node),
-          l2 AS (SELECT DISTINCT l1.s, e.dst AS node FROM edges e
+          l2 AS MATERIALIZED (SELECT DISTINCT l1.s, e.dst AS node FROM edges e
             JOIN l1 ON e.src = l1.node),
-          l3 AS (SELECT DISTINCT l2.s, e.dst AS node FROM edges e
+          l3 AS MATERIALIZED (SELECT DISTINCT l2.s, e.dst AS node FROM edges e
             JOIN l2 ON e.src = l2.node),
-          l4 AS (SELECT DISTINCT l3.s, e.dst AS node FROM edges e
+          l4 AS MATERIALIZED (SELECT DISTINCT l3.s, e.dst AS node FROM edges e
             JOIN l3 ON e.src = l3.node),
-          alld AS (SELECT s, node, 0 AS dist FROM l0
+          alld AS MATERIALIZED (SELECT s, node, 0 AS dist FROM l0
             UNION ALL SELECT s, node, 1 FROM l1
             UNION ALL SELECT s, node, 2 FROM l2
             UNION ALL SELECT s, node, 3 FROM l3
             UNION ALL SELECT s, node, 4 FROM l4),
-          md AS (SELECT s, node, min(dist) AS d FROM alld GROUP BY s, node)
+          md AS MATERIALIZED (SELECT s, node, min(dist) AS d FROM alld GROUP BY s, node)
         SELECT node, count(*) AS n_sources,
           CAST(sum(CASE WHEN d >= 1 THEN 1000000 // d ELSE 0 END) AS BIGINT) AS harm_e6
         FROM md GROUP BY node ORDER BY node"""),
@@ -749,47 +749,47 @@ object Graph {
           .select(col("c_custkey").as("node"))
         graft.operators.Betweenness.sampled(edges(s, d), sources, maxDepth = 3)
       },
-      Some(s"""WITH ed0 AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      Some(s"""WITH ed0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-          edges AS (SELECT cust AS src, supp + $SuppOffset AS dst FROM ed0
+          edges AS MATERIALIZED (SELECT cust AS src, supp + $SuppOffset AS dst FROM ed0
             UNION ALL SELECT supp + $SuppOffset, cust FROM ed0),
-          f0 AS (SELECT c_custkey AS s, c_custkey AS node,
+          f0 AS MATERIALIZED (SELECT c_custkey AS s, c_custkey AS node,
             CAST(1 AS BIGINT) AS sigma FROM customer WHERE c_custkey <= 10),
-          f1 AS (SELECT x.s, x.node, x.sigma FROM (
+          f1 AS MATERIALIZED (SELECT x.s, x.node, x.sigma FROM (
               SELECT f0.s, e.dst AS node, CAST(sum(f0.sigma) AS BIGINT) AS sigma
               FROM edges e JOIN f0 ON e.src = f0.node GROUP BY f0.s, e.dst) x
             LEFT JOIN f0 p ON x.s = p.s AND x.node = p.node
             WHERE p.node IS NULL),
-          s1 AS (SELECT s, node FROM f0 UNION ALL SELECT s, node FROM f1),
-          f2 AS (SELECT x.s, x.node, x.sigma FROM (
+          s1 AS MATERIALIZED (SELECT s, node FROM f0 UNION ALL SELECT s, node FROM f1),
+          f2 AS MATERIALIZED (SELECT x.s, x.node, x.sigma FROM (
               SELECT f1.s, e.dst AS node, CAST(sum(f1.sigma) AS BIGINT) AS sigma
               FROM edges e JOIN f1 ON e.src = f1.node GROUP BY f1.s, e.dst) x
             LEFT JOIN s1 p ON x.s = p.s AND x.node = p.node
             WHERE p.node IS NULL),
-          s2 AS (SELECT s, node FROM s1 UNION ALL SELECT s, node FROM f2),
-          f3 AS (SELECT x.s, x.node, x.sigma FROM (
+          s2 AS MATERIALIZED (SELECT s, node FROM s1 UNION ALL SELECT s, node FROM f2),
+          f3 AS MATERIALIZED (SELECT x.s, x.node, x.sigma FROM (
               SELECT f2.s, e.dst AS node, CAST(sum(f2.sigma) AS BIGINT) AS sigma
               FROM edges e JOIN f2 ON e.src = f2.node GROUP BY f2.s, e.dst) x
             LEFT JOIN s2 p ON x.s = p.s AND x.node = p.node
             WHERE p.node IS NULL),
-          d3 AS (SELECT s, node, CAST(0 AS BIGINT) AS delta FROM f3),
-          a2 AS (SELECT v.s, v.node,
+          d3 AS MATERIALIZED (SELECT s, node, CAST(0 AS BIGINT) AS delta FROM f3),
+          a2 AS MATERIALIZED (SELECT v.s, v.node,
               CAST(sum((CAST(v.sigma AS HUGEINT) * (1000000 + dd.delta)) // w.sigma)
                 AS BIGINT) AS delta
             FROM f2 v JOIN edges e ON e.src = v.node
             JOIN f3 w ON w.s = v.s AND w.node = e.dst
             JOIN d3 dd ON dd.s = v.s AND dd.node = e.dst
             GROUP BY v.s, v.node),
-          d2 AS (SELECT f.s, f.node, coalesce(a.delta, CAST(0 AS BIGINT)) AS delta
+          d2 AS MATERIALIZED (SELECT f.s, f.node, coalesce(a.delta, CAST(0 AS BIGINT)) AS delta
             FROM f2 f LEFT JOIN a2 a ON a.s = f.s AND a.node = f.node),
-          a1 AS (SELECT v.s, v.node,
+          a1 AS MATERIALIZED (SELECT v.s, v.node,
               CAST(sum((CAST(v.sigma AS HUGEINT) * (1000000 + dd.delta)) // w.sigma)
                 AS BIGINT) AS delta
             FROM f1 v JOIN edges e ON e.src = v.node
             JOIN f2 w ON w.s = v.s AND w.node = e.dst
             JOIN d2 dd ON dd.s = v.s AND dd.node = e.dst
             GROUP BY v.s, v.node),
-          d1 AS (SELECT f.s, f.node, coalesce(a.delta, CAST(0 AS BIGINT)) AS delta
+          d1 AS MATERIALIZED (SELECT f.s, f.node, coalesce(a.delta, CAST(0 AS BIGINT)) AS delta
             FROM f1 f LEFT JOIN a1 a ON a.s = f.s AND a.node = f.node)
         SELECT node, CAST(sum(delta) AS BIGINT) AS bc_e6
         FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)

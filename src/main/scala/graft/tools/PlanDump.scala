@@ -135,7 +135,15 @@ object PlanDump {
       "graph_components" ->
         ("Min-label propagation to convergence (r8): per round one edges-labels equi-join + " +
           "one min aggregate, checkpoint-truncated; the dims broadcast into the edge build. " +
-          "Plan shown is the converged labeling."))
+          "Plan shown is the converged labeling."),
+      "q21b_sole_late_supplier" ->
+        ("TPC-H Q21 shape decorrelated (r10): the double-correlated EXISTS/NOT-EXISTS is two " +
+          "orderkey-keyed hash aggregates + a re-join - no lineitem self-join ever " +
+          "materializes; supplier dim broadcasts, top-20 as TakeOrderedAndProject."),
+      "holt_linear_smoothing" ->
+        ("Keyed sequential integer fold (r10): ONE hash exchange by series + in-partition " +
+          "sort feeds the O(1)-state mapPartitions fold; everything corpus-sized is the " +
+          "upstream day aggregate - the fold touches O(series x days) rows."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit artifact\n\n")
     sb.append("Generated by `graft.tools.PlanDump` at sf0.01 (plans are scale-" +
