@@ -2735,6 +2735,16 @@ object Analytics {
         val dyN = $"syt" * nc - syc * $"nt"
         val dxN = $"sxt" * nc - sxc * $"nt"
         val e6 = lit(1000000L).cast(d38)
+        // Spark narrows an overflowing DECIMAL(38,0) product to NULL where
+        // DuckDB's HUGEINT raises — detect the narrow and raise loudly so
+        // both engines fail the same way (the anova guard discipline);
+        // inputs are never null, so a null product IS the overflow.
+        val adjNum = e6 * (den * dyN - num * dxN)
+        val adjDen = den * $"nt" * nc
+        val adjGuarded = when(adjNum.isNull || adjDen.isNull, raise_error(lit(
+            "cuped_adjusted_ab: DECIMAL(38,0) overflow in the adjusted " +
+              "delta - pre-scale cents (see scaladoc)")))
+          .otherwise(idiv(adjNum, adjDen).cast(LongType))
         st.select(
           $"n".cast(LongType).as("n_users"),
           $"nt".cast(LongType).as("n_treat"),
@@ -2742,8 +2752,7 @@ object Analytics {
             .otherwise(idiv(e6 * num, den).cast(LongType)).as("theta_e6"),
           idiv(e6 * dyN, $"nt" * nc).cast(LongType).as("delta_raw_e6"),
           when(den === 0, idiv(e6 * dyN, $"nt" * nc).cast(LongType))
-            .otherwise(idiv(e6 * (den * dyN - num * dxN), den * $"nt" * nc)
-              .cast(LongType)).as("delta_adj_e6"))
+            .otherwise(adjGuarded).as("delta_adj_e6"))
       },
       Some("""WITH pu AS (SELECT user_id,
             CAST(sum(CASE WHEN event_type = 'view'
@@ -3016,8 +3025,9 @@ object Analytics {
         // The pooled two-proportion statistic is one EXACT rational —
         //   z² = (c₁n₂ − c₂n₁)²·N / (n₁·n₂·C·(N−C)),  C = c₁+c₂, N = n₁+n₂
         // — e6-floored once, every product in DECIMAL(38,0)/HUGEINT
-        // (safe to ~10⁷ users; past that pre-divide the counts by a
-        // common scale — the cuped_adjusted_ab widening note). Degenerate
+        // (worst-case imbalance crosses 10³⁸ near ~4·10⁶ users; a null
+        // product = Spark's silent decimal narrow, so the guard below
+        // raises loudly exactly where DuckDB's HUGEINT would). Degenerate
         // arms (no conversions anywhere, or all converting) guard to 0 on
         // both engines instead of a NULL-vs-raise divergence. ONE
         // user-keyed combine + one global aggregate.
@@ -3037,14 +3047,20 @@ object Analytics {
         val bigC = $"c1" + $"c2"
         val num = ($"c1" * $"n2" - $"c2" * $"n1")
         val den = $"n1" * $"n2" * bigC * (bigN - bigC)
+        // null-product = DECIMAL(38,0) overflow (inputs never null): raise
+        // loudly like DuckDB's HUGEINT does, instead of a silent NULL —
+        // worst-case imbalance crosses 10^38 near ~4e6 users
+        val zNum = lit(1000000L).cast(d38) * num * num * bigN
+        val zGuarded = when(zNum.isNull || den.isNull, raise_error(lit(
+            "ab_conversion_z2: DECIMAL(38,0) overflow - pre-scale the " +
+              "counts (see scaladoc)")))
+          .otherwise(idiv(zNum, den).cast(LongType))
         st.select(
           $"n1".cast(LongType).as("n_treat"),
           $"c1".cast(LongType).as("conv_treat"),
           $"n2".cast(LongType).as("n_ctrl"),
           $"c2".cast(LongType).as("conv_ctrl"),
-          when(den === 0, 0L)
-            .otherwise(idiv(lit(1000000L).cast(d38) * num * num * bigN, den)
-              .cast(LongType)).as("z2_e6"))
+          when(den === 0, 0L).otherwise(zGuarded).as("z2_e6"))
       },
       Some("""WITH pu AS (SELECT user_id,
             CAST(max(CASE WHEN event_type = 'purchase'
