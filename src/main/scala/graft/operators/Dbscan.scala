@@ -138,17 +138,22 @@ object Dbscan {
   private[graft] def bandedNeighbors(vectors: DataFrame, epsSq: Long,
       scale: Long, numTables: Int, numBits: Int, seedBase: Int): DataFrame = {
     val bucketed = vectors.select(col("vec_id"),
-        transform(col("embedding").cast("array<double>"),
-          x => floor(x * scale + 0.5).cast("long")).as("v"),
         posexplode(array((0 until numTables).map(t =>
           sign_random_projection_poly(col("embedding"), numBits, seedBase + t)): _*)))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
-    // a ≠ b keeps BOTH directions of every collision → symmetric list
+    // a ≠ b keeps BOTH directions of every collision → symmetric list.
+    // Dedup on the BARE id pair first — the multi-table dedup shuffle moves
+    // O(collisions) id pairs, not O(collisions × dim) quantized longs — then
+    // re-attach the vectors by id for the ε-verify (two narrow equi-joins
+    // AQE can broadcast when the id×vector table is small).
     val cand = bucketed.as("a").join(bucketed.as("b"), Seq("tbl", "bucket"))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    intL2Filter(cand, epsSq)
+    val q = quantized(vectors, scale)
+    val wide = cand
+      .join(q.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(q.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+    intL2Filter(wide, epsSq)
   }
 }

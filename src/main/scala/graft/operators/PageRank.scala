@@ -57,12 +57,18 @@ object PageRank {
       dangBroadcast: Boolean = true): DataFrame = {
     require(iters >= 1, "iters must be positive")
     val ckpt = new Checkpointer(checkpointDir)
-    val e = ckpt(edges.select(col("src").cast("long").as("src"),
+    val shufflePartitions = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    // Setup frames: only the two the LOOP re-reads (eDeg, base) are
+    // checkpointed; `e` is a lazily-persisted intermediate the two
+    // materializations share, dropped before the loop starts. (r11: the r10
+    // shape checkpointed e/nodes/eDeg/ranks separately — 4 eager
+    // materializations whose job-scheduling overhead, not shuffle volume,
+    // dominated the sf0.1 bench.)
+    val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .distinct())
-    val nodes = ckpt(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
-    val n = nodes.count()
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // (src, dst, deg) staged once — iterations re-scan it, never re-join it.
     // Pre-partitioned BY THE JOIN KEY before the checkpoint: Dataset
@@ -71,28 +77,62 @@ object PageRank {
     // distributed by src and inserts no exchange for it — the edge table
     // (the big side at 100 TB) is shuffled once per RUN, not once per
     // iteration.
-    val shufflePartitions = edges.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
     val eDeg = ckpt(e.join(deg, "src").repartition(shufflePartitions, col("src")))
-
+    // Static per-node frame (node, is_dang): every iteration's update join
+    // reads THIS — not the previous iterate — so the iterate is referenced
+    // exactly once per round (see the loop). Partitioned by node: both the
+    // scatter join (src = node) and the update join (node = dst) find it
+    // pre-distributed.
+    val base = ckpt(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(deg.select(col("src").as("node"), lit(1).as("has_out")), Seq("node"), "left")
+      .select(col("node"), col("has_out").isNull.as("is_dang"))
+      .repartition(shufflePartitions, col("node")))
+    e.unpersist()
+    val n = base.count()
     val init = scale / n // integer floor division, mirrored by `scale // n`
-    // The iterate carries its STATIC per-node flag (is_dangling) instead of
-    // re-joining a lookup frame every round: the dangling-mass term becomes
-    // a filterless aggregate over the iterate itself, and the rank update
-    // joins the iterate (already every node) — not a separate node list.
-    // Fewer stages per iteration, and at 100 TB one less co-partitioned
-    // frame to keep resident.
-    var ranks = ckpt(nodes.join(deg.select(col("src").as("node"), lit(1).as("has_out")),
-        Seq("node"), "left")
-      .select(col("node"), lit(init).as("r"), col("has_out").isNull.as("is_dang")))
     // Dangling-freeness is a STATIC graph property (the dangling set never
     // changes across iterations), so decide it ONCE: a graph where every
     // node has an out-edge (e.g. any symmetric graph) carries zero dangling
     // mass in every iteration, and the per-iteration dangling aggregate +
     // broadcast re-entry drop out of the loop entirely — one aggregate per
     // round instead of two (the r9 pagerank job-count cut). One O(nodes)
-    // count on the just-checkpointed iterate, repaid `iters` times.
-    val hasDang = ranks.filter(col("is_dang")).limit(1).count() > 0
+    // probe on the just-checkpointed base, repaid `iters` times.
+    val hasDang = base.filter(col("is_dang")).limit(1).count() > 0
+    if (!hasDang) {
+      // Dangling-free fast path (r11): each iteration references the
+      // previous iterate ONCE (the scatter join) and rebuilds the node set
+      // from the static `base`, so the whole loop is a LINEAR lazy chain —
+      // no per-iteration materialization, no per-iteration job scheduling;
+      // Spark executes all `iters` rounds as one multi-stage query with one
+      // shuffle per round (the inflow groupBy — eDeg and base are
+      // pre-partitioned on their join keys). Lineage is truncated every
+      // `ckptEvery` rounds so a deep iterate can't blow up the plan; values
+      // are integer-exact either way. Measured (sf0.1, local[32], QTime
+      // min): 10.9 s → see SURVEY §4 pagerank_lazy_ab.
+      val ckptEvery = 8
+      var ranks = base.select(col("node"), lit(init).as("r"))
+      var lastCkpt: Option[DataFrame] = None
+      for (i <- 1 to iters) {
+        val inflow = eDeg.join(ranks, eDeg("src") === ranks("node"))
+          .select(col("dst"), expr("r DIV deg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("infl"))
+        ranks = base.join(inflow, base("node") === inflow("dst"), "left")
+          .select(base("node"),
+            expr(s"CAST(${(15L * init) / 100L} AS BIGINT) + " +
+              "(85 * coalesce(infl, CAST(0 AS BIGINT))) DIV 100").as("r"))
+        if (i % ckptEvery == 0 && i < iters) {
+          ranks = ckpt(ranks)
+          lastCkpt.foreach(ckpt.retire) // superseded truncation point
+          lastCkpt = Some(ranks)
+        }
+      }
+      return ranks.select(col("node"), col("r").as("rank_scaled")).orderBy("node")
+    }
+    // Dangling path: the iterate is read twice per round (scatter + the
+    // dangling-mass aggregate), so each round stays eagerly checkpointed —
+    // a lazy chain would recompute the full lineage per reference.
+    var ranks = ckpt(base.select(col("node"), lit(init).as("r"), col("is_dang")))
     for (_ <- 1 to iters) {
       // dangling mass: rank held by nodes with no out-edges, redistributed
       // uniformly — a one-row aggregate either way (see `dangBroadcast`)
@@ -101,14 +141,7 @@ object PageRank {
         .groupBy("dst").agg(sum(col("c")).as("infl"))
       val prev = ranks
       val updated = ranks.join(inflow, ranks("node") === inflow("dst"), "left")
-      ranks = ckpt(if (!hasDang) {
-        // dangling-free graph: the mass term is identically zero — no
-        // filter aggregate, no broadcast, no crossJoin, all iterations
-        updated.select(ranks("node"),
-          expr(s"CAST(${(15L * init) / 100L} AS BIGINT) + " +
-            "(85 * coalesce(infl, CAST(0 AS BIGINT))) DIV 100").as("r"),
-          ranks("is_dang"))
-      } else if (dangBroadcast) {
+      ranks = ckpt(if (dangBroadcast) {
         val dang = ranks.filter(col("is_dang"))
           .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
         updated.crossJoin(broadcast(dang))

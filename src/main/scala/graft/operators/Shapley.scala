@@ -42,7 +42,9 @@ object Shapley {
         val size = Integer.bitCount(s)
         acc += fact(size) * fact(n - size - 1) * (v(s | bit) - v(s))
       }
-      acc.toLong
+      // n!·φ can exceed Long near n = 20 (20! ≈ 2.4e18 alone): fail loudly
+      // (ArithmeticException) instead of BigInt.toLong's silent wrap.
+      acc.bigInteger.longValueExact()
     }
   }
 }

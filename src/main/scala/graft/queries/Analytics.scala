@@ -2527,8 +2527,15 @@ object Analytics {
           .withColumn("vary_e", idiv(varYN, $"n".cast(d38)))
           .select($"l_returnflag", $"n",
             signum($"cov_e").cast("long").as("rho_sign"),
-            idiv(lit(1000000L).cast(d38) * $"cov_e".cast(d38) * $"cov_e".cast(d38),
-              $"varx_e".cast(d38) * $"vary_e".cast(d38)).cast("long").as("rho2_e6"))
+            // constant-rank guard: a group whose quantity or discount ranks
+            // are all equal has varx_e·vary_e = 0, where Spark's decimal
+            // IntegralDivide yields NULL but DuckDB's // raises — pin ρ² = 0
+            // on both engines (cuped_adjusted_ab's den=0 discipline)
+            when($"varx_e".cast(d38) * $"vary_e".cast(d38) === 0, lit(0L))
+              .otherwise(idiv(
+                lit(1000000L).cast(d38) * $"cov_e".cast(d38) * $"cov_e".cast(d38),
+                $"varx_e".cast(d38) * $"vary_e".cast(d38)).cast("long"))
+              .as("rho2_e6"))
           .orderBy($"l_returnflag")
       },
       Some("""WITH li AS (SELECT l_returnflag,
@@ -2556,7 +2563,9 @@ object Analytics {
         SELECT l_returnflag, n,
           CAST(CASE WHEN cov_e > 0 THEN 1 WHEN cov_e < 0 THEN -1 ELSE 0 END
             AS BIGINT) AS rho_sign,
-          CAST((1000000 * cov_e * cov_e) // (varx_e * vary_e) AS BIGINT) AS rho2_e6
+          CAST(CASE WHEN varx_e * vary_e = 0 THEN 0
+            ELSE (1000000 * cov_e * cov_e) // (varx_e * vary_e) END
+            AS BIGINT) AS rho2_e6
         FROM f ORDER BY l_returnflag"""),
       "Spearman rank correlation (sign + rho2 in e6, sqrt-free): integral " +
         "2-midranks with tie handling, Pearson sufficient stats on the " +

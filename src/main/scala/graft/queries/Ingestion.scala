@@ -5,7 +5,7 @@ import graft.core._
 import graft.functions.z_order
 import graft.operators.{AsOfJoin, Upsert}
 import graft.sinks.{GraftTableWriter, VersionedTable}
-import graft.sources.{ShardedIngest, TypedIngest}
+import graft.sources.{JobAssembly, ShardedIngest, TypedIngest}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -149,6 +149,62 @@ object Ingestion {
         WHERE page_rn > ($offsetsCaseSql) AND page_rn <= ($offsetsCaseSql) + 400
         ORDER BY event_id"""),
       "live JDBC sharded page read: ORDER BY/OFFSET/FETCH pushed per shard into the database (SnowflakeProcessFunction.java:88-122)"),
+
+    "job_assembly_cycle" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The reference's DEPLOYMENT surface end-to-end: the whole pipeline
+        // wired from ONE properties map (StreamingJob.java:60-128's exact
+        // keys), then TWO assembled poll cycles — discoverShards → per-shard
+        // page (offset state carried between cycles) → TypedIngest →
+        // equality-field MOR upsert (the reference's `.upsert(true)` sink) —
+        // and the table read back. The oracle replays the two consecutive
+        // pages as one rank predicate (cycle 1 takes ranks (0,500] per
+        // shard, cycle 2 (off,off+500] where off = rows cycle 1 actually
+        // read — together exactly rank ≤ 1000).
+        val wh = tmp("job_assembly_wh")
+        GraftTableWriter.drop(s, wh)
+        val props = Map(
+          "snowflake.user" -> "ingest", "snowflake.password" -> "pw",
+          "snowflake.schema" -> "PUBLIC", "snowflake.warehouse" -> "WH",
+          "snowflake.db" -> "DB", "snowflake.id" -> "acct",
+          "snowflake.port" -> "443",
+          "snowflake.table.name" -> "events",
+          "snowflake.column.name" -> "event_type",
+          "snowflake.order.column.name" -> "ord",
+          "snowflake.interval" -> "10000",
+          "snowflake.query.interval" -> "1000",
+          "snowflake.query.size.interval" -> "500",
+          "iceberg.warehouse" -> wh, "iceberg.db" -> "lake",
+          "iceberg.table" -> "events_t",
+          "iceberg.partition.fields" -> "",
+          "iceberg.operation" -> "upsert",
+          "iceberg.upsert.equality.fields" -> "event_id")
+        val cfg = JobAssembly.validate(
+          JobAssembly.loadApplicationParameters(
+            Map(JobAssembly.PropertyGroup -> props)),
+          eventsSchema)
+        val ev = eventsTable(s, d)
+        // all-string staging (the reference's SnowFlakeTable record shape)
+        // + a zero-padded sort key so lexicographic ORDER BY ≡ numeric
+        val staged = ev
+          .select(ev.columns.toSeq.map(c => col(c).cast(StringType).as(c)): _*)
+          .withColumn("ord", lpad($"event_id", 12, "0"))
+        val off1 = JobAssembly.runCycle(staged, cfg, eventsSchema, Map.empty)
+        JobAssembly.runCycle(staged, cfg, eventsSchema, off1)
+        VersionedTable.read(s, cfg.tablePath)
+          .select($"event_id", micros($"ts").as("tsu"), $"user_id",
+            $"event_type", $"value")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS tsu, user_id, event_type, value
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY lpad(CAST(event_id AS VARCHAR), 12, '0')) AS rn
+          FROM events) t
+        WHERE rn <= 1000 ORDER BY event_id"""),
+      "config-driven job assembly (ParameterToolLoader + StreamingJob key " +
+        "matrix + IcebergSinkBuilder dispatch): two properties-wired poll " +
+        "cycles with carried offset state, typed, MOR-upserted, read back"),
 
     "snapshot_ingest_typed" -> Q(
       (s, d) => {

@@ -352,7 +352,7 @@ object Similarity {
             ${l2("qq.v", "c.v")}, c.cl) AS rn
         FROM qq CROSS JOIN c$iters c) WHERE rn <= $nprobe),
       scored AS (SELECT p.query_id, f.vec_id AS neighbor_id,
-          ${l2("a.v", "b.v")} AS d2
+          CAST(${l2("a.v", "b.v")} AS BIGINT) AS d2
         FROM probes p JOIN fin f ON f.cl = p.cell
         JOIN qq a ON a.vec_id = p.query_id
         JOIN q b ON b.vec_id = f.vec_id),
@@ -360,6 +360,57 @@ object Similarity {
         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
       FROM scored)
       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, d2
+      FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** DuckDB replay of [[Sq8.topKQuantized]]: e3-quantized vectors, integer
+    * max-abs int8 codes (`(v_i·127) // mx` — `//` truncates toward zero on
+    * negatives exactly like Spark's DIV, probed), int8 MAC scan, signed
+    * sqrt-free square priority, (p DESC, id) shortlist of k·rerank, exact
+    * signed-square integer cosine re-rank. Every stage BIGINT (HUGEINT
+    * intermediates CAST back) ⇒ hash-exact.
+    */
+  private def sq8QuantizedSql(k: Int, rerank: Int, scale: Long, dim: Int): String = {
+    val dotOf = (a: String, b: String) =>
+      s"CAST(list_sum(list_transform(generate_series(1, $dim), i -> $a[i] * $b[i])) AS HUGEINT)"
+    s"""WITH q0 AS (SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT)) AS v
+      FROM embeddings),
+      q1 AS (SELECT vec_id, v,
+        greatest(list_max(list_transform(v, x -> abs(x))), 1) AS mx,
+        CAST(list_sum(list_transform(v, x -> x * x)) AS HUGEINT) AS n2
+      FROM q0),
+      q2 AS (SELECT vec_id, v, mx, n2,
+        list_transform(v, x -> (x * 127) // mx) AS c
+      FROM q1),
+      qq AS (SELECT * FROM q2 WHERE vec_id < 10),
+      cand AS (SELECT * FROM q2 WHERE vec_id >= 10),
+      scan AS (SELECT q.vec_id AS query_id, ca.vec_id AS neighbor_id,
+          ${dotOf("q.c", "ca.c")} AS dot, ca.mx AS cmx, ca.n2 AS cn2
+        FROM qq q CROSS JOIN cand ca),
+      pri AS (SELECT query_id, neighbor_id,
+          CAST(CASE WHEN dot >= 0 THEN 1 WHEN dot < 0 THEN -1 END
+            * ((dot * dot * cmx * cmx * 1000000) // cn2) AS BIGINT) AS p
+        FROM scan),
+      sl AS (SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY p DESC, neighbor_id) AS srank
+        FROM pri),
+      rr AS (SELECT s.query_id, s.neighbor_id,
+          ${dotOf("q.v", "ca.v")} AS dq, q.n2 AS qn2, ca.n2 AS cn2
+        FROM sl s JOIN qq q ON q.vec_id = s.query_id
+        JOIN cand ca ON ca.vec_id = s.neighbor_id
+        WHERE s.srank <= ${k * rerank}),
+      fin AS (SELECT query_id, neighbor_id,
+          CAST(CASE WHEN dq >= 0 THEN 1 WHEN dq < 0 THEN -1 END
+            * ((dq * dq * 1000000000000) // (qn2 * cn2)) AS BIGINT) AS cos2_e12
+        FROM rr),
+      r AS (SELECT query_id, neighbor_id, cos2_e12,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cos2_e12 DESC, neighbor_id) AS rank
+      FROM fin)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos2_e12
       FROM r WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
@@ -467,14 +518,21 @@ object Similarity {
         "lookup tables, IVF routing, exact re-rank of the shortlist only."),
 
     "ann_sq8" -> Q(
+      // FULL ORACLE since r11 via the integer-exact twin (the ann_ivf r10 /
+      // ann_lsh r9 playbook): integer max-abs int8 codes, integer MAC scan,
+      // sqrt-free signed-square priority shortlist (TopKPairs, no window),
+      // exact signed-square integer cosine re-rank — bit-exact vs the SQL
+      // replay. The float Sq8.topK (true cosine output) stays the
+      // production path, recall-spec-backed in AnnSpec.
       (s, d) => {
         val e = emb(s, d)
-        Sq8.topK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5)
+        Sq8.topKQuantized(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5)
       },
-      None, // approximate: recall vs embedding_cosine_topk is spec-checked
-      "SQ8 ANN: int8 max-abs scalar quantization (4x smaller vectors), integer " +
-        "multiply-accumulate scan, bounded-state per-query shortlist (TopKPairs, " +
-        "no window), exact cosine re-rank of the shortlist only."),
+      Some(sq8QuantizedSql(k = 5, rerank = 4, scale = 1000L, dim = 64)),
+      "SQ8 ANN, integer-exact twin: int8 max-abs scalar quantization (4x " +
+        "smaller vectors), integer multiply-accumulate scan, bounded-state " +
+        "per-query shortlist (TopKPairs, no window), integer cosine re-rank " +
+        "of the shortlist only — the whole chain replays as SQL."),
 
     "knn_graph" -> Q(
       (s, d) => Ann.knnGraphExact(emb(s, d), k = 3),

@@ -46,21 +46,25 @@ object AvroIdl {
   }
 
   def parseProtocol(idl: String): Protocol =
-    new Parser(tokenize(idl), baseDir = None, allowImports = false).protocol()
+    new Parser(tokenize(idl), baseDir = None, importChain = None).protocol()
 
-  /** Parse a protocol FILE, resolving single-level `import idl "…"` /
-    * `import schema "…"` declarations against the file's own directory —
-    * the layout where a shared record (e.g. the reference's SnowFlakeTable
-    * shape) lives in a common `.avdl` imported by per-pipeline protocols.
-    * Imported files may not themselves import (single-level by design —
-    * loud, not silently flattened); unknown-type references stay as loud as
-    * in the single-file path. */
+  /** Parse a protocol FILE, resolving `import idl "…"` / `import schema "…"`
+    * declarations against each file's own directory — the layout where a
+    * shared record (e.g. the reference's SnowFlakeTable shape) lives in a
+    * common `.avdl` imported by per-pipeline protocols. Imports resolve
+    * TRANSITIVELY (r11; r10 was single-level): each imported IDL may import
+    * further, relative to ITS directory, preserving per-file declaration
+    * order and namespaces. An import CYCLE fails loudly with the full chain;
+    * a DIAMOND (the same type arriving via two branches) is legal and
+    * spliced once, but two DIFFERENT types sharing a short name fail loudly
+    * (ambiguous reference). Unknown-type references stay as loud as in the
+    * single-file path. */
   def parseProtocolFile(path: String): Protocol = {
-    val p = java.nio.file.Paths.get(path)
+    val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize()
     val idl = new String(java.nio.file.Files.readAllBytes(p),
       java.nio.charset.StandardCharsets.UTF_8)
     new Parser(tokenize(idl), baseDir = Option(p.getParent),
-      allowImports = true).protocol()
+      importChain = Some(List(p))).protocol()
   }
 
   /** IDL -> the named record's schema (or the sole record if unnamed). */
@@ -128,8 +132,13 @@ object AvroIdl {
 
   // --------------------------------------------------------------- parser
 
+  /** @param importChain None for string parses (imports are a loud error —
+    *        no directory to resolve against); Some(chain) for file parses,
+    *        where `chain` is the normalized path stack from the root file to
+    *        this one (head = this file) — the cycle detector. */
   private final class Parser(toks: Vector[Tok],
-      baseDir: Option[java.nio.file.Path], allowImports: Boolean) {
+      baseDir: Option[java.nio.file.Path],
+      importChain: Option[List[java.nio.file.Path]]) {
     private var pos = 0
     private def peek: Tok = if (pos < toks.length) toks(pos)
       else throw new IllegalArgumentException("unexpected end of IDL")
@@ -215,33 +224,39 @@ object AvroIdl {
               case other  => fail(s"expected import file string, got $other")
             }
             expectPunct(';')
-            if (!allowImports) fail(
-              if (baseDir.isEmpty)
-                s"""import $kind "$file": imports need a file-based parse """ +
-                  "(parseProtocolFile) so relative paths resolve"
-              else
-                s"""import $kind "$file": nested imports are not """ +
-                  "supported (single-level by design)")
-            val dir = baseDir.get
-            val path = dir.resolve(file)
+            val chain = importChain.getOrElse(fail(
+              s"""import $kind "$file": imports need a file-based parse """ +
+                "(parseProtocolFile) so relative paths resolve"))
+            val path = baseDir.get.resolve(file).toAbsolutePath.normalize()
+            if (chain.contains(path)) fail(
+              s"""import cycle: ${(path :: chain).reverse.mkString(" -> ")}""")
+            if (!java.nio.file.Files.exists(path)) fail(
+              s"""import $kind "$file": $path does not exist""")
             def readFile(): String = new String(
               java.nio.file.Files.readAllBytes(path),
               java.nio.charset.StandardCharsets.UTF_8)
+            // splice an imported named type in ITS declaration order,
+            // registering it with this protocol's parser under its own full
+            // name (imported types keep their own namespace); a diamond —
+            // the same type arriving twice via two branches — splices once,
+            // two DIFFERENT types sharing a short name are a loud ambiguity
+            def splice(t: AvroSchema): Unit = known.get(t.getName) match {
+              case Some(full) if full == t.getFullName => // diamond: once
+              case Some(full) => fail(
+                s"ambiguous type name '${t.getName}': $full vs ${t.getFullName}")
+              case None =>
+                types += avroParser.parse(t.toString)
+                known += t.getName -> t.getFullName
+            }
             kind match {
               case "idl" =>
-                val sub = new Parser(tokenize(readFile()), Some(dir),
-                  allowImports = false).protocol()
-                // splice the imported named types in THEIR declaration
-                // order: register each with this protocol's parser (so
-                // later references resolve) under its own full name
-                sub.types.foreach { t =>
-                  types += avroParser.parse(t.toString)
-                  known += t.getName -> t.getFullName
-                }
+                // transitive: the sub-parser resolves ITS imports relative
+                // to ITS directory, with this chain extended for cycles
+                val sub = new Parser(tokenize(readFile()), Some(path.getParent),
+                  importChain = Some(path :: chain)).protocol()
+                sub.types.foreach(splice)
               case "schema" =>
-                val s = avroParser.parse(readFile())
-                types += s
-                known += s.getName -> s.getFullName
+                splice(new AvroSchema.Parser().parse(readFile()))
               case other => fail(
                 s"unsupported import kind '$other' (idl and schema only)")
             }

@@ -143,7 +143,22 @@ object PlanDump {
       "holt_linear_smoothing" ->
         ("Keyed sequential integer fold (r10): ONE hash exchange by series + in-partition " +
           "sort feeds the O(1)-state mapPartitions fold; everything corpus-sized is the " +
-          "upstream day aggregate - the fold touches O(series x days) rows."))
+          "upstream day aggregate - the fold touches O(series x days) rows."),
+      "graph_pagerank" ->
+        ("Fixed-point iterate, dangling-free lazy path (r11): the plan shown is the WHOLE " +
+          "4-iteration loop as one query - each round is edges(pre-partitioned by src, " +
+          "checkpointed once) JOIN iterate (referenced exactly ONCE) -> one inflow " +
+          "groupBy(dst) exchange -> left join back to the static base (pre-partitioned by " +
+          "node, checkpointed once). One shuffle per round; no per-iteration " +
+          "materialization jobs, no crossJoin (the dangling branch never enters for a " +
+          "symmetric graph); lineage truncation only every 8th round."),
+      "ann_ivf_pq" ->
+        ("IVF-PQ ANN (r11 dump; the r10 one-call joint-Lloyd fast path): candidates " +
+          "normalize+persist ONCE, all 8 PQ subspaces + the coarse quantizer train in ONE " +
+          "aggregate per Lloyd round (no per-subspace jobs), codes build as one projection, " +
+          "per-query ADC lookup tables broadcast with the queries, shortlist via the " +
+          "bounded-state TopKPairs aggregate (no Window over the corpus), exact re-rank " +
+          "joins back only the O(k*rerank) shortlist rows."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit artifact\n\n")
     sb.append("Generated by `graft.tools.PlanDump` at sf0.01 (plans are scale-" +

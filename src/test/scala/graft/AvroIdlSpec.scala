@@ -140,16 +140,88 @@ class AvroIdlSpec extends AnyFunSuite {
           |}""".stripMargin.getBytes("UTF-8"))
       val p2 = AvroIdl.parseProtocolFile(dir.resolve("main2.avdl").toString)
       assert(p2.record("Wrap").getField("e").schema.getFullName == "com.ext.Ext")
-      // nested imports stay loud: an imported file importing again is an
-      // error naming the single-level contract, not a silent flatten
+      // nested imports resolve TRANSITIVELY (r11): a two-hop chain through a
+      // subdirectory splices the deepest file's types too, each hop resolved
+      // relative to ITS OWN file's directory, declaration order preserved
+      val sub = java.nio.file.Files.createDirectory(dir.resolve("shared"))
+      java.nio.file.Files.write(sub.resolve("base.avdl"),
+        """@namespace("com.base")
+          |protocol Base { record Leaf { long id; } }""".stripMargin.getBytes("UTF-8"))
       java.nio.file.Files.write(dir.resolve("nested.avdl"),
-        """protocol N { import idl "common.avdl"; }""".getBytes("UTF-8"))
+        """@namespace("com.mid")
+          |protocol N {
+          |  import idl "shared/base.avdl";
+          |  record Mid { Leaf leaf; string tag; }
+          |}""".stripMargin.getBytes("UTF-8"))
       java.nio.file.Files.write(dir.resolve("top.avdl"),
-        """protocol T { import idl "nested.avdl"; }""".getBytes("UTF-8"))
+        """@namespace("com.top")
+          |protocol T {
+          |  import idl "nested.avdl";
+          |  record Top { Mid mid; Leaf direct; }
+          |}""".stripMargin.getBytes("UTF-8"))
+      val pt = AvroIdl.parseProtocolFile(dir.resolve("top.avdl").toString)
+      assert(pt.types.map(_.getFullName) ==
+        Seq("com.base.Leaf", "com.mid.Mid", "com.top.Top"))
+      val topSt = AvroSchemaConverter.toStruct(pt.record("Top"))
+      assert(topSt("mid").dataType.asInstanceOf[StructType]("leaf").dataType
+        .asInstanceOf[StructType].fieldNames.toSeq == Seq("id"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("import cycles fail loudly with the chain; diamonds splice once") {
+    val dir = java.nio.file.Files.createTempDirectory("avdl_cycle")
+    try {
+      // two-file cycle a -> b -> a
+      java.nio.file.Files.write(dir.resolve("a.avdl"),
+        """protocol A { import idl "b.avdl"; record Ra { int x; } }""".getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("b.avdl"),
+        """protocol B { import idl "a.avdl"; record Rb { int y; } }""".getBytes("UTF-8"))
       val e = intercept[IllegalArgumentException] {
-        AvroIdl.parseProtocolFile(dir.resolve("top.avdl").toString)
+        AvroIdl.parseProtocolFile(dir.resolve("a.avdl").toString)
       }
-      assert(e.getMessage.contains("single-level"), e.getMessage)
+      assert(e.getMessage.contains("import cycle"), e.getMessage)
+      assert(e.getMessage.contains("a.avdl") && e.getMessage.contains("b.avdl"))
+      // self-import is the degenerate cycle
+      java.nio.file.Files.write(dir.resolve("self.avdl"),
+        """protocol S { import idl "self.avdl"; }""".getBytes("UTF-8"))
+      assert(intercept[IllegalArgumentException] {
+        AvroIdl.parseProtocolFile(dir.resolve("self.avdl").toString)
+      }.getMessage.contains("import cycle"))
+      // diamond: d imports b2 and c2, both import base — base splices ONCE
+      java.nio.file.Files.write(dir.resolve("base.avdl"),
+        """@namespace("com.d")
+          |protocol Base { record Leaf { long id; } }""".stripMargin.getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("b2.avdl"),
+        """@namespace("com.d")
+          |protocol B2 { import idl "base.avdl"; record Rb2 { Leaf l; } }""".stripMargin.getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("c2.avdl"),
+        """@namespace("com.d")
+          |protocol C2 { import idl "base.avdl"; record Rc2 { Leaf l; } }""".stripMargin.getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("diamond.avdl"),
+        """@namespace("com.d")
+          |protocol D {
+          |  import idl "b2.avdl";
+          |  import idl "c2.avdl";
+          |  record Top { Rb2 b; Rc2 c; }
+          |}""".stripMargin.getBytes("UTF-8"))
+      val p = AvroIdl.parseProtocolFile(dir.resolve("diamond.avdl").toString)
+      assert(p.types.map(_.getName) == Seq("Leaf", "Rb2", "Rc2", "Top"))
+      // but two DIFFERENT types under one short name are a loud ambiguity
+      java.nio.file.Files.write(dir.resolve("other_leaf.avdl"),
+        """@namespace("com.other")
+          |protocol O { record Leaf { string id; } }""".stripMargin.getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("clash.avdl"),
+        """protocol K {
+          |  import idl "base.avdl";
+          |  import idl "other_leaf.avdl";
+          |}""".stripMargin.getBytes("UTF-8"))
+      assert(intercept[IllegalArgumentException] {
+        AvroIdl.parseProtocolFile(dir.resolve("clash.avdl").toString)
+      }.getMessage.contains("ambiguous type name 'Leaf'"))
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse

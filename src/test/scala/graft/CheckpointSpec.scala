@@ -108,19 +108,21 @@ class CheckpointSpec extends SparkSpec {
   }
 
   test("retire: superseded iterates are deleted — checkpoint dir stays bounded") {
-    // Without retire, PageRank leaves one rdd-* dir per iteration plus the
-    // static frames: O(iters) growth, exactly what a multi-hour 100 TB
-    // iterate cannot afford (Spark only deletes checkpoints itself when
-    // spark.cleaner.referenceTracking.cleanCheckpoints is on). With retire,
-    // what remains is the static frames (edges, nodes, eDeg) + the final
-    // iterate — independent of iteration count.
+    // Without retire, PageRank leaves one rdd-* dir per truncation point
+    // plus the static frames: O(iters) growth, exactly what a multi-hour
+    // 100 TB iterate cannot afford (Spark only deletes checkpoints itself
+    // when spark.cleaner.referenceTracking.cleanCheckpoints is on). With
+    // retire, what remains is independent of iteration count: the two
+    // static frames (eDeg, base) plus AT MOST one live truncation point
+    // (this graph is dangling-free — the r11 lazy path checkpoints only
+    // every 8th iteration and retires the superseded point).
     val dir = freshDir("retire")
-    val r = PageRank.run(edges.toDF("src", "dst"), 8, checkpointDir = Some(dir))
+    val r = PageRank.run(edges.toDF("src", "dst"), 20, checkpointDir = Some(dir))
     r.count() // materialize the (lazy) final projection before counting dirs
     val remaining = rddDirsUnder(dir)
-    assert(remaining.size == 4,
-      s"expected 4 surviving checkpoints (3 static + final iterate) after 8 " +
-        s"iterations, got ${remaining.size}: $remaining")
+    assert(remaining.size == 3,
+      s"expected 3 surviving checkpoints (2 static + the live truncation " +
+        s"point) after 20 iterations, got ${remaining.size}: $remaining")
     // and the result itself must still be readable from its files
     assert(r.count() > 0)
   }

@@ -38,6 +38,30 @@ class InventorySpec extends AnyFunSuite {
       "the xfail tripwire family must stay registered")
   }
 
+  test("every §2 table row has a well-formed row-number cell") {
+    // r10 doc rot (VERDICT "What's wrong" #3): a doubled number cell
+    // (`| 14y | 14y2 |`) and rows missing the number cell entirely shift
+    // the table columns under mechanical parsers. Assert every data row's
+    // FIRST cell is a row number (digits + optional suffix) and its SECOND
+    // cell is prose, not another row number.
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val s2 = text.substring(text.indexOf("## §2"), text.indexOf("## §3"))
+    val numCell = "^[0-9]+[a-z]*[0-9]*$".r
+    val bad = s2.linesIterator.zipWithIndex.collect {
+      case (line, i) if line.startsWith("|") &&
+          !line.startsWith("|--") && !line.startsWith("| #") =>
+        (line.split("\\|", -1).map(_.trim).drop(1), i)
+    }.collect {
+      case (cells, i) if cells.length > 2 &&
+          (numCell.findFirstIn(cells(0)).isEmpty ||
+           numCell.findFirstIn(cells(1)).isDefined) =>
+        s"line ${i + 1}: |${cells.take(2).mkString("|")}|..."
+    }.toSeq
+    assert(bad.isEmpty, s"malformed §2 rows (number cell): $bad")
+  }
+
   test("every oracle belongs to a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles with no query: ${orphans.toSeq.sorted}")

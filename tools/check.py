@@ -23,6 +23,16 @@ def canon(rows, cols):
 
 def main(sfdir, outdir):
     con = duckdb.connect()
+    # Resource-bound the oracle replays (VERDICT r10 "Next round" #3): the
+    # sf0.1 graph oracles (betweenness pivot unroll, BFS hop unroll) blew
+    # DuckDB's defaults — an in-memory connection spills nowhere (OOM) and
+    # an unbounded temp dir exhausted the disk. Cap memory well under the
+    # box and give the spill a disk-backed, size-capped home.
+    tmpdir = os.path.join(outdir, ".duckdb_tmp")
+    os.makedirs(tmpdir, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmpdir}'")
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET max_temp_directory_size='60GiB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
@@ -54,10 +64,19 @@ def main(sfdir, outdir):
         rc, rrows = canon([tuple(d[c] for c in ref.column_names) for d in ref.to_pylist()], list(ref.column_names))
         if mc != rc:
             print(f"FAIL {name}: columns {mc} vs {rc}"); n_fail += 1; continue
-        # dtype check (sorted by name)
+        # dtype check (sorted by name). The driver's hash is dtype-sensitive
+        # on BOTH sides: r10 shipped ann_ivf locally green with an
+        # oracle-side HUGEINT (decimal128) vs Spark BIGINT and the driver
+        # hash-failed it (VERDICT r10 "What's wrong" #2). Any dtype mismatch
+        # on a non-probe query is therefore a local FAIL — the oracle SQL
+        # must CAST its final columns to the Spark-side types.
         mtypes = {f.name: str(f.type) for f in mine.schema}
         rtypes = {f.name: str(f.type) for f in ref.schema}
         tmism = {c: (mtypes[c], rtypes[c]) for c in mc if mtypes[c] != rtypes[c]}
+        if tmism and not (name.startswith("xfail_") or name.startswith("hash_probe_")):
+            print(f"FAIL {name}: dtype mismatch vs oracle {tmism} "
+                  f"(CAST the oracle's final select to the Spark types)")
+            n_fail += 1; continue
         if len(mrows) != len(rrows):
             print(f"FAIL {name}: rowcount {len(mrows)} vs {len(rrows)}"); n_fail += 1; continue
         bad = None
@@ -72,7 +91,7 @@ def main(sfdir, outdir):
     # queries with no oracle: rows-only
     for d in sorted(os.listdir(outdir)):
         p = os.path.join(outdir, d)
-        if os.path.isdir(p) and d not in oracle:
+        if os.path.isdir(p) and d not in oracle and not d.startswith("."):
             n = pq.read_table(p).num_rows
             print(f"ROWS {d}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
     print(f"\n{n_pass} pass, {n_fail} fail")
