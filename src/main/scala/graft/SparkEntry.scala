@@ -10,6 +10,7 @@ object SparkEntry {
 
   def all: Seq[(String, Q)] =
     _root_.graft.queries.Relational.defs ++
+      _root_.graft.queries.TpcH.defs ++
       _root_.graft.queries.Analytics.defs ++
       _root_.graft.queries.Ingestion.defs ++
       _root_.graft.queries.TrainingData.defs ++
