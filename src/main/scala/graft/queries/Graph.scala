@@ -320,6 +320,58 @@ object Graph {
         "co-purchase graph): one degree aggregate + two semi-joins per round, " +
         "integer-exact vs the unrolled-CTE peel replay."),
 
+    "graph_scc" -> Q(
+      (s, d) => {
+        // STRONGLY connected components — the directed completion of
+        // graph_components' undirected question: the same national trading
+        // blocs, but each customer-supplier edge now DIRECTED by key parity
+        // ((cust+supp) even → customer pays supplier, odd → supplier
+        // rebates customer — a deterministic, SQL-replayable direction
+        // split), so mutual reachability requires an alternating-parity
+        // cycle. operators.Scc: trim (DAG tendrils peel as singletons) →
+        // forward min-color → backward extract, all keyed joins; the
+        // oracle replays mutual reachability as a recursive-CTE closure
+        // self-join (quadratic by nature — sf0.01-gated like
+        // graph_components).
+        val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val c = table(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val su = table(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("c_nationkey") === col("s_nationkey"))
+          .select(col("o_custkey").as("cust"),
+            (col("l_suppkey") + SuppOffset).as("supp"))
+          .distinct()
+        val e = pairs.select(
+          when((col("cust") + col("supp")) % 2 === 0, col("cust"))
+            .otherwise(col("supp")).as("src"),
+          when((col("cust") + col("supp")) % 2 === 0, col("supp"))
+            .otherwise(col("cust")).as("dst"))
+        graft.operators.Scc.run(e).orderBy("node")
+      },
+      Some(s"""WITH RECURSIVE ed0 AS (
+          SELECT DISTINCT o_custkey AS cust, l_suppkey + $SuppOffset AS supp
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          WHERE c_nationkey = s_nationkey),
+        ed AS (SELECT CASE WHEN (cust + supp) % 2 = 0 THEN cust ELSE supp END AS src,
+                      CASE WHEN (cust + supp) % 2 = 0 THEN supp ELSE cust END AS dst
+               FROM ed0),
+        nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+        reach(a, b) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN ed e ON r.b = e.src)
+        SELECT r1.a AS node, CAST(min(r1.b) AS BIGINT) AS scc_id
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        GROUP BY 1 ORDER BY node"""),
+      "Strongly connected components of the parity-directed domestic trade " +
+        "graph (operators.Scc: trim + color + extract peeling, keyed joins " +
+        "only) vs the mutual-reachability recursive-CTE replay."),
+
     "graph_components" -> Q(
       (s, d) => {
         // Connected components of the NATIONAL supply networks: an edge

@@ -412,6 +412,61 @@ object Streaming {
       "Stream-stream LEFT OUTER interval join: unmatched clicks emit with NULLs " +
         "once the watermark passes their window (restart-driven catch-up)."),
 
+    "stream_stream_full_join" -> Q(
+      (s, d) => {
+        // FULL OUTER stream-stream join — the completion of the interval-join
+        // family (inner: stream_stream_join, left: stream_stream_left_join):
+        // clicks with no purchase in their 30-minute window AND purchases
+        // with no preceding click BOTH emit NULL-padded, each once the
+        // watermark passes its side's match window. State bounds and the
+        // restart-driven sentinel catch-up are inherited verbatim from the
+        // left-outer variant; the output key is the COALESCED user id so
+        // right-only rows stay keyed.
+        val (srcC, out, ck) = Streams.workDirs("stream_stream_full_join")
+        val srcP = srcC + "_p"
+        val ev = eventsTable(s, d)
+        val clicks = Streams.stagedStream(
+          ev.filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts")),
+          srcC, nFiles = 3)
+          .withWatermark("click_ts", "35 days")
+        val purchases = Streams.stagedStream(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+              col("ts").as("purchase_ts")),
+          srcP, nFiles = 3)
+          .withWatermark("purchase_ts", "35 days")
+        val joined = clicks.join(purchases,
+            col("user_id") === col("p_user_id") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+            "fullOuter")
+          .select(col("click_id"), col("purchase_id"),
+            coalesce(col("user_id"), col("p_user_id")).as("uid"),
+            micros(col("click_ts")).as("click_us"), micros(col("purchase_ts")).as("purchase_us"))
+        Streams.runAppend(joined, out, ck)
+        for ((dir, idc, tsc) <- Seq((srcC, "click_id", "click_ts"), (srcP, "purchase_id", "purchase_ts"))) {
+          val puser = if (dir == srcP) "p_user_id" else "user_id"
+          for (i <- Seq(1, 2)) {
+            s.range(1).select(lit(-i.toLong).as(idc), lit(-1L).as(puser),
+              ts(s"2100-0$i-01 00:00:00").as(tsc))
+              .write.mode("append").parquet(dir)
+          }
+        }
+        Streams.runAppend(joined, out, ck)
+          .filter(col("uid") =!= -1L)
+      },
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        coalesce(c.user_id, p.user_id) AS uid,
+        epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"""),
+      "Stream-stream FULL OUTER interval join: both sides' unmatched rows " +
+        "emit NULL-padded as the watermark passes their windows — the " +
+        "interval-join family completed (inner/left/full)."),
+
     "streaming_upsert_pipeline" -> Q(
       (s, d) => {
         // The reference's actual topology end-to-end: stream -> per-batch CDC

@@ -18,6 +18,7 @@ SKIP = {
     "contamination_check",   # all-pairs shared-shingle join
     "stream_stream_join",    # events self-join on a time band
     "stream_stream_left_join",  # same self-join, left-outer
+    "stream_stream_full_join",  # same self-join, full-outer
     "dedup_representative",  # recursive-CTE closure (same as dedup_groups)
     "dedup_incremental",     # batch x corpus all-pairs Jaccard oracle
     "streaming_neardup_ingest",  # 4x (batch x admitted) all-pairs Jaccard replay,
@@ -27,6 +28,9 @@ SKIP = {
     "dbscan_embeddings",     # all-pairs eps-join + recursive-CTE closure replay
     "dbscan_embeddings_lsh", # banded candidates, but the label tail is the
                              # same recursive-CTE closure replay class
+    "graph_scc",             # mutual-reachability closure SELF-JOIN: the reach
+                             # set alone is quadratic in SCC size — same class
+                             # as graph_components; gated at sf0.01
     "graph_components",      # recursive-CTE transitive closure: the reach set
                              # materializes sum(|component|^2) rows (trading
                              # blocs are large corpus fractions) — same
