@@ -885,6 +885,210 @@ object Analytics {
         "(O·N−R·C)² div (N·R·C) floors summed — no expected-count " +
         "fractions, HUGEINT products, broadcast marginals."),
 
+    "cramers_v2" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Cramér's V² — the EFFECT-SIZE companion to chi2_independence
+        // (the χ² statistic grows with N even for a fixed association;
+        // V² = χ²/(N·min(r−1,c−1)) ∈ [0,1] is the size-free readout a
+        // release gate actually thresholds). Same per-cell integer floors
+        // as chi2_independence, then one more exact e6 quotient; emitted
+        // squared (sqrt-free, the assortativity/spearman discipline).
+        val d38 = DecimalType(38, 0)
+        val cells = eventsTable(s, d)
+          .groupBy($"event_type", dayofweek($"ts").cast(LongType).as("dow"))
+          .agg(count(lit(1)).as("o"))
+        val rows = cells.groupBy($"event_type").agg(sum($"o").as("r"))
+        val colsM = cells.groupBy($"dow").agg(sum($"o").as("c"))
+        val n = cells.agg(sum($"o").as("n"))
+        cells.join(broadcast(rows), "event_type")
+          .join(broadcast(colsM), "dow")
+          .crossJoin(broadcast(n))
+          .withColumn("dev", $"o".cast(d38) * $"n" - $"r".cast(d38) * $"c")
+          .withColumn("cell_e6",
+            idiv(lit(1000000L).cast(d38) * $"dev" * $"dev",
+              $"n".cast(d38) * $"r" * $"c"))
+          .agg(max($"n").as("n"),
+            least(countDistinct($"event_type") - 1, countDistinct($"dow") - 1).as("m"),
+            sum($"cell_e6").as("chi2_e6"))
+          .select($"n", $"m", $"chi2_e6",
+            idiv($"chi2_e6".cast(d38), $"n".cast(d38) * $"m".cast(d38))
+              .cast(LongType).as("v2_e6"))
+      },
+      Some("""WITH cells AS (SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+              count(*) AS o FROM events GROUP BY 1, 2),
+          r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+          c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+          n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+          z AS (SELECT cells.event_type, cells.dow, o, r.r, c.c, n.n,
+              CAST(o AS HUGEINT) * n.n - CAST(r.r AS HUGEINT) * c.c AS dev
+            FROM cells JOIN r ON cells.event_type = r.event_type
+              JOIN c ON cells.dow = c.dow, n),
+          agg AS (SELECT max(n) AS n,
+              least(count(DISTINCT event_type) - 1, count(DISTINCT dow) - 1) AS m,
+              CAST(sum((1000000 * dev * dev) // (CAST(n AS HUGEINT) * r * c)) AS BIGINT) AS chi2_e6
+            FROM z)
+        SELECT n, CAST(m AS BIGINT) AS m, chi2_e6,
+          CAST(CAST(chi2_e6 AS HUGEINT) // (CAST(n AS HUGEINT) * m) AS BIGINT) AS v2_e6
+        FROM agg"""),
+      "Cramér's V² effect size (χ²/(N·min(r−1,c−1)), sqrt-free e6): the " +
+        "size-free association readout over the chi2_independence cells."),
+
+    "kruskal_wallis" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Kruskal-Wallis H — the k-GROUP generalization of mann_whitney_u
+        // (arms = event types), completing the rank-test family the way
+        // anova_oneway completes ab_welch_t. Doubled tie-averaged ranks
+        // stay integral (2·avgrank = 2·cum_before + cnt + 1); the rank
+        // table is O(distinct values) via one aggregate + PrefixSum (no
+        // corpus-wide rank window). H = 12/(N(N+1))·ΣR_g²/n_g − 3(N+1)
+        // with R_g = R2_g/2, evaluated as per-group FLOORED quotients
+        // q_g = R2_g² div (4·n_g) then one floored e6 scale — the
+        // anova_oneway mirrored-floor discipline (no tie correction;
+        // both engines replay the identical floor order).
+        val d38 = DecimalType(38, 0)
+        val rows = eventsTable(s, d)
+          .select($"event_type".as("arm"),
+            (dec2($"value") * 100).cast(LongType).as("vc"))
+        val byValArm = rows.groupBy($"vc", $"arm").agg(count(lit(1)).as("cnt_a"))
+        val byVal = byValArm.groupBy($"vc").agg(sum($"cnt_a").as("cnt"))
+          .withColumn("g", lit(0L))
+        val cum = graft.operators.PrefixSum
+          .groupedRunningTotal(byVal, Seq("g"), Seq(col("vc")), "cnt", "cumcnt")
+          .withColumn("r2", lit(2L) * (col("cumcnt") - col("cnt")) + col("cnt") + 1L)
+          .select($"vc", $"r2")
+        val perArm = byValArm.join(cum, "vc")
+          .groupBy($"arm")
+          .agg(sum($"cnt_a").as("n_g"),
+            sum($"cnt_a".cast(d38) * $"r2".cast(d38)).as("r2_g"))
+          .withColumn("q_g", idiv($"r2_g" * $"r2_g", lit(4L).cast(d38) * $"n_g".cast(d38)))
+        perArm.agg(count(lit(1)).as("k"), sum($"n_g").as("n"),
+            sum($"q_g".cast(d38)).as("sq"))
+          .select($"k", $"n",
+            (idiv(lit(12000000L).cast(d38) * $"sq",
+              $"n".cast(d38) * ($"n" + 1L).cast(d38)).cast(LongType)
+              - lit(3000000L) * ($"n" + 1L)).as("h_e6"))
+      },
+      Some("""WITH r AS (SELECT event_type AS arm,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM events),
+        w AS (SELECT arm,
+            2 * rank() OVER (ORDER BY vc) + count(*) OVER (PARTITION BY vc) - 1 AS r2
+          FROM r),
+        a AS (SELECT arm, count(*) AS n_g,
+            sum(CAST(r2 AS HUGEINT)) AS r2_g FROM w GROUP BY 1),
+        q AS (SELECT n_g, (r2_g * r2_g) // (4 * CAST(n_g AS HUGEINT)) AS q_g FROM a),
+        t AS (SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+            sum(CAST(q_g AS HUGEINT)) AS sq FROM q)
+        SELECT k, n,
+          CAST((12000000 * sq) // (CAST(n AS HUGEINT) * (n + 1))
+            - 3000000 * (n + 1) AS BIGINT) AS h_e6
+        FROM t"""),
+      "Kruskal-Wallis H (k-group rank test, e6 integer): doubled midranks " +
+        "via O(distinct) PrefixSum rank table, per-group floored quotients " +
+        "mirrored exactly — the non-parametric anova_oneway."),
+
+    "logrank_test" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Two-group LOG-RANK test — the inferential completion of the
+        // survival family (survival_risk_table exposes the counts,
+        // kaplan_meier_curve the estimate; this answers "do the two arms'
+        // survival curves differ?"). Arms = user parity over the same
+        // signup → first-purchase durations (right-censored at the corpus
+        // horizon). Per distinct event day t: observed deaths split by arm
+        // (d1, d), at-risk from BACKWARD cumulatives over the O(days)
+        // aggregate (n1, n); hypergeometric terms as FLOORED e6 integers,
+        // identical floor order on both engines:
+        //   e1_t  = (10⁶·d·n1) div n
+        //   a_t   = (10⁶·d·(n−d)) div (n−1)          [0 when n = 1]
+        //   v_t   = (a_t·n1·(n−n1)) div n²           [two-stage: stays
+        //           inside DECIMAL(38,0) to ~10¹² users where the naive
+        //           single product crosses 10³⁸ near 10⁸]
+        // z² = (O1−E1)²/V emitted as z2_e6 = (10⁶·O1 − E1_e6)² div V_e6.
+        val d38 = DecimalType(38, 0)
+        val day = 86400000000L
+        val ev = eventsTable(s, d)
+        val horizon = ev.agg(max(micros($"ts"))).head.getLong(0)
+        val signup = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min(micros($"ts")).as("s0"))
+        val firstBuy = ev.filter($"event_type" === "purchase")
+          .select($"user_id", micros($"ts").as("pt"))
+          .join(signup, "user_id").filter($"pt" >= $"s0")
+          .groupBy($"user_id").agg(min($"pt").as("p0"))
+        val durations = signup.join(firstBuy, Seq("user_id"), "left")
+          .select(($"user_id" % 2).as("arm"),
+            when($"p0".isNotNull, idiv($"p0" - $"s0", lit(day)))
+              .otherwise(idiv(lit(horizon) - $"s0", lit(day))).as("t"),
+            when($"p0".isNotNull, 1L).otherwise(0L).as("event"))
+        val byDay = durations.groupBy($"t").agg(
+          sum($"event").as("d"),
+          sum(when($"arm" === 1L, $"event").otherwise(0L)).as("d1"),
+          count(lit(1)).as("all_t"),
+          sum(when($"arm" === 1L, 1L).otherwise(0L)).as("all1_t"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"t")
+          .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        val terms = byDay
+          .withColumn("n", sum($"all_t").over(w))
+          .withColumn("n1", sum($"all1_t").over(w))
+          .filter($"d" > 0)
+          .withColumn("e1_t", idiv(lit(1000000L).cast(d38) * $"d".cast(d38) * $"n1".cast(d38),
+            $"n".cast(d38)))
+          .withColumn("a_t", when($"n" > 1,
+            idiv(lit(1000000L).cast(d38) * $"d".cast(d38) * ($"n" - $"d").cast(d38),
+              ($"n" - 1L).cast(d38))).otherwise(lit(0L).cast(d38)))
+          .withColumn("v_t", idiv($"a_t" * $"n1".cast(d38) * ($"n" - $"n1").cast(d38),
+            $"n".cast(d38) * $"n".cast(d38)))
+        terms.agg(sum($"d1").as("o1"),
+            sum($"e1_t".cast(d38)).as("e1s"), sum($"v_t".cast(d38)).as("vs"))
+          .select($"o1", $"e1s".cast(LongType).as("e1_e6"),
+            $"vs".cast(LongType).as("v_e6"),
+            when($"vs" === 0, lit(0L)).otherwise(
+              idiv((lit(1000000L).cast(d38) * $"o1".cast(d38) - $"e1s")
+                * (lit(1000000L).cast(d38) * $"o1".cast(d38) - $"e1s"), $"vs")
+                .cast(LongType)).as("z2_e6"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+          hz AS (SELECT max(tsu) AS horizon FROM ev),
+          su AS (SELECT user_id, min(tsu) AS s0 FROM ev
+            WHERE event_type = 'signup' GROUP BY 1),
+          fb AS (SELECT ev.user_id, min(tsu) AS p0 FROM ev JOIN su USING (user_id)
+            WHERE event_type = 'purchase' AND tsu >= s0 GROUP BY 1),
+          dur AS (SELECT su.user_id % 2 AS arm,
+              CASE WHEN p0 IS NOT NULL THEN (p0 - s0) // 86400000000
+                ELSE ((SELECT horizon FROM hz) - s0) // 86400000000 END AS t,
+              CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS event
+            FROM su LEFT JOIN fb ON su.user_id = fb.user_id),
+          bd AS (SELECT t, CAST(sum(event) AS BIGINT) AS d,
+              CAST(sum(CASE WHEN arm = 1 THEN event ELSE 0 END) AS BIGINT) AS d1,
+              count(*) AS all_t,
+              CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS all1_t
+            FROM dur GROUP BY 1),
+          rk AS (SELECT *,
+              CAST(sum(all_t) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS BIGINT) AS n,
+              CAST(sum(all1_t) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1
+            FROM bd),
+          tm AS (SELECT d, d1, n, n1,
+              (1000000 * CAST(d AS HUGEINT) * n1) // n AS e1_t,
+              CASE WHEN n > 1 THEN (1000000 * CAST(d AS HUGEINT) * (n - d)) // (n - 1)
+                ELSE 0 END AS a_t
+            FROM rk WHERE d > 0),
+          tm2 AS (SELECT d1, e1_t,
+              (a_t * n1 * (n - n1)) // (CAST(n AS HUGEINT) * n) AS v_t
+            FROM tm),
+          agg AS (SELECT CAST(sum(d1) AS BIGINT) AS o1, sum(e1_t) AS e1s,
+              sum(v_t) AS vs FROM tm2)
+        SELECT o1, CAST(e1s AS BIGINT) AS e1_e6, CAST(vs AS BIGINT) AS v_e6,
+          CAST(CASE WHEN vs = 0 THEN 0 ELSE
+            ((1000000 * CAST(o1 AS HUGEINT) - e1s)
+              * (1000000 * CAST(o1 AS HUGEINT) - e1s)) // vs END AS BIGINT) AS z2_e6
+        FROM agg"""),
+      "Two-group log-rank test over signup→purchase survival (parity arms): " +
+        "per-event-day hypergeometric terms as mirrored floored-e6 integers " +
+        "(two-stage variance product stays in DECIMAL(38,0)), z² emitted e6."),
+
     "ts_interpolate_linear" -> Q(
       (s, d) => {
         import s.implicits._
