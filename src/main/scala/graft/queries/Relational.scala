@@ -593,6 +593,80 @@ object Relational {
         "first-following clicks, first following purchase, 1-day within — " +
         "the quantifier is one extra co-partitioned equi-join."),
 
+    "cep_one_or_more" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // `followedBy` with the KLEENE quantifier — Flink-CEP
+        // click.oneOrMore (GREEDY): view →fB click+ →fB purchase within
+        // 1 day, where the click group absorbs EVERY click between the
+        // view and the closing purchase (greedy; the reluctant variant is
+        // exactly cep_followed_by's single-click chain). Completes the CEP
+        // quantifier ladder: next (strict), followedBy (relaxed),
+        // times(2), oneOrMore. Same following-min machinery plus ONE
+        // running click-count column — the group SIZE is a prefix-count
+        // difference (pfx(purchase) − pfx(view)), not a per-match scan,
+        // so the absorbed-group accounting costs no extra join.
+        val ev = eventsTable(s, d)
+          .filter($"event_type".isin("view", "click", "purchase"))
+          .select($"user_id", $"event_id", micros($"ts").as("us"), $"event_type")
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("us", "event_id")
+        val wFol = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("rn")
+          .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        val wCum = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("rn")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val n = ev.withColumn("rn", row_number().over(wOrd).cast("long"))
+          .withColumn("next_click_rn",
+            min(when($"event_type" === "click", $"rn")).over(wFol))
+          .withColumn("next_purchase_rn",
+            min(when($"event_type" === "purchase", $"rn")).over(wFol))
+          .withColumn("cum_clicks",
+            sum(when($"event_type" === "click", 1L).otherwise(0L)).over(wCum))
+        val v = n.filter($"event_type" === "view")
+          .select($"user_id", $"us".as("view_us"), $"cum_clicks".as("vpfx"),
+            $"next_click_rn".as("c1rn"))
+        val c1 = n.select($"user_id", $"rn".as("c1rn2"),
+          $"next_purchase_rn".as("prn"))
+        val p = n.select($"user_id", $"rn".as("prn2"), $"us".as("purchase_us"),
+          $"cum_clicks".as("ppfx"))
+        v.join(c1, Seq("user_id")).filter($"c1rn" === $"c1rn2")
+          .join(p, Seq("user_id")).filter($"prn" === $"prn2")
+          .filter($"purchase_us" - $"view_us" <= 86400000000L)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_matches"),
+            sum($"ppfx" - $"vpfx").as("clicks_absorbed"),
+            min($"view_us").as("first_match_us"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+          FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY us, event_id) AS rn FROM ev),
+        n AS (SELECT *,
+            min(CASE WHEN event_type = 'click' THEN rn END) OVER f AS next_click_rn,
+            min(CASE WHEN event_type = 'purchase' THEN rn END) OVER f AS next_purchase_rn,
+            sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER c AS cum_clicks
+          FROM r
+          WINDOW f AS (PARTITION BY user_id ORDER BY rn
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+          c AS (PARTITION BY user_id ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        m AS (SELECT v.user_id, v.us AS view_us,
+            p.cum_clicks - v.cum_clicks AS n_clicks
+          FROM n v
+          JOIN n c1 ON v.user_id = c1.user_id AND c1.rn = v.next_click_rn
+          JOIN n p ON c1.user_id = p.user_id AND p.rn = c1.next_purchase_rn
+          WHERE v.event_type = 'view' AND p.us - v.us <= 86400000000)
+        SELECT user_id, count(*) AS n_matches,
+          CAST(sum(n_clicks) AS BIGINT) AS clicks_absorbed,
+          min(view_us) AS first_match_us
+        FROM m GROUP BY user_id ORDER BY user_id"""),
+      "CEP oneOrMore (greedy Kleene quantifier): view, at least one click, " +
+        "first purchase after the first click, 1-day within — the absorbed " +
+        "click-group size is a prefix-count difference, no per-match scan."),
+
     "q4_order_priority" -> Q(
       (s, d) => {
         import s.implicits._
