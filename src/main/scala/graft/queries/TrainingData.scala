@@ -426,6 +426,65 @@ object TrainingData {
         "consecutive masks fuse to sentinel spans, input/target pair built " +
         "from position-keyed pieces — the denoising-pretraining transform."),
 
+    "fim_transform" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // FILL-IN-THE-MIDDLE (Bavarian et al. 2022) — the infilling-
+        // pretraining transform beside span_corruption_t5's denoising:
+        // each document splits at two deterministic points into
+        // (prefix, middle, suffix) and re-serializes in PSM order
+        // `<PRE>prefix<SUF>suffix<MID>middle` so the model learns to
+        // infill conditioned on both sides. Split points come from two
+        // LCG rounds over doc_id (the span-corruption discipline — the
+        // oracle replays the exact splits); documents under 3 tokens pass
+        // through unchanged (mode 'raw'). One projection over the token
+        // arrays — no explode, no shuffle, full codegen.
+        val t = docs(s, d).select($"doc_id", ascii_tokens($"text").as("t"))
+          .withColumn("n", size($"t").cast("long"))
+        val x = $"doc_id" % 2147483648L
+        val u1 = (lit(1103515245L) * x + 12345L) % 2147483648L
+        val u2 = (lit(1103515245L) * u1 + 12345L) % 2147483648L
+        // greatest(...,1) denominators: for n < 3 the values are unused
+        // (raw passthrough) but both engines must still evaluate them —
+        // DuckDB raises on % 0 where Spark yields NULL
+        val s1 = lit(1L) + u1 % greatest($"n" - 2L, lit(1L))
+        val s2 = s1 + 1L + u2 % greatest($"n" - 1L - s1, lit(1L))
+        val psm = concat(lit("<PRE>"), array_join(slice($"t", lit(1), s1), " "),
+          lit("<SUF>"), array_join(slice($"t", s2 + 1L, $"n" - s2), " "),
+          lit("<MID>"), array_join(slice($"t", s1 + 1L, s2 - s1), " "))
+        t.select($"doc_id",
+          when($"n" >= 3, "psm").otherwise("raw").as("mode"),
+          when($"n" >= 3, s1).otherwise($"n").as("n_prefix"),
+          when($"n" >= 3, s2 - s1).otherwise(0L).as("n_middle"),
+          when($"n" >= 3, $"n" - s2).otherwise(0L).as("n_suffix"),
+          when($"n" >= 3, psm).otherwise(array_join($"t", " ")).as("fim_text"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z]+') AS t,
+            CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n
+          FROM documents),
+        u AS (SELECT *,
+            (1103515245 * (doc_id % 2147483648) + 12345) % 2147483648 AS u1
+          FROM t),
+        v AS (SELECT *, (1103515245 * u1 + 12345) % 2147483648 AS u2,
+            1 + u1 % greatest(n - 2, 1) AS s1 FROM u),
+        w AS (SELECT *, s1 + 1 + u2 % greatest(n - 1 - s1, 1) AS s2 FROM v)
+        SELECT doc_id,
+          CASE WHEN n >= 3 THEN 'psm' ELSE 'raw' END AS mode,
+          CAST(CASE WHEN n >= 3 THEN s1 ELSE n END AS BIGINT) AS n_prefix,
+          CAST(CASE WHEN n >= 3 THEN s2 - s1 ELSE 0 END AS BIGINT) AS n_middle,
+          CAST(CASE WHEN n >= 3 THEN n - s2 ELSE 0 END AS BIGINT) AS n_suffix,
+          CASE WHEN n >= 3 THEN
+            '<PRE>' || array_to_string(t[1:s1], ' ')
+            || '<SUF>' || array_to_string(t[s2+1:n], ' ')
+            || '<MID>' || array_to_string(t[s1+1:s2], ' ')
+          ELSE array_to_string(t, ' ') END AS fim_text
+        FROM w ORDER BY doc_id"""),
+      "Fill-in-the-middle transform (PSM order): two LCG-deterministic " +
+        "split points per doc, prefix/suffix-conditioned middle — one " +
+        "codegen'd projection, no explode, no shuffle."),
+
     "paragraph_dedup" -> Q(
       (s, d) => {
         import s.implicits._
@@ -1647,6 +1706,90 @@ object TrainingData {
         "tf/dl ranker, graded against a deterministic tf >= 3 relevance " +
         "rule — MRR over the full ranking and recall@10, e6-floored exact " +
         "rationals."),
+
+    "retrieval_eval_ndcg" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // nDCG@10 — the GRADED-position companion completing the IR eval
+        // harness (retrieval_eval_mrr covers first-hit and set recall;
+        // nDCG is the ranking-quality number leaderboards actually
+        // report). The 1/log2(i+1) position discounts are LIBM-FREE on
+        // both engines: the ten weights (and their prefix sums for the
+        // ideal DCG) are precomputed e12 INTEGER LITERALS injected
+        // identically into the plan and the oracle SQL — the repo-wide
+        // "no libm in a hash-checked path" rule. Same ranking, same
+        // binary tf ≥ 3 relevance as the MRR harness.
+        val wts = Seq(1000000000000L, 630929753571L, 500000000000L,
+          430676558073L, 386852807234L, 356207187108L, 333333333333L,
+          315464876785L, 301029995663L, 289064826317L)
+        val cum = wts.scanLeft(0L)(_ + _).tail
+        val terms = Seq("vector", "join", "scan", "filter", "window")
+        val toks = docs(s, d).select($"doc_id",
+          explode(ascii_tokens(col("text"))).as("tok"))
+          .filter($"tok".isin(terms: _*))
+        val dl = docs(s, d).select($"doc_id",
+          size(ascii_tokens(col("text"))).cast("long").as("dl"))
+        val tf = toks.groupBy($"tok", $"doc_id").agg(count(lit(1)).as("tf"))
+          .join(dl, "doc_id")
+          .withColumn("score", ($"tf" * 1000000L).cast("double") / $"dl")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"tok").orderBy($"score".desc, $"doc_id")
+        val wCase = wts.zipWithIndex.foldLeft(lit(0L)) { case (acc, (wt, i)) =>
+          when($"rn" === (i + 1).toLong, wt).otherwise(acc) }
+        val ranked = tf.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("rel", $"tf" >= 3)
+        val idealCase = cum.zipWithIndex.foldLeft(lit(cum.last)) {
+          case (acc, (c, i)) => when(least($"n_relevant", lit(10L)) === (i + 1).toLong, c)
+            .otherwise(acc) }
+        ranked.groupBy($"tok")
+          .agg(sum(when($"rel", 1L).otherwise(0L)).as("n_relevant"),
+            sum(when($"rel" && $"rn" <= 10, wCase).otherwise(0L)).as("dcg_e12"))
+          .filter($"n_relevant" > 0)
+          .withColumn("idcg_e12", idealCase)
+          .select($"tok", $"n_relevant", $"dcg_e12", $"idcg_e12",
+            idiv(lit(1000000L) * $"dcg_e12", $"idcg_e12").as("ndcg10_e6"))
+          .orderBy($"tok")
+      },
+      Some {
+        val wts = Seq(1000000000000L, 630929753571L, 500000000000L,
+          430676558073L, 386852807234L, 356207187108L, 333333333333L,
+          315464876785L, 301029995663L, 289064826317L)
+        val cum = wts.scanLeft(0L)(_ + _).tail
+        val wCase = "CASE rn " + wts.zipWithIndex.map { case (wt, i) =>
+          s"WHEN ${i + 1} THEN $wt" }.mkString(" ") + " ELSE 0 END"
+        val iCase = "CASE least(n_relevant, 10) " + cum.zipWithIndex.map {
+          case (c, i) => s"WHEN ${i + 1} THEN CAST($c AS BIGINT)" }.mkString(" ") +
+          s" ELSE CAST(${cum.last} AS BIGINT) END"
+        s"""WITH toks AS (SELECT doc_id,
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents),
+        dl AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS dl
+          FROM documents),
+        tf AS (SELECT tok, t.doc_id, count(*) AS tf, max(dl.dl) AS dl
+          FROM toks t JOIN dl ON t.doc_id = dl.doc_id
+          WHERE tok IN ('vector', 'join', 'scan', 'filter', 'window')
+          GROUP BY tok, t.doc_id),
+        r AS (SELECT *,
+            row_number() OVER (PARTITION BY tok
+              ORDER BY CAST(tf * 1000000 AS DOUBLE) / dl DESC, doc_id) AS rn,
+            tf >= 3 AS rel
+          FROM tf),
+        agg AS (SELECT tok,
+            CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant,
+            CAST(sum(CASE WHEN rel AND rn <= 10 THEN $wCase ELSE 0 END)
+              AS BIGINT) AS dcg_e12
+          FROM r GROUP BY tok),
+        f AS (SELECT tok, n_relevant, dcg_e12, $iCase AS idcg_e12
+          FROM agg WHERE n_relevant > 0)
+        SELECT tok, n_relevant, dcg_e12, idcg_e12,
+          CAST((1000000 * CAST(dcg_e12 AS HUGEINT)) // idcg_e12 AS BIGINT)
+            AS ndcg10_e6
+        FROM f ORDER BY tok"""
+      },
+      "nDCG@10 over the retrieval harness ranking: libm-free position " +
+        "discounts (precomputed e12 integer literals on BOTH engines), " +
+        "ideal DCG from the weight prefix sums, exact e6 quotient."),
 
     "cluster_label_purity" -> Q(
       (s, d) => {
