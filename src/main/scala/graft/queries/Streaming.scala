@@ -1411,6 +1411,66 @@ object Streaming {
         "state): within-window-bounded pending lists per user, cross-batch " +
         "matches fire, output ≡ the batch following-min build."),
 
+    "streaming_cep_one_or_more" -> Q(
+      (s, d) => {
+        // The GREEDY KLEENE quantifier live (Flink-CEP click.oneOrMore):
+        // the batch cep_one_or_more pattern as keyed state — pending pairs
+        // carry their absorbed click COUNT, each further click increments
+        // every open pair, the closing purchase emits (view, purchase,
+        // group size). Same within-window state bound, staging, and
+        // cross-batch guarantees as streaming_cep_followedby; gated by the
+        // batch query's prefix-count-difference oracle.
+        val (src, out, ck) = Streams.workDirs("streaming_cep_one_or_more")
+        val input = eventsTable(s, d)
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), micros(col("ts")).as("us"),
+            col("event_id"), col("event_type"))
+        val mx = input.agg(max(col("event_id"))).head.getLong(0)
+        (1 to 4).foreach { i =>
+          val lo = if (i == 1) Long.MinValue else (i - 1) * (mx / 4)
+          val hi = if (i == 4) Long.MaxValue else i * (mx / 4)
+          input.filter(col("event_id") > lo && col("event_id") <= hi)
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+        val staged = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val m = graft.streaming.CepOneOrMore.matches(staged,
+          windowUs = 86400000000L, idleTimeoutUs = 2L * 86400000000L,
+          lateToleranceUs = 3600000000L)
+        Streams.runAppend(m.toDF(), out, ck)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_matches"),
+            sum(col("n_clicks")).as("clicks_absorbed"),
+            min(col("view_us")).as("first_match_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+          FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY us, event_id) AS rn FROM ev),
+        n AS (SELECT *,
+            min(CASE WHEN event_type = 'click' THEN rn END) OVER f AS next_click_rn,
+            min(CASE WHEN event_type = 'purchase' THEN rn END) OVER f AS next_purchase_rn,
+            sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER c AS cum_clicks
+          FROM r
+          WINDOW f AS (PARTITION BY user_id ORDER BY rn
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+          c AS (PARTITION BY user_id ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        m AS (SELECT v.user_id, v.us AS view_us,
+            p.cum_clicks - v.cum_clicks AS n_clicks
+          FROM n v
+          JOIN n c1 ON v.user_id = c1.user_id AND c1.rn = v.next_click_rn
+          JOIN n p ON c1.user_id = p.user_id AND p.rn = c1.next_purchase_rn
+          WHERE v.event_type = 'view' AND p.us - v.us <= 86400000000)
+        SELECT user_id, count(*) AS n_matches,
+          CAST(sum(n_clicks) AS BIGINT) AS clicks_absorbed,
+          min(view_us) AS first_match_us
+        FROM m GROUP BY user_id ORDER BY user_id"""),
+      "Streaming greedy oneOrMore CEP: pending pairs carry absorbed click " +
+        "counts in keyed state, cross-batch matches fire, output ≡ the " +
+        "batch prefix-count build."),
+
     "streaming_holt_forecast" -> Q(
       (s, d) => {
         // The ONLINE form of holt_linear_smoothing: each daily point of a

@@ -202,6 +202,62 @@ class CepSpec extends SparkSpec {
     assert(got == Seq((1L, 100L, 300L), (1L, 150L, 300L)), got.toString)
   }
 
+  // ---- greedy Kleene quantifier (oneOrMore) ------------------------------
+
+  private def runOneOrMore(batches: Seq[Seq[(Long, Long, Long, String)]],
+      windowUs: Long = 86400000000L): Seq[(Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String)]
+    val df = ms.toDF.toDF("user_id", "us", "event_id", "event_type")
+    val out = graft.streaming.CepOneOrMore.matches(df, windowUs = windowUs)
+    val q = out.writeStream.format("memory")
+      .queryName("cep_oom_out").outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        ms.addData(b: _*)
+        q.processAllAvailable()
+      }
+      spark.table("cep_oom_out")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    } finally {
+      q.stop(); spark.catalog.dropTempView("cep_oom_out")
+    }
+  }
+
+  test("streaming oneOrMore ≡ batch prefix-count build on real data") {
+    val d = sf("sf0.001")
+    val batch = SparkEntry.queries("cep_one_or_more")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val streamed = SparkEntry.queries("streaming_cep_one_or_more")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "degenerate corpus: no oneOrMore matches")
+    assert(streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size} users")
+  }
+
+  test("oneOrMore absorbs every click up to the purchase, across batch boundaries") {
+    // three clicks spanning three micro-batches all join ONE group; the
+    // reluctant chain (followedBy) would still match but oneOrMore's
+    // count proves the greedy absorb
+    val got = runOneOrMore(Seq(
+      Seq((1L, 100L, 1L, "view"), (1L, 200L, 2L, "click")),
+      Seq((1L, 250L, 3L, "click")),
+      Seq((1L, 260L, 4L, "click"), (1L, 300L, 5L, "purchase"))))
+    assert(got == Seq((1L, 100L, 300L, 3L)), got.toString)
+    // two views fan into the shared click group; counts are per-view
+    // (clicks after each view)
+    val fan = runOneOrMore(Seq(Seq(
+      (1L, 100L, 1L, "view"), (1L, 150L, 2L, "view"),
+      (1L, 200L, 3L, "click"), (1L, 220L, 4L, "click"),
+      (1L, 300L, 5L, "purchase"))))
+    assert(fan == Seq((1L, 100L, 300L, 2L), (1L, 150L, 300L, 2L)), fan.toString)
+    // a purchase with NO preceding click matches nothing (oneOrMore ≥ 1)
+    val none = runOneOrMore(Seq(Seq(
+      (1L, 100L, 1L, "view"), (1L, 300L, 2L, "purchase"))))
+    assert(none.isEmpty, none.toString)
+  }
+
   test("followedBy `within` bound prunes state and rejects out-of-window matches") {
     val day = 86400000000L
     // click arrives a window past the view → the view is pruned before
