@@ -48,7 +48,7 @@ class InventorySpec extends AnyFunSuite {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
       java.nio.charset.StandardCharsets.UTF_8)
     val s2 = text.substring(text.indexOf("## §2"), text.indexOf("## §3"))
-    val numCell = "^[0-9]+[a-z]*[0-9]*$".r
+    val numCell = "^[0-9]+([a-z]+[0-9]*)*$".r
     val bad = s2.linesIterator.zipWithIndex.collect {
       case (line, i) if line.startsWith("|") &&
           !line.startsWith("|--") && !line.startsWith("| #") =>
