@@ -33,7 +33,7 @@ class InventorySpec extends AnyFunSuite {
   }
 
   test("the inventory is non-trivial and probes are present") {
-    assert(surveyKeys.size >= 320, s"§2 inventory shrank to ${surveyKeys.size}")
+    assert(surveyKeys.size >= 350, s"§2 inventory shrank to ${surveyKeys.size}")
     assert(SparkEntry.queries.keySet.count(_.startsWith("xfail_")) >= 6,
       "the xfail tripwire family must stay registered")
   }
