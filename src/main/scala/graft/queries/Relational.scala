@@ -667,6 +667,34 @@ object Relational {
         "first purchase after the first click, 1-day within — the absorbed " +
         "click-group size is a prefix-count difference, no per-match scan."),
 
+    "spatial_distance_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // 2-D spatial ε-join: all customer pairs within Euclidean distance
+        // 100 on a derived 10000×10000 integer plane (coordinates are
+        // deterministic key functions, replayed verbatim by the oracle —
+        // the derived-partsupp discipline). operators.SpatialJoin: grid
+        // cells of the radius side, 3×3-neighborhood replication on ONE
+        // side so every qualifying pair meets exactly once, integer
+        // Δx²+Δy² verify — one cell-keyed shuffle, never the N² cross
+        // join the oracle replays.
+        val pts = table(s, d, "customer").select($"c_custkey".as("id"),
+          ($"c_custkey" * 31 % 10000).as("x"), ($"c_custkey" * 57 % 10000).as("y"))
+        graft.operators.SpatialJoin.withinDistance(pts, r2 = 10000L, cell = 100L)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH p AS (SELECT c_custkey AS id,
+            (c_custkey * 31) % 10000 AS x, (c_custkey * 57) % 10000 AS y
+          FROM customer)
+        SELECT a.id AS id_a, b.id AS id_b,
+          CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+        FROM p a JOIN p b ON a.id < b.id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 10000
+        ORDER BY id_a, id_b"""),
+      "2-D spatial epsilon-join via grid cells (3x3 neighborhood " +
+        "replication, exact-once candidates, integer distance verify) — " +
+        "one cell-keyed shuffle vs the oracle's N^2 replay."),
+
     "q4_order_priority" -> Q(
       (s, d) => {
         import s.implicits._

@@ -191,6 +191,23 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("spatial distance join stays a cell-keyed equi-join with broadcast disabled") {
+    // the 2-D grid join must never fall back to the N² nested loop its
+    // oracle replays — even when the broadcast path is off, the join is
+    // an equi-join on (cx, cy)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = q("spatial_distance_join")
+      df.collect()
+      val plan = planOf(df).split("== Initial Plan ==").head
+      assert(!plan.contains("CartesianProduct"), plan.take(3000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("exact-substring dedup joins by gram only — no cartesian, no nested loop") {
     val plan = planOf(q("exact_substring_spans"))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
