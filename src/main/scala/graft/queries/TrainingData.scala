@@ -1933,6 +1933,68 @@ object TrainingData {
         FROM f ORDER BY doc_id, frame_no"""),
       "Every-4th 64-byte frame sample over binary payloads (chunked frame extraction plumbing)."),
 
+    "multimodal_scene_cuts" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // SCENE-CUT detection over the binary payload — the video-curation
+        // step after frame sampling (cut-aware clips, per-shot sampling,
+        // dedup at shot granularity): consecutive 64-byte frames compare by
+        // total absolute byte delta, and a pair whose delta crosses the
+        // threshold (mean |Δbyte| ≥ 40) is a cut. All-integer over the
+        // space-padded bytes (the multimodal_ahash discipline — a real
+        // decoder would slot in at the frame-extract stage; the DELTA
+        // arithmetic and the per-doc windowing are the production shape).
+        // Frames-per-doc is payload-bounded, so the per-doc lag window is
+        // bounded state at any corpus scale.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"frame_no")
+        val frames = docs(s, d)
+          .withColumn("byte_len", octet_length($"text".cast("binary")).cast("long"))
+          .filter($"byte_len" > 0)
+          .withColumn("n_frames", expr("(byte_len + 63) div 64"))
+          .select($"doc_id", $"text", $"n_frames",
+            explode(sequence(lit(0L), $"n_frames" - 1L)).as("frame_no"))
+          .withColumn("frame",
+            rpad($"text".substr(($"frame_no" * 64L + 1L).cast("int"), lit(64)), 64, " "))
+          .withColumn("prev", lag($"frame", 1).over(w))
+          .filter($"prev".isNotNull)
+        val delta = aggregate(
+          transform(sequence(lit(1), lit(64)),
+            i => abs(ascii($"frame".substr(i, lit(1))).cast("long")
+              - ascii($"prev".substr(i, lit(1))).cast("long"))),
+          lit(0L), (acc, x) => acc + x)
+        frames
+          .withColumn("delta", delta)
+          .withColumn("is_cut", $"delta" >= 64L * 40L)
+          .groupBy($"doc_id")
+          .agg(max($"n_frames").as("n_frames"),
+            sum(when($"is_cut", 1L).otherwise(0L)).as("n_cuts"),
+            coalesce(min(when($"is_cut", $"frame_no")), lit(-1L)).as("first_cut_frame"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH f AS (SELECT doc_id, text,
+            (octet_length(encode(text)) + 63) // 64 AS n_frames,
+            unnest(generate_series(0, ((octet_length(encode(text)) + 63) // 64) - 1)) AS frame_no
+          FROM documents WHERE octet_length(encode(text)) > 0),
+        fr AS (SELECT doc_id, n_frames, frame_no,
+            rpad(substr(text, (frame_no * 64 + 1)::INT, 64), 64, ' ') AS frame
+          FROM f),
+        pairs AS (SELECT doc_id, n_frames, frame_no, frame,
+            lag(frame) OVER (PARTITION BY doc_id ORDER BY frame_no) AS prev
+          FROM fr),
+        dl AS (SELECT doc_id, n_frames, frame_no,
+            CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> abs(CAST(ascii(substr(frame, i, 1)) AS BIGINT)
+                - CAST(ascii(substr(prev, i, 1)) AS BIGINT)))) AS BIGINT) AS delta
+          FROM pairs WHERE prev IS NOT NULL)
+        SELECT doc_id, CAST(max(n_frames) AS BIGINT) AS n_frames,
+          CAST(sum(CASE WHEN delta >= 2560 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+          coalesce(min(CASE WHEN delta >= 2560 THEN frame_no END), -1) AS first_cut_frame
+        FROM dl GROUP BY doc_id ORDER BY doc_id"""),
+      "Scene-cut detection over binary payloads: consecutive 64-byte frames " +
+        "compared by total absolute byte delta (integer, space-padded), " +
+        "threshold cuts counted per doc — per-doc bounded lag window."),
+
     "multimodal_byte_stats" -> Q(
       (s, d) => {
         import s.implicits._
