@@ -166,6 +166,39 @@ object Graph {
       "\n      GROUP BY src ORDER BY node"
   }
 
+  /** Unrolled replay of [[graft.operators.KTruss.edges]]: per round the
+    * degree-ordered wedge join recomputes per-edge triangle support over
+    * the survivors, then edges under k−2 peel. MATERIALIZED per round for
+    * the same 3^i-expansion reason as [[kcoreSql]]. */
+  private def ktrussSql(k: Int, rounds: Int): String = {
+    val head = s"""WITH e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+          greatest(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      r0 AS MATERIALIZED (SELECT u, v FROM e0)"""
+    val steps = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""deg$i AS MATERIALIZED (SELECT node, count(*) AS dg
+          FROM (SELECT u AS node FROM r$p UNION ALL SELECT v FROM r$p) GROUP BY 1),
+        o$i AS MATERIALIZED (SELECT
+            CASE WHEN (d1.dg, rr.u) < (d2.dg, rr.v) THEN rr.u ELSE rr.v END AS s,
+            CASE WHEN (d1.dg, rr.u) < (d2.dg, rr.v) THEN rr.v ELSE rr.u END AS t
+          FROM r$p rr JOIN deg$i d1 ON rr.u = d1.node JOIN deg$i d2 ON rr.v = d2.node),
+        tri$i AS MATERIALIZED (SELECT w.c, w.u, w.v FROM (
+            SELECT a.s AS c, least(a.t, b.t) AS u, greatest(a.t, b.t) AS v
+            FROM o$i a JOIN o$i b ON a.s = b.s AND a.t < b.t) w
+          JOIN r$p USING (u, v)),
+        supp$i AS MATERIALIZED (SELECT eu AS u, ev AS v, count(*) AS cnt FROM (
+            SELECT least(c, u) AS eu, greatest(c, u) AS ev FROM tri$i
+            UNION ALL SELECT least(c, v), greatest(c, v) FROM tri$i
+            UNION ALL SELECT u, v FROM tri$i) GROUP BY 1, 2),
+        r$i AS MATERIALIZED (SELECT r$p.u, r$p.v FROM r$p
+          JOIN supp$i USING (u, v) WHERE cnt >= ${k - 2})"""
+    }
+    (head +: steps).mkString(",\n      ") +
+      s"\n      SELECT u, v FROM r$rounds ORDER BY u, v"
+  }
+
   /** Unrolled SQL replay of [[graft.operators.LabelProp.run]]: per round,
     * (node, label) in-neighbor counts then the argmax with smallest-label
     * tie-break. The oracle's row_number window is output-identical to the
@@ -421,6 +454,29 @@ object Graph {
       "Fixed-iteration PageRank in scaled-integer arithmetic: two shuffles per iteration " +
         "(edges-by-src join, inflow-by-dst agg), O(1) driver scalars, bit-exact vs the " +
         "unrolled SQL replay."),
+
+    "graph_ktruss" -> Q(
+      (s, d) => {
+        // k-truss of the part co-purchase graph (k = 12: every surviving
+        // edge sits in ≥ 10 triangles among survivors) — the triangle-
+        // supported cohesion backbone one rung above graph_kcore's degree
+        // rule. Engine peels to the FIXPOINT; the oracle unrolls 6 rounds
+        // (≥ the measured convergence at both gated SFs; extra rounds are
+        // no-ops on a converged set, so the replay is round-count-safe).
+        val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        val e = li.as("a")
+          .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(least(col("a.l_partkey"), col("b.l_partkey")).as("u"),
+            greatest(col("a.l_partkey"), col("b.l_partkey")).as("v"))
+          .distinct()
+        graft.operators.KTruss.edges(e, k = 12)
+      },
+      Some(ktrussSql(k = 12, rounds = 6)),
+      "k-truss extraction (k = 12): iterative triangle-support peel via the " +
+        "degree-ordered wedge join (skew-safe O(m^1.5) wedges), each " +
+        "triangle crediting its three canonical edges — fixpoint engine vs " +
+        "the unrolled-round replay."),
 
     "graph_triangles" -> Q(
       (s, d) => {
