@@ -2558,6 +2558,81 @@ object Analytics {
       "LTV triangle: signup-week cohorts × age-week cumulative purchase " +
         "revenue in integer cents — the money companion to retention_cohorts."),
 
+    "fellegi_sunter" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Fellegi-Sunter probabilistic record linkage — the SCORING model
+        // on top of the blocking step (phonetic_blocking_join finds
+        // candidates; this decides): per candidate pair, an agreement
+        // vector over (name, acctbal-cents, mktsegment), each field
+        // contributing its log2(m/u) agreement weight or
+        // log2((1−m)/(1−u)) disagreement weight — the (m, u) parameters
+        // are CONFIGURED model constants, precomputed as e6 integer
+        // literals identical on both engines (the nDCG libm-free
+        // discipline). Candidates block on nation (the N² cross join
+        // never materializes); the dirty side is a deterministic
+        // key-driven corruption so both engines stage identical noise.
+        // Output = the linkage confusion matrix: verdict (score
+        // thresholds) × ground truth (same id), with score bounds.
+        val (wNameA, wNameD) = (9891783L, -4320485L)   // m=.95,  u=.001
+        val (wAcctA, wAcctD) = (10813781L, -3321207L)  // m=.9,   u=.0005
+        val (wSegA, wSegD)   = (2292781L, -5321929L)   // m=.98,  u=.2
+        val base = table(s, d, "customer").select($"c_custkey".as("id"),
+          $"c_name", $"c_nationkey", $"c_mktsegment",
+          round($"c_acctbal" * 100).cast("long").as("bal_c"))
+        val dirty = base.select($"id".as("id_b"),
+          when($"id" % 3 === 1,
+            concat(substring($"c_name", 1, 2), substring($"c_name", 4, 1000)))
+            .otherwise($"c_name").as("b_name"),
+          $"c_nationkey".as("b_nat"),
+          when($"id" % 7 === 1, lit("CORRUPTED")).otherwise($"c_mktsegment").as("b_seg"),
+          when($"id" % 4 === 1, $"bal_c" + 1L).otherwise($"bal_c").as("b_bal_c"))
+        val scored = base.join(dirty, $"c_nationkey" === $"b_nat")
+          .withColumn("score_e6",
+            when($"c_name" === $"b_name", wNameA).otherwise(wNameD)
+              + when($"bal_c" === $"b_bal_c", wAcctA).otherwise(wAcctD)
+              + when($"c_mktsegment" === $"b_seg", wSegA).otherwise(wSegD))
+          .withColumn("verdict",
+            when($"score_e6" >= 12000000L, "link")
+              .when($"score_e6" <= -6000000L, "non_link")
+              .otherwise("possible"))
+          .withColumn("is_true_pair", $"id" === $"id_b")
+        scored.groupBy($"verdict", $"is_true_pair")
+          .agg(count(lit(1)).as("n_pairs"),
+            min($"score_e6").as("min_score_e6"),
+            max($"score_e6").as("max_score_e6"))
+          .orderBy($"verdict", $"is_true_pair")
+      },
+      Some("""WITH base AS (SELECT c_custkey AS id, c_name, c_nationkey,
+            c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+          FROM customer),
+        dirty AS (SELECT id AS id_b,
+            CASE WHEN id % 3 = 1
+              THEN substr(c_name, 1, 2) || substr(c_name, 4) ELSE c_name END AS b_name,
+            c_nationkey AS b_nat,
+            CASE WHEN id % 7 = 1 THEN 'CORRUPTED' ELSE c_mktsegment END AS b_seg,
+            CASE WHEN id % 4 = 1 THEN bal_c + 1 ELSE bal_c END AS b_bal_c
+          FROM base),
+        sc AS (SELECT id, id_b,
+            CAST(CASE WHEN c_name = b_name THEN 9891783 ELSE -4320485 END
+              + CASE WHEN bal_c = b_bal_c THEN 10813781 ELSE -3321207 END
+              + CASE WHEN c_mktsegment = b_seg THEN 2292781 ELSE -5321929 END
+              AS BIGINT) AS score_e6
+          FROM base JOIN dirty ON c_nationkey = b_nat),
+        v AS (SELECT *,
+            CASE WHEN score_e6 >= 12000000 THEN 'link'
+                 WHEN score_e6 <= -6000000 THEN 'non_link'
+                 ELSE 'possible' END AS verdict,
+            id = id_b AS is_true_pair
+          FROM sc)
+        SELECT verdict, is_true_pair, count(*) AS n_pairs,
+          min(score_e6) AS min_score_e6, max(score_e6) AS max_score_e6
+        FROM v GROUP BY 1, 2 ORDER BY verdict, is_true_pair"""),
+      "Fellegi-Sunter record-linkage scoring over nation-blocked candidate " +
+        "pairs: per-field log2(m/u) agreement weights as e6 integer " +
+        "literals (libm-free), threshold verdicts, linkage confusion " +
+        "matrix vs the deterministic ground truth."),
+
     "phonetic_blocking_join" -> Q(
       (s, d) => {
         import s.implicits._

@@ -405,6 +405,64 @@ object Graph {
         "graph (operators.Scc: trim + color + extract peeling, keyed joins " +
         "only) vs the mutual-reachability recursive-CTE replay."),
 
+    "graph_condensation" -> Q(
+      (s, d) => {
+        // The CONDENSATION DAG of graph_scc's components — what downstream
+        // DAG algorithms (topological order, longest dependency chain,
+        // cycle-free scheduling) actually consume: one node per SCC, one
+        // edge per ordered SCC pair with the original edge multiplicity.
+        // Same parity-directed domestic graph; the SCC labeling is
+        // operators.Scc, the projection two broadcast-joinable label
+        // lookups + one (scc_a, scc_b) aggregate.
+        val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val c = table(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val su = table(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("c_nationkey") === col("s_nationkey"))
+          .select(col("o_custkey").as("cust"),
+            (col("l_suppkey") + SuppOffset).as("supp"))
+          .distinct()
+        val e = pairs.select(
+          when((col("cust") + col("supp")) % 2 === 0, col("cust"))
+            .otherwise(col("supp")).as("src"),
+          when((col("cust") + col("supp")) % 2 === 0, col("supp"))
+            .otherwise(col("cust")).as("dst"))
+        val scc = graft.operators.Scc.run(e)
+        e.join(scc.select(col("node").as("src"), col("scc_id").as("scc_a")), "src")
+          .join(scc.select(col("node").as("dst"), col("scc_id").as("scc_b")), "dst")
+          .filter(col("scc_a") =!= col("scc_b"))
+          .groupBy(col("scc_a"), col("scc_b"))
+          .agg(count(lit(1)).as("n_edges"))
+          .orderBy(col("scc_a"), col("scc_b"))
+      },
+      Some(s"""WITH RECURSIVE ed0 AS (
+          SELECT DISTINCT o_custkey AS cust, l_suppkey + $SuppOffset AS supp
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          WHERE c_nationkey = s_nationkey),
+        ed AS (SELECT CASE WHEN (cust + supp) % 2 = 0 THEN cust ELSE supp END AS src,
+                      CASE WHEN (cust + supp) % 2 = 0 THEN supp ELSE cust END AS dst
+               FROM ed0),
+        nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+        reach(a, b) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN ed e ON r.b = e.src),
+        scc AS (SELECT r1.a AS node, CAST(min(r1.b) AS BIGINT) AS scc_id
+          FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+          GROUP BY 1)
+        SELECT sa.scc_id AS scc_a, sb.scc_id AS scc_b, count(*) AS n_edges
+        FROM ed JOIN scc sa ON ed.src = sa.node JOIN scc sb ON ed.dst = sb.node
+        WHERE sa.scc_id <> sb.scc_id
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "SCC condensation DAG (one node per component, inter-SCC edges with " +
+        "multiplicity) — the cycle-free projection downstream DAG " +
+        "algorithms consume; Scc labeling + two label lookups."),
+
     "graph_components" -> Q(
       (s, d) => {
         // Connected components of the NATIONAL supply networks: an edge

@@ -29,6 +29,7 @@ SKIP = {
     "dbscan_embeddings_lsh", # banded candidates, but the label tail is the
                              # same recursive-CTE closure replay class
     "spatial_distance_join", # the oracle replays the N^2 point self-join
+    "graph_condensation",    # same mutual-reachability closure replay as graph_scc
     "graph_scc",             # mutual-reachability closure SELF-JOIN: the reach
                              # set alone is quadratic in SCC size — same class
                              # as graph_components; gated at sf0.01
