@@ -259,6 +259,78 @@ object Analytics {
         "bounded-basket pair join, broadcast per-part counts, both rule " +
         "directions, deterministic top-100."),
 
+    "cross_correlation" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // LEAD-LAG cross-correlation between two daily series (does click
+        // volume lead purchase volume, and by how many days?) — the
+        // two-series companion to autocorr_lags' self-probe. Daily counts
+        // join on (click day + k = purchase day) for k = 0..7; Pearson per
+        // lag from integer sufficient statistics, emitted sqrt-free as
+        // sign + ρ²·10⁶ with the spearman zero-variance guard (a constant
+        // series divides by zero differently across engines). Corpus-sized
+        // work = one day aggregate; the lag fan-out (8×) rides the
+        // O(days) table, never the events.
+        val d38 = DecimalType(38, 0)
+        val day = 86400000000L
+        val byDay = eventsTable(s, d)
+          .filter($"event_type".isin("click", "purchase"))
+          .groupBy(micros(date_trunc("day", $"ts")).as("day_us"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+        val c = byDay.filter($"event_type" === "click")
+          .select($"day_us", $"n".as("x"))
+        val p = byDay.filter($"event_type" === "purchase")
+          .select($"day_us".as("p_day"), $"n".as("y"))
+        val sums = c.withColumn("lag_k", explode(sequence(lit(0L), lit(7L))))
+          .withColumn("p_day", $"day_us" + $"lag_k" * day)
+          .join(p, "p_day")
+          .groupBy($"lag_k")
+          .agg(count(lit(1)).as("n_days"),
+            sum($"x").as("sx"), sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+            sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+          .withColumn("num", $"n_days" * $"sxy" - $"sx" * $"sy")
+          .withColumn("den_x", $"n_days" * $"sxx" - $"sx" * $"sx")
+          .withColumn("den_y", $"n_days" * $"syy" - $"sy" * $"sy")
+        sums.select($"lag_k", $"n_days",
+            signum($"num").cast("long").as("rho_sign"),
+            when($"den_x".cast(d38) * $"den_y".cast(d38) === 0, lit(0L))
+              .otherwise(idiv(lit(1000000L).cast(d38) * $"num".cast(d38) * $"num".cast(d38),
+                $"den_x".cast(d38) * $"den_y".cast(d38)).cast("long"))
+              .as("rho2_e6"))
+          .orderBy($"lag_k")
+      },
+      Some("""WITH bd AS (SELECT date_trunc('day', ts) AS dday, event_type,
+            count(*) AS n FROM events
+          WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2),
+        c AS (SELECT dday, CAST(n AS BIGINT) AS x FROM bd WHERE event_type = 'click'),
+        p AS (SELECT dday AS p_day, CAST(n AS BIGINT) AS y FROM bd
+          WHERE event_type = 'purchase'),
+        j AS (SELECT lag_k, x, y FROM c
+          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS lag_k)
+          JOIN p ON p_day = dday + to_days(lag_k::INT)),
+        a AS (SELECT lag_k, count(*) AS n_days,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x * y) AS BIGINT) AS sxy,
+            CAST(sum(x * x) AS BIGINT) AS sxx,
+            CAST(sum(y * y) AS BIGINT) AS syy
+          FROM j GROUP BY 1),
+        f AS (SELECT lag_k, n_days,
+            n_days * sxy - sx * sy AS num,
+            n_days * sxx - sx * sx AS den_x,
+            n_days * syy - sy * sy AS den_y
+          FROM a)
+        SELECT CAST(lag_k AS BIGINT) AS lag_k, n_days,
+          CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS rho_sign,
+          CAST(CASE WHEN CAST(den_x AS HUGEINT) * den_y = 0 THEN 0
+            ELSE (1000000 * CAST(num AS HUGEINT) * num)
+              // (CAST(den_x AS HUGEINT) * den_y) END AS BIGINT) AS rho2_e6
+        FROM f ORDER BY lag_k"""),
+      "Lead-lag cross-correlation (click volume vs purchase volume at lags " +
+        "0..7 days): integer sufficient statistics over the O(days) " +
+        "aggregate, sqrt-free sign + rho2_e6 emission with the " +
+        "zero-variance guard."),
+
     "autocorr_lags" -> Q(
       (s, d) => {
         import s.implicits._
