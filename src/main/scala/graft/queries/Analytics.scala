@@ -3181,6 +3181,59 @@ object Analytics {
         "component per step — O(1) state per series, bit-replayed by a " +
         "recursive CTE."),
 
+    "holt_winters_additive" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Holt-Winters ADDITIVE smoothing (level + trend + period-7
+        // seasonal) — the seasonal capstone of the forecast family
+        // (holt_linear_smoothing is level+trend; the daily series here
+        // really do carry a weekly cycle, see dow_seasonality). α=1/5,
+        // β=1/10, γ=1/4 as EXACT integer recurrences with one truncating
+        // division per component per step; missing seasonal history reads
+        // 0 (the deterministic initialization both engines replay). The
+        // fold is operators.HoltWinters' secondary-sort pass — O(period)
+        // state per series, day-aggregated input. The oracle's recursive
+        // CTE carries the 7-slot seasonal RING as a list column, sliding
+        // one slot per row — a bit replay including the ring mechanics.
+        val byDay = eventsTable(s, d)
+          .groupBy($"event_type".as("k"),
+            micros(date_trunc("day", $"ts")).as("t"))
+          .agg(sum((dec2($"value") * 100).cast(LongType)).as("v"))
+        graft.operators.HoltWinters.smooth(byDay, period = 7)
+          .select($"k".as("event_type"), $"t".as("day_us"), $"v".as("v_c"),
+            $"level".as("level_c"), $"trend".as("trend_c"),
+            $"seasonal".as("seasonal_c"), $"forecast1".as("forecast1_c"))
+          .orderBy($"event_type", $"day_us")
+      },
+      Some("""WITH RECURSIVE bd AS (SELECT event_type AS k,
+            epoch_us(date_trunc('day', ts)) AS t,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+          FROM events GROUP BY 1, 2),
+        rd AS (SELECT k, t, v, row_number() OVER (PARTITION BY k ORDER BY t) AS rn FROM bd),
+        h AS (
+          SELECT k, rn, t, v, v AS level, CAST(0 AS BIGINT) AS trend,
+            CAST(0 AS BIGINT) AS seasonal,
+            [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS ring
+          FROM rd WHERE rn = 1
+          UNION ALL
+          SELECT k, rn, t, v, level, trend, seasonal, ring[2:7] || [seasonal]
+          FROM (
+            SELECT rd.k, rd.rn, rd.t, rd.v, h.ring,
+              ((rd.v - h.ring[1]) + 4 * (h.level + h.trend)) // 5 AS level,
+              ((((rd.v - h.ring[1]) + 4 * (h.level + h.trend)) // 5)
+                - h.level + 9 * h.trend) // 10 AS trend,
+              ((rd.v - (((rd.v - h.ring[1]) + 4 * (h.level + h.trend)) // 5))
+                + 3 * h.ring[1]) // 4 AS seasonal
+            FROM h JOIN rd ON rd.k = h.k AND rd.rn = h.rn + 1))
+        SELECT k AS event_type, t AS day_us, v AS v_c, level AS level_c,
+          trend AS trend_c, seasonal AS seasonal_c,
+          CAST(level + trend + ring[1] AS BIGINT) AS forecast1_c
+        FROM h ORDER BY event_type, day_us"""),
+      "Holt-Winters additive smoothing (weekly seasonal, alpha=1/5 " +
+        "beta=1/10 gamma=1/4): integer recurrences with an O(period) " +
+        "seasonal ring per series, bit-replayed by a recursive CTE that " +
+        "slides the ring as a list column."),
+
     "mann_kendall_trend" -> Q(
       (s, d) => {
         import s.implicits._
