@@ -3205,30 +3205,7 @@ object Analytics {
             $"seasonal".as("seasonal_c"), $"forecast1".as("forecast1_c"))
           .orderBy($"event_type", $"day_us")
       },
-      Some("""WITH RECURSIVE bd AS (SELECT event_type AS k,
-            epoch_us(date_trunc('day', ts)) AS t,
-            CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
-          FROM events GROUP BY 1, 2),
-        rd AS (SELECT k, t, v, row_number() OVER (PARTITION BY k ORDER BY t) AS rn FROM bd),
-        h AS (
-          SELECT k, rn, t, v, v AS level, CAST(0 AS BIGINT) AS trend,
-            CAST(0 AS BIGINT) AS seasonal,
-            [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS ring
-          FROM rd WHERE rn = 1
-          UNION ALL
-          SELECT k, rn, t, v, level, trend, seasonal, ring[2:7] || [seasonal]
-          FROM (
-            SELECT rd.k, rd.rn, rd.t, rd.v, h.ring,
-              ((rd.v - h.ring[1]) + 4 * (h.level + h.trend)) // 5 AS level,
-              ((((rd.v - h.ring[1]) + 4 * (h.level + h.trend)) // 5)
-                - h.level + 9 * h.trend) // 10 AS trend,
-              ((rd.v - (((rd.v - h.ring[1]) + 4 * (h.level + h.trend)) // 5))
-                + 3 * h.ring[1]) // 4 AS seasonal
-            FROM h JOIN rd ON rd.k = h.k AND rd.rn = h.rn + 1))
-        SELECT k AS event_type, t AS day_us, v AS v_c, level AS level_c,
-          trend AS trend_c, seasonal AS seasonal_c,
-          CAST(level + trend + ring[1] AS BIGINT) AS forecast1_c
-        FROM h ORDER BY event_type, day_us"""),
+      Some(holtWintersOracleSql),
       "Holt-Winters additive smoothing (weekly seasonal, alpha=1/5 " +
         "beta=1/10 gamma=1/4): integer recurrences with an O(period) " +
         "seasonal ring per series, bit-replayed by a recursive CTE that " +
@@ -3501,6 +3478,38 @@ object Analytics {
     * fold (holt_linear_smoothing) and its streaming twin
     * (streaming_holt_forecast), which are row-identical by construction.
     */
+  /** Shared by holt_winters_additive AND streaming_holt_winters (the
+    * streamed fold is row-identical by construction): recursive CTE
+    * carrying the 7-slot seasonal ring as a list column. The recursive
+    * member's `ring` output is the POST-state ([s_{rn−6} … s_{rn}]), so
+    * the lookback is ring[1] of the PARENT row and the one-step forecast
+    * reads ring[1] of the row itself. */
+  private[queries] lazy val holtWintersOracleSql: String =
+    """WITH RECURSIVE bd AS (SELECT event_type AS k,
+            epoch_us(date_trunc('day', ts)) AS t,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+          FROM events GROUP BY 1, 2),
+        rd AS (SELECT k, t, v, row_number() OVER (PARTITION BY k ORDER BY t) AS rn FROM bd),
+        h AS (
+          SELECT k, rn, t, v, v AS level, CAST(0 AS BIGINT) AS trend,
+            CAST(0 AS BIGINT) AS seasonal,
+            [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS ring
+          FROM rd WHERE rn = 1
+          UNION ALL
+          SELECT k, rn, t, v, level, trend, seasonal, ring[2:7] || [seasonal]
+          FROM (
+            SELECT rd.k, rd.rn, rd.t, rd.v, h.ring,
+              ((rd.v - h.ring[1]) + 4 * (h.level + h.trend)) // 5 AS level,
+              ((((rd.v - h.ring[1]) + 4 * (h.level + h.trend)) // 5)
+                - h.level + 9 * h.trend) // 10 AS trend,
+              ((rd.v - (((rd.v - h.ring[1]) + 4 * (h.level + h.trend)) // 5))
+                + 3 * h.ring[1]) // 4 AS seasonal
+            FROM h JOIN rd ON rd.k = h.k AND rd.rn = h.rn + 1))
+        SELECT k AS event_type, t AS day_us, v AS v_c, level AS level_c,
+          trend AS trend_c, seasonal AS seasonal_c,
+          CAST(level + trend + ring[1] AS BIGINT) AS forecast1_c
+        FROM h ORDER BY event_type, day_us"""
+
   private[queries] lazy val holtOracleSql: String =
     """WITH RECURSIVE bd AS (SELECT event_type AS k,
             epoch_us(date_trunc('day', ts)) AS t,

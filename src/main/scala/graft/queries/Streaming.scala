@@ -1513,5 +1513,45 @@ object Streaming {
       "Streaming Holt forecast: flatMapGroupsWithState with two longs of " +
         "state per series vs the batch fold's full re-read — row-identical " +
         "across 4 time-sliced micro-batches, gated by the same recursive-" +
-        "CTE oracle as holt_linear_smoothing."))
+        "CTE oracle as holt_linear_smoothing."),
+
+    "streaming_holt_winters" -> Q(
+      (s, d) => {
+        // The online form of holt_winters_additive: each daily point
+        // updates O(period) keyed state (level, trend, the 7-slot seasonal
+        // ring) and emits smoothed row + seasonal one-step forecast live —
+        // the same staging, ordering, and no-eviction contracts as
+        // streaming_holt_forecast, gated by the SAME list-ring recursive-
+        // CTE oracle as the batch operator (row-identical by construction).
+        val (src, out, ck) = Streams.workDirs("streaming_holt_winters")
+        val byDay = eventsTable(s, d)
+          .groupBy(col("event_type").as("k"),
+            micros(date_trunc("day", col("ts"))).as("t"))
+          .agg(sum((dec2(col("value")) * 100).cast("long")).as("v"))
+        val cuts = byDay.stat.approxQuantile("t", Array(0.25, 0.5, 0.75), 0.001)
+          .map(_.toLong)
+        val slices = Seq(
+          col("t") < cuts(0),
+          col("t") >= cuts(0) && col("t") < cuts(1),
+          col("t") >= cuts(1) && col("t") < cuts(2),
+          col("t") >= cuts(2))
+        slices.foreach { p =>
+          byDay.filter(p).coalesce(1).write.mode("append").parquet(src)
+        }
+        val staged = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val sm = graft.streaming.HoltWintersStream.smoothed(staged, period = 7)
+        Streams.runAppend(
+            sm.toDF().select(col("k").as("event_type"), col("t").as("day_us"),
+              col("v").as("v_c"), col("level").as("level_c"),
+              col("trend").as("trend_c"), col("seasonal").as("seasonal_c"),
+              col("forecast1").as("forecast1_c")),
+            out, ck)
+          .orderBy(col("event_type"), col("day_us"))
+      },
+      Some(Analytics.holtWintersOracleSql),
+      "Streaming Holt-Winters: the seasonal forecast live — O(period) " +
+        "keyed state (level, trend, seasonal ring) per series across 4 " +
+        "time-sliced micro-batches, gated by the same list-ring recursive-" +
+        "CTE oracle as the batch fold."))
 }

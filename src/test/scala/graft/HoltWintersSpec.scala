@@ -45,6 +45,16 @@ class HoltWintersSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streamed Holt-Winters equals the batch fold at sf0.001") {
+    import spark.implicits._
+    val batch = SparkEntry.queries("holt_winters_additive")(spark, sf("sf0.001"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val streamed = SparkEntry.queries("streaming_holt_winters")(spark, sf("sf0.001"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(batch.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size}")
+  }
+
   test("a seasonal series converges to a nonzero seasonal profile") {
     import spark.implicits._
     // weekly sawtooth: day-of-week d contributes +100·d around a base
