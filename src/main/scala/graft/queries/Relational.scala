@@ -667,6 +667,51 @@ object Relational {
         "first purchase after the first click, 1-day within — the absorbed " +
         "click-group size is a prefix-count difference, no per-match scan."),
 
+    "hof_array_suite" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // HIGHER-ORDER-FUNCTION parity suite — the lambda surface
+        // (transform / filter / exists / forall / aggregate / sort) pinned
+        // against DuckDB's list functions in ONE query: per sampled order,
+        // the sorted quantity array and six HOF-derived readouts. These
+        // primitives underpin half the repo's kernels (every zip_with
+        // cosine, byte fold, shingle filter); this row keeps the surface
+        // itself under the oracle, so an engine-upgrade semantic drift in
+        // any lambda primitive hash-mismatches immediately.
+        val qties = table(s, d, "lineitem")
+          .select($"l_orderkey", round($"l_quantity").cast("long").as("q"))
+          .groupBy($"l_orderkey")
+          .agg(sort_array(collect_list($"q")).as("qs"))
+          .filter($"l_orderkey" % 97 === 0)
+        qties.select($"l_orderkey",
+            size($"qs").cast("long").as("n_lines"),
+            aggregate($"qs", lit(0L), (acc, x) => acc + x).as("total_qty"),
+            size(filter($"qs", x => x > 25L)).cast("long").as("n_big"),
+            when(exists($"qs", x => x >= 45L), 1L).otherwise(0L).as("has_jumbo"),
+            when(forall($"qs", x => x > 0L), 1L).otherwise(0L).as("all_positive"),
+            aggregate(transform($"qs", x => x * x), lit(0L), (acc, x) => acc + x)
+              .as("sum_sq"),
+            element_at($"qs", -1).as("max_q"))
+          .orderBy($"l_orderkey")
+      },
+      Some("""WITH a AS (SELECT l_orderkey,
+            list_sort(list(CAST(round(l_quantity) AS BIGINT))) AS qs
+          FROM lineitem GROUP BY 1)
+        SELECT l_orderkey,
+          CAST(len(qs) AS BIGINT) AS n_lines,
+          CAST(list_sum(qs) AS BIGINT) AS total_qty,
+          CAST(len(list_filter(qs, x -> x > 25)) AS BIGINT) AS n_big,
+          CAST(CASE WHEN len(list_filter(qs, x -> x >= 45)) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS has_jumbo,
+          CAST(CASE WHEN len(list_filter(qs, x -> NOT (x > 0))) = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS all_positive,
+          CAST(list_sum(list_transform(qs, x -> x * x)) AS BIGINT) AS sum_sq,
+          qs[-1] AS max_q
+        FROM a WHERE l_orderkey % 97 = 0 ORDER BY l_orderkey"""),
+      "Higher-order-function parity suite: transform/filter/exists/forall/" +
+        "aggregate/sort over per-order quantity arrays vs DuckDB's list " +
+        "functions — the lambda surface itself under the oracle."),
+
     "spatial_distance_join" -> Q(
       (s, d) => {
         import s.implicits._

@@ -355,6 +355,62 @@ object Streaming {
       "Streaming session windows (30-min gap) with watermark-gated emission; " +
         "sessions close via restart-driven catch-up."),
 
+    "streaming_sessionize_dynamic" -> Q(
+      (s, d) => {
+        // DYNAMIC-GAP session windows — the per-event-gap form of
+        // streaming_sessionize (a purchase keeps the visit alive for 90
+        // minutes, anything else 30): Spark's session_window takes the gap
+        // as an EXPRESSION, so the merge rule is event-dependent; a new
+        // event joins the session iff it starts before the running
+        // session end max(ts + gap(event)). Same watermark-gated emission
+        // and restart-driven sentinel catch-up as the static-gap query;
+        // the oracle replays the merge rule as a running-max
+        // gaps-and-islands build.
+        val (src, out, ck) = Streams.workDirs("streaming_sessionize_dynamic")
+        val ev = eventsTable(s, d).select(col("user_id"), col("ts"), col("event_type"))
+        val staged = Streams.stagedStream(ev, src, nFiles = 3)
+        val gap = when(col("event_type") === "purchase", "90 minutes")
+          .otherwise("30 minutes")
+        val sessions = staged
+          .withWatermark("ts", "35 days")
+          .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            micros(col("sw.start")).as("session_start_us"),
+            micros(col("sw.end")).as("session_end_us"),
+            col("n_events"))
+        Streams.runAppend(sessions, out, ck)
+        for (i <- Seq(1, 2)) {
+          s.range(1).select(lit(-1L).as("user_id"), ts(s"2100-0$i-01 00:00:00").as("ts"),
+            lit("view").as("event_type"))
+            .write.mode("append").parquet(src)
+        }
+        Streams.runAppend(sessions, out, ck)
+          .filter(col("user_id") =!= -1L)
+      },
+      Some("""WITH e AS (SELECT user_id, ts,
+            CASE WHEN event_type = 'purchase' THEN INTERVAL 90 MINUTE
+              ELSE INTERVAL 30 MINUTE END AS gap
+          FROM events),
+        m AS (SELECT user_id, ts, gap,
+            max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM e),
+        b AS (SELECT user_id, ts, gap,
+            CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END AS brk
+          FROM m),
+        i AS (SELECT user_id, ts, gap, SUM(brk) OVER (PARTITION BY user_id
+            ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM b)
+        SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+          epoch_us(max(ts + gap)) AS session_end_us,
+          count(*) AS n_events
+        FROM i GROUP BY user_id, island
+        ORDER BY user_id, session_start_us"""),
+      "Dynamic-gap streaming session windows (purchase extends the visit " +
+        "90 min, others 30): the gap is a per-event expression; oracle = " +
+        "the running-max gaps-and-islands replay of the merge rule."),
+
     "stream_stream_left_join" -> Q(
       (s, d) => {
         // LEFT OUTER stream-stream join: clicks with no purchase in the
