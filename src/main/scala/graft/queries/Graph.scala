@@ -513,6 +513,54 @@ object Graph {
         "(edges-by-src join, inflow-by-dst agg), O(1) driver scalars, bit-exact vs the " +
         "unrolled SQL replay."),
 
+    "graph_clustering_coeff" -> Q(
+      (s, d) => {
+        // LOCAL CLUSTERING COEFFICIENT per node — the normalized readout of
+        // graph_triangles (how close each node's neighborhood is to a
+        // clique: cc = 2·tri/(deg·(deg−1))), emitted as the exact e6
+        // integer quotient; degree-1 nodes read 0 (guarded division,
+        // mirrored). Triangle counts ride the same skew-safe wedge join.
+        val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        val e = li.as("a")
+          .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(least(col("a.l_partkey"), col("b.l_partkey")).as("u"),
+            greatest(col("a.l_partkey"), col("b.l_partkey")).as("v"))
+          .distinct()
+        val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val tri = Triangles.perNode(e)
+        deg.join(tri, Seq("node"), "left")
+          .select(col("node"), col("deg"),
+            coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+            when(col("deg") < 2, 0L).otherwise(
+              graft.core.idiv(lit(2000000L) * coalesce(col("n_triangles"), lit(0L)),
+                col("deg") * (col("deg") - 1L))).as("cc_e6"))
+          .orderBy(col("node"))
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+            greatest(a.l_partkey, b.l_partkey) AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        deg AS (SELECT node, count(*) AS deg FROM (
+            SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+        tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM e0 e1 JOIN e0 e2 ON e1.v = e2.u JOIN e0 e3
+            ON e3.u = e1.u AND e3.v = e2.v),
+        pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri) GROUP BY 1)
+        SELECT deg.node, CAST(deg AS BIGINT) AS deg,
+          coalesce(n_triangles, 0) AS n_triangles,
+          CAST(CASE WHEN deg < 2 THEN 0
+            ELSE (2000000 * coalesce(n_triangles, 0)) // (deg * (deg - 1))
+            END AS BIGINT) AS cc_e6
+        FROM deg LEFT JOIN pn ON deg.node = pn.node
+        ORDER BY deg.node"""),
+      "Local clustering coefficient (2·tri/(deg·(deg−1)) as exact e6): the " +
+        "normalized per-node readout of the triangle census, degree-1 " +
+        "guard mirrored on both engines."),
+
     "graph_ktruss" -> Q(
       (s, d) => {
         // k-truss of the part co-purchase graph (k = 12: every surviving
