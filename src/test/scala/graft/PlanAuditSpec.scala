@@ -17,6 +17,44 @@ class PlanAuditSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sf("sf0.001"))
 
+  test("dynamic partition pruning fires on a partitioned fact x filtered dim join") {
+    // At 100 TB the fact table is partition-laid-out and the dim filter is
+    // only known at run time — DPP is what keeps the scan from reading
+    // every partition. Assert Spark actually plants the dynamicpruning
+    // subquery in the fact scan's partition filters for our layout.
+    // Two conditions this audit documents (both bit us while writing it):
+    // the dim must be a real SCAN (a LocalRelation's filter constant-folds
+    // away and DPP finds no filtering predicate), and the fact side must
+    // read actual data columns (a partition-column-only scan is tiny and
+    // gets chosen as the broadcast BUILD side, which disqualifies pruning).
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = "/tmp/graft_tables/dpp_audit"
+    val dimP = "/tmp/graft_tables/dpp_dim"
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dimP), true)
+    core.eventsTable(spark, sf("sf0.001"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(p)
+    Seq(("click", 1L), ("view", 2L), ("purchase", 3L),
+      ("signup", 4L), ("error", 5L)).toDF("event_type", "w")
+      .write.mode("overwrite").parquet(dimP)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // the reuse-broadcast DPP path (the production shape)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+      val df = spark.read.parquet(p)
+        .join(spark.read.parquet(dimP).filter($"w" <= 2), "event_type")
+        .groupBy($"event_type").agg(sum($"value").as("s"))
+      df.collect()
+      val plan = planOf(df)
+      assert(plan.contains("dynamicpruning"),
+        "expected a dynamic-partition-pruning subquery in the fact scan:\n" +
+          plan.take(4000))
+      assert(plan.contains("SubqueryBroadcast") || plan.contains("dynamicpruning#"),
+        plan.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q6 selective filter is pushed down to the parquet scan") {
     val plan = planOf(q("q6_forecast_revenue"))
     assert(plan.contains("PushedFilters: ["), plan.take(2000))
