@@ -456,6 +456,46 @@ object Ingestion {
         ORDER BY snap, o_orderkey"""),
       "snapshot-versioned table: upsert commits a new snapshot, v1 stays time-travelable (Iceberg format-v2 semantics, IcebergTableManager.java:83-90)"),
 
+    "snapshot_expire" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Snapshot EXPIRY with a retention count (Iceberg expire_snapshots
+        // / Delta VACUUM's manifest side) as a RUNNABLE row — the
+        // spec-only coverage (orphan GC, rollback) gets a driver-gated
+        // twin: three keyed appends, expire keep-last-2, then the
+        // per-remaining-version census proves (a) history truncated to
+        // exactly the retained window, (b) every retained version still
+        // reads completely (expired snapshots' EXCLUSIVE dirs deleted,
+        // shared dirs kept — liveness is path-identity, see
+        // VersionedTable.expire).
+        val p = tmp("snapshot_expire")
+        GraftTableWriter.drop(s, p)
+        val o = table(s, d, "orders")
+          .select($"o_orderkey", round($"o_totalprice" * 100).cast("long").as("tp_c"))
+        VersionedTable.append(o.filter($"o_orderkey" % 3 === 0), p)
+        VersionedTable.append(o.filter($"o_orderkey" % 3 === 1), p)
+        VersionedTable.append(o.filter($"o_orderkey" % 3 === 2), p)
+        VersionedTable.expire(s, p, keep = 2)
+        val versions = VersionedTable.versions(s, p)
+        versions.map { v =>
+          VersionedTable.readVersion(s, p, v)
+            .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"))
+            .select(lit(v.toLong).as("version"), $"n_rows", $"sum_key")
+        }.reduce(_ unionByName _).orderBy($"version")
+      },
+      Some("""WITH o AS (SELECT o_orderkey FROM orders),
+        v2 AS (SELECT 2 AS version, count(*) AS n_rows,
+            CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+          FROM o WHERE o_orderkey % 3 IN (0, 1)),
+        v3 AS (SELECT 3 AS version, count(*) AS n_rows,
+            CAST(sum(o_orderkey) AS BIGINT) AS sum_key FROM o)
+        SELECT CAST(version AS BIGINT) AS version, n_rows, sum_key
+        FROM (SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+        ORDER BY version"""),
+      "Snapshot expiry with retention (keep-last-2 of 3 appends): history " +
+        "truncates to the retained window and every retained version still " +
+        "reads completely — shared dirs survive, exclusive debris deleted."),
+
     "table_compaction" -> Q(
       (s, d) => {
         import s.implicits._
