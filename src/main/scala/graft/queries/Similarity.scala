@@ -575,6 +575,81 @@ object Similarity {
         "on survivors, identical core/border/noise rules; one (table,bucket) " +
         "shuffle instead of the N² cross join."),
 
+    "triplet_mining" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // HARD-NEGATIVE TRIPLET MINING — the contrastive-training curation
+        // step after sampling (contrastive_negative_sampling draws RANDOM
+        // negatives; metric learning wants the HARDEST): per anchor, the
+        // nearest SAME-label vector (positive) and the nearest
+        // DIFFERENT-label vector (hard negative), plus the margin. Ranking
+        // is the integer signed-square cosine (sign(dot)·dot²·10¹² div
+        // ‖a‖²‖b‖² — monotone in cosine across the sign boundary, the
+        // ann_sq8 discipline), so the whole mine replays hash-exact. This
+        // is the declared O(N²) exact baseline (one pair shuffle); the
+        // banded kNN graph (knn_graph_lsh) is the scale path for the
+        // candidate generation.
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val q = emb(s, d).select($"vec_id",
+          transform($"embedding".cast("array<double>"),
+            x => floor(x * 1000 + 0.5).cast("long")).as("v"), $"label")
+          .withColumn("n2", aggregate(transform($"v", x => x * x),
+            lit(0L), (acc, x) => acc + x))
+        val a = q.select($"vec_id".as("anchor_id"), $"v".as("va"),
+          $"label".as("la"), $"n2".as("na"))
+        val b = q.select($"vec_id".as("cand_id"), $"v".as("vb"),
+          $"label".as("lb"), $"n2".as("nb"))
+        val dot = aggregate(zip_with($"va", $"vb", (x, y) => x * y),
+          lit(0L), (acc, t) => acc + t)
+        val scored = a.join(b, $"anchor_id" =!= $"cand_id")
+          .withColumn("s",
+            signum(dot).cast("long") *
+              idiv(dot.cast(d38) * dot.cast(d38) * lit(1000000000000L).cast(d38),
+                $"na".cast(d38) * $"nb".cast(d38)).cast("long"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"anchor_id", $"same").orderBy($"s".desc, $"cand_id")
+        val ranked = scored.withColumn("same", $"la" === $"lb")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+        val pos = ranked.filter($"same")
+          .select($"anchor_id", $"cand_id".as("pos_id"), $"s".as("pos_s"))
+        val neg = ranked.filter(!$"same")
+          .select($"anchor_id", $"cand_id".as("neg_id"), $"s".as("neg_s"))
+        pos.join(neg, "anchor_id")
+          .select($"anchor_id", $"pos_id", $"pos_s", $"neg_id", $"neg_s",
+            ($"pos_s" - $"neg_s").as("margin"))
+          .orderBy($"anchor_id")
+      },
+      Some("""WITH q AS (SELECT vec_id, label,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings),
+        qn AS (SELECT vec_id, label, v,
+            CAST(list_sum(list_transform(v, x -> x * x)) AS HUGEINT) AS n2
+          FROM q),
+        p AS (SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+            a.label = b.label AS same,
+            CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> a.v[i] * b.v[i])) AS HUGEINT) AS dot,
+            a.n2 AS na, b.n2 AS nb
+          FROM qn a JOIN qn b ON a.vec_id <> b.vec_id),
+        sc AS (SELECT anchor_id, cand_id, same,
+            CAST(CASE WHEN dot >= 0 THEN 1 WHEN dot < 0 THEN -1 END
+              * ((dot * dot * 1000000000000) // (na * nb)) AS BIGINT) AS s
+          FROM p),
+        r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id, same
+            ORDER BY s DESC, cand_id) AS rn FROM sc)
+        SELECT pos.anchor_id, pos.cand_id AS pos_id, pos.s AS pos_s,
+          neg.cand_id AS neg_id, neg.s AS neg_s,
+          CAST(pos.s - neg.s AS BIGINT) AS margin
+        FROM (SELECT * FROM r WHERE same AND rn = 1) pos
+        JOIN (SELECT * FROM r WHERE NOT same AND rn = 1) neg USING (anchor_id)
+        ORDER BY anchor_id"""),
+      "Hard-negative triplet mining (nearest same-label positive, nearest " +
+        "different-label negative, margin) via the integer signed-square " +
+        "cosine — the exact O(N²) baseline; the banded kNN graph is the " +
+        "candidate-generation scale path."),
+
     "hybrid_retrieval_rrf" -> Q(
       (s, d) => {
         import s.implicits._

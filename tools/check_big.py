@@ -15,6 +15,7 @@ SKIP = {
     "dedup_minhash_lsh",     # same pair SQL as the exact-Jaccard oracle
     "dedup_groups",          # recursive-CTE transitive closure
     "dedup_embedding",       # all-pairs list_cosine_similarity
+    "triplet_mining",        # declared O(N^2) exact baseline, both sides
     "contamination_check",   # all-pairs shared-shingle join
     "stream_stream_join",    # events self-join on a time band
     "stream_stream_left_join",  # same self-join, left-outer
