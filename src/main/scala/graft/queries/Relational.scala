@@ -2173,6 +2173,59 @@ object Relational {
         "splits over each purchase's 7-day touch path, final touch takes the " +
         "floor remainder so per-purchase credits sum to the revenue exactly."),
 
+    "attribution_linear" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // LINEAR multi-touch attribution — the equal-split member
+        // completing the model ladder (last-touch → position-based →
+        // linear → Markov removal-effect → Shapley): every click in the
+        // purchase's 7-day lookback takes floor(rev/n) cents and the FINAL
+        // touch takes the remainder, so per-purchase credits sum to rev_c
+        // exactly (the position-based money discipline). Same
+        // touch-path build: one per-user range join, one count window.
+        val look = 7L * 86400000000L
+        val ev = eventsTable(s, d)
+        val p = ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("p_id"), $"user_id", micros($"ts").as("ptsu"),
+            round($"value" * 100).cast("long").as("rev_c"))
+        val c = ev.filter($"event_type" === "click")
+          .select($"user_id", $"event_id".as("click_id"), micros($"ts").as("ctsu"))
+        val touches = p.join(c, Seq("user_id"))
+          .filter($"ctsu" < $"ptsu" && $"ctsu" >= $"ptsu" - look)
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy($"p_id").orderBy($"ctsu", $"click_id")
+        val withPos = touches
+          .withColumn("pos", row_number().over(wOrd).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"p_id")))
+          .withColumn("floor_c", idiv($"rev_c", $"n"))
+          .withColumn("credit_c",
+            when($"pos" === $"n", $"rev_c" - ($"n" - 1) * idiv($"rev_c", $"n"))
+              .otherwise(idiv($"rev_c", $"n")))
+        withPos.groupBy($"user_id")
+          .agg(countDistinct($"p_id").as("n_purchases"),
+            count(lit(1)).as("n_touches"),
+            sum($"credit_c").as("credited_rev_c"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS ptsu,
+            CAST(round(value * 100) AS BIGINT) AS rev_c
+          FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ctsu
+          FROM events WHERE event_type = 'click'),
+        t AS (SELECT p.*, c.click_id, c.ctsu FROM p JOIN c USING (user_id)
+          WHERE c.ctsu < p.ptsu AND c.ctsu >= p.ptsu - 604800000000),
+        pos AS (SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY ctsu, click_id) AS pos,
+            count(*) OVER (PARTITION BY p_id) AS n FROM t),
+        cr AS (SELECT *, CASE WHEN pos = n THEN rev_c - (n - 1) * (rev_c // n)
+            ELSE rev_c // n END AS credit_c FROM pos)
+        SELECT user_id, count(DISTINCT p_id) AS n_purchases,
+          count(*) AS n_touches, CAST(sum(credit_c) AS BIGINT) AS credited_rev_c
+        FROM cr GROUP BY user_id ORDER BY user_id"""),
+      "Linear multi-touch attribution (equal split over the 7-day touch " +
+        "path, final touch takes the floor remainder — per-purchase credits " +
+        "sum to the revenue exactly), completing the attribution ladder."),
+
     "null_safe_join" -> Q(
       (s, d) => {
         import s.implicits._
