@@ -913,6 +913,55 @@ object Relational {
         "via PrefixSum (no 3-partition window funnel), median = smallest " +
         "price with 2x cumulative weight >= total, all-integer."),
 
+    "weighted_quantiles" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Quantity-weighted QUARTILES per returnflag — the full weighted-
+        // quantile readout weighted_median is the p50 member of (weighted
+        // p25/p75 bound pricing bands the unweighted percentile family
+        // mis-centers when big lots dominate). Same machinery, ONE
+        // PrefixSum running-weight scan serving all three cut points:
+        // q(p) = smallest price whose inclusive cumulative weight covers
+        // p of the total — 4·cum ≥ tot, 2·cum ≥ tot, 4·cum ≥ 3·tot, all
+        // integer cross-multiplied, one conditional-min aggregate.
+        val rows = table(s, d, "lineitem")
+          .select($"l_returnflag".as("flag"),
+            (dec2($"l_extendedprice") * 100).cast("long").as("price_c"),
+            $"l_quantity".cast("long").as("qty"),
+            $"l_orderkey", $"l_linenumber")
+        val cum = graft.operators.PrefixSum.groupedRunningTotal(
+          rows, Seq("flag"),
+          Seq(col("price_c"), col("l_orderkey"), col("l_linenumber")), "qty", "cum")
+        val tot = rows.groupBy($"flag").agg(sum($"qty").as("tot"))
+        cum.join(broadcast(tot), "flag")
+          .groupBy($"flag", $"tot")
+          .agg(
+            min(when(lit(4L) * $"cum" >= $"tot", $"price_c")).as("p25_c"),
+            min(when(lit(2L) * $"cum" >= $"tot", $"price_c")).as("p50_c"),
+            min(when(lit(4L) * $"cum" >= lit(3L) * $"tot", $"price_c")).as("p75_c"))
+          .select($"flag", $"p25_c", $"p50_c", $"p75_c", $"tot".as("total_qty"))
+          .orderBy($"flag")
+      },
+      Some("""WITH r AS (SELECT l_returnflag AS flag,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+            CAST(l_quantity AS BIGINT) AS qty, l_orderkey, l_linenumber
+          FROM lineitem),
+        c AS (SELECT flag, price_c,
+            CAST(sum(qty) OVER (PARTITION BY flag
+              ORDER BY price_c, l_orderkey, l_linenumber
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+            CAST(sum(qty) OVER (PARTITION BY flag) AS BIGINT) AS tot
+          FROM r)
+        SELECT flag,
+          min(CASE WHEN 4 * cum >= tot THEN price_c END) AS p25_c,
+          min(CASE WHEN 2 * cum >= tot THEN price_c END) AS p50_c,
+          min(CASE WHEN 4 * cum >= 3 * tot THEN price_c END) AS p75_c,
+          tot AS total_qty
+        FROM c GROUP BY flag, tot ORDER BY flag"""),
+      "Quantity-weighted quartiles per group: ONE PrefixSum running-weight " +
+        "scan serves p25/p50/p75 via integer cross-multiplied coverage " +
+        "tests in a single conditional-min aggregate."),
+
     "asof_join_tolerance" -> Q(
       (s, d) => {
         import s.implicits._
