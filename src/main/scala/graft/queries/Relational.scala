@@ -913,6 +913,58 @@ object Relational {
         "via PrefixSum (no 3-partition window funnel), median = smallest " +
         "price with 2x cumulative weight >= total, all-integer."),
 
+    "business_day_latency" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // BUSINESS-DAY shipping latency per order priority — the
+        // calendar-aware duration the raw day difference misreports (a
+        // Friday order shipping Monday is 1 business day, not 3). The
+        // weekday count enumerates the (order, ship] day span with
+        // sequence() and filters weekends — bounded by the latency (≤ ~4
+        // months here), replayed verbatim by DuckDB's generate_series, so
+        // both engines share one obviously-correct counting rule rather
+        // than mirrored closed-form dow CASE tables. ISO dow via
+        // date_format 'E' ≡ dayname() prefixes (the date_parts_suite
+        // discipline); avg emitted as an exact e6 integer quotient.
+        val firstShip = table(s, d, "lineitem")
+          .groupBy($"l_orderkey").agg(min($"l_shipdate").as("ship"))
+        val lat = table(s, d, "orders")
+          .join(firstShip, $"o_orderkey" === $"l_orderkey")
+          .select($"o_orderpriority",
+            // guard: the synthetic corpus has ship-before-order rows
+            // (latency would be negative) — clamp to 0 on BOTH engines
+            // (Spark's sequence(start > stop) DESCENDS where DuckDB's
+            // generate_series is empty, so the unguarded forms diverge)
+            when($"ship".cast("date") >= date_add($"o_orderdate".cast("date"), 1),
+              size(filter(
+                sequence(date_add($"o_orderdate".cast("date"), 1),
+                  $"ship".cast("date")),
+                dd => !date_format(dd, "E").isin("Sat", "Sun"))).cast("long"))
+              .otherwise(0L).as("bdays"))
+        lat.groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"), sum($"bdays").as("sum_bdays"),
+            idiv(lit(1000000L) * sum($"bdays"), count(lit(1))).as("avg_bdays_e6"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""WITH fs AS (SELECT l_orderkey, min(l_shipdate) AS ship
+          FROM lineitem GROUP BY 1),
+        lat AS (SELECT o_orderpriority,
+            CAST(CASE WHEN CAST(ship AS DATE) >= CAST(o_orderdate AS DATE) + 1
+              THEN len(list_filter(
+                generate_series(CAST(o_orderdate AS DATE) + 1, CAST(ship AS DATE),
+                  INTERVAL 1 DAY),
+                dd -> dayofweek(dd) NOT IN (0, 6)))
+              ELSE 0 END AS BIGINT) AS bdays
+          FROM orders JOIN fs ON o_orderkey = l_orderkey)
+        SELECT o_orderpriority, count(*) AS n_orders,
+          CAST(sum(bdays) AS BIGINT) AS sum_bdays,
+          CAST((1000000 * CAST(sum(bdays) AS HUGEINT)) // count(*) AS BIGINT)
+            AS avg_bdays_e6
+        FROM lat GROUP BY 1 ORDER BY 1"""),
+      "Business-day shipping latency per priority (weekends excluded): " +
+        "bounded day-span enumeration shared verbatim by both engines, " +
+        "exact e6 average."),
+
     "weighted_quantiles" -> Q(
       (s, d) => {
         import s.implicits._
