@@ -913,6 +913,55 @@ object Relational {
         "via PrefixSum (no 3-partition window funnel), median = smallest " +
         "price with 2x cumulative weight >= total, all-integer."),
 
+    "abc_classification" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // ABC / Pareto revenue classification — the merchandising cut
+        // behind "which 20% of parts carry 80% of revenue": parts rank by
+        // revenue desc, the running share classifies A (≤ 80% cumulative),
+        // B (≤ 95%), C (rest). The running total is PrefixSum's
+        // range-exchange scan (a global ORDER BY revenue window would
+        // funnel every part through one task); thresholds are integer
+        // cross-multiplied (cum·100 vs tot·80 — no percentage floats).
+        // e4, not cents: the money discipline's scale must keep every REAL
+        // digit (price·discount products carry 4 fractional digits) — at a
+        // narrower scale Spark HALF_UP-rounds where DuckDB's decimal
+        // narrowing TRUNCATES (probed: CAST(1.159 AS DECIMAL(4,2)) = 1.15
+        // there), and boundary parts would classify differently
+        val rev = table(s, d, "lineitem")
+          .groupBy($"l_partkey")
+          .agg(moneyE(sum(revenue(s)), 4).as("rev_c"))
+        val cum = graft.operators.PrefixSum.groupedRunningTotal(
+          rev.withColumn("g", lit(0L)), Seq("g"),
+          Seq(col("rev_c").desc, col("l_partkey")), "rev_c", "cum")
+        val tot = rev.agg(sum($"rev_c").as("tot"))
+        cum.crossJoin(broadcast(tot))
+          .withColumn("cls",
+            when($"cum" * 100 <= $"tot" * 80, "A")
+              .when($"cum" * 100 <= $"tot" * 95, "B")
+              .otherwise("C"))
+          .groupBy($"cls")
+          .agg(count(lit(1)).as("n_parts"), sum($"rev_c").as("class_rev_e4"),
+            max($"rev_c").as("max_part_rev_e4"), min($"rev_c").as("min_part_rev_e4"))
+          .orderBy($"cls")
+      },
+      Some(s"""WITH rev AS (SELECT l_partkey,
+            ${moneyESql(s"SUM($revenueSql)", 4)} AS rev_c
+          FROM lineitem GROUP BY 1),
+        c AS (SELECT l_partkey, rev_c,
+            CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+            CAST(sum(rev_c) OVER () AS BIGINT) AS tot
+          FROM rev),
+        k AS (SELECT *, CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+            WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS cls FROM c)
+        SELECT cls, count(*) AS n_parts, CAST(sum(rev_c) AS BIGINT) AS class_rev_e4,
+          max(rev_c) AS max_part_rev_e4, min(rev_c) AS min_part_rev_e4
+        FROM k GROUP BY 1 ORDER BY 1"""),
+      "ABC/Pareto revenue classification (A ≤ 80% cumulative share, B ≤ " +
+        "95%, C rest): PrefixSum running total over the part aggregate, " +
+        "integer cross-multiplied thresholds — no one-task global window."),
+
     "business_day_latency" -> Q(
       (s, d) => {
         import s.implicits._
