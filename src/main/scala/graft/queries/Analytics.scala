@@ -259,6 +259,58 @@ object Analytics {
         "bounded-basket pair join, broadcast per-part counts, both rule " +
         "directions, deterministic top-100."),
 
+    "bot_burst_detection" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // BOT-BURST detection — the behavioral curation gate upstream of
+        // any engagement-trained model (interarrival_stats profiles the
+        // distribution; this FLAGS): a burst is a maximal run of
+        // consecutive same-user events with inter-arrival under the burst
+        // threshold, and a user flags when any run reaches 4 events. The
+        // thresholds are tuned to THIS corpus's hours-scale cadence (4 h —
+        // its minimum gap is ~8 s and p5 ~33 min; a click-fraud feed would
+        // use seconds with the identical plan). The
+        // run build is gaps-and-islands on the lagged inter-arrival — one
+        // keyed window pass; per-user history is the scale bound. Output:
+        // every flagged user with their burst census.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"us", $"event_id")
+        val ev = eventsTable(s, d)
+          .select($"user_id", $"event_id", micros($"ts").as("us"))
+          .withColumn("gap", $"us" - lag($"us", 1).over(w))
+          .withColumn("brk", when($"gap".isNull || $"gap" >= 14400000000L, 1L)
+            .otherwise(0L))
+          .withColumn("run_id", sum($"brk").over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+              .orderBy($"us", $"event_id")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        val runs = ev.groupBy($"user_id", $"run_id")
+          .agg(count(lit(1)).as("run_len"))
+        runs.groupBy($"user_id")
+          .agg(max($"run_len").as("longest_burst"),
+            sum(when($"run_len" >= 4, 1L).otherwise(0L)).as("n_bursts"),
+            sum(when($"run_len" >= 4, $"run_len").otherwise(0L)).as("burst_events"))
+          .filter($"longest_burst" >= 4)
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        g AS (SELECT user_id, event_id, us,
+            us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+          FROM e),
+        b AS (SELECT *, CASE WHEN gap IS NULL OR gap >= 14400000000 THEN 1 ELSE 0 END AS brk
+          FROM g),
+        i AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id
+            ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS run_id FROM b),
+        r AS (SELECT user_id, run_id, count(*) AS run_len FROM i GROUP BY 1, 2)
+        SELECT user_id, CAST(max(run_len) AS BIGINT) AS longest_burst,
+          CAST(sum(CASE WHEN run_len >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts,
+          CAST(sum(CASE WHEN run_len >= 4 THEN run_len ELSE 0 END) AS BIGINT) AS burst_events
+        FROM r GROUP BY 1 HAVING max(run_len) >= 4 ORDER BY user_id"""),
+      "Bot-burst detection (runs of ≥ 4 events under the burst gap): " +
+        "gaps-and-islands on the lagged inter-arrival, one keyed window " +
+        "pass — the behavioral curation gate before engagement training."),
+
     "cross_correlation" -> Q(
       (s, d) => {
         import s.implicits._
