@@ -1039,6 +1039,46 @@ object TrainingData {
         FROM documents ORDER BY doc_id"""),
       "Whitespace + BPE-ish regex token counts."),
 
+    "readability_score" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // FLESCH-style readability per doc — the grade-level quality
+        // signal beside text_quality's ratio battery (curation pipelines
+        // bucket corpora by reading ease): words = letter runs, sentences
+        // = [.!?] runs (min 1), syllables = VOWEL RUNS per word (the
+        // classic heuristic, min 1 per word ⇒ max(vowel-runs, words)).
+        // Flesch 206.835 − 1.015·(W/S) − 84.6·(SYL/W) evaluated as e3
+        // integers with one floored division per term, mirrored exactly —
+        // no floats, engine-identical on every doc.
+        val words = size(ascii_tokens($"text")).cast("long")
+        val sentences = greatest(
+          size(regexp_extract_all($"text", lit("[.!?]+"), lit(0))).cast("long"),
+          lit(1L))
+        val vruns = size(regexp_extract_all(lower($"text"),
+          lit("[aeiou]+"), lit(0))).cast("long")
+        docs(s, d)
+          .select($"doc_id", words.as("w"), sentences.as("s"), vruns.as("vr"))
+          .filter($"w" > 0)
+          .withColumn("syl", greatest($"vr", $"w"))
+          .select($"doc_id", $"w".as("n_words"), $"s".as("n_sentences"),
+            $"syl".as("n_syllables"),
+            (lit(206835L) - idiv(lit(1015L) * $"w", $"s")
+              - idiv(lit(84600L) * $"syl", $"w")).as("flesch_e3"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS w,
+            greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS s,
+            CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS vr
+          FROM documents),
+        f AS (SELECT doc_id, w, s, greatest(vr, w) AS syl FROM t WHERE w > 0)
+        SELECT doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables,
+          CAST(206835 - (1015 * w) // s - (84600 * syl) // w AS BIGINT) AS flesch_e3
+        FROM f ORDER BY doc_id"""),
+      "Flesch-style readability per doc (vowel-run syllables, sentence-run " +
+        "punctuation, e3 integer score with mirrored floored divisions) — " +
+        "the grade-level quality signal beside the ratio battery."),
+
     "text_quality" -> Q(
       (s, d) => {
         val toks = ascii_tokens(col("text"))
