@@ -1571,6 +1571,56 @@ object Streaming {
         "across 4 time-sliced micro-batches, gated by the same recursive-" +
         "CTE oracle as holt_linear_smoothing."),
 
+    "streaming_burst_gate" -> Q(
+      (s, d) => {
+        // The LIVE twin of bot_burst_detection: the gate fires the moment
+        // a user's run of sub-4h inter-arrivals reaches 4 events — the
+        // actionable point an abuse gate throttles at, where the batch
+        // query is the post-hoc census. O(1) keyed state (last time, run
+        // length, run start); time-sliced staging so arrival order =
+        // event-time order (the streaming_prefix_anomaly idiom); the
+        // oracle replays each qualifying run's 4th event from the batch
+        // gaps-and-islands build.
+        val (src, out, ck) = Streams.workDirs("streaming_burst_gate")
+        val ev = eventsTable(s, d)
+          .select(col("user_id"), micros(col("ts")).as("us"), col("event_id"))
+        val cuts = ev.stat.approxQuantile("us", Array(0.25, 0.5, 0.75), 0.001)
+          .map(_.toLong)
+        val slices = Seq(
+          col("us") < cuts(0),
+          col("us") >= cuts(0) && col("us") < cuts(1),
+          col("us") >= cuts(1) && col("us") < cuts(2),
+          col("us") >= cuts(2))
+        slices.foreach { p =>
+          ev.filter(p).coalesce(1).write.mode("append").parquet(src)
+        }
+        val staged = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val fl = graft.streaming.BurstGate.flags(staged,
+          gapUs = 14400000000L, flagAt = 4L)
+        Streams.runAppend(fl.toDF(), out, ck)
+          .orderBy(col("user_id"), col("run_start_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        g AS (SELECT user_id, event_id, us,
+            us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+          FROM e),
+        b AS (SELECT *, CASE WHEN gap IS NULL OR gap >= 14400000000 THEN 1 ELSE 0 END AS brk
+          FROM g),
+        i AS (SELECT user_id, us, event_id, SUM(brk) OVER (PARTITION BY user_id
+            ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS run_id FROM b),
+        r AS (SELECT user_id, run_id, us,
+            row_number() OVER (PARTITION BY user_id, run_id ORDER BY us, event_id) AS rn,
+            min(us) OVER (PARTITION BY user_id, run_id) AS run_start_us
+          FROM i)
+        SELECT user_id, run_start_us, us AS flag_us
+        FROM r WHERE rn = 4 ORDER BY user_id, run_start_us"""),
+      "Live bot-burst gate: fires at each run's 4th sub-threshold event " +
+        "with three longs of keyed state — the actionable moment, where " +
+        "the batch scan is the census; oracle = the islands replay's " +
+        "4th-event rows."),
+
     "streaming_holt_winters" -> Q(
       (s, d) => {
         // The online form of holt_winters_additive: each daily point
