@@ -259,6 +259,49 @@ object Analytics {
         "bounded-basket pair join, broadcast per-part counts, both rule " +
         "directions, deterministic top-100."),
 
+    "dau_mau_stickiness" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // DAU/MAU STICKINESS per month — the engagement-frequency ratio
+        // product analytics leads with (how much of the monthly audience
+        // shows up daily): Σ(daily distinct users) over a month vs
+        // days·MAU, as an exact e6 integer quotient. Two distinct
+        // aggregates at the day and month grain — both corpus-sized passes
+        // are plain groupBy count-distincts, no window; the month rollup
+        // runs on O(days) rows.
+        val d38 = DecimalType(38, 0)
+        val ev = eventsTable(s, d)
+          .select($"user_id", micros(date_trunc("day", $"ts")).as("day_us"),
+            date_format($"ts", "yyyy-MM").as("month"))
+        val daily = ev.groupBy($"month", $"day_us")
+          .agg(countDistinct($"user_id").as("dau"))
+          .groupBy($"month")
+          .agg(count(lit(1)).as("n_days"), sum($"dau").as("dau_sum"))
+        val mau = ev.groupBy($"month")
+          .agg(countDistinct($"user_id").as("mau"))
+        daily.join(mau, "month")
+          .select($"month", $"n_days", $"dau_sum", $"mau",
+            idiv(lit(1000000L).cast(d38) * $"dau_sum".cast(d38),
+              $"n_days".cast(d38) * $"mau".cast(d38)).cast(LongType)
+              .as("stickiness_e6"))
+          .orderBy($"month")
+      },
+      Some("""WITH e AS (SELECT user_id, date_trunc('day', ts) AS dday,
+            strftime(ts, '%Y-%m') AS month FROM events),
+        daily AS (SELECT month, count(*) AS n_days,
+            CAST(sum(dau) AS BIGINT) AS dau_sum FROM (
+              SELECT month, dday, count(DISTINCT user_id) AS dau
+              FROM e GROUP BY 1, 2) GROUP BY 1),
+        mau AS (SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+          FROM e GROUP BY 1)
+        SELECT month, n_days, dau_sum, mau,
+          CAST((1000000 * CAST(dau_sum AS HUGEINT))
+            // (CAST(n_days AS HUGEINT) * mau) AS BIGINT) AS stickiness_e6
+        FROM daily JOIN mau USING (month) ORDER BY month"""),
+      "DAU/MAU stickiness per month (avg daily actives over monthly " +
+        "actives, exact e6): two grain aggregates, no window — the " +
+        "engagement-frequency readout beside the retention cohorts."),
+
     "bot_burst_detection" -> Q(
       (s, d) => {
         import s.implicits._

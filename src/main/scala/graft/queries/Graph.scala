@@ -405,6 +405,51 @@ object Graph {
         "graph (operators.Scc: trim + color + extract peeling, keyed joins " +
         "only) vs the mutual-reachability recursive-CTE replay."),
 
+    "graph_reciprocity" -> Q(
+      (s, d) => {
+        // Directed RECIPROCITY of the parity-directed trade graph — the
+        // mutual-link share (reciprocated edges / all edges, exact e6)
+        // that separates broadcast-shaped digraphs from conversational
+        // ones; the one-number companion to graph_degree_assortativity.
+        // One self-semi-join on the reversed key — no closure, no
+        // iteration.
+        val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        // direction by ORDER-KEY parity this time (per-pair, multiple
+        // orders can point both ways) — a pair is reciprocated iff it
+        // traded under both parities
+        val e = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(
+            when(col("o_orderkey") % 2 === 0, col("o_custkey"))
+              .otherwise(col("l_suppkey") + SuppOffset).as("src"),
+            when(col("o_orderkey") % 2 === 0, col("l_suppkey") + SuppOffset)
+              .otherwise(col("o_custkey")).as("dst"))
+          .distinct()
+        val recip = e.as("a").join(e.as("b"),
+            col("a.src") === col("b.dst") && col("a.dst") === col("b.src"), "left_semi")
+        e.agg(count(lit(1)).as("n_edges")).crossJoin(
+            recip.agg(count(lit(1)).as("n_recip")))
+          .select(col("n_edges"), col("n_recip"),
+            graft.core.idiv(lit(1000000L) * col("n_recip"), col("n_edges"))
+              .as("reciprocity_e6"))
+      },
+      Some(s"""WITH ed AS (SELECT DISTINCT
+            CASE WHEN o_orderkey % 2 = 0 THEN o_custkey
+              ELSE l_suppkey + $SuppOffset END AS src,
+            CASE WHEN o_orderkey % 2 = 0 THEN l_suppkey + $SuppOffset
+              ELSE o_custkey END AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        SELECT (SELECT count(*) FROM ed) AS n_edges,
+          (SELECT count(*) FROM ed a
+            WHERE EXISTS (SELECT 1 FROM ed b
+              WHERE a.src = b.dst AND a.dst = b.src)) AS n_recip,
+          CAST((1000000 * (SELECT count(*) FROM ed a
+            WHERE EXISTS (SELECT 1 FROM ed b
+              WHERE a.src = b.dst AND a.dst = b.src)))
+            // (SELECT count(*) FROM ed) AS BIGINT) AS reciprocity_e6"""),
+      "Directed reciprocity (mutual-link share, exact e6): one reversed-key " +
+        "self-semi-join — no closure, no iteration."),
+
     "graph_condensation" -> Q(
       (s, d) => {
         // The CONDENSATION DAG of graph_scc's components — what downstream
