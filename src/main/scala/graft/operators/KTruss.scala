@@ -25,7 +25,20 @@ object KTruss {
     *                loops normalized away.
     * @return the k-truss edge set, canonical (u < v), ordered. */
   def edges(edges0: DataFrame, k: Int, checkpointDir: Option[String] = None,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50): DataFrame =
+    peel(edges0, k, checkpointDir, maxRounds)._1
+
+  /** Number of peeling rounds [[edges]] takes to reach the fixpoint —
+    * exposed so the unrolled-round oracle replays (graph_ktruss pins 6
+    * rounds in SQL while the engine peels to fixpoint) can ASSERT the
+    * engine converges within their unroll count at every gated SF instead
+    * of trusting a measured-once comment (KTrussSpec). */
+  def convergenceRounds(edges0: DataFrame, k: Int,
+      maxRounds: Int = 50): Int =
+    peel(edges0, k, None, maxRounds)._2
+
+  private def peel(edges0: DataFrame, k: Int, checkpointDir: Option[String],
+      maxRounds: Int): (DataFrame, Int) = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     val ckpt = new Checkpointer(checkpointDir)
     var e = ckpt(edges0.select(
@@ -47,7 +60,7 @@ object KTruss {
       e = next
       n = n2
     }
-    e.orderBy("u", "v")
+    (e.orderBy("u", "v"), rounds)
   }
 
   /** Per-edge triangle support over canonical edges (u < v): the

@@ -3569,10 +3569,6 @@ object Analytics {
         "companion to ab_welch_t and cuped_adjusted_ab.")
   )
 
-  /** The Holt linear recursive-CTE oracle — shared verbatim by the batch
-    * fold (holt_linear_smoothing) and its streaming twin
-    * (streaming_holt_forecast), which are row-identical by construction.
-    */
   /** Shared by holt_winters_additive AND streaming_holt_winters (the
     * streamed fold is row-identical by construction): recursive CTE
     * carrying the 7-slot seasonal ring as a list column. The recursive
@@ -3605,6 +3601,10 @@ object Analytics {
           CAST(level + trend + ring[1] AS BIGINT) AS forecast1_c
         FROM h ORDER BY event_type, day_us"""
 
+  /** The Holt linear recursive-CTE oracle — shared verbatim by the batch
+    * fold (holt_linear_smoothing) and its streaming twin
+    * (streaming_holt_forecast), which are row-identical by construction.
+    */
   private[queries] lazy val holtOracleSql: String =
     """WITH RECURSIVE bd AS (SELECT event_type AS k,
             epoch_us(date_trunc('day', ts)) AS t,

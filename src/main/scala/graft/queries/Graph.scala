@@ -430,7 +430,11 @@ object Graph {
         e.agg(count(lit(1)).as("n_edges")).crossJoin(
             recip.agg(count(lit(1)).as("n_recip")))
           .select(col("n_edges"), col("n_recip"),
-            graft.core.idiv(lit(1000000L) * col("n_recip"), col("n_edges"))
+            // den=0 guard: an empty edge set reads as 0 reciprocity on BOTH
+            // sides (Spark's IntegralDivide would yield NULL where DuckDB's
+            // // raises — the spearman/cross_correlation divergence class)
+            when(col("n_edges") === 0, lit(0L))
+              .otherwise(graft.core.idiv(lit(1000000L) * col("n_recip"), col("n_edges")))
               .as("reciprocity_e6"))
       },
       Some(s"""WITH ed AS (SELECT DISTINCT
@@ -443,10 +447,11 @@ object Graph {
           (SELECT count(*) FROM ed a
             WHERE EXISTS (SELECT 1 FROM ed b
               WHERE a.src = b.dst AND a.dst = b.src)) AS n_recip,
-          CAST((1000000 * (SELECT count(*) FROM ed a
-            WHERE EXISTS (SELECT 1 FROM ed b
-              WHERE a.src = b.dst AND a.dst = b.src)))
-            // (SELECT count(*) FROM ed) AS BIGINT) AS reciprocity_e6"""),
+          CASE WHEN (SELECT count(*) FROM ed) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((1000000 * (SELECT count(*) FROM ed a
+              WHERE EXISTS (SELECT 1 FROM ed b
+                WHERE a.src = b.dst AND a.dst = b.src)))
+              // (SELECT count(*) FROM ed) AS BIGINT) END AS reciprocity_e6"""),
       "Directed reciprocity (mutual-link share, exact e6): one reversed-key " +
         "self-semi-join — no closure, no iteration."),
 

@@ -60,7 +60,11 @@ object AvroIdl {
     * (ambiguous reference). Unknown-type references stay as loud as in the
     * single-file path. */
   def parseProtocolFile(path: String): Protocol = {
-    val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize()
+    // real path (not just normalize()): the import-cycle check compares
+    // chain members by identity, so a symlink alias of the root file must
+    // land on the same Path as an import that reaches it the long way
+    val p0 = java.nio.file.Paths.get(path).toAbsolutePath.normalize()
+    val p = if (java.nio.file.Files.exists(p0)) p0.toRealPath() else p0
     val idl = new String(java.nio.file.Files.readAllBytes(p),
       java.nio.charset.StandardCharsets.UTF_8)
     new Parser(tokenize(idl), baseDir = Option(p.getParent),
@@ -227,7 +231,14 @@ object AvroIdl {
             val chain = importChain.getOrElse(fail(
               s"""import $kind "$file": imports need a file-based parse """ +
                 "(parseProtocolFile) so relative paths resolve"))
-            val path = baseDir.get.resolve(file).toAbsolutePath.normalize()
+            // cycle membership compares REAL paths: a symlink alias of a
+            // file already on the chain must hit the loud cycle error, not
+            // recurse to StackOverflow. Missing files keep the normalized
+            // form so the does-not-exist failure still names the path.
+            val resolved = baseDir.get.resolve(file).toAbsolutePath.normalize()
+            val path =
+              if (java.nio.file.Files.exists(resolved)) resolved.toRealPath()
+              else resolved
             if (chain.contains(path)) fail(
               s"""import cycle: ${(path :: chain).reverse.mkString(" -> ")}""")
             if (!java.nio.file.Files.exists(path)) fail(

@@ -191,6 +191,18 @@ class AvroIdlSpec extends AnyFunSuite {
       assert(intercept[IllegalArgumentException] {
         AvroIdl.parseProtocolFile(dir.resolve("self.avdl").toString)
       }.getMessage.contains("import cycle"))
+      // a SYMLINK alias of a file already on the chain is still a cycle:
+      // membership compares real paths, so the alias can't evade the loud
+      // failure and recurse to StackOverflow
+      java.nio.file.Files.write(dir.resolve("sym_a.avdl"),
+        """protocol SA { import idl "sym_b.avdl"; }""".getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("sym_b.avdl"),
+        """protocol SB { import idl "alias_a.avdl"; }""".getBytes("UTF-8"))
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("alias_a.avdl"), dir.resolve("sym_a.avdl"))
+      assert(intercept[IllegalArgumentException] {
+        AvroIdl.parseProtocolFile(dir.resolve("sym_a.avdl").toString)
+      }.getMessage.contains("import cycle"))
       // diamond: d imports b2 and c2, both import base — base splices ONCE
       java.nio.file.Files.write(dir.resolve("base.avdl"),
         """@namespace("com.d")

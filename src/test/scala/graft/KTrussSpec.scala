@@ -59,4 +59,27 @@ class KTrussSpec extends SparkSpec {
     val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L), (1L, 1L))
     assert(run(e, 3) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("graph_ktruss converges within the oracle's 6 unrolled rounds at the gated SFs") {
+    // The graph_ktruss DuckDB oracle unrolls a FIXED 6 peel rounds while the
+    // engine peels to fixpoint — this pins the assumption that keeps them
+    // equivalent: on the gated corpora the engine must converge within 6
+    // rounds (extra unrolled rounds are no-ops on a converged set, so
+    // rounds <= 6 ⇒ replay-exact). If a future corpus/SF needs more rounds,
+    // this fails loudly instead of the sweep diverging for a non-bug reason.
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("sf0.001", "sf0.01")) {
+      val li = spark.read.parquet(s"${sf(dir)}/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(least(col("a.l_partkey"), col("b.l_partkey")).as("u"),
+          greatest(col("a.l_partkey"), col("b.l_partkey")).as("v"))
+        .distinct()
+      val rounds = KTruss.convergenceRounds(e, k = 12)
+      assert(rounds <= 6, s"$dir: k-truss took $rounds rounds; the SQL oracle " +
+        "unrolls only 6 — raise the oracle's rounds parameter in queries/Graph.scala")
+    }
+  }
 }
