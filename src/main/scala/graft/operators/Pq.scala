@@ -110,7 +110,146 @@ object Pq {
       val model = Model(m, k, subDim, books)
       adcQuery(queries, unit, model, coarse, topK, nprobe, rerank,
         preNormalized = true)
-    } finally unit.unpersist(false)
+    } finally unit.unpersist(blocking = true) // blocking: the bench interleaves
+    // runs back-to-back, and async releases from consecutive rounds can pile
+    // cached blocks into the execution-memory headroom of the NEXT query —
+    // the r11 bench run-2 variance cluster (VERDICT r11 "What's wrong" #1)
+  }
+
+  /** INTEGER-EXACT twin of [[ivfPq]] — the ann_ivf (r10) / ann_sq8 (r11)
+    * oracle-promotion playbook applied to the PQ codebook path, completing
+    * the similarity family's banding audits: vectors quantize to e3 longs
+    * (`floor(x·scale + 0.5)`), the joint Lloyd (all m subspace codebooks AND
+    * the IVF coarse quantizer in ONE assignment scan + ONE (j, cluster, dim)
+    * shuffle per iteration — [[ivfPq]]'s exact shape) trains with truncating
+    * integer means (`sum DIV count`, toward zero — DuckDB `//`), the ADC
+    * lookup tables are integer subspace L2² against the driver-held books,
+    * routing probes the `nprobe` integer-L2²-nearest coarse cells, and the
+    * k·rerank shortlist re-ranks by exact integer L2² over the full
+    * quantized vectors. Every number from training to the final rank is
+    * BIGINT-valued (all magnitudes ≤ ~2.6e8 at dim 64 / e3 units — exact in
+    * the double-typed argmin kernel far below 2^53), so the ENTIRE
+    * train+encode+route+ADC+re-rank chain replays as unrolled DuckDB SQL
+    * hash-exact. The float [[ivfPq]] stays the production path (true cosine
+    * output, recall-spec-backed in PqSpec); this is the registered oracle
+    * surface. Returns (query_id, rank, neighbor_id, d2); rank 1 = nearest
+    * by integer L2², ties toward lower neighbor id.
+    *
+    * Scale shape unchanged from [[ivfPq]]: books are O(m·k·subDim + coarseK·dim)
+    * bounded driver artifacts, queries are the bounded collected side
+    * (O(Q·m·k) lookup tables broadcast), candidates shuffle once per training
+    * iteration and stream map-side through encode/ADC.
+    */
+  def ivfPqQuantized(queries: DataFrame, candidates: DataFrame, m: Int, k: Int,
+      iters: Int, topK: Int, coarseK: Int = 8, nprobe: Int = 2,
+      rerank: Int = 10, scale: Long = 1000L): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    // e3 grid, carried as integer-VALUED doubles so the fused NearestCentroid
+    // kernel does the argmin (exact: components ≤ ~2e3, L2² ≤ ~2.6e8 « 2^53);
+    // cached for the duration of training like ivfPq's unit frame
+    val q = candidates.select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * scale + 0.5).cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = q.orderBy(col("vec_id")).limit(math.max(k, coarseK))
+        .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
+      require(seeds.length >= math.max(k, coarseK),
+        s"need ${math.max(k, coarseK)} vectors to seed, got ${seeds.length}")
+      val dim = seeds(0).length
+      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+      val subDim = dim / m
+      // j = 0..m-1: subspace slices; j = m: the whole vector (coarse)
+      val sub = q.select(col("vec_id"), posexplode(array(
+          (0 until m).map(j => slice(col("v"), j * subDim + 1, subDim)) :+
+            col("v"): _*)))
+        .withColumnsRenamed(Map("pos" -> "j", "col" -> "sv"))
+      var books: Array[Array[Array[Double]]] =
+        Array.tabulate(m, k)((j, c) => seeds(c).slice(j * subDim, (j + 1) * subDim))
+      var coarse: Array[Array[Double]] = seeds.take(coarseK)
+      for (_ <- 1 to iters) {
+        val cluster = (0 until m).foldRight(
+          graft.functions.nearest_centroid(col("sv"), coarse).getField("cluster")) {
+          (j, acc) => when(col("j") === j,
+            graft.functions.nearest_centroid(col("sv"), books(j)).getField("cluster"))
+            .otherwise(acc)
+        }
+        // ONE shuffle for all m books + the coarse geometry: (j, cluster,
+        // dim) integer sums + counts; the truncating mean happens on the
+        // driver over the O((m·k + coarseK)·dim) collected statistics
+        val next = sub.select(col("j"), cluster.as("cluster"),
+            posexplode(col("sv")).as(Seq("dim", "x")))
+          .groupBy(col("j"), col("cluster"), col("dim"))
+          .agg(sum(col("x")).cast("long").as("s"), count(lit(1)).as("n"))
+          .groupBy(col("j"), col("cluster"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("s")))),
+              t => t.getField("s")).as("sums"),
+            first(col("n")).as("n"))
+          .as[(Int, Int, Seq[Long], Long)].collect()
+        val ub = books.map(_.clone()); val uc = coarse.clone()
+        next.foreach { case (j, c, sums, n) => // empty clusters keep their centroid
+          val cent = sums.map(s => (s / n).toDouble).toArray // trunc ≡ DuckDB //
+          if (j == m) uc(c) = cent else ub(j)(c) = cent
+        }
+        books = ub; coarse = uc
+      }
+      // encode: m PQ codes + the coarse cell per candidate, one projection
+      val codes = q.select(col("vec_id").as("neighbor_id"),
+        array((0 until m).map { j =>
+          graft.functions.nearest_centroid(
+            slice(col("v"), j * subDim + 1, subDim), books(j)).getField("cluster")
+        }: _*).as("codes"),
+        graft.functions.nearest_centroid(col("v"), coarse)
+          .getField("cluster").as("cell"),
+        col("v").as("cv"))
+      // queries: bounded, collected — integer LUTs + probe cells driver-side
+      val qs = queries.select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => floor(x * scale + 0.5).cast("long")).as("v"))
+        .as[(Long, Array[Long])].collect()
+      def distSq(a: Array[Long], b: Array[Double], off: Int): Long = {
+        var s = 0L; var i = 0
+        while (i < b.length) { val d = a(off + i) - b(i).toLong; s += d * d; i += 1 }
+        s
+      }
+      val lutRows = qs.toSeq.map { case (qid, qv) =>
+        val lut: Seq[Seq[Long]] = (0 until m).map { j =>
+          (0 until k).map(c => distSq(qv, books(j)(c), j * subDim))
+        }
+        val cells: Seq[Int] = coarse.zipWithIndex
+          .map { case (cv, c) => (distSq(qv, cv, 0), c) }
+          .sortBy { case (dist, c) => (dist, c) }.take(nprobe).map(_._2).toSeq
+        (qid, qv.toSeq, lut, cells)
+      }
+      val luts = lutRows.toDF("query_id", "qv", "lut", "cells")
+        .select(col("query_id"), col("lut"), explode(col("cells")).as("cell"))
+      // ADC = m integer table lookups summed; per-query k·rerank shortlist
+      val wS = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+      val shortlist = broadcast(luts)
+        .join(codes.select(col("neighbor_id"), col("codes"), col("cell")), "cell")
+        .select(col("query_id"), col("neighbor_id"),
+          aggregate(zip_with(col("codes"), col("lut"), (c, row) => element_at(row, c + 1)),
+            lit(0L), (acc, x) => acc + x).as("adist"))
+        .withColumn("srank", row_number().over(wS))
+        .filter(col("srank") <= topK * rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      // exact integer L2² re-rank of the tiny shortlist only
+      val qFrame = lutRows.map { case (qid, qv, _, _) => (qid, qv) }
+        .toDF("query_id", "qv")
+      val d2 = aggregate(zip_with(col("qv"), col("cv"),
+          (x, y) => (x - y.cast("long")) * (x - y.cast("long"))),
+        lit(0L), (acc, t) => acc + t)
+      val wR = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
+      shortlist
+        .join(codes.select(col("neighbor_id"), col("cv")), "neighbor_id")
+        .join(broadcast(qFrame), "query_id")
+        .select(col("query_id"), col("neighbor_id"), d2.as("d2"))
+        .withColumn("rank", row_number().over(wR).cast("long"))
+        .filter(col("rank") <= topK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("d2"))
+        .orderBy("query_id", "rank")
+    } finally q.unpersist(blocking = true) // see ivfPq's finally
   }
 
   /** The whole pipeline runs on L2-NORMALIZED vectors: on unit vectors
@@ -180,7 +319,7 @@ object Pq {
       next.foreach { case (j, c, v) => updated(j)(c) = v.toArray } // empty clusters keep their centroid
       books = updated
     }
-    sub.unpersist(false)
+    sub.unpersist(blocking = true) // see ivfPq's finally
     Model(m, k, subDim, books)
   }
 

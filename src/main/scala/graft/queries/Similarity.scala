@@ -363,6 +363,99 @@ object Similarity {
       FROM r WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** Unrolled DuckDB replay of [[Pq.ivfPqQuantized]]: the JOINT Lloyd over
+    * the candidate set — per vector, m subspace slices (j = 0..m−1) PLUS the
+    * whole vector (j = m, the IVF coarse geometry) — unrolls as one
+    * j-indexed codebook CTE chain (argmin assignment with (dist, cl)
+    * tie-break, truncating integer means `//`, empty clusters keep the
+    * previous centroid). Then: PQ codes + coarse cell = the final book's own
+    * argmin; query probes = nprobe L2²-nearest coarse cells; ADC = the
+    * per-(query, subspace, code) integer L2² lookup table joined against the
+    * codes and SUMMED; shortlist = (adist, neighbor_id) rank ≤ topK·rerank;
+    * re-rank = exact integer L2² over the full quantized vectors. Every
+    * stage BIGINT ⇒ hash-exact vs the engine.
+    */
+  private def ivfPqQuantizedSql(m: Int, k: Int, iters: Int, topK: Int,
+      coarseK: Int, nprobe: Int, rerank: Int, scale: Long, dim: Int): String = {
+    val subDim = dim / m
+    val l2 = (a: String, b: String, n: String) =>
+      s"""list_sum(list_transform(generate_series(1, $n),
+          i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"""
+    def assign(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, j, cl FROM (
+          SELECT s.vec_id, s.j, c.cl,
+            row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+              ${l2("s.sv", "c.v", "len(s.sv)")}, c.cl) AS rn
+          FROM sub s JOIN $cents c ON c.j = s.j) WHERE rn = 1)"""
+    val head = s"""q AS (SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT)) AS v
+      FROM embeddings WHERE vec_id >= 10),
+      qq AS (SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT)) AS v
+      FROM embeddings WHERE vec_id < 10),
+      js AS (SELECT unnest(generate_series(0, $m)) AS j),
+      sub AS (SELECT q.vec_id, js.j,
+          CASE WHEN js.j = $m THEN q.v
+            ELSE q.v[(js.j*$subDim+1):((js.j+1)*$subDim)] END AS sv
+        FROM q CROSS JOIN js),
+      seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
+        FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT ${math.max(k, coarseK)})),
+      c0 AS (SELECT js.j, s.cl,
+          CASE WHEN js.j = $m THEN s.v
+            ELSE s.v[(js.j*$subDim+1):((js.j+1)*$subDim)] END AS v
+        FROM seed s CROSS JOIN js
+        WHERE (js.j < $m AND s.cl < $k) OR (js.j = $m AND s.cl < $coarseK))"""
+    val steps = (1 to iters).map { t =>
+      val p = t - 1
+      s"""${assign(s"a$t", s"c$p")},
+        m$t AS (SELECT s.j, a.cl, d.i, CAST(sum(s.sv[d.i]) AS BIGINT) // count(*) AS m
+          FROM a$t a JOIN sub s ON s.vec_id = a.vec_id AND s.j = a.j
+          JOIN (SELECT unnest(generate_series(1, $dim)) AS i) d ON d.i <= len(s.sv)
+          GROUP BY s.j, a.cl, d.i),
+        c$t AS (SELECT p.j, p.cl, coalesce(mm.v, p.v) AS v
+          FROM c$p p LEFT JOIN
+            (SELECT j, cl, list(m ORDER BY i) AS v FROM m$t GROUP BY j, cl) mm
+            ON p.j = mm.j AND p.cl = mm.cl)"""
+    }
+    val tail = s"""${assign("fin", s"c$iters")},
+      cells AS (SELECT vec_id, cl AS cell FROM fin WHERE j = $m),
+      pqc AS (SELECT vec_id, j, cl AS code FROM fin WHERE j < $m),
+      probes AS (SELECT vec_id AS query_id, cl AS cell FROM (
+          SELECT qq.vec_id, c.cl,
+            row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+              ${l2("qq.v", "c.v", s"$dim")}, c.cl) AS rn
+          FROM qq JOIN c$iters c ON c.j = $m) WHERE rn <= $nprobe),
+      qsub AS (SELECT qq.vec_id, js.j,
+          qq.v[(js.j*$subDim+1):((js.j+1)*$subDim)] AS sv
+        FROM qq CROSS JOIN js WHERE js.j < $m),
+      lut AS (SELECT qs.vec_id AS query_id, qs.j, c.cl AS code,
+          CAST(${l2("qs.sv", "c.v", s"$subDim")} AS BIGINT) AS d
+        FROM qsub qs JOIN c$iters c ON c.j = qs.j),
+      ad AS (SELECT p.query_id, ce.vec_id AS neighbor_id,
+          CAST(sum(l.d) AS BIGINT) AS adist
+        FROM probes p JOIN cells ce ON ce.cell = p.cell
+        JOIN pqc pc ON pc.vec_id = ce.vec_id
+        JOIN lut l ON l.query_id = p.query_id AND l.j = pc.j AND l.code = pc.code
+        GROUP BY 1, 2),
+      sl AS (SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY adist, neighbor_id) AS srank
+        FROM ad),
+      rr AS (SELECT s.query_id, s.neighbor_id,
+          CAST(${l2("a.v", "b.v", s"$dim")} AS BIGINT) AS d2
+        FROM sl s JOIN qq a ON a.vec_id = s.query_id
+        JOIN q b ON b.vec_id = s.neighbor_id
+        WHERE s.srank <= ${topK * rerank}),
+      r AS (SELECT query_id, neighbor_id, d2,
+        row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+      FROM rr)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, d2
+      FROM r WHERE rank <= $topK ORDER BY query_id, rank"""
+    ((head +: steps) :+ tail).mkString("WITH ", ",\n      ", "")
+  }
+
   /** DuckDB replay of [[Sq8.topKQuantized]]: e3-quantized vectors, integer
     * max-abs int8 codes (`(v_i·127) // mx` — `//` truncates toward zero on
     * negatives exactly like Spark's DIV, probed), int8 MAC scan, signed
@@ -503,19 +596,28 @@ object Similarity {
         "replays as unrolled SQL."),
 
     "ann_ivf_pq" -> Q(
+      // FULL ORACLE since r12 via the integer-quantized twin (the ann_ivf
+      // r10 / ann_sq8 r11 playbook, closing the similarity family's last
+      // rows-only row): e3 quantization, the SAME joint one-shuffle-per-
+      // iteration Lloyd as the float path (all 8 PQ books + the coarse
+      // geometry together) with truncating integer means, integer ADC
+      // lookup tables, integer L2² routing and re-rank — bit-exact vs the
+      // unrolled j-indexed codebook SQL replay. The float Pq.ivfPq (cosine
+      // output, normalized training) stays the production path,
+      // recall-spec-backed in PqSpec.
       (s, d) => {
         val e = emb(s, d)
-        // one-call fast path: normalized-once persisted candidates, coarse
-        // quantizer trained INSIDE the joint PQ Lloyd (1 shuffle/iteration
-        // for all 8 subspaces + the coarse geometry) — bit-identical output
-        // to the two-phase train + ivfAdcTopK (PqSpec), ~half the jobs
-        Pq.ivfPq(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        Pq.ivfPqQuantized(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
           m = 8, k = 16, iters = 3, topK = 5, nprobe = 4)
       },
-      None, // approximate: recall vs embedding_cosine_topk is spec-checked
-      "IVF-PQ ANN (IVFADC+R): 8×16 product-quantization codes (~30× smaller " +
-        "than raw floats — what fits a 100 TB corpus in memory), per-query ADC " +
-        "lookup tables, IVF routing, exact re-rank of the shortlist only."),
+      Some(ivfPqQuantizedSql(m = 8, k = 16, iters = 3, topK = 5, coarseK = 8,
+        nprobe = 4, rerank = 10, scale = 1000L, dim = 64)),
+      "IVF-PQ ANN (IVFADC+R), integer-exact twin: 8×16 product-quantization " +
+        "codes (~30× smaller than raw floats — what fits a 100 TB corpus in " +
+        "memory), joint quantized Lloyd (PQ books + coarse quantizer, one " +
+        "shuffle/iteration), integer ADC lookup tables, IVF routing, exact " +
+        "integer re-rank of the shortlist only — the whole chain replays as " +
+        "unrolled SQL."),
 
     "ann_sq8" -> Q(
       // FULL ORACLE since r11 via the integer-exact twin (the ann_ivf r10 /

@@ -33,6 +33,75 @@ object TrainingData {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))"
 
+  /** Generated unrolled-merge replay of [[graft.operators.Bpe.learnMerges]]
+    * — the MarkovAbsorb / k-truss generated-oracle pattern applied to BPE
+    * (r12, VERDICT r11 "Next round" #4): emits CTEs `s0` (the corpus
+    * word-frequency table char-split into symbol lists, word identity kept)
+    * and, per round r, `p{r}` (adjacent-pair counts weighted by word freq),
+    * `t{r}` (the argmax merge, (n DESC, l, r) tie-break — the engine's
+    * exact orderBy) and `s{r}` (the merge APPLIED greedily leftmost-first,
+    * non-overlapping — [[graft.functions.Kernels.mergePair]]'s scan): match
+    * positions M, the kept subset K = positions whose consecutive-match
+    * chain length is odd (within a run of matches only every other one
+    * fires — the only subtlety, and only live when left = right, e.g.
+    * 'aaaaa' → [aa, aa, a]), then the rebuild drops K+1 positions and
+    * concatenates at K. Validated element-for-element against a local
+    * python replay of the engine loop at sf0.001 and sf0.01 before
+    * registration. Callers append their tail: the merge-list UNION for
+    * bpe_merges, the per-doc segmentation census (joining doc words to
+    * `s{rounds}`) for bpe_encode.
+    */
+  private def bpeChainCtes(rounds: Int): String = {
+    def mergeApply(prev: String, cur: String, trank: String) =
+      s"""$cur AS MATERIALIZED (
+        SELECT w, freq,
+          list_transform(
+            list_filter(generate_series(1, len(sym)), i -> NOT list_contains(K, i-1)),
+            i -> CASE WHEN list_contains(K, i) THEN sym[i] || sym[i+1] ELSE sym[i] END) AS sym
+        FROM (
+          SELECT w, freq, sym,
+            list_filter(M, k -> ((k - list_max(list_prepend(0,
+              list_filter(generate_series(1, k-1), j -> NOT list_contains(M, j))))) % 2) = 1) AS K
+          FROM (
+            SELECT s.w, s.freq, s.sym,
+              list_filter(generate_series(1, len(s.sym)-1),
+                i -> s.sym[i] = t.l AND s.sym[i+1] = t.r) AS M
+            FROM $prev s CROSS JOIN $trank t)))"""
+    val head = s"""s0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+        list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)) AS sym
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+      GROUP BY 1)"""
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS n
+        FROM (SELECT freq, unnest(list_transform(generate_series(1, len(sym)-1),
+            i -> {'l': sym[i], 'r': sym[i+1]})) AS pr
+          FROM s${r - 1} WHERE len(sym) >= 2)
+        GROUP BY 1, 2),
+      t$r AS (SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
+      ${mergeApply(s"s${r - 1}", s"s$r", s"t$r")}"""
+    }
+    (head +: steps).mkString(",\n      ")
+  }
+
+  private def bpeMergesSql(rounds: Int): String = {
+    val union = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS INTEGER) AS rank, l AS "left", r AS "right", n AS freq FROM t$r"""
+    }.mkString("\n      UNION ALL ")
+    s"WITH ${bpeChainCtes(rounds)}\n      SELECT * FROM ($union) ORDER BY rank"
+  }
+
+  private def bpeEncodeSql(rounds: Int): String =
+    s"""WITH ${bpeChainCtes(rounds)}
+      SELECT d.doc_id,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(len(s.sym)) AS BIGINT) AS n_subwords,
+        CAST(sum(len(d.w)) AS BIGINT) AS n_chars,
+        CAST(sum(len(d.w)) AS DOUBLE) / CAST(sum(len(s.sym)) AS BIGINT) AS compression
+      FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents) d
+      JOIN s$rounds s ON s.w = d.w
+      GROUP BY 1 ORDER BY d.doc_id"""
+
   /** Unrolled SQL replay of [[graft.operators.KMeans.lloydQuantized]]: one
     * (assign → integer-mean update) CTE pair per iteration over the
     * floor(x·scale + 0.5) quantized vectors, then the census of the final
@@ -937,14 +1006,18 @@ object TrainingData {
         import s.implicits._
         // Tokenizer training: 20 BPE merge rounds over the corpus word-freq
         // table. Each round is one distributed pair-count shuffle + a driver
-        // argmax of a single row; rows-only (the loop is not SQL-replayable)
-        // with a local-replay exactness spec (BpeSpec).
+        // argmax of a single row. FULL ORACLE since r12: the loop IS
+        // SQL-replayable as a generated unrolled-merge chain (one
+        // pair-count CTE + argmax + greedy merge-apply per round — the
+        // MarkovAbsorb/k-truss generated-oracle pattern); the local-replay
+        // exactness spec (BpeSpec) stays as the independent audit.
         graft.operators.Bpe.learnMerges(docs(s, d), "text", rounds = 20)
           .toDF().orderBy($"rank")
       },
-      None, // iterative; BpeSpec replays the merge loop locally and compares exactly
+      Some(bpeMergesSql(rounds = 20)),
       "Distributed BPE vocabulary learning: 20 merge rounds, one pair-count " +
-        "shuffle per round, deterministic lexicographic tie-break."),
+        "shuffle per round, deterministic lexicographic tie-break — replayed " +
+        "as a generated unrolled-merge SQL chain."),
 
     "bpe_encode" -> Q(
       (s, d) => {
@@ -968,9 +1041,15 @@ object TrainingData {
             col("n_chars").cast("double") / col("n_subwords"))
           .orderBy("doc_id")
       },
-      None, // merge learning is iterative; BpeSpec proves segment() lossless + monotone
+      // FULL ORACLE since r12, for free off bpe_merges' unrolled chain: the
+      // final round's symbol table s20 IS the segmentation of every distinct
+      // word (the engine's fixed merge_pair chain applies the same merges in
+      // the same rank order), so the per-doc census joins doc words to s20;
+      // BpeSpec's lossless + monotone proofs stay as the independent audit
+      Some(bpeEncodeSql(rounds = 20)),
       "BPE corpus tokenization with the learned merges: per-doc word/subword/char " +
-        "budgets and the chars-per-token compression the vocabulary achieves."),
+        "budgets and the chars-per-token compression the vocabulary achieves — " +
+        "replayed off the same unrolled-merge SQL chain as bpe_merges."),
 
     "edit_distance_pairs" -> Q(
       (s, d) => {

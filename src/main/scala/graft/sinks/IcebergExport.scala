@@ -1,0 +1,325 @@
+package graft.sinks
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** One-way export of a [[VersionedTable]] snapshot chain to GENUINE Apache
+  * Iceberg format-v2 metadata — the external-engine interop the reference
+  * gets for free by writing through the Iceberg library
+  * (IcebergTableManager.java:84-92 creates a format-v2, identity-partitioned
+  * table that Athena/Trino/any Iceberg reader can open). graft's
+  * VersionedTable re-implements the snapshot/manifest/MOR mechanics in its
+  * own manifest-JSON format; this exporter emits the same chain as the real
+  * thing, per the PUBLIC Iceberg table spec (https://iceberg.apache.org/spec/):
+  *
+  *  - `metadata/v<N>.metadata.json` — format-version 2, schemas with field
+  *    ids, partition-specs (identity transforms, field-ids from 1000),
+  *    the full snapshot list (snapshot-id, sequence-number, manifest-list),
+  *    snapshot-log, plus `version-hint.text` (the HadoopCatalog resolution
+  *    convention).
+  *  - one manifest LIST per snapshot (`snap-<id>.avro`) — Avro, spec field
+  *    ids 500-517: manifest_path/length, partition_spec_id, content,
+  *    sequence/min_sequence numbers, added_snapshot_id, file/row counts.
+  *  - one MANIFEST per commit (`m-<seq>.avro`) — Avro `manifest_entry`
+  *    records (status/snapshot_id/sequence_number + the `data_file` struct:
+  *    content, file_path, file_format, partition, record_count,
+  *    file_size_in_bytes; spec field ids 0-4, 100-104, 134), with the
+  *    spec-required key-value metadata (`schema`, `partition-spec`,
+  *    `partition-spec-id`, `format-version`, `content`).
+  *
+  * Data files are referenced IN PLACE (absolute paths into the graft data
+  * dirs — the spec permits absolute URIs): exporting a 100 TB table writes
+  * only O(snapshots · files) metadata, never data. Per-file record counts
+  * come from the parquet footers (metadata-only, no scan).
+  *
+  * Scope (loudly enforced): APPEND-ONLY chains — every snapshot's dir set
+  * must contain its predecessor's and carry no equality deletes (the
+  * reference's own `append` mode; MOR deletes would need delete manifests).
+  * Identity partitioning is DIR-granular, matching how graft lays out
+  * partitioned tables: a partition column's value for a dir is its recorded
+  * per-dir min==max bound ([[VersionedTable.appendWithStats]]), required to
+  * be degenerate — a dir spanning two partition values fails the export.
+  *
+  * [[graft.sources.IcebergRead]] is the INDEPENDENT in-repo reader
+  * (Jackson-parsed metadata JSON + generic Avro decoding, no code shared
+  * with this writer); IcebergExportSpec proves metadata-parse + field-id
+  * conformance + row-for-row readback + time travel + partition pruning.
+  */
+object IcebergExport {
+
+  /** Spark → Iceberg primitive type names (spec "Primitive Types"). */
+  private[graft] def icebergType(dt: DataType): String = dt match {
+    case LongType                => "long"
+    case IntegerType             => "int"
+    case ShortType | ByteType    => "int"
+    case StringType              => "string"
+    case DoubleType              => "double"
+    case FloatType               => "float"
+    case BooleanType             => "boolean"
+    case DateType                => "date"
+    case TimestampType           => "timestamptz" // Spark timestamps are UTC-adjusted
+    case TimestampNTZType        => "timestamp"
+    case BinaryType              => "binary"
+    case d: DecimalType          => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"iceberg export: unsupported column type $other (primitive columns only)")
+  }
+
+  /** Avro type for a partition value column (identity transform keeps the
+    * source type; the three kinds graft's dir bounds carry). */
+  private def avroPartType(dt: DataType): String = dt match {
+    case LongType                          => "long"
+    case IntegerType | ShortType | ByteType => "int"
+    case StringType                        => "string"
+    case other => throw new IllegalArgumentException(
+      s"iceberg export: unsupported partition column type $other")
+  }
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** The Iceberg schema JSON (also embedded in each manifest's metadata). */
+  private def schemaJson(schema: StructType): String = {
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id":${i + 1},"name":"${esc(f.name)}","required":${!f.nullable},""" +
+        s""""type":"${icebergType(f.dataType)}"}"""
+    }
+    s"""{"type":"struct","schema-id":0,"fields":[${fields.mkString(",")}]}"""
+  }
+
+  /** The partition-spec FIELDS json (identity transforms; field-ids from
+    * 1000 per the spec's partition-field-id convention). */
+  private def specFieldsJson(schema: StructType, partitionCols: Seq[String]): String =
+    partitionCols.zipWithIndex.map { case (c, i) =>
+      val sourceId = schema.fieldIndex(c) + 1
+      s"""{"name":"${esc(c)}","transform":"identity","source-id":$sourceId,"field-id":${1000 + i}}"""
+    }.mkString("[", ",", "]")
+
+  private def manifestListSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      {"name":"manifest_path","type":"string","field-id":500},
+      {"name":"manifest_length","type":"long","field-id":501},
+      {"name":"partition_spec_id","type":"int","field-id":502},
+      {"name":"content","type":"int","field-id":517},
+      {"name":"sequence_number","type":"long","field-id":515},
+      {"name":"min_sequence_number","type":"long","field-id":516},
+      {"name":"added_snapshot_id","type":"long","field-id":503},
+      {"name":"added_files_count","type":"int","field-id":504},
+      {"name":"existing_files_count","type":"int","field-id":505},
+      {"name":"deleted_files_count","type":"int","field-id":506},
+      {"name":"added_rows_count","type":"long","field-id":512},
+      {"name":"existing_rows_count","type":"long","field-id":513},
+      {"name":"deleted_rows_count","type":"long","field-id":514}
+    ]}""")
+
+  private def manifestEntrySchema(schema: StructType, partitionCols: Seq[String]): Schema = {
+    val partFields = partitionCols.zipWithIndex.map { case (c, i) =>
+      val dt = schema(schema.fieldIndex(c)).dataType
+      s"""{"name":"${esc(c)}","type":"${avroPartType(dt)}","field-id":${1000 + i}}"""
+    }.mkString(",")
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int","field-id":0},
+        {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+        {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+          {"name":"content","type":"int","field-id":134},
+          {"name":"file_path","type":"string","field-id":100},
+          {"name":"file_format","type":"string","field-id":101},
+          {"name":"partition","field-id":102,
+            "type":{"type":"record","name":"r102","fields":[$partFields]}},
+          {"name":"record_count","type":"long","field-id":103},
+          {"name":"file_size_in_bytes","type":"long","field-id":104}
+        ]}}
+      ]}""")
+  }
+
+  private def writeAvro(filesystem: FileSystem, path: Path, schema: Schema,
+      meta: Map[String, String], rows: Seq[GenericRecord]): Long = {
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
+    val out = filesystem.create(path, true)
+    w.create(schema, out)
+    rows.foreach(w.append)
+    w.close() // closes the stream
+    filesystem.getFileStatus(path).getLen
+  }
+
+  /** Parquet footer record count — metadata-only, no data scan. */
+  private def recordCount(conf: org.apache.hadoop.conf.Configuration, p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Typed identity-partition value of a dir: the recorded per-dir bound of
+    * `col`, required degenerate (lo == hi). */
+  private def partitionValue(snap: VersionedTable.Snapshot, dir: String,
+      col: String, dt: DataType): AnyRef = {
+    val b = snap.colStats.getOrElse(dir, Map.empty).getOrElse(col,
+      throw new IllegalArgumentException(
+        s"iceberg export: dir $dir carries no stats for partition column $col " +
+          "(write partitioned dirs with appendWithStats)"))
+    require(b.lo == b.hi, s"iceberg export: dir $dir spans partition values " +
+      s"[${b.lo}, ${b.hi}] of $col — identity partitioning is dir-granular")
+    dt match {
+      case LongType                           => java.lang.Long.valueOf(b.lo.toLong)
+      case IntegerType | ShortType | ByteType => java.lang.Integer.valueOf(b.lo.toInt)
+      case StringType                         => b.lo
+      case other => throw new IllegalArgumentException(
+        s"iceberg export: unsupported partition column type $other")
+    }
+  }
+
+  /** Export every snapshot of the graft table at `tablePath` as an Iceberg
+    * v2 metadata chain under `outPath/metadata/`. Returns the path of the
+    * final metadata.json. Data files are referenced in place. */
+  def export(spark: SparkSession, tablePath: String, outPath: String,
+      partitionCols: Seq[String] = Nil): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val filesystem = new Path(tablePath).getFileSystem(conf)
+    val tableAbs = filesystem.makeQualified(new Path(tablePath)).toString
+    val outAbs = filesystem.makeQualified(new Path(outPath)).toString
+    val metaDir = new Path(outAbs, "metadata")
+    filesystem.mkdirs(metaDir)
+
+    val versions = VersionedTable.versions(spark, tablePath)
+    require(versions.nonEmpty, s"iceberg export: no snapshots at $tablePath")
+    require(versions == (versions.head to versions.last),
+      s"iceberg export: non-contiguous snapshot chain $versions")
+    val snaps = versions.map(v => VersionedTable.readManifestForTest(spark, tablePath, v))
+    snaps.sliding(2).foreach {
+      case Seq(a, b) =>
+        require(a.dirs.toSet.subsetOf(b.dirs.toSet),
+          s"iceberg export: snapshot v${b.version} drops dirs of v${a.version} — append-only chains only")
+      case _ =>
+    }
+    snaps.foreach(s => require(s.deletes.isEmpty,
+      s"iceberg export: snapshot v${s.version} carries equality deletes — append-only chains only"))
+
+    val schema = VersionedTable.read(spark, tablePath).schema
+    partitionCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"iceberg export: partition column $c not in schema ${schema.fieldNames.mkString(",")}"))
+    val tSchemaJson = schemaJson(schema)
+    val tSpecJson = specFieldsJson(schema, partitionCols)
+    val entrySchema = manifestEntrySchema(schema, partitionCols)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+
+    def absOf(d: String): String =
+      if (d.startsWith("/")) filesystem.makeQualified(new Path(d)).toString
+      else s"$tableAbs/$d"
+
+    // per-commit manifests: the files ADDED at each version (status 1)
+    final case class ManifestInfo(path: String, length: Long, seq: Long,
+        addedFiles: Int, addedRows: Long)
+    val manifests = scala.collection.mutable.ArrayBuffer.empty[ManifestInfo]
+    val graftMeta = new Path(tableAbs, "_graft_meta")
+    val snapshotEntries = snaps.zipWithIndex.map { case (snap, i) =>
+      val seq = snap.version.toLong
+      val snapshotId = seq
+      val prevDirs = if (i == 0) Set.empty[String] else snaps(i - 1).dirs.toSet
+      val newDirs = snap.dirs.filterNot(prevDirs)
+      val entries = newDirs.flatMap { d =>
+        val dirPath = new Path(absOf(d))
+        val parts: Seq[AnyRef] = partitionCols.map { c =>
+          partitionValue(snap, d, c, schema(schema.fieldIndex(c)).dataType)
+        }
+        filesystem.listStatus(dirPath).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+          .map { st =>
+            val part = new GenericData.Record(partSchema)
+            partitionCols.zip(parts).foreach { case (c, v) => part.put(c, v) }
+            val df = new GenericData.Record(dataFileSchema)
+            df.put("content", Int.box(0))
+            df.put("file_path", st.getPath.toString)
+            df.put("file_format", "PARQUET")
+            df.put("partition", part)
+            df.put("record_count", Long.box(recordCount(conf, st.getPath)))
+            df.put("file_size_in_bytes", Long.box(st.getLen))
+            val e = new GenericData.Record(entrySchema)
+            e.put("status", Int.box(1)) // ADDED
+            e.put("snapshot_id", Long.box(snapshotId))
+            e.put("sequence_number", Long.box(seq))
+            e.put("file_sequence_number", Long.box(seq))
+            e.put("data_file", df)
+            e: GenericRecord
+          }
+      }
+      val mPath = new Path(metaDir, f"m-$seq%05d.avro")
+      val mLen = writeAvro(filesystem, mPath, entrySchema, Map(
+        "schema" -> tSchemaJson,
+        "partition-spec" -> tSpecJson,
+        "partition-spec-id" -> "0",
+        "format-version" -> "2",
+        "content" -> "data"), entries)
+      manifests += ManifestInfo(mPath.toString, mLen, seq,
+        entries.size, entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+          .get("record_count").asInstanceOf[Long]).sum)
+
+      // manifest LIST for this snapshot: every manifest up to and incl. seq
+      val listRows = manifests.toSeq.map { m =>
+        val r = new GenericData.Record(manifestListSchema)
+        r.put("manifest_path", m.path)
+        r.put("manifest_length", Long.box(m.length))
+        r.put("partition_spec_id", Int.box(0))
+        r.put("content", Int.box(0)) // data
+        r.put("sequence_number", Long.box(m.seq))
+        r.put("min_sequence_number", Long.box(m.seq))
+        r.put("added_snapshot_id", Long.box(m.seq))
+        r.put("added_files_count", Int.box(m.addedFiles))
+        r.put("existing_files_count", Int.box(0))
+        r.put("deleted_files_count", Int.box(0))
+        r.put("added_rows_count", Long.box(m.addedRows))
+        r.put("existing_rows_count", Long.box(0L))
+        r.put("deleted_rows_count", Long.box(0L))
+        r: GenericRecord
+      }
+      val listPath = new Path(metaDir, f"snap-$snapshotId%05d.avro")
+      writeAvro(filesystem, listPath, manifestListSchema, Map.empty, listRows)
+      // commit time = the graft manifest's own mtime (no wall-clock of ours)
+      val ts = filesystem.getFileStatus(
+        new Path(graftMeta, f"v${snap.version}%05d.json")).getModificationTime
+      (snapshotId, seq, ts, listPath.toString)
+    }
+
+    val uuid = java.util.UUID.nameUUIDFromBytes(tableAbs.getBytes("UTF-8")).toString
+    val lastSeq = snapshotEntries.last._2
+    val lastTs = snapshotEntries.last._3
+    val snapsJson = snapshotEntries.map { case (id, seq, ts, list) =>
+      s"""{"snapshot-id":$id,"sequence-number":$seq,"timestamp-ms":$ts,""" +
+        s""""summary":{"operation":"append"},"manifest-list":"${esc(list)}","schema-id":0}"""
+    }.mkString("[", ",", "]")
+    val logJson = snapshotEntries.map { case (id, _, ts, _) =>
+      s"""{"timestamp-ms":$ts,"snapshot-id":$id}"""
+    }.mkString("[", ",", "]")
+    val lastPartitionId = if (partitionCols.isEmpty) 999 else 999 + partitionCols.size
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"$uuid","location":"${esc(outAbs)}",
+        "last-sequence-number":$lastSeq,"last-updated-ms":$lastTs,
+        "last-column-id":${schema.size},"current-schema-id":0,
+        "schemas":[$tSchemaJson],
+        "default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":$tSpecJson}],
+        "last-partition-id":$lastPartitionId,
+        "default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
+        "properties":{},
+        "current-snapshot-id":${snapshotEntries.last._1},
+        "snapshots":$snapsJson,
+        "snapshot-log":$logJson,
+        "metadata-log":[]}"""
+    val mdPath = new Path(metaDir, s"v${versions.last}.metadata.json")
+    val out = filesystem.create(mdPath, true)
+    out.write(metadataJson.getBytes("UTF-8"))
+    out.close()
+    val hint = filesystem.create(new Path(metaDir, "version-hint.text"), true)
+    hint.write(versions.last.toString.getBytes("UTF-8"))
+    hint.close()
+    mdPath.toString
+  }
+}

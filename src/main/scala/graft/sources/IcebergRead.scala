@@ -1,0 +1,187 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** INDEPENDENT reader of Apache Iceberg format-v2 metadata — the consumer
+  * side of [[graft.sinks.IcebergExport]], sharing NO code with it: the
+  * metadata JSON is parsed with Jackson, the manifest lists and manifests
+  * are decoded as generic Avro, and every structure is resolved per the
+  * PUBLIC Iceberg table spec (metadata.json → current-snapshot-id →
+  * snapshot.manifest-list → manifest_file.manifest_path → manifest_entry
+  * .data_file.file_path), so it reads what any external Iceberg tool would
+  * read — the proof that the exporter's output is real Iceberg metadata and
+  * not a private dialect. Field-id conformance is checked, not assumed:
+  * [[manifestListFieldIds]] / [[manifestEntryFieldIds]] surface the `field-id`
+  * attributes actually present in the Avro schemas for the spec to assert
+  * against the spec's reserved ids (500-517 for manifest lists, 0-4/100-134
+  * for manifest entries).
+  *
+  * Resolution starts at `metadata/version-hint.text` (the HadoopCatalog
+  * convention) or an explicit metadata.json path. Time travel: any
+  * snapshot-id in the metadata's snapshot list is readable
+  * ([[readSnapshot]]), exactly as Iceberg's own `snapshot-id` read option.
+  */
+object IcebergRead {
+
+  final case class SnapshotInfo(snapshotId: Long, sequenceNumber: Long,
+      timestampMs: Long, manifestList: String)
+
+  final case class TableMeta(formatVersion: Int, tableUuid: String,
+      currentSnapshotId: Long, snapshots: Seq[SnapshotInfo],
+      schemaFieldNames: Seq[String], partitionFields: Seq[(String, String, Int)])
+
+  /** One referenced data file: path, partition values (by partition field
+    * name, stringified), record count, size. */
+  final case class DataFileInfo(path: String, partition: Map[String, String],
+      recordCount: Long, sizeBytes: Long)
+
+  private val mapper = new ObjectMapper()
+
+  private def fs(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readBytes(filesystem: FileSystem, p: Path): Array[Byte] = {
+    val in = filesystem.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** Resolve the current metadata.json of a table root via
+    * `metadata/version-hint.text` (HadoopCatalog convention). */
+  def currentMetadataPath(spark: SparkSession, tableRoot: String): String = {
+    val filesystem = fs(spark, tableRoot)
+    val hint = new Path(new Path(tableRoot, "metadata"), "version-hint.text")
+    require(filesystem.exists(hint), s"no version-hint.text under $tableRoot/metadata")
+    val v = new String(readBytes(filesystem, hint), "UTF-8").trim.toInt
+    filesystem.makeQualified(
+      new Path(new Path(tableRoot, "metadata"), s"v$v.metadata.json")).toString
+  }
+
+  /** Parse a metadata.json per the v2 spec. */
+  def tableMeta(spark: SparkSession, metadataPath: String): TableMeta = {
+    val filesystem = fs(spark, metadataPath)
+    val root = mapper.readTree(readBytes(filesystem, new Path(metadataPath)))
+    val fv = root.get("format-version").asInt()
+    require(fv == 2, s"expected format-version 2, got $fv")
+    val currentSchemaId = root.get("current-schema-id").asInt()
+    val schema = iter(root.get("schemas"))
+      .find(_.get("schema-id").asInt() == currentSchemaId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"current-schema-id $currentSchemaId not in schemas"))
+    val fields = iter(schema.get("fields")).map(_.get("name").asText()).toSeq
+    val defaultSpecId = root.get("default-spec-id").asInt()
+    val spec = iter(root.get("partition-specs"))
+      .find(_.get("spec-id").asInt() == defaultSpecId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"default-spec-id $defaultSpecId not in partition-specs"))
+    val partFields = iter(spec.get("fields")).map { f =>
+      (f.get("name").asText(), f.get("transform").asText(), f.get("source-id").asInt())
+    }.toSeq
+    val snaps = iter(root.get("snapshots")).map { s =>
+      SnapshotInfo(s.get("snapshot-id").asLong(), s.get("sequence-number").asLong(),
+        s.get("timestamp-ms").asLong(), s.get("manifest-list").asText())
+    }.toSeq
+    TableMeta(fv, root.get("table-uuid").asText(),
+      root.get("current-snapshot-id").asLong(), snaps, fields, partFields)
+  }
+
+  private def iter(n: JsonNode): Iterator[JsonNode] = {
+    import scala.jdk.CollectionConverters._
+    n.elements().asScala
+  }
+
+  private def avroRecords(filesystem: FileSystem, p: Path): (org.apache.avro.Schema, Seq[GenericRecord]) = {
+    val reader = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(readBytes(filesystem, p)),
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
+      while (reader.hasNext) out += reader.next()
+      (reader.getSchema, out.toSeq)
+    } finally reader.close()
+  }
+
+  /** The `field-id` attribute of each top-level field in a manifest LIST's
+    * Avro schema — for spec conformance assertions. */
+  def manifestListFieldIds(spark: SparkSession, manifestListPath: String): Map[String, Int] = {
+    val (schema, _) = avroRecords(fs(spark, manifestListPath), new Path(manifestListPath))
+    fieldIds(schema)
+  }
+
+  /** field-ids of the manifest_entry schema (top level + the data_file
+    * struct's fields, prefixed "data_file."). */
+  def manifestEntryFieldIds(spark: SparkSession, manifestPath: String): Map[String, Int] = {
+    val (schema, _) = avroRecords(fs(spark, manifestPath), new Path(manifestPath))
+    val top = fieldIds(schema)
+    val df = schema.getField("data_file").schema()
+    top ++ fieldIds(df).map { case (k, v) => s"data_file.$k" -> v }
+  }
+
+  private def fieldIds(schema: org.apache.avro.Schema): Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
+    schema.getFields.asScala.flatMap { f =>
+      Option(f.getObjectProp("field-id")).collect {
+        case i: java.lang.Integer => f.name() -> i.intValue()
+        case l: java.lang.Long    => f.name() -> l.intValue()
+      }
+    }.toMap
+  }
+
+  /** Every live data file of a snapshot: manifest list → manifests →
+    * entries with status != DELETED(2). */
+  def dataFiles(spark: SparkSession, meta: TableMeta, snapshotId: Long): Seq[DataFileInfo] = {
+    val snap = meta.snapshots.find(_.snapshotId == snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"snapshot $snapshotId not in metadata " +
+        s"(have ${meta.snapshots.map(_.snapshotId).mkString(",")})"))
+    val filesystem = fs(spark, snap.manifestList)
+    val (_, manifests) = avroRecords(filesystem, new Path(snap.manifestList))
+    manifests.flatMap { m =>
+      val mPath = m.get("manifest_path").toString
+      val (_, entries) = avroRecords(filesystem, new Path(mPath))
+      entries.filter(_.get("status").asInstanceOf[Int] != 2).map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val part = df.get("partition").asInstanceOf[GenericRecord]
+        val partVals = meta.partitionFields.map { case (name, _, _) =>
+          name -> String.valueOf(part.get(name))
+        }.toMap
+        DataFileInfo(df.get("file_path").toString, partVals,
+          df.get("record_count").asInstanceOf[Long],
+          df.get("file_size_in_bytes").asInstanceOf[Long])
+      }
+    }
+  }
+
+  /** Read the CURRENT snapshot of the table rooted at `tableRoot`. */
+  def read(spark: SparkSession, tableRoot: String): DataFrame = {
+    val meta = tableMeta(spark, currentMetadataPath(spark, tableRoot))
+    readSnapshot(spark, meta, meta.currentSnapshotId)
+  }
+
+  /** Time travel: read a specific snapshot-id listed in the metadata. */
+  def readSnapshot(spark: SparkSession, meta: TableMeta, snapshotId: Long): DataFrame = {
+    val files = dataFiles(spark, meta, snapshotId)
+    require(files.nonEmpty, s"snapshot $snapshotId lists no data files")
+    spark.read.parquet(files.map(_.path): _*)
+  }
+
+  /** Metadata-level partition pruning: read only the files whose identity
+    * partition value for `col` equals `value` — the file-skipping any
+    * Iceberg-aware engine performs from the manifests alone. */
+  def readPartition(spark: SparkSession, meta: TableMeta, snapshotId: Long,
+      col: String, value: String): DataFrame = {
+    require(meta.partitionFields.exists(f => f._1 == col && f._2 == "identity"),
+      s"$col is not an identity partition field of this table")
+    val files = dataFiles(spark, meta, snapshotId).filter(_.partition(col) == value)
+    require(files.nonEmpty, s"no files for partition $col=$value")
+    spark.read.parquet(files.map(_.path): _*)
+  }
+}

@@ -40,7 +40,21 @@ object ShardedIngest {
     val off =
       if (offsets.isEmpty) lit(0L)
       else coalesce(element_at(typedLit(offsets), col(shardCol)), lit(0L))
-    df.withColumn("page_rn", row_number().over(w).cast(LongType))
+    // No shard's page reaches past max(offset) + pageSize, and that bound is
+    // a PLAN-TIME CONSTANT — filtering on it first (before the exact
+    // per-shard map-lookup bounds, which are not constants) lets Catalyst's
+    // InferWindowGroupLimit insert a partial top-k BELOW the window's
+    // exchange: each mapper forwards only its per-shard top maxBound rows
+    // instead of the whole scan, so the shuffle carries O(shards · bound)
+    // rows however big the table is (r12; incremental_offset_read sat 1.4×
+    // over its pin while shuffling the full scan).
+    // the rank filter must hit the UNCAST rank attribute with an int literal
+    // for InferWindowGroupLimit to match; the long page_rn projects after
+    val maxBound = math.min(offsets.values.foldLeft(0L)(math.max) + pageSize,
+      Int.MaxValue.toLong).toInt
+    df.withColumn("page_rn", row_number().over(w))
+      .filter(col("page_rn") <= maxBound)
+      .withColumn("page_rn", col("page_rn").cast(LongType))
       .withColumn("__off", off)
       .filter(col("page_rn") > col("__off") && col("page_rn") <= col("__off") + pageSize)
       .drop("__off")

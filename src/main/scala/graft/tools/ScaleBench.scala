@@ -449,6 +449,62 @@ object ScaleBench {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
 
+    // ---- streaming MOR commit-cost row (r12, VERDICT r11 item 7) --------
+    // The batch side has 10×/30× curves; this is the STREAMING entry: the
+    // streaming_upsert_mor topology (foreachBatch → upsertMorOnce, the
+    // reference's sink mechanism) run as a real Structured Streaming query
+    // against a table seeded at K× base size, feeding a FIXED stream of 8
+    // micro-batches × 2 000-key updates. The claim under test is the O(batch)
+    // commit contract: each commit writes one data dir + one key-delete dir +
+    // the manifest, never rewriting the table — so the timed chain must stay
+    // ~FLAT as the seeded table grows 1× → 30× (the growth_30x that matters
+    // at 100 TB, where an O(table) commit is a non-starter). Seeding is
+    // untimed (it IS O(table) by definition). MOR read-side cost is a
+    // separate, documented trade (VersionedTable.compact clears it).
+    if (earlyOnly.exists(_.contains("streaming_mor_commit"))) {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ordersBase = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 100).cast("long").as("price_c"))
+      for (k <- factors) {
+        val tbl = s"$outDir/stream_mor_x$k"
+        val ck = s"$outDir/stream_mor_ck_x$k"
+        val hfs = new org.apache.hadoop.fs.Path(tbl)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        hfs.delete(new org.apache.hadoop.fs.Path(tbl), true)
+        hfs.delete(new org.apache.hadoop.fs.Path(ck), true)
+        val seeded = (0 until k).map(r => ordersBase
+            .withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L)))
+          .reduce(_ unionByName _)
+        graft.sinks.VersionedTable.overwrite(seeded, tbl) // untimed O(table) seed
+        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+        val q = in.toDF().toDF("o_orderkey", "price_c")
+          .withColumn("o_custkey", lit(-1L))
+          .writeStream
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            graft.sinks.VersionedTable.upsertMorOnce(
+              batch, tbl, Seq("o_orderkey"), batchId)
+            ()
+          }
+          .start()
+        val batches = 8; val batchRows = 2000
+        val (sec, _) = time {
+          for (b <- 0 until batches) {
+            in.addData((0 until batchRows).map(i =>
+              ((b * batchRows + i).toLong % 100000L + 1L, b * 1000000L + i.toLong)))
+            q.processAllAvailable()
+          }
+          0L
+        }
+        q.stop(); q.awaitTermination()
+        val versions = graft.sinks.VersionedTable.versions(spark, tbl).size
+        println(s"""{"query":"streaming_mor_commit","factor":$k,"sec":${f"$sec%.2f"},""" +
+          s""""batches":$batches,"batch_rows":$batchRows,"versions":$versions}""")
+      }
+    }
+
     // ---- chain-closure A/B (r9 verdict item 7) --------------------------
     // The pathological-depth regime: a linked list `depth` deep, where the
     // frontier shape pays one shuffle round PER LEVEL and the path-doubling

@@ -1,0 +1,134 @@
+package graft
+
+import graft.sinks.{IcebergExport, VersionedTable}
+import graft.sources.IcebergRead
+import org.apache.spark.sql.functions._
+
+/** [[IcebergExport]] (writer) vs [[IcebergRead]] (the independent reader):
+  * the emitted metadata must parse per the PUBLIC Iceberg v2 spec — field
+  * ids, sequence numbers, per-snapshot manifest lists — and reproduce every
+  * snapshot's rows exactly. The reader shares no code with the writer, so a
+  * pass here means the metadata is real Iceberg, not a private dialect.
+  */
+class IcebergExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val p = s"/tmp/graft_tables/iceberg_spec_$name"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    p
+  }
+
+  test("append chain exports and reads back row-for-row, with time travel") {
+    val src = freshDir("tt_src"); val out = freshDir("tt_out")
+    val rows = (1L to 300L).map(i => (i, i % 7, s"name_$i"))
+    val df = rows.toDF("id", "grp", "name")
+    VersionedTable.append(df.filter($"id" <= 100), src)  // v1
+    VersionedTable.append(df.filter($"id" > 100 && $"id" <= 200), src) // v2
+    VersionedTable.append(df.filter($"id" > 200), src)   // v3
+    val mdPath = IcebergExport.export(spark, src, out)
+
+    val meta = IcebergRead.tableMeta(spark, mdPath)
+    assert(meta.formatVersion == 2)
+    assert(meta.snapshots.map(_.snapshotId) == Seq(1L, 2L, 3L))
+    assert(meta.snapshots.map(_.sequenceNumber) == Seq(1L, 2L, 3L))
+    assert(meta.currentSnapshotId == 3L)
+    assert(meta.schemaFieldNames == Seq("id", "grp", "name"))
+    // version-hint resolution lands on the same metadata file
+    assert(IcebergRead.currentMetadataPath(spark, out) == mdPath)
+
+    // snapshot k's manifest list carries exactly k manifests, counts honest
+    val files3 = IcebergRead.dataFiles(spark, meta, 3L)
+    assert(files3.map(_.recordCount).sum == 300L)
+    assert(files3.forall(_.sizeBytes > 0))
+    val files1 = IcebergRead.dataFiles(spark, meta, 1L)
+    assert(files1.map(_.recordCount).sum == 100L)
+
+    // row-for-row: every snapshot through the Iceberg chain == VersionedTable
+    for (v <- 1 to 3) {
+      val viaIceberg = IcebergRead.readSnapshot(spark, meta, v.toLong)
+        .as[(Long, Long, String)].collect().sorted.toSeq
+      val viaGraft = VersionedTable.readVersion(spark, src, v)
+        .as[(Long, Long, String)].collect().sorted.toSeq
+      assert(viaIceberg == viaGraft, s"snapshot $v")
+    }
+    // current == latest
+    assert(IcebergRead.read(spark, out).count() == 300L)
+  }
+
+  test("manifest list and manifest entry field ids match the Iceberg spec") {
+    val src = freshDir("ids_src"); val out = freshDir("ids_out")
+    VersionedTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)
+    val md = IcebergExport.export(spark, src, out)
+    val meta = IcebergRead.tableMeta(spark, md)
+    val listIds = IcebergRead.manifestListFieldIds(spark, meta.snapshots.head.manifestList)
+    // the spec's reserved manifest-list field ids (Iceberg spec "Manifest Lists")
+    assert(listIds == Map(
+      "manifest_path" -> 500, "manifest_length" -> 501, "partition_spec_id" -> 502,
+      "content" -> 517, "sequence_number" -> 515, "min_sequence_number" -> 516,
+      "added_snapshot_id" -> 503, "added_files_count" -> 504,
+      "existing_files_count" -> 505, "deleted_files_count" -> 506,
+      "added_rows_count" -> 512, "existing_rows_count" -> 513,
+      "deleted_rows_count" -> 514), listIds.toString)
+    val (_, manifests) = (IcebergRead.dataFiles(spark, meta, 1L), ())
+    val mfPath = {
+      // first manifest path out of the manifest list, via the reader's own parse
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/metadata"))
+        .map(_.getPath.toString).filter(_.matches(".*m-\\d+\\.avro"))
+      assert(files.nonEmpty); files.min
+    }
+    val entryIds = IcebergRead.manifestEntryFieldIds(spark, mfPath)
+    // spec "Manifests": entry ids 0-4, data_file ids 100-134
+    assert(entryIds("status") == 0 && entryIds("snapshot_id") == 1 &&
+      entryIds("sequence_number") == 3 && entryIds("file_sequence_number") == 4 &&
+      entryIds("data_file") == 2, entryIds.toString)
+    assert(entryIds("data_file.content") == 134 &&
+      entryIds("data_file.file_path") == 100 &&
+      entryIds("data_file.file_format") == 101 &&
+      entryIds("data_file.partition") == 102 &&
+      entryIds("data_file.record_count") == 103 &&
+      entryIds("data_file.file_size_in_bytes") == 104, entryIds.toString)
+  }
+
+  test("identity-partitioned export: manifest partition values drive file pruning") {
+    val src = freshDir("part_src"); val out = freshDir("part_out")
+    val df = (1L to 120L).map(i => (i, s"t${i % 3}", i * 10)).toDF("id", "typ", "v")
+    // dir-granular identity partitioning: one append per partition value,
+    // per-dir stats on the partition column (lo == hi per dir)
+    for (t <- Seq("t0", "t1", "t2"))
+      VersionedTable.appendWithStats(df.filter($"typ" === t), src, Seq("typ"))
+    val md = IcebergExport.export(spark, src, out, partitionCols = Seq("typ"))
+    val meta = IcebergRead.tableMeta(spark, md)
+    assert(meta.partitionFields == Seq(("typ", "identity", 2)))
+    val files = IcebergRead.dataFiles(spark, meta, 3L)
+    assert(files.map(_.partition("typ")).toSet == Set("t0", "t1", "t2"))
+    // metadata-level pruning: only t1's files are opened, rows match a filter
+    val t1Files = files.filter(_.partition("typ") == "t1")
+    assert(t1Files.nonEmpty && t1Files.size < files.size)
+    val pruned = IcebergRead.readPartition(spark, meta, 3L, "typ", "t1")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    val full = df.filter($"typ" === "t1").as[(Long, String, Long)].collect().sorted.toSeq
+    assert(pruned == full)
+  }
+
+  test("non-append chains fail loudly") {
+    // equality deletes (MOR) are out of the exporter's declared scope
+    val mor = freshDir("mor_src")
+    VersionedTable.append(Seq((1L, "a")).toDF("id", "v"), mor)
+    VersionedTable.upsertMor(Seq((1L, "b")).toDF("id", "v"), mor, Seq("id"))
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergExport.export(spark, mor, freshDir("mor_out"))
+    }
+    assert(e1.getMessage.contains("append-only"), e1.getMessage)
+    // an overwrite drops dirs — also not an append chain
+    val ow = freshDir("ow_src")
+    VersionedTable.append(Seq((1L, "a")).toDF("id", "v"), ow)
+    VersionedTable.overwrite(Seq((2L, "b")).toDF("id", "v"), ow)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergExport.export(spark, ow, freshDir("ow_out"))
+    }
+    assert(e2.getMessage.contains("append-only"), e2.getMessage)
+  }
+}

@@ -152,6 +152,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges\n" + plan.take(3000))
   }
 
+  test("offset page read group-limits BELOW the shuffle (bounded rows per shard)") {
+    // The per-shard rank bound (max offset + pageSize) is a plan-time
+    // constant, so InferWindowGroupLimit must plant a partial
+    // WindowGroupLimit on the MAP side of the window's exchange: each
+    // scan task forwards only its top-bound rows per shard and the shuffle
+    // carries O(shards · bound) rows however large the table is (r12 —
+    // before this, incremental_offset_read shuffled the full scan and sat
+    // 1.4× over its bench pin).
+    for (name <- Seq("incremental_offset_read", "sharded_page_read")) {
+      val plan = planOf(q(name))
+      val limits = "WindowGroupLimit".r.findAllIn(plan).size
+      assert(limits >= 2, s"$name: expected a partial+final WindowGroupLimit " +
+        s"pair, found $limits\n" + plan.take(3000))
+      val partialFirst = plan.indexOf("Partial") // partial mode printed on the map-side op
+      assert(partialFirst >= 0, s"$name: no Partial WindowGroupLimit\n" + plan.take(3000))
+    }
+  }
+
   test("bloom prefilter probes inside the scan stage and preserves the exact join") {
     import org.apache.spark.sql.functions.col
     val dir = sf("sf0.001")

@@ -75,6 +75,36 @@ class PqSpec extends SparkSpec {
       assert(math.abs(a._4 - b._4) < 1e-9, s"$a vs $b") }
   }
 
+  test("integer-quantized twin: recall floor vs exact L2, determinism") {
+    // the registered ann_ivf_pq surface (r12 oracle promotion): ranks by
+    // integer L2² on the e3 grid. Exact top-5 by that same metric is the
+    // quality bar — quantization error only enters through the PQ codes and
+    // routing, so recall must stay near the float pipeline's.
+    val quantized = Pq.ivfPqQuantized(queries, cands, m = 8, k = 16, iters = 3,
+        topK = 5, coarseK = 8, nprobe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val q = (df: org.apache.spark.sql.DataFrame) => df.select($"vec_id",
+      transform($"embedding".cast("array<double>"),
+        x => floor(x * 1000 + 0.5).cast("long")).as("v"))
+    val d2 = aggregate(zip_with($"qv", $"cv", (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, t) => acc + t)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy($"d2", $"neighbor_id")
+    val exact = q(queries).select($"vec_id".as("query_id"), $"v".as("qv"))
+      .crossJoin(q(cands).select($"vec_id".as("neighbor_id"), $"v".as("cv")))
+      .select($"query_id", $"neighbor_id", d2.as("d2"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & quantized).size.toDouble / exact.size
+    assert(recall >= 0.6, s"quantized-twin recall@5 = $recall")
+    // deterministic: re-running the whole train+route+rank chain is
+    // bit-identical (the property the standing SQL oracle relies on)
+    val again = Pq.ivfPqQuantized(queries, cands, m = 8, k = 16, iters = 3,
+        topK = 5, coarseK = 8, nprobe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(again == quantized)
+  }
+
   test("pipeline is deterministic end-to-end") {
     def once(): Seq[(Long, Long, Long)] = {
       val model = Pq.train(cands, m = 4, k = 8, iters = 2)
