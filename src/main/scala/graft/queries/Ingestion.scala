@@ -495,6 +495,58 @@ object Ingestion {
         ".java:84-92's interop surface): snapshot chain -> metadata.json + " +
         "Avro manifest lists/manifests, time travel through the exported chain"),
 
+    "iceberg_export_mor_roundtrip" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The MOR side of the Iceberg interop (r12) — the reference's ACTUAL
+        // sink shape (equalityFieldColumns + upsert(true) IS v2
+        // equality-delete MOR): append → upsertMor (updates + inserts) →
+        // deleteWhereKeys, exported as content-1 delete manifests
+        // (equality_ids = the key field id) beside the data manifests, read
+        // back through IcebergRead's spec-rule application (a delete covers
+        // data files of STRICTLY LOWER sequence — same-commit data
+        // survives its own delete). The readback is the final merged state,
+        // computed from the exported metadata alone.
+        val p = tmp("iceberg_mor_src")
+        val out = tmp("iceberg_mor_out")
+        GraftTableWriter.drop(s, p)
+        GraftTableWriter.drop(s, out)
+        val o = table(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey",
+            (dec2($"o_totalprice") * 100).cast("long").as("price_c"))
+        VersionedTable.append(o, p) // v1: data seq 1
+        val upd = o.filter($"o_orderkey" % 100 === 0)
+          .withColumn("price_c", $"price_c" + 10000L)
+          .unionByName(o.filter($"o_orderkey" % 997 === 0)
+            .select(($"o_orderkey" + 90000000L).as("o_orderkey"),
+              $"o_custkey", $"price_c"))
+        VersionedTable.upsertMor(upd, p, Seq("o_orderkey")) // v2: data+delete seq 2
+        VersionedTable.deleteWhereKeys(
+          o.filter($"o_orderkey" % 500 === 3).select($"o_orderkey"),
+          p, Seq("o_orderkey")) // v3: delete seq 3
+        graft.sinks.IcebergExport.export(s, p, out)
+        graft.sources.IcebergRead.read(s, out).orderBy($"o_orderkey")
+      },
+      // 90000000 % 500 = 0 and % 100 = 0, so the shifted inserts fall in the
+      // same residue classes as their source keys — the oracle's single
+      // %-filters cover originals and inserts alike
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey,
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+          FROM orders),
+          v2 AS (SELECT o_orderkey, o_custkey,
+              CASE WHEN o_orderkey % 100 = 0 THEN price_c + 10000
+                ELSE price_c END AS price_c
+            FROM base
+            UNION ALL
+            SELECT o_orderkey + 90000000, o_custkey, price_c FROM base
+            WHERE o_orderkey % 997 = 0)
+        SELECT o_orderkey, o_custkey, price_c FROM v2
+        WHERE o_orderkey % 500 <> 3 ORDER BY o_orderkey"""),
+      "Iceberg v2 MERGE-ON-READ export + independent readback: equality-" +
+        "delete manifests (content 1, equality_ids) beside data manifests, " +
+        "the strictly-lower-sequence delete rule applied from the exported " +
+        "metadata alone — the reference sink's exact interop surface"),
+
     "snapshot_expire" -> Q(
       (s, d) => {
         import s.implicits._

@@ -36,13 +36,24 @@ import org.apache.spark.sql.types._
   * only O(snapshots · files) metadata, never data. Per-file record counts
   * come from the parquet footers (metadata-only, no scan).
   *
-  * Scope (loudly enforced): APPEND-ONLY chains — every snapshot's dir set
-  * must contain its predecessor's and carry no equality deletes (the
-  * reference's own `append` mode; MOR deletes would need delete manifests).
-  * Identity partitioning is DIR-granular, matching how graft lays out
-  * partitioned tables: a partition column's value for a dir is its recorded
-  * per-dir min==max bound ([[VersionedTable.appendWithStats]]), required to
-  * be degenerate — a dir spanning two partition values fails the export.
+  * MERGE-ON-READ chains export too (r12 — the reference's ACTUAL sink shape:
+  * `equalityFieldColumns(keys).upsert(true)` IS Iceberg v2 equality-delete
+  * MOR): each version's new equality-delete dirs become a DELETE manifest
+  * (content 1 in the manifest list; entries content 2 with `equality_ids` =
+  * the key field ids, field-id 135/element-id 136), at the delete's graft
+  * sequence — and data entries carry their dir's graft dataSeq, so the
+  * spec's application rule (an equality delete applies to data files with a
+  * STRICTLY LOWER data sequence) reproduces VersionedTable's read exactly.
+  *
+  * Scope (loudly enforced): MONOTONE chains — every snapshot's dir and
+  * delete lists must contain its predecessor's (append / upsertMor /
+  * deleteWhereKeys; an overwrite or compaction drops dirs and has no
+  * faithful incremental image). Identity partitioning is DIR-granular,
+  * matching how graft lays out partitioned tables: a partition column's
+  * value for a dir is its recorded per-dir min==max bound
+  * ([[VersionedTable.appendWithStats]]), required to be degenerate — a dir
+  * spanning two partition values fails the export; partitioned MOR chains
+  * are rejected (compact first).
   *
   * [[graft.sources.IcebergRead]] is the INDEPENDENT in-repo reader
   * (Jackson-parsed metadata JSON + generic Avro decoding, no code shared
@@ -134,7 +145,9 @@ object IcebergExport {
           {"name":"partition","field-id":102,
             "type":{"type":"record","name":"r102","fields":[$partFields]}},
           {"name":"record_count","type":"long","field-id":103},
-          {"name":"file_size_in_bytes","type":"long","field-id":104}
+          {"name":"file_size_in_bytes","type":"long","field-id":104},
+          {"name":"equality_ids","field-id":135,"default":null,
+            "type":["null",{"type":"array","items":"int","element-id":136}]}
         ]}}
       ]}""")
   }
@@ -193,14 +206,21 @@ object IcebergExport {
     require(versions == (versions.head to versions.last),
       s"iceberg export: non-contiguous snapshot chain $versions")
     val snaps = versions.map(v => VersionedTable.readManifestForTest(spark, tablePath, v))
+    // monotone chains only: appends and MOR upserts/deletes GROW the dir and
+    // delete lists; an overwrite/compaction drops dirs and has no faithful
+    // incremental Iceberg image (it would need a rewrite snapshot)
     snaps.sliding(2).foreach {
       case Seq(a, b) =>
         require(a.dirs.toSet.subsetOf(b.dirs.toSet),
           s"iceberg export: snapshot v${b.version} drops dirs of v${a.version} — append-only chains only")
+        require(a.deletes.toSet.subsetOf(b.deletes.toSet),
+          s"iceberg export: snapshot v${b.version} drops delete dirs of v${a.version} (compaction?) — monotone chains only")
       case _ =>
     }
-    snaps.foreach(s => require(s.deletes.isEmpty,
-      s"iceberg export: snapshot v${s.version} carries equality deletes — append-only chains only"))
+    val hasDeletes = snaps.exists(_.deletes.nonEmpty)
+    require(!hasDeletes || partitionCols.isEmpty,
+      "iceberg export: identity-partitioned MOR chains are not supported — export unpartitioned or compact first")
+    val deleteKeys = snaps.reverse.find(_.deleteKeys.nonEmpty).map(_.deleteKeys).getOrElse(Nil)
 
     val schema = VersionedTable.read(spark, tablePath).schema
     partitionCols.foreach(c => require(schema.fieldNames.contains(c),
@@ -215,53 +235,79 @@ object IcebergExport {
       if (d.startsWith("/")) filesystem.makeQualified(new Path(d)).toString
       else s"$tableAbs/$d"
 
-    // per-commit manifests: the files ADDED at each version (status 1)
+    // per-commit manifests: one DATA manifest (content 0) for the data dirs
+    // a version adds, one DELETE manifest (content 1) for the equality-delete
+    // dirs it adds — both entered as ADDED (status 1) at their graft
+    // sequence, then carried by every later snapshot's manifest list.
     final case class ManifestInfo(path: String, length: Long, seq: Long,
-        addedFiles: Int, addedRows: Long)
+        content: Int, addedFiles: Int, addedRows: Long)
     val manifests = scala.collection.mutable.ArrayBuffer.empty[ManifestInfo]
     val graftMeta = new Path(tableAbs, "_graft_meta")
-    val snapshotEntries = snaps.zipWithIndex.map { case (snap, i) =>
-      val seq = snap.version.toLong
-      val snapshotId = seq
-      val prevDirs = if (i == 0) Set.empty[String] else snaps(i - 1).dirs.toSet
-      val newDirs = snap.dirs.filterNot(prevDirs)
-      val entries = newDirs.flatMap { d =>
-        val dirPath = new Path(absOf(d))
-        val parts: Seq[AnyRef] = partitionCols.map { c =>
-          partitionValue(snap, d, c, schema(schema.fieldIndex(c)).dataType)
-        }
-        filesystem.listStatus(dirPath).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .sortBy(_.getPath.getName)
-          .map { st =>
-            val part = new GenericData.Record(partSchema)
-            partitionCols.zip(parts).foreach { case (c, v) => part.put(c, v) }
-            val df = new GenericData.Record(dataFileSchema)
-            df.put("content", Int.box(0))
-            df.put("file_path", st.getPath.toString)
-            df.put("file_format", "PARQUET")
-            df.put("partition", part)
-            df.put("record_count", Long.box(recordCount(conf, st.getPath)))
-            df.put("file_size_in_bytes", Long.box(st.getLen))
-            val e = new GenericData.Record(entrySchema)
-            e.put("status", Int.box(1)) // ADDED
-            e.put("snapshot_id", Long.box(snapshotId))
-            e.put("sequence_number", Long.box(seq))
-            e.put("file_sequence_number", Long.box(seq))
-            e.put("data_file", df)
-            e: GenericRecord
-          }
+    val eqIds: java.util.List[Integer] =
+      java.util.Arrays.asList(deleteKeys.map(k =>
+        Int.box(schema.fieldIndex(k) + 1)): _*)
+
+    /** ADDED manifest_entry per parquet file of dir `d`; `content` 0 = data
+      * (sequence = the dir's graft dataSeq; 0 = pre-MOR legacy, exactly the
+      * VersionedTable read rule), 2 = equality deletes (sequence = the
+      * delete's recorded commit seq; equality_ids = the key field ids). */
+    def entriesOf(snap: VersionedTable.Snapshot, d: String, content: Int,
+        fileSeq: Long, snapshotId: Long): Seq[GenericRecord] = {
+      val parts: Seq[AnyRef] = partitionCols.map { c =>
+        partitionValue(snap, d, c, schema(schema.fieldIndex(c)).dataType)
       }
-      val mPath = new Path(metaDir, f"m-$seq%05d.avro")
-      val mLen = writeAvro(filesystem, mPath, entrySchema, Map(
+      filesystem.listStatus(new Path(absOf(d))).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+        .map { st =>
+          val part = new GenericData.Record(partSchema)
+          partitionCols.zip(parts).foreach { case (c, v) => part.put(c, v) }
+          val df = new GenericData.Record(dataFileSchema)
+          df.put("content", Int.box(content))
+          df.put("file_path", st.getPath.toString)
+          df.put("file_format", "PARQUET")
+          df.put("partition", part)
+          df.put("record_count", Long.box(recordCount(conf, st.getPath)))
+          df.put("file_size_in_bytes", Long.box(st.getLen))
+          df.put("equality_ids", if (content == 2) eqIds else null)
+          val e = new GenericData.Record(entrySchema)
+          e.put("status", Int.box(1)) // ADDED
+          e.put("snapshot_id", Long.box(snapshotId))
+          e.put("sequence_number", Long.box(fileSeq))
+          e.put("file_sequence_number", Long.box(fileSeq))
+          e.put("data_file", df)
+          e: GenericRecord
+        }
+    }
+
+    def writeManifest(path: Path, content: Int, seq: Long,
+        entries: Seq[GenericRecord]): ManifestInfo = {
+      val len = writeAvro(filesystem, path, entrySchema, Map(
         "schema" -> tSchemaJson,
         "partition-spec" -> tSpecJson,
         "partition-spec-id" -> "0",
         "format-version" -> "2",
-        "content" -> "data"), entries)
-      manifests += ManifestInfo(mPath.toString, mLen, seq,
-        entries.size, entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+        "content" -> (if (content == 0) "data" else "deletes")), entries)
+      ManifestInfo(path.toString, len, seq, content, entries.size,
+        entries.map(_.get("data_file").asInstanceOf[GenericRecord]
           .get("record_count").asInstanceOf[Long]).sum)
+    }
+
+    val snapshotEntries = snaps.zipWithIndex.map { case (snap, i) =>
+      val seq = snap.version.toLong
+      val snapshotId = seq
+      val prevDirs = if (i == 0) Set.empty[String] else snaps(i - 1).dirs.toSet
+      val prevDels = if (i == 0) Set.empty[(String, Int)] else snaps(i - 1).deletes.toSet
+      val dataEntries = snap.dirs.filterNot(prevDirs).flatMap { d =>
+        entriesOf(snap, d, content = 0,
+          fileSeq = snap.dataSeq.getOrElse(d, 0).toLong, snapshotId)
+      }
+      manifests += writeManifest(new Path(metaDir, f"m-$seq%05d.avro"), 0, seq, dataEntries)
+      val delEntries = snap.deletes.filterNot(prevDels).flatMap { case (d, dseq) =>
+        entriesOf(snap, d, content = 2, fileSeq = dseq.toLong, snapshotId)
+      }
+      if (delEntries.nonEmpty)
+        manifests += writeManifest(new Path(metaDir, f"d-$seq%05d.avro"), 1, seq, delEntries)
 
       // manifest LIST for this snapshot: every manifest up to and incl. seq
       val listRows = manifests.toSeq.map { m =>
@@ -269,7 +315,7 @@ object IcebergExport {
         r.put("manifest_path", m.path)
         r.put("manifest_length", Long.box(m.length))
         r.put("partition_spec_id", Int.box(0))
-        r.put("content", Int.box(0)) // data
+        r.put("content", Int.box(m.content)) // 0 = data, 1 = deletes
         r.put("sequence_number", Long.box(m.seq))
         r.put("min_sequence_number", Long.box(m.seq))
         r.put("added_snapshot_id", Long.box(m.seq))
@@ -286,17 +332,19 @@ object IcebergExport {
       // commit time = the graft manifest's own mtime (no wall-clock of ours)
       val ts = filesystem.getFileStatus(
         new Path(graftMeta, f"v${snap.version}%05d.json")).getModificationTime
-      (snapshotId, seq, ts, listPath.toString)
+      // delete-producing commits are "overwrite" in Iceberg's summary
+      (snapshotId, seq, ts, listPath.toString,
+        if (delEntries.nonEmpty) "overwrite" else "append")
     }
 
     val uuid = java.util.UUID.nameUUIDFromBytes(tableAbs.getBytes("UTF-8")).toString
     val lastSeq = snapshotEntries.last._2
     val lastTs = snapshotEntries.last._3
-    val snapsJson = snapshotEntries.map { case (id, seq, ts, list) =>
+    val snapsJson = snapshotEntries.map { case (id, seq, ts, list, op) =>
       s"""{"snapshot-id":$id,"sequence-number":$seq,"timestamp-ms":$ts,""" +
-        s""""summary":{"operation":"append"},"manifest-list":"${esc(list)}","schema-id":0}"""
+        s""""summary":{"operation":"$op"},"manifest-list":"${esc(list)}","schema-id":0}"""
     }.mkString("[", ",", "]")
-    val logJson = snapshotEntries.map { case (id, _, ts, _) =>
+    val logJson = snapshotEntries.map { case (id, _, ts, _, _) =>
       s"""{"timestamp-ms":$ts,"snapshot-id":$id}"""
     }.mkString("[", ",", "]")
     val lastPartitionId = if (partitionCols.isEmpty) 999 else 999 + partitionCols.size

@@ -32,11 +32,17 @@ object IcebergRead {
 
   final case class TableMeta(formatVersion: Int, tableUuid: String,
       currentSnapshotId: Long, snapshots: Seq[SnapshotInfo],
-      schemaFieldNames: Seq[String], partitionFields: Seq[(String, String, Int)])
+      schemaFields: Seq[(Int, String)], partitionFields: Seq[(String, String, Int)]) {
+    def schemaFieldNames: Seq[String] = schemaFields.map(_._2)
+    def fieldName(id: Int): String = schemaFields.find(_._1 == id).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(s"no schema field with id $id"))
+  }
 
-  /** One referenced data file: path, partition values (by partition field
-    * name, stringified), record count, size. */
-  final case class DataFileInfo(path: String, partition: Map[String, String],
+  /** One referenced file: path, content (0 = data, 2 = equality deletes),
+    * its data/delete sequence number, partition values (by partition field
+    * name, stringified), equality field ids (delete files), counts. */
+  final case class DataFileInfo(path: String, content: Int, sequenceNumber: Long,
+      partition: Map[String, String], equalityIds: Seq[Int],
       recordCount: Long, sizeBytes: Long)
 
   private val mapper = new ObjectMapper()
@@ -77,7 +83,8 @@ object IcebergRead {
       .find(_.get("schema-id").asInt() == currentSchemaId)
       .getOrElse(throw new IllegalArgumentException(
         s"current-schema-id $currentSchemaId not in schemas"))
-    val fields = iter(schema.get("fields")).map(_.get("name").asText()).toSeq
+    val fields = iter(schema.get("fields"))
+      .map(f => (f.get("id").asInt(), f.get("name").asText())).toSeq
     val defaultSpecId = root.get("default-spec-id").asInt()
     val spec = iter(root.get("partition-specs"))
       .find(_.get("spec-id").asInt() == defaultSpecId)
@@ -136,9 +143,9 @@ object IcebergRead {
     }.toMap
   }
 
-  /** Every live data file of a snapshot: manifest list → manifests →
-    * entries with status != DELETED(2). */
-  def dataFiles(spark: SparkSession, meta: TableMeta, snapshotId: Long): Seq[DataFileInfo] = {
+  /** Every live file of a snapshot (data AND equality-delete files):
+    * manifest list → manifests → entries with status != DELETED(2). */
+  def allFiles(spark: SparkSession, meta: TableMeta, snapshotId: Long): Seq[DataFileInfo] = {
     val snap = meta.snapshots.find(_.snapshotId == snapshotId).getOrElse(
       throw new IllegalArgumentException(s"snapshot $snapshotId not in metadata " +
         s"(have ${meta.snapshots.map(_.snapshotId).mkString(",")})"))
@@ -153,12 +160,27 @@ object IcebergRead {
         val partVals = meta.partitionFields.map { case (name, _, _) =>
           name -> String.valueOf(part.get(name))
         }.toMap
-        DataFileInfo(df.get("file_path").toString, partVals,
+        val eqIds = Option(df.get("equality_ids")).toSeq.flatMap { ids =>
+          import scala.jdk.CollectionConverters._
+          ids.asInstanceOf[java.util.List[Integer]].asScala.map(_.intValue()).toSeq
+        }
+        DataFileInfo(df.get("file_path").toString,
+          df.get("content").asInstanceOf[Int],
+          e.get("sequence_number").asInstanceOf[Long],
+          partVals, eqIds,
           df.get("record_count").asInstanceOf[Long],
           df.get("file_size_in_bytes").asInstanceOf[Long])
       }
     }
   }
+
+  /** The DATA files of a snapshot (content 0). */
+  def dataFiles(spark: SparkSession, meta: TableMeta, snapshotId: Long): Seq[DataFileInfo] =
+    allFiles(spark, meta, snapshotId).filter(_.content == 0)
+
+  /** The EQUALITY-DELETE files of a snapshot (content 2). */
+  def deleteFiles(spark: SparkSession, meta: TableMeta, snapshotId: Long): Seq[DataFileInfo] =
+    allFiles(spark, meta, snapshotId).filter(_.content == 2)
 
   /** Read the CURRENT snapshot of the table rooted at `tableRoot`. */
   def read(spark: SparkSession, tableRoot: String): DataFrame = {
@@ -166,11 +188,40 @@ object IcebergRead {
     readSnapshot(spark, meta, meta.currentSnapshotId)
   }
 
-  /** Time travel: read a specific snapshot-id listed in the metadata. */
+  /** Time travel: read a specific snapshot-id listed in the metadata.
+    * Applies the spec's v2 MERGE-ON-READ rule when the snapshot carries
+    * equality-delete files: an equality delete applies to every data file
+    * whose data sequence number is STRICTLY LOWER than the delete's — per
+    * key, a data row survives iff no later delete file contains its key
+    * (key columns resolved from the delete files' `equality_ids` through
+    * the metadata schema). ONE key-hash join at read time, exactly the
+    * trade Iceberg's own readers make. */
   def readSnapshot(spark: SparkSession, meta: TableMeta, snapshotId: Long): DataFrame = {
-    val files = dataFiles(spark, meta, snapshotId)
-    require(files.nonEmpty, s"snapshot $snapshotId lists no data files")
-    spark.read.parquet(files.map(_.path): _*)
+    import org.apache.spark.sql.functions.{col, lit, max}
+    val files = allFiles(spark, meta, snapshotId)
+    val datas = files.filter(_.content == 0)
+    val dels = files.filter(_.content == 2)
+    require(datas.nonEmpty, s"snapshot $snapshotId lists no data files")
+    if (dels.isEmpty) spark.read.parquet(datas.map(_.path): _*)
+    else {
+      val keyNames = {
+        val idSets = dels.map(_.equalityIds).distinct
+        require(idSets.size == 1 && idSets.head.nonEmpty,
+          s"inconsistent equality_ids across delete files: $idSets")
+        idSets.head.map(meta.fieldName)
+      }
+      val dataDf = datas.groupBy(_.sequenceNumber).toSeq.map { case (s, fs) =>
+        spark.read.parquet(fs.map(_.path): _*).withColumn("__seq", lit(s))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      val delDf = dels.groupBy(_.sequenceNumber).toSeq.map { case (s, fs) =>
+        spark.read.parquet(fs.map(_.path): _*).withColumn("__dseq", lit(s))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      val delMax = delDf.groupBy(keyNames.map(col): _*)
+        .agg(max(col("__dseq")).as("__dseq"))
+      dataDf.join(delMax, keyNames, "left_outer")
+        .filter(col("__dseq").isNull || col("__dseq") <= col("__seq"))
+        .drop("__seq", "__dseq")
+    }
   }
 
   /** Metadata-level partition pruning: read only the files whose identity

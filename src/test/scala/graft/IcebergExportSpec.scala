@@ -89,7 +89,8 @@ class IcebergExportSpec extends SparkSpec {
       entryIds("data_file.file_format") == 101 &&
       entryIds("data_file.partition") == 102 &&
       entryIds("data_file.record_count") == 103 &&
-      entryIds("data_file.file_size_in_bytes") == 104, entryIds.toString)
+      entryIds("data_file.file_size_in_bytes") == 104 &&
+      entryIds("data_file.equality_ids") == 135, entryIds.toString)
   }
 
   test("identity-partitioned export: manifest partition values drive file pruning") {
@@ -113,16 +114,48 @@ class IcebergExportSpec extends SparkSpec {
     assert(pruned == full)
   }
 
-  test("non-append chains fail loudly") {
-    // equality deletes (MOR) are out of the exporter's declared scope
-    val mor = freshDir("mor_src")
-    VersionedTable.append(Seq((1L, "a")).toDF("id", "v"), mor)
-    VersionedTable.upsertMor(Seq((1L, "b")).toDF("id", "v"), mor, Seq("id"))
-    val e1 = intercept[IllegalArgumentException] {
-      IcebergExport.export(spark, mor, freshDir("mor_out"))
+  test("MOR chain exports equality-delete manifests; reader applies the spec rule") {
+    // the reference's ACTUAL sink shape: upsert == Iceberg v2 equality-delete
+    // MOR. Chain: append -> upsertMor (updates + inserts) -> deleteWhereKeys.
+    val src = freshDir("morrt_src"); val out = freshDir("morrt_out")
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    VersionedTable.append(base, src) // v1, data seq 1
+    VersionedTable.upsertMor(
+      ((50L to 60L).map(i => (i, s"upd$i")) ++ (200L to 210L).map(i => (i, s"new$i")))
+        .toDF("id", "v"), src, Seq("id")) // v2: data seq 2 + delete seq 2
+    VersionedTable.deleteWhereKeys((1L to 10L).map(i => Tuple1(i)).toDF("id"),
+      src, Seq("id")) // v3: delete seq 3, no data
+    val md = IcebergExport.export(spark, src, out)
+    val meta = IcebergRead.tableMeta(spark, md)
+    assert(meta.snapshots.map(_.snapshotId) == Seq(1L, 2L, 3L))
+
+    // delete files carry content 2, the key's field id, and their commit seq
+    val dels = IcebergRead.deleteFiles(spark, meta, 3L)
+    assert(dels.nonEmpty && dels.forall(_.equalityIds == Seq(1)), dels.toString)
+    assert(dels.map(_.sequenceNumber).toSet == Set(2L, 3L), dels.toString)
+    // snapshot 1 sees no deletes; snapshot 2 sees only its own
+    assert(IcebergRead.deleteFiles(spark, meta, 1L).isEmpty)
+    assert(IcebergRead.deleteFiles(spark, meta, 2L).map(_.sequenceNumber).toSet == Set(2L))
+
+    // row-for-row vs graft's own MOR read, at EVERY snapshot (time travel
+    // through delete application: strictly-lower-sequence rule)
+    for (v <- 1 to 3) {
+      val viaIceberg = IcebergRead.readSnapshot(spark, meta, v.toLong)
+        .as[(Long, String)].collect().sorted.toSeq
+      val viaGraft = VersionedTable.readVersion(spark, src, v)
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(viaIceberg == viaGraft, s"snapshot $v")
     }
-    assert(e1.getMessage.contains("append-only"), e1.getMessage)
-    // an overwrite drops dirs — also not an append chain
+    // semantic spot-checks: updates took, inserts present, deletes gone —
+    // and v2's OWN batch is not deleted by its own same-sequence delete
+    val cur = IcebergRead.read(spark, out).as[(Long, String)].collect().toMap
+    assert(cur(55L) == "upd55" && cur(205L) == "new205")
+    assert(!cur.contains(5L) && cur.contains(11L) && cur(11L) == "v11")
+    assert(cur.size == 100 - 10 + 11)
+  }
+
+  test("non-monotone chains and partitioned MOR fail loudly") {
+    // an overwrite drops dirs — no faithful incremental Iceberg image
     val ow = freshDir("ow_src")
     VersionedTable.append(Seq((1L, "a")).toDF("id", "v"), ow)
     VersionedTable.overwrite(Seq((2L, "b")).toDF("id", "v"), ow)
@@ -130,5 +163,13 @@ class IcebergExportSpec extends SparkSpec {
       IcebergExport.export(spark, ow, freshDir("ow_out"))
     }
     assert(e2.getMessage.contains("append-only"), e2.getMessage)
+    // partitioned MOR is rejected (compact first)
+    val pm = freshDir("pm_src")
+    VersionedTable.appendWithStats(Seq((1L, "t0", 1L)).toDF("id", "typ", "v"), pm, Seq("typ"))
+    VersionedTable.upsertMor(Seq((1L, "t0", 2L)).toDF("id", "typ", "v"), pm, Seq("id"))
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergExport.export(spark, pm, freshDir("pm_out"), partitionCols = Seq("typ"))
+    }
+    assert(e3.getMessage.contains("MOR"), e3.getMessage)
   }
 }
