@@ -3566,162 +3566,8 @@ object Analytics {
         FROM st"""),
       "Two-proportion conversion z^2 as one exact e6-floored rational " +
         "(pooled variance, parity arms, degenerate-arm guard) — the rate " +
-        "companion to ab_welch_t and cuped_adjusted_ab."),
-
-    "benford_digit_audit" -> Q(
-      (s, d) => {
-        import s.implicits._
-        // Benford first-digit audit of the order amounts — the standard
-        // fraud/data-quality scan (fabricated or truncated money columns
-        // drift from Benford's law). Expected frequencies are the PUBLIC
-        // log10(1+1/d) constants carried as identical ppm LITERALS on both
-        // engines (the ranked_retrieval discipline: a live log() would
-        // hash-drift at the ulp); the per-digit deviation is the χ²-style
-        // term (1e6·n_d − ppm_d·N)² / (ppm_d·N) as one exact DECIMAL(38,0)
-        // rational per digit. Scale shape: ONE hash aggregate over the scan
-        // (9 groups), the digit table and total broadcast — nothing else
-        // moves.
-        val d38 = DecimalType(38, 0)
-        val ppm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
-          66947L, 57992L, 51153L, 45757L)
-        val digits = table(s, d, "orders")
-          .select((dec2($"o_totalprice") * 100).cast(LongType).as("price_c"))
-          .select(substring($"price_c".cast(StringType), 1, 1).cast(LongType).as("digit"))
-        val counts = digits.groupBy($"digit").agg(count(lit(1)).as("n_obs"))
-        val total = digits.agg(count(lit(1)).as("n_total"))
-        val expected = ppm.zipWithIndex
-          .map { case (p, i) => ((i + 1).toLong, p) }.toDF("digit", "expected_ppm")
-        val dev = $"n_obs".cast(d38) * lit(1000000L).cast(d38) -
-          $"expected_ppm".cast(d38) * $"n_total".cast(d38)
-        broadcast(expected).join(counts, Seq("digit"), "left")
-          .na.fill(0L, Seq("n_obs"))
-          .crossJoin(broadcast(total))
-          .select($"digit", $"n_obs", $"expected_ppm",
-            idiv(dev * dev, $"expected_ppm".cast(d38) * $"n_total".cast(d38))
-              .cast(LongType).as("chi2_term_e6"))
-          .orderBy($"digit")
-      },
-      Some("""WITH pc AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
-            FROM orders),
-          dg AS (SELECT CAST(substr(CAST(price_c AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM pc),
-          cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM dg GROUP BY 1),
-          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM dg),
-          expd AS (SELECT CAST(unnest([1,2,3,4,5,6,7,8,9]) AS BIGINT) AS digit,
-            CAST(unnest([301030,176091,124939,96910,79181,66947,57992,51153,45757]) AS BIGINT) AS expected_ppm)
-        SELECT e.digit, coalesce(n_obs, 0) AS n_obs, e.expected_ppm,
-          CAST(((1000000::HUGEINT * coalesce(n_obs, 0) - e.expected_ppm::HUGEINT * n_total)
-              * (1000000::HUGEINT * coalesce(n_obs, 0) - e.expected_ppm::HUGEINT * n_total))
-            // (e.expected_ppm::HUGEINT * n_total) AS BIGINT) AS chi2_term_e6
-        FROM expd e LEFT JOIN cnt ON cnt.digit = e.digit CROSS JOIN tot
-        ORDER BY e.digit"""),
-      "Benford first-digit audit: observed digit census vs the public " +
-        "log10(1+1/d) ppm literals, per-digit χ²-style deviation as one " +
-        "exact e6 rational — one 9-group aggregate over the scan."),
-
-    "gini_concentration" -> Q(
-      (s, d) => {
-        import s.implicits._
-        // Revenue-concentration Gini per market segment — the inequality
-        // readout behind abc_classification's A/B/C cut: per-customer spend
-        // ranks ascending, G = ((n+1)·Σx − 2·Σcum) / (n·Σx) with the rank
-        // sum folded into the INCLUSIVE running total (Σ i·x_i =
-        // (n+1)·Σx − Σcum — no rank column needed). The running total is
-        // PrefixSum's range-exchange scan, never a per-segment window
-        // funnel; everything after is one aggregate per segment. Exact e6
-        // integers end-to-end (DECIMAL(38,0) cross-products).
-        val d38 = DecimalType(38, 0)
-        val spend = table(s, d, "orders")
-          .groupBy($"o_custkey")
-          .agg(sum((dec2($"o_totalprice") * 100).cast(LongType)).as("x"))
-        val seg = table(s, d, "customer")
-          .select($"c_custkey", $"c_mktsegment")
-          .join(spend, $"c_custkey" === $"o_custkey")
-          .select($"c_mktsegment".as("segment"), $"c_custkey".as("id"), $"x")
-        val cum = graft.operators.PrefixSum.groupedRunningTotal(
-          seg, Seq("segment"), Seq(col("x"), col("id")), "x", "cum")
-        cum.groupBy($"segment")
-          .agg(count(lit(1)).as("n_cust"), sum($"x").as("sum_x"),
-            sum($"cum".cast(d38)).as("sum_cum"))
-          .select($"segment", $"n_cust", $"sum_x".cast(LongType).as("spend_sum_c"),
-            when($"sum_x" === 0, 0L).otherwise(
-              idiv(lit(1000000L).cast(d38) *
-                  (($"n_cust" + 1).cast(d38) * $"sum_x".cast(d38) -
-                    lit(2L).cast(d38) * $"sum_cum"),
-                $"n_cust".cast(d38) * $"sum_x".cast(d38)).cast(LongType))
-              .as("gini_e6"))
-          .orderBy($"segment")
-      },
-      Some("""WITH spend AS (SELECT o_custkey,
-            CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
-          FROM orders GROUP BY 1),
-          seg AS (SELECT c_mktsegment AS segment, c_custkey AS id, x
-            FROM customer JOIN spend ON c_custkey = o_custkey),
-          cum AS (SELECT segment, x,
-            CAST(sum(x) OVER (PARTITION BY segment ORDER BY x, id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-          FROM seg),
-          agg AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_cust,
-            CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(cum) AS HUGEINT) AS sum_cum
-          FROM cum GROUP BY 1)
-        SELECT segment, n_cust, sum_x AS spend_sum_c,
-          CASE WHEN sum_x = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000::HUGEINT * ((n_cust + 1)::HUGEINT * sum_x - 2 * sum_cum))
-              // (n_cust::HUGEINT * sum_x) AS BIGINT) END AS gini_e6
-        FROM agg ORDER BY segment"""),
-      "Per-segment revenue Gini (exact e6): inclusive PrefixSum running " +
-        "total folds the rank sum, one aggregate per segment — no global " +
-        "window, no rank column."),
-
-    "mann_kendall_trend" -> Q(
-      (s, d) => {
-        import s.implicits._
-        // Mann-Kendall monotone-trend test per daily series — the
-        // non-parametric companion to grouped_regression's OLS slope (no
-        // distributional assumption, ties handled exactly): S = Σ_{i<j}
-        // sign(v_j − v_i) over day pairs, plus the tie-corrected variance
-        // NUMERATOR var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (the /18 left
-        // to the consumer — keeping the statistic integer-exact). The pair
-        // join is per-series over the DAY-AGGREGATED table, so its fan-out
-        // is calendar-bounded (days², never rows²) — the KaplanMeier
-        // bounded-domain argument; the corpus-sized work is the one
-        // upstream day aggregate.
-        val daily = eventsTable(s, d)
-          .groupBy($"event_type".as("k"), micros(date_trunc("day", $"ts")).as("t"))
-          .agg(sum((dec2($"value") * 100).cast(LongType)).as("v"))
-        val a = daily.select($"k", $"t".as("ti"), $"v".as("vi"))
-        val b = daily.select($"k", $"t".as("tj"), $"v".as("vj"))
-        val sStat = a.join(b, Seq("k")).filter($"ti" < $"tj")
-          .groupBy($"k")
-          .agg(sum(signum($"vj" - $"vi").cast(LongType)).as("s_stat"))
-        val nDays = daily.groupBy($"k").agg(count(lit(1)).as("n_days"))
-        val ties = daily.groupBy($"k", $"v").agg(count(lit(1)).as("tn"))
-          .groupBy($"k")
-          .agg(sum($"tn" * ($"tn" - 1) * (lit(2L) * $"tn" + 5)).as("tie_adj"))
-        nDays.join(sStat, Seq("k")).join(ties, Seq("k"))
-          .select($"k".as("event_type"), $"n_days", $"s_stat",
-            ($"n_days" * ($"n_days" - 1) * (lit(2L) * $"n_days" + 5) - $"tie_adj")
-              .cast(LongType).as("var18"))
-          .orderBy($"event_type")
-      },
-      Some("""WITH daily AS (SELECT event_type AS k,
-            epoch_us(date_trunc('day', ts)) AS t,
-            CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
-          FROM events GROUP BY 1, 2),
-          s AS (SELECT a.k, CAST(sum(CASE WHEN b.v > a.v THEN 1
-              WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
-            FROM daily a JOIN daily b ON a.k = b.k AND a.t < b.t GROUP BY 1),
-          nd AS (SELECT k, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
-          ties AS (SELECT k, CAST(sum(tn * (tn - 1) * (2 * tn + 5)) AS BIGINT) AS tie_adj
-            FROM (SELECT k, v, CAST(count(*) AS BIGINT) AS tn FROM daily GROUP BY 1, 2)
-            GROUP BY 1)
-        SELECT nd.k AS event_type, n_days, s_stat,
-          CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_adj AS BIGINT) AS var18
-        FROM nd JOIN s ON nd.k = s.k JOIN ties ON nd.k = ties.k
-        ORDER BY event_type"""),
-      "Mann-Kendall trend per daily series: exact integer S = Σ sign(vj−vi) " +
-        "over day pairs + the tie-corrected variance numerator — " +
-        "calendar-bounded pair fan-out over the day-aggregated table.")
-  )
+        "companion to ab_welch_t and cuped_adjusted_ab.")
+    )
 
   /** Shared by holt_winters_additive AND streaming_holt_winters (the
     * streamed fold is row-identical by construction): recursive CTE

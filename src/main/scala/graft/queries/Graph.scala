@@ -455,63 +455,6 @@ object Graph {
       "Directed reciprocity (mutual-link share, exact e6): one reversed-key " +
         "self-semi-join — no closure, no iteration."),
 
-    "graph_modularity" -> Q(
-      (s, d) => {
-        // Newman MODULARITY of the nation partition on the customer–supplier
-        // trade graph — the one-number community-quality readout the
-        // clustering family (components, label-prop, k-core/k-truss) feeds
-        // into: Q = Σ_c [L_c/m − (D_c/2m)²] = (4m·ΣL_c − ΣD_c²) / (4m²),
-        // communities = nations (customer's c_nationkey / supplier's
-        // s_nationkey — a deterministic, meaningful partition: does trade
-        // stay domestic?). Everything integer: m and L from one edge
-        // aggregate, ΣD_c² from one endpoint-exploded census (D_c = count
-        // of edge endpoints in c), the e6 quotient one DECIMAL(38,0)
-        // division. Scale shape: two aggregates over the edge list + two
-        // broadcast nation joins; community count is O(nations), the
-        // driver never sees edges.
-        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-        val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-        val o = table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-        val e = li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .select(col("o_custkey").as("cu"), col("l_suppkey").as("su"))
-          .distinct()
-        val cn = broadcast(table(s, d, "customer").select(col("c_custkey"), col("c_nationkey")))
-        val sn = broadcast(table(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey")))
-        val ec = e.join(cn, col("cu") === col("c_custkey"))
-          .join(sn, col("su") === col("s_suppkey"))
-          .select(col("c_nationkey").as("ca"), col("s_nationkey").as("cb"))
-        val lm = ec.agg(count(lit(1)).as("m"),
-          sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("l_in"))
-        val d2 = ec.select(explode(array(col("ca"), col("cb"))).as("c"))
-          .groupBy(col("c")).agg(count(lit(1)).as("dc"))
-          .agg(sum(col("dc") * col("dc")).as("sum_dc2"))
-        lm.crossJoin(d2).select(col("m"), col("l_in"), col("sum_dc2"),
-          when(col("m") === 0, 0L).otherwise(
-            graft.core.idiv(lit(1000000L).cast(d38) *
-                (lit(4L).cast(d38) * col("m").cast(d38) * col("l_in").cast(d38) -
-                  col("sum_dc2").cast(d38)),
-              lit(4L).cast(d38) * col("m").cast(d38) * col("m").cast(d38))
-              .cast("long")).as("modularity_e6"))
-      },
-      Some("""WITH e AS (SELECT DISTINCT o_custkey AS cu, l_suppkey AS su
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-          ec AS (SELECT c.c_nationkey AS ca, s.s_nationkey AS cb
-            FROM e JOIN customer c ON e.cu = c.c_custkey
-            JOIN supplier s ON e.su = s.s_suppkey),
-          lm AS (SELECT CAST(count(*) AS BIGINT) AS m,
-            CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT) AS l_in FROM ec),
-          deg AS (SELECT c, CAST(count(*) AS BIGINT) AS dc
-            FROM (SELECT ca AS c FROM ec UNION ALL SELECT cb FROM ec) GROUP BY 1),
-          d2 AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS sum_dc2 FROM deg)
-        SELECT m, l_in, sum_dc2,
-          CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000::HUGEINT * (4::HUGEINT * m * l_in - sum_dc2))
-              // (4::HUGEINT * m * m) AS BIGINT) END AS modularity_e6
-        FROM lm CROSS JOIN d2"""),
-      "Newman modularity of the nation partition on the trade graph (exact " +
-        "e6 rational): two edge aggregates + broadcast nation joins — the " +
-        "community-quality readout of the clustering family."),
-
     "graph_condensation" -> Q(
       (s, d) => {
         // The CONDENSATION DAG of graph_scc's components — what downstream

@@ -146,10 +146,30 @@ object IcebergExport {
             "type":{"type":"record","name":"r102","fields":[$partFields]}},
           {"name":"record_count","type":"long","field-id":103},
           {"name":"file_size_in_bytes","type":"long","field-id":104},
+          {"name":"lower_bounds","field-id":125,"default":null,
+            "type":["null",{"type":"array","logicalType":"map",
+              "items":{"type":"record","name":"k126_v127","fields":[
+                {"name":"key","type":"int","field-id":126},
+                {"name":"value","type":"bytes","field-id":127}]}}]},
+          {"name":"upper_bounds","field-id":128,"default":null,
+            "type":["null",{"type":"array","logicalType":"map",
+              "items":{"type":"record","name":"k129_v130","fields":[
+                {"name":"key","type":"int","field-id":129},
+                {"name":"value","type":"bytes","field-id":130}]}}]},
           {"name":"equality_ids","field-id":135,"default":null,
             "type":["null",{"type":"array","items":"int","element-id":136}]}
         ]}}
       ]}""")
+  }
+
+  /** Iceberg single-value binary serialization (spec Appendix D) for the
+    * two bound kinds graft's per-dir stats carry: long → 8-byte
+    * little-endian, string → UTF-8 bytes. */
+  private[graft] def boundBytes(typ: String, v: String): java.nio.ByteBuffer = typ match {
+    case "long" =>
+      val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putLong(v.toLong); b.flip(); b
+    case _ => java.nio.ByteBuffer.wrap(v.getBytes("UTF-8"))
   }
 
   private def writeAvro(filesystem: FileSystem, path: Path, schema: Schema,
@@ -256,6 +276,27 @@ object IcebergExport {
       val parts: Seq[AnyRef] = partitionCols.map { c =>
         partitionValue(snap, d, c, schema(schema.fieldIndex(c)).dataType)
       }
+      // per-FILE lower/upper bounds from the dir's recorded per-dir stats
+      // (a dir-level [lo, hi] is a valid — loose — bound for every file in
+      // it, so external file skipping stays a superset scan, exactly the
+      // VersionedTable.readPruned contract); Avro map-as-array of
+      // (key field-id 126/129, value 127/130) records per the spec
+      val dirStats = snap.colStats.getOrElse(d, Map.empty)
+      def boundsList(loSide: Boolean, recSchema: Schema): AnyRef =
+        if (content != 0 || dirStats.isEmpty) null
+        else {
+          val rows: Seq[GenericRecord] = dirStats.toSeq.sortBy(_._1).map { case (c, b) =>
+            val r = new GenericData.Record(recSchema)
+            r.put("key", Int.box(schema.fieldIndex(c) + 1))
+            r.put("value", boundBytes(b.typ, if (loSide) b.lo else b.hi))
+            r
+          }
+          java.util.Arrays.asList(rows: _*)
+        }
+      val loSchema = dataFileSchema.getField("lower_bounds").schema()
+        .getTypes.get(1).getElementType
+      val hiSchema = dataFileSchema.getField("upper_bounds").schema()
+        .getTypes.get(1).getElementType
       filesystem.listStatus(new Path(absOf(d))).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName)
@@ -269,6 +310,8 @@ object IcebergExport {
           df.put("partition", part)
           df.put("record_count", Long.box(recordCount(conf, st.getPath)))
           df.put("file_size_in_bytes", Long.box(st.getLen))
+          df.put("lower_bounds", boundsList(loSide = true, loSchema))
+          df.put("upper_bounds", boundsList(loSide = false, hiSchema))
           df.put("equality_ids", if (content == 2) eqIds else null)
           val e = new GenericData.Record(entrySchema)
           e.put("status", Int.box(1)) // ADDED

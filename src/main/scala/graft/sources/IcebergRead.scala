@@ -30,20 +30,40 @@ object IcebergRead {
   final case class SnapshotInfo(snapshotId: Long, sequenceNumber: Long,
       timestampMs: Long, manifestList: String)
 
+  /** Schema fields as (id, name, iceberg type name). */
   final case class TableMeta(formatVersion: Int, tableUuid: String,
       currentSnapshotId: Long, snapshots: Seq[SnapshotInfo],
-      schemaFields: Seq[(Int, String)], partitionFields: Seq[(String, String, Int)]) {
+      schemaFields: Seq[(Int, String, String)],
+      partitionFields: Seq[(String, String, Int)]) {
     def schemaFieldNames: Seq[String] = schemaFields.map(_._2)
-    def fieldName(id: Int): String = schemaFields.find(_._1 == id).map(_._2)
-      .getOrElse(throw new IllegalArgumentException(s"no schema field with id $id"))
+    def fieldName(id: Int): String = fieldOf(id)._2
+    def fieldType(id: Int): String = fieldOf(id)._3
+    private def fieldOf(id: Int): (Int, String, String) =
+      schemaFields.find(_._1 == id).getOrElse(
+        throw new IllegalArgumentException(s"no schema field with id $id"))
   }
 
   /** One referenced file: path, content (0 = data, 2 = equality deletes),
     * its data/delete sequence number, partition values (by partition field
-    * name, stringified), equality field ids (delete files), counts. */
+    * name, stringified), equality field ids (delete files), counts, and the
+    * per-file column bounds (field id → raw spec-serialized bytes). */
   final case class DataFileInfo(path: String, content: Int, sequenceNumber: Long,
       partition: Map[String, String], equalityIds: Seq[Int],
-      recordCount: Long, sizeBytes: Long)
+      recordCount: Long, sizeBytes: Long,
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty)
+
+  /** Deserialize a spec Appendix-D single value for the bound kinds this
+    * reader prunes on: `long` little-endian 8 bytes, `string` UTF-8. */
+  private def boundValue(icebergType: String, bytes: Array[Byte]): Either[Long, String] =
+    icebergType match {
+      case "long" | "int" =>
+        Left(java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong)
+      case "string" => Right(new String(bytes, "UTF-8"))
+      case other => throw new IllegalArgumentException(
+        s"range pruning on $other bounds not supported")
+    }
 
   private val mapper = new ObjectMapper()
 
@@ -84,7 +104,8 @@ object IcebergRead {
       .getOrElse(throw new IllegalArgumentException(
         s"current-schema-id $currentSchemaId not in schemas"))
     val fields = iter(schema.get("fields"))
-      .map(f => (f.get("id").asInt(), f.get("name").asText())).toSeq
+      .map(f => (f.get("id").asInt(), f.get("name").asText(),
+        f.get("type").asText())).toSeq
     val defaultSpecId = root.get("default-spec-id").asInt()
     val spec = iter(root.get("partition-specs"))
       .find(_.get("spec-id").asInt() == defaultSpecId)
@@ -164,12 +185,22 @@ object IcebergRead {
           import scala.jdk.CollectionConverters._
           ids.asInstanceOf[java.util.List[Integer]].asScala.map(_.intValue()).toSeq
         }
+        def bounds(field: String): Map[Int, Array[Byte]] =
+          Option(df.get(field)).map { l =>
+            import scala.jdk.CollectionConverters._
+            l.asInstanceOf[java.util.List[GenericRecord]].asScala.map { kv =>
+              val buf = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+              val arr = new Array[Byte](buf.remaining()); buf.duplicate().get(arr)
+              kv.get("key").asInstanceOf[Int] -> arr
+            }.toMap
+          }.getOrElse(Map.empty)
         DataFileInfo(df.get("file_path").toString,
           df.get("content").asInstanceOf[Int],
           e.get("sequence_number").asInstanceOf[Long],
           partVals, eqIds,
           df.get("record_count").asInstanceOf[Long],
-          df.get("file_size_in_bytes").asInstanceOf[Long])
+          df.get("file_size_in_bytes").asInstanceOf[Long],
+          bounds("lower_bounds"), bounds("upper_bounds"))
       }
     }
   }
@@ -233,6 +264,39 @@ object IcebergRead {
       s"$col is not an identity partition field of this table")
     val files = dataFiles(spark, meta, snapshotId).filter(_.partition(col) == value)
     require(files.nonEmpty, s"no files for partition $col=$value")
+    spark.read.parquet(files.map(_.path): _*)
+  }
+
+  /** The data files a `col BETWEEN lo AND hi` scan must open, decided from
+    * the manifests' per-file lower/upper bounds alone (spec field ids
+    * 125/128, Appendix-D value decoding via the schema's field type) — the
+    * file skipping any Iceberg engine performs. SUPERSET contract: files
+    * without bounds for `col` are always kept; callers apply the residual
+    * filter. */
+  def prunedDataFiles(spark: SparkSession, meta: TableMeta, snapshotId: Long,
+      col: String, lo: String, hi: String): Seq[DataFileInfo] = {
+    val id = meta.schemaFields.find(_._2 == col).map(_._1).getOrElse(
+      throw new IllegalArgumentException(s"no schema field named $col"))
+    val typ = meta.fieldType(id)
+    dataFiles(spark, meta, snapshotId).filter { f =>
+      (f.lowerBounds.get(id), f.upperBounds.get(id)) match {
+        case (Some(l), Some(u)) =>
+          (boundValue(typ, l), boundValue(typ, u)) match {
+            case (Left(fl), Left(fu))   => fu >= lo.toLong && fl <= hi.toLong
+            case (Right(sl), Right(su)) => su >= lo && sl <= hi
+            case _                      => true
+          }
+        case _ => true // no recorded bounds: never pruned
+      }
+    }
+  }
+
+  /** Range scan through the exported metadata: open only the bound-
+    * overlapping files (superset; apply the residual filter on top). */
+  def readRange(spark: SparkSession, meta: TableMeta, snapshotId: Long,
+      col: String, lo: String, hi: String): DataFrame = {
+    val files = prunedDataFiles(spark, meta, snapshotId, col, lo, hi)
+    require(files.nonEmpty, s"no files overlap $col in [$lo, $hi]")
     spark.read.parquet(files.map(_.path): _*)
   }
 }

@@ -153,12 +153,20 @@ object PlanDump {
           "materialization jobs, no crossJoin (the dangling branch never enters for a " +
           "symmetric graph); lineage truncation only every 8th round."),
       "ann_ivf_pq" ->
-        ("IVF-PQ ANN (r11 dump; the r10 one-call joint-Lloyd fast path): candidates " +
-          "normalize+persist ONCE, all 8 PQ subspaces + the coarse quantizer train in ONE " +
-          "aggregate per Lloyd round (no per-subspace jobs), codes build as one projection, " +
-          "per-query ADC lookup tables broadcast with the queries, shortlist via the " +
-          "bounded-state TopKPairs aggregate (no Window over the corpus), exact re-rank " +
-          "joins back only the O(k*rerank) shortlist rows."))
+        ("IVF-PQ ANN (r12 dump: the registered entry is now the INTEGER-QUANTIZED twin " +
+          "behind the standing SQL oracle — same joint one-shuffle-per-round Lloyd shape " +
+          "as the float production path): candidates quantize+persist ONCE, all 8 PQ " +
+          "subspaces + the coarse quantizer train in ONE aggregate per Lloyd round (no " +
+          "per-subspace jobs), codes + cell build as one projection, per-query integer " +
+          "ADC lookup tables broadcast with the queries, exact integer re-rank joins back " +
+          "only the O(k*rerank) shortlist rows."),
+      "incremental_offset_read" ->
+        ("Per-shard OFFSET page read (r12): the constant-bound rank prefilter " +
+          "(max offset + pageSize) lets InferWindowGroupLimit plant a PARTIAL " +
+          "WindowGroupLimit below the window's exchange - each scan task forwards only " +
+          "its per-shard top-bound rows, so the shuffle carries O(shards x bound) rows " +
+          "at any table size; the exact non-constant per-shard offset bounds filter " +
+          "after the (final) window."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit artifact\n\n")
     sb.append("Generated by `graft.tools.PlanDump` at sf0.01 (plans are scale-" +

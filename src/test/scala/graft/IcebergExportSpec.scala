@@ -154,6 +154,31 @@ class IcebergExportSpec extends SparkSpec {
     assert(cur.size == 100 - 10 + 11)
   }
 
+  test("per-file column bounds drive range pruning from the manifests alone") {
+    // graft's per-dir stats export as spec lower/upper_bounds (field ids
+    // 125/128, Appendix-D little-endian longs) — the file skipping any
+    // external Iceberg engine performs; superset contract (files without
+    // bounds always kept), residual filter on top
+    val src = freshDir("bounds_src"); val out = freshDir("bounds_out")
+    val df = (1L to 300L).map(i => (i, i * 2)).toDF("id", "v")
+    for (lo <- Seq(1L, 101L, 201L))
+      VersionedTable.appendWithStats(
+        df.filter($"id" >= lo && $"id" < lo + 100), src, Seq("id"))
+    val md = IcebergExport.export(spark, src, out)
+    val meta = IcebergRead.tableMeta(spark, md)
+    assert(meta.schemaFields == Seq((1, "id", "long"), (2, "v", "long")))
+    val all = IcebergRead.dataFiles(spark, meta, 3L)
+    assert(all.forall(f => f.lowerBounds.contains(1) && f.upperBounds.contains(1)),
+      all.map(f => (f.path, f.lowerBounds.keySet)).toString)
+    val pruned = IcebergRead.prunedDataFiles(spark, meta, 3L, "id", "120", "180")
+    assert(pruned.nonEmpty && pruned.size < all.size,
+      s"pruned ${pruned.size} of ${all.size}")
+    val rows = IcebergRead.readRange(spark, meta, 3L, "id", "120", "180")
+      .filter($"id" >= 120 && $"id" <= 180) // residual filter (superset scan)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(rows == (120L to 180L).map(i => (i, i * 2)))
+  }
+
   test("non-monotone chains and partitioned MOR fail loudly") {
     // an overwrite drops dirs — no faithful incremental Iceberg image
     val ow = freshDir("ow_src")

@@ -95,4 +95,24 @@ class InventorySpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles with no query: ${orphans.toSeq.sorted}")
   }
+
+  test("no duplicate query keys across modules or §2 rows") {
+    // r12 near-miss: four operator drafts re-used keys that ALREADY existed
+    // (this inventory is dense), and SparkEntry.queries is a Map — a
+    // duplicate key SILENTLY shadows the earlier registration (the earlier
+    // operator and its oracle become unreachable while its §2 row still
+    // claims them). Both the registration list and the §2 key column must
+    // be duplicate-free.
+    val regDups = SparkEntry.all.map(_._1)
+      .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(regDups.isEmpty,
+      s"duplicate registrations (later silently shadows earlier): ${regDups.toSeq.sorted}")
+    val rowKeys = s2Rows.collect {
+      case cells if cells.length > 2 =>
+        "^`([a-z0-9_]+)`$".r.findFirstMatchIn(cells(2)).map(_.group(1))
+    }.flatten
+    val rowDups = rowKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(rowDups.isEmpty,
+      s"§2 keys documented by more than one row: ${rowDups.toSeq.sorted}")
+  }
 }
