@@ -39,6 +39,10 @@ object Bench {
     "pipeline_training_data" -> 0.577,
     "graph_pagerank" -> 5.160, "exact_substring_spans" -> 1.819,
     "interval_overlap_join" -> 0.687, "incremental_join_maintenance" -> 2.223,
+    // NOTE (r12): the registered ann_ivf_pq is now the integer-quantized
+    // oracle twin (same joint-Lloyd shape, quantization instead of
+    // normalization) — it measures 0.4-0.5x this float-path pin; the pin is
+    // kept unchanged (conservative) rather than re-pinned downward mid-round
     "ann_ivf_pq" -> 4.381)
 
   def main(args: Array[String]): Unit = {

@@ -40,6 +40,27 @@ object OffsetAb {
     val olds = (1 to 5).map(_ => t(oldPage().count()))
     val news = (1 to 5).map(_ => t(newPage().count()))
     println(f"old(min-of-5)=${olds.min}%.3f new(min-of-5)=${news.min}%.3f  old=$olds  new=$news")
+    // 1x/10x/30x amortization curve: the bench pin sits ~1.35x at sf0.1
+    // because FIXED overhead (job scheduling, file listing, the final tiny
+    // sort) dominates a 0.3-0.4 s query; at 10x/30x the scan grows linearly
+    // while the overhead and the group-limited shuffle (O(shards x bound))
+    // do not, so wall must grow FAR slower than data (recorded in SURVEY §4)
+    for (k <- Seq(1, 10, 30)) {
+      val staged = s"/tmp/graft_scale/events_page_x$k"
+      val fs = new org.apache.hadoop.fs.Path(staged)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(staged))) {
+        (0 until k).map(r => base.withColumn("event_id",
+            $"event_id" + lit(r * 1000000000L)))
+          .reduce(_ unionByName _).write.mode("overwrite").parquet(staged)
+      }
+      def paged() = ShardedIngest.page(
+        spark.read.parquet(staged), "event_type",
+        Seq("tsu", "event_id"), offsets, 400L).count()
+      paged() // warm
+      val runs = (1 to 3).map(_ => t(paged()))
+      println(f"scale x$k: min-of-3 ${runs.min}%.3f  runs=$runs")
+    }
     spark.stop()
   }
 }

@@ -179,6 +179,46 @@ class IcebergExportSpec extends SparkSpec {
     assert(rows == (120L to 180L).map(i => (i, i * 2)))
   }
 
+  test("randomized append/upsertMor/delete chains read back exactly at every snapshot") {
+    // torture the interop the way VersionedTableTortureSpec tortures the
+    // table: random monotone op chains, then EVERY snapshot read through
+    // the exported Iceberg metadata must equal graft's own read — any
+    // sequence-number or delete-application drift surfaces as a diff
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val src = freshDir(s"fuzz_src_$trial"); val out = freshDir(s"fuzz_out_$trial")
+      var nextId = 1000L
+      def batch(n: Int, reuse: Boolean): org.apache.spark.sql.DataFrame = {
+        val rows = (1 to n).map { _ =>
+          val id = if (reuse && rnd.nextBoolean()) 1L + rnd.nextInt(200).toLong
+                   else { nextId += 1; nextId }
+          (id, s"t${trial}_v${rnd.nextInt(1000)}")
+        }
+        rows.toDF("id", "v")
+      }
+      VersionedTable.append(batch(60, reuse = false), src)
+      val ops = 5 + rnd.nextInt(4)
+      for (_ <- 1 to ops) rnd.nextInt(3) match {
+        case 0 => VersionedTable.append(batch(20, reuse = false), src)
+        case 1 => VersionedTable.upsertMor(batch(15, reuse = true), src, Seq("id"))
+        case 2 => VersionedTable.deleteWhereKeys(
+          batch(8, reuse = true).select($"id").distinct(), src, Seq("id"))
+      }
+      val md = IcebergExport.export(spark, src, out)
+      val meta = IcebergRead.tableMeta(spark, md)
+      val versions = VersionedTable.versions(spark, src)
+      assert(meta.snapshots.map(_.snapshotId) == versions.map(_.toLong))
+      for (v <- versions) {
+        val viaIceberg = IcebergRead.readSnapshot(spark, meta, v.toLong)
+          .as[(Long, String)].collect().sorted.toSeq
+        val viaGraft = VersionedTable.readVersion(spark, src, v)
+          .as[(Long, String)].collect().sorted.toSeq
+        assert(viaIceberg == viaGraft, s"trial $trial snapshot $v: " +
+          s"${viaIceberg.size} vs ${viaGraft.size} rows")
+      }
+    }
+  }
+
   test("non-monotone chains and partitioned MOR fail loudly") {
     // an overwrite drops dirs — no faithful incremental Iceberg image
     val ow = freshDir("ow_src")
