@@ -190,6 +190,27 @@ object IcebergExport {
     try r.getRecordCount finally r.close()
   }
 
+  /** Footer record counts for ALL exported files in ONE distributed pass:
+    * a per-file footer read is tiny but it is still an I/O round-trip, and
+    * a 100 TB table has ~10⁶ files — read them on executors (one Spark job,
+    * O(files / cores) wall) instead of a sequential driver loop. The Hadoop
+    * conf ships as its entry list (public API only — Spark's
+    * SerializableConfiguration is private). Driver state stays O(files)
+    * strings, the same bounded-manifest contract as the export itself. */
+  private def recordCounts(spark: SparkSession, paths: Seq[String]): Map[String, Long] = {
+    if (paths.isEmpty) return Map.empty
+    import scala.jdk.CollectionConverters._
+    val confEntries: Array[(String, String)] = spark.sparkContext
+      .hadoopConfiguration.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+    val parallelism = math.max(1,
+      math.min(paths.size, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(paths, parallelism).map { p =>
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confEntries.foreach { case (k, v) => conf.set(k, v) }
+      p -> recordCount(conf, new Path(p))
+    }.collect().toMap
+  }
+
   /** Typed identity-partition value of a dir: the recorded per-dir bound of
     * `col`, required degenerate (lo == hi). */
   private def partitionValue(snap: VersionedTable.Snapshot, dir: String,
@@ -267,6 +288,20 @@ object IcebergExport {
       java.util.Arrays.asList(deleteKeys.map(k =>
         Int.box(schema.fieldIndex(k) + 1)): _*)
 
+    def parquetFiles(d: String): Seq[org.apache.hadoop.fs.FileStatus] =
+      filesystem.listStatus(new Path(absOf(d))).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+    // ALL exported files' footer counts in one distributed pass up front
+    val fileCounts: Map[String, Long] = recordCounts(spark,
+      snaps.zipWithIndex.flatMap { case (snap, i) =>
+        val prevDirs = if (i == 0) Set.empty[String] else snaps(i - 1).dirs.toSet
+        val prevDels = if (i == 0) Set.empty[(String, Int)] else snaps(i - 1).deletes.toSet
+        (snap.dirs.filterNot(prevDirs) ++
+          snap.deletes.filterNot(prevDels).map(_._1))
+          .flatMap(d => parquetFiles(d).map(_.getPath.toString))
+      })
+
     /** ADDED manifest_entry per parquet file of dir `d`; `content` 0 = data
       * (sequence = the dir's graft dataSeq; 0 = pre-MOR legacy, exactly the
       * VersionedTable read rule), 2 = equality deletes (sequence = the
@@ -297,9 +332,7 @@ object IcebergExport {
         .getTypes.get(1).getElementType
       val hiSchema = dataFileSchema.getField("upper_bounds").schema()
         .getTypes.get(1).getElementType
-      filesystem.listStatus(new Path(absOf(d))).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName)
+      parquetFiles(d)
         .map { st =>
           val part = new GenericData.Record(partSchema)
           partitionCols.zip(parts).foreach { case (c, v) => part.put(c, v) }
@@ -308,7 +341,7 @@ object IcebergExport {
           df.put("file_path", st.getPath.toString)
           df.put("file_format", "PARQUET")
           df.put("partition", part)
-          df.put("record_count", Long.box(recordCount(conf, st.getPath)))
+          df.put("record_count", Long.box(fileCounts(st.getPath.toString)))
           df.put("file_size_in_bytes", Long.box(st.getLen))
           df.put("lower_bounds", boundsList(loSide = true, loSchema))
           df.put("upper_bounds", boundsList(loSide = false, hiSchema))
