@@ -233,8 +233,15 @@ object IcebergExport {
   /** Export every snapshot of the graft table at `tablePath` as an Iceberg
     * v2 metadata chain under `outPath/metadata/`. Returns the path of the
     * final metadata.json. Data files are referenced in place. */
+  /** @param sinceVersion export only snapshots ≥ this graft version — the
+    *        recourse after a [[VersionedTable.compact]]/overwrite breaks
+    *        the monotone chain: the suffix FROM the rewrite point is
+    *        monotone again, its first snapshot enters with ALL its dirs as
+    *        ADDED, and per-entry sequences stay the absolute graft
+    *        sequences, so MOR delete application is unchanged under
+    *        slicing. */
   def export(spark: SparkSession, tablePath: String, outPath: String,
-      partitionCols: Seq[String] = Nil): String = {
+      partitionCols: Seq[String] = Nil, sinceVersion: Int = Int.MinValue): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val filesystem = new Path(tablePath).getFileSystem(conf)
     val tableAbs = filesystem.makeQualified(new Path(tablePath)).toString
@@ -243,7 +250,9 @@ object IcebergExport {
     filesystem.mkdirs(metaDir)
 
     val versions = VersionedTable.versions(spark, tablePath)
-    require(versions.nonEmpty, s"iceberg export: no snapshots at $tablePath")
+      .filter(_ >= sinceVersion)
+    require(versions.nonEmpty,
+      s"iceberg export: no snapshots at $tablePath (sinceVersion $sinceVersion)")
     require(versions == (versions.head to versions.last),
       s"iceberg export: non-contiguous snapshot chain $versions")
     val snaps = versions.map(v => VersionedTable.readManifestForTest(spark, tablePath, v))

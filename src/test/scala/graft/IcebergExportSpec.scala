@@ -219,6 +219,34 @@ class IcebergExportSpec extends SparkSpec {
     }
   }
 
+  test("sinceVersion exports the post-compaction suffix faithfully") {
+    // compact is a full rewrite (drops every dir) — the full chain rightly
+    // fails the monotone check, and sinceVersion is the recourse: the
+    // suffix FROM the rewrite is monotone, its first snapshot enters whole,
+    // and absolute graft sequences keep later MOR deletes correct
+    val src = freshDir("since_src"); val out = freshDir("since_out")
+    VersionedTable.append((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"), src)   // v1
+    VersionedTable.upsertMor(Seq((1L, "u1"), (60L, "n60")).toDF("id", "v"), src, Seq("id")) // v2
+    VersionedTable.compact(spark, src, targetRowsPerFile = 1000L)                    // v3: rewrite
+    VersionedTable.append((100L to 110L).map(i => (i, s"a$i")).toDF("id", "v"), src) // v4
+    VersionedTable.deleteWhereKeys(Seq(Tuple1(2L)).toDF("id"), src, Seq("id"))       // v5
+    intercept[IllegalArgumentException] { // the full chain is non-monotone
+      IcebergExport.export(spark, src, freshDir("since_full_out"))
+    }
+    val md = IcebergExport.export(spark, src, out, sinceVersion = 3)
+    val meta = IcebergRead.tableMeta(spark, md)
+    assert(meta.snapshots.map(_.snapshotId) == Seq(3L, 4L, 5L))
+    for (v <- 3 to 5) {
+      val viaIceberg = IcebergRead.readSnapshot(spark, meta, v.toLong)
+        .as[(Long, String)].collect().sorted.toSeq
+      val viaGraft = VersionedTable.readVersion(spark, src, v)
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(viaIceberg == viaGraft, s"snapshot $v")
+    }
+    val cur = IcebergRead.read(spark, out).as[(Long, String)].collect().toMap
+    assert(cur(1L) == "u1" && cur(60L) == "n60" && !cur.contains(2L) && cur(105L) == "a105")
+  }
+
   test("non-monotone chains and partitioned MOR fail loudly") {
     // an overwrite drops dirs — no faithful incremental Iceberg image
     val ow = freshDir("ow_src")
