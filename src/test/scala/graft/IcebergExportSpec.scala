@@ -247,6 +247,37 @@ class IcebergExportSpec extends SparkSpec {
     assert(cur(1L) == "u1" && cur(60L) == "n60" && !cur.contains(2L) && cur(105L) == "a105")
   }
 
+  test("reader failure contracts are loud: bad hint, wrong version, unknown snapshot") {
+    val src = freshDir("neg_src"); val out = freshDir("neg_out")
+    VersionedTable.append(Seq((1L, "a")).toDF("id", "v"), src)
+    val md = IcebergExport.export(spark, src, out)
+    val meta = IcebergRead.tableMeta(spark, md)
+    // unknown snapshot-id names what it has
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergRead.readSnapshot(spark, meta, 99L)
+    }
+    assert(e1.getMessage.contains("99") && e1.getMessage.contains("1"), e1.getMessage)
+    // a table root without the HadoopCatalog hint fails loudly, not NPE
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergRead.currentMetadataPath(spark, freshDir("neg_empty"))
+    }
+    assert(e2.getMessage.contains("version-hint"), e2.getMessage)
+    // format-version 1 metadata is rejected (this reader implements v2)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val v1dir = new org.apache.hadoop.fs.Path(freshDir("neg_v1"), "metadata")
+    fs.mkdirs(v1dir)
+    val mdPath = new org.apache.hadoop.fs.Path(v1dir, "v1.metadata.json")
+    val o = fs.create(mdPath, true)
+    o.write("""{"format-version":1,"table-uuid":"x"}""".getBytes("UTF-8")); o.close()
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergRead.tableMeta(spark, mdPath.toString)
+    }
+    assert(e3.getMessage.contains("format-version 2"), e3.getMessage)
+    // unknown schema field id in bounds lookups names the id
+    val e4 = intercept[IllegalArgumentException] { meta.fieldName(42) }
+    assert(e4.getMessage.contains("42"), e4.getMessage)
+  }
+
   test("non-monotone chains and partitioned MOR fail loudly") {
     // an overwrite drops dirs — no faithful incremental Iceberg image
     val ow = freshDir("ow_src")
