@@ -1,0 +1,161 @@
+package graft.streaming
+
+import graft.sinks.VersionedTable
+import graft.sources.ShardedIngest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The reference pipeline running AS a stream: a ProcessingTime Structured
+  * Streaming query whose every micro-batch executes one live JDBC poll cycle
+  * — shard re-discovery (`SELECT DISTINCT shard`, ColumnSource.java:39-54's
+  * forever interval loop), then one pushed-down page per shard
+  * (`… WHERE shard = ? ORDER BY sortCols OFFSET … FETCH …`,
+  * SnowflakeProcessFunction.java:88-122) via [[ShardedIngest.viaJdbc]], then
+  * an exactly-once append into the managed table.
+  *
+  * State design (the kill/restart contract): the per-shard offset map is NOT
+  * a second durable store that could diverge from the data — the COMMITTED
+  * TABLE IS the offset state. Each page appends through
+  * [[VersionedTable.appendOnce]] (batch id committed atomically with the
+  * rows), and a shard's offset is, by construction, the number of its rows
+  * already committed. In steady state the driver advances an in-memory map
+  * by `+= rowCount` after each commit (the reference's ValueState update,
+  * SnowflakeProcessFunction.java:113); at (re)start — and whenever a
+  * replayed batch id is detected — the map is re-derived from the committed
+  * table with one per-shard count aggregate. So:
+  *
+  *  - crash AFTER the sink commit, BEFORE the checkpoint commit: the batch
+  *    id is redelivered, `appendOnce` refuses it, offsets re-derive from
+  *    committed data — no duplicate, no gap;
+  *  - crash BEFORE the sink commit: the redelivered batch re-polls the same
+  *    offsets (derived, not remembered) and commits once;
+  *  - a hard kill (query stopped mid-cycle) restarts the same way — there
+  *    is no in-flight state anywhere but the transactional table commit.
+  *
+  * Scale: each cycle ships O(shards) page queries to the database (the
+  * database does the ordering/limiting; only page-sized row sets cross the
+  * wire), one bounded append, and an O(shards) driver map. The restart-time
+  * re-derivation is one count-per-shard aggregate over the ingested table —
+  * restart-only, never in the steady-state loop. Nothing here is sized by
+  * the table: a 100 TB ingested history costs the restart aggregate (itself
+  * prunable to metadata via per-dir row-count sidecars) and nothing else.
+  *
+  * `stopWhenDrained` is the bounded-test affordance: a poll cycle in which
+  * EVERY shard's page comes back empty sets the drained flag and the driver
+  * loop stops the query (production deployments poll forever — the
+  * reference's `while (isRunning)` — and never pass a finite deadline).
+  */
+object JdbcPollStream {
+
+  /** @param afterCommit driver-side hook run after each successful page
+    *        commit with the 1-based cycle number — the seam where tests
+    *        inject crashes (throw ⇒ the streaming query fails and the
+    *        caller's restart loop exercises recovery) and where live-source
+    *        mutations (late shard arrival) are staged.
+    * @param beforeCommit same seam, before the commit — a throw here models
+    *        the crash-before-sink-commit replay path. */
+  final case class Config(
+      url: String,
+      table: String,
+      shardCol: String,
+      sortCols: Seq[String],
+      pageSize: Long,
+      tablePath: String,
+      checkpointDir: String,
+      dialect: ShardedIngest.PagingDialect = ShardedIngest.PagingDialect.OffsetFetch,
+      intervalMs: Long = 50L,
+      timeoutMs: Long = 180000L,
+      maxRestarts: Int = 5,
+      beforeCommit: Long => Unit = _ => (),
+      afterCommit: Long => Unit = _ => ())
+
+  /** Per-shard offsets implied by the committed table: each shard's count of
+    * already-ingested rows (append-only ingest, so count ≡ consumed offset).
+    * One aggregate; O(shards) rows back. */
+  def committedOffsets(spark: SparkSession, tablePath: String,
+      shardCol: String): Map[String, Long] =
+    if (VersionedTable.versions(spark, tablePath).isEmpty) Map.empty
+    else VersionedTable.read(spark, tablePath)
+      .groupBy(col(shardCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Highest committed cycle number (0 when the table is empty). */
+  private def committedCycle(spark: SparkSession, tablePath: String): Long =
+    if (VersionedTable.versions(spark, tablePath).isEmpty) 0L
+    else VersionedTable.read(spark, tablePath)
+      .agg(coalesce(max(col("cycle")), lit(0L))).head().getLong(0)
+
+  /** Run the polling stream until a full cycle returns no rows for any
+    * shard, restarting (from the checkpoint) across up to `maxRestarts`
+    * query failures. Throws if the poll loop has not drained by
+    * `timeoutMs` per run or when restarts are exhausted. */
+  def runUntilDrained(spark: SparkSession, cfg: Config): Unit = {
+    @volatile var drained = false
+    // steady-state driver state (re-derived from the table when None):
+    // the reference's per-shard ValueState offsets + the cycle counter
+    @volatile var state: Option[(Map[String, Long], Long)] = None
+
+    def pollCycle(batchId: Long): Unit = {
+      val (offsets, lastCycle) = state.getOrElse {
+        (committedOffsets(spark, cfg.tablePath, cfg.shardCol),
+          committedCycle(spark, cfg.tablePath))
+      }
+      // continuous re-discovery: shards that appeared since the last cycle
+      // enter at offset 0 (ColumnSource re-polls DISTINCT forever)
+      val shards = ShardedIngest.discoverShardsJdbc(
+        spark, cfg.url, cfg.table, cfg.shardCol, cfg.dialect)
+      val page = ShardedIngest.viaJdbc(spark, cfg.url, cfg.table, cfg.shardCol,
+          cfg.sortCols, offsets, cfg.pageSize, shards, cfg.dialect)
+        .localCheckpoint(true) // poll the database once; feeds count + append
+      val counts = page.groupBy(col(cfg.shardCol)).agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (counts.isEmpty) { drained = true; return }
+      val cycle = lastCycle + 1
+      cfg.beforeCommit(cycle)
+      val committed = VersionedTable.appendOnce(
+        page.withColumn("cycle", lit(cycle)), cfg.tablePath, batchId)
+      if (committed) {
+        // the reference's offset += rowCount (ValueState update)
+        val advanced = (offsets.keySet ++ counts.keySet).map(k =>
+          k -> (offsets.getOrElse(k, 0L) + counts.getOrElse(k, 0L))).toMap
+        state = Some((advanced, cycle))
+        cfg.afterCommit(cycle)
+      } else {
+        // replayed batch id: the committed table is the truth — re-derive
+        state = None
+      }
+    }
+
+    def runOnce(): Unit = {
+      // the rate source is the processing-time TICKER (its rows are ignored;
+      // each micro-batch = one poll cycle), so the checkpoint gives replayed
+      // batch ids across restarts — the exactly-once handshake appendOnce needs
+      val ticks = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+      val q = ticks.writeStream
+        .option("checkpointLocation", cfg.checkpointDir)
+        .foreachBatch { (_: DataFrame, batchId: Long) => pollCycle(batchId) }
+        .trigger(Trigger.ProcessingTime(cfg.intervalMs))
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + cfg.timeoutMs
+        while (!drained && q.isActive && System.currentTimeMillis() < deadline)
+          q.awaitTermination(100)
+      } finally if (q.isActive) { q.stop(); q.awaitTermination() }
+    }
+
+    var restarts = 0
+    var done = false
+    while (!done) {
+      try { runOnce(); done = true }
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          restarts += 1
+          state = None // recover the offset state from committed data only
+          if (restarts > cfg.maxRestarts) throw e
+      }
+    }
+    require(drained,
+      s"jdbc poll stream did not drain within ${cfg.timeoutMs} ms")
+  }
+}

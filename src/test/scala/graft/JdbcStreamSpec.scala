@@ -1,0 +1,110 @@
+package graft
+
+import graft.sinks.VersionedTable
+import graft.streaming.JdbcPollStream
+import org.apache.spark.sql.{SaveMode, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [[JdbcPollStream]] — the reference deployment running AS a stream —
+  * under the failure modes the registered query does not inject:
+  * crash BEFORE the sink commit (at-least-once redelivery must re-poll the
+  * same offsets and commit once), a HARD KILL with a cold restart (fresh
+  * runUntilDrained call over the same checkpoint + table), and the
+  * offset-recovery invariant itself (committed per-shard counts ≡ offsets).
+  * The registered `streaming_jdbc_ingest` covers crash-AFTER-commit (batch
+  * id replayed and refused) plus live shard re-discovery.
+  */
+class JdbcStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDirs(name: String): (String, String) = {
+    val base = s"/tmp/graft_stream/jdbc_spec_$name"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    (s"$base/table", s"$base/ck")
+  }
+
+  /** Two shards × 25 rows each, ordered by `ord`. */
+  private def stage(url: String): DataFrame = {
+    val df = (for { sh <- Seq("a", "b"); i <- 1 to 25 }
+      yield (sh, i.toLong)).toDF("shard", "ord")
+    df.write.format("jdbc").option("url", url).option("dbtable", "t")
+      .option("createTableColumnTypes", "shard VARCHAR(32)")
+      .mode(SaveMode.Overwrite).save()
+    df
+  }
+
+  private def cfg(url: String, tablePath: String, ck: String): JdbcPollStream.Config =
+    JdbcPollStream.Config(url = url, table = "t", shardCol = "shard",
+      sortCols = Seq("ord"), pageSize = 10L, tablePath = tablePath,
+      checkpointDir = ck)
+
+  /** Ground truth with the page→cycle map: cycle = (rank-1)/10 + 1. */
+  private def expected: Seq[(String, Long, Long)] =
+    for { sh <- Seq("a", "b"); i <- 1 to 25 }
+      yield (sh, i.toLong, ((i - 1) / 10 + 1).toLong)
+
+  private def readBack(tablePath: String): Seq[(String, Long, Long)] =
+    VersionedTable.read(spark, tablePath)
+      .select($"shard", $"ord", $"cycle")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+
+  test("clean run drains with exact page boundaries; offsets ≡ committed counts") {
+    val url = "jdbc:derby:memory:jps_clean;create=true"
+    val (table, ck) = freshDirs("clean")
+    stage(url)
+    JdbcPollStream.runUntilDrained(spark, cfg(url, table, ck))
+    assert(readBack(table) == expected.sorted)
+    // one commit per non-empty cycle: 3 pages per shard, aligned cycles
+    assert(VersionedTable.versions(spark, table).size == 3)
+    // the recovery invariant: committed per-shard counts ARE the offsets
+    assert(JdbcPollStream.committedOffsets(spark, table, "shard") ==
+      Map("a" -> 25L, "b" -> 25L))
+  }
+
+  test("crash BEFORE the sink commit: redelivery re-polls the same offsets, commits once") {
+    val url = "jdbc:derby:memory:jps_precrash;create=true"
+    val (table, ck) = freshDirs("precrash")
+    stage(url)
+    @volatile var crashed = false
+    JdbcPollStream.runUntilDrained(spark, cfg(url, table, ck).copy(
+      beforeCommit = { cycle =>
+        if (cycle == 2L && !crashed) {
+          crashed = true
+          throw new RuntimeException("injected crash: before sink commit")
+        }
+      }))
+    assert(crashed)
+    // the redelivered batch re-derived offsets from committed data (cycle 1
+    // only) and committed cycle 2 exactly once — no gap, no duplicate
+    assert(readBack(table) == expected.sorted)
+    assert(VersionedTable.versions(spark, table).size == 3)
+  }
+
+  test("hard kill + cold restart: a fresh run over the same checkpoint finishes exactly-once") {
+    val url = "jdbc:derby:memory:jps_kill;create=true"
+    val (table, ck) = freshDirs("kill")
+    stage(url)
+    // process death modeled as restarts EXHAUSTED mid-run: the crash at
+    // cycle 2 propagates out of runUntilDrained (maxRestarts = 0), leaving
+    // a committed prefix + a checkpoint, like a killed driver would
+    @volatile var crashed = false
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      JdbcPollStream.runUntilDrained(spark, cfg(url, table, ck).copy(
+        maxRestarts = 0,
+        afterCommit = { cycle =>
+          if (cycle == 2L && !crashed) {
+            crashed = true
+            throw new RuntimeException("injected kill: after sink commit")
+          }
+        }))
+    }
+    val committedAtKill = VersionedTable.versions(spark, table).size
+    assert(committedAtKill >= 2, s"kill left $committedAtKill commits")
+    // cold restart: a brand-new run (fresh driver state, same dirs) must
+    // refuse the replayed batch id, re-derive offsets, and finish exact
+    JdbcPollStream.runUntilDrained(spark, cfg(url, table, ck))
+    assert(readBack(table) == expected.sorted)
+    assert(VersionedTable.versions(spark, table).size == 3)
+  }
+}
