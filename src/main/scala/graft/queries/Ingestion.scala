@@ -527,9 +527,12 @@ object Ingestion {
         graft.sinks.IcebergExport.export(s, p, out)
         graft.sources.IcebergRead.read(s, out).orderBy($"o_orderkey")
       },
-      // 90000000 % 500 = 0 and % 100 = 0, so the shifted inserts fall in the
-      // same residue classes as their source keys — the oracle's single
-      // %-filters cover originals and inserts alike
+      // The delete targets ORIGINAL keys only (deleteWhereKeys gets
+      // o.filter(% 500 === 3), all < 90000000), so the oracle's delete
+      // filter is scoped to the original-key range: a shifted insert
+      // k+90000000 with k%997==0 AND k%500==3 (first TPC-H-valid k is
+      // 996003, live from ~sf0.2) must SURVIVE — an unscoped `% 500 <> 3`
+      // would wrongly drop it (ADVICE r12).
       Some("""WITH base AS (SELECT o_orderkey, o_custkey,
             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
           FROM orders),
@@ -541,11 +544,115 @@ object Ingestion {
             SELECT o_orderkey + 90000000, o_custkey, price_c FROM base
             WHERE o_orderkey % 997 = 0)
         SELECT o_orderkey, o_custkey, price_c FROM v2
-        WHERE o_orderkey % 500 <> 3 ORDER BY o_orderkey"""),
+        WHERE NOT (o_orderkey < 90000000 AND o_orderkey % 500 = 3)
+        ORDER BY o_orderkey"""),
       "Iceberg v2 MERGE-ON-READ export + independent readback: equality-" +
         "delete manifests (content 1, equality_ids) beside data manifests, " +
         "the strictly-lower-sequence delete rule applied from the exported " +
         "metadata alone — the reference sink's exact interop surface"),
+
+    "iceberg_export_evolution" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // SCHEMA-EVOLUTION chains through the Iceberg interop (r13, VERDICT
+        // r12 "Next round" #2): v1 writes 2 columns, v2 appends rows
+        // carrying a NEW column; the export emits a schemas LIST (two
+        // schemas, chain-stable field ids, per-snapshot schema-id — no more
+        // pinned "schema-id":0) and the independent reader resolves each
+        // snapshot's OWN schema: v1 reads back with 2 columns, the current
+        // snapshot with 3, pre-evolution rows NULL-backfilled — exactly the
+        // spec's read-time evolution rule. v1's output column o_channel is
+        // NULL-literal-padded only to union the two snapshots into one
+        // result frame.
+        val p = tmp("iceberg_evo_src")
+        val out = tmp("iceberg_evo_out")
+        GraftTableWriter.drop(s, p)
+        GraftTableWriter.drop(s, out)
+        val o = table(s, d, "orders").select($"o_orderkey",
+          (dec2($"o_totalprice") * 100).cast("long").as("price_c"))
+        VersionedTable.append(o.filter($"o_orderkey" % 2 === 0), p) // v1: 2 cols
+        VersionedTable.append(o.filter($"o_orderkey" % 2 =!= 0)
+          .withColumn("o_channel", lit("backfill")), p)            // v2: +o_channel
+        graft.sinks.IcebergExport.export(s, p, out)
+        val meta = graft.sources.IcebergRead.tableMeta(s,
+          graft.sources.IcebergRead.currentMetadataPath(s, out))
+        val v1 = graft.sources.IcebergRead.readSnapshot(s, meta, 1L)
+          .withColumn("o_channel", lit(null).cast("string"))
+          .withColumn("snap", lit(1L))
+        val v2 = graft.sources.IcebergRead.readSnapshot(s, meta, 2L)
+          .withColumn("snap", lit(2L))
+        v1.unionByName(v2).orderBy($"snap", $"o_orderkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey,
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+          FROM orders)
+        SELECT o_orderkey, price_c, CAST(NULL AS VARCHAR) AS o_channel,
+            CAST(1 AS BIGINT) AS snap
+          FROM base WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, price_c,
+            CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE 'backfill' END,
+            CAST(2 AS BIGINT)
+          FROM base
+        ORDER BY snap, o_orderkey"""),
+      "Iceberg v2 export of an ADDITIVE SCHEMA-EVOLUTION chain: schemas " +
+        "list + chain-stable field ids + per-snapshot schema-id; the " +
+        "independent reader resolves each snapshot's own schema and NULL-" +
+        "backfills pre-evolution rows on current reads"),
+
+    "iceberg_export_mor_partitioned" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // PARTITIONED MERGE-ON-READ through the Iceberg interop (r13,
+        // VERDICT r12 "Next round" #5 — the loud rejection replaced):
+        // identity-partitioned data manifests (spec 0) + GLOBAL equality-
+        // delete manifests under a second, unpartitioned spec (spec-id 1,
+        // the spec's model for partition-agnostic deletes — graft key
+        // deletes apply table-wide). Chain: three per-band appendWithStats
+        // (degenerate band per dir) → a band-1-scoped upsertMorWithStats
+        // (updates + shifted inserts; the stats keep the dir exportable) →
+        // a CROSS-band key delete → export → independent readback of the
+        // merged current state from the metadata alone. The oracle's delete
+        // filter is scoped to original keys (the r12 ADVICE lesson).
+        val p = tmp("iceberg_pmor_src")
+        val out = tmp("iceberg_pmor_out")
+        GraftTableWriter.drop(s, p)
+        GraftTableWriter.drop(s, out)
+        val o = table(s, d, "orders").select($"o_orderkey",
+          ($"o_orderkey" % 3).cast("string").as("band"),
+          (dec2($"o_totalprice") * 100).cast("long").as("price_c"))
+        for (b <- Seq("0", "1", "2"))
+          VersionedTable.appendWithStats(o.filter($"band" === b), p, Seq("band"))
+        val upd = o.filter($"o_orderkey" % 300 === 1) // all band 1
+          .withColumn("price_c", $"price_c" + 5000L)
+          .unionByName(o.filter($"o_orderkey" % 997 === 0)
+            .select(($"o_orderkey" * 3 + 90000001L).as("o_orderkey"),
+              lit("1").as("band"), $"price_c")) // 90000001+3k ≡ 1 (mod 3)
+        VersionedTable.upsertMorWithStats(upd, p, Seq("o_orderkey"), Seq("band"))
+        VersionedTable.deleteWhereKeys(
+          o.filter($"o_orderkey" % 401 === 7).select($"o_orderkey"),
+          p, Seq("o_orderkey"))
+        graft.sinks.IcebergExport.export(s, p, out, partitionCols = Seq("band"))
+        graft.sources.IcebergRead.read(s, out).orderBy($"o_orderkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey,
+            CAST(o_orderkey % 3 AS VARCHAR) AS band,
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+          FROM orders),
+          v4 AS (SELECT o_orderkey, band,
+              CASE WHEN o_orderkey % 300 = 1 THEN price_c + 5000
+                ELSE price_c END AS price_c
+            FROM base
+            UNION ALL
+            SELECT 3 * o_orderkey + 90000001, '1', price_c FROM base
+            WHERE o_orderkey % 997 = 0)
+        SELECT o_orderkey, band, price_c FROM v4
+        WHERE NOT (o_orderkey < 90000000 AND o_orderkey % 401 = 7)
+        ORDER BY o_orderkey"""),
+      "PARTITIONED Iceberg v2 MOR export + readback: identity spec-0 data " +
+        "manifests beside GLOBAL equality-delete manifests under an " +
+        "unpartitioned spec 1 — partition-scoped upserts stay exportable " +
+        "via upsertMorWithStats, cross-partition deletes stay global"),
 
     "snapshot_expire" -> Q(
       (s, d) => {

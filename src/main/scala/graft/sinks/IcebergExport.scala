@@ -51,9 +51,20 @@ import org.apache.spark.sql.types._
   * faithful incremental image). Identity partitioning is DIR-granular,
   * matching how graft lays out partitioned tables: a partition column's
   * value for a dir is its recorded per-dir min==max bound
-  * ([[VersionedTable.appendWithStats]]), required to be degenerate — a dir
-  * spanning two partition values fails the export; partitioned MOR chains
-  * are rejected (compact first).
+  * ([[VersionedTable.appendWithStats]] /
+  * [[VersionedTable.upsertMorWithStats]]), required to be degenerate — a
+  * dir spanning two partition values fails the export. Partitioned MOR
+  * chains export too (r13): graft's equality deletes are partition-agnostic
+  * (a key-set delete applies table-wide), so their faithful image is GLOBAL
+  * equality deletes — delete manifests go under a second, UNPARTITIONED
+  * spec (spec-id 1, empty fields), data manifests keep identity spec 0.
+  *
+  * Additive SCHEMA EVOLUTION exports as the spec models it (r13): the
+  * metadata carries the chain's DISTINCT schemas as a list, each snapshot
+  * its schema-id; a column keeps one chain-stable field id everywhere
+  * (assigned by first appearance), new columns take fresh ids. Dropped
+  * columns or type changes fail loudly (they'd need rename/promotion rules
+  * this exporter doesn't model).
   *
   * [[graft.sources.IcebergRead]] is the INDEPENDENT in-repo reader
   * (Jackson-parsed metadata JSON + generic Avro decoding, no code shared
@@ -93,21 +104,25 @@ object IcebergExport {
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
-  /** The Iceberg schema JSON (also embedded in each manifest's metadata). */
-  private def schemaJson(schema: StructType): String = {
-    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${i + 1},"name":"${esc(f.name)}","required":${!f.nullable},""" +
+  /** The Iceberg schema JSON for one schema version (also embedded in each
+    * manifest's metadata). Field ids come from the CHAIN-STABLE `fieldId`
+    * map, not from position — under additive evolution a column keeps its
+    * id in every schema it appears in (the spec's schema-evolution
+    * invariant), and new columns take fresh ids. */
+  private def schemaJson(schema: StructType, schemaId: Int,
+      fieldId: String => Int): String = {
+    val fields = schema.fields.map { f =>
+      s"""{"id":${fieldId(f.name)},"name":"${esc(f.name)}","required":${!f.nullable},""" +
         s""""type":"${icebergType(f.dataType)}"}"""
     }
-    s"""{"type":"struct","schema-id":0,"fields":[${fields.mkString(",")}]}"""
+    s"""{"type":"struct","schema-id":$schemaId,"fields":[${fields.mkString(",")}]}"""
   }
 
   /** The partition-spec FIELDS json (identity transforms; field-ids from
     * 1000 per the spec's partition-field-id convention). */
-  private def specFieldsJson(schema: StructType, partitionCols: Seq[String]): String =
+  private def specFieldsJson(fieldId: String => Int, partitionCols: Seq[String]): String =
     partitionCols.zipWithIndex.map { case (c, i) =>
-      val sourceId = schema.fieldIndex(c) + 1
-      s"""{"name":"${esc(c)}","transform":"identity","source-id":$sourceId,"field-id":${1000 + i}}"""
+      s"""{"name":"${esc(c)}","transform":"identity","source-id":${fieldId(c)},"field-id":${1000 + i}}"""
     }.mkString("[", ",", "]")
 
   private def manifestListSchema: Schema = new Schema.Parser().parse(
@@ -162,15 +177,22 @@ object IcebergExport {
       ]}""")
   }
 
-  /** Iceberg single-value binary serialization (spec Appendix D) for the
-    * two bound kinds graft's per-dir stats carry: long → 8-byte
-    * little-endian, string → UTF-8 bytes. */
-  private[graft] def boundBytes(typ: String, v: String): java.nio.ByteBuffer = typ match {
-    case "long" =>
-      val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      b.putLong(v.toLong); b.flip(); b
-    case _ => java.nio.ByteBuffer.wrap(v.getBytes("UTF-8"))
-  }
+  /** Iceberg single-value binary serialization (spec Appendix D), sized by
+    * the column's EXPORTED Iceberg type — not by the graft ColBounds kind,
+    * which collapses every integral to "long": an `int` column (Spark
+    * Integer/Short/Byte) must serialize as 4-byte little-endian or strict
+    * external readers (exact-length unpack) reject the metadata (ADVICE
+    * r12). `long` → 8-byte LE, `int` → 4-byte LE, string → UTF-8. */
+  private[graft] def boundBytes(icebergTyp: String, v: String): java.nio.ByteBuffer =
+    icebergTyp match {
+      case "long" =>
+        val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.putLong(v.toLong); b.flip(); b
+      case "int" =>
+        val b = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.putInt(v.toInt); b.flip(); b
+      case _ => java.nio.ByteBuffer.wrap(v.getBytes("UTF-8"))
+    }
 
   private def writeAvro(filesystem: FileSystem, path: Path, schema: Schema,
       meta: Map[String, String], rows: Seq[GenericRecord]): Long = {
@@ -267,19 +289,71 @@ object IcebergExport {
           s"iceberg export: snapshot v${b.version} drops delete dirs of v${a.version} (compaction?) — monotone chains only")
       case _ =>
     }
+    // Partitioned MOR chains (r13 — VERDICT r12 "Next round" #5, replacing
+    // the loud rejection): graft's equality deletes are PARTITION-AGNOSTIC
+    // by construction (a key-set delete applies table-wide), so the faithful
+    // Iceberg image is GLOBAL equality deletes — delete manifests are
+    // written under a second, UNPARTITIONED partition spec (spec-id 1,
+    // empty fields; the spec's model for global deletes), while data
+    // manifests keep the identity spec 0. Every DATA dir still needs a
+    // degenerate partition bound (write MOR upserts via
+    // VersionedTable.upsertMorWithStats so the upsert dirs carry stats).
     val hasDeletes = snaps.exists(_.deletes.nonEmpty)
-    require(!hasDeletes || partitionCols.isEmpty,
-      "iceberg export: identity-partitioned MOR chains are not supported — export unpartitioned or compact first")
+    val globalDeleteSpec = hasDeletes && partitionCols.nonEmpty
     val deleteKeys = snaps.reverse.find(_.deleteKeys.nonEmpty).map(_.deleteKeys).getOrElse(Nil)
 
-    val schema = VersionedTable.read(spark, tablePath).schema
+    // Per-snapshot schemas (additive evolution, r13 — VERDICT r12 "Next
+    // round" #2): each snapshot reads with ITS OWN merged schema; a column
+    // keeps one chain-stable field id everywhere it appears (assigned by
+    // first appearance), new columns take fresh ids, and the metadata
+    // carries the DISTINCT schemas as a list with per-snapshot schema-ids —
+    // exactly how the spec models evolution, replacing the r12 pinned
+    // `"schema-id":0`.
+    val snapSchemas: Seq[StructType] =
+      versions.map(v => VersionedTable.readVersion(spark, tablePath, v).schema)
+    val schema = snapSchemas.last // the current schema (superset under additive evolution)
+    val fieldIdMap: Map[String, Int] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      snapSchemas.foreach(_.fields.foreach { f =>
+        if (!m.contains(f.name)) m += f.name -> (m.size + 1)
+      })
+      m.toMap
+    }
+    val fieldId: String => Int = c => fieldIdMap.getOrElse(c,
+      throw new IllegalArgumentException(s"iceberg export: unknown column $c"))
+    // additive-only contract, loudly enforced: no drops, no type changes
+    // (either would need rename/promotion rules this exporter doesn't model)
+    snapSchemas.sliding(2).foreach {
+      case Seq(a, b) =>
+        require(a.fieldNames.toSet.subsetOf(b.fieldNames.toSet),
+          s"iceberg export: schema evolution dropped columns " +
+            s"${a.fieldNames.toSet -- b.fieldNames.toSet} — additive chains only")
+      case _ =>
+    }
+    snapSchemas.foreach(_.fields.foreach { f =>
+      require(schema(schema.fieldIndex(f.name)).dataType == f.dataType,
+        s"iceberg export: column ${f.name} changed type — additive chains only")
+    })
+    // distinct schema versions in chain order, schema-id by first appearance
+    val schemaSigToId = scala.collection.mutable.LinkedHashMap.empty[Seq[(String, String)], Int]
+    val snapSchemaIds: Seq[Int] = snapSchemas.map { sch =>
+      val sig = sch.fields.toSeq.map(f => f.name -> icebergType(f.dataType))
+      schemaSigToId.getOrElseUpdate(sig, schemaSigToId.size)
+    }
+    val distinctSchemas: Seq[(StructType, Int)] = {
+      val seen = scala.collection.mutable.Set.empty[Int]
+      snapSchemas.zip(snapSchemaIds).filter { case (_, id) => seen.add(id) }
+    }
     partitionCols.foreach(c => require(schema.fieldNames.contains(c),
       s"iceberg export: partition column $c not in schema ${schema.fieldNames.mkString(",")}"))
-    val tSchemaJson = schemaJson(schema)
-    val tSpecJson = specFieldsJson(schema, partitionCols)
-    val entrySchema = manifestEntrySchema(schema, partitionCols)
-    val dataFileSchema = entrySchema.getField("data_file").schema()
-    val partSchema = dataFileSchema.getField("partition").schema()
+    val allSchemasJson = distinctSchemas
+      .map { case (sch, id) => schemaJson(sch, id, fieldId) }.mkString(",")
+    val tSpecJson = specFieldsJson(fieldId, partitionCols)
+    val dataEntrySchema = manifestEntrySchema(schema, partitionCols)
+    // delete entries under the global (empty) spec when the table is
+    // partitioned; same schema as data when it isn't (spec 0 is empty too)
+    val delEntrySchema =
+      if (globalDeleteSpec) manifestEntrySchema(schema, Nil) else dataEntrySchema
 
     def absOf(d: String): String =
       if (d.startsWith("/")) filesystem.makeQualified(new Path(d)).toString
@@ -290,12 +364,11 @@ object IcebergExport {
     // dirs it adds — both entered as ADDED (status 1) at their graft
     // sequence, then carried by every later snapshot's manifest list.
     final case class ManifestInfo(path: String, length: Long, seq: Long,
-        content: Int, addedFiles: Int, addedRows: Long)
+        content: Int, addedFiles: Int, addedRows: Long, specId: Int)
     val manifests = scala.collection.mutable.ArrayBuffer.empty[ManifestInfo]
     val graftMeta = new Path(tableAbs, "_graft_meta")
     val eqIds: java.util.List[Integer] =
-      java.util.Arrays.asList(deleteKeys.map(k =>
-        Int.box(schema.fieldIndex(k) + 1)): _*)
+      java.util.Arrays.asList(deleteKeys.map(k => Int.box(fieldId(k))): _*)
 
     def parquetFiles(d: String): Seq[org.apache.hadoop.fs.FileStatus] =
       filesystem.listStatus(new Path(absOf(d))).toSeq
@@ -317,7 +390,13 @@ object IcebergExport {
       * delete's recorded commit seq; equality_ids = the key field ids). */
     def entriesOf(snap: VersionedTable.Snapshot, d: String, content: Int,
         fileSeq: Long, snapshotId: Long): Seq[GenericRecord] = {
-      val parts: Seq[AnyRef] = partitionCols.map { c =>
+      // delete entries carry the GLOBAL (empty) partition under spec 1 on a
+      // partitioned table; data entries the identity values under spec 0
+      val entrySchema = if (content == 0) dataEntrySchema else delEntrySchema
+      val dataFileSchema = entrySchema.getField("data_file").schema()
+      val partSchema = dataFileSchema.getField("partition").schema()
+      val entryPartCols = if (content == 0) partitionCols else Nil
+      val parts: Seq[AnyRef] = entryPartCols.map { c =>
         partitionValue(snap, d, c, schema(schema.fieldIndex(c)).dataType)
       }
       // per-FILE lower/upper bounds from the dir's recorded per-dir stats
@@ -331,8 +410,12 @@ object IcebergExport {
         else {
           val rows: Seq[GenericRecord] = dirStats.toSeq.sortBy(_._1).map { case (c, b) =>
             val r = new GenericData.Record(recSchema)
-            r.put("key", Int.box(schema.fieldIndex(c) + 1))
-            r.put("value", boundBytes(b.typ, if (loSide) b.lo else b.hi))
+            r.put("key", Int.box(fieldId(c)))
+            // byte width follows the exported Iceberg type of the COLUMN
+            // (int → 4 bytes), not ColBounds.typ's integral-collapsed "long"
+            r.put("value", boundBytes(
+              icebergType(schema(schema.fieldIndex(c)).dataType),
+              if (loSide) b.lo else b.hi))
             r
           }
           java.util.Arrays.asList(rows: _*)
@@ -344,7 +427,7 @@ object IcebergExport {
       parquetFiles(d)
         .map { st =>
           val part = new GenericData.Record(partSchema)
-          partitionCols.zip(parts).foreach { case (c, v) => part.put(c, v) }
+          entryPartCols.zip(parts).foreach { case (c, v) => part.put(c, v) }
           val df = new GenericData.Record(dataFileSchema)
           df.put("content", Int.box(content))
           df.put("file_path", st.getPath.toString)
@@ -366,40 +449,46 @@ object IcebergExport {
     }
 
     def writeManifest(path: Path, content: Int, seq: Long,
-        entries: Seq[GenericRecord]): ManifestInfo = {
+        commitSchemaJson: String, entries: Seq[GenericRecord]): ManifestInfo = {
+      val (entrySchema, specJson, specId) =
+        if (content == 0 || !globalDeleteSpec) (if (content == 0) dataEntrySchema else delEntrySchema, tSpecJson, 0)
+        else (delEntrySchema, "[]", 1) // global equality deletes: empty spec 1
       val len = writeAvro(filesystem, path, entrySchema, Map(
-        "schema" -> tSchemaJson,
-        "partition-spec" -> tSpecJson,
-        "partition-spec-id" -> "0",
+        "schema" -> commitSchemaJson, // the schema AT this commit
+        "partition-spec" -> specJson,
+        "partition-spec-id" -> specId.toString,
         "format-version" -> "2",
         "content" -> (if (content == 0) "data" else "deletes")), entries)
       ManifestInfo(path.toString, len, seq, content, entries.size,
         entries.map(_.get("data_file").asInstanceOf[GenericRecord]
-          .get("record_count").asInstanceOf[Long]).sum)
+          .get("record_count").asInstanceOf[Long]).sum, specId)
     }
 
     val snapshotEntries = snaps.zipWithIndex.map { case (snap, i) =>
       val seq = snap.version.toLong
       val snapshotId = seq
+      val commitSchemaJson = schemaJson(snapSchemas(i), snapSchemaIds(i), fieldId)
       val prevDirs = if (i == 0) Set.empty[String] else snaps(i - 1).dirs.toSet
       val prevDels = if (i == 0) Set.empty[(String, Int)] else snaps(i - 1).deletes.toSet
       val dataEntries = snap.dirs.filterNot(prevDirs).flatMap { d =>
         entriesOf(snap, d, content = 0,
           fileSeq = snap.dataSeq.getOrElse(d, 0).toLong, snapshotId)
       }
-      manifests += writeManifest(new Path(metaDir, f"m-$seq%05d.avro"), 0, seq, dataEntries)
+      manifests += writeManifest(new Path(metaDir, f"m-$seq%05d.avro"), 0, seq,
+        commitSchemaJson, dataEntries)
       val delEntries = snap.deletes.filterNot(prevDels).flatMap { case (d, dseq) =>
         entriesOf(snap, d, content = 2, fileSeq = dseq.toLong, snapshotId)
       }
       if (delEntries.nonEmpty)
-        manifests += writeManifest(new Path(metaDir, f"d-$seq%05d.avro"), 1, seq, delEntries)
+        manifests += writeManifest(new Path(metaDir, f"d-$seq%05d.avro"), 1, seq,
+          commitSchemaJson, delEntries)
 
       // manifest LIST for this snapshot: every manifest up to and incl. seq
       val listRows = manifests.toSeq.map { m =>
         val r = new GenericData.Record(manifestListSchema)
         r.put("manifest_path", m.path)
         r.put("manifest_length", Long.box(m.length))
-        r.put("partition_spec_id", Int.box(0))
+        r.put("partition_spec_id", Int.box(m.specId))
         r.put("content", Int.box(m.content)) // 0 = data, 1 = deletes
         r.put("sequence_number", Long.box(m.seq))
         r.put("min_sequence_number", Long.box(m.seq))
@@ -419,26 +508,30 @@ object IcebergExport {
         new Path(graftMeta, f"v${snap.version}%05d.json")).getModificationTime
       // delete-producing commits are "overwrite" in Iceberg's summary
       (snapshotId, seq, ts, listPath.toString,
-        if (delEntries.nonEmpty) "overwrite" else "append")
+        if (delEntries.nonEmpty) "overwrite" else "append", snapSchemaIds(i))
     }
 
     val uuid = java.util.UUID.nameUUIDFromBytes(tableAbs.getBytes("UTF-8")).toString
     val lastSeq = snapshotEntries.last._2
     val lastTs = snapshotEntries.last._3
-    val snapsJson = snapshotEntries.map { case (id, seq, ts, list, op) =>
+    val snapsJson = snapshotEntries.map { case (id, seq, ts, list, op, schemaId) =>
       s"""{"snapshot-id":$id,"sequence-number":$seq,"timestamp-ms":$ts,""" +
-        s""""summary":{"operation":"$op"},"manifest-list":"${esc(list)}","schema-id":0}"""
+        s""""summary":{"operation":"$op"},"manifest-list":"${esc(list)}","schema-id":$schemaId}"""
     }.mkString("[", ",", "]")
-    val logJson = snapshotEntries.map { case (id, _, ts, _, _) =>
+    val logJson = snapshotEntries.map { case (id, _, ts, _, _, _) =>
       s"""{"timestamp-ms":$ts,"snapshot-id":$id}"""
     }.mkString("[", ",", "]")
     val lastPartitionId = if (partitionCols.isEmpty) 999 else 999 + partitionCols.size
+    // the global (empty) spec the delete manifests of a partitioned MOR
+    // chain are written under — appended to the partition-specs list
+    val globalSpecJson =
+      if (globalDeleteSpec) ",{\"spec-id\":1,\"fields\":[]}" else ""
     val metadataJson =
       s"""{"format-version":2,"table-uuid":"$uuid","location":"${esc(outAbs)}",
         "last-sequence-number":$lastSeq,"last-updated-ms":$lastTs,
-        "last-column-id":${schema.size},"current-schema-id":0,
-        "schemas":[$tSchemaJson],
-        "default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":$tSpecJson}],
+        "last-column-id":${fieldIdMap.size},"current-schema-id":${snapSchemaIds.last},
+        "schemas":[$allSchemasJson],
+        "default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":$tSpecJson}$globalSpecJson],
         "last-partition-id":$lastPartitionId,
         "default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
         "properties":{},

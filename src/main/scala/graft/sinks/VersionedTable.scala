@@ -138,6 +138,50 @@ object VersionedTable {
     })
   }
 
+  /** [[upsertMor]] with per-dir column metrics on the DATA dir (the
+    * [[appendWithStats]] stats contract under merge-on-read): the upsert's
+    * new data dir records each tracked column's [min, max], so identity-
+    * partitioned MOR chains stay exportable ([[graft.sinks.IcebergExport]]
+    * needs a degenerate partition bound per data dir) and [[readPruned]]
+    * can skip MOR data dirs too. The delete dir is key-only and carries no
+    * stats — equality deletes are partition-agnostic by construction. */
+  def upsertMorWithStats(df: DataFrame, path: String, keys: Seq[String],
+      statsCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val spark = df.sparkSession
+    checkMorKeys(spark, path, keys)
+    val typs = statsCols.map { c =>
+      df.schema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => c -> "long"
+        case StringType                                    => c -> "string"
+        case other => throw new IllegalArgumentException(
+          s"stats column $c: unsupported type $other (integral and string only)")
+      }
+    }.toMap
+    val d = writeDataDir(df, path)
+    val aggs = statsCols.flatMap(c => Seq(min(col(c)).cast("string"), max(col(c)).cast("string")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val bounds = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      if (row.isNullAt(2 * i)) None
+      else Some(c -> ColBounds(row.getString(2 * i), row.getString(2 * i + 1), typs(c)))
+    }.toMap
+    val del = writeDataDir(
+      df.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(), path)
+    commit(spark, path, cur => {
+      require(cur.forall(s => s.deleteKeys.isEmpty || s.deleteKeys == keys),
+        s"merge-on-read keys $keys conflict with the table's recorded " +
+          s"equality fields ${cur.map(_.deleteKeys).getOrElse(Nil)}")
+      val v = nextV(cur)
+      Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
+        cur.map(_.colStats).getOrElse(Map.empty) + (d -> bounds),
+        cur.flatMap(_.lastBatch),
+        cur.map(_.dataSeq).getOrElse(Map.empty) + (d -> v),
+        cur.map(_.deletes).getOrElse(Nil) :+ (del -> v),
+        keys)
+    })
+  }
+
   /** [[upsertMor]] under the exactly-once batch-id contract (the
     * [[appendOnce]] rule): the id commits atomically with the data+delete
     * dirs, so an at-least-once foreachBatch redelivery is recognized and

@@ -28,14 +28,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object IcebergRead {
 
   final case class SnapshotInfo(snapshotId: Long, sequenceNumber: Long,
-      timestampMs: Long, manifestList: String)
+      timestampMs: Long, manifestList: String, schemaId: Int)
 
-  /** Schema fields as (id, name, iceberg type name). */
+  /** Schema fields as (id, name, iceberg type name). `schemaFields` is the
+    * CURRENT schema; `schemas` carries every schema version in the metadata
+    * (additive evolution: each snapshot resolves its own via
+    * [[SnapshotInfo.schemaId]], the spec's schemas-list model). */
   final case class TableMeta(formatVersion: Int, tableUuid: String,
       currentSnapshotId: Long, snapshots: Seq[SnapshotInfo],
       schemaFields: Seq[(Int, String, String)],
-      partitionFields: Seq[(String, String, Int)]) {
+      partitionFields: Seq[(String, String, Int)],
+      schemas: Map[Int, Seq[(Int, String, String)]] = Map.empty) {
     def schemaFieldNames: Seq[String] = schemaFields.map(_._2)
+    def schemaFieldsOf(schemaId: Int): Seq[(Int, String, String)] =
+      schemas.getOrElse(schemaId,
+        throw new IllegalArgumentException(s"no schema with id $schemaId"))
     def fieldName(id: Int): String = fieldOf(id)._2
     def fieldType(id: Int): String = fieldOf(id)._3
     private def fieldOf(id: Int): (Int, String, String) =
@@ -54,12 +61,19 @@ object IcebergRead {
       upperBounds: Map[Int, Array[Byte]] = Map.empty)
 
   /** Deserialize a spec Appendix-D single value for the bound kinds this
-    * reader prunes on: `long` little-endian 8 bytes, `string` UTF-8. */
+    * reader prunes on, by the TYPE'S byte width — `long` is 8-byte LE but
+    * `int` is 4-byte LE per the spec, so an external table with bounds on
+    * an int column must decode with getInt, not getLong (which would throw
+    * BufferUnderflowException on a conformant 4-byte buffer; ADVICE r12).
+    * `string` is UTF-8. */
   private def boundValue(icebergType: String, bytes: Array[Byte]): Either[Long, String] =
     icebergType match {
-      case "long" | "int" =>
+      case "long" =>
         Left(java.nio.ByteBuffer.wrap(bytes)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong)
+      case "int" =>
+        Left(java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong)
       case "string" => Right(new String(bytes, "UTF-8"))
       case other => throw new IllegalArgumentException(
         s"range pruning on $other bounds not supported")
@@ -99,13 +113,15 @@ object IcebergRead {
     val fv = root.get("format-version").asInt()
     require(fv == 2, s"expected format-version 2, got $fv")
     val currentSchemaId = root.get("current-schema-id").asInt()
-    val schema = iter(root.get("schemas"))
-      .find(_.get("schema-id").asInt() == currentSchemaId)
-      .getOrElse(throw new IllegalArgumentException(
+    val allSchemas: Map[Int, Seq[(Int, String, String)]] =
+      iter(root.get("schemas")).map { s =>
+        s.get("schema-id").asInt() -> iter(s.get("fields"))
+          .map(f => (f.get("id").asInt(), f.get("name").asText(),
+            f.get("type").asText())).toSeq
+      }.toMap
+    val fields = allSchemas.getOrElse(currentSchemaId,
+      throw new IllegalArgumentException(
         s"current-schema-id $currentSchemaId not in schemas"))
-    val fields = iter(schema.get("fields"))
-      .map(f => (f.get("id").asInt(), f.get("name").asText(),
-        f.get("type").asText())).toSeq
     val defaultSpecId = root.get("default-spec-id").asInt()
     val spec = iter(root.get("partition-specs"))
       .find(_.get("spec-id").asInt() == defaultSpecId)
@@ -115,11 +131,14 @@ object IcebergRead {
       (f.get("name").asText(), f.get("transform").asText(), f.get("source-id").asInt())
     }.toSeq
     val snaps = iter(root.get("snapshots")).map { s =>
+      // schema-id is optional per the spec; absent ⇒ the current schema
+      val sid = Option(s.get("schema-id")).map(_.asInt()).getOrElse(currentSchemaId)
       SnapshotInfo(s.get("snapshot-id").asLong(), s.get("sequence-number").asLong(),
-        s.get("timestamp-ms").asLong(), s.get("manifest-list").asText())
+        s.get("timestamp-ms").asLong(), s.get("manifest-list").asText(), sid)
     }.toSeq
     TableMeta(fv, root.get("table-uuid").asText(),
-      root.get("current-snapshot-id").asLong(), snaps, fields, partFields)
+      root.get("current-snapshot-id").asLong(), snaps, fields, partFields,
+      allSchemas)
   }
 
   private def iter(n: JsonNode): Iterator[JsonNode] = {
@@ -178,15 +197,21 @@ object IcebergRead {
       entries.filter(_.get("status").asInstanceOf[Int] != 2).map { e =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         val part = df.get("partition").asInstanceOf[GenericRecord]
+        // OPTIONAL fields: a foreign writer may omit them entirely, and a
+        // delete manifest under a different spec carries an empty partition
+        // struct — Avro's Record.get(name) THROWS on an absent field, so
+        // resolve through the record's own schema first
+        def opt(rec: GenericRecord, name: String): Option[AnyRef] =
+          Option(rec.getSchema.getField(name)).flatMap(f => Option(rec.get(f.pos())))
         val partVals = meta.partitionFields.map { case (name, _, _) =>
-          name -> String.valueOf(part.get(name))
+          name -> String.valueOf(opt(part, name).orNull)
         }.toMap
-        val eqIds = Option(df.get("equality_ids")).toSeq.flatMap { ids =>
+        val eqIds = opt(df, "equality_ids").toSeq.flatMap { ids =>
           import scala.jdk.CollectionConverters._
           ids.asInstanceOf[java.util.List[Integer]].asScala.map(_.intValue()).toSeq
         }
         def bounds(field: String): Map[Int, Array[Byte]] =
-          Option(df.get(field)).map { l =>
+          opt(df, field).map { l =>
             import scala.jdk.CollectionConverters._
             l.asInstanceOf[java.util.List[GenericRecord]].asScala.map { kv =>
               val buf = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
@@ -219,39 +244,109 @@ object IcebergRead {
     readSnapshot(spark, meta, meta.currentSnapshotId)
   }
 
-  /** Time travel: read a specific snapshot-id listed in the metadata.
-    * Applies the spec's v2 MERGE-ON-READ rule when the snapshot carries
-    * equality-delete files: an equality delete applies to every data file
-    * whose data sequence number is STRICTLY LOWER than the delete's — per
-    * key, a data row survives iff no later delete file contains its key
-    * (key columns resolved from the delete files' `equality_ids` through
-    * the metadata schema). ONE key-hash join at read time, exactly the
-    * trade Iceberg's own readers make. */
+  /** Spark type for an Iceberg primitive type name — used to NULL-backfill
+    * a schema column no live data file physically carries (a just-added
+    * column in an evolution chain). */
+  private def sparkType(icebergType: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    icebergType match {
+      case "long"        => LongType
+      case "int"         => IntegerType
+      case "string"      => StringType
+      case "double"      => DoubleType
+      case "float"       => FloatType
+      case "boolean"     => BooleanType
+      case "date"        => DateType
+      case "timestamptz" => TimestampType
+      case "timestamp"   => TimestampNTZType
+      case "binary"      => BinaryType
+      case d if d.startsWith("decimal") =>
+        val Array(p, s) = d.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
+        DecimalType(p, s)
+      case other => throw new IllegalArgumentException(s"unsupported iceberg type $other")
+    }
+  }
+
+  /** Canonical form of a file URI for position-delete matching: writers
+    * disagree on `file:/p` vs `file:///p`; the spec key is the data file's
+    * full URI, so both sides normalize before the equality join. */
+  private def canonUri(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "file:///")
+
+  /** Time travel: read a specific snapshot-id listed in the metadata,
+    * projected to THAT snapshot's schema (resolved through the metadata's
+    * schemas list by the snapshot's schema-id; columns no live file carries
+    * are NULL-backfilled — the spec's read-time evolution rule). Applies
+    * the v2 MERGE-ON-READ rules when the snapshot carries delete files:
+    *
+    *  - POSITION deletes (content 1, r13): a `(file_path, pos)` row deletes
+    *    that ordinal row of that data file, for data files with sequence
+    *    number ≤ the delete's — matched here against the parquet reader's
+    *    own `_metadata.file_path` / `_metadata.row_index` (no row-id
+    *    column needed in the data), one anti join;
+    *  - EQUALITY deletes (content 2): apply to data files with STRICTLY
+    *    LOWER data sequence — per key, a row survives iff no later delete
+    *    file contains its key (key columns resolved from `equality_ids`).
+    *    ONE key-hash join — exactly the trade Iceberg's own readers make. */
   def readSnapshot(spark: SparkSession, meta: TableMeta, snapshotId: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, max}
     val files = allFiles(spark, meta, snapshotId)
     val datas = files.filter(_.content == 0)
-    val dels = files.filter(_.content == 2)
+    val posDels = files.filter(_.content == 1)
+    val eqDels = files.filter(_.content == 2)
     require(datas.nonEmpty, s"snapshot $snapshotId lists no data files")
-    if (dels.isEmpty) spark.read.parquet(datas.map(_.path): _*)
-    else {
-      val keyNames = {
-        val idSets = dels.map(_.equalityIds).distinct
-        require(idSets.size == 1 && idSets.head.nonEmpty,
-          s"inconsistent equality_ids across delete files: $idSets")
-        idSets.head.map(meta.fieldName)
+    val snapInfo = meta.snapshots.find(_.snapshotId == snapshotId).get
+    // the snapshot's OWN schema (fall back to current for fixtures whose
+    // metadata predates the schemas map)
+    val outFields: Seq[(Int, String, String)] =
+      if (meta.schemas.nonEmpty) meta.schemaFieldsOf(snapInfo.schemaId)
+      else meta.schemaFields
+    def project(df: DataFrame): DataFrame = {
+      val present = df.columns.toSet
+      val filled = outFields.foldLeft(df) { case (d, (_, name, typ)) =>
+        if (present(name)) d else d.withColumn(name, lit(null).cast(sparkType(typ)))
       }
-      val dataDf = datas.groupBy(_.sequenceNumber).toSeq.map { case (s, fs) =>
-        spark.read.parquet(fs.map(_.path): _*).withColumn("__seq", lit(s))
+      filled.select(outFields.map(f => col(f._2)): _*)
+    }
+    if (posDels.isEmpty && eqDels.isEmpty)
+      project(spark.read.option("mergeSchema", "true").parquet(datas.map(_.path): _*))
+    else {
+      var dataDf = datas.groupBy(_.sequenceNumber).toSeq.sortBy(_._1).map { case (s, fs) =>
+        val base = spark.read.option("mergeSchema", "true").parquet(fs.map(_.path): _*)
+        val tagged = if (posDels.isEmpty) base
+          else base.withColumn("__fp", canonUri(col("_metadata.file_path")))
+            .withColumn("__pos", col("_metadata.row_index"))
+        tagged.withColumn("__seq", lit(s))
       }.reduce(_.unionByName(_, allowMissingColumns = true))
-      val delDf = dels.groupBy(_.sequenceNumber).toSeq.map { case (s, fs) =>
-        spark.read.parquet(fs.map(_.path): _*).withColumn("__dseq", lit(s))
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
-      val delMax = delDf.groupBy(keyNames.map(col): _*)
-        .agg(max(col("__dseq")).as("__dseq"))
-      dataDf.join(delMax, keyNames, "left_outer")
-        .filter(col("__dseq").isNull || col("__dseq") <= col("__seq"))
-        .drop("__seq", "__dseq")
+      if (posDels.nonEmpty) {
+        val pd = posDels.groupBy(_.sequenceNumber).toSeq.map { case (s, fs) =>
+          spark.read.parquet(fs.map(_.path): _*)
+            .select(canonUri(col("file_path")).as("__dfp"), col("pos").as("__dpos"),
+              lit(s).as("__pdseq"))
+        }.reduce(_ unionByName _)
+        dataDf = dataDf.join(pd,
+          dataDf("__fp") === pd("__dfp") && dataDf("__pos") === pd("__dpos") &&
+            dataDf("__seq") <= pd("__pdseq"),
+          "left_anti")
+      }
+      val merged =
+        if (eqDels.isEmpty) dataDf
+        else {
+          val keyNames = {
+            val idSets = eqDels.map(_.equalityIds).distinct
+            require(idSets.size == 1 && idSets.head.nonEmpty,
+              s"inconsistent equality_ids across delete files: $idSets")
+            idSets.head.map(meta.fieldName)
+          }
+          val delDf = eqDels.groupBy(_.sequenceNumber).toSeq.map { case (s, fs) =>
+            spark.read.parquet(fs.map(_.path): _*).withColumn("__dseq", lit(s))
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
+          val delMax = delDf.groupBy(keyNames.map(col): _*)
+            .agg(max(col("__dseq")).as("__dseq"))
+          dataDf.join(delMax, keyNames, "left_outer")
+            .filter(col("__dseq").isNull || col("__dseq") <= col("__seq"))
+        }
+      project(merged.drop("__seq", "__dseq", "__fp", "__pos"))
     }
   }
 

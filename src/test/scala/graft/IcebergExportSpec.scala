@@ -179,6 +179,38 @@ class IcebergExportSpec extends SparkSpec {
     assert(rows == (120L to 180L).map(i => (i, i * 2)))
   }
 
+  test("int-column bounds serialize 4-byte LE per spec Appendix D (ADVICE r12)") {
+    // an `int` Iceberg column (Spark IntegerType) must serialize its bounds
+    // as EXACTLY 4 little-endian bytes — strict external readers
+    // (exact-length unpack) reject 8-byte buffers — and the reader must
+    // decode by width (getInt), not getLong (BufferUnderflowException on a
+    // conformant table). Long columns stay 8 bytes.
+    val src = freshDir("intb_src"); val out = freshDir("intb_out")
+    val df = (1 to 300).map(i => (i, i.toLong * 2)).toDF("id_i", "v_l")
+    for (lo <- Seq(1, 101, 201))
+      VersionedTable.appendWithStats(
+        df.filter($"id_i" >= lo && $"id_i" < lo + 100), src, Seq("id_i", "v_l"))
+    val md = IcebergExport.export(spark, src, out)
+    val meta = IcebergRead.tableMeta(spark, md)
+    assert(meta.schemaFields == Seq((1, "id_i", "int"), (2, "v_l", "long")))
+    val all = IcebergRead.dataFiles(spark, meta, 3L)
+    assert(all.nonEmpty)
+    all.foreach { f =>
+      assert(f.lowerBounds(1).length == 4 && f.upperBounds(1).length == 4,
+        s"int bounds must be 4 bytes, got ${f.lowerBounds(1).length}")
+      assert(f.lowerBounds(2).length == 8 && f.upperBounds(2).length == 8,
+        s"long bounds must be 8 bytes, got ${f.lowerBounds(2).length}")
+    }
+    // and the width-aware decode actually prunes on the int column
+    val pruned = IcebergRead.prunedDataFiles(spark, meta, 3L, "id_i", "120", "180")
+    assert(pruned.nonEmpty && pruned.size < all.size,
+      s"pruned ${pruned.size} of ${all.size}")
+    val rows = IcebergRead.readRange(spark, meta, 3L, "id_i", "120", "180")
+      .filter($"id_i" >= 120 && $"id_i" <= 180)
+      .as[(Int, Long)].collect().sorted.toSeq
+    assert(rows == (120 to 180).map(i => (i, i.toLong * 2)))
+  }
+
   test("randomized append/upsertMor/delete chains read back exactly at every snapshot") {
     // torture the interop the way VersionedTableTortureSpec tortures the
     // table: random monotone op chains, then EVERY snapshot read through
@@ -213,6 +245,49 @@ class IcebergExportSpec extends SparkSpec {
           .as[(Long, String)].collect().sorted.toSeq
         val viaGraft = VersionedTable.readVersion(spark, src, v)
           .as[(Long, String)].collect().sorted.toSeq
+        assert(viaIceberg == viaGraft, s"trial $trial snapshot $v: " +
+          s"${viaIceberg.size} vs ${viaGraft.size} rows")
+      }
+    }
+  }
+
+  test("randomized PARTITIONED append/upsertMor/delete chains read back exactly") {
+    // the partitioned extension of the MOR chain fuzz (VERDICT r12 "Next
+    // round" #5): identity-partitioned data dirs (degenerate typ per
+    // commit), partition-scoped MOR upserts, GLOBAL cross-partition key
+    // deletes — every snapshot through the exported spec-1 global-delete
+    // metadata must equal graft's own read
+    val rnd = new scala.util.Random(13)
+    val parts = Seq("p0", "p1", "p2")
+    for (trial <- 1 to 2) {
+      val src = freshDir(s"pfuzz_src_$trial"); val out = freshDir(s"pfuzz_out_$trial")
+      var nextId = 1000L
+      def batch(n: Int, part: String, reuse: Boolean): org.apache.spark.sql.DataFrame = {
+        val rows = (1 to n).map { _ =>
+          val id = if (reuse && rnd.nextBoolean()) 1L + rnd.nextInt(150).toLong
+                   else { nextId += 1; nextId }
+          (id, part, s"t${trial}_v${rnd.nextInt(1000)}")
+        }
+        rows.toDF("id", "typ", "v")
+      }
+      for (p <- parts)
+        VersionedTable.appendWithStats(batch(30, p, reuse = false), src, Seq("typ"))
+      val ops = 4 + rnd.nextInt(3)
+      for (_ <- 1 to ops) rnd.nextInt(3) match {
+        case 0 => VersionedTable.appendWithStats(
+          batch(15, parts(rnd.nextInt(3)), reuse = false), src, Seq("typ"))
+        case 1 => VersionedTable.upsertMorWithStats(
+          batch(10, parts(rnd.nextInt(3)), reuse = true), src, Seq("id"), Seq("typ"))
+        case 2 => VersionedTable.deleteWhereKeys(
+          batch(6, "px", reuse = true).select($"id").distinct(), src, Seq("id"))
+      }
+      val md = IcebergExport.export(spark, src, out, partitionCols = Seq("typ"))
+      val meta = IcebergRead.tableMeta(spark, md)
+      for (v <- VersionedTable.versions(spark, src)) {
+        val viaIceberg = IcebergRead.readSnapshot(spark, meta, v.toLong)
+          .as[(Long, String, String)].collect().sorted.toSeq
+        val viaGraft = VersionedTable.readVersion(spark, src, v)
+          .as[(Long, String, String)].collect().sorted.toSeq
         assert(viaIceberg == viaGraft, s"trial $trial snapshot $v: " +
           s"${viaIceberg.size} vs ${viaGraft.size} rows")
       }
@@ -278,7 +353,7 @@ class IcebergExportSpec extends SparkSpec {
     assert(e4.getMessage.contains("42"), e4.getMessage)
   }
 
-  test("non-monotone chains and partitioned MOR fail loudly") {
+  test("non-monotone chains and stats-free partitioned MOR dirs fail loudly") {
     // an overwrite drops dirs — no faithful incremental Iceberg image
     val ow = freshDir("ow_src")
     VersionedTable.append(Seq((1L, "a")).toDF("id", "v"), ow)
@@ -287,13 +362,98 @@ class IcebergExportSpec extends SparkSpec {
       IcebergExport.export(spark, ow, freshDir("ow_out"))
     }
     assert(e2.getMessage.contains("append-only"), e2.getMessage)
-    // partitioned MOR is rejected (compact first)
+    // a partitioned export needs a degenerate partition bound on EVERY data
+    // dir: a plain upsertMor dir carries no stats — loud, names the fix
     val pm = freshDir("pm_src")
     VersionedTable.appendWithStats(Seq((1L, "t0", 1L)).toDF("id", "typ", "v"), pm, Seq("typ"))
     VersionedTable.upsertMor(Seq((1L, "t0", 2L)).toDF("id", "typ", "v"), pm, Seq("id"))
     val e3 = intercept[IllegalArgumentException] {
       IcebergExport.export(spark, pm, freshDir("pm_out"), partitionCols = Seq("typ"))
     }
-    assert(e3.getMessage.contains("MOR"), e3.getMessage)
+    assert(e3.getMessage.contains("no stats"), e3.getMessage)
+  }
+
+  test("partitioned MOR chain: global (spec-1) delete manifests, spec-0 data manifests") {
+    // the r12 loud rejection replaced (VERDICT r12 "Next round" #5):
+    // identity-partitioned data + equality deletes — deletes are partition-
+    // agnostic in graft, so they export under an UNPARTITIONED second spec
+    // (global equality deletes) and the reader's sequence rule still
+    // reproduces every snapshot
+    val src = freshDir("pmor_src"); val out = freshDir("pmor_out")
+    val base = (1L to 90L).map(i => (i, s"t${i % 3}", s"v$i")).toDF("id", "typ", "v")
+    for (t <- Seq("t0", "t1", "t2"))
+      VersionedTable.appendWithStats(base.filter($"typ" === t), src, Seq("typ"))
+    // MOR upsert scoped to ONE partition (dir stays degenerate on typ):
+    // updates + new keys in t1
+    VersionedTable.upsertMorWithStats(
+      ((3L to 30L by 3).map(i => (i, "t1", s"upd$i")) ++
+        Seq((301L, "t1", "new301"), (304L, "t1", "new304")))
+        .toDF("id", "typ", "v"), src, Seq("id"), Seq("typ"))
+    // cross-partition delete (global): every id % 10 == 5
+    VersionedTable.deleteWhereKeys((5L to 85L by 10L).map(Tuple1(_)).toDF("id"),
+      src, Seq("id"))
+    val md = IcebergExport.export(spark, src, out, partitionCols = Seq("typ"))
+    val meta = IcebergRead.tableMeta(spark, md)
+    // delete files exist and the data files still carry partition values
+    val dels = IcebergRead.deleteFiles(spark, meta, 5L)
+    assert(dels.nonEmpty && dels.forall(_.equalityIds == Seq(1)))
+    val datas = IcebergRead.dataFiles(spark, meta, 5L)
+    assert(datas.map(_.partition("typ")).toSet == Set("t0", "t1", "t2"))
+    // row-for-row at every snapshot through the exported chain
+    for (v <- VersionedTable.versions(spark, src)) {
+      val viaIceberg = IcebergRead.readSnapshot(spark, meta, v.toLong)
+        .as[(Long, String, String)].collect().sorted.toSeq
+      val viaGraft = VersionedTable.readVersion(spark, src, v)
+        .as[(Long, String, String)].collect().sorted.toSeq
+      assert(viaIceberg == viaGraft, s"snapshot $v")
+    }
+    // partition pruning still works on the data side
+    val t0 = IcebergRead.readPartition(spark, meta, 5L, "typ", "t0").count()
+    assert(t0 == 30L) // pruning is data-file-level (deletes not applied here)
+  }
+
+  test("additive schema evolution exports a schemas list with per-snapshot schema-ids") {
+    // r13, VERDICT r12 "Next round" #2: the r12 pinned "schema-id":0
+    // replaced by the spec's schemas-list model — a column keeps one
+    // chain-stable field id, each snapshot resolves its own schema, old
+    // rows NULL-backfill the added column on current reads
+    val src = freshDir("evo_src"); val out = freshDir("evo_out")
+    VersionedTable.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), src)
+    VersionedTable.append(
+      (101L to 200L).map(i => (i, s"v$i", i * 10)).toDF("id", "v", "w"), src)
+    VersionedTable.append(
+      (201L to 300L).map(i => (i, s"v$i", i * 10)).toDF("id", "v", "w"), src)
+    val md = IcebergExport.export(spark, src, out)
+    val meta = IcebergRead.tableMeta(spark, md)
+    assert(meta.schemas.keySet == Set(0, 1))
+    assert(meta.snapshots.map(_.schemaId) == Seq(0, 1, 1))
+    assert(meta.schemaFieldsOf(0) == Seq((1, "id", "long"), (2, "v", "string")))
+    assert(meta.schemaFields == Seq((1, "id", "long"), (2, "v", "string"), (3, "w", "long")))
+    // snapshot 1 reads with ITS schema (2 columns)
+    val v1 = IcebergRead.readSnapshot(spark, meta, 1L)
+    assert(v1.columns.toSeq == Seq("id", "v"))
+    assert(v1.count() == 100L)
+    // current read: 3 columns, w NULL for pre-evolution rows
+    val cur = IcebergRead.read(spark, out)
+    assert(cur.columns.toSeq == Seq("id", "v", "w"))
+    val rows = cur.as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(rows.size == 300)
+    assert(rows.take(100).forall(_._3.isEmpty))
+    assert(rows.drop(100).forall(r => r._3.contains(r._1 * 10)))
+    // every snapshot row-for-row vs graft (projected to its own schema)
+    for (v <- 2 to 3) {
+      val viaIceberg = IcebergRead.readSnapshot(spark, meta, v.toLong)
+        .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+      val viaGraft = VersionedTable.readVersion(spark, src, v)
+        .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+      assert(viaIceberg == viaGraft, s"snapshot $v")
+    }
+    // dropped columns / type changes fail loudly
+    val bad = freshDir("evo_bad_src")
+    VersionedTable.append(Seq((1L, "a")).toDF("id", "v"), bad)
+    VersionedTable.append(Seq((2L, 5L)).toDF("id", "v"), bad) // v: string -> long
+    intercept[Exception] {
+      IcebergExport.export(spark, bad, freshDir("evo_bad_out"))
+    }
   }
 }
