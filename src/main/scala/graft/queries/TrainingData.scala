@@ -47,7 +47,11 @@ object TrainingData {
     * 'aaaaa' → [aa, aa, a]), then the rebuild drops K+1 positions and
     * concatenates at K. Validated element-for-element against a local
     * python replay of the engine loop at sf0.001 and sf0.01 before
-    * registration. Callers append their tail: the merge-list UNION for
+    * registration. The merge is applied via LEFT JOIN ON TRUE (not CROSS
+    * JOIN) so the chain is a FIXPOINT under merge exhaustion: if a corpus
+    * runs out of pairs before `rounds` (t_r empty), every later s_r passes
+    * symbols through unchanged — matching the engine's early break —
+    * instead of going empty and zeroing bpe_encode's census (ADVICE r12). Callers append their tail: the merge-list UNION for
     * bpe_merges, the per-doc segmentation census (joining doc words to
     * `s{rounds}`) for bpe_encode.
     */
@@ -66,7 +70,7 @@ object TrainingData {
             SELECT s.w, s.freq, s.sym,
               list_filter(generate_series(1, len(s.sym)-1),
                 i -> s.sym[i] = t.l AND s.sym[i+1] = t.r) AS M
-            FROM $prev s CROSS JOIN $trank t)))"""
+            FROM $prev s LEFT JOIN $trank t ON TRUE)))"""
     val head = s"""s0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq,
         list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)) AS sym
       FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
