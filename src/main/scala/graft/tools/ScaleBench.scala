@@ -505,6 +505,99 @@ object ScaleBench {
       }
     }
 
+    // ---- interval-overlap grid-width A/B (r13, VERDICT r12 item 4) ------
+    // interval_overlap_join has been the worst pinned bench ratio two
+    // rounds running (1.29×, 1.43× — a sub-second entry). The plan shape is
+    // scale-correct (reference-cell dedup, no nested loop); the open
+    // question is GRID-WIDTH sensitivity at sf0.1: wider cells = fewer
+    // replicas but denser cells (more false pairs filtered post-join),
+    // narrower = the reverse. Sweep the width at sf0.1 (the bench's exact
+    // query, min-of-3 per width), and measure the 1×→10× scale slope at the
+    // production width to separate fixed overhead from a real defect.
+    if (earlyOnly.exists(_.contains("interval_overlap_ab"))) {
+      val dayUs = 86400000000L
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          org.apache.spark.sql.functions.unix_micros(col("o_orderdate")
+            .cast("timestamp")).as("start_us"))
+        .withColumn("end_us", col("start_us") + (col("o_orderkey") % 28 + 1) * lit(dayUs))
+        .cache()
+      o.count()
+      def run(src: DataFrame, widthDays: Double): Long = {
+        val a = src.select(col("o_custkey"), col("o_orderkey").as("ok_a"),
+          col("start_us").as("alo"), col("end_us").as("ahi"))
+        val b = src.select(col("o_custkey"), col("o_orderkey").as("ok_b"),
+          col("start_us").as("blo"), col("end_us").as("bhi"))
+        graft.operators.RangeJoin.intervalOverlap(a, b, "alo", "ahi", "blo", "bhi",
+            bucketWidth = widthDays * dayUs, keys = Seq("o_custkey"))
+          .filter(col("ok_a") < col("ok_b")).count()
+      }
+      for (w <- Seq(3.5, 7.0, 14.0, 28.0, 56.0)) {
+        val secs = (1 to 3).map(_ => time(run(o, w))._1)
+        println(s"""{"metric":"interval_overlap_ab","width_days":$w,""" +
+          s""""sec_min":${f"${secs.min}%.3f"},"runs":[${secs.map(s => f"$s%.3f").mkString(",")}]}""")
+      }
+      // scale slope at the production width (7d): 1× vs 10× replicated
+      // orders (disjoint custkey spaces — pair density constant per replica)
+      val o10 = (0 until 10).map(r => o
+          .withColumn("o_custkey", col("o_custkey") + lit(r * 10000000L))
+          .withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L)))
+        .reduce(_ unionByName _).cache()
+      o10.count()
+      val s1 = (1 to 3).map(_ => time(run(o, 7.0))._1).min
+      val s10 = (1 to 3).map(_ => time(run(o10, 7.0))._1).min
+      println(s"""{"metric":"interval_overlap_scale","width_days":7.0,""" +
+        s""""sec_1x":${f"$s1%.3f"},"sec_10x":${f"$s10%.3f"},"growth_10x":${f"${s10 / s1}%.2f"}}""")
+      o.unpersist(); o10.unpersist()
+    }
+
+    // ---- Iceberg export scale curve (r13, VERDICT r12 item 8) -----------
+    // The O(metadata) export claim measured: a C-commit chain at K× data
+    // size exports in time ~FLAT in K (the export never reads data — only
+    // parquet FOOTERS, one distributed pass, O(files) of them) and ~LINEAR
+    // in C (manifests + manifest lists are per-commit). Seeding is untimed.
+    if (earlyOnly.exists(_.contains("iceberg_export_scale"))) {
+      val ordersBase = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 100).cast("long").as("price_c"))
+      val hfs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def chain(k: Int, commits: Int): String = {
+        val tbl = s"$outDir/iceberg_scale_x${k}_c$commits"
+        hfs.delete(new org.apache.hadoop.fs.Path(tbl), true)
+        val seeded = (0 until k).map(r => ordersBase
+            .withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L)))
+          .reduce(_ unionByName _)
+          .withColumn("__slice", org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.hash(col("o_orderkey")), lit(commits)))
+          .cache()
+        seeded.count()
+        for (c <- 0 until commits) // untimed O(table) staging
+          graft.sinks.VersionedTable.append(
+            seeded.filter(col("__slice") === c).drop("__slice").coalesce(2), tbl)
+        seeded.unpersist()
+        tbl
+      }
+      // K sweep at fixed commits: flat-in-table-size claim
+      for (k <- Seq(1, 10, 30)) {
+        val tbl = chain(k, commits = 50)
+        val out = s"$outDir/iceberg_scale_out_x$k"
+        hfs.delete(new org.apache.hadoop.fs.Path(out), true)
+        val (sec, _) = time(graft.sinks.IcebergExport.export(spark, tbl, out))
+        println(s"""{"metric":"iceberg_export_scale","factor":$k,"commits":50,""" +
+          s""""sec":${f"$sec%.2f"}}""")
+      }
+      // commit sweep at fixed K: linear-in-commits claim
+      for (c <- Seq(200)) {
+        val tbl = chain(1, commits = c)
+        val out = s"$outDir/iceberg_scale_out_c$c"
+        hfs.delete(new org.apache.hadoop.fs.Path(out), true)
+        val (sec, _) = time(graft.sinks.IcebergExport.export(spark, tbl, out))
+        println(s"""{"metric":"iceberg_export_scale","factor":1,"commits":$c,""" +
+          s""""sec":${f"$sec%.2f"}}""")
+      }
+    }
+
     // ---- chain-closure A/B (r9 verdict item 7) --------------------------
     // The pathological-depth regime: a linked list `depth` deep, where the
     // frontier shape pays one shuffle round PER LEVEL and the path-doubling
