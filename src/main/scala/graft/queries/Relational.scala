@@ -2086,7 +2086,13 @@ object Relational {
         // RangeJoin.intervalOverlap grids both sides and keeps each pair
         // only in its reference cell — an equi-join on (custkey, cell) with
         // ZERO post-join dedup. Interval lengths derive deterministically
-        // from the key (as in interval_max_concurrency); 7-day grid cells.
+        // from the key (as in interval_max_concurrency). Grid width = 28d =
+        // the MAX interval length, so every interval spans ≤ 2 cells
+        // (replication ≤ 2× per side) — the r13 width sweep (ScaleBench
+        // interval_overlap_ab: 3.5d 1.33s / 7d 0.87s / 14d 0.64s / 28d
+        // 0.53s min-of-3 at sf0.1) showed the prior 7d cells paid ~4×
+        // replication for no density win because the join key already
+        // includes custkey (per-bucket candidate sets stay tiny).
         val dayUs = 86400000000L
         val o = table(s, d, "orders").select($"o_orderkey", $"o_custkey",
           micros($"o_orderdate").as("start_us"),
@@ -2097,7 +2103,7 @@ object Relational {
           $"start_us".as("blo"), $"end_us".as("bhi"))
         graft.operators.RangeJoin.intervalOverlap(a, b,
             "alo", "ahi", "blo", "bhi",
-            bucketWidth = 7.0 * dayUs, keys = Seq("o_custkey"))
+            bucketWidth = 28.0 * dayUs, keys = Seq("o_custkey"))
           .filter($"ok_a" < $"ok_b")
           .select($"o_custkey", $"ok_a", $"ok_b",
             (least($"ahi", $"bhi") - greatest($"alo", $"blo")).as("overlap_us"))

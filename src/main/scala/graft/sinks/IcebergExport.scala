@@ -309,8 +309,42 @@ object IcebergExport {
     // carries the DISTINCT schemas as a list with per-snapshot schema-ids —
     // exactly how the spec models evolution, replacing the r12 pinned
     // `"schema-id":0`.
-    val snapSchemas: Seq[StructType] =
-      versions.map(v => VersionedTable.readVersion(spark, tablePath, v).schema)
+    def absOf(d: String): String =
+      if (d.startsWith("/")) filesystem.makeQualified(new Path(d)).toString
+      else s"$tableAbs/$d"
+    // Per-snapshot schemas via a per-NEW-dir fold: each new dir contributes
+    // one single-footer schema read, so the whole chain costs O(dirs)
+    // footer reads. (Deriving each snapshot's schema with a mergeSchema
+    // readVersion would re-read EVERY accumulated footer per snapshot —
+    // O(commits²), measured 50→10 s vs 200→82 s on the r13 scale curve
+    // before this fold.) Field order matches Spark's mergeSchema rule:
+    // first-appearance, new fields appended. A column first appearing
+    // after the chain already has data is NULL-backfilled on reads of
+    // older rows, so it exports as optional whatever its dir footer says.
+    val snapSchemas: Seq[StructType] = {
+      var fields = Vector.empty[StructField]
+      var prevDirs = Set.empty[String]
+      val out = Seq.newBuilder[StructType]
+      snaps.foreach { snap =>
+        snap.dirs.filterNot(prevDirs).foreach { d =>
+          val firstDir = fields.isEmpty
+          spark.read.parquet(absOf(d)).schema.fields.foreach { f =>
+            fields.find(_.name == f.name) match {
+              case Some(existing) => require(existing.dataType == f.dataType,
+                s"iceberg export: column ${f.name} changed type " +
+                  s"(${existing.dataType} -> ${f.dataType}) — additive chains only")
+              case None =>
+                fields = fields :+ f.copy(nullable = f.nullable || !firstDir)
+            }
+          }
+        }
+        prevDirs = snap.dirs.toSet
+        // the snapshot's schema = the fields its dirs collectively carry,
+        // in first-appearance order (what a mergeSchema read surfaces)
+        out += StructType(fields)
+      }
+      out.result()
+    }
     val schema = snapSchemas.last // the current schema (superset under additive evolution)
     val fieldIdMap: Map[String, Int] = {
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
@@ -354,10 +388,6 @@ object IcebergExport {
     // partitioned; same schema as data when it isn't (spec 0 is empty too)
     val delEntrySchema =
       if (globalDeleteSpec) manifestEntrySchema(schema, Nil) else dataEntrySchema
-
-    def absOf(d: String): String =
-      if (d.startsWith("/")) filesystem.makeQualified(new Path(d)).toString
-      else s"$tableAbs/$d"
 
     // per-commit manifests: one DATA manifest (content 0) for the data dirs
     // a version adds, one DELETE manifest (content 1) for the equality-delete
