@@ -654,6 +654,44 @@ object Ingestion {
         "unpartitioned spec 1 — partition-scoped upserts stay exportable " +
         "via upsertMorWithStats, cross-partition deletes stay global"),
 
+    "iceberg_export_incremental" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // INCREMENTAL export (r13) — the deployment shape of a real
+        // exporter: export once, keep committing, EXTEND the export. The
+        // second call resolves the last exported version from
+        // version-hint.text, recovers the already-written manifests' info
+        // from the last manifest list (one Avro read — exported history is
+        // never re-read or re-written; the spec pins mtimes), and emits
+        // only the new snapshots' manifests/lists plus a fresh
+        // metadata.json over the FULL chain. The readback merges all four
+        // commits (append → export → append + MOR upsert →
+        // exportIncremental) from the extended metadata alone.
+        val p = tmp("iceberg_inc_src")
+        val out = tmp("iceberg_inc_out")
+        GraftTableWriter.drop(s, p)
+        GraftTableWriter.drop(s, out)
+        val o = table(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey",
+            (dec2($"o_totalprice") * 100).cast("long").as("price_c"))
+        VersionedTable.append(o.filter($"o_orderkey" % 2 === 0), p) // v1
+        graft.sinks.IcebergExport.export(s, p, out)                 // export v1
+        VersionedTable.append(o.filter($"o_orderkey" % 2 =!= 0), p) // v2
+        VersionedTable.upsertMor(o.filter($"o_orderkey" % 100 === 0)
+          .withColumn("price_c", $"price_c" + 10000L), p, Seq("o_orderkey")) // v3
+        graft.sinks.IcebergExport.exportIncremental(s, p, out)      // extend v2-v3
+        graft.sources.IcebergRead.read(s, out).orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 100 = 0
+            THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + 10000
+            ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END AS price_c
+        FROM orders ORDER BY o_orderkey"""),
+      "INCREMENTAL Iceberg v2 export: a second export call extends the " +
+        "existing chain (prior manifests recovered from the last manifest " +
+        "list, never re-read or re-written) — O(new commits) metadata per " +
+        "run, the real exporter's per-commit deployment shape"),
+
     "snapshot_expire" -> Q(
       (s, d) => {
         import s.implicits._

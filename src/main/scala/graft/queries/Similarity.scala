@@ -996,6 +996,89 @@ object Similarity {
         "vec-keyed self-join with dims-squared bounded fan-out — the " +
         "distributed sufficient-statistics block under PCA."),
 
+    "embedding_random_projection" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Johnson-Lindenstrauss RANDOM PROJECTION 64 → 16 dims (the cheap
+        // dimension-reduction step upstream of ANN indexing / clustering at
+        // 100 TB: O(n·d·k) map-side work, NO training pass — the contrast
+        // to embedding_pca_power's data-dependent direction). The
+        // projection matrix is a deterministic Achlioptas ±1 sign matrix
+        // derived from an LCG on the (output dim, input dim) pair — SQL-
+        // replayable, no RNG state anywhere — over the e6-quantized
+        // embeddings (ann_ivf_pq's exactness discipline), so every output
+        // coordinate is an exact BIGINT both engines agree on bit-for-bit.
+        // The sign reads LCG BIT 20 (state DIV 2^20, then parity), NOT the
+        // low bit: with an odd multiplier the low bit's parity depends only
+        // on the input index i (j·64 is even), which would make every
+        // output dimension identical — caught in the DuckDB pre-validation.
+        // Long output form (vec_id, out dim, value): one explode of 16
+        // per vector; the aggregate kernel is a codegen'd HOF fold —
+        // embarrassingly parallel, zero shuffles before the output sort.
+        val emb64 = emb(s, d).select($"vec_id",
+          transform($"embedding",
+            x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("q"))
+        emb64
+          .withColumn("j", explode(sequence(lit(1L), lit(16L))))
+          .withColumn("proj", expr(
+            """aggregate(sequence(1L, 64L), 0L, (acc, i) ->
+              acc + (CASE WHEN (((1103515245 * (j * 64 + i) + 12345) % 2147483648) DIV 1048576) % 2 = 0
+                     THEN 1 ELSE -1 END) * element_at(q, CAST(i AS INT)))"""))
+          .select($"vec_id", $"j", $"proj")
+          .orderBy($"vec_id", $"j")
+      },
+      Some("""WITH q AS (SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q
+          FROM embeddings),
+        j AS (SELECT CAST(unnest(generate_series(1, 16)) AS BIGINT) AS j)
+        SELECT vec_id, j,
+          CAST(list_sum(list_transform(generate_series(1, 64),
+            i -> (CASE WHEN (((1103515245 * (j * 64 + i) + 12345) % 2147483648) // 1048576) % 2 = 0
+                  THEN 1 ELSE -1 END) * q[i])) AS BIGINT) AS proj
+        FROM q CROSS JOIN j
+        ORDER BY vec_id, j"""),
+      "Johnson-Lindenstrauss random projection 64->16 (Achlioptas +-1 sign " +
+        "matrix from a deterministic LCG over e6-quantized vectors): the " +
+        "training-free dimension-reduction step before ANN/clustering - " +
+        "map-side HOF fold, no shuffle, exact integer output"),
+
+    "embedding_minmax_normalize" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Per-dimension MIN-MAX feature normalization (the preprocessing
+        // step before distance-based anything — unnormalized dimensions
+        // with wide ranges dominate L2/cosine): e6-quantized inputs, per-
+        // dim [min, max] over the corpus in ONE 64-row aggregate, then
+        // norm_e6 = (q − min)·1e6 // max(range, 1) — exact integer both
+        // engines (idiv ≡ //; numerator non-negative). The stats table is
+        // O(dims) and broadcast — a LEGITIMATE broadcast (64 rows at any
+        // corpus size); the normalize itself is map-side. Min-max, not
+        // z-score, deliberately: standardization needs sqrt(var) and libm
+        // sqrt is not bit-stable across engines — the quantile-transform
+        // alternative is percent_rank_normalize / quantile_normalize.
+        val ex = emb(s, d)
+          .select($"vec_id", posexplode($"embedding").as(Seq("p", "x")))
+          .select($"vec_id", ($"p" + 1).cast("long").as("dim"),
+            floor($"x".cast("double") * 1e6 + 0.5).cast("long").as("q"))
+        val st = ex.groupBy($"dim").agg(min($"q").as("mn"), max($"q").as("mx"))
+        ex.join(broadcast(st), "dim")
+          .select($"vec_id", $"dim",
+            idiv(($"q" - $"mn") * lit(1000000L),
+              greatest($"mx" - $"mn", lit(1L))).as("norm_e6"))
+          .orderBy($"vec_id", $"dim")
+      },
+      Some("""WITH ex AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+            CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+          FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+        st AS (SELECT dim, min(q) AS mn, max(q) AS mx FROM ex GROUP BY dim)
+        SELECT vec_id, dim,
+          CAST(((q - mn) * 1000000) // greatest(mx - mn, 1) AS BIGINT) AS norm_e6
+        FROM ex JOIN st USING (dim)
+        ORDER BY vec_id, dim"""),
+      "Per-dimension min-max normalization of the embedding corpus (exact " +
+        "e6 integers, one O(dims) stats aggregate broadcast back): the " +
+        "preprocessing gate before distance-based dedup/ANN/clustering."),
+
     "embedding_pca_power" -> Q(
       (s, d) => {
         import s.implicits._

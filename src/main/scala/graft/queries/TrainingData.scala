@@ -1399,6 +1399,93 @@ object TrainingData {
       "Count-based bigram LM score per doc (corpus-frequency sum / n_bigrams) - " +
         "the cheap fluency/quality filter, integer-exact."),
 
+    "doc_lm_trigram_backoff" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // TRIGRAM stupid-backoff LM scoring (Brants et al. 2007 — the
+        // CCNet-style perplexity quality gate, held-out for real): counts
+        // train on the EVEN docs, the ODD docs score against them, so
+        // unseen trigrams actually occur and the BACKOFF chain fires —
+        // S(w3|w1w2) = c3/c2ctx if the trigram was seen, else 0.4·c2/c1mid
+        // on the bigram, else 0.4·0.4·c1last/N on the unigram (0 when the
+        // word itself is unseen). All arithmetic is e6-scaled integer with
+        // truncating division (core.idiv ≡ DuckDB //), summed per doc — no
+        // libm, no doubles. Every count table derives from ONE trigram
+        // stream (c2 = last-two, c1 = middle/last marginals), and every
+        // join keys on its n-gram — the standard distributed LM-scoring
+        // shape: count tables are NEVER broadcast (O(vocab³) at corpus
+        // scale), both sides arrive hash-partitioned, AQE decides.
+        val toks = ascii_tokens(col("text"))
+        val tri = docs(s, d).select($"doc_id",
+            explode(filter(
+              zip_with(
+                zip_with(toks, slice(toks, 2, 1000000),
+                  (a, b) => struct(a.as("w1"), b.as("w2"))),
+                slice(toks, 3, 1000000),
+                (p, c) => struct(p.getField("w1").as("w1"),
+                  p.getField("w2").as("w2"), c.as("w3"))),
+              x => x.getField("w3").isNotNull)).as("t"))
+          .select($"doc_id", $"t.w1".as("w1"), $"t.w2".as("w2"), $"t.w3".as("w3"))
+        val train = tri.filter($"doc_id" % 2 === 0).drop("doc_id")
+        val test = tri.filter($"doc_id" % 2 =!= 0)
+        val c3 = train.groupBy($"w1", $"w2", $"w3").agg(count(lit(1)).as("c3"))
+        val c2ctx = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2ctx"))
+        val c2 = train.groupBy($"w2", $"w3").agg(count(lit(1)).as("c2"))
+        val c1m = train.groupBy($"w2").agg(count(lit(1)).as("c1m"))
+        val c1l = train.groupBy($"w3").agg(count(lit(1)).as("c1l"))
+        val n = train.agg(count(lit(1)).as("n"))
+        val e6 = lit(1000000L)
+        test
+          .join(c3, Seq("w1", "w2", "w3"), "left_outer")
+          .join(c2ctx, Seq("w1", "w2"), "left_outer")
+          .join(c2, Seq("w2", "w3"), "left_outer")
+          .join(c1m, Seq("w2"), "left_outer")
+          .join(c1l, Seq("w3"), "left_outer")
+          .crossJoin(broadcast(n))
+          .withColumn("s_e6",
+            when($"c3".isNotNull, idiv($"c3" * e6, $"c2ctx"))
+              .when($"c2".isNotNull, idiv(lit(4L) * idiv($"c2" * e6, $"c1m"), lit(10L)))
+              .otherwise(idiv(lit(4L) * idiv(lit(4L) *
+                idiv(coalesce($"c1l", lit(0L)) * e6, $"n"), lit(10L)), lit(10L))))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_trigrams"),
+            sum($"s_e6").as("score_e6"),
+            sum(when($"c3".isNotNull, 1L).otherwise(0L)).as("n_hit3"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+          FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+                FROM documents),
+            unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)),
+        train AS (SELECT w1, w2, w3 FROM t WHERE doc_id % 2 = 0),
+        test AS (SELECT * FROM t WHERE doc_id % 2 <> 0),
+        c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM train GROUP BY 1, 2, 3),
+        c2ctx AS (SELECT w1, w2, count(*) AS c2ctx FROM train GROUP BY 1, 2),
+        c2 AS (SELECT w2, w3, count(*) AS c2 FROM train GROUP BY 1, 2),
+        c1m AS (SELECT w2, count(*) AS c1m FROM train GROUP BY 1),
+        c1l AS (SELECT w3, count(*) AS c1l FROM train GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM train)
+        SELECT doc_id, count(*) AS n_trigrams,
+          CAST(sum(CASE
+            WHEN c3.c3 IS NOT NULL THEN (c3.c3 * 1000000) // c2ctx.c2ctx
+            WHEN c2.c2 IS NOT NULL THEN (4 * ((c2.c2 * 1000000) // c1m.c1m)) // 10
+            ELSE (4 * ((4 * ((coalesce(c1l.c1l, 0) * 1000000) // nn.n)) // 10)) // 10
+          END) AS BIGINT) AS score_e6,
+          CAST(sum(CASE WHEN c3.c3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit3
+        FROM test
+          LEFT JOIN c3 USING (w1, w2, w3)
+          LEFT JOIN c2ctx USING (w1, w2)
+          LEFT JOIN c2 USING (w2, w3)
+          LEFT JOIN c1m USING (w2)
+          LEFT JOIN c1l USING (w3)
+          CROSS JOIN nn
+        GROUP BY doc_id ORDER BY doc_id"""),
+      "Trigram stupid-backoff LM scoring, held-out (train on even docs, " +
+        "score odd docs so the 0.4-backoff chain actually fires): e6 " +
+        "integer arithmetic with truncating division, one trigram stream " +
+        "feeds every count table, all joins n-gram-keyed - the CCNet-style " +
+        "perplexity quality gate at corpus scale."),
+
     "inverted_index" -> Q(
       (s, d) => {
         import s.implicits._

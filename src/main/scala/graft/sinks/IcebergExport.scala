@@ -194,6 +194,29 @@ object IcebergExport {
       case _ => java.nio.ByteBuffer.wrap(v.getBytes("UTF-8"))
     }
 
+  /** Read all records of an Avro file this exporter previously wrote —
+    * the incremental-export resume path recovers prior ManifestInfo from
+    * the last manifest list instead of re-deriving (or re-writing) it. */
+  private def readAvroRows(filesystem: FileSystem, path: Path): Seq[GenericRecord] = {
+    val in = filesystem.open(path)
+    val bytes =
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+    val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+      new org.apache.avro.file.SeekableByteArrayInput(bytes),
+      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    try {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
+      while (reader.hasNext) rows += reader.next()
+      rows.toSeq
+    } finally reader.close()
+  }
+
   private def writeAvro(filesystem: FileSystem, path: Path, schema: Schema,
       meta: Map[String, String], rows: Seq[GenericRecord]): Long = {
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
@@ -262,8 +285,19 @@ object IcebergExport {
     *        ADDED, and per-entry sequences stay the absolute graft
     *        sequences, so MOR delete application is unchanged under
     *        slicing. */
+  /** @param resumeAfter versions ≤ this already have their manifests and
+    *        manifest lists on disk under `outPath/metadata` from a previous
+    *        [[export]] — reuse them (their ManifestInfo is recovered from
+    *        the LAST existing manifest list, one Avro read) and write only
+    *        the newer versions' metadata. This is the incremental-export
+    *        path ([[exportIncremental]]): per run it costs O(new dirs)
+    *        footer counts + O(new manifests) writes + one manifest list
+    *        per new snapshot — never re-reading or re-writing exported
+    *        history (the schema fold's one-footer-per-dir pass stays
+    *        O(total dirs), the price of chain-stable field ids). */
   def export(spark: SparkSession, tablePath: String, outPath: String,
-      partitionCols: Seq[String] = Nil, sinceVersion: Int = Int.MinValue): String = {
+      partitionCols: Seq[String] = Nil, sinceVersion: Int = Int.MinValue,
+      resumeAfter: Int = Int.MinValue): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val filesystem = new Path(tablePath).getFileSystem(conf)
     val tableAbs = filesystem.makeQualified(new Path(tablePath)).toString
@@ -409,7 +443,8 @@ object IcebergExport {
       snaps.zipWithIndex.flatMap { case (snap, i) =>
         val prevDirs = if (i == 0) Set.empty[String] else snaps(i - 1).dirs.toSet
         val prevDels = if (i == 0) Set.empty[(String, Int)] else snaps(i - 1).deletes.toSet
-        (snap.dirs.filterNot(prevDirs) ++
+        if (snap.version <= resumeAfter) Nil // manifests already on disk
+        else (snap.dirs.filterNot(prevDirs) ++
           snap.deletes.filterNot(prevDels).map(_._1))
           .flatMap(d => parquetFiles(d).map(_.getPath.toString))
       })
@@ -494,51 +529,79 @@ object IcebergExport {
           .get("record_count").asInstanceOf[Long]).sum, specId)
     }
 
+    // incremental resume: recover the already-exported manifests' info from
+    // the LAST existing manifest list (one Avro read) — never re-derive or
+    // re-write exported history
+    if (resumeAfter >= versions.head) {
+      require(versions.contains(resumeAfter),
+        s"iceberg export: resumeAfter $resumeAfter is not a graft version of $tablePath")
+      val lastList = new Path(metaDir, f"snap-$resumeAfter%05d.avro")
+      require(filesystem.exists(lastList),
+        s"iceberg export: no exported manifest list for v$resumeAfter at $lastList")
+      readAvroRows(filesystem, lastList).foreach { r =>
+        manifests += ManifestInfo(r.get("manifest_path").toString,
+          r.get("manifest_length").asInstanceOf[Long],
+          r.get("sequence_number").asInstanceOf[Long],
+          r.get("content").asInstanceOf[Int],
+          r.get("added_files_count").asInstanceOf[Int],
+          r.get("added_rows_count").asInstanceOf[Long],
+          r.get("partition_spec_id").asInstanceOf[Int])
+      }
+    }
+
     val snapshotEntries = snaps.zipWithIndex.map { case (snap, i) =>
       val seq = snap.version.toLong
       val snapshotId = seq
-      val commitSchemaJson = schemaJson(snapSchemas(i), snapSchemaIds(i), fieldId)
-      val prevDirs = if (i == 0) Set.empty[String] else snaps(i - 1).dirs.toSet
       val prevDels = if (i == 0) Set.empty[(String, Int)] else snaps(i - 1).deletes.toSet
-      val dataEntries = snap.dirs.filterNot(prevDirs).flatMap { d =>
-        entriesOf(snap, d, content = 0,
-          fileSeq = snap.dataSeq.getOrElse(d, 0).toLong, snapshotId)
-      }
-      manifests += writeManifest(new Path(metaDir, f"m-$seq%05d.avro"), 0, seq,
-        commitSchemaJson, dataEntries)
-      val delEntries = snap.deletes.filterNot(prevDels).flatMap { case (d, dseq) =>
-        entriesOf(snap, d, content = 2, fileSeq = dseq.toLong, snapshotId)
-      }
-      if (delEntries.nonEmpty)
-        manifests += writeManifest(new Path(metaDir, f"d-$seq%05d.avro"), 1, seq,
-          commitSchemaJson, delEntries)
-
-      // manifest LIST for this snapshot: every manifest up to and incl. seq
-      val listRows = manifests.toSeq.map { m =>
-        val r = new GenericData.Record(manifestListSchema)
-        r.put("manifest_path", m.path)
-        r.put("manifest_length", Long.box(m.length))
-        r.put("partition_spec_id", Int.box(m.specId))
-        r.put("content", Int.box(m.content)) // 0 = data, 1 = deletes
-        r.put("sequence_number", Long.box(m.seq))
-        r.put("min_sequence_number", Long.box(m.seq))
-        r.put("added_snapshot_id", Long.box(m.seq))
-        r.put("added_files_count", Int.box(m.addedFiles))
-        r.put("existing_files_count", Int.box(0))
-        r.put("deleted_files_count", Int.box(0))
-        r.put("added_rows_count", Long.box(m.addedRows))
-        r.put("existing_rows_count", Long.box(0L))
-        r.put("deleted_rows_count", Long.box(0L))
-        r: GenericRecord
-      }
-      val listPath = new Path(metaDir, f"snap-$snapshotId%05d.avro")
-      writeAvro(filesystem, listPath, manifestListSchema, Map.empty, listRows)
+      val hadDels = snap.deletes.filterNot(prevDels).nonEmpty
       // commit time = the graft manifest's own mtime (no wall-clock of ours)
       val ts = filesystem.getFileStatus(
         new Path(graftMeta, f"v${snap.version}%05d.json")).getModificationTime
-      // delete-producing commits are "overwrite" in Iceberg's summary
-      (snapshotId, seq, ts, listPath.toString,
-        if (delEntries.nonEmpty) "overwrite" else "append", snapSchemaIds(i))
+      val listPath = new Path(metaDir, f"snap-$snapshotId%05d.avro")
+      if (snap.version <= resumeAfter) {
+        // already exported: manifests + list are on disk, just rebuild the
+        // snapshot's metadata.json entry
+        (snapshotId, seq, ts, listPath.toString,
+          if (hadDels) "overwrite" else "append", snapSchemaIds(i))
+      } else {
+        val commitSchemaJson = schemaJson(snapSchemas(i), snapSchemaIds(i), fieldId)
+        val prevDirs = if (i == 0) Set.empty[String] else snaps(i - 1).dirs.toSet
+        val dataEntries = snap.dirs.filterNot(prevDirs).flatMap { d =>
+          entriesOf(snap, d, content = 0,
+            fileSeq = snap.dataSeq.getOrElse(d, 0).toLong, snapshotId)
+        }
+        manifests += writeManifest(new Path(metaDir, f"m-$seq%05d.avro"), 0, seq,
+          commitSchemaJson, dataEntries)
+        val delEntries = snap.deletes.filterNot(prevDels).flatMap { case (d, dseq) =>
+          entriesOf(snap, d, content = 2, fileSeq = dseq.toLong, snapshotId)
+        }
+        if (delEntries.nonEmpty)
+          manifests += writeManifest(new Path(metaDir, f"d-$seq%05d.avro"), 1, seq,
+            commitSchemaJson, delEntries)
+
+        // manifest LIST for this snapshot: every manifest up to and incl. seq
+        val listRows = manifests.toSeq.map { m =>
+          val r = new GenericData.Record(manifestListSchema)
+          r.put("manifest_path", m.path)
+          r.put("manifest_length", Long.box(m.length))
+          r.put("partition_spec_id", Int.box(m.specId))
+          r.put("content", Int.box(m.content)) // 0 = data, 1 = deletes
+          r.put("sequence_number", Long.box(m.seq))
+          r.put("min_sequence_number", Long.box(m.seq))
+          r.put("added_snapshot_id", Long.box(m.seq))
+          r.put("added_files_count", Int.box(m.addedFiles))
+          r.put("existing_files_count", Int.box(0))
+          r.put("deleted_files_count", Int.box(0))
+          r.put("added_rows_count", Long.box(m.addedRows))
+          r.put("existing_rows_count", Long.box(0L))
+          r.put("deleted_rows_count", Long.box(0L))
+          r: GenericRecord
+        }
+        writeAvro(filesystem, listPath, manifestListSchema, Map.empty, listRows)
+        // delete-producing commits are "overwrite" in Iceberg's summary
+        (snapshotId, seq, ts, listPath.toString,
+          if (delEntries.nonEmpty) "overwrite" else "append", snapSchemaIds(i))
+      }
     }
 
     val uuid = java.util.UUID.nameUUIDFromBytes(tableAbs.getBytes("UTF-8")).toString
@@ -577,5 +640,35 @@ object IcebergExport {
     hint.write(versions.last.toString.getBytes("UTF-8"))
     hint.close()
     mdPath.toString
+  }
+
+  /** Incremental export: extend an EXISTING export at `outPath` with the
+    * graft snapshots committed since it was written — the deployment shape
+    * of a real exporter (one metadata version per ingest commit). Resolves
+    * the last exported version from `version-hint.text`, reuses every
+    * already-written manifest and manifest list (recovered from the last
+    * list, one Avro read), and writes only the new versions' metadata plus
+    * a fresh metadata.json covering the FULL chain. Cost per run:
+    * O(new dirs) footer counts + O(new manifests) writes + one list per new
+    * snapshot — independent of exported history size (modulo the O(total
+    * dirs) single-footer schema fold). Idempotent when nothing is new. */
+  def exportIncremental(spark: SparkSession, tablePath: String, outPath: String,
+      partitionCols: Seq[String] = Nil, sinceVersion: Int = Int.MinValue): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val filesystem = new Path(outPath).getFileSystem(conf)
+    val hint = new Path(new Path(outPath, "metadata"), "version-hint.text")
+    require(filesystem.exists(hint),
+      s"iceberg export: no existing export at $outPath (version-hint.text missing) — run export() first")
+    val in = filesystem.open(hint)
+    val last =
+      try new String({
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      }, "UTF-8").trim.toInt
+      finally in.close()
+    export(spark, tablePath, outPath, partitionCols, sinceVersion, resumeAfter = last)
   }
 }

@@ -595,6 +595,17 @@ object ScaleBench {
         val (sec, _) = time(graft.sinks.IcebergExport.export(spark, tbl, out))
         println(s"""{"metric":"iceberg_export_scale","factor":1,"commits":$c,""" +
           s""""sec":${f"$sec%.2f"}}""")
+        // incremental extension: 5 more commits onto the 200-commit export —
+        // must cost ~O(5), not O(205) (exported history never re-read)
+        val extra = ordersBase.limit(5000)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(900000000L))
+        for (i <- 0 until 5)
+          graft.sinks.VersionedTable.append(
+            extra.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000L))
+              .coalesce(2), tbl)
+        val (incSec, _) = time(graft.sinks.IcebergExport.exportIncremental(spark, tbl, out))
+        println(s"""{"metric":"iceberg_export_incremental_scale","base_commits":$c,""" +
+          s""""new_commits":5,"sec":${f"$incSec%.2f"}}""")
       }
     }
 

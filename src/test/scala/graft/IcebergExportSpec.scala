@@ -294,6 +294,53 @@ class IcebergExportSpec extends SparkSpec {
     }
   }
 
+  test("incremental export extends the chain without touching exported metadata") {
+    // the deployment shape (r13): export once, keep committing, extend the
+    // export — already-written manifests/lists must not be re-read or
+    // re-written (prior ManifestInfo recovered from the last list), and the
+    // extended chain must read back exactly at every snapshot
+    val src = freshDir("inc_src"); val out = freshDir("inc_out")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    VersionedTable.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), src)   // v1
+    VersionedTable.upsertMor(Seq((7L, "u7"), (200L, "n200")).toDF("id", "v"), src, Seq("id")) // v2
+    IcebergExport.export(spark, src, out)
+    def mtimes(): Map[String, Long] = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$out/metadata")).toSeq
+      .filter(_.getPath.getName.endsWith(".avro"))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val before = mtimes()
+    assert(before.keySet == Set("m-00001.avro", "m-00002.avro", "d-00002.avro",
+      "snap-00001.avro", "snap-00002.avro"), before.keySet.toString)
+
+    VersionedTable.append((101L to 150L).map(i => (i, s"v$i")).toDF("id", "v"), src) // v3
+    VersionedTable.deleteWhereKeys(Seq(Tuple1(3L)).toDF("id"), src, Seq("id"))       // v4
+    val md = IcebergExport.exportIncremental(spark, src, out)
+    val after = mtimes()
+    // exported history untouched, byte-for-byte (mtime check)
+    before.foreach { case (name, t) =>
+      assert(after(name) == t, s"$name was rewritten by the incremental export")
+    }
+    assert(after.keySet == before.keySet ++
+      Set("m-00003.avro", "m-00004.avro", "d-00004.avro", "snap-00003.avro", "snap-00004.avro"))
+    val meta = IcebergRead.tableMeta(spark, md)
+    assert(meta.snapshots.map(_.snapshotId) == Seq(1L, 2L, 3L, 4L))
+    for (v <- 1 to 4) {
+      val viaIceberg = IcebergRead.readSnapshot(spark, meta, v.toLong)
+        .as[(Long, String)].collect().sorted.toSeq
+      val viaGraft = VersionedTable.readVersion(spark, src, v)
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(viaIceberg == viaGraft, s"snapshot $v")
+    }
+    // idempotent when nothing is new
+    IcebergExport.exportIncremental(spark, src, out)
+    assert(mtimes() == after, "no-op incremental export rewrote manifests")
+    // and loud without a prior export
+    val e = intercept[IllegalArgumentException] {
+      IcebergExport.exportIncremental(spark, src, freshDir("inc_empty"))
+    }
+    assert(e.getMessage.contains("version-hint"), e.getMessage)
+  }
+
   test("sinceVersion exports the post-compaction suffix faithfully") {
     // compact is a full rewrite (drops every dir) — the full chain rightly
     // fails the monotone check, and sinceVersion is the recourse: the
