@@ -235,6 +235,29 @@ object IcebergExport {
     try r.getRecordCount finally r.close()
   }
 
+  /** A dir's Spark schema from ONE raw parquet footer (~2 ms) — NOT via
+    * `spark.read.parquet(dir).schema`, whose DataFrame setup costs ~45 ms
+    * per call and made the schema fold the dominant term of incremental
+    * exports (10.8 s of a 200-dir chain's extension). Prefers the exact
+    * Spark schema the writer embedded in the footer key-value metadata;
+    * falls back to Spark's own parquet-type converter. */
+  private def dirSparkSchema(conf: org.apache.hadoop.conf.Configuration,
+      filesystem: FileSystem, dirAbs: String): StructType = {
+    val first = filesystem.listStatus(new Path(dirAbs)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName).headOption.getOrElse(
+        throw new IllegalArgumentException(s"iceberg export: no parquet files in $dirAbs"))
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(first.getPath, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val md = r.getFooter.getFileMetaData
+      Option(md.getKeyValueMetaData.get("org.apache.spark.sql.parquet.row.metadata"))
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
+        .getOrElse(new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetToSparkSchemaConverter(conf).convert(md.getSchema))
+    } finally r.close()
+  }
+
   /** Footer record counts for ALL exported files in ONE distributed pass:
     * a per-file footer read is tiny but it is still an I/O round-trip, and
     * a 100 TB table has ~10⁶ files — read them on executors (one Spark job,
@@ -362,7 +385,7 @@ object IcebergExport {
       snaps.foreach { snap =>
         snap.dirs.filterNot(prevDirs).foreach { d =>
           val firstDir = fields.isEmpty
-          spark.read.parquet(absOf(d)).schema.fields.foreach { f =>
+          dirSparkSchema(conf, filesystem, absOf(d)).fields.foreach { f =>
             fields.find(_.name == f.name) match {
               case Some(existing) => require(existing.dataType == f.dataType,
                 s"iceberg export: column ${f.name} changed type " +
