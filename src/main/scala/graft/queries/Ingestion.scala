@@ -150,6 +150,87 @@ object Ingestion {
         ORDER BY event_id"""),
       "live JDBC sharded page read: ORDER BY/OFFSET/FETCH pushed per shard into the database (SnowflakeProcessFunction.java:88-122)"),
 
+    "jdbc_timestamp_cdc" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The OTHER classic JDBC incremental mode (r13): timestamp-
+        // watermark CDC polling (Kafka Connect JDBC's `timestamp` mode —
+        // `WHERE updated_at > hwm` pushed into the database), which
+        // captures IN-PLACE UPDATES that the reference's ORDER BY/OFFSET
+        // paging structurally cannot see (a re-written row never re-enters
+        // a rank page). Same no-second-store discipline as
+        // streaming_jdbc_ingest: the high-watermark is DERIVED from the
+        // committed table (max(updated_us) of the merged MOR read), never
+        // tracked separately, so crash recovery is re-derivation. Three
+        // cycles against live Derby: (1) initial snapshot of the even
+        // rows; then odd rows are INSERTED and every %100==0 row UPDATED
+        // in place (bumped value, new monotone updated_us) via live SQL
+        // UPDATE; (2) pulls exactly the delta and MOR-upserts it — the
+        // update wins by key; (3) pulls zero rows (quiescent fixpoint,
+        // asserted). Strict `>` on a monotone update clock — the
+        // same-timestamp race Kafka Connect solves with the
+        // timestamp+incrementing tie-break is absent by construction here
+        // and documented as the production requirement.
+        val url = "jdbc:derby:memory:graft_cdc;create=true"
+        val jt = "events_cdc"
+        val p = tmp("jdbc_cdc_table")
+        GraftTableWriter.drop(s, p)
+        val ev = eventsTable(s, d).select($"event_id", $"event_type",
+          (dec4($"value") * 10000).cast("long").as("value_e4"),
+          micros($"ts").as("updated_us"))
+        ev.filter($"event_id" % 2 === 0)
+          .write.format("jdbc").option("url", url).option("dbtable", jt)
+          .option("createTableColumnTypes", "event_type VARCHAR(32)")
+          .mode(SaveMode.Overwrite).save()
+        def hwm(): Long =
+          if (VersionedTable.versions(s, p).isEmpty) Long.MinValue
+          else VersionedTable.read(s, p).agg(max($"updated_us")).head.getLong(0)
+        def cycle(): Long = {
+          val delta = s.read.format("jdbc").option("url", url)
+            .option("query",
+              s"""SELECT * FROM $jt WHERE "updated_us" > ${hwm()}""")
+            .load()
+          val n = delta.count()
+          if (n > 0) VersionedTable.upsertMor(delta, p, Seq("event_id"))
+          n
+        }
+        val n1 = cycle() // initial snapshot: all staged evens
+        // live mutations: odd rows arrive; %100==0 rows update IN PLACE
+        // (monotone update clock BEYOND any event epoch-micros ~1.7e15:
+        // inserts at 3e15+id, updates at 4e15+id)
+        ev.filter($"event_id" % 2 =!= 0)
+          .withColumn("updated_us", lit(3000000000000000L) + $"event_id")
+          .write.format("jdbc").option("url", url).option("dbtable", jt)
+          .mode(SaveMode.Append).save()
+        val stmtConn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = stmtConn.createStatement()
+          st.executeUpdate( // Derby spells modulo MOD(), not %
+            """UPDATE events_cdc SET "value_e4" = "value_e4" + 7770000,
+              |"updated_us" = 4000000000000000 + "event_id"
+              |WHERE MOD("event_id", 100) = 0""".stripMargin)
+          st.close()
+        } finally stmtConn.close()
+        val n2 = cycle() // exactly the delta: odd inserts + updated evens
+        val n3 = cycle() // quiescent: nothing new
+        require(n3 == 0L, s"quiescent cycle pulled $n3 rows")
+        require(n1 > 0L && n2 > 0L, s"cycles pulled ($n1, $n2) rows")
+        VersionedTable.read(s, p)
+          .select($"event_id", $"event_type", $"value_e4")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, event_type,
+          CASE WHEN event_id % 100 = 0
+            THEN CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) + 7770000
+            ELSE CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) END AS value_e4
+        FROM events ORDER BY event_id"""),
+      "Timestamp-watermark JDBC CDC (Kafka Connect timestamp mode): " +
+        "WHERE updated_at > hwm pushed into the database, hwm derived from " +
+        "the committed MOR table (no second store), in-place updates " +
+        "captured and merged by key - the incremental mode offset paging " +
+        "structurally misses, proven live against Derby with a quiescent " +
+        "fixpoint cycle."),
+
     "job_assembly_cycle" -> Q(
       (s, d) => {
         import s.implicits._
