@@ -821,6 +821,82 @@ object Streaming {
         "mid-stream, injected crash after a sink commit replayed and " +
         "refused — the reference deployment running end-to-end."),
 
+    "streaming_jdbc_cdc" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The STREAMING twin of jdbc_timestamp_cdc (r13 — Kafka Connect
+        // JDBC's timestamp mode live): a ProcessingTime query whose every
+        // micro-batch pulls `WHERE updated_us > hwm` from Derby (pushed
+        // into the database) and MOR-upserts the delta by key EXACTLY-ONCE
+        // (upsertMorOnce), the high-watermark derived from the committed
+        // merged table itself. Composed live: after the initial-snapshot
+        // commit, odd rows are INSERTED and every %100==0 row UPDATED IN
+        // PLACE via live SQL (monotone update clock); the next cycle pulls
+        // exactly that delta; a crash injected right AFTER its sink commit
+        // forces a restart whose redelivered batch finds hwm already
+        // advanced (re-derived from committed data — nothing re-applied,
+        // nothing lost), and the quiescent zero-row cycle drains the run.
+        // In-place updates are the case rank paging cannot see — this row
+        // and streaming_jdbc_ingest together cover both incremental modes
+        // as live streams.
+        val (_, out, ck) = Streams.workDirs("streaming_jdbc_cdc")
+        val url = "jdbc:derby:memory:graft_cdc_stream;create=true"
+        val jt = "events_cdc_s"
+        val tablePath = s"$out/table"
+        val ev = eventsTable(s, d).select($"event_id", $"event_type",
+          (dec4($"value") * 10000).cast("long").as("value_e4"),
+          micros($"ts").as("updated_us"))
+        ev.filter($"event_id" % 2 === 0)
+          .write.format("jdbc").option("url", url).option("dbtable", jt)
+          .option("createTableColumnTypes", "event_type VARCHAR(32)")
+          .mode(SaveMode.Overwrite).save()
+        @volatile var staged = false
+        @volatile var crashed = false
+        graft.streaming.JdbcPollStream.runCdcUntilDrained(s,
+          graft.streaming.JdbcPollStream.CdcConfig(
+            url = url, table = jt, keys = Seq("event_id"),
+            tsCol = "updated_us", tablePath = tablePath, checkpointDir = ck,
+            afterCommit = { cycle =>
+              if (cycle == 1L && !staged) {
+                // live source mutations while the stream runs: inserts +
+                // an in-place update (clock beyond any event epoch-micros)
+                ev.filter($"event_id" % 2 =!= 0)
+                  .withColumn("updated_us", lit(3000000000000000L) + $"event_id")
+                  .write.format("jdbc").option("url", url)
+                  .option("dbtable", jt).mode(SaveMode.Append).save()
+                val c = java.sql.DriverManager.getConnection(url)
+                try {
+                  val st = c.createStatement()
+                  st.executeUpdate( // Derby spells modulo MOD(), not %
+                    """UPDATE events_cdc_s SET "value_e4" = "value_e4" + 5550000,
+                      |"updated_us" = 4000000000000000 + "event_id"
+                      |WHERE MOD("event_id", 100) = 0""".stripMargin)
+                  st.close()
+                } finally c.close()
+                staged = true
+              }
+              if (cycle == 2L && !crashed) {
+                crashed = true
+                throw new RuntimeException(
+                  "injected crash: sink committed, checkpoint not")
+              }
+            }))
+        VersionedTable.read(s, tablePath)
+          .select($"event_id", $"event_type", $"value_e4")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, event_type,
+          CASE WHEN event_id % 100 = 0
+            THEN CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) + 5550000
+            ELSE CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) END AS value_e4
+        FROM events ORDER BY event_id"""),
+      "LIVE timestamp-watermark JDBC CDC stream: per-micro-batch " +
+        "WHERE updated_us > hwm pulls pushed into Derby, exactly-once MOR " +
+        "upserts by key, hwm derived from the committed merged table, " +
+        "in-place updates captured mid-stream, injected post-commit crash " +
+        "recovered by re-derivation - both JDBC incremental modes now run " +
+        "as streams."),
+
     "streaming_attribution" -> Q(
       (s, d) => {
         import s.implicits._

@@ -86,17 +86,55 @@ object JdbcPollStream {
     else VersionedTable.read(spark, tablePath)
       .agg(coalesce(max(col("cycle")), lit(0L))).head().getLong(0)
 
+  /** The shared ProcessingTime tick loop: a rate-source ticker (rows
+    * ignored; each micro-batch = one poll cycle, the checkpoint gives
+    * replayed batch ids across restarts), driven until `onTick` reports
+    * drained, restarting across up to `maxRestarts` failures; `onReset`
+    * fires before each (re)start so the poll recovers its state from
+    * committed data only. */
+  private def runTickLoop(spark: SparkSession, checkpointDir: String,
+      intervalMs: Long, timeoutMs: Long, maxRestarts: Int,
+      onTick: Long => Boolean, onReset: () => Unit): Unit = {
+    @volatile var drained = false
+    def runOnce(): Unit = {
+      val ticks = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+      val q = ticks.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (_: DataFrame, batchId: Long) =>
+          if (onTick(batchId)) drained = true
+        }
+        .trigger(Trigger.ProcessingTime(intervalMs))
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + timeoutMs
+        while (!drained && q.isActive && System.currentTimeMillis() < deadline)
+          q.awaitTermination(100)
+      } finally if (q.isActive) { q.stop(); q.awaitTermination() }
+    }
+    var restarts = 0
+    var done = false
+    while (!done) {
+      try { runOnce(); done = true }
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          restarts += 1
+          onReset()
+          if (restarts > maxRestarts) throw e
+      }
+    }
+    require(drained, s"jdbc poll stream did not drain within $timeoutMs ms")
+  }
+
   /** Run the polling stream until a full cycle returns no rows for any
     * shard, restarting (from the checkpoint) across up to `maxRestarts`
     * query failures. Throws if the poll loop has not drained by
     * `timeoutMs` per run or when restarts are exhausted. */
   def runUntilDrained(spark: SparkSession, cfg: Config): Unit = {
-    @volatile var drained = false
     // steady-state driver state (re-derived from the table when None):
     // the reference's per-shard ValueState offsets + the cycle counter
     @volatile var state: Option[(Map[String, Long], Long)] = None
 
-    def pollCycle(batchId: Long): Unit = {
+    def pollCycle(batchId: Long): Boolean = {
       val (offsets, lastCycle) = state.getOrElse {
         (committedOffsets(spark, cfg.tablePath, cfg.shardCol),
           committedCycle(spark, cfg.tablePath))
@@ -110,7 +148,7 @@ object JdbcPollStream {
         .localCheckpoint(true) // poll the database once; feeds count + append
       val counts = page.groupBy(col(cfg.shardCol)).agg(count(lit(1)).as("__n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (counts.isEmpty) { drained = true; return }
+      if (counts.isEmpty) return true // drained
       val cycle = lastCycle + 1
       cfg.beforeCommit(cycle)
       val committed = VersionedTable.appendOnce(
@@ -125,37 +163,65 @@ object JdbcPollStream {
         // replayed batch id: the committed table is the truth — re-derive
         state = None
       }
+      false
     }
 
-    def runOnce(): Unit = {
-      // the rate source is the processing-time TICKER (its rows are ignored;
-      // each micro-batch = one poll cycle), so the checkpoint gives replayed
-      // batch ids across restarts — the exactly-once handshake appendOnce needs
-      val ticks = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
-      val q = ticks.writeStream
-        .option("checkpointLocation", cfg.checkpointDir)
-        .foreachBatch { (_: DataFrame, batchId: Long) => pollCycle(batchId) }
-        .trigger(Trigger.ProcessingTime(cfg.intervalMs))
-        .start()
-      try {
-        val deadline = System.currentTimeMillis() + cfg.timeoutMs
-        while (!drained && q.isActive && System.currentTimeMillis() < deadline)
-          q.awaitTermination(100)
-      } finally if (q.isActive) { q.stop(); q.awaitTermination() }
-    }
+    runTickLoop(spark, cfg.checkpointDir, cfg.intervalMs, cfg.timeoutMs,
+      cfg.maxRestarts, pollCycle,
+      () => state = None) // recover offsets from committed data only
+  }
 
-    var restarts = 0
-    var done = false
-    while (!done) {
-      try { runOnce(); done = true }
-      catch {
-        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
-          restarts += 1
-          state = None // recover the offset state from committed data only
-          if (restarts > cfg.maxRestarts) throw e
+  /** Timestamp-watermark CDC as a LIVE stream (the streaming twin of the
+    * batch `jdbc_timestamp_cdc` row — Kafka Connect JDBC's `timestamp`
+    * mode running under ProcessingTime): every micro-batch pulls
+    * `WHERE tsCol > hwm` (pushed into the database) and MOR-upserts the
+    * delta by `keys` exactly-once ([[VersionedTable.upsertMorOnce]] —
+    * batch id atomic with the data+delete dirs). The high-watermark is
+    * DERIVED from the committed table (max(tsCol) of the merged MOR
+    * read) — same no-second-store discipline as the offset mode: crash
+    * after sink commit ⇒ replayed batch id refused, hwm re-derives;
+    * crash before ⇒ the redelivery re-pulls the same delta and commits
+    * once. In-place source updates are captured (the rank-paging mode
+    * structurally cannot see them) provided the update clock `tsCol` is
+    * monotone — the production same-timestamp race is solved by the
+    * timestamp+incrementing tie-break, documented not implemented. */
+  final case class CdcConfig(
+      url: String,
+      table: String,
+      keys: Seq[String],
+      tsCol: String,
+      tablePath: String,
+      checkpointDir: String,
+      intervalMs: Long = 50L,
+      timeoutMs: Long = 180000L,
+      maxRestarts: Int = 5,
+      afterCommit: Long => Unit = _ => ())
+
+  /** Highest committed update-clock value, from the merged table itself. */
+  def committedHwm(spark: SparkSession, tablePath: String, tsCol: String): Long =
+    if (VersionedTable.versions(spark, tablePath).isEmpty) Long.MinValue
+    else VersionedTable.read(spark, tablePath)
+      .agg(coalesce(max(col(tsCol)), lit(Long.MinValue))).head().getLong(0)
+
+  /** Run the CDC stream until a cycle pulls zero rows (quiescent), with
+    * the same restart/exactly-once contract as [[runUntilDrained]]. */
+  def runCdcUntilDrained(spark: SparkSession, cfg: CdcConfig): Unit = {
+    @volatile var cycles = 0L
+    def pollCycle(batchId: Long): Boolean = {
+      val hwm = committedHwm(spark, cfg.tablePath, cfg.tsCol)
+      val delta = spark.read.format("jdbc").option("url", cfg.url)
+        .option("query",
+          s"""SELECT * FROM ${cfg.table} WHERE "${cfg.tsCol}" > $hwm""")
+        .load()
+        .localCheckpoint(true) // pull once; feeds count + upsert
+      if (delta.isEmpty) return true // quiescent
+      if (VersionedTable.upsertMorOnce(delta, cfg.tablePath, cfg.keys, batchId)) {
+        cycles += 1
+        cfg.afterCommit(cycles)
       }
+      false
     }
-    require(drained,
-      s"jdbc poll stream did not drain within ${cfg.timeoutMs} ms")
+    runTickLoop(spark, cfg.checkpointDir, cfg.intervalMs, cfg.timeoutMs,
+      cfg.maxRestarts, pollCycle, () => ())
   }
 }
