@@ -642,6 +642,23 @@ object IcebergExport {
     // chain are written under — appended to the partition-specs list
     val globalSpecJson =
       if (globalDeleteSpec) ",{\"spec-id\":1,\"fields\":[]}" else ""
+    // metadata-log (spec "Table Metadata" previous-files list): every
+    // EARLIER vK.metadata.json already in the metadata dir, oldest first —
+    // populated by incremental exports, where each run leaves the prior
+    // metadata file as history exactly as a real Iceberg commit does
+    val metadataLogJson = filesystem.listStatus(metaDir).toSeq
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("v") && n.endsWith(".metadata.json") &&
+          n.stripPrefix("v").stripSuffix(".metadata.json").toIntOption
+            .exists(_ != versions.last)
+      }
+      .sortBy(p => p.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+      .map { p =>
+        val ts = filesystem.getFileStatus(p).getModificationTime
+        s"""{"timestamp-ms":$ts,"metadata-file":"${esc(p.toString)}"}"""
+      }.mkString("[", ",", "]")
     val metadataJson =
       s"""{"format-version":2,"table-uuid":"$uuid","location":"${esc(outAbs)}",
         "last-sequence-number":$lastSeq,"last-updated-ms":$lastTs,
@@ -654,7 +671,7 @@ object IcebergExport {
         "current-snapshot-id":${snapshotEntries.last._1},
         "snapshots":$snapsJson,
         "snapshot-log":$logJson,
-        "metadata-log":[]}"""
+        "metadata-log":$metadataLogJson}"""
     val mdPath = new Path(metaDir, s"v${versions.last}.metadata.json")
     val out = filesystem.create(mdPath, true)
     out.write(metadataJson.getBytes("UTF-8"))

@@ -324,6 +324,12 @@ class IcebergExportSpec extends SparkSpec {
       Set("m-00003.avro", "m-00004.avro", "d-00004.avro", "snap-00003.avro", "snap-00004.avro"))
     val meta = IcebergRead.tableMeta(spark, md)
     assert(meta.snapshots.map(_.snapshotId) == Seq(1L, 2L, 3L, 4L))
+    // metadata-log: the extension records the initial export's metadata
+    // file as history (spec previous-files list)
+    val mdJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(md.stripPrefix("file:"))), "UTF-8")
+    assert(mdJson.contains(""""metadata-file":""") &&
+      mdJson.contains("v2.metadata.json"), "metadata-log missing the prior export")
     for (v <- 1 to 4) {
       val viaIceberg = IcebergRead.readSnapshot(spark, meta, v.toLong)
         .as[(Long, String)].collect().sorted.toSeq
