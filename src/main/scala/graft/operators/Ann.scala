@@ -343,6 +343,108 @@ object Ann {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** e3-quantize an embedding frame (the shared integer-twin discipline):
+    * `floor(x·scale + 0.5)` per coordinate as BIGINT — replayed verbatim by
+    * every quantized-family DuckDB oracle. */
+  private def quantized(df: DataFrame, id: String, vec: String,
+      scale: Long): DataFrame =
+    df.select(col("vec_id").as(id),
+      transform(col("embedding").cast("array<double>"),
+        x => floor(x * scale + 0.5).cast("long")).as(vec))
+
+  /** Integer squared L2 between two quantized vectors (codegen'd HOF fold). */
+  private def l2sqQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, t) => acc + t)
+
+  /** Exact integer-L2² top-K over e3-quantized vectors — the GROUND TRUTH
+    * twin of [[ivfTopKQuantized]] (same metric, same quantization, no
+    * pruning), so recall evaluation compares like against like. Queries
+    * broadcast; candidates stream map-side; the only shuffle is the tiny
+    * per-query top-K window.
+    */
+  def bruteForceTopKQuantized(queries: DataFrame, candidates: DataFrame,
+      k: Int, scale: Long = 1000L): DataFrame = {
+    val q = quantized(queries, "query_id", "qv", scale)
+    val c = quantized(candidates, "neighbor_id", "cv", scale)
+    val w = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
+    broadcast(q).crossJoin(c)
+      .select(col("query_id"), col("neighbor_id"), l2sqQ(col("qv"), col("cv")).as("d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("d2"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Max-min MMR diversification (Carbonell & Goldstein 1998, the distance
+    * form): per query, greedily pick `k` results from the `shortlist`
+    * nearest candidates maximizing
+    *   score = (lamDen−lamNum)·min_{s∈selected} d²(c,s) − lamNum·d²(q,c)
+    * — relevance (near the query) traded against diversity (far from what
+    * is already picked), λ = lamNum/lamDen. All-integer on the e3-quantized
+    * vectors, ties break toward the lower neighbor_id, the first pick is
+    * pure relevance (rank 1 by d²). Scale: the shortlist is O(k·rerank) per
+    * query (the corpus never enters the greedy loop), pairwise distances
+    * are shortlist², and the k rounds unroll as a lazy plan — no
+    * driver-side collect.
+    *
+    * @return (query_id, round, neighbor_id, d2q, div_min, score10) — one
+    *         row per greedy pick; div_min/score10 are NULL on round 1.
+    */
+  def mmrDiversifiedTopK(queries: DataFrame, candidates: DataFrame,
+      shortlist: Int, k: Int, lamNum: Long = 7L, lamDen: Long = 10L,
+      scale: Long = 1000L, checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1 && shortlist >= k, "need shortlist >= k >= 1")
+    val ckpt = new Checkpointer(checkpointDir)
+    val q = quantized(queries, "query_id", "qv", scale)
+    val c = quantized(candidates, "neighbor_id", "cv", scale)
+    val wSl = Window.partitionBy("query_id").orderBy(col("d2q"), col("neighbor_id"))
+    val sl = broadcast(q).crossJoin(c)
+      .select(col("query_id"), col("neighbor_id"), col("cv"),
+        l2sqQ(col("qv"), col("cv")).as("d2q"))
+      .withColumn("srank", row_number().over(wSl))
+      .filter(col("srank") <= shortlist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pairwise integer L2² within each query's shortlist: O(shortlist²)
+      // per query — tiny, but its min-join re-enters every greedy round,
+      // so truncate it once (the rounds then read blocks, not the corpus)
+      val pairs = ckpt(sl.select(col("query_id"), col("neighbor_id").as("cid"), col("cv"))
+        .join(sl.select(col("query_id"), col("neighbor_id").as("sid"),
+          col("cv").as("sv")), "query_id")
+        .filter(col("cid") =!= col("sid"))
+        .select(col("query_id"), col("cid"), col("sid"),
+          l2sqQ(col("cv"), col("sv")).as("d2cs")))
+      val cand = ckpt(sl.select(col("query_id"), col("neighbor_id"), col("d2q")))
+      var selected = ckpt(sl.filter(col("srank") === 1)
+        .select(col("query_id"), lit(1L).as("round"), col("neighbor_id"),
+          col("d2q"), lit(null).cast("long").as("div_min"),
+          lit(null).cast("long").as("score10")))
+      for (r <- 2 to k) {
+        val selIds = selected.select(col("query_id"), col("neighbor_id").as("sid"))
+        val rem = cand.join(selIds.withColumnRenamed("sid", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        val wPick = Window.partitionBy("query_id")
+          .orderBy(col("score10").desc, col("neighbor_id"))
+        val next = rem
+          .join(pairs.withColumnRenamed("cid", "neighbor_id"), Seq("query_id", "neighbor_id"))
+          .join(selIds, Seq("query_id", "sid"))
+          .groupBy(col("query_id"), col("neighbor_id"), col("d2q"))
+          .agg(min(col("d2cs")).as("div_min"))
+          .withColumn("score10",
+            lit(lamDen - lamNum) * col("div_min") - lit(lamNum) * col("d2q"))
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), lit(r.toLong).as("round"), col("neighbor_id"),
+            col("d2q"), col("div_min"), col("score10"))
+        val prev = selected
+        selected = ckpt(selected.unionByName(next))
+        ckpt.retire(prev)
+      }
+      selected.orderBy("query_id", "round")
+    } finally sl.unpersist(blocking = true) // see ivfPq's finally
+  }
+
   /** Per-dimension mean vector per `label` — the deterministic stand-in for a
     * k-means codebook (at scale: train on a sample, broadcast the codebook).
     * Computed distributedly via posexplode + per-(label,pos) avg.

@@ -3567,6 +3567,274 @@ object Analytics {
       "Two-proportion conversion z^2 as one exact e6-floored rational " +
         "(pooled variance, parity arms, degenerate-arm guard) — the rate " +
         "companion to ab_welch_t and cuped_adjusted_ab.")
+    ,
+
+    "multiple_testing_bh" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Benjamini-Hochberg FDR control over a FAMILY of tests — the
+        // multiple-comparisons completion of the A/B family (ab_welch_t /
+        // ab_conversion_z2 test ONE hypothesis; a real experimentation
+        // platform runs dozens concurrently and must control the false
+        // discovery rate across them). Family = 24 user-hash buckets (the
+        // classic A/A calibration audit: every bucket SHOULD accept), each
+        // bucket's premium-conversion rate tested against the REST via the
+        // ab_conversion_z2 pooled two-proportion rational (arm g vs
+        // complement is exactly the two-sample case). p-values enter as
+        // the CHEBYSHEV bound p ≤ 1/z² (an exact rational — the normal CDF
+        // would leave integer arithmetic; the bound is conservative and
+        // ORDER-FAITHFUL, which is all BH consumes): p_e6 = min(10⁶,
+        // 10¹² div max(z2_e6, 1)). The BH step-up is then pure windowing
+        // on the O(arms) aggregate: rank ascending by (p, arm),
+        // p_adj(i) = min_{j≥i} floor(p_j·m / j) capped at 10⁶, reject at
+        // α = 0.05. Scale: ONE user-keyed combine + one 24-group
+        // aggregate; the rank/suffix-min windows run on 24 post-agg rows.
+        // DECIMAL(38,0) products guard loudly (10⁶·num²·N crosses 10³⁸
+        // near ~10⁸ users — pre-scale the counts past that).
+        val d38 = DecimalType(38, 0)
+        val pu = eventsTable(s, d)
+          .groupBy($"user_id")
+          .agg(max(when($"event_type" === "purchase"
+              && (dec2($"value") * 100).cast(LongType) >= 9000L, 1L)
+            .otherwise(0L)).as("conv"))
+          .withColumn("arm", pmod($"user_id", lit(24L)))
+        val byArm = pu.groupBy($"arm")
+          .agg(count(lit(1)).cast(d38).as("n1"), sum($"conv").cast(d38).as("c1"))
+        val tot = byArm.agg(sum($"n1").cast(d38).as("nn"), sum($"c1").cast(d38).as("cc"))
+        val st = byArm.crossJoin(broadcast(tot))
+          .select($"arm", $"n1", $"c1",
+            ($"nn" - $"n1").as("n2"), ($"cc" - $"c1").as("c2"))
+        val num = $"c1" * $"n2" - $"c2" * $"n1"
+        val den = $"n1" * $"n2" * ($"c1" + $"c2") * ($"n1" + $"n2" - $"c1" - $"c2")
+        val zNum = lit(1000000L).cast(d38) * num * num * ($"n1" + $"n2")
+        val zGuarded = when(zNum.isNull || den.isNull, raise_error(lit(
+            "multiple_testing_bh: DECIMAL(38,0) overflow - pre-scale the " +
+              "counts (see scaladoc)")))
+          .otherwise(idiv(zNum, den).cast(LongType))
+        val z2 = st.select($"arm", $"n1".cast(LongType).as("n_users"),
+            $"c1".cast(LongType).as("n_conv"),
+            when(den === 0, 0L).otherwise(zGuarded).as("z2_e6"))
+          .withColumn("p_e6", least(lit(1000000L),
+            idiv(lit(1000000000000L), greatest($"z2_e6", lit(1L)))))
+        // O(arms) frame from here: global windows are 24 rows, not corpus
+        val wRank = org.apache.spark.sql.expressions.Window
+          .orderBy($"p_e6", $"arm")
+        val ranked = z2
+          .withColumn("rnk", row_number().over(wRank).cast(LongType))
+          .withColumn("m", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+        val wSuffix = org.apache.spark.sql.expressions.Window.orderBy($"rnk")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        ranked
+          .withColumn("p_adj_e6",
+            min(least(lit(1000000L), idiv($"p_e6" * $"m", $"rnk"))).over(wSuffix))
+          .select($"arm", $"n_users", $"n_conv", $"z2_e6", $"p_e6", $"rnk",
+            $"p_adj_e6",
+            when($"p_adj_e6" <= 50000L, 1L).otherwise(0L).as("reject"))
+          .orderBy($"arm")
+      },
+      Some("""WITH pu AS (SELECT user_id,
+            CAST(max(CASE WHEN event_type = 'purchase'
+              AND CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >= 9000
+              THEN 1 ELSE 0 END) AS HUGEINT) AS conv
+          FROM events GROUP BY 1),
+        a AS (SELECT user_id % 24 AS arm, CAST(count(*) AS HUGEINT) AS n1,
+            sum(conv) AS c1 FROM pu GROUP BY 1),
+        t AS (SELECT sum(n1) AS nn, sum(c1) AS cc FROM a),
+        st AS (SELECT arm, n1, c1, (SELECT nn FROM t) - n1 AS n2,
+            (SELECT cc FROM t) - c1 AS c2 FROM a),
+        z AS (SELECT arm, CAST(n1 AS BIGINT) AS n_users, CAST(c1 AS BIGINT) AS n_conv,
+            CAST(CASE WHEN n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2) = 0 THEN 0
+              ELSE (1000000 * (c1 * n2 - c2 * n1) * (c1 * n2 - c2 * n1) * (n1 + n2))
+                // (n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2)) END AS BIGINT) AS z2_e6
+          FROM st),
+        p AS (SELECT arm, n_users, n_conv, z2_e6,
+            least(1000000, 1000000000000 // greatest(z2_e6, 1)) AS p_e6 FROM z),
+        r AS (SELECT arm, n_users, n_conv, z2_e6, p_e6,
+            row_number() OVER (ORDER BY p_e6, arm) AS rnk,
+            count(*) OVER () AS m FROM p),
+        adj AS (SELECT *, min(least(1000000, (p_e6 * m) // rnk))
+            OVER (ORDER BY rnk ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            AS p_adj_e6 FROM r)
+        SELECT CAST(arm AS BIGINT) AS arm, n_users, n_conv, z2_e6,
+          CAST(p_e6 AS BIGINT) AS p_e6, CAST(rnk AS BIGINT) AS rnk,
+          CAST(p_adj_e6 AS BIGINT) AS p_adj_e6,
+          CAST(CASE WHEN p_adj_e6 <= 50000 THEN 1 ELSE 0 END AS BIGINT) AS reject
+        FROM adj ORDER BY arm"""),
+      "Benjamini-Hochberg FDR over a 24-bucket A/A test family: per-bucket " +
+        "two-proportion z^2 vs the rest (exact e6 rational), Chebyshev " +
+        "p-bound 1/z^2 (order-faithful, integer-exact), BH step-up as " +
+        "suffix-min windowing on the O(arms) aggregate."),
+
+    "brown_forsythe_variance" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Brown-Forsythe test (median-based Levene): DO THE ARMS' VARIANCES
+        // differ — the heteroscedasticity check that decides whether
+        // anova_oneway's equal-variance assumption holds (the classic
+        // pre-test before pooling). W = one-way ANOVA F over the absolute
+        // deviations z_ij = |x_ij − median_g|; the median (not the mean)
+        // makes it robust to the heavy tails this corpus has. Exactness:
+        // per-arm LOW median (smallest value whose inclusive cumulative
+        // count reaches ceil(n_g/2)) from the O(distinct) PrefixSum rank
+        // table — the kruskal_wallis/weighted_median discipline, no
+        // corpus-wide sort — then z is pure integer cents, and the F on z
+        // reuses anova_oneway's mirrored per-group floored S²/n terms
+        // verbatim. Scale: one O(distinct) aggregate + prefix scan for the
+        // medians, one broadcast of the O(arms) median map, two aggregates
+        // for the F — never a per-row window over the corpus.
+        val d38 = DecimalType(38, 0)
+        val rows = eventsTable(s, d).select($"event_type".as("arm"),
+          (dec2($"value") * 100).cast(LongType).as("vc"))
+        val byVal = rows.groupBy($"arm", $"vc").agg(count(lit(1)).as("cnt"))
+        val cum = graft.operators.PrefixSum
+          .groupedRunningTotal(byVal, Seq("arm"), Seq(col("vc")), "cnt", "cum")
+        val nArm = rows.groupBy($"arm").agg(count(lit(1)).as("n_g0"))
+        val med = cum.join(broadcast(nArm), "arm")
+          .filter($"cum" >= idiv($"n_g0" + 1L, lit(2L)))
+          .groupBy($"arm").agg(min($"vc").as("med"))
+        val z = rows.join(broadcast(med), "arm")
+          .select($"arm", abs($"vc" - $"med").as("zc"))
+        val g = z.groupBy($"arm")
+          .agg(count(lit(1)).as("n_g"), sum($"zc").as("s_g"),
+            sum($"zc".cast(d38) * $"zc".cast(d38)).as("ss_g"))
+        def toLongGuarded(c: org.apache.spark.sql.Column, name: String) =
+          when(abs(c) > lit(Long.MaxValue), raise_error(concat(
+            lit(s"brown_forsythe_variance: $name overflows BIGINT: "),
+            c.cast("string")))).otherwise(c).cast("long")
+        val sg2 = $"s_g".cast(d38) * $"s_g".cast(d38)
+        val sg2Guarded = when(
+          sg2 > lit(Long.MaxValue).cast(d38) * $"n_g".cast(d38),
+          raise_error(concat(
+            lit("brown_forsythe_variance: per-group S_g^2/n_g overflows BIGINT: "),
+            sg2.cast("string")))).otherwise(sg2)
+        val agg = g.agg(
+          count(lit(1)).as("k"), sum($"n_g").as("n"),
+          sum($"s_g").as("s"), sum($"ss_g").as("ss"),
+          sum(idiv(sg2Guarded, $"n_g".cast(d38)).cast(d38)).as("a"))
+        agg.select($"k", $"n",
+            toLongGuarded($"a" - idiv($"s".cast(d38) * $"s".cast(d38),
+              $"n".cast(d38)).cast(d38), "ssb").as("ssb_z"),
+            toLongGuarded($"ss" - $"a", "ssw").as("ssw_z"))
+          .select($"k", $"n", $"ssb_z", $"ssw_z",
+            idiv(lit(1000000L).cast(d38) * $"ssb_z".cast(d38) * ($"n" - $"k").cast(d38),
+              greatest($"ssw_z".cast(d38) * ($"k" - 1).cast(d38), lit(1L).cast(d38)))
+              .cast("long").as("w_e6"))
+      },
+      Some("""WITH r AS (SELECT event_type AS arm,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM events),
+          g0 AS (SELECT arm, count(*) AS n_g0 FROM r GROUP BY 1),
+          bv AS (SELECT arm, vc, count(*) AS cnt FROM r GROUP BY 1, 2),
+          c AS (SELECT arm, vc, sum(cnt) OVER (PARTITION BY arm ORDER BY vc) AS cum FROM bv),
+          med AS (SELECT c.arm, min(vc) AS med
+            FROM c JOIN g0 ON g0.arm = c.arm WHERE cum >= (n_g0 + 1) // 2 GROUP BY 1),
+          z AS (SELECT r.arm, abs(vc - med) AS zc FROM r JOIN med ON med.arm = r.arm),
+          g AS (SELECT arm, count(*) AS n_g, CAST(sum(zc) AS BIGINT) AS s_g,
+              sum(CAST(zc AS HUGEINT) * zc) AS ss_g FROM z GROUP BY 1),
+          t AS (SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+              CAST(sum(s_g) AS BIGINT) AS s, sum(ss_g) AS ss,
+              sum((CAST(s_g AS HUGEINT) * s_g) // n_g) AS a FROM g)
+        SELECT k, n,
+          CAST(a - (CAST(s AS HUGEINT) * s) // n AS BIGINT) AS ssb_z,
+          CAST(ss - a AS BIGINT) AS ssw_z,
+          CAST((1000000 * (a - (CAST(s AS HUGEINT) * s) // n) * (n - k))
+            // greatest((ss - a) * (k - 1), 1) AS BIGINT) AS w_e6
+        FROM t"""),
+      "Brown-Forsythe (median-based Levene) variance-equality W: per-arm " +
+        "low median from the O(distinct) PrefixSum rank table, integer " +
+        "|x - med| deviations, anova_oneway's mirrored floored F on z — " +
+        "the heteroscedasticity pre-test for the ANOVA family."),
+
+    "ar2_yule_walker" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // AR(2) fit by Yule-Walker over the daily order-count series — the
+        // parametric completion of the time-series family (autocorr_lags
+        // EXPOSES the autocovariances; this SOLVES them: the 2×2 Toeplitz
+        // system has the closed form φ₁ = c₁(c₀−c₂)/(c₀²−c₁²),
+        // φ₂ = (c₀c₂−c₁²)/(c₀²−c₁²), both exact rationals e6-floored
+        // once). Integer discipline: the series is demeaned by the FLOORED
+        // mean (z_t = c_t − S div n — a well-defined estimator both
+        // engines replay bit-for-bit; the sub-1 residual mean perturbs c_k
+        // identically on both sides), autocovariances are raw integer
+        // products c_k = Σ z_t·z_{t+k}, and the one-step forecast re-enters
+        // as x̂_{n+1}·10⁶ = 10⁶·μ + φ₁ᵉ⁶·z_n + φ₂ᵉ⁶·z_{n−1}. Negative
+        // products divide identically (Spark IntegralDivide ≡ DuckDB `//`:
+        // both TRUNCATE — the measured holt_linear semantic). Scale: one
+        // day-keyed count aggregate; the lead window runs over the O(days)
+        // aggregate, and counts keep c₀² inside DECIMAL(38,0) to ~10⁸
+        // orders/day (the loud null-guard raises past that).
+        val d38 = DecimalType(38, 0)
+        val days = table(s, d, "orders")
+          .groupBy($"o_orderdate".as("day")).agg(count(lit(1)).as("c"))
+        val tot = days.agg(count(lit(1)).as("n"), sum($"c").as("sm"))
+        val wDay = org.apache.spark.sql.expressions.Window.orderBy($"day")
+        // O(days) post-aggregation frame: global window is ~2.4k rows
+        val z = days.crossJoin(broadcast(tot))
+          .select($"day", ($"c" - idiv($"sm", $"n")).as("z"), $"n",
+            idiv($"sm", $"n").as("mu"))
+          .withColumn("rn", row_number().over(wDay).cast(LongType))
+          .withColumn("z1", lead($"z", 1).over(wDay))
+          .withColumn("z2", lead($"z", 2).over(wDay))
+        val cst = z.groupBy($"n", $"mu").agg(
+          sum($"z".cast(d38) * $"z".cast(d38)).as("c0"),
+          sum(when($"z1".isNotNull, $"z".cast(d38) * $"z1".cast(d38))).as("c1"),
+          sum(when($"z2".isNotNull, $"z".cast(d38) * $"z2".cast(d38))).as("c2"),
+          max_by($"z", $"rn").as("zlast"),
+          max_by($"z", when($"z1".isNotNull, $"rn")).as("zprev"))
+        val den = $"c0" * $"c0" - $"c1" * $"c1"
+        def phi(numE6: org.apache.spark.sql.Column, name: String) = {
+          val guarded = when(numE6.isNull || den.isNull, raise_error(lit(
+              s"ar2_yule_walker: DECIMAL(38,0) overflow in $name - " +
+                "pre-scale the series (see scaladoc)")))
+            .otherwise(idiv(numE6, den).cast(LongType))
+          when(den === 0, 0L).otherwise(guarded)
+        }
+        cst.select(
+            $"n", $"mu",
+            $"c0".cast(LongType).as("c0"), $"c1".cast(LongType).as("c1"),
+            $"c2".cast(LongType).as("c2"),
+            phi(lit(1000000L).cast(d38) * $"c1" * ($"c0" - $"c2"), "phi1")
+              .as("phi1_e6"),
+            phi(lit(1000000L).cast(d38) * ($"c0" * $"c2" - $"c1" * $"c1"), "phi2")
+              .as("phi2_e6"),
+            $"zlast", $"zprev")
+          .select($"n", $"mu", $"c0", $"c1", $"c2", $"phi1_e6", $"phi2_e6",
+            (lit(1000000L) * $"mu" + $"phi1_e6" * $"zlast"
+              + $"phi2_e6" * $"zprev").as("forecast_e6"))
+      },
+      Some("""WITH dcnt AS (SELECT o_orderdate AS day, count(*) AS c
+            FROM orders GROUP BY 1),
+          t AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS sm FROM dcnt),
+          z0 AS (SELECT day, c - (SELECT sm FROM t) // (SELECT n FROM t) AS z,
+              row_number() OVER (ORDER BY day) AS rn FROM dcnt),
+          zl AS (SELECT z, rn, lead(z, 1) OVER (ORDER BY rn) AS z1,
+              lead(z, 2) OVER (ORDER BY rn) AS z2 FROM z0),
+          cst AS (SELECT
+              sum(CAST(z AS HUGEINT) * z) AS c0,
+              sum(CASE WHEN z1 IS NOT NULL THEN CAST(z AS HUGEINT) * z1 END) AS c1,
+              sum(CASE WHEN z2 IS NOT NULL THEN CAST(z AS HUGEINT) * z2 END) AS c2,
+              max_by(z, rn) AS zlast,
+              max_by(z, CASE WHEN z1 IS NOT NULL THEN rn END) AS zprev FROM zl),
+          f AS (SELECT (SELECT n FROM t) AS n,
+              (SELECT sm FROM t) // (SELECT n FROM t) AS mu,
+              CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+              CAST(c2 AS BIGINT) AS c2,
+              CASE WHEN c0 * c0 - c1 * c1 = 0 THEN 0
+                ELSE CAST((1000000 * c1 * (c0 - c2)) // (c0 * c0 - c1 * c1) AS BIGINT)
+                END AS phi1_e6,
+              CASE WHEN c0 * c0 - c1 * c1 = 0 THEN 0
+                ELSE CAST((1000000 * (c0 * c2 - c1 * c1)) // (c0 * c0 - c1 * c1) AS BIGINT)
+                END AS phi2_e6,
+              zlast, zprev FROM cst)
+        SELECT n, mu, c0, c1, c2, phi1_e6, phi2_e6,
+          1000000 * mu + phi1_e6 * zlast + phi2_e6 * zprev AS forecast_e6
+        FROM f"""),
+      "AR(2) Yule-Walker fit over daily order counts: floored-mean integer " +
+        "demeaning, raw integer autocovariances, closed-form Toeplitz solve " +
+        "as two e6-floored exact rationals, one-step forecast re-entry — " +
+        "one day-keyed aggregate + an O(days) lead window.")
     )
 
   /** Shared by holt_winters_additive AND streaming_holt_winters (the

@@ -773,6 +773,43 @@ object Ingestion {
         "list, never re-read or re-written) — O(new commits) metadata per " +
         "run, the real exporter's per-commit deployment shape"),
 
+    "iceberg_export_refs" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Snapshot REFS through the Iceberg interop (r13): the exporter
+        // emits the spec's "refs" map — the `main` BRANCH at the current
+        // snapshot (Iceberg writes it on every commit) plus a `v<N>` TAG
+        // per graft version — and the independent reader resolves names to
+        // snapshot ids (the `VERSION AS OF '<tag>'` handle external
+        // engines consume). The readback goes STRICTLY through names — v1
+        // via its tag, the head via `main`, never a raw snapshot id — so a
+        // mis-emitted or mis-parsed ref cannot silently pass on a fallback
+        // path.
+        val p = tmp("iceberg_refs_src")
+        val out = tmp("iceberg_refs_out")
+        GraftTableWriter.drop(s, p)
+        GraftTableWriter.drop(s, out)
+        val o = table(s, d, "orders")
+        VersionedTable.append(o.filter($"o_orderkey" % 2 === 0), p) // v1
+        VersionedTable.append(o.filter($"o_orderkey" % 2 =!= 0), p) // v2
+        graft.sinks.IcebergExport.export(s, p, out)
+        val meta = graft.sources.IcebergRead.tableMeta(s,
+          graft.sources.IcebergRead.currentMetadataPath(s, out))
+        val v1 = ordersOut(graft.sources.IcebergRead.readSnapshot(s, meta,
+          meta.refSnapshotId("v1"))).withColumn("ref", lit("v1"))
+        val head = ordersOut(graft.sources.IcebergRead.readSnapshot(s, meta,
+          meta.refSnapshotId("main"))).withColumn("ref", lit("main"))
+        v1.unionByName(head).orderBy($"ref", $"o_orderkey")
+      },
+      Some(s"""SELECT * FROM (
+        SELECT $ordersOutSql, 'main' AS ref FROM orders
+        UNION ALL
+        SELECT $ordersOutSql, 'v1' AS ref FROM orders WHERE o_orderkey % 2 = 0)
+        ORDER BY ref, o_orderkey"""),
+      "Snapshot references in the exported Iceberg metadata: main branch + " +
+        "per-version tags (spec Snapshot References), resolved BY NAME " +
+        "through the independent reader — the named time-travel handle"),
+
     "snapshot_expire" -> Q(
       (s, d) => {
         import s.implicits._

@@ -1240,7 +1240,54 @@ object Similarity {
       "Lightweight k-means coreset: uniform half (deterministic id rule) + " +
         "farthest-from-mean half (exact integer d² top-64) with e6 " +
         "inverse-importance weights — one mean aggregate, one d² scan, one " +
-        "top-k; shift-by-C keeps the mean division non-negative."))
+        "top-k; shift-by-C keeps the mean division non-negative."),
+
+    "ann_recall_eval" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // ANN RECALL EVALUATION — the quality harness every approximate
+        // index needs before it replaces the exact path at scale: recall@5
+        // of the IVF index (ann_ivf's exact registered configuration)
+        // against the brute-force ground truth IN THE SAME METRIC (integer
+        // L2² over the same e3 quantization — like vs like, so a miss is
+        // the index's pruning, never representation drift). Both sides are
+        // integer-exact, so the whole evaluation replays as SQL: the
+        // unrolled quantized-Lloyd IVF chain and the exact top-k are CTEs
+        // of one oracle. Scale: ground truth is O(Q·N) with broadcast
+        // queries (the evaluation runs on a query SAMPLE at corpus scale —
+        // Q is the knob); the comparison join is O(Q·k).
+        val e = emb(s, d)
+        val qs = e.filter($"vec_id" < 10)
+        val cs = e.filter($"vec_id" >= 10)
+        val approx = Ann
+          .ivfTopKQuantized(qs, cs, k = 5, nprobe = 2, kCells = 8, iters = 3)
+          .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+        Ann.bruteForceTopKQuantized(qs, cs, k = 5)
+          .join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy($"query_id")
+          .agg(coalesce(sum($"hit"), lit(0L)).as("n_match"))
+          .select($"query_id", $"n_match",
+            idiv($"n_match" * 1000000L, lit(5L)).as("recall_e6"))
+          .orderBy($"query_id")
+      },
+      Some(annRecallSql(k = 5, nprobe = 2, kCells = 8, iters = 3,
+        scale = 1000L, dim = 64)),
+      "ANN recall@5 harness: IVF (quantized-Lloyd, 2-probe) vs brute-force " +
+        "integer-L2² ground truth in the identical metric — per-query match " +
+        "count and e6 recall, the whole evaluation one SQL replay."),
+
+    "mmr_diversified_topk" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        Ann.mmrDiversifiedTopK(e.filter(col("vec_id") < 10),
+          e.filter(col("vec_id") >= 10), shortlist = 20, k = 5)
+      },
+      Some(mmrSql(shortlist = 20, k = 5, lamNum = 7L, lamDen = 10L,
+        scale = 1000L, dim = 64)),
+      "Max-min MMR diversification (λ=0.7): per query, greedy 5 picks from " +
+        "the 20-nearest shortlist maximizing 3·min-distance-to-selected − " +
+        "7·distance-to-query, all-integer on quantized vectors — the " +
+        "dedup-aware retrieval readout, unrolled greedy replayed in SQL."))
 
   /** Shared k-NN verdict pipeline (knn_classify, classification_report):
     * exact cosine top-5 per held-out query (vec_id < 20) against the rest,
@@ -1264,6 +1311,101 @@ object Similarity {
         .withColumnRenamed("lbl", "true_label"), "query_id")
       .select($"query_id", $"true_label", $"pred_label", $"votes",
         ($"true_label" === $"pred_label").cast("long").as("correct"))
+  }
+
+  /** DuckDB replay of ann_recall_eval: [[ivfQuantizedSql]]'s unrolled
+    * Lloyd+route+rank chain and the exact integer-L2² top-k as CTEs of one
+    * query, joined per (query, neighbor) — count of hits and e6 recall.
+    */
+  private def annRecallSql(k: Int, nprobe: Int, kCells: Int, iters: Int,
+      scale: Long, dim: Int): String = {
+    val l2 = (a: String, b: String) =>
+      s"""list_sum(list_transform(generate_series(1, $dim),
+          i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"""
+    s"""WITH ${lloydChainCtes(kCells, iters, scale, dim, " WHERE vec_id >= 10")},
+      qq AS (SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT)) AS v
+      FROM embeddings WHERE vec_id < 10),
+      probes AS (SELECT vec_id AS query_id, cl AS cell FROM (
+        SELECT qq.vec_id, c.cl,
+          row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+            ${l2("qq.v", "c.v")}, c.cl) AS rn
+        FROM qq CROSS JOIN c$iters c) WHERE rn <= $nprobe),
+      scored AS (SELECT p.query_id, f.vec_id AS neighbor_id,
+          CAST(${l2("a.v", "b.v")} AS BIGINT) AS d2
+        FROM probes p JOIN fin f ON f.cl = p.cell
+        JOIN qq a ON a.vec_id = p.query_id
+        JOIN q b ON b.vec_id = f.vec_id),
+      approx AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+        FROM scored) WHERE rank <= $k),
+      ex AS (SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            ${l2("a.v", "b.v")}, b.vec_id) AS rank
+        FROM qq a CROSS JOIN q b) WHERE rank <= $k)
+      SELECT e.query_id,
+        CAST(count(ap.neighbor_id) AS BIGINT) AS n_match,
+        (count(ap.neighbor_id) * 1000000) // $k AS recall_e6
+      FROM ex e LEFT JOIN approx ap
+        ON ap.query_id = e.query_id AND ap.neighbor_id = e.neighbor_id
+      GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** DuckDB replay of [[Ann.mmrDiversifiedTopK]]: quantized shortlist +
+    * pairwise-L2² CTEs, then the greedy max-min rounds unrolled (round 1 =
+    * pure relevance; round r picks argmax of (lamDen−lamNum)·min-distance-
+    * to-selected − lamNum·distance-to-query with a neighbor_id tiebreak).
+    */
+  private def mmrSql(shortlist: Int, k: Int, lamNum: Long, lamDen: Long,
+      scale: Long, dim: Int): String = {
+    val l2 = (a: String, b: String) =>
+      s"""list_sum(list_transform(generate_series(1, $dim),
+          i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"""
+    val head = s"""WITH qq AS (SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT)) AS v
+      FROM embeddings WHERE vec_id < 10),
+      cc AS (SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT)) AS v
+      FROM embeddings WHERE vec_id >= 10),
+      sl AS (SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.v AS cv,
+          CAST(${l2("q.v", "c.v")} AS BIGINT) AS d2q,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            ${l2("q.v", "c.v")}, c.vec_id) AS srank
+        FROM qq q CROSS JOIN cc c) WHERE srank <= $shortlist),
+      pr AS (SELECT a.query_id, a.neighbor_id AS cid, b.neighbor_id AS sid,
+          CAST(${l2("a.cv", "b.cv")} AS BIGINT) AS d2cs
+        FROM sl a JOIN sl b ON a.query_id = b.query_id
+          AND a.neighbor_id <> b.neighbor_id),
+      s1 AS (SELECT query_id, CAST(1 AS BIGINT) AS round, neighbor_id, d2q,
+          CAST(NULL AS BIGINT) AS div_min, CAST(NULL AS BIGINT) AS score10
+        FROM sl WHERE srank = 1)"""
+    val steps = (2 to k).map { r =>
+      val p = r - 1
+      s"""n$r AS (SELECT query_id, CAST($r AS BIGINT) AS round, neighbor_id,
+            d2q, div_min,
+            ($lamDen - $lamNum) * div_min - $lamNum * d2q AS score10 FROM (
+          SELECT c.query_id, c.neighbor_id, c.d2q, min(p.d2cs) AS div_min
+          FROM sl c JOIN pr p ON p.query_id = c.query_id
+            AND p.cid = c.neighbor_id
+          JOIN s$p s ON s.query_id = p.query_id AND s.neighbor_id = p.sid
+          WHERE NOT EXISTS (SELECT 1 FROM s$p x
+            WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+          GROUP BY 1, 2, 3)),
+        p$r AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score10 DESC, neighbor_id) AS rn FROM n$r) WHERE rn = 1),
+        s$r AS (SELECT query_id, round, neighbor_id, d2q, div_min, score10 FROM s$p
+          UNION ALL
+          SELECT query_id, round, neighbor_id, d2q, div_min, score10 FROM p$r)"""
+    }
+    (head +: steps).mkString(",\n      ") +
+      s"""\n      SELECT query_id, round, neighbor_id, d2q, div_min, score10
+      FROM s$k ORDER BY query_id, round"""
   }
 
   /** DuckDB mirror of [[knnVerdicts]] as a `WITH …` prefix ending in `v`. */

@@ -1165,6 +1165,83 @@ object Streaming {
       "CDC replication as a stream: per-commit changelogs staged as micro-batches, " +
         "applyChanges per batch — the replica converges to the source shipping only deltas."),
 
+    "streaming_iceberg_export" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The reference deployment COMPOSED end-to-end (r13): a live CDC
+        // upsert stream commits MOR micro-batches exactly-once into the
+        // graft table AND extends the Iceberg v2 export incrementally
+        // inside the SAME foreachBatch — the downstream lakehouse sees
+        // every micro-batch as a real Iceberg snapshot the moment it
+        // commits (IcebergSinkBuilder.java:40-44's equalityFieldColumns +
+        // upsert(true), continuously exported). Exactly-once composition:
+        // upsertMorOnce's batch-id high-water refuses replayed batches
+        // (export skipped too — the chain didn't grow), and a crash
+        // BETWEEN commit and export self-heals because exportIncremental
+        // exports every graft version past the hint — the next batch's
+        // export covers the orphaned commit. Readback = the merged final
+        // state computed from the EXPORTED metadata alone (IcebergRead,
+        // zero shared code with the exporter). Scale: per batch this
+        // writes O(batch) data + delete files and O(1) manifests/lists —
+        // nothing existing is rewritten, the export cost is O(new
+        // commits), independent of table size.
+        val (src, out, ck) = Streams.workDirs("streaming_iceberg_export")
+        val tablePath = s"$out/table"; val ice = s"$out/iceberg"
+        graft.sinks.GraftTableWriter.drop(s, tablePath)
+        graft.sinks.GraftTableWriter.drop(s, ice)
+        val base = table(s, d, "orders").select($"o_orderkey", $"o_custkey",
+          round($"o_totalprice" * 100).cast("long").as("price_c"))
+        graft.sinks.VersionedTable.append(base, tablePath) // v1: the seed
+        graft.sinks.IcebergExport.export(s, tablePath, ice) // exported at v1
+        // three upsert changelogs staged sequentially (mod-time = order):
+        // updates re-derive from BASE prices, so MOR last-writer-wins is
+        // the oracle's CASE priority (b2 overwrites b1 on %500 keys)
+        val b1 = base.filter($"o_orderkey" % 100 === 0)
+          .withColumn("price_c", $"price_c" + 10000L)
+          .unionByName(base.filter($"o_orderkey" % 997 === 0)
+            .select(($"o_orderkey" + 90000000L).as("o_orderkey"),
+              $"o_custkey", $"price_c"))
+        val b2 = base.filter($"o_orderkey" % 250 === 0)
+          .withColumn("price_c", $"price_c" + 100L)
+        val b3 = base.filter($"o_orderkey" % 499 === 0)
+          .select(($"o_orderkey" + 180000000L).as("o_orderkey"),
+            $"o_custkey", $"price_c")
+        Seq(b1, b2, b3).foreach(_.coalesce(1).write.mode("append").parquet(src))
+        val staged = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val q = staged.writeStream
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            if (graft.sinks.VersionedTable.upsertMorOnce(batch, tablePath,
+                Seq("o_orderkey"), batchId))
+              graft.sinks.IcebergExport.exportIncremental(s, tablePath, ice)
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.sources.IcebergRead.read(s, ice).orderBy($"o_orderkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders),
+        fin AS (SELECT o_orderkey, o_custkey,
+            CASE WHEN o_orderkey % 250 = 0 THEN price_c + 100
+              WHEN o_orderkey % 100 = 0 THEN price_c + 10000
+              ELSE price_c END AS price_c
+          FROM base
+          UNION ALL
+          SELECT o_orderkey + 90000000, o_custkey, price_c FROM base
+          WHERE o_orderkey % 997 = 0
+          UNION ALL
+          SELECT o_orderkey + 180000000, o_custkey, price_c FROM base
+          WHERE o_orderkey % 499 = 0)
+        SELECT o_orderkey, o_custkey, price_c FROM fin ORDER BY o_orderkey"""),
+      "Live CDC stream with a PER-BATCH incremental Iceberg export: " +
+        "exactly-once MOR commits (batch-id high-water) each extend the " +
+        "exported v2 metadata in the same foreachBatch — the lakehouse " +
+        "sees every micro-batch as a real Iceberg snapshot; readback from " +
+        "the exported metadata alone."),
+
     "streaming_upsert_mor" -> Q(
       (s, d) => {
         // The reference's sink mechanism VERBATIM: a streaming upsert into

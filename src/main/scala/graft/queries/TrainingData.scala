@@ -2547,5 +2547,96 @@ object TrainingData {
         ORDER BY id_a, id_b"""),
       "TF-IDF-weighted sparse cosine similarity join (cos >= 0.6) over the shingle " +
         "inverted index: integer weights, cross-multiplied tau-squared test in wide " +
-        "integers, df-capped posting lists — exact, no sqrt, no all-pairs."))
+        "integers, df-capped posting lists — exact, no sqrt, no all-pairs."),
+
+    "textrank_keywords" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // TextRank keyword extraction (Mihalcea & Tarau 2004, the unweighted
+        // original): corpus keywords = the highest-PageRank nodes of the
+        // word CO-OCCURRENCE graph — adjacency (window 2) over the
+        // length-filtered token sequence (len ≥ 4, the cheap stopword cut
+        // the paper's POS filter plays), symmetrized, deduplicated. This
+        // COMPOSES the graph and text families: the word graph feeds the
+        // exact same scaled-integer PageRank operator (two shuffles per
+        // iteration, O(1) driver state) the social graph rows use — the
+        // symmetric co-occurrence graph takes its dangling-free fast path
+        // (every node has an out-edge). Word ids are a deterministic
+        // dense-rank over the vocabulary (an O(vocab) window — vocab, not
+        // corpus; the dict_encode discipline); the readout joins ranks
+        // back to words, top-30 by (rank, word). Scale: edges are
+        // O(tokens) before dedup, vocab² never materializes.
+        val toks = org.apache.spark.sql.functions.filter(
+          graft.functions.ascii_tokens($"text"), w => length(w) >= 4)
+        val pairsRaw = docs(s, d).select(toks.as("w"))
+          .select(explode(org.apache.spark.sql.functions.filter(
+            zip_with($"w", slice($"w", 2, 1000000),
+              (a, b) => struct(a.as("a"), b.as("b"))),
+            p => p.getField("b").isNotNull)).as("p"))
+          .select($"p.a".as("a"), $"p.b".as("b"))
+          .filter($"a" =!= $"b")
+        val und = pairsRaw.unionByName(pairsRaw.select($"b".as("a"), $"a".as("b")))
+        val vocab = und.select($"a".as("word")).distinct()
+          .withColumn("id", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy($"word")).cast("long"))
+        val edges = und
+          .join(vocab.select($"word".as("a"), $"id".as("src")), "a")
+          .join(vocab.select($"word".as("b"), $"id".as("dst")), "b")
+          .select($"src", $"dst")
+        graft.operators.PageRank.run(edges, iters = 4)
+          .join(vocab, $"node" === $"id")
+          .select($"word", $"rank_scaled")
+          .orderBy($"rank_scaled".desc, $"word")
+          .limit(30)
+      },
+      Some(textrankSql(iters = 4)),
+      "TextRank keywords: unweighted PageRank over the window-2 word " +
+        "co-occurrence graph (len>=4 token filter, symmetrized, distinct), " +
+        "deterministic vocab ids, scaled-integer iteration — bit-exact vs " +
+        "the unrolled SQL replay, top-30 by (rank, word)."))
+
+  /** DuckDB replay of textrank_keywords: token adjacency → symmetric
+    * distinct edges → dense word ids → the pagerankSql unrolled iteration
+    * (graph module) over the text graph → top-30 readout. The symmetric
+    * graph is dangling-free, so every d_i is 0 — kept generic anyway so the
+    * recurrence stays textually identical to the graph family's.
+    */
+  private def textrankSql(iters: Int): String = {
+    val Scale = 1000000000000L
+    val head = s"""WITH tok AS (SELECT list_filter(
+          regexp_extract_all(lower(text), '[a-z]+'), x -> length(x) >= 4) AS w
+        FROM documents),
+      bg AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+          i -> w[i] || ' ' || w[i+1])) AS bigram FROM tok WHERE len(w) >= 2),
+      pr0 AS (SELECT split_part(bigram, ' ', 1) AS a,
+          split_part(bigram, ' ', 2) AS b FROM bg
+        WHERE split_part(bigram, ' ', 1) <> split_part(bigram, ' ', 2)),
+      ed0 AS (SELECT DISTINCT a, b FROM
+        (SELECT a, b FROM pr0 UNION ALL SELECT b, a FROM pr0)),
+      vocab AS (SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS id
+        FROM (SELECT DISTINCT a AS word FROM ed0)),
+      edges AS (SELECT va.id AS src, vb.id AS dst FROM ed0
+        JOIN vocab va ON va.word = ed0.a JOIN vocab vb ON vb.word = ed0.b),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      r0 AS (SELECT node, $Scale // (SELECT n FROM nn) AS r FROM nodes)"""
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""d$i AS (SELECT coalesce(CAST(sum(r.r) AS BIGINT), 0) AS dang
+          FROM r$p r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL),
+        c$i AS (SELECT e.dst AS node, CAST(sum(r.r // dg.deg) AS BIGINT) AS infl
+          FROM edges e JOIN r$p r ON e.src = r.node JOIN deg dg ON e.src = dg.src
+          GROUP BY e.dst),
+        r$i AS (SELECT n.node,
+            (15 * ($Scale // (SELECT n FROM nn))) // 100
+            + (85 * (coalesce(c.infl, 0)
+                     + (SELECT dang FROM d$i) // (SELECT n FROM nn))) // 100 AS r
+          FROM nodes n LEFT JOIN c$i c ON n.node = c.node)"""
+    }
+    (head +: steps).mkString(",\n      ") +
+      s"""\n      SELECT v.word, r.r AS rank_scaled FROM r$iters r
+      JOIN vocab v ON v.id = r.node
+      ORDER BY rank_scaled DESC, word LIMIT 30"""
+  }
 }

@@ -637,6 +637,16 @@ object IcebergExport {
     val logJson = snapshotEntries.map { case (id, _, ts, _, _, _) =>
       s"""{"timestamp-ms":$ts,"snapshot-id":$id}"""
     }.mkString("[", ",", "]")
+    // refs (spec "Snapshot References"): `main` BRANCH at the current
+    // snapshot (required — Iceberg writes it on every commit) plus one TAG
+    // per exported graft version (`v<N>` — the named time-travel handle:
+    // `SELECT … VERSION AS OF 'v2'` in engines that resolve tags). Tags
+    // carry no retention here: graft snapshots are never expired by the
+    // exporter (snapshot_expire re-exports from scratch).
+    val refsJson = (versions.zip(snapshotEntries).map { case (v, e) =>
+      s""""v$v":{"snapshot-id":${e._1},"type":"tag"}"""
+    } :+ s""""main":{"snapshot-id":${snapshotEntries.last._1},"type":"branch"}""")
+      .mkString("{", ",", "}")
     val lastPartitionId = if (partitionCols.isEmpty) 999 else 999 + partitionCols.size
     // the global (empty) spec the delete manifests of a partitioned MOR
     // chain are written under — appended to the partition-specs list
@@ -669,6 +679,7 @@ object IcebergExport {
         "default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
         "properties":{},
         "current-snapshot-id":${snapshotEntries.last._1},
+        "refs":$refsJson,
         "snapshots":$snapsJson,
         "snapshot-log":$logJson,
         "metadata-log":$metadataLogJson}"""

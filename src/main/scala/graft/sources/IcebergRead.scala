@@ -38,8 +38,16 @@ object IcebergRead {
       currentSnapshotId: Long, snapshots: Seq[SnapshotInfo],
       schemaFields: Seq[(Int, String, String)],
       partitionFields: Seq[(String, String, Int)],
-      schemas: Map[Int, Seq[(Int, String, String)]] = Map.empty) {
+      schemas: Map[Int, Seq[(Int, String, String)]] = Map.empty,
+      refs: Map[String, (Long, String)] = Map.empty) {
     def schemaFieldNames: Seq[String] = schemaFields.map(_._2)
+    /** Resolve a snapshot REFERENCE (spec "Snapshot References": a named
+      * branch or tag) to its snapshot id — the named time-travel handle
+      * (`VERSION AS OF '<name>'`). Loud on unknown names; the resolved id
+      * must exist in the snapshot list (readSnapshot re-checks). */
+    def refSnapshotId(name: String): Long =
+      refs.getOrElse(name, throw new IllegalArgumentException(
+        s"no snapshot ref '$name' in metadata (have ${refs.keys.toSeq.sorted.mkString(",")})"))._1
     def schemaFieldsOf(schemaId: Int): Seq[(Int, String, String)] =
       schemas.getOrElse(schemaId,
         throw new IllegalArgumentException(s"no schema with id $schemaId"))
@@ -136,9 +144,17 @@ object IcebergRead {
       SnapshotInfo(s.get("snapshot-id").asLong(), s.get("sequence-number").asLong(),
         s.get("timestamp-ms").asLong(), s.get("manifest-list").asText(), sid)
     }.toSeq
+    // refs are optional in the spec (older writers omit them)
+    val refs: Map[String, (Long, String)] = Option(root.get("refs")).map { r =>
+      import scala.jdk.CollectionConverters._
+      r.properties().asScala.map { e =>
+        e.getKey -> (e.getValue.get("snapshot-id").asLong(),
+          e.getValue.get("type").asText())
+      }.toMap
+    }.getOrElse(Map.empty)
     TableMeta(fv, root.get("table-uuid").asText(),
       root.get("current-snapshot-id").asLong(), snaps, fields, partFields,
-      allSchemas)
+      allSchemas, refs)
   }
 
   private def iter(n: JsonNode): Iterator[JsonNode] = {

@@ -509,4 +509,59 @@ class IcebergExportSpec extends SparkSpec {
       IcebergExport.export(spark, bad, freshDir("evo_bad_out"))
     }
   }
+
+  test("snapshot refs: main branch + per-version tags resolve by name (r13)") {
+    val src = freshDir("refs_src"); val out = freshDir("refs_out")
+    val df = (1L to 60L).map(i => (i, s"r_$i")).toDF("id", "v")
+    VersionedTable.append(df.filter($"id" <= 40), src)  // v1
+    VersionedTable.append(df.filter($"id" > 40), src)   // v2
+    val meta = IcebergRead.tableMeta(spark, IcebergExport.export(spark, src, out))
+    // the spec's refs map: main BRANCH at head, one TAG per graft version
+    assert(meta.refs("main") == ((2L, "branch")))
+    assert(meta.refs("v1") == ((1L, "tag")))
+    assert(meta.refs("v2") == ((2L, "tag")))
+    assert(meta.refs.size == 3)
+    assert(meta.refSnapshotId("main") == meta.currentSnapshotId)
+    // name-routed time travel reads the tagged snapshot exactly
+    val v1 = IcebergRead.readSnapshot(spark, meta, meta.refSnapshotId("v1"))
+    assert(v1.count() == 40L)
+    intercept[IllegalArgumentException](meta.refSnapshotId("nope"))
+    // refs survive an incremental extension and re-point main to the new head
+    VersionedTable.append(Seq((99L, "late")).toDF("id", "v"), src) // v3
+    IcebergExport.exportIncremental(spark, src, out)
+    val meta2 = IcebergRead.tableMeta(spark,
+      IcebergRead.currentMetadataPath(spark, out))
+    assert(meta2.refs("main") == ((3L, "branch")))
+    assert(meta2.refs("v1") == ((1L, "tag")) && meta2.refs("v3") == ((3L, "tag")))
+  }
+
+  test("per-batch incremental export: a replayed batch id leaves the export untouched (r13)") {
+    // the streaming_iceberg_export composition contract, driven directly:
+    // upsertMorOnce refuses the replayed batch, so the guarded export call
+    // never runs and the exported chain stays byte-stable
+    val src = freshDir("sie_src"); val out = freshDir("sie_out")
+    val base = (1L to 200L).map(i => (i, i * 3)).toDF("id", "x")
+    VersionedTable.append(base, src)
+    IcebergExport.export(spark, src, out)
+    val b1 = (1L to 200L by 10).map(i => (i, i * 3 + 1)).toDF("id", "x")
+    assert(VersionedTable.upsertMorOnce(b1, src, Seq("id"), batchId = 0L))
+    IcebergExport.exportIncremental(spark, src, out)
+    val hintBefore = IcebergRead.currentMetadataPath(spark, out)
+    val mtimes = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/metadata")).map(
+        st => st.getPath.getName -> st.getModificationTime).toMap
+    }
+    // replay: the batch-id high-water refuses, the export guard never fires
+    assert(!VersionedTable.upsertMorOnce(b1, src, Seq("id"), batchId = 0L))
+    assert(VersionedTable.versions(spark, src) == Seq(1, 2))
+    assert(IcebergRead.currentMetadataPath(spark, out) == hintBefore)
+    val fs2 = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val after = fs2.listStatus(new org.apache.hadoop.fs.Path(s"$out/metadata")).map(
+      st => st.getPath.getName -> st.getModificationTime).toMap
+    assert(after == mtimes)
+    // the merged state still reads back through the exported metadata
+    val rows = IcebergRead.read(spark, out).as[(Long, Long)].collect().toMap
+    assert(rows.size == 200 && rows(1L) == 4L && rows(2L) == 6L)
+  }
 }
