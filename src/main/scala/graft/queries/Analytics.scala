@@ -3834,7 +3834,101 @@ object Analytics {
       "AR(2) Yule-Walker fit over daily order counts: floored-mean integer " +
         "demeaning, raw integer autocovariances, closed-form Toeplitz solve " +
         "as two e6-floored exact rationals, one-step forecast re-entry — " +
-        "one day-keyed aggregate + an O(days) lead window.")
+        "one day-keyed aggregate + an O(days) lead window."),
+
+    "croston_intermittent" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Croston's method over per-part daily demand — the INTERMITTENT
+        // series the Holt/Holt-Winters family cannot forecast (a spare
+        // part sells on ~3% of days; a plain EWMA decays to zero between
+        // demands). Two integer EWMAs over demand OCCURRENCES only (sizes
+        // and inter-demand intervals), rate = z/p as one e6 division; the
+        // keyed secondary-sort fold (operators.Croston) replays as a
+        // per-series recursive CTE like holt_linear_smoothing. Scale: the
+        // fold input is the (part, demand-day) aggregate — corpus-sized
+        // work is that one groupBy; each key's fold is its demand count.
+        val day = 86400000000L
+        val demands = table(s, d, "lineitem")
+          .groupBy($"l_partkey", idiv(micros($"l_shipdate"), lit(day)).as("t"))
+          .agg(sum($"l_quantity".cast("long")).as("v"))
+          .select($"l_partkey".cast("string").as("k"), $"t", $"v")
+        graft.operators.Croston.forecast(demands).orderBy($"k", $"t")
+      },
+      Some("""WITH RECURSIVE bd AS (SELECT CAST(l_partkey AS VARCHAR) AS k,
+            epoch_us(l_shipdate) // 86400000000 AS t,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+          FROM lineitem GROUP BY 1, 2),
+        rd AS (SELECT k, t, v, row_number() OVER (PARTITION BY k ORDER BY t) AS rn,
+            lag(t) OVER (PARTITION BY k ORDER BY t) AS tp FROM bd),
+        h AS (
+          SELECT k, rn, t, v, CAST(1 AS BIGINT) AS q, v AS z, CAST(1 AS BIGINT) AS p
+          FROM rd WHERE rn = 1
+          UNION ALL
+          SELECT rd.k, rd.rn, rd.t, rd.v, rd.t - rd.tp,
+            (rd.v + 4 * h.z) // 5, ((rd.t - rd.tp) + 4 * h.p) // 5
+          FROM h JOIN rd ON rd.k = h.k AND rd.rn = h.rn + 1)
+        SELECT k, t, v, q, z AS size_z, p AS interval_p,
+          (1000000 * z) // greatest(p, 1) AS rate_e6
+        FROM h ORDER BY k, t"""),
+      "Croston intermittent-demand forecast per part: size and interval " +
+        "EWMAs over demand occurrences only (alpha=1/5, integer quot), " +
+        "e6 demand rate — the keyed O(1)-state fold, recursive-CTE " +
+        "bit replay."),
+
+    "dtw_series_distance" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Dynamic Time Warping between every pair of nations' MONTHLY
+        // revenue series — the alignment-tolerant series similarity
+        // (cross_correlation scores fixed lags; DTW finds the best
+        // monotone alignment, so a nation whose seasonality runs a month
+        // late still matches). Exact integer DP per pair
+        // (operators.Dtw): costs |a_i − b_j| in cents, O(L²) per pair
+        // with L = months — calendar-bounded, never corpus-bounded; the
+        // oracle replays the SAME cell order with the DP row as a LIST
+        // column in a recursive CTE rebuilt by a left-to-right
+        // list_reduce. Missing months would collapse out identically on
+        // both sides (ordered sequences, no gap fill).
+        val ser = table(s, d, "orders")
+          .join(table(s, d, "customer"), $"o_custkey" === $"c_custkey")
+          .groupBy($"c_nationkey".cast("long").as("id"),
+            (year($"o_orderdate") * 12 + month($"o_orderdate")).as("mi"))
+          .agg(sum((dec2($"o_totalprice") * 100).cast("long")).as("v"))
+          .groupBy($"id")
+          .agg(transform(array_sort(collect_list(struct($"mi", $"v"))),
+            x => x.getField("v")).as("vs"))
+        graft.operators.Dtw.pairDistances(ser)
+      },
+      Some("""WITH RECURSIVE mrev AS (SELECT CAST(c_nationkey AS BIGINT) AS id,
+            year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+            CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS v
+          FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        ser AS (SELECT id, list(v ORDER BY mi) AS vs FROM mrev GROUP BY 1),
+        pr AS (SELECT a.id AS id_a, b.id AS id_b, a.vs AS va, b.vs AS vb
+          FROM ser a JOIN ser b ON a.id < b.id),
+        d AS (
+          SELECT id_a, id_b, va, vb, 1 AS i,
+            list_reduce(
+              list_prepend([abs(va[1] - vb[1])],
+                list_transform(generate_series(2, len(vb)), j -> [j])),
+              (acc, e) -> list_append(acc,
+                acc[len(acc)] + abs(va[1] - vb[e[1]]))) AS row
+          FROM pr
+          UNION ALL
+          SELECT id_a, id_b, va, vb, i + 1,
+            list_reduce(
+              list_prepend([row[1] + abs(va[i + 1] - vb[1])],
+                list_transform(generate_series(2, len(vb)), j -> [j])),
+              (acc, e) -> list_append(acc, abs(va[i + 1] - vb[e[1]])
+                + least(acc[len(acc)], row[e[1]], row[e[1] - 1])))
+          FROM d WHERE i < len(va))
+        SELECT id_a, id_b, row[len(vb)] AS dtw_cost
+        FROM d WHERE i = len(va) ORDER BY id_a, id_b"""),
+      "All-pairs DTW over monthly nation revenue: exact integer O(L^2) DP " +
+        "per pair (mapPartitions state, calendar-bounded L), replayed " +
+        "cell-for-cell by a recursive CTE carrying the DP row as a list.")
     )
 
   /** Shared by holt_winters_additive AND streaming_holt_winters (the
