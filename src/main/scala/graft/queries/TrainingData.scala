@@ -2486,6 +2486,50 @@ object TrainingData {
         "packed to a BIGINT — brightness-shift-robust image near-dup " +
         "fingerprint, integer-exact."),
 
+    "multimodal_phash" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Perceptual DCT-hash (pHash) — the FREQUENCY-domain member
+        // completing the perceptual trio (aHash thresholds block means,
+        // dHash adjacent gradients; pHash is the one robust to blur and
+        // smooth level shifts because it keeps only LOW-frequency
+        // structure): 64 block sums → 1-D DCT-II → bits = coefficient >
+        // median of the 31 low AC coefficients (DC dropped — it is the
+        // global mean aHash already encodes), packed to a BIGINT. Integer
+        // discipline for a transcendental transform: the cosine basis is
+        // ONE Scala-computed e6 integer table (k×n = 31×64) inlined
+        // verbatim into BOTH the Spark join frame and the generated
+        // oracle's VALUES list — identical integers by construction, no
+        // cross-engine libm at all; every product/sum/median/bit is then
+        // exact BIGINT. Plan shape: blocks explode to O(docs·64), one
+        // broadcast join against the 1984-row basis, one (doc, k)
+        // aggregate — corpus-linear, no shuffle wider than the doc key.
+        val padded = rpad($"text", 256, " ")
+        val bytes = transform(sequence(lit(1), lit(256)),
+          i => ascii(padded.substr(i, lit(1))).cast("long"))
+        val blockSums = transform(sequence(lit(0), lit(63)),
+          b => aggregate(slice(bytes, b * 4 + 1, lit(4)), lit(0L), _ + _))
+        val blocks = docs(s, d).filter(length($"text") > 0)
+          .select($"doc_id", posexplode(blockSums).as(Seq("n", "bv")))
+        val tdf = dctBasis.toDF("k", "n", "t")
+        val coef = blocks.join(broadcast(tdf), "n")
+          .groupBy($"doc_id", $"k").agg(sum($"bv" * $"t").as("c"))
+        coef.groupBy($"doc_id")
+          .agg(transform(array_sort(collect_list(struct($"k", $"c"))),
+            x => x.getField("c")).as("cs"))
+          .select($"doc_id",
+            aggregate(zip_with($"cs", sequence(lit(1), lit(31)),
+              (c, k) => when(c > element_at(array_sort($"cs"), 16),
+                pow(lit(2.0), k - 1).cast("long")).otherwise(lit(0L))),
+              lit(0L), _ + _).as("phash31"))
+          .orderBy($"doc_id")
+      },
+      Some(phashSql),
+      "Perceptual DCT-hash (pHash): 64 block sums through an integer e6 " +
+        "DCT-II basis (one Scala table shared verbatim by both engines — " +
+        "no cross-engine libm), 31 AC-coefficient-vs-median bits packed " +
+        "to a BIGINT — the blur-robust image near-dup fingerprint."),
+
     "sparse_cosine_join" -> Q(
       (s, d) => {
         import s.implicits._
@@ -2594,6 +2638,41 @@ object TrainingData {
         "co-occurrence graph (len>=4 token filter, symmetrized, distinct), " +
         "deterministic vocab ids, scaled-integer iteration — bit-exact vs " +
         "the unrolled SQL replay, top-30 by (rank, word)."))
+
+  /** The e6-scaled 1-D DCT-II basis for multimodal_phash: T[k][n] =
+    * round(10⁶·cos(π·k·(2n+1)/128)) for the 31 low AC frequencies over 64
+    * blocks. Computed ONCE here and inlined into both the Spark join frame
+    * and the oracle's VALUES list, so the two engines share identical
+    * integers by construction (no cross-engine libm dependency — the
+    * kmeans/ann "quantize then agree" discipline applied to a basis).
+    */
+  private lazy val dctBasis: Seq[(Int, Int, Long)] =
+    for { k <- 1 to 31; n <- 0 to 63 } yield
+      (k, n, math.round(math.cos(math.Pi * k * (2 * n + 1) / 128.0) * 1000000.0))
+
+  /** DuckDB replay of multimodal_phash over the SAME inlined basis. */
+  private lazy val phashSql: String = {
+    val values = dctBasis.map { case (k, n, t) => s"($k,$n,$t)" }.mkString(",")
+    s"""WITH b AS (SELECT doc_id,
+          list_transform(generate_series(1, 256),
+            i -> CAST(ascii(substr(rpad(text, 256, ' '), i, 1)) AS BIGINT)) AS bytes
+        FROM documents WHERE len(text) > 0),
+      s AS (SELECT doc_id,
+          list_transform(generate_series(0, 63),
+            k -> CAST(list_sum(list_slice(bytes, k * 4 + 1, k * 4 + 4)) AS BIGINT)) AS bs
+        FROM b),
+      bl AS (SELECT doc_id, nn.n AS n, bs[nn.n + 1] AS bv
+        FROM s, (SELECT unnest(generate_series(0, 63)) AS n) nn),
+      co AS (SELECT doc_id, tt.k, CAST(sum(bv * tt.t) AS BIGINT) AS c
+        FROM bl JOIN (VALUES $values) tt(k, n, t) ON tt.n = bl.n
+        GROUP BY 1, 2),
+      pd AS (SELECT doc_id, list(c ORDER BY k) AS cs FROM co GROUP BY 1)
+      SELECT doc_id,
+        CAST(list_sum(list_transform(generate_series(1, 31),
+          k -> CASE WHEN cs[k] > list_sort(cs)[16]
+            THEN (1::BIGINT << (k - 1)) ELSE 0 END)) AS BIGINT) AS phash31
+      FROM pd ORDER BY doc_id"""
+  }
 
   /** DuckDB replay of textrank_keywords: token adjacency → symmetric
     * distinct edges → dense word ids → the pagerankSql unrolled iteration

@@ -59,4 +59,44 @@ class MultimodalSpec extends SparkSpec {
       assert(dA == dB, "dhash bits moved under a constant shift")
     }
   }
+
+  test("multimodal_phash recomputes bit-for-bit from the raw bytes") {
+    // independent replay: 64 block sums over the 256-byte head, the SAME
+    // rounded e6 DCT-II basis recomputed here, 31 AC coefficients,
+    // bit = coefficient > median (16th smallest of 31)
+    val got = SparkEntry.queries("multimodal_phash")(spark, sf("sf0.001"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == docs.length)
+    def blocks64(text: String): Vector[Long] = {
+      val padded = text.padTo(256, ' ').take(256)
+      val bytes = padded.map(_.toInt.toLong).toVector
+      (0 to 63).map(b => bytes.slice(b * 4, b * 4 + 4).sum).toVector
+    }
+    docs.foreach { case (id, t) =>
+      val bs = blocks64(t)
+      val cs = (1 to 31).map { k =>
+        (0 to 63).map { n =>
+          bs(n) * math.round(math.cos(math.Pi * k * (2 * n + 1) / 128.0) * 1000000.0)
+        }.sum
+      }
+      val med = cs.sorted.apply(15) // 16th smallest of 31
+      val want = cs.zipWithIndex.collect {
+        case (c, i) if c > med => 1L << i
+      }.sum
+      assert(got(id) == want, s"phash mismatch at doc $id")
+      assert(got(id) >= 0L && got(id) < (1L << 31))
+    }
+  }
+
+  test("phash AC basis rows sum to ~0: brightness shifts move coefficients by <= 32e0") {
+    // mathematically Σ_n cos(πk(2n+1)/128) = 0 for every AC frequency; the
+    // e6 rounding leaves at most 64 half-ulp residues, so a +c global
+    // brightness shift moves C_k by at most 4c·32 — quasi-invariance by
+    // construction (exact invariance is aHash's job to break, not pHash's)
+    for (k <- 1 to 31) {
+      val rowSum = (0 to 63).map(n =>
+        math.round(math.cos(math.Pi * k * (2 * n + 1) / 128.0) * 1000000.0)).sum
+      assert(math.abs(rowSum) <= 32L, s"basis row $k sums to $rowSum")
+    }
+  }
 }
