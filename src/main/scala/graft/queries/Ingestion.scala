@@ -810,6 +810,45 @@ object Ingestion {
         "per-version tags (spec Snapshot References), resolved BY NAME " +
         "through the independent reader — the named time-travel handle"),
 
+    "iceberg_export_rename" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // COLUMN RENAME through the Iceberg interop (r13 — the operation
+        // field ids EXIST for, closing the "rename rules the exporter
+        // doesn't model" limitation of the evolution row): v1 writes
+        // (o_orderkey, price_c, prio), a metadata-only renameColumn commit
+        // makes it `priority` (v2), and v3 appends rows already carrying
+        // the NEW physical name. The export folds old and new dirs onto
+        // ONE field id (chain-canonical identity), emits per-snapshot
+        // schemas (time travel to v1 still shows `prio`), and publishes
+        // the physical aliases through the spec's
+        // `schema.name-mapping.default` property — the mechanism external
+        // Iceberg readers use for data files without embedded field ids.
+        // The readback resolves old files' physical `prio` to the current
+        // `priority` from the exported metadata alone.
+        val p = tmp("iceberg_ren_src")
+        val out = tmp("iceberg_ren_out")
+        GraftTableWriter.drop(s, p)
+        GraftTableWriter.drop(s, out)
+        val o = table(s, d, "orders").select($"o_orderkey",
+          (dec2($"o_totalprice") * 100).cast("long").as("price_c"),
+          $"o_orderpriority".as("prio"))
+        VersionedTable.append(o.filter($"o_orderkey" % 2 === 0), p)   // v1: prio
+        VersionedTable.renameColumn(s, p, "prio", "priority")         // v2: rename
+        VersionedTable.append(o.filter($"o_orderkey" % 2 =!= 0)
+          .withColumnRenamed("prio", "priority"), p)                  // v3: priority
+        graft.sinks.IcebergExport.export(s, p, out)
+        graft.sources.IcebergRead.read(s, out).orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+          o_orderpriority AS priority
+        FROM orders ORDER BY o_orderkey"""),
+      "Column rename through the Iceberg export: one chain-stable field id " +
+        "across the rename, per-snapshot schemas (v1 keeps the old name), " +
+        "physical aliases published via schema.name-mapping.default — " +
+        "resolved by the independent reader from the metadata alone"),
+
     "snapshot_expire" -> Q(
       (s, d) => {
         import s.implicits._

@@ -359,6 +359,25 @@ object IcebergExport {
     val globalDeleteSpec = hasDeletes && partitionCols.nonEmpty
     val deleteKeys = snaps.reverse.find(_.deleteKeys.nonEmpty).map(_.deleteKeys).getOrElse(Nil)
 
+    // Column-RENAME chains (r13): the graft rename chain maps every
+    // physical column name a data file can carry to its FINAL logical name
+    // — the chain-canonical identity field ids key on, so a renamed column
+    // keeps ONE id across the whole chain (the operation field ids exist
+    // for). Per-snapshot schemas surface the name AS OF that snapshot
+    // (time travel below the rename shows the old name), and the files'
+    // physical names are published to external readers through the spec's
+    // `schema.name-mapping.default` property (the mechanism for data files
+    // without embedded field ids).
+    val chain: Seq[(String, String)] = snaps.last.renames
+    def renamed(renames: Seq[(String, String)], name: String): String =
+      renames.foldLeft(name) { case (n, (f, t)) => if (n == f) t else n }
+    def fin(name: String): String = renamed(chain, name)
+    chain.foreach { case (f, t) =>
+      require(!partitionCols.contains(f) && !partitionCols.contains(t),
+        s"iceberg export: rename ($f -> $t) touches a partition column — " +
+          "re-partitioning is not a rename")
+    }
+
     // Per-snapshot schemas (additive evolution, r13 — VERDICT r12 "Next
     // round" #2): each snapshot reads with ITS OWN merged schema; a column
     // keeps one chain-stable field id everywhere it appears (assigned by
@@ -379,6 +398,9 @@ object IcebergExport {
     // after the chain already has data is NULL-backfilled on reads of
     // older rows, so it exports as optional whatever its dir footer says.
     val snapSchemas: Seq[StructType] = {
+      // fields are stored under their FIRST physical name and matched by
+      // chain-canonical (final) name, so a dir written after a rename folds
+      // onto the same field its pre-rename dirs created
       var fields = Vector.empty[StructField]
       var prevDirs = Set.empty[String]
       val out = Seq.newBuilder[StructType]
@@ -386,7 +408,7 @@ object IcebergExport {
         snap.dirs.filterNot(prevDirs).foreach { d =>
           val firstDir = fields.isEmpty
           dirSparkSchema(conf, filesystem, absOf(d)).fields.foreach { f =>
-            fields.find(_.name == f.name) match {
+            fields.find(x => fin(x.name) == fin(f.name)) match {
               case Some(existing) => require(existing.dataType == f.dataType,
                 s"iceberg export: column ${f.name} changed type " +
                   s"(${existing.dataType} -> ${f.dataType}) — additive chains only")
@@ -397,32 +419,37 @@ object IcebergExport {
         }
         prevDirs = snap.dirs.toSet
         // the snapshot's schema = the fields its dirs collectively carry,
-        // in first-appearance order (what a mergeSchema read surfaces)
-        out += StructType(fields)
+        // in first-appearance order, under the names AS OF this snapshot's
+        // rename chain (what a graft read of this version surfaces)
+        out += StructType(fields.map(f => f.copy(name = renamed(snap.renames, f.name))))
       }
       out.result()
     }
     val schema = snapSchemas.last // the current schema (superset under additive evolution)
     val fieldIdMap: Map[String, Int] = {
+      // keyed by chain-canonical name: a→b keeps ONE id across the rename
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
       snapSchemas.foreach(_.fields.foreach { f =>
-        if (!m.contains(f.name)) m += f.name -> (m.size + 1)
+        val c = fin(f.name)
+        if (!m.contains(c)) m += c -> (m.size + 1)
       })
       m.toMap
     }
-    val fieldId: String => Int = c => fieldIdMap.getOrElse(c,
+    val fieldId: String => Int = c => fieldIdMap.getOrElse(fin(c),
       throw new IllegalArgumentException(s"iceberg export: unknown column $c"))
     // additive-only contract, loudly enforced: no drops, no type changes
-    // (either would need rename/promotion rules this exporter doesn't model)
+    // (either would need promotion rules this exporter doesn't model;
+    // renames compare in chain-canonical space, where they are no-ops)
     snapSchemas.sliding(2).foreach {
       case Seq(a, b) =>
-        require(a.fieldNames.toSet.subsetOf(b.fieldNames.toSet),
+        require(a.fieldNames.map(fin).toSet.subsetOf(b.fieldNames.map(fin).toSet),
           s"iceberg export: schema evolution dropped columns " +
-            s"${a.fieldNames.toSet -- b.fieldNames.toSet} — additive chains only")
+            s"${a.fieldNames.map(fin).toSet -- b.fieldNames.map(fin).toSet} — additive chains only")
       case _ =>
     }
     snapSchemas.foreach(_.fields.foreach { f =>
-      require(schema(schema.fieldIndex(f.name)).dataType == f.dataType,
+      require(schema.fields.find(x => fin(x.name) == fin(f.name))
+          .exists(_.dataType == f.dataType),
         s"iceberg export: column ${f.name} changed type — additive chains only")
     })
     // distinct schema versions in chain order, schema-id by first appearance
@@ -500,9 +527,13 @@ object IcebergExport {
             val r = new GenericData.Record(recSchema)
             r.put("key", Int.box(fieldId(c)))
             // byte width follows the exported Iceberg type of the COLUMN
-            // (int → 4 bytes), not ColBounds.typ's integral-collapsed "long"
+            // (int → 4 bytes), not ColBounds.typ's integral-collapsed
+            // "long"; stats are recorded under PHYSICAL names, so resolve
+            // through the rename chain
             r.put("value", boundBytes(
-              icebergType(schema(schema.fieldIndex(c)).dataType),
+              icebergType(schema.fields.find(x => fin(x.name) == fin(c))
+                .getOrElse(throw new IllegalArgumentException(
+                  s"iceberg export: stats column $c not in schema")).dataType),
               if (loSide) b.lo else b.hi))
             r
           }
@@ -647,6 +678,21 @@ object IcebergExport {
       s""""v$v":{"snapshot-id":${e._1},"type":"tag"}"""
     } :+ s""""main":{"snapshot-id":${snapshotEntries.last._1},"type":"branch"}""")
       .mkString("{", ",", "}")
+    // schema.name-mapping.default (spec "Name Mapping Serialization"): on a
+    // RENAMED chain the data files carry physical names with no embedded
+    // field ids, so external readers need the mapping physical-name(s) →
+    // field-id — exactly the property Iceberg defines for imported files.
+    // Omitted on rename-free chains (keeps their metadata byte-stable).
+    val propsJson =
+      if (chain.isEmpty) "{}"
+      else {
+        val allNames = (fieldIdMap.keys ++ chain.flatMap(p => Seq(p._1, p._2))).toSeq.distinct
+        val mapping = fieldIdMap.toSeq.sortBy(_._2).map { case (canon, id) =>
+          val names = allNames.filter(n => fin(n) == canon).sorted
+          s"""{"field-id":$id,"names":[${names.map(n => "\"" + esc(n) + "\"").mkString(",")}]}"""
+        }.mkString("[", ",", "]")
+        s"""{"schema.name-mapping.default":"${esc(mapping)}"}"""
+      }
     val lastPartitionId = if (partitionCols.isEmpty) 999 else 999 + partitionCols.size
     // the global (empty) spec the delete manifests of a partitioned MOR
     // chain are written under — appended to the partition-specs list
@@ -677,7 +723,7 @@ object IcebergExport {
         "default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":$tSpecJson}$globalSpecJson],
         "last-partition-id":$lastPartitionId,
         "default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
-        "properties":{},
+        "properties":$propsJson,
         "current-snapshot-id":${snapshotEntries.last._1},
         "refs":$refsJson,
         "snapshots":$snapsJson,

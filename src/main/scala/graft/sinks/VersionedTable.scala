@@ -75,12 +75,21 @@ object VersionedTable {
     * table's equality fields. The read-time rule is Iceberg's: a data row
     * with sequence s is dropped iff some delete dir with sequence > s
     * contains its key. */
+  /** `renames` is the table's accumulated COLUMN-RENAME chain, in commit
+    * order (Iceberg's rename-via-field-id semantics re-expressed): each
+    * [[renameColumn]] commit appends one (from, to) pair, every later
+    * commit carries the chain forward (enforced centrally in the commit
+    * path, so no write shape can silently drop it), and reads apply the
+    * chain to each data dir — a dir written before the rename surfaces its
+    * physical column under the current logical name. Time travel uses the
+    * chain AS OF the read snapshot, so v1 still shows the old name. */
   final case class Snapshot(version: Int, dirs: Seq[String],
       colStats: Map[String, Map[String, ColBounds]] = Map.empty,
       lastBatch: Option[Long] = None,
       dataSeq: Map[String, Int] = Map.empty,
       deletes: Seq[(String, Int)] = Nil,
-      deleteKeys: Seq[String] = Nil)
+      deleteKeys: Seq[String] = Nil,
+      renames: Seq[(String, String)] = Nil)
 
   /** Create version 1 or replace the visible contents with a new snapshot
     * (prior snapshots stay readable via [[readVersion]] until expired). */
@@ -236,6 +245,48 @@ object VersionedTable {
         keys)
     })
   }
+
+  /** Rename a column as a METADATA-ONLY commit (Iceberg `ALTER TABLE …
+    * RENAME COLUMN`, the operation field ids exist for): no data dir is
+    * touched — the new snapshot lists the same dirs plus one appended
+    * (from, to) pair in the rename chain, and reads surface old dirs'
+    * physical `from` under the logical `to` from this version on. Time
+    * travel below this version still shows `from` (each manifest carries
+    * the chain as of ITS commit).
+    *
+    * Guards (all loud): `from` must be a current logical column; `to` must
+    * be fresh — not a current column and never mentioned in the existing
+    * chain (re-using a renamed-away name would make the chain ambiguous —
+    * the same hazard Iceberg documents for name mapping); `from` must not
+    * be one of a MOR table's equality fields (delete dirs store physical
+    * key columns, and re-keying them is a different operation). Stats
+    * recorded under the physical name stop matching the logical name, so
+    * pruned reads of a renamed column fall back to the always-read
+    * superset — safe, never wrong. */
+  def renameColumn(spark: SparkSession, path: String, from: String, to: String): Int =
+    commit(spark, path, cur => {
+      val snap = cur.getOrElse(throw new IllegalStateException(
+        s"renameColumn: no snapshots at $path"))
+      val logical = readSnapshot(spark, path, snap).schema.fieldNames.toSeq
+      require(logical.contains(from),
+        s"renameColumn: no column $from (have ${logical.mkString(",")})")
+      require(!logical.contains(to),
+        s"renameColumn: column $to already exists")
+      require(!snap.renames.exists(p => p._1 == to || p._2 == to),
+        s"renameColumn: $to was already used in the rename chain ${snap.renames}")
+      require(!snap.deleteKeys.contains(from),
+        s"renameColumn: $from is an equality-delete key — re-keying MOR " +
+          "state is not a rename")
+      snap.copy(version = 0, renames = snap.renames :+ (from -> to))
+    })
+
+  /** Apply a rename chain to one dir's frame: each (from, to) in commit
+    * order, skipping pairs whose physical name this dir never carried. */
+  private def applyRenames(df: DataFrame,
+      renames: Seq[(String, String)]): DataFrame =
+    renames.foldLeft(df) { case (d, (f, t)) =>
+      if (d.columns.contains(f)) d.withColumnRenamed(f, t) else d
+    }
 
   private def nextV(cur: Option[Snapshot]): Int = cur.map(_.version).getOrElse(0) + 1
 
@@ -861,7 +912,8 @@ object VersionedTable {
       snap.colStats.map { case (d, m) => abs(d) -> m }, None,
       snap.dataSeq.map { case (d, s) => abs(d) -> s },
       snap.deletes.map { case (d, s) => abs(d) -> s },
-      snap.deleteKeys))
+      snap.deleteKeys,
+      snap.renames)) // the borrowed dirs' physical names need the SOURCE chain
   }
 
   /** Write-audit-publish fast-forward (Iceberg's WAP / `fast_forward`
@@ -896,7 +948,8 @@ object VersionedTable {
         cur.flatMap(_.lastBatch),
         snap.dataSeq.map { case (d, s) => abs(d) -> s },
         snap.deletes.map { case (d, s) => abs(d) -> s },
-        snap.deleteKeys)
+        snap.deleteKeys,
+        snap.renames) // the branch's chain governs its dirs' physical names
     })
   }
 
@@ -1098,7 +1151,16 @@ object VersionedTable {
       val v = cur.map(_.version).getOrElse(0) + 1
       // build the snapshot BEFORE creating the tmp file: a throwing callback
       // (publish conflict, CommitAborted guard) must not leak a tmp manifest
-      val snapJson = manifestJson(v, dirsFor(cur)).getBytes("UTF-8")
+      val built = dirsFor(cur)
+      // the rename chain is carried CENTRALLY: every commit shape keeps the
+      // table's accumulated renames unless it explicitly extends them
+      // ([[renameColumn]]) or seeds them from another table ([[cloneAt]] /
+      // [[publish]]) — so no write path can silently drop the chain and
+      // orphan old dirs' physical column names
+      val snap = if (built.renames.isEmpty)
+        built.copy(renames = cur.map(_.renames).getOrElse(Nil))
+      else built
+      val snapJson = manifestJson(v, snap).getBytes("UTF-8")
       val meta = new Path(path, MetaDir)
       filesystem.mkdirs(meta)
       val tmp = new Path(meta, s".tmp-${System.nanoTime()}-${counter.incrementAndGet()}")
@@ -1117,10 +1179,23 @@ object VersionedTable {
 
   private def readSnapshot(spark: SparkSession, path: String, snap: Snapshot): DataFrame = {
     require(snap.dirs.nonEmpty, s"snapshot v${snap.version} is empty")
-    if (snap.deletes.isEmpty)
+    if (snap.deletes.isEmpty && snap.renames.isEmpty)
       spark.read.option("mergeSchema", "true")
         .parquet(snap.dirs.map(d => new Path(path, d).toString): _*)
-    else {
+    else if (snap.deletes.isEmpty) {
+      // rename chain active: per-dir reads (a pre-rename dir carries the
+      // physical old name; mergeSchema across the rename would surface
+      // BOTH names as distinct columns), renamed to the logical schema,
+      // then one allowMissing union — the same shape as the MOR branch,
+      // taken only when a rename exists so rename-free tables keep the
+      // single multi-path scan
+      snap.dirs.map { d =>
+        applyRenames(
+          spark.read.option("mergeSchema", "true")
+            .parquet(new Path(path, d).toString),
+          snap.renames)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    } else {
       // merge-on-read scan: each data dir is stamped with its sequence, the
       // delete dirs collapse to (key -> max delete sequence), and a row
       // survives iff no strictly-later delete covers its key. ONE key-hash
@@ -1128,7 +1203,9 @@ object VersionedTable {
       // materializes it away.
       import org.apache.spark.sql.functions.{col, lit, max}
       val data = snap.dirs.map { d =>
-        spark.read.option("mergeSchema", "true").parquet(new Path(path, d).toString)
+        applyRenames(
+          spark.read.option("mergeSchema", "true").parquet(new Path(path, d).toString),
+          snap.renames)
           .withColumn("__seq", lit(snap.dataSeq.getOrElse(d, 0)))
       }.reduce(_.unionByName(_, allowMissingColumns = true))
       val dels = snap.deletes.map { case (d, s) =>
@@ -1210,7 +1287,11 @@ object VersionedTable {
       else s""","deletes":[${snap.deletes
         .map { case (d, sq) => s"""["${esc(d)}",$sq]""" }.mkString(",")}]""" +
         s""","deleteKeys":[${snap.deleteKeys.map(k => "\"" + esc(k) + "\"").mkString(",")}]"""
-    s"""{"version":$v,$dirs$stats$lastBatch$seqs$dels}"""
+    val rens =
+      if (snap.renames.isEmpty) ""
+      else s""","renames":[${snap.renames
+        .map { case (f, t) => s"""["${esc(f)}","${esc(t)}"]""" }.mkString(",")}]"""
+    s"""{"version":$v,$dirs$stats$lastBatch$seqs$dels$rens}"""
   }
 
   private def parseManifest(s: String): Snapshot = {
@@ -1240,7 +1321,11 @@ object VersionedTable {
     val deletes = pairList("deletes")
     val deleteKeys = "\"deleteKeys\":\\[([^\\]]*)\\]".r.findFirstMatchIn(s).map(_.group(1)).toSeq
       .flatMap(body => "\"([^\"]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq)
-    Snapshot(v, dirs, colStats, lastBatch, dataSeq, deletes, deleteKeys)
+    // (from, to) string-pair arrays, scoped to the renames array body
+    val renames = "\"renames\":\\[(.*?\\])\\]".r.findFirstMatchIn(s).map(_.group(1)).toSeq
+      .flatMap(body => s"\\[$Lit,$Lit\\]".r.findAllMatchIn(body)
+        .map(m => (unesc(m.group(1)), unesc(m.group(2)))).toSeq)
+    Snapshot(v, dirs, colStats, lastBatch, dataSeq, deletes, deleteKeys, renames)
   }
 
   private def manifestName(v: Int): String = f"v$v%05d.json"

@@ -39,7 +39,8 @@ object IcebergRead {
       schemaFields: Seq[(Int, String, String)],
       partitionFields: Seq[(String, String, Int)],
       schemas: Map[Int, Seq[(Int, String, String)]] = Map.empty,
-      refs: Map[String, (Long, String)] = Map.empty) {
+      refs: Map[String, (Long, String)] = Map.empty,
+      nameMapping: Map[String, Int] = Map.empty) {
     def schemaFieldNames: Seq[String] = schemaFields.map(_._2)
     /** Resolve a snapshot REFERENCE (spec "Snapshot References": a named
       * branch or tag) to its snapshot id — the named time-travel handle
@@ -152,9 +153,22 @@ object IcebergRead {
           e.getValue.get("type").asText())
       }.toMap
     }.getOrElse(Map.empty)
+    // schema.name-mapping.default (spec "Name Mapping Serialization"): the
+    // physical-file-column-name → field-id map for data files without
+    // embedded ids — the spec's answer to RENAMED columns over name-mapped
+    // files. A JSON array serialized as a string property.
+    val nameMapping: Map[String, Int] = (for {
+      props <- Option(root.get("properties"))
+      nm <- Option(props.get("schema.name-mapping.default"))
+    } yield {
+      iter(mapper.readTree(nm.asText())).flatMap { entry =>
+        val id = entry.get("field-id").asInt()
+        iter(entry.get("names")).map(_.asText() -> id)
+      }.toMap
+    }).getOrElse(Map.empty)
     TableMeta(fv, root.get("table-uuid").asText(),
       root.get("current-snapshot-id").asLong(), snaps, fields, partFields,
-      allSchemas, refs)
+      allSchemas, refs, nameMapping)
   }
 
   private def iter(n: JsonNode): Iterator[JsonNode] = {
@@ -324,11 +338,26 @@ object IcebergRead {
       }
       filled.select(outFields.map(f => col(f._2)): _*)
     }
-    if (posDels.isEmpty && eqDels.isEmpty)
+    // name mapping (renamed chains): a file's PHYSICAL column resolves by
+    // mapped field id to the snapshot schema's logical name; unmapped or
+    // not-in-this-schema columns pass through (project drops extras)
+    def applyMapping(df: DataFrame): DataFrame =
+      if (meta.nameMapping.isEmpty) df
+      else df.columns.foldLeft(df) { (d, c) =>
+        (for {
+          id <- meta.nameMapping.get(c)
+          (_, logical, _) <- outFields.find(_._1 == id) if logical != c
+        } yield d.withColumnRenamed(c, logical)).getOrElse(d)
+      }
+    if (posDels.isEmpty && eqDels.isEmpty && meta.nameMapping.isEmpty)
       project(spark.read.option("mergeSchema", "true").parquet(datas.map(_.path): _*))
     else {
+      // per-sequence groups: a commit is wholly pre- or post-rename, so the
+      // mapping applies uniformly within a group and unionByName merges the
+      // logical columns across groups
       var dataDf = datas.groupBy(_.sequenceNumber).toSeq.sortBy(_._1).map { case (s, fs) =>
-        val base = spark.read.option("mergeSchema", "true").parquet(fs.map(_.path): _*)
+        val base = applyMapping(
+          spark.read.option("mergeSchema", "true").parquet(fs.map(_.path): _*))
         val tagged = if (posDels.isEmpty) base
           else base.withColumn("__fp", canonUri(col("_metadata.file_path")))
             .withColumn("__pos", col("_metadata.row_index"))
@@ -355,7 +384,8 @@ object IcebergRead {
             idSets.head.map(meta.fieldName)
           }
           val delDf = eqDels.groupBy(_.sequenceNumber).toSeq.map { case (s, fs) =>
-            spark.read.parquet(fs.map(_.path): _*).withColumn("__dseq", lit(s))
+            applyMapping(spark.read.parquet(fs.map(_.path): _*))
+              .withColumn("__dseq", lit(s))
           }.reduce(_.unionByName(_, allowMissingColumns = true))
           val delMax = delDf.groupBy(keyNames.map(col): _*)
             .agg(max(col("__dseq")).as("__dseq"))

@@ -535,6 +535,62 @@ class IcebergExportSpec extends SparkSpec {
     assert(meta2.refs("v1") == ((1L, "tag")) && meta2.refs("v3") == ((3L, "tag")))
   }
 
+  test("column rename: one field id across the chain, per-snapshot names, name mapping (r13)") {
+    val src = freshDir("ren_src"); val out = freshDir("ren_out")
+    val oldDf = (1L to 100L).map(i => (i, s"v_$i")).toDF("id", "v")
+    VersionedTable.append(oldDf, src)                       // v1: physical v
+    VersionedTable.renameColumn(spark, src, "v", "w")       // v2: metadata-only
+    val newDf = (101L to 160L).map(i => (i, s"v_$i")).toDF("id", "w")
+    VersionedTable.append(newDf, src)                       // v3: physical w
+    // graft-side semantics: current reads w, time travel keeps v
+    assert(VersionedTable.read(spark, src).columns.toSeq == Seq("id", "w"))
+    assert(VersionedTable.read(spark, src).count() == 160L)
+    assert(VersionedTable.readVersion(spark, src, 1).columns.toSeq == Seq("id", "v"))
+    assert(VersionedTable.readVersion(spark, src, 2).columns.toSeq == Seq("id", "w"))
+
+    val meta = IcebergRead.tableMeta(spark, IcebergExport.export(spark, src, out))
+    // ONE field id for v/w across the chain; per-snapshot schemas differ
+    val s1 = meta.schemaFieldsOf(meta.snapshots.find(_.snapshotId == 1L).get.schemaId)
+    val s3 = meta.schemaFieldsOf(meta.snapshots.find(_.snapshotId == 3L).get.schemaId)
+    assert(s1.map(f => (f._1, f._2)) == Seq((1, "id"), (2, "v")))
+    assert(s3.map(f => (f._1, f._2)) == Seq((1, "id"), (2, "w")))
+    // the name mapping covers every field; the renamed one under BOTH aliases
+    assert(meta.nameMapping == Map("id" -> 1, "v" -> 2, "w" -> 2))
+    // current read surfaces every row under the NEW name
+    val cur = IcebergRead.read(spark, out)
+    assert(cur.columns.toSeq == Seq("id", "w"))
+    assert(cur.as[(Long, String)].collect().toMap == (
+      (1L to 100L).map(i => i -> s"v_$i") ++ (101L to 160L).map(i => i -> s"v_$i")).toMap)
+    // time travel to v1 keeps the OLD name
+    val v1 = IcebergRead.readSnapshot(spark, meta, 1L)
+    assert(v1.columns.toSeq == Seq("id", "v") && v1.count() == 100L)
+
+    // refusals are loud
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, src, "nope", "x"))
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, src, "w", "id"))
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, src, "w", "v")) // reused chain name
+  }
+
+  test("rename composes with MOR upserts and incremental export (r13)") {
+    val src = freshDir("renmor_src"); val out = freshDir("renmor_out")
+    val base = (1L to 200L).map(i => (i, i * 2)).toDF("id", "x")
+    VersionedTable.append(base, src)                        // v1
+    IcebergExport.export(spark, src, out)                   // exported at v1
+    VersionedTable.renameColumn(spark, src, "x", "y")       // v2
+    val upd = (1L to 200L by 5).map(i => (i, i * 2 + 1)).toDF("id", "y")
+    VersionedTable.upsertMor(upd, src, Seq("id"))           // v3: MOR under new name
+    IcebergExport.exportIncremental(spark, src, out)        // extend v2-v3
+    val rows = IcebergRead.read(spark, out).as[(Long, Long)].collect().toMap
+    assert(rows.size == 200)
+    assert(rows(1L) == 3L && rows(2L) == 4L && rows(6L) == 13L)
+    // the delete key cannot be renamed out from under the MOR state
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, src, "id", "key"))
+  }
+
   test("per-batch incremental export: a replayed batch id leaves the export untouched (r13)") {
     // the streaming_iceberg_export composition contract, driven directly:
     // upsertMorOnce refuses the replayed batch, so the guarded export call
