@@ -3855,22 +3855,7 @@ object Analytics {
           .select($"l_partkey".cast("string").as("k"), $"t", $"v")
         graft.operators.Croston.forecast(demands).orderBy($"k", $"t")
       },
-      Some("""WITH RECURSIVE bd AS (SELECT CAST(l_partkey AS VARCHAR) AS k,
-            epoch_us(l_shipdate) // 86400000000 AS t,
-            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
-          FROM lineitem GROUP BY 1, 2),
-        rd AS (SELECT k, t, v, row_number() OVER (PARTITION BY k ORDER BY t) AS rn,
-            lag(t) OVER (PARTITION BY k ORDER BY t) AS tp FROM bd),
-        h AS (
-          SELECT k, rn, t, v, CAST(1 AS BIGINT) AS q, v AS z, CAST(1 AS BIGINT) AS p
-          FROM rd WHERE rn = 1
-          UNION ALL
-          SELECT rd.k, rd.rn, rd.t, rd.v, rd.t - rd.tp,
-            (rd.v + 4 * h.z) // 5, ((rd.t - rd.tp) + 4 * h.p) // 5
-          FROM h JOIN rd ON rd.k = h.k AND rd.rn = h.rn + 1)
-        SELECT k, t, v, q, z AS size_z, p AS interval_p,
-          (1000000 * z) // greatest(p, 1) AS rate_e6
-        FROM h ORDER BY k, t"""),
+      Some(crostonOracleSql),
       "Croston intermittent-demand forecast per part: size and interval " +
         "EWMAs over demand occurrences only (alpha=1/5, integer quot), " +
         "e6 demand rate — the keyed O(1)-state fold, recursive-CTE " +
@@ -3930,6 +3915,27 @@ object Analytics {
         "per pair (mapPartitions state, calendar-bounded L), replayed " +
         "cell-for-cell by a recursive CTE carrying the DP row as a list.")
     )
+
+  /** Shared by croston_intermittent AND streaming_croston_forecast (the
+    * streamed fold is row-identical by construction): the per-series
+    * recursive-CTE replay of the two demand-occurrence EWMAs. */
+  private[queries] lazy val crostonOracleSql: String =
+    """WITH RECURSIVE bd AS (SELECT CAST(l_partkey AS VARCHAR) AS k,
+          epoch_us(l_shipdate) // 86400000000 AS t,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1, 2),
+      rd AS (SELECT k, t, v, row_number() OVER (PARTITION BY k ORDER BY t) AS rn,
+          lag(t) OVER (PARTITION BY k ORDER BY t) AS tp FROM bd),
+      h AS (
+        SELECT k, rn, t, v, CAST(1 AS BIGINT) AS q, v AS z, CAST(1 AS BIGINT) AS p
+        FROM rd WHERE rn = 1
+        UNION ALL
+        SELECT rd.k, rd.rn, rd.t, rd.v, rd.t - rd.tp,
+          (rd.v + 4 * h.z) // 5, ((rd.t - rd.tp) + 4 * h.p) // 5
+        FROM h JOIN rd ON rd.k = h.k AND rd.rn = h.rn + 1)
+      SELECT k, t, v, q, z AS size_z, p AS interval_p,
+        (1000000 * z) // greatest(p, 1) AS rate_e6
+      FROM h ORDER BY k, t"""
 
   /** Shared by holt_winters_additive AND streaming_holt_winters (the
     * streamed fold is row-identical by construction): recursive CTE

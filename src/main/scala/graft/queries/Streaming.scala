@@ -1804,6 +1804,47 @@ object Streaming {
         "across 4 time-sliced micro-batches, gated by the same recursive-" +
         "CTE oracle as holt_linear_smoothing."),
 
+    "streaming_croston_forecast" -> Q(
+      (s, d) => {
+        // The ONLINE form of croston_intermittent (r13): each demand
+        // occurrence of a part updates O(1) keyed state (size EWMA,
+        // interval EWMA, last demand day) and emits its live demand-rate
+        // forecast — the replenishment monitor, where the batch fold
+        // re-reads the whole history. Row-identical to operators.Croston
+        // by construction, so the SAME recursive-CTE oracle gates both.
+        // Time-sliced staging (quartiles of the demand-day index) keeps
+        // per-key arrival order equal to day order, so the carried state
+        // is load-bearing across all three boundaries (CrostonSpec proves
+        // a per-batch reset diverges). State is 3 longs per part that
+        // ever sold — O(SKUs), nothing worth evicting.
+        val (src, out, ck) = Streams.workDirs("streaming_croston_forecast")
+        val day = 86400000000L
+        val demands = table(s, d, "lineitem")
+          .groupBy(col("l_partkey"),
+            idiv(micros(col("l_shipdate")), lit(day)).as("t"))
+          .agg(sum(col("l_quantity").cast("long")).as("v"))
+          .select(col("l_partkey").cast("string").as("k"), col("t"), col("v"))
+        val cuts = demands.stat.approxQuantile("t", Array(0.25, 0.5, 0.75), 0.001)
+          .map(_.toLong)
+        val slices = Seq(
+          col("t") < cuts(0),
+          col("t") >= cuts(0) && col("t") < cuts(1),
+          col("t") >= cuts(1) && col("t") < cuts(2),
+          col("t") >= cuts(2))
+        slices.foreach { p =>
+          demands.filter(p).coalesce(1).write.mode("append").parquet(src)
+        }
+        val staged = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val fc = graft.streaming.CrostonStream.forecast(staged)
+        Streams.runAppend(fc.toDF(), out, ck).orderBy(col("k"), col("t"))
+      },
+      Some(Analytics.crostonOracleSql),
+      "Streaming Croston: flatMapGroupsWithState with three longs of state " +
+        "per SKU emits the live intermittent-demand rate — row-identical " +
+        "across 4 time-sliced micro-batches, gated by the same recursive-" +
+        "CTE oracle as croston_intermittent."),
+
     "streaming_burst_gate" -> Q(
       (s, d) => {
         // The LIVE twin of bot_burst_detection: the gate fires the moment

@@ -166,7 +166,24 @@ object PlanDump {
           "WindowGroupLimit below the window's exchange - each scan task forwards only " +
           "its per-shard top-bound rows, so the shuffle carries O(shards x bound) rows " +
           "at any table size; the exact non-constant per-shard offset bounds filter " +
-          "after the (final) window."))
+          "after the (final) window."),
+      "mmr_diversified_topk" ->
+        ("Greedy max-min MMR (r13): the corpus enters ONCE (broadcast queries x " +
+          "candidates shortlist, persisted + localCheckpointed); every greedy round " +
+          "reads checkpointed O(queries x shortlist) blocks - anti-join, min-div " +
+          "aggregate, 1-row-per-query pick - so the plan shown is tiny joins over " +
+          "truncated lineage, never a corpus re-scan."),
+      "multimodal_phash" ->
+        ("DCT perceptual hash (r13): docs explode to O(docs x 64) block rows, ONE " +
+          "broadcast join against the 1984-row integer cosine basis, one partial-" +
+          "aggregated (doc, k) fold - corpus-linear, the only exchange is the " +
+          "doc-keyed aggregate; median+packing run as codegen'd HOFs per doc."),
+      "dtw_series_distance" ->
+        ("All-pairs DTW (r13): the corpus collapses to O(series) month arrays " +
+          "first (two aggregates), the k x k pair frame is tiny, and the O(L^2) " +
+          "DP runs as per-pair imperative state inside ONE mapPartitions - no " +
+          "wavefront joins, no per-cell shuffles; scale lives in the upstream " +
+          "aggregate, the DP is calendar-bounded."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit artifact\n\n")
     sb.append("Generated by `graft.tools.PlanDump` at sf0.01 (plans are scale-" +

@@ -54,4 +54,42 @@ class CrostonSpec extends SparkSpec {
     assert(got.forall(_._6 == 1L))           // interval_p pinned at 1
     assert(got.forall(r => r._7 == r._5 * 1000000L)) // rate = size
   }
+
+  test("streamed forecast equals the batch fold at sf0.001") {
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    val got = SparkEntry.queries("streaming_croston_forecast")(spark, sf("sf0.001"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val day = 86400000000L
+    val demands = core.table(spark, sf("sf0.001"), "lineitem")
+      .groupBy(col("l_partkey"),
+        core.idiv(core.micros(col("l_shipdate")), lit(day)).as("t"))
+      .agg(sum(col("l_quantity").cast("long")).as("v"))
+      .select(col("l_partkey").cast("string").as("k"), col("t"), col("v"))
+    val want = Croston.forecast(demands)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == want, "streamed fold must be row-identical to the batch fold")
+    assert(got.size > 1000, "the corpus must exercise many intermittent series")
+  }
+
+  test("cross-batch state is load-bearing: a per-batch reset diverges") {
+    import graft.streaming.CrostonStream
+    val rows = SparkEntry.queries("streaming_croston_forecast")(spark, sf("sf0.001"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    var divergent = false
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val n = rs.length
+      val sliceAt = Seq(n / 4, n / 2, 3 * n / 4).filter(i => i > 0 && i < n)
+      var st: Option[CrostonStream.CState] = None
+      rs.zipWithIndex.foreach { case (r, i) =>
+        if (sliceAt.contains(i)) st = None // boundary reset
+        st = Some(CrostonStream.step(st, r._2, r._3))
+        if (st.get.z != r._5 || st.get.p != r._6) divergent = true
+      }
+    }
+    assert(divergent,
+      "per-batch state reset must change the output - otherwise carried state proves nothing")
+  }
 }

@@ -272,6 +272,56 @@ class IcebergForeignSpec extends SparkSpec {
     assert(IcebergRead.read(spark, root).count() == 17L)
   }
 
+  test("foreign name mapping + refs: physical file columns resolve through " +
+      "schema.name-mapping.default (r13)") {
+    // a table whose data files carry PHYSICAL names (c1, c2) while the
+    // schema declares (id, v) — the spec's name-mapping scenario for
+    // imported files without embedded field ids; metadata also carries a
+    // tag ref the reader must resolve by name
+    val root = freshDir("nm_tbl")
+    import org.apache.spark.sql.functions.col
+    (1 to 12).map(i => (i, s"x$i")).toDF("c1", "c2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/data/nm")
+    val st = fs.listStatus(new Path(s"$root/data/nm"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head
+    val manifestMeta = Map(
+      "schema" -> foreignSchemaJson, "partition-spec" -> "[]",
+      "partition-spec-id" -> "0", "format-version" -> "2", "content" -> "data")
+    val m = s"$root/metadata/foreign-nm.avro"
+    writeAvro(m, foreignEntrySchema, manifestMeta, Seq(
+      entry(st.getPath.toString, st.getLen, content = 0, seq = 1L,
+        snapId = 41L, nRows = 12L, None)))
+    val list = s"$root/metadata/snap-41.avro"
+    writeAvro(list, foreignListSchema, Map.empty, Seq(listRow(m, 0, 1L, 41L)))
+    val nm = """[{"field-id":1,"names":["c1","id"]},{"field-id":2,"names":["c2","v"]}]"""
+    val nmEsc = nm.replace("\"", "\\\"")
+    writeText(s"$root/metadata/v3.metadata.json",
+      s"""{"format-version":2,"location":"$root",
+        "table-uuid":"99999999-2222-3333-4444-555555555555",
+        "last-sequence-number":1,"last-updated-ms":1700000002000,
+        "last-column-id":2,
+        "schemas":[$foreignSchemaJson],"current-schema-id":5,
+        "partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+        "default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
+        "refs":{"main":{"snapshot-id":41,"type":"branch"},
+                "release-1":{"snapshot-id":41,"type":"tag"}},
+        "properties":{"schema.name-mapping.default":"$nmEsc"},
+        "current-snapshot-id":41,
+        "snapshots":[{"snapshot-id":41,"sequence-number":1,
+          "timestamp-ms":1700000002000,"summary":{"operation":"append"},
+          "manifest-list":"$list","schema-id":5}],
+        "snapshot-log":[],"metadata-log":[]}""")
+    writeText(s"$root/metadata/version-hint.text", "3")
+    val meta = IcebergRead.tableMeta(spark, IcebergRead.currentMetadataPath(spark, root))
+    assert(meta.nameMapping == Map("c1" -> 1, "id" -> 1, "c2" -> 2, "v" -> 2))
+    assert(meta.refs("release-1") == ((41L, "tag")))
+    val df = IcebergRead.readSnapshot(spark, meta, meta.refSnapshotId("release-1"))
+    assert(df.columns.toSeq == Seq("id", "v"))
+    assert(df.as[(Int, String)].collect().sorted.toSeq ==
+      (1 to 12).map(i => (i, s"x$i")))
+    assert(df.filter(col("id") === 7).as[(Int, String)].collect().head == ((7, "x7")))
+  }
+
   test("foreign int bounds (4-byte LE) prune; files without bounds are never pruned") {
     val (root, fileA, fileB) = buildForeignTable()
     val meta = IcebergRead.tableMeta(spark, IcebergRead.currentMetadataPath(spark, root))

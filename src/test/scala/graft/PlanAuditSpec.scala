@@ -595,4 +595,47 @@ class PlanAuditSpec extends SparkSpec {
     // per-dow seasonal means join back broadcast (O(series×7) rows)
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
+
+  test("multimodal_phash joins the DCT basis broadcast; one doc-keyed aggregate (r13)") {
+    val df = q("multimodal_phash")
+    df.collect()
+    val plan = planOf(df)
+    // the 1984-row basis must broadcast into the exploded block rows
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+    // (doc, k) coefficients partial-combine before the exchange
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      plan.take(3000))
+  }
+
+  test("mmr greedy rounds read checkpointed blocks, never re-scan the corpus (r13)") {
+    val df = q("mmr_diversified_topk")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val plan = planOf(df)
+    // the final plan unions checkpointed per-round picks: ExistingRDD scans,
+    // no cartesian anywhere (the one crossJoin ran inside the truncated
+    // shortlist lineage, not in the emitted plan)
+    assert(plan.contains("ExistingRDD") || plan.contains("LocalTableScan"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("dtw runs the DP inside mapPartitions — no wavefront joins (r13)") {
+    val df = q("dtw_series_distance")
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("MapPartitions"), plan.take(3000))
+    // the only join is the tiny k x k pair build; no exchange after it
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("croston folds per key after ONE series exchange (the holt shape) (r13)") {
+    val df = q("croston_intermittent")
+    val plan = planOf(df)
+    assert(plan.contains("MapPartitions"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(_1"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
 }
