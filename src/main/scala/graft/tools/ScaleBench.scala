@@ -609,6 +609,46 @@ object ScaleBench {
       }
     }
 
+    // ---- renamed-table read overhead (r13) ------------------------------
+    // A renamed table still reads as ONE multi-path mergeSchema scan: the
+    // alias columns fold with coalesce(newest..oldest) in a single
+    // projection (VersionedTable.coalesceAliases). The first cut here used
+    // a per-dir union instead and this row caught it: a FLAT ~1.5 s of
+    // per-dir plan overhead at 20 dirs (2.3/2.0/2.0 s vs 0.4 s plain at
+    // 1×/10×/30×) — constant in data, linear in dirs. After the coalesce
+    // rewrite the renamed read tracks the plain read at every factor
+    // (0.29/0.35/0.54 s vs 0.38/0.31/0.46 s).
+    if (earlyOnly.exists(_.contains("rename_read_scale"))) {
+      val ordersBase = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 100).cast("long").as("price_c"))
+      val hfs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      for (k <- Seq(1, 10, 30)) {
+        val tbl = s"$outDir/rename_scale_x$k"
+        hfs.delete(new org.apache.hadoop.fs.Path(tbl), true)
+        val seeded = (0 until k).map(r => ordersBase
+            .withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L)))
+          .reduce(_ unionByName _)
+          .withColumn("__slice", org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.hash(col("o_orderkey")), lit(20)))
+          .cache()
+        seeded.count()
+        for (c <- 0 until 20) // untimed staging: 20 dirs at every factor
+          graft.sinks.VersionedTable.append(
+            seeded.filter(col("__slice") === c).drop("__slice").coalesce(2), tbl)
+        seeded.unpersist()
+        val (plainSec, n0) = time(graft.sinks.VersionedTable.read(spark, tbl)
+          .agg(org.apache.spark.sql.functions.sum(col("price_c"))).head.getLong(0))
+        graft.sinks.VersionedTable.renameColumn(spark, tbl, "price_c", "price2_c")
+        val (renSec, n1) = time(graft.sinks.VersionedTable.read(spark, tbl)
+          .agg(org.apache.spark.sql.functions.sum(col("price2_c"))).head.getLong(0))
+        require(n0 == n1, s"rename changed the aggregate: $n0 vs $n1")
+        println(s"""{"metric":"rename_read_scale","factor":$k,"dirs":20,""" +
+          s""""plain_sec":${f"$plainSec%.2f"},"renamed_sec":${f"$renSec%.2f"}}""")
+      }
+    }
+
     // ---- chain-closure A/B (r9 verdict item 7) --------------------------
     // The pathological-depth regime: a linked list `depth` deep, where the
     // frontier shape pays one shuffle round PER LEVEL and the path-doubling
