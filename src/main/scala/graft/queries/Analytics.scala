@@ -3913,7 +3913,67 @@ object Analytics {
         FROM d WHERE i = len(va) ORDER BY id_a, id_b"""),
       "All-pairs DTW over monthly nation revenue: exact integer O(L^2) DP " +
         "per pair (mapPartitions state, calendar-bounded L), replayed " +
-        "cell-for-cell by a recursive CTE carrying the DP row as a list.")
+        "cell-for-cell by a recursive CTE carrying the DP row as a list."),
+
+    "forecast_backtest" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // ROLLING one-step-ahead forecast BACKTEST — the evaluation
+        // harness that decides WHICH forecaster a series gets
+        // (mase_seasonal_naive scores one method against a fixed naive at
+        // a fixed split; this scores the Holt fold against the naive at
+        // EVERY origin): day t's forecast1 (made at t, for t+1) compares
+        // to the realized v_{t+1}, the naive's forecast for t+1 is v_t.
+        // Errors are exact integer cents; per-series MAE e6 plus the
+        // win flag. Reuses the exact same Holt fold the smoothing row
+        // registers, so the oracle is the shared recursive CTE wrapped as
+        // a subquery — one definition, three gated surfaces. Scale: the
+        // lead window and the error aggregate run over the O(series×days)
+        // day table; corpus-sized work is the one upstream aggregate.
+        val d38 = DecimalType(38, 0)
+        val byDay = eventsTable(s, d)
+          .groupBy($"event_type".as("k"),
+            micros(date_trunc("day", $"ts")).as("t"))
+          .agg(sum((dec2($"value") * 100).cast(LongType)).as("v"))
+        val sm = graft.operators.HoltLinear.smooth(byDay)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"k").orderBy($"t")
+        sm.withColumn("v_next", lead($"v", 1).over(w))
+          .filter($"v_next".isNotNull)
+          .groupBy($"k".as("event_type"))
+          .agg(count(lit(1)).as("n_origins"),
+            sum(abs($"v_next" - $"forecast1")).as("holt_abs_err_c"),
+            sum(abs($"v_next" - $"v")).as("naive_abs_err_c"))
+          .select($"event_type", $"n_origins", $"holt_abs_err_c",
+            $"naive_abs_err_c",
+            idiv(lit(1000000L).cast(d38) * $"holt_abs_err_c".cast(d38),
+              $"n_origins".cast(d38)).cast(LongType).as("holt_mae_e6"),
+            idiv(lit(1000000L).cast(d38) * $"naive_abs_err_c".cast(d38),
+              $"n_origins".cast(d38)).cast(LongType).as("naive_mae_e6"),
+            when($"holt_abs_err_c" <= $"naive_abs_err_c", 1L).otherwise(0L)
+              .as("holt_wins"))
+          .orderBy($"event_type")
+      },
+      Some(s"""WITH sm AS (SELECT * FROM ($holtOracleSql)),
+        nx AS (SELECT event_type, v_c, forecast1_c,
+            lead(v_c, 1) OVER (PARTITION BY event_type ORDER BY day_us) AS v_next
+          FROM sm),
+        ag AS (SELECT event_type, count(*) AS n_origins,
+            CAST(sum(abs(v_next - forecast1_c)) AS BIGINT) AS holt_abs_err_c,
+            CAST(sum(abs(v_next - v_c)) AS BIGINT) AS naive_abs_err_c
+          FROM nx WHERE v_next IS NOT NULL GROUP BY 1)
+        SELECT event_type, n_origins, holt_abs_err_c, naive_abs_err_c,
+          CAST((1000000 * CAST(holt_abs_err_c AS HUGEINT)) // n_origins AS BIGINT)
+            AS holt_mae_e6,
+          CAST((1000000 * CAST(naive_abs_err_c AS HUGEINT)) // n_origins AS BIGINT)
+            AS naive_mae_e6,
+          CAST(CASE WHEN holt_abs_err_c <= naive_abs_err_c THEN 1 ELSE 0 END
+            AS BIGINT) AS holt_wins
+        FROM ag ORDER BY event_type"""),
+      "Rolling one-step forecast backtest: the Holt fold's forecast1 vs " +
+        "the naive at every origin, exact integer errors, per-series e6 " +
+        "MAE + win flag — the same fold and recursive-CTE oracle as the " +
+        "smoothing row, wrapped as one evaluation query.")
     )
 
   /** Shared by croston_intermittent AND streaming_croston_forecast (the
