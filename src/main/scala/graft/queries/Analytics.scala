@@ -3974,7 +3974,81 @@ object Analytics {
         "the naive at every origin, exact integer errors, per-series e6 " +
         "MAE + win flag — the same fold and recursive-CTE oracle as the " +
         "smoothing row, wrapped as one evaluation query.")
+    ,
+
+    "sprt_sequential_test" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Wald's SEQUENTIAL probability ratio test — the sequential member
+        // completing the A/B family (ab_conversion_z2 is the fixed-horizon
+        // test, multiple_testing_bh the multiplicity control; SPRT answers
+        // "when can this experiment STOP?"): the premium-conversion stream
+        // is monitored day by day, the cumulative log-likelihood ratio
+        //   llr = C·ln(p1/p0) + (N−C)·ln((1−p1)/(1−p0))
+        // walks between Wald's boundaries ln(β/(1−α)) and ln((1−β)/α),
+        // and the first crossing is the decision day. Integer discipline
+        // for the transcendental constants: the four logs are computed
+        // ONCE in Scala, rounded to e6 integers, and inlined verbatim into
+        // both the Spark plan and the oracle SQL (the multimodal_phash
+        // basis discipline) — llr is then exact BIGINT arithmetic. Scale:
+        // one day-keyed aggregate; the cumulative window runs over the
+        // O(days) day table.
+        val ev = eventsTable(s, d)
+          .select(micros(date_trunc("day", $"ts")).as("day_us"),
+            when($"event_type" === "purchase"
+              && (dec2($"value") * 100).cast(LongType) >= 9000L, 1L)
+              .otherwise(0L).as("conv"))
+          .groupBy($"day_us")
+          .agg(count(lit(1)).as("n_d"), sum($"conv").as("c_d"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"day_us")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        // O(days) post-aggregation frame: the global window is ~2.4k rows
+        ev.withColumn("n_cum", sum($"n_d").over(w))
+          .withColumn("c_cum", sum($"c_d").over(w))
+          .select($"day_us", $"n_cum", $"c_cum",
+            ($"c_cum" * SprtL1E6 + ($"n_cum" - $"c_cum") * SprtL0E6).as("llr_e6"))
+          .withColumn("verdict",
+            when($"llr_e6" >= SprtAE6, lit("accept_h1"))
+              .when($"llr_e6" <= SprtBE6, lit("accept_h0"))
+              .otherwise(lit("continue")))
+          .orderBy($"day_us")
+      },
+      Some(s"""WITH bd AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+            count(*) AS n_d,
+            sum(CASE WHEN event_type = 'purchase'
+              AND CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >= 9000
+              THEN 1 ELSE 0 END) AS c_d
+          FROM events GROUP BY 1),
+        cu AS (SELECT day_us,
+            CAST(sum(n_d) OVER (ORDER BY day_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum,
+            CAST(sum(c_d) OVER (ORDER BY day_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c_cum
+          FROM bd),
+        ll AS (SELECT day_us, n_cum, c_cum,
+            c_cum * $SprtL1E6 + (n_cum - c_cum) * ($SprtL0E6) AS llr_e6
+          FROM cu)
+        SELECT day_us, n_cum, c_cum, llr_e6,
+          CASE WHEN llr_e6 >= $SprtAE6 THEN 'accept_h1'
+            WHEN llr_e6 <= $SprtBE6 THEN 'accept_h0'
+            ELSE 'continue' END AS verdict
+        FROM ll ORDER BY day_us"""),
+      "Wald SPRT on the daily conversion stream: cumulative integer LLR " +
+        "with e6 log-constants inlined verbatim into both engines (no " +
+        "cross-engine libm), Wald boundaries, per-day verdict — the " +
+        "sequential-stopping member of the A/B family.")
     )
+
+  /** SPRT constants (sprt_sequential_test): H0 p₀=0.02 vs H1 p₁=0.04 at
+    * α=β=0.05 — the four transcendental logs e6-rounded ONCE here and
+    * inlined verbatim into BOTH the Spark plan and the oracle SQL, so the
+    * engines share identical integers (the multimodal_phash basis
+    * discipline; no cross-engine libm). */
+  private lazy val SprtL1E6: Long = math.round(math.log(0.04 / 0.02) * 1e6) //  693147
+  private lazy val SprtL0E6: Long = math.round(math.log(0.96 / 0.98) * 1e6) //  -20619
+  private lazy val SprtAE6: Long = math.round(math.log(0.95 / 0.05) * 1e6)  // 2944439
+  private lazy val SprtBE6: Long = math.round(math.log(0.05 / 0.95) * 1e6)  // -2944439
 
   /** Shared by croston_intermittent AND streaming_croston_forecast (the
     * streamed fold is row-identical by construction): the per-series
