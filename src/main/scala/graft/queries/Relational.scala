@@ -2653,6 +2653,97 @@ object Relational {
         "error-bound + exact-recovery specs in KmvSpec (no SQL oracle - DuckDB has " +
         "no xxhash64)."),
 
+    "kmv_intersection_replayable" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The FULL-ORACLE twin of approx_distinct_intersection — the last
+        // rows-only family member gets the ann_ivf/ann_sq8 promotion
+        // treatment: swap the unreplayable xxhash64 for an LCG hash over a
+        // Mersenne-prime modulus ((A·uid + C) mod 2⁶¹−1 — plain wide-
+        // integer arithmetic BOTH engines compute bit-for-bit), and the
+        // whole KMV pipeline (per-type bottom-64 sketch, union sketch as
+        // the 64 smallest of the merged DISTINCT hashes, the (K−1)·M/kth
+        // estimator, sketch-intersection Jaccard, intersection estimate
+        // (n_both·D_union) div |union sketch|) becomes windowed integer
+        // SQL. The production row keeps xxhash64 (better avalanche) and
+        // its KmvSpec error bounds; THIS row is the standing oracle that
+        // any drift in sketching/union/estimator logic trips. Scale: one
+        // corpus-wide distinct + O(types·K) sketch rows; every window
+        // runs on sketch-sized frames.
+        val d38 = DecimalType(38, 0)
+        val K = 64
+        val M = 2305843009213693951L // 2^61 - 1
+        val A = 6364136223846793005L
+        val C = 1442695040888963407L
+        val h = pmod($"user_id".cast(d38) * lit(A).cast(d38) + lit(C).cast(d38),
+          lit(M).cast(d38)).cast(LongType)
+        val hashes = eventsTable(s, d)
+          .select($"event_type".as("t"), h.as("h")).distinct()
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy($"t").orderBy($"h")
+        val sk = hashes.withColumn("r", row_number().over(wr)).filter($"r" <= K)
+        val tt = sk.select($"t").distinct()
+        val tpairs = tt.select($"t".as("ta"))
+          .crossJoin(tt.select($"t".as("tb"))).filter($"ta" < $"tb")
+        val mh = tpairs.join(sk.select($"t".as("ta"), $"h"), "ta")
+          .select($"ta", $"tb", $"h")
+          .unionByName(tpairs.join(sk.select($"t".as("tb"), $"h"), "tb")
+            .select($"ta", $"tb", $"h"))
+          .distinct()
+        val wu = org.apache.spark.sql.expressions.Window
+          .partitionBy($"ta", $"tb").orderBy($"h")
+        val un = mh.withColumn("r", row_number().over(wu)).filter($"r" <= K)
+        val est = (kn: org.apache.spark.sql.Column, kth: org.apache.spark.sql.Column) =>
+          when(kn < K, kn).otherwise(
+            idiv(lit(K - 1).cast(d38) * lit(M).cast(d38), kth.cast(d38))
+              .cast(LongType))
+        un.join(sk.select($"t".as("ta"), $"h", lit(1L).as("ina")), Seq("ta", "h"), "left")
+          .join(sk.select($"t".as("tb"), $"h", lit(1L).as("inb")), Seq("tb", "h"), "left")
+          .groupBy($"ta", $"tb")
+          .agg(count(lit(1)).as("ku_n"), max($"h").as("kthu"),
+            sum(when($"ina".isNotNull && $"inb".isNotNull, 1L).otherwise(0L))
+              .as("n_both"))
+          .select($"ta".as("type_a"), $"tb".as("type_b"), $"n_both",
+            est($"ku_n", $"kthu").as("est_union"),
+            idiv($"n_both" * est($"ku_n", $"kthu"), $"ku_n").as("est_inter"))
+          .orderBy($"type_a", $"type_b")
+      },
+      Some(s"""WITH hs AS (SELECT DISTINCT event_type AS t,
+            CAST((6364136223846793005 * CAST(user_id AS HUGEINT)
+              + 1442695040888963407) % 2305843009213693951 AS BIGINT) AS h
+          FROM events),
+        sk AS (SELECT t, h FROM (
+            SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS r
+            FROM hs) WHERE r <= 64),
+        tt AS (SELECT DISTINCT t FROM sk),
+        tp AS (SELECT a.t AS ta, b.t AS tb FROM tt a JOIN tt b ON a.t < b.t),
+        mh AS (SELECT DISTINCT ta, tb, h FROM (
+            SELECT tp.ta, tp.tb, sk.h FROM tp JOIN sk ON sk.t = tp.ta
+            UNION ALL
+            SELECT tp.ta, tp.tb, sk.h FROM tp JOIN sk ON sk.t = tp.tb)),
+        un AS (SELECT ta, tb, h FROM (
+            SELECT ta, tb, h, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS r
+            FROM mh) WHERE r <= 64),
+        ag AS (SELECT un.ta, un.tb, count(*) AS ku_n, max(un.h) AS kthu,
+            CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+          FROM un
+          LEFT JOIN sk a ON a.t = un.ta AND a.h = un.h
+          LEFT JOIN sk b ON b.t = un.tb AND b.h = un.h
+          GROUP BY 1, 2)
+        SELECT ta AS type_a, tb AS type_b, n_both,
+          CASE WHEN ku_n < 64 THEN ku_n
+            ELSE CAST((63 * CAST(2305843009213693951 AS HUGEINT)) // kthu AS BIGINT)
+            END AS est_union,
+          (n_both * CASE WHEN ku_n < 64 THEN ku_n
+            ELSE CAST((63 * CAST(2305843009213693951 AS HUGEINT)) // kthu AS BIGINT)
+            END) // ku_n AS est_inter
+        FROM ag ORDER BY type_a, type_b"""),
+      "KMV intersection with a SQL-replayable LCG hash (Mersenne-prime " +
+        "modulus): bottom-64 sketches, union sketch, (K-1)M/kth estimator " +
+        "and sketch-Jaccard intersection — the standing oracle twin of the " +
+        "xxhash64 production row, windowed integer SQL end to end."),
+
     "q21b_sole_late_supplier" -> Q(
       (s, d) => {
         import s.implicits._

@@ -82,4 +82,28 @@ class KmvSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "estimates must be deterministic")
     ev.unpersist()
   }
+
+  test("the LCG oracle twin tracks ground truth like the xxhash production row (r13)") {
+    // kmv_intersection_replayable swaps xxhash64 for the SQL-replayable
+    // LCG-mod-Mersenne hash; KMV only needs hash uniformity, so its
+    // estimates must satisfy the same error envelope against exact truth
+    val d = sf("sf0.001")
+    val out = SparkEntry.queries("kmv_intersection_replayable")(spark, d)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(out.length == 10)
+    val ev = core.eventsTable(spark, d).select($"event_type", $"user_id").distinct()
+    val exact = ev.collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).toSet }
+    out.foreach { case (ta, tb, nBoth, estU, estI) =>
+      val (sa, sb) = (exact(ta), exact(tb))
+      assert(nBoth >= 0L && nBoth <= 64L && estI <= estU)
+      val truthU = (sa ++ sb).size
+      assert(math.abs(estU - truthU).toDouble / math.max(truthU, 1) < 0.35,
+        s"$ta x $tb union: est=$estU truth=$truthU")
+      val truthI = (sa & sb).size
+      assert(truthI == 0 && estI <= truthU / 8 ||
+        math.abs(estI - truthI).toDouble / math.max(truthI, 1) < 0.5,
+        s"$ta x $tb inter: est=$estI truth=$truthI")
+    }
+  }
 }
