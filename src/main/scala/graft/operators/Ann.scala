@@ -395,6 +395,11 @@ object Ann {
       shortlist: Int, k: Int, lamNum: Long = 7L, lamDen: Long = 10L,
       scale: Long = 1000L, checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1 && shortlist >= k, "need shortlist >= k >= 1")
+    // λ = lamNum/lamDen must be a rational in [0, 1]: lamNum > lamDen (or a
+    // non-positive lamDen) flips the sign of the (lamDen−lamNum) diversity
+    // weight and silently INVERTS the trade-off instead of balancing it
+    require(lamDen > 0 && lamNum >= 0 && lamNum <= lamDen,
+      s"lambda must satisfy 0 <= lamNum <= lamDen with lamDen > 0, got $lamNum/$lamDen")
     val ckpt = new Checkpointer(checkpointDir)
     val q = quantized(queries, "query_id", "qv", scale)
     val c = quantized(candidates, "neighbor_id", "cv", scale)

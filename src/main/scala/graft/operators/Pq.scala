@@ -45,6 +45,28 @@ object Pq {
   final case class Model(m: Int, k: Int, subDim: Int,
       codebooks: Array[Array[Array[Double]]])
 
+  /** Driver-side cap on the ADC query set. Per-query LUTs and probe cells
+    * are built on the driver (O(queries · m · k) memory — the right shape
+    * for bounded probe/eval sets, the same contract as
+    * [[Ann.bruteForceTopK]]'s broadcast side), but nothing used to ENFORCE
+    * the bound: a caller passing a 10⁷-row query batch would OOM the driver
+    * inside collect(). Fail loudly at the documented bound instead; batches
+    * beyond it should be chunked into successive calls. */
+  val MaxAdcQueries: Int = 100000
+
+  /** `collect()` with the [[MaxAdcQueries]] bound enforced: reads at most
+    * bound+1 rows (never the whole oversized set) and raises a sized,
+    * actionable error instead of an opaque driver OOM. */
+  private def collectBounded[T](ds: org.apache.spark.sql.Dataset[T],
+      what: String): Array[T] = {
+    val rows = ds.limit(MaxAdcQueries + 1).collect()
+    require(rows.length <= MaxAdcQueries,
+      s"$what holds more than $MaxAdcQueries rows — the per-query ADC LUT " +
+        "build is driver-side and bounded by design; chunk the query set " +
+        "into successive calls")
+    rows
+  }
+
   /** One-call IVFADC+R pipeline — the r8 fast path behind `ann_ivf_pq`.
     * Identical math to `train` + `ivfAdcTopK`, reshaped for job count and
     * scan reuse:
@@ -204,10 +226,11 @@ object Pq {
           .getField("cluster").as("cell"),
         col("v").as("cv"))
       // queries: bounded, collected — integer LUTs + probe cells driver-side
-      val qs = queries.select(col("vec_id"),
+      // (the bound is ENFORCED: an oversized batch fails loudly, never OOMs)
+      val qs = collectBounded(queries.select(col("vec_id"),
           transform(col("embedding").cast("array<double>"),
             x => floor(x * scale + 0.5).cast("long")).as("v"))
-        .as[(Long, Array[Long])].collect()
+        .as[(Long, Array[Long])], "PQ query set")
       def distSq(a: Array[Long], b: Array[Double], off: Int): Long = {
         var s = 0L; var i = 0
         while (i < b.length) { val d = a(off + i) - b(i).toLong; s += d * d; i += 1 }
@@ -378,9 +401,9 @@ object Pq {
 
     // Per query: the m×k ADC table plus its nprobe nearest coarse cells —
     // both exact driver-side float math over the driver-held codebooks.
-    val qs = normalized(queries)
+    val qs = collectBounded(normalized(queries)
       .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Double])].collect()
+      .as[(Long, Array[Double])], "PQ query set")
     def distSq(a: Array[Double], b: Array[Double], off: Int): Double = {
       var s = 0.0; var i = 0
       while (i < b.length) { val d = a(off + i) - b(i); s += d * d; i += 1 }

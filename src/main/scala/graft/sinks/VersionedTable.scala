@@ -95,7 +95,10 @@ object VersionedTable {
     * (prior snapshots stay readable via [[readVersion]] until expired). */
   def overwrite(df: DataFrame, path: String): Int = {
     val d = writeDataDir(df, path)
-    commit(df.sparkSession, path, _ => Snapshot(0, Seq(d)))
+    commit(df.sparkSession, path, cur => {
+      guardRenamedAway(df.columns.toSeq, cur)
+      Snapshot(0, Seq(d))
+    })
   }
 
   /** Append without rewriting: prior data dirs are referenced, not copied.
@@ -105,13 +108,15 @@ object VersionedTable {
     * the new dir has none, so pruned reads always include it. */
   def append(df: DataFrame, path: String): Int = {
     val d = writeDataDir(df, path)
-    commit(df.sparkSession, path, cur =>
+    commit(df.sparkSession, path, cur => {
+      guardRenamedAway(df.columns.toSeq, cur)
       Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
         cur.map(_.colStats).getOrElse(Map.empty),
         cur.flatMap(_.lastBatch),
         cur.map(_.dataSeq).getOrElse(Map.empty) + (d -> nextV(cur)),
         cur.map(_.deletes).getOrElse(Nil),
-        cur.map(_.deleteKeys).getOrElse(Nil)))
+        cur.map(_.deleteKeys).getOrElse(Nil))
+    })
   }
 
   /** Merge-on-read equality-field upsert (Iceberg v2 equality deletes — the
@@ -134,6 +139,7 @@ object VersionedTable {
     val del = writeDataDir(
       df.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(), path)
     commit(spark, path, cur => {
+      guardRenamedAway(df.columns.toSeq, cur)
       require(cur.forall(s => s.deleteKeys.isEmpty || s.deleteKeys == keys),
         s"merge-on-read keys $keys conflict with the table's recorded " +
           s"equality fields ${cur.map(_.deleteKeys).getOrElse(Nil)}")
@@ -178,6 +184,7 @@ object VersionedTable {
     val del = writeDataDir(
       df.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(), path)
     commit(spark, path, cur => {
+      guardRenamedAway(df.columns.toSeq, cur)
       require(cur.forall(s => s.deleteKeys.isEmpty || s.deleteKeys == keys),
         s"merge-on-read keys $keys conflict with the table's recorded " +
           s"equality fields ${cur.map(_.deleteKeys).getOrElse(Nil)}")
@@ -210,6 +217,7 @@ object VersionedTable {
       commit(spark, path, cur => {
         if (cur.exists(_.lastBatch.exists(_ >= batchId)))
           throw new CommitAborted(s"batch $batchId already committed")
+        guardRenamedAway(df.columns.toSeq, cur)
         require(cur.forall(s => s.deleteKeys.isEmpty || s.deleteKeys == keys),
           s"merge-on-read keys $keys conflict with recorded ${cur.map(_.deleteKeys).getOrElse(Nil)}")
         val v = nextV(cur)
@@ -279,6 +287,25 @@ object VersionedTable {
           "state is not a rename")
       snap.copy(version = 0, renames = snap.renames :+ (from -> to))
     })
+
+  /** Refuse a write whose schema re-introduces a name some column was
+    * renamed AWAY from. Iceberg can re-add an old name because field ids
+    * disambiguate old files from new ones; this name-chain model cannot —
+    * [[readSnapshot]]'s alias folding would silently coalesce the NEW
+    * column's values into the renamed field and drop the new column from
+    * the output (silent corruption). Run INSIDE the commit lock so it sees
+    * the post-race chain; [[renameColumn]] guards the `to` side, this
+    * guards the `from` side for every subsequent data write. */
+  private def guardRenamedAway(cols: Seq[String], cur: Option[Snapshot]): Unit = {
+    val froms = cur.map(_.renames.map(_._1)).getOrElse(Nil).toSet
+    if (froms.nonEmpty) {
+      val bad = cols.filter(froms)
+      require(bad.isEmpty,
+        s"write schema re-uses renamed-away column name(s) ${bad.mkString(", ")}; " +
+          s"the rename chain ${cur.map(_.renames).getOrElse(Nil).mkString(",")} would " +
+          "fold them into the renamed field on read — pick a fresh name")
+    }
+  }
 
   /** Apply a rename chain to one dir's frame: each (from, to) in commit
     * order, skipping pairs whose physical name this dir never carried. */
@@ -367,6 +394,7 @@ object VersionedTable {
       commit(df.sparkSession, path, { cur =>
         if (cur.exists(_.lastBatch.exists(_ >= batchId)))
           throw new CommitAborted(s"batch $batchId already committed")
+        guardRenamedAway(df.columns.toSeq, cur)
         Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
           cur.map(_.colStats).getOrElse(Map.empty),
           Some(batchId),
@@ -402,6 +430,7 @@ object VersionedTable {
             throw new CommitAborted(s"batch $batchId already committed")
           if (cur.map(_.version) != planned.map(_.version))
             throw new CommitAborted("table advanced during the COW merge")
+          guardRenamedAway(df.columns.toSeq, cur)
           Snapshot(0, Seq(d), Map.empty, Some(batchId))
         })
         return true
@@ -443,13 +472,15 @@ object VersionedTable {
       if (row.isNullAt(2 * i)) None
       else Some(c -> ColBounds(row.getString(2 * i), row.getString(2 * i + 1), typs(c)))
     }.toMap
-    commit(df.sparkSession, path, cur =>
+    commit(df.sparkSession, path, cur => {
+      guardRenamedAway(df.columns.toSeq, cur)
       Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
         cur.map(_.colStats).getOrElse(Map.empty) +
           (d -> bounds), cur.flatMap(_.lastBatch),
         cur.map(_.dataSeq).getOrElse(Map.empty) + (d -> nextV(cur)),
         cur.map(_.deletes).getOrElse(Nil),
-        cur.map(_.deleteKeys).getOrElse(Nil)))
+        cur.map(_.deleteKeys).getOrElse(Nil))
+    })
   }
 
   /** Single-column convenience form of [[appendWithStats]]. */
@@ -478,13 +509,15 @@ object VersionedTable {
     val bounds =
       if (row.isNullAt(0)) Map.empty[String, ColBounds]
       else Map(name -> ColBounds(row.getString(0), row.getString(1), "long"))
-    commit(df.sparkSession, path, cur =>
+    commit(df.sparkSession, path, cur => {
+      guardRenamedAway(df.columns.toSeq, cur)
       Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
         cur.map(_.colStats).getOrElse(Map.empty) + (d -> bounds),
         cur.flatMap(_.lastBatch),
         cur.map(_.dataSeq).getOrElse(Map.empty) + (d -> nextV(cur)),
         cur.map(_.deletes).getOrElse(Nil),
-        cur.map(_.deleteKeys).getOrElse(Nil)))
+        cur.map(_.deleteKeys).getOrElse(Nil))
+    })
   }
 
   /** Scan with manifest-level file skipping: only data dirs whose recorded
@@ -530,13 +563,15 @@ object VersionedTable {
     val out = filesystem.create(new Path(dirPath, s"_bloom_$column"), true)
     bf.writeTo(out)
     out.close()
-    commit(spark, path, cur =>
+    commit(spark, path, cur => {
+      guardRenamedAway(df.columns.toSeq, cur)
       Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
         cur.map(_.colStats).getOrElse(Map.empty),
         cur.flatMap(_.lastBatch),
         cur.map(_.dataSeq).getOrElse(Map.empty) + (d -> nextV(cur)),
         cur.map(_.deletes).getOrElse(Nil),
-        cur.map(_.deleteKeys).getOrElse(Nil)))
+        cur.map(_.deleteKeys).getOrElse(Nil))
+    })
   }
 
   /** The dirs a point lookup `column == value` must read: a dir whose bloom
@@ -617,6 +652,7 @@ object VersionedTable {
           if (cur.map(_.version) != planned.map(_.version))
             throw new CommitAborted(s"table advanced past " +
               s"v${planned.map(_.version).getOrElse(0)} during the COW merge")
+          guardRenamedAway(df.columns.toSeq, cur)
           Snapshot(0, Seq(d), lastBatch = cur.flatMap(_.lastBatch))
         })
       } catch {
@@ -719,8 +755,18 @@ object VersionedTable {
     val smallSet = small.toSet
     val total = counts.collect { case (d, n) if smallSet(d) => n }.sum
     val parts = math.max(1L, (total + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val merged = spark.read.option("mergeSchema", "true")
+    // Fold the snapshot's rename chain into the merged frame BEFORE writing:
+    // small dirs spanning a rename surface BOTH aliases of a field under the
+    // raw mergeSchema scan, and writing that two-alias frame would produce a
+    // single file physically carrying both names — graft reads stay correct
+    // (per row only one alias is non-null) but IcebergExport would map both
+    // columns of one file to the same field id and the exported table becomes
+    // unreadable. compact() gets this for free by reading via readSnapshot;
+    // this is the same fold (compacted files carry only logical names).
+    val raw = spark.read.option("mergeSchema", "true")
       .parquet(small.map(d => new Path(path, d).toString): _*)
+    val merged =
+      if (snap.renames.isEmpty) raw else coalesceAliases(raw, snap.renames)
     val d = writeDataDir(merged.repartition(parts), path)
     try {
       commit(spark, path, { cur =>

@@ -25,13 +25,16 @@ object CrostonStream {
   case class Out(k: String, t: Long, v: Long, q: Long,
       size_z: Long, interval_p: Long, rate_e6: Long)
 
-  /** One Croston step: None = first demand (z=v, p=1), matching the batch
-    * operator. All-non-negative, so `/` is exact floor on both engines. */
-  def step(st: Option[CState], t: Long, v: Long): CState = st match {
-    case None => CState(v, 1L, t)
+  /** One Croston step: None = first demand (z=v, p=1, realized interval 1),
+    * matching the batch operator. All-non-negative, so `/` is exact floor
+    * on both engines. Returns the new state AND the realized inter-demand
+    * interval q it smoothed, so the emitted q and the interval EWMA share
+    * one definition (they cannot drift apart if the recurrence changes). */
+  def step(st: Option[CState], t: Long, v: Long): (CState, Long) = st match {
+    case None => (CState(v, 1L, t), 1L)
     case Some(CState(z, p, tp)) =>
       val q = t - tp
-      CState((v + 4L * z) / 5L, (q + 4L * p) / 5L, t)
+      (CState((v + 4L * z) / 5L, (q + 4L * p) / 5L, t), q)
   }
 
   /** `demands` columns: k (series key), t (long demand-day index, globally
@@ -46,8 +49,7 @@ object CrostonStream {
           val batch = it.toArray
           java.util.Arrays.sort(batch, Ordering.by((r: In) => r.t))
           val out = batch.map { r =>
-            val q = st.map(s => r.t - s.tPrev).getOrElse(1L)
-            val next = step(st, r.t, r.v)
+            val (next, q) = step(st, r.t, r.v)
             st = Some(next)
             Out(key, r.t, r.v, q, next.z, next.p,
               1000000L * next.z / math.max(next.p, 1L))

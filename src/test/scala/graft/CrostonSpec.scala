@@ -85,7 +85,7 @@ class CrostonSpec extends SparkSpec {
       var st: Option[CrostonStream.CState] = None
       rs.zipWithIndex.foreach { case (r, i) =>
         if (sliceAt.contains(i)) st = None // boundary reset
-        st = Some(CrostonStream.step(st, r._2, r._3))
+        st = Some(CrostonStream.step(st, r._2, r._3)._1)
         if (st.get.z != r._5 || st.get.p != r._6) divergent = true
       }
     }

@@ -620,4 +620,45 @@ class IcebergExportSpec extends SparkSpec {
     val rows = IcebergRead.read(spark, out).as[(Long, Long)].collect().toMap
     assert(rows.size == 200 && rows(1L) == 4L && rows(2L) == 6L)
   }
+
+  test("rename-chain write guards: renamed-away names refused; compactSmall folds aliases (r14)") {
+    val src = freshDir("renguard_src"); val out = freshDir("renguard_out")
+    VersionedTable.append((1L to 50L).map(i => (i, i * 2)).toDF("id", "x"), src) // v1: physical x
+    VersionedTable.renameColumn(spark, src, "x", "y")                            // v2
+    // A NEW column named 'x' (the renamed-away physical name) would be
+    // silently folded into logical 'y' by the alias coalesce on read —
+    // every data-write shape must refuse it loudly
+    intercept[IllegalArgumentException](
+      VersionedTable.append((51L to 60L).map(i => (i, i * 9)).toDF("id", "x"), src))
+    intercept[IllegalArgumentException](
+      VersionedTable.upsertMor((1L to 5L).map(i => (i, i)).toDF("id", "x"), src, Seq("id")))
+    intercept[IllegalArgumentException](
+      VersionedTable.appendWithStats((51L to 60L).map(i => (i, i * 9)).toDF("id", "x"), src, "id"))
+    intercept[IllegalArgumentException](
+      VersionedTable.appendOnce((51L to 60L).map(i => (i, i * 9)).toDF("id", "x"), src, batchId = 7L))
+    assert(VersionedTable.versions(spark, src) == Seq(1, 2)) // nothing landed
+    // writes under the logical name keep working
+    VersionedTable.append((51L to 60L).map(i => (i, i * 2)).toDF("id", "y"), src) // v3: physical y
+
+    // compactSmall across the rename folds aliases BEFORE writing: the
+    // compacted file carries ONLY the logical name, so a later IcebergExport
+    // maps exactly one column of each file to the field id (two aliases in
+    // one file would make the exported table unreadable)
+    val v = VersionedTable.compactSmall(spark, src,
+      smallThresholdRows = 1000, targetRowsPerFile = 1000)
+    assert(v == 4)
+    val cur = VersionedTable.read(spark, src)
+    assert(cur.columns.toSeq == Seq("id", "y") && cur.count() == 60L)
+    val snap = VersionedTable.readManifestForTest(spark, src, v)
+    snap.dirs.foreach { d =>
+      val cols = spark.read
+        .parquet(new org.apache.hadoop.fs.Path(src, d).toString).columns.toSeq
+      assert(!cols.contains("x"), s"compacted dir $d still carries the old alias: $cols")
+    }
+    // the post-compaction suffix exports and reads back exactly
+    IcebergExport.export(spark, src, out, sinceVersion = v)
+    val rows = IcebergRead.read(spark, out).as[(Long, Long)].collect().toMap
+    assert(rows.size == 60 && rows(1L) == 2L && rows(60L) == 120L)
+    assert(IcebergRead.read(spark, out).columns.toSeq == Seq("id", "y"))
+  }
 }

@@ -101,4 +101,16 @@ class MmrSpec extends SparkSpec {
     assert(picked.count(_ < 10L) == 1, s"picked $picked — over-picked the dup cluster")
     assert(picked.count(_ >= 10L) == 2, s"picked $picked — no spread candidates")
   }
+
+  test("lambda outside [0,1] fails loudly instead of inverting the diversity term (r14)") {
+    val q = Seq((0L, Array.fill(4)(0.5))).toDF("vec_id", "embedding")
+    val c = (1L to 8L).map(i => (i, Array.fill(4)(i / 8.0))).toDF("vec_id", "embedding")
+    // lamNum > lamDen flips the sign of (lamDen - lamNum); lamDen <= 0 is nonsense
+    intercept[IllegalArgumentException](
+      Ann.mmrDiversifiedTopK(q, c, shortlist = 4, k = 2, lamNum = 11L, lamDen = 10L))
+    intercept[IllegalArgumentException](
+      Ann.mmrDiversifiedTopK(q, c, shortlist = 4, k = 2, lamNum = 1L, lamDen = 0L))
+    intercept[IllegalArgumentException](
+      Ann.mmrDiversifiedTopK(q, c, shortlist = 4, k = 2, lamNum = -1L, lamDen = 10L))
+  }
 }

@@ -114,4 +114,20 @@ class PqSpec extends SparkSpec {
     }
     assert(once() == once())
   }
+
+  test("oversized query batch fails loudly at the driver-side ADC bound (r14)") {
+    // the per-query LUT build is driver-side by design (queries are the
+    // bounded side); the guard must trip BEFORE collect() materializes an
+    // unbounded set — limit(bound+1) keeps even the failing path cheap
+    val model = Pq.Model(m = 1, k = 1, subDim = 2,
+      codebooks = Array(Array(Array(0.5, 0.5))))
+    val big = spark.range(Pq.MaxAdcQueries + 1)
+      .select($"id".as("vec_id"), array(lit(1.0), lit(0.0)).as("embedding"))
+    val small = spark.range(4)
+      .select($"id".as("vec_id"), array(lit(0.0), lit(1.0)).as("embedding"))
+    val e = intercept[IllegalArgumentException](
+      Pq.ivfAdcTopK(big, small, model, k = 1, coarseK = 1, coarseIters = 1,
+        nprobe = 1, rerank = 1).count())
+    assert(e.getMessage.contains("chunk the query set"))
+  }
 }
