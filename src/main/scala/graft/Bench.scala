@@ -14,8 +14,35 @@ import org.apache.spark.sql.SparkSession
   * JSON (`rounds`) so contention is visible in the artifact itself.
   * Timing is end-to-end plan execution (`count()` materializes the full
   * result without collecting it to the driver).
+  *
+  * SELF-DEFENDING ARTIFACT (r14, VERDICT r13 "Next round" #1 — the r13
+  * artifact was contamination-poisoned: a contended window spanning whole
+  * rounds defeated min-of-3, six queries read over the 2× gate on a host a
+  * clean re-run measured at 1.24×): the artifact now records the evidence a
+  * judge needs to tell contention from regression, and widens its own
+  * sample when the evidence says the minimum is not yet trustworthy.
+  *  - the 1-minute system load average is sampled before every round and at
+  *    exit (`load_avg`): a load far above the benchmark's own footprint IS
+  *    the contention signature, recorded in-artifact instead of recoverable
+  *    only by a later re-run;
+  *  - after the base rounds, any query whose within-artifact round spread
+  *    (max/min) exceeds [[SpreadGate]] triggers EXTRA full interleaved
+  *    rounds (up to [[MaxRounds]] total): a transient window inflates one
+  *    round, so more rounds recover the true min;
+  *  - if the spread still exceeds the gate at the round cap, the artifact
+  *    flags `"contended": true` and names the offenders (`contended_queries`)
+  *    — the gate record then says "this number is polluted, re-measure",
+  *    never silently "this code got slower".
   */
 object Bench {
+  /** Per-query within-artifact round spread (max/min over successful
+    * rounds) above which the min is presumed contention-polluted: clean
+    * local runs spread ≤ ~1.4× (§4 pq_unpersist_blocking), so 3× is far
+    * outside code-caused variance. */
+  val SpreadGate = 3.0
+  /** Hard cap on total interleaved rounds (base + adaptive extras). */
+  val MaxRounds = 6
+
   /** Headline queries, each with its PINNED reference seconds at sf0.1 /
     * local[32] (SURVEY §6 BENCH_BASELINE). RE-PINNED in r7: the r6 pins for
     * the five families added that round did not reproduce on the same code
@@ -43,7 +70,22 @@ object Bench {
     // oracle twin (same joint-Lloyd shape, quantization instead of
     // normalization) — it measures 0.4-0.5x this float-path pin; the pin is
     // kept unchanged (conservative) rather than re-pinned downward mid-round
-    "ann_ivf_pq" -> 4.381)
+    "ann_ivf_pq" -> 4.381,
+    // r14 (VERDICT r13 "Next round" #8): standing perf accountability for
+    // the two biggest post-r4 families. Pins = per-query MIN of two
+    // back-to-back quiet-host graft.Bench runs at sf0.1 (same protocol as
+    // the r7 re-pin). Both are END-TO-END compositions, not scans:
+    // streaming_jdbc_ingest stages Derby, runs the full ProcessingTime
+    // poll-cycle stream (incl. the injected crash/restart) and reads the
+    // committed table back; iceberg_export_incremental builds a 3-commit
+    // chain, exports it, appends, re-exports incrementally and reads back
+    // through the exported metadata.
+    "streaming_jdbc_ingest" -> 22.318,
+    "iceberg_export_incremental" -> 2.894)
+
+  /** 1-minute system load average (−1 where the JVM can't provide one). */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,7 +102,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val baseRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val maxRounds = math.max(baseRounds, MaxRounds)
     val present = headline.filter { case (n, _) => qs.contains(n) }
     // warm-up pass: JIT + codegen + file listing, untimed
     val alive = present.filter { case (name, _) =>
@@ -68,23 +111,48 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
     }.map(_._1).toSet
-    // K interleaved timed rounds: full suite per round, per-query MIN
+    // Interleaved timed rounds: full suite per round, per-query MIN
     // reported. A query that fails ANY round is reported failed outright
     // (-1, named, excluded from both totals) — min-of-surviving-rounds
     // would read an intermittently-crashing query as healthy.
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     val roundFailed = scala.collection.mutable.Set.empty[String]
-    for (_ <- 1 to rounds; (name, _) <- present if alive(name)) {
-      try {
-        val t0 = System.nanoTime()
-        qs(name)(spark, sfDir).count()
-        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        roundFailed += name
-        System.err.println(s"[bench] $name round failed: ${e.getMessage}")
+    val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runRound(): Unit = {
+      loads += loadAvg()
+      for ((name, _) <- present if alive(name)) {
+        try {
+          val t0 = System.nanoTime()
+          qs(name)(spark, sfDir).count()
+          times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          roundFailed += name
+          System.err.println(s"[bench] $name round failed: ${e.getMessage}")
+        }
       }
     }
+    def spreadOf(name: String): Double = {
+      val rs = times(name)
+      if (rs.size < 2 || rs.min <= 0) 1.0 else rs.max / rs.min
+    }
+    def overGate: Seq[String] =
+      present.map(_._1).filter(n => alive(n) && !roundFailed(n) && spreadOf(n) > SpreadGate)
+    for (_ <- 1 to baseRounds) runRound()
+    // adaptive widening: a >SpreadGate within-artifact spread means some
+    // round of that query ran inside a contended window — the min is only
+    // trustworthy once an uncontended round exists, so run more full
+    // interleaved rounds (bounded) until the spread closes or the cap flags
+    var extraRounds = 0
+    while (overGate.nonEmpty && (baseRounds + extraRounds) < maxRounds) {
+      System.err.println(s"[bench] spread > ${SpreadGate}x for " +
+        s"${overGate.mkString(",")} — running an extra interleaved round")
+      runRound()
+      extraRounds += 1
+    }
+    val contendedQueries = overGate
+    val contended = contendedQueries.nonEmpty
+    loads += loadAvg()
     val results = present.map { case (name, base) =>
       val rs = times(name)
       val ok = rs.nonEmpty && !roundFailed(name)
@@ -104,7 +172,9 @@ object Bench {
     val total = ok.map(_._2).sum
     val baseTotal = ok.map(_._3).sum
     val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"baseline":$bJson,"baseline_total":$baseTotal%.3f,"rounds":$rJson,"failed":$failed,"sf":"$sfDir"}""")
+    val loadJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
+    val contJson = contendedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"baseline":$bJson,"baseline_total":$baseTotal%.3f,"rounds":$rJson,"failed":$failed,"load_avg":$loadJson,"extra_rounds":$extraRounds,"contended":$contended,"contended_queries":$contJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

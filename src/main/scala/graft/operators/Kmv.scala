@@ -60,4 +60,32 @@ object Kmv {
     val j = inBoth.toDouble / u.length
     (j, j * estimate(u, k))
   }
+
+  // ---- Integer-exact (oracle-replayable) estimators (r14) -----------------
+  // The same KMV math as [[estimate]]/[[intersection]], but over hashes
+  // drawn from [0, modulus) with the estimator as ONE exact integer rational
+  // — (k−1)·modulus DIV kth-smallest — so a DuckDB replay computes the
+  // identical value bit-for-bit (the `approx_distinct_intersection` oracle
+  // promotion, VERDICT r13 "Next round" #2). The double-math pair above
+  // stays as the production path for full-range signed hashes (xxhash64).
+
+  /** Distinct-count estimate from a sorted sketch of hashes in [0, modulus):
+    * unsaturated → exact size; saturated → (k−1)·modulus DIV h_(k). */
+  def estimateInt(sketch: Array[Long], k: Int, modulus: Long): Long = {
+    require(sketch.length <= k, s"sketch larger than k: ${sketch.length} > $k")
+    if (sketch.length < k) sketch.length.toLong
+    else (BigInt(k - 1) * BigInt(modulus) / BigInt(sketch(k - 1))).toLong
+  }
+
+  /** (nBoth, intersection estimate): |A ∩ B|̂ = nBoth·est(K) DIV |K| over the
+    * union sketch K — integer-exact, replayed by the oracle SQL verbatim. */
+  def intersectionInt(a: Array[Long], b: Array[Long], k: Int,
+      modulus: Long): (Long, Long) = {
+    val u = union(a, b, k)
+    if (u.isEmpty) return (0L, 0L)
+    val sa = a.toSet; val sb = b.toSet
+    val nBoth = u.count(h => sa.contains(h) && sb.contains(h)).toLong
+    val estU = estimateInt(u, k, modulus)
+    (nBoth, (BigInt(nBoth) * BigInt(estU) / BigInt(u.length)).toLong)
+  }
 }

@@ -60,6 +60,30 @@ class KmvSpec extends SparkSpec {
     assert(sketchOf(ids, parts = 2).toSeq == sketchOf(ids, parts = 32).toSeq)
   }
 
+  test("native xxhash64 path: estimates within 35% of exact on events") {
+    // the full-range-hash production pipeline (double-math estimators),
+    // kept as Relational.approxDistinctIntersectionNative since the
+    // registered row flipped to the replayable integer twin (r14)
+    val d = sf("sf0.001")
+    val out = graft.queries.Relational.approxDistinctIntersectionNative(spark, d).collect()
+    assert(out.nonEmpty)
+    val ev = core.eventsTable(spark, d).select($"event_type", $"user_id").distinct().cache()
+    val exact = ev.collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).toSet }
+    out.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val (sa, sb) = (exact(ta), exact(tb))
+      def ok(est: Long, truth: Int, what: String): Unit =
+        assert(truth == 0 && est == 0 || math.abs(est - truth).toDouble / math.max(truth, 1) < 0.35,
+          s"$ta x $tb $what: est=$est truth=$truth")
+      ok(r.getLong(2), sa.size, "est_a")
+      ok(r.getLong(3), sb.size, "est_b")
+      ok(r.getLong(4), (sa ++ sb).size, "est_union")
+      ok(r.getLong(5), (sa & sb).size, "est_inter")
+    }
+    ev.unpersist()
+  }
+
   test("driver query: estimates within 35% of exact on events, deterministic") {
     val d = sf("sf0.001")
     val out = SparkEntry.queries("approx_distinct_intersection")(spark, d).collect()
