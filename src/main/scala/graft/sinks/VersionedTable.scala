@@ -28,7 +28,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VersionedTable {
 
-  private val MetaDir = "_graft_meta"
+  private[sinks] val MetaDir = "_graft_meta"
+
+  /** The CATALOG SEAM (r14): every commit, latest-snapshot resolution and
+    * version listing routes through this [[GraftCatalog]] — swap in a
+    * remote (REST-shaped) catalog and the whole table stack follows; the
+    * default is the version-hint file protocol. `private[graft]` so specs
+    * can interpose a counting / fault-injecting wrapper and prove the seam
+    * carries every commit (CatalogSpec; the multi-writer torture soak runs
+    * through it by construction). */
+  @volatile private[graft] var catalog: GraftCatalog = HadoopPathCatalog
   private val counter = new java.util.concurrent.atomic.AtomicLong()
 
   /** Per-table intra-JVM commit locks. Across processes the atomic claim is
@@ -920,7 +929,7 @@ object VersionedTable {
 
   /** All snapshot versions, ascending. */
   def versions(spark: SparkSession, path: String): Seq[Int] =
-    manifests(fs(spark, path), path).map(_._1)
+    catalog.tableVersions(spark, path)
 
   /** The parsed manifest of one version — exposed so specs can assert
     * pruning decisions ([[prunedDirs]]) against the recorded bounds. */
@@ -1222,13 +1231,16 @@ object VersionedTable {
 
   private def commitLocked(spark: SparkSession, path: String,
       dirsFor: Option[Snapshot] => Snapshot): Int = {
-    val filesystem = fs(spark, path)
     var attempt = 0
     while (true) {
+      // resolve + commit through the CATALOG seam: load the current
+      // snapshot, build against it, and attempt the optimistic swap naming
+      // the version this commit expects to supersede — a lost race (false)
+      // re-plans against the winner's snapshot and retries
       val cur = latest(spark, path)
       val v = cur.map(_.version).getOrElse(0) + 1
-      // build the snapshot BEFORE creating the tmp file: a throwing callback
-      // (publish conflict, CommitAborted guard) must not leak a tmp manifest
+      // build the snapshot BEFORE the catalog write: a throwing callback
+      // (publish conflict, CommitAborted guard) must not leak a commit
       val built = dirsFor(cur)
       // the rename chain is carried CENTRALLY: every commit shape keeps the
       // table's accumulated renames unless it explicitly extends them
@@ -1238,17 +1250,8 @@ object VersionedTable {
       val snap = if (built.renames.isEmpty)
         built.copy(renames = cur.map(_.renames).getOrElse(Nil))
       else built
-      val snapJson = manifestJson(v, snap).getBytes("UTF-8")
-      val meta = new Path(path, MetaDir)
-      filesystem.mkdirs(meta)
-      val tmp = new Path(meta, s".tmp-${System.nanoTime()}-${counter.incrementAndGet()}")
-      val out = filesystem.create(tmp, false)
-      out.write(snapJson)
-      out.close()
-      val dst = new Path(meta, manifestName(v))
-      // rename-as-commit: only one writer can claim v; a loser retries at v+1
-      if (!filesystem.exists(dst) && filesystem.rename(tmp, dst)) return v
-      filesystem.delete(tmp, false)
+      if (catalog.commitTable(spark, path, v - 1, manifestJson(v, snap)))
+        return v
       attempt += 1
       if (attempt > 100) throw new java.io.IOException(s"cannot commit to $path after $attempt attempts")
     }
@@ -1298,17 +1301,11 @@ object VersionedTable {
     }
   }
 
-  private def latest(spark: SparkSession, path: String): Option[Snapshot] = {
-    val filesystem = fs(spark, path)
-    manifests(filesystem, path).lastOption.map { case (v, _) => readManifest(filesystem, path, v) }
-  }
+  private def latest(spark: SparkSession, path: String): Option[Snapshot] =
+    catalog.loadTable(spark, path).map { case (_, json) => parseManifest(json) }
 
-  private def snapshot(spark: SparkSession, path: String, v: Int): Option[Snapshot] = {
-    val filesystem = fs(spark, path)
-    if (filesystem.exists(new Path(new Path(path, MetaDir), manifestName(v))))
-      Some(readManifest(filesystem, path, v))
-    else None
-  }
+  private def snapshot(spark: SparkSession, path: String, v: Int): Option[Snapshot] =
+    catalog.readVersion(spark, path, v).map(parseManifest)
 
   private def manifests(filesystem: FileSystem, path: String): Seq[(Int, Path)] = {
     val meta = new Path(path, MetaDir)
