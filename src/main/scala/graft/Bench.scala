@@ -72,16 +72,18 @@ object Bench {
     // kept unchanged (conservative) rather than re-pinned downward mid-round
     "ann_ivf_pq" -> 4.381,
     // r14 (VERDICT r13 "Next round" #8): standing perf accountability for
-    // the two biggest post-r4 families. Pins = per-query MIN of two
-    // back-to-back quiet-host graft.Bench runs at sf0.1 (same protocol as
-    // the r7 re-pin). Both are END-TO-END compositions, not scans:
+    // the two biggest post-r4 families. Pins = per-query MIN of THREE
+    // back-to-back graft.Bench runs at sf0.1 (the r7 re-pin protocol;
+    // spreads across the three runs were ≤ 1.3x for streaming_jdbc_ingest
+    // and ≤ 1.06x for iceberg_export_incremental, 1-min load ≤ ~2 on a
+    // 32-core box). Both are END-TO-END compositions, not scans:
     // streaming_jdbc_ingest stages Derby, runs the full ProcessingTime
-    // poll-cycle stream (incl. the injected crash/restart) and reads the
-    // committed table back; iceberg_export_incremental builds a 3-commit
-    // chain, exports it, appends, re-exports incrementally and reads back
-    // through the exported metadata.
-    "streaming_jdbc_ingest" -> 22.318,
-    "iceberg_export_incremental" -> 2.894)
+    // poll-cycle stream (incl. the injected crash/restart + exactly-once
+    // replay) and reads the committed table back; iceberg_export_incremental
+    // builds a 3-commit chain, exports it, appends, re-exports
+    // incrementally and reads back through the exported metadata.
+    "streaming_jdbc_ingest" -> 32.820,
+    "iceberg_export_incremental" -> 2.095)
 
   /** 1-minute system load average (−1 where the JVM can't provide one). */
   private def loadAvg(): Double =

@@ -471,6 +471,78 @@ object Ingestion {
         "unknown-key / malformed-document drift; DuckDB replays the build " +
         "and extraction through its own JSON functions."),
 
+    "variant_flatten" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Snowflake LATERAL FLATTEN (r14 — the VARIANT companion operator:
+        // explode a JSON ARRAY into one row per element with its INDEX).
+        // Staged the export way: each order's lineitems collapse to ONE
+        // VARIANT array of objects (the nested-document shape Snowflake
+        // users store), then FLATTEN fans it back out — index + shredded
+        // element fields in one codegen'd generate. The DuckDB oracle
+        // builds its own JSON and extracts per-index through ->> paths, so
+        // the array ORDER (sorted by (line number, qty) on both sides —
+        // this synthetic lineitem repeats line numbers within an order, so
+        // the tiebreak is load-bearing) and every element round-trip
+        // cross-engine.
+        val li = table(s, d, "lineitem")
+          .select($"l_orderkey", $"l_linenumber".cast(LongType).as("ln"),
+            round($"l_quantity").cast(LongType).as("qty"))
+        val arr = li.groupBy($"l_orderkey")
+          .agg(to_json(array_sort(collect_list(struct($"ln", $"qty"))))
+            .as("variant"))
+        graft.sources.VariantShred.flatten(arr, "variant",
+            StructType.fromDDL("ln BIGINT, qty BIGINT"))
+          .select($"l_orderkey", $"index", $"value.ln".as("ln"),
+            $"value.qty".as("qty"))
+          .orderBy($"l_orderkey", $"index")
+      },
+      Some("""WITH v AS (SELECT l_orderkey,
+          to_json(list({ln: CAST(l_linenumber AS BIGINT),
+              qty: CAST(round(l_quantity) AS BIGINT)}
+            ORDER BY l_linenumber, round(l_quantity))) AS variant
+        FROM lineitem GROUP BY l_orderkey),
+        f AS (SELECT l_orderkey, variant,
+            unnest(generate_series(0,
+              CAST(json_array_length(variant) AS BIGINT) - 1)) AS i
+          FROM v)
+        SELECT l_orderkey, i AS index,
+          CAST(variant->>('$[' || i || '].ln') AS BIGINT) AS ln,
+          CAST(variant->>('$[' || i || '].qty') AS BIGINT) AS qty
+        FROM f ORDER BY l_orderkey, index"""),
+      "Snowflake LATERAL FLATTEN: a VARIANT array of objects fans out to " +
+        "one row per element with its INDEX, element fields shredded " +
+        "inline — one codegen'd generate; DuckDB replays per-index through " +
+        "its own JSON path extraction."),
+
+    "variant_object_agg" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Snowflake OBJECT_AGG (r14 — the CONSTRUCTION side of the VARIANT
+        // family: rows -> one JSON object per group, key: value pairs).
+        // Per user, the event-type histogram folds to ONE object column —
+        // keys SORTED so the serialized text is deterministic, and the
+        // DuckDB oracle builds the same object through its own map/json
+        // machinery: the two engines' compact JSON serializations must
+        // agree byte-for-byte for the hash to pass, which pins the
+        // serialization contract, not just the data.
+        val counts = eventsTable(s, d)
+          .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+        counts.groupBy($"user_id")
+          .agg(to_json(map_from_entries(
+            array_sort(collect_list(struct($"event_type", $"n"))))).as("obj"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT user_id,
+          CAST(to_json(map_from_entries(
+            list({k: event_type, v: n} ORDER BY event_type))) AS VARCHAR) AS obj
+        FROM c GROUP BY user_id ORDER BY user_id"""),
+      "Snowflake OBJECT_AGG: per-group key/value pairs fold to one JSON " +
+        "object (sorted keys); the hash pins both engines' compact JSON " +
+        "serialization byte-for-byte."),
+
     "cdc_latest_by_key" -> Q(
       (s, d) => {
         import s.implicits._

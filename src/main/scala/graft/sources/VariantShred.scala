@@ -32,6 +32,36 @@ object VariantShred {
     spark.read.json(df.select(col(column).cast("string")).limit(sampleN).as[String]).schema
   }
 
+  /** Snowflake LATERAL FLATTEN over a VARIANT ARRAY (the companion every
+    * VARIANT user reaches for next): `column` holds a JSON ARRAY of
+    * elements typed by the pinned `element` schema; each row fans out to
+    * one row per array element carrying `index` (0-based, FLATTEN's INDEX
+    * column) and the element's fields shredded inline. `outer = true`
+    * keeps rows whose array is empty/NULL with a NULL index (Snowflake's
+    * OUTER => TRUE); the default drops them, like FLATTEN. Malformed
+    * documents raise (a JSON OBJECT where an array is expected is
+    * malformed here). One codegen'd generate — no driver-side JSON. */
+  def flatten(df: DataFrame, column: String,
+      element: org.apache.spark.sql.types.DataType,
+      outer: Boolean = false): DataFrame = {
+    val src = col(column)
+    val arr = from_json(src, org.apache.spark.sql.types.ArrayType(element))
+    // the OBJECT probe is explicit: Spark's from_json permissively WRAPS a
+    // lone object into a one-element array for array schemas, which would
+    // silently flatten a non-array document instead of refusing it
+    val guarded = when(src.isNull, arr)
+      .when(json_object_keys(src).isNotNull, raise_error(concat(
+        lit(s"variant flatten: non-array (object) document in $column: "), src)))
+      .when(arr.isNull, raise_error(concat(
+        lit(s"variant flatten: malformed or non-array document in $column: "), src)))
+      .otherwise(arr)
+    val passthrough = df.columns.toSeq.filter(_ != column).map(col)
+    val exploded =
+      if (outer) posexplode_outer(guarded) else posexplode(guarded)
+    df.select(passthrough :+ exploded.as(Seq("index", "value")): _*)
+      .withColumn("index", col("index").cast("long"))
+  }
+
   /** Shred `column` (JSON text) into one typed column per top-level field
     * of the PINNED `schema`, loudly rejecting unknown-key drift and
     * malformed documents. Other columns pass through; the variant column

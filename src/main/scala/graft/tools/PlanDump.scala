@@ -183,7 +183,23 @@ object PlanDump {
           "first (two aggregates), the k x k pair frame is tiny, and the O(L^2) " +
           "DP runs as per-pair imperative state inside ONE mapPartitions - no " +
           "wavefront joins, no per-cell shuffles; scale lives in the upstream " +
-          "aggregate, the DP is calendar-bounded."))
+          "aggregate, the DP is calendar-bounded."),
+      "approx_distinct" ->
+        ("Replayable HLL twin (r14): the x^17-mod-Mersenne hash and register " +
+          "split run codegen'd in the scan projection; register max is a " +
+          "partial-aggregated groupBy (<= 256 rows cross the wire per side - " +
+          "the mergeable-sketch shape), the estimator a 1-row projection; " +
+          "user and event registers build in parallel branches of one plan."),
+      "variant_shred" ->
+        ("VARIANT shred (r14): drift guards (json_object_keys + filter) and " +
+          "from_json evaluate in ONE codegen'd projection over the scan - no " +
+          "second pass, no driver-side JSON; the nested struct/array fields " +
+          "project out as ordinary columns."),
+      "freq_tokens_topk_approx" ->
+        ("Replayable CMS twin (r14): tokens explode x4 rows into a partial-" +
+          "aggregated (row, bucket) count - at most 4 x 8192 counters cross " +
+          "the wire per map side; the 50 probes broadcast-join the counter " +
+          "frame and take min-of-rows."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit artifact\n\n")
     sb.append("Generated by `graft.tools.PlanDump` at sf0.01 (plans are scale-" +

@@ -60,6 +60,31 @@ class VariantShredSpec extends SparkSpec {
     assert(inferred == pinned, inferred.toDDL)
   }
 
+  test("flatten: array fans out with 0-based index; outer keeps empty rows") {
+    import org.apache.spark.sql.types.StructType
+    val el = StructType.fromDDL("k BIGINT, s STRING")
+    val df = Seq(
+      (1L, """[{"k": 10, "s": "a"}, {"k": 20, "s": "b"}]"""),
+      (2L, """[]"""),
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "variant")
+    val inner = VariantShred.flatten(df, "variant", el)
+      .select($"id", $"index", $"value.k", $"value.s")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(inner == Set((1L, 0L, 10L, "a"), (1L, 1L, 20L, "b")))
+    val outer = VariantShred.flatten(df, "variant", el, outer = true)
+      .select($"id", $"index").as[(Long, Option[Long])].collect().toSet
+    assert(outer == Set((1L, Some(0L)), (1L, Some(1L)), (2L, None), (3L, None)))
+  }
+
+  test("flatten: a non-array document raises") {
+    import org.apache.spark.sql.types.StructType
+    val df = Seq((1L, """{"k": 1}""")).toDF("id", "variant")
+    val e = intercept[Exception](VariantShred.flatten(
+      df, "variant", StructType.fromDDL("k BIGINT")).collect())
+    assert(e.getMessage.contains("non-array"), e.getMessage)
+  }
+
   test("column-name collision with an existing column refuses") {
     val df = Seq((1L, """{"a": 1}""")).toDF("a", "variant")
     val e = intercept[IllegalArgumentException](
