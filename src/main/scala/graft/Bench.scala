@@ -83,7 +83,48 @@ object Bench {
     // builds a 3-commit chain, exports it, appends, re-exports
     // incrementally and reads back through the exported metadata.
     "streaming_jdbc_ingest" -> 32.820,
-    "iceberg_export_incremental" -> 2.095)
+    "iceberg_export_incremental" -> 2.095,
+    // r15 (VERDICT r14 "Next round" #7): bench breadth for the r14 families
+    // — Snowflake VARIANT shredding and a second graph iterate. Pins = the
+    // r7 protocol (per-query MIN of back-to-back quiet-host graft.Bench
+    // runs); the pinning runs' rounds + load averages are committed in
+    // BENCH_PINS.json (ask #9), not just asserted here.
+    "variant_shred" -> 0.242,
+    "graph_betweenness_sampled" -> 6.340)
+
+  /** Authoritative pins live in the committed BENCH_PINS.json artifact
+    * (VERDICT r14 "Next round" #9): each pin carries the pinning run's
+    * per-round times and load averages so pin provenance is auditable the
+    * same way a round's run is. The compiled-in [[headline]] list above is
+    * only the fallback when the artifact is absent (e.g. Bench invoked
+    * outside the repo root), and the membership list stays in sync with it.
+    */
+  private def loadPins(): Seq[(String, Double)] = {
+    val candidates =
+      sys.env.get("SPARK_GRAFT_PINS").toSeq ++ Seq("BENCH_PINS.json", "/root/repo/BENCH_PINS.json")
+    candidates.map(new java.io.File(_)).find(_.isFile) match {
+      case Some(f) =>
+        try {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+          val it = root.get("pins").elements()
+          while (it.hasNext) {
+            val n = it.next()
+            buf += (n.get("query").asText() -> n.get("sec").asDouble())
+          }
+          require(buf.nonEmpty, s"no pins in $f")
+          buf.toSeq
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[bench] failed to read pins from $f (${e.getMessage}) — " +
+              "falling back to compiled-in pins")
+            headline
+        }
+      case None =>
+        System.err.println("[bench] BENCH_PINS.json not found — using compiled-in fallback pins")
+        headline
+    }
+  }
 
   /** 1-minute system load average (−1 where the JVM can't provide one). */
   private def loadAvg(): Double =
@@ -106,7 +147,7 @@ object Bench {
     val qs = SparkEntry.queries
     val baseRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val maxRounds = math.max(baseRounds, MaxRounds)
-    val present = headline.filter { case (n, _) => qs.contains(n) }
+    val present = loadPins().filter { case (n, _) => qs.contains(n) }
     // warm-up pass: JIT + codegen + file listing, untimed
     val alive = present.filter { case (name, _) =>
       try { qs(name)(spark, sfDir).count(); true }

@@ -326,3 +326,60 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
 }
+
+/** Iceberg `bucket[N]` partition transform of a long key (r15 — the
+  * write-side twin of [[graft.sources.IcebergRead.prunedDataFilesByKey]]'s
+  * probe hash; both delegate to
+  * [[graft.sources.IcebergTransforms.bucketLong]], the spec's murmur3 over
+  * the 8-byte little-endian form, `(h & Int.MaxValue) % N`). Codegen'd, so
+  * bucketed table layout is a plain projection in the write pipeline. */
+case class IcebergBucket(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"iceberg_bucket: N must be positive, got $n")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(
+      graft.sources.IcebergTransforms.bucketLong(input.asInstanceOf[Long], n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sources.IcebergTransforms.bucketLong($c, $n)")
+  override protected def withNewChildInternal(c: Expression): IcebergBucket = copy(child = c)
+}
+
+/** REAL image decode via the JVM's ImageIO registry (r15 — the codec the
+  * r14 multimodal family stubbed; [[Kernels.imageDecode]]): binary payload →
+  * `struct(width INT, height INT, gray ARRAY<INT>)`, the row-major luma grid
+  * (raw raster for single-band images — PNG gray round trips are
+  * pixel-exact — integer BT.601 for color). Undecodable bytes evaluate to
+  * NULL, the quarantine path, so the expression is nullable even over a
+  * non-null child.
+  */
+case class ImageDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("gray", ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    Kernels.imageDecode(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Kernels.imageDecode($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(c: Expression): ImageDecode = copy(child = c)
+}
+
+/** REAL PNG encode ([[Kernels.pngEncode]]): row-major grayscale grid +
+  * dimensions → a genuine PNG byte stream (ImageIO writer, lossless — the
+  * [[ImageDecode]] of the result is pixel-identical). Dimension/pixel-count
+  * mismatches fail loudly. */
+case class PngEncode(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(gray: Any, w: Any, h: Any): Any =
+    Kernels.pngEncode(gray.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, w, h) => s"graft.functions.Kernels.pngEncode($g, $w, $h)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): PngEncode = copy(first = a, second = b, third = c)
+}

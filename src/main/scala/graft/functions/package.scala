@@ -57,6 +57,16 @@ package object functions {
     toCol(TopKPairs(toExpr(priority), toExpr(value), k, descending)
       .toAggregateExpression())
 
+  /** Iceberg bucket[N] of a long key (spec murmur3). */
+  def iceberg_bucket(c: Column, n: Int): Column = toCol(IcebergBucket(toExpr(c), n))
+
+  /** Real ImageIO decode: binary → struct(width, height, gray) or NULL. */
+  def image_decode(c: Column): Column = toCol(ImageDecode(toExpr(c)))
+
+  /** Real PNG encode of a row-major grayscale grid. */
+  def png_encode(gray: Column, width: Column, height: Column): Column =
+    toCol(PngEncode(toExpr(gray), toExpr(width), toExpr(height)))
+
   // ---- SQL-argument helpers: optional trailing parameters must be integer
   // literals (they parameterize codegen constants), and arity is validated so
   // e.g. `word_shingles(text, 5)` really runs with n = 5 instead of silently
@@ -157,6 +167,18 @@ package object functions {
       checkArity("topk_pairs", es, 3, 4)
       TopKPairs(es(0), es(1), litInt("topk_pairs", "k", es(2)),
         if (es.size > 3) litBool("topk_pairs", "descending", es(3)) else false)
+    },
+    "iceberg_bucket" -> { es =>
+      checkArity("iceberg_bucket", es, 2, 2)
+      IcebergBucket(es.head, litInt("iceberg_bucket", "n", es(1)))
+    },
+    "image_decode" -> { es =>
+      checkArity("image_decode", es, 1, 1)
+      ImageDecode(es.head)
+    },
+    "png_encode" -> { es =>
+      checkArity("png_encode", es, 3, 3)
+      PngEncode(es(0), es(1), es(2))
     })
 
   /** SQL registration, so the kernels are callable from spark.sql(...).

@@ -35,34 +35,56 @@ import org.apache.spark.sql.functions._
   * not plagiarism). Everything ≥ n is found exactly, with exact boundaries.
   *
   * Scale: no all-pairs term anywhere; the big intermediate is the gram
-  * table at O(total tokens) rows. At 100 TB the gram STRING key would be
-  * replaced by its 128-bit hash for the count+join (collision odds ~2^-64;
-  * the driver oracle keeps the string form — same result set).
+  * table at O(total tokens) rows. The production path (`hashGramKey=true`,
+  * the default) replaces the n-token gram STRING with its 128-bit hash —
+  * two independent xxhash64 runs over the token-array window — so the one
+  * big shuffle moves 16-byte keys instead of n-token strings (collision
+  * odds ~2^-64 corpus-wide). `hashGramKey=false` keeps the string-gram
+  * form as the oracle twin; ExactSubstrSpec proves the two paths emit the
+  * same span set.
   */
 object ExactSubstr {
+
+  /** Second-hash seed: an arbitrary odd 64-bit constant prepended as a
+    * literal column so `xxhash64(seed, gram)` is independent of
+    * `xxhash64(gram)`. (xxhash64 folds children left-to-right, so a
+    * different leading literal re-keys the whole chain.)
+    */
+  private val Seed2 = -7046029254386353131L
 
   /** Maximal duplicated token spans, one row per (doc, span): `doc_id`,
     * 1-based inclusive `span_start`/`span_end` token offsets, and
     * `n_dup_grams`, the count of duplicated n-gram windows merged into the
     * span. Deterministic: positions are unique within a doc.
     */
-  def duplicateSpans(docs: DataFrame, n: Int): DataFrame = {
+  def duplicateSpans(docs: DataFrame, n: Int, hashGramKey: Boolean = true): DataFrame = {
     require(n >= 2, s"span gram length must be >= 2, got $n")
-    val grams = docs
+    val windows = docs
       .select(col("doc_id"), ascii_tokens(col("text")).as("w"))
       .filter(size(col("w")) >= n) // sequence(1, <1) is invalid; short docs have no n-window
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("w")) - (n - 1)),
-        i => struct(i.as("p"), concat_ws(" ", slice(col("w"), i, lit(n))).as("g")))).as("pg"))
-      .select(col("doc_id"), col("pg.p").as("p"), col("pg.g").as("g"))
+        i => struct(i.as("p"), slice(col("w"), i, lit(n)).as("garr")))).as("pg"))
 
     // corpus-wide gram multiplicity; > 1 means the window text exists twice
     // somewhere (another doc OR another offset of the same doc)
-    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1).select("g")
-
-    val hits = grams.join(dup, "g")
-      .select(col("doc_id"), col("p"), (col("p") + (n - 1)).as("e"))
+    val hits =
+      if (hashGramKey) {
+        val grams = windows.select(col("doc_id"), col("pg.p").as("p"),
+          xxhash64(col("pg.garr")).as("h1"),
+          xxhash64(lit(Seed2), col("pg.garr")).as("h2"))
+        val dup = grams.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 1).select("h1", "h2")
+        grams.join(dup, Seq("h1", "h2"))
+          .select(col("doc_id"), col("p"), (col("p") + (n - 1)).as("e"))
+      } else {
+        val grams = windows.select(col("doc_id"), col("pg.p").as("p"),
+          concat_ws(" ", col("pg.garr")).as("g"))
+        val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 1).select("g")
+        grams.join(dup, "g")
+          .select(col("doc_id"), col("p"), (col("p") + (n - 1)).as("e"))
+      }
 
     // gaps-and-islands span merge: a hit starting at or before the running
     // max end + 1 extends the current span (overlap OR adjacency); the

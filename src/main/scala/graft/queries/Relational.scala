@@ -1982,6 +1982,16 @@ object Relational {
         val p95 = picked.filter($"r" ===
             idiv($"sample_n" * lit(95L) + lit(99L), lit(100L)))
           .select($"event_type", $"value".as("p95"))
+        // loud small-group guard (ADVICE r14): a group whose 1/64 sample is
+        // EMPTY would vanish through the inner joins on both engines — the
+        // oracle cannot catch a silent disappearance both sides share, so
+        // the engine refuses instead: groups under ~64 rows need the exact
+        // path (event_value_quantiles), not a sample-rank summary
+        val unsampled = n.join(ns, Seq("event_type"), "left_anti")
+          .select($"event_type").collect().map(_.getString(0))
+        require(unsampled.isEmpty,
+          s"quantile sample empty for group(s) ${unsampled.mkString(",")} — " +
+            "use the exact quantile path for sub-sample-rate groups")
         n.join(ns, "event_type").join(p50, "event_type").join(p95, "event_type")
           .select($"event_type", $"p50", $"p95", $"n", $"sample_n")
           .orderBy($"event_type")

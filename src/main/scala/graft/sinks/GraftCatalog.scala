@@ -105,7 +105,11 @@ object HadoopPathCatalog extends GraftCatalog {
   def tableVersions(spark: SparkSession, table: String): Seq[Int] =
     listVersions(spark, table).map(_._1)
 
-  def readVersion(spark: SparkSession, table: String, version: Int): Option[String] =
-    listVersions(spark, table).find(_._1 == version)
-      .map { case (_, p) => readBytes(spark, p) }
+  def readVersion(spark: SparkSession, table: String, version: Int): Option[String] = {
+    // probe the single deterministic manifest path — a full _graft_meta
+    // listing per lookup is O(versions) on long-history tables (ADVICE r14)
+    val p = new Path(metaDir(table), manifestName(version))
+    val filesystem = fs(spark, table)
+    if (filesystem.exists(p)) Some(readBytes(spark, p)) else None
+  }
 }

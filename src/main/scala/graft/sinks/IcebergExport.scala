@@ -62,9 +62,12 @@ import org.apache.spark.sql.types._
   * Additive SCHEMA EVOLUTION exports as the spec models it (r13): the
   * metadata carries the chain's DISTINCT schemas as a list, each snapshot
   * its schema-id; a column keeps one chain-stable field id everywhere
-  * (assigned by first appearance), new columns take fresh ids. Dropped
-  * columns or type changes fail loudly (they'd need rename/promotion rules
-  * this exporter doesn't model).
+  * (assigned by first appearance), new columns take fresh ids. Type
+  * PROMOTIONS (r15): int→long and float→double widen through the chain
+  * per spec Schema Evolution — each snapshot's schema carries its
+  * as-of type, pre-promotion manifests keep the narrow bound encoding,
+  * readers widen on read. Dropped columns or any other type change fail
+  * loudly.
   *
   * [[graft.sources.IcebergRead]] is the INDEPENDENT in-repo reader
   * (Jackson-parsed metadata JSON + generic Avro decoding, no code shared
@@ -118,14 +121,18 @@ object IcebergExport {
     s"""{"type":"struct","schema-id":$schemaId,"fields":[${fields.mkString(",")}]}"""
   }
 
-  /** The TRANSFORM partition fields this exporter models (r14, VERDICT r13
-    * "Next round" #3 — Iceberg hidden partitioning, spec "Partition
-    * Transforms"): the fixed-width time transforms, whose partition value is
-    * an exact integer function of the source micros. `month`/`year` are
-    * calendar-width and would need date arithmetic in the projection;
-    * `bucket[N]` needs the Iceberg murmur3 — both rejected loudly. */
-  private[graft] val TransformUnits: Map[String, Long] = Map(
-    "day" -> 86400000000L, "hour" -> 3600000000L)
+  /** The TRANSFORM partition fields this exporter models (r14 day/hour;
+    * r15, VERDICT r14 "Next round" #3 extends to the full spec set):
+    * `day`/`hour` (fixed-width micros ordinals), `month`/`year`
+    * (calendar-width ordinals), `bucket[N]` (Iceberg murmur3) and
+    * `truncate[W]` — parsing, ordinal arithmetic and the bucket hash live
+    * in [[graft.sources.IcebergTransforms]], shared with the independent
+    * reader so write-side values and read-side probes cannot drift. */
+  private[graft] def parseTransform(t: String): graft.sources.IcebergTransforms.Transform =
+    graft.sources.IcebergTransforms.parse(t).getOrElse(
+      throw new IllegalArgumentException(
+        s"iceberg export: unsupported partition transform $t " +
+          "(have day, hour, month, year, bucket[N], truncate[W])"))
 
   /** The partition-spec FIELDS json (identity transforms first, then hidden
     * transform fields; field-ids from 1000 per the spec's partition-field-id
@@ -164,10 +171,22 @@ object IcebergExport {
       val dt = schema(schema.fieldIndex(c)).dataType
       s"""{"name":"${esc(c)}","type":"${avroPartType(dt)}","field-id":${1000 + i}}"""
     }
-    // transform partition values: `day` is an int date (days from epoch),
-    // `hour` a plain int hour ordinal — the spec's transform result types
-    val hiddenFields = hidden.zipWithIndex.map { case ((n, t, _), i) =>
-      val typ = if (t == "day") """{"type":"int","logicalType":"date"}""" else "\"int\""
+    // transform partition values, per the spec's transform result types:
+    // `day` an int date (days from epoch), hour/month/year plain int
+    // ordinals, bucket[N] an int, truncate[W] the SOURCE type (long for
+    // integers, string for strings)
+    import graft.sources.IcebergTransforms._
+    val hiddenFields = hidden.zipWithIndex.map { case ((n, t, src), i) =>
+      val typ = parseTransform(t) match {
+        case Day                         => """{"type":"int","logicalType":"date"}"""
+        case Hour | Month | Year         => "\"int\""
+        case Bucket(_)                   => "\"int\""
+        case Truncate(_) =>
+          schema(schema.fieldIndex(src)).dataType match {
+            case StringType => "\"string\""
+            case _          => "\"long\""
+          }
+      }
       s"""{"name":"${esc(n)}","type":$typ,"field-id":${1000 + partitionCols.size + i}}"""
     }
     val partFields = (identFields ++ hiddenFields).mkString(",")
@@ -326,16 +345,24 @@ object IcebergExport {
     * under `name` ([[VersionedTable.appendWithHiddenStats]] — the transform
     * evaluated over the batch, never written to the data files), required
     * degenerate: one transform value per dir, matching graft's dir-granular
-    * partition layout. */
+    * partition layout. Typed per the transform's spec result type:
+    * int ordinals for the time transforms and bucket, the source type
+    * (long / string) for truncate. */
   private def hiddenPartitionValue(snap: VersionedTable.Snapshot, dir: String,
-      name: String): AnyRef = {
+      name: String, transform: String, srcType: DataType): AnyRef = {
     val b = snap.colStats.getOrElse(dir, Map.empty).getOrElse(name,
       throw new IllegalArgumentException(
         s"iceberg export: dir $dir carries no hidden stats for transform " +
           s"partition field $name (write dirs with appendWithHiddenStats)"))
     require(b.lo == b.hi, s"iceberg export: dir $dir spans transform values " +
       s"[${b.lo}, ${b.hi}] of $name — transform partitioning is dir-granular")
-    java.lang.Integer.valueOf(b.lo.toInt)
+    parseTransform(transform) match {
+      case graft.sources.IcebergTransforms.Truncate(_) => srcType match {
+        case StringType => b.lo
+        case _          => java.lang.Long.valueOf(b.lo.toLong)
+      }
+      case _ => java.lang.Integer.valueOf(b.lo.toInt)
+    }
   }
 
   /** Export every snapshot of the graft table at `tablePath` as an Iceberg
@@ -359,7 +386,9 @@ object IcebergExport {
     *        history (the schema fold's one-footer-per-dir pass stays
     *        O(total dirs), the price of chain-stable field ids). */
   /** @param hiddenPartition TRANSFORM partition fields (r14 — Iceberg hidden
-    *        partitioning): (fieldName, transform ∈ day|hour, sourceCol).
+    *        partitioning; r15 extends day|hour to the full spec set):
+    *        (fieldName, transform ∈ day|hour|month|year|bucket[N]|
+    *        truncate[W], sourceCol).
     *        The field name must be a HIDDEN stats name recorded per dir via
     *        [[VersionedTable.appendWithHiddenStats]] (degenerate per dir);
     *        the source column stays a plain data column — external engines
@@ -452,6 +481,18 @@ object IcebergExport {
     // first-appearance, new fields appended. A column first appearing
     // after the chain already has data is NULL-backfilled on reads of
     // older rows, so it exports as optional whatever its dir footer says.
+    // spec "Schema Evolution" type PROMOTIONS (r15, VERDICT r14 "Next
+    // round" #5): int→long and float→double widen through the chain — the
+    // merged field takes the WIDEST type seen so far (monotone, so the
+    // schemas list never narrows), each snapshot's schema carries the type
+    // AS OF that snapshot, old manifests keep the narrow bound encoding
+    // and the reader widens on read. Anything else still fails loudly.
+    def promotes(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (IntegerType | ShortType | ByteType, LongType) => true
+      case (FloatType, DoubleType)                        => true
+      case _                                              => false
+    }
+    val promotedCols = scala.collection.mutable.Set.empty[String] // canonical names
     val snapSchemas: Seq[StructType] = {
       // fields are stored under their FIRST physical name and matched by
       // chain-canonical (final) name, so a dir written after a rename folds
@@ -464,9 +505,21 @@ object IcebergExport {
           val firstDir = fields.isEmpty
           dirSparkSchema(conf, filesystem, absOf(d)).fields.foreach { f =>
             fields.find(x => fin(x.name) == fin(f.name)) match {
-              case Some(existing) => require(existing.dataType == f.dataType,
+              case Some(existing) if existing.dataType == f.dataType =>
+              case Some(existing) if promotes(existing.dataType, f.dataType) =>
+                // widen the chain field from this snapshot on
+                val i = fields.indexWhere(x => fin(x.name) == fin(f.name))
+                fields = fields.updated(i, fields(i).copy(dataType = f.dataType))
+                promotedCols += fin(f.name)
+              case Some(existing) if promotes(f.dataType, existing.dataType) =>
+                // a late writer still emitting the narrow type: the chain
+                // schema stays wide (files narrower than the schema are
+                // the normal post-promotion state per the spec)
+                promotedCols += fin(f.name)
+              case Some(existing) => throw new IllegalArgumentException(
                 s"iceberg export: column ${f.name} changed type " +
-                  s"(${existing.dataType} -> ${f.dataType}) — additive chains only")
+                  s"(${existing.dataType} -> ${f.dataType}) — only int->long / " +
+                  "float->double promotions are legal (spec Schema Evolution)")
               case None =>
                 fields = fields :+ f.copy(nullable = f.nullable || !firstDir)
             }
@@ -479,6 +532,13 @@ object IcebergExport {
         out += StructType(fields.map(f => f.copy(name = renamed(snap.renames, f.name))))
       }
       out.result()
+    }
+    // a promoted partition / transform-source column would need its old
+    // manifests' partition values re-typed — refuse rather than mis-emit
+    (partitionCols ++ hiddenPartition.map(_._3)).foreach { c =>
+      require(!promotedCols.contains(fin(c)),
+        s"iceberg export: partition/transform column $c was type-promoted — " +
+          "promotion is data-column-only")
     }
     val schema = snapSchemas.last // the current schema (superset under additive evolution)
     val fieldIdMap: Map[String, Int] = {
@@ -504,8 +564,9 @@ object IcebergExport {
     }
     snapSchemas.foreach(_.fields.foreach { f =>
       require(schema.fields.find(x => fin(x.name) == fin(f.name))
-          .exists(_.dataType == f.dataType),
-        s"iceberg export: column ${f.name} changed type — additive chains only")
+          .exists(t => t.dataType == f.dataType || promotes(f.dataType, t.dataType)),
+        s"iceberg export: column ${f.name} changed type — additive chains " +
+          "(or int->long / float->double promotion) only")
     })
     // distinct schema versions in chain order, schema-id by first appearance
     val schemaSigToId = scala.collection.mutable.LinkedHashMap.empty[Seq[(String, String)], Int]
@@ -520,10 +581,7 @@ object IcebergExport {
     partitionCols.foreach(c => require(schema.fieldNames.contains(c),
       s"iceberg export: partition column $c not in schema ${schema.fieldNames.mkString(",")}"))
     hiddenPartition.foreach { case (n, t, src) =>
-      require(TransformUnits.contains(t),
-        s"iceberg export: unsupported partition transform $t " +
-          s"(have ${TransformUnits.keys.toSeq.sorted.mkString(",")}; month/year " +
-          "are calendar-width, bucket needs the Iceberg murmur3)")
+      parseTransform(t) // loud reject of unknown transforms
       require(schema.fieldNames.contains(src),
         s"iceberg export: transform source column $src not in schema")
       require(!schema.fieldNames.contains(n),
@@ -570,7 +628,8 @@ object IcebergExport {
       * VersionedTable read rule), 2 = equality deletes (sequence = the
       * delete's recorded commit seq; equality_ids = the key field ids). */
     def entriesOf(snap: VersionedTable.Snapshot, d: String, content: Int,
-        fileSeq: Long, snapshotId: Long): Seq[GenericRecord] = {
+        fileSeq: Long, snapshotId: Long,
+        commitSchema: StructType): Seq[GenericRecord] = {
       // delete entries carry the GLOBAL (empty) partition under spec 1 on a
       // partitioned table; data entries the identity values under spec 0
       val entrySchema = if (content == 0) dataEntrySchema else delEntrySchema
@@ -582,8 +641,9 @@ object IcebergExport {
       }
       // transform partition values from the dir's hidden stats (data only)
       val hiddenVals: Seq[(String, AnyRef)] =
-        if (content == 0) hiddenPartition.map { case (n, _, _) =>
-          n -> hiddenPartitionValue(snap, d, n)
+        if (content == 0) hiddenPartition.map { case (n, t, src) =>
+          n -> hiddenPartitionValue(snap, d, n, t,
+            schema(schema.fieldIndex(src)).dataType)
         } else Nil
       // per-FILE lower/upper bounds from the dir's recorded per-dir stats
       // (a dir-level [lo, hi] is a valid — loose — bound for every file in
@@ -594,7 +654,7 @@ object IcebergExport {
       // values, not column bounds — only schema columns enter the per-file
       // lower/upper bounds maps
       val dirStats = snap.colStats.getOrElse(d, Map.empty)
-        .filter { case (c, _) => schema.fields.exists(x => fin(x.name) == fin(c)) }
+        .filter { case (c, _) => commitSchema.fields.exists(x => fin(x.name) == fin(c)) }
       def boundsList(loSide: Boolean, recSchema: Schema): AnyRef =
         if (content != 0 || dirStats.isEmpty) null
         else {
@@ -604,9 +664,11 @@ object IcebergExport {
             // byte width follows the exported Iceberg type of the COLUMN
             // (int → 4 bytes), not ColBounds.typ's integral-collapsed
             // "long"; stats are recorded under PHYSICAL names, so resolve
-            // through the rename chain
+            // through the rename chain. The type is the COMMIT schema's —
+            // on a promoted chain, pre-promotion manifests keep the narrow
+            // encoding and the reader widens (spec Schema Evolution)
             r.put("value", boundBytes(
-              icebergType(schema.fields.find(x => fin(x.name) == fin(c))
+              icebergType(commitSchema.fields.find(x => fin(x.name) == fin(c))
                 .getOrElse(throw new IllegalArgumentException(
                   s"iceberg export: stats column $c not in schema")).dataType),
               if (loSide) b.lo else b.hi))
@@ -698,12 +760,14 @@ object IcebergExport {
         val prevDirs = if (i == 0) Set.empty[String] else snaps(i - 1).dirs.toSet
         val dataEntries = snap.dirs.filterNot(prevDirs).flatMap { d =>
           entriesOf(snap, d, content = 0,
-            fileSeq = snap.dataSeq.getOrElse(d, 0).toLong, snapshotId)
+            fileSeq = snap.dataSeq.getOrElse(d, 0).toLong, snapshotId,
+            snapSchemas(i))
         }
         manifests += writeManifest(new Path(metaDir, f"m-$seq%05d.avro"), 0, seq,
           commitSchemaJson, dataEntries)
         val delEntries = snap.deletes.filterNot(prevDels).flatMap { case (d, dseq) =>
-          entriesOf(snap, d, content = 2, fileSeq = dseq.toLong, snapshotId)
+          entriesOf(snap, d, content = 2, fileSeq = dseq.toLong, snapshotId,
+            snapSchemas(i))
         }
         if (delEntries.nonEmpty)
           manifests += writeManifest(new Path(metaDir, f"d-$seq%05d.avro"), 1, seq,
@@ -904,20 +968,39 @@ object IcebergExport {
         .filter(_.get("content").asInstanceOf[Int] == 0)
         .map(df => canon(df.get("file_path").toString))
     }.toSet
+    // spec "Position Delete Files": the columns carry the RESERVED field
+    // ids 2147483546 (file_path) / 2147483545 (pos) — external engines
+    // resolve delete columns by id, not name (ADVICE r14) — and rows are
+    // sorted by (file_path, pos). Spark writes the ids into the parquet
+    // schema from the `parquet.field.id` column metadata
+    // (spark.sql.parquet.fieldId.write.enabled, default on).
+    val pathMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", 2147483546L).build()
+    val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", 2147483545L).build()
     val posDf = positions
-      .select(col("file_path").cast("string").as("file_path"),
-        col("pos").cast("long").as("pos"))
-    val refs = posDf.select("file_path").distinct()
-      .collect().map(_.getString(0)) // bounded by the table's FILE count
-    val bad = refs.filterNot(p => liveData.contains(canon(p)))
-    require(bad.isEmpty, s"iceberg export: position deletes reference " +
-      s"non-live files: ${bad.take(3).mkString(",")}")
+      .select(col("file_path").cast("string").as("file_path", pathMeta),
+        col("pos").cast("long").as("pos", posMeta))
     val delDir = new Path(outAbs, f"delete-data/posdel-$newSeq%05d")
-    posDf.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+    posDf.coalesce(1).sortWithinPartitions("file_path", "pos")
+      .write.mode("overwrite").parquet(delDir.toString)
     val delFile = filesystem.listStatus(delDir).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName).headOption
+      .sortBy(st => st.getPath.getName).headOption
       .getOrElse(throw new IllegalStateException("no delete parquet written"))
+    // validate the WRITTEN file, not the input frame: a non-deterministic
+    // `positions` (sampled/re-planned scan) could otherwise validate one
+    // row set and persist another (ADVICE r14). Nothing references the
+    // parquet until the manifest below commits, so a failed validation
+    // just removes the orphan dir and throws.
+    val refs = spark.read.parquet(delDir.toString).select("file_path").distinct()
+      .collect().map(_.getString(0)) // bounded by the table's FILE count
+    val bad = refs.filterNot(p => liveData.contains(canon(p)))
+    if (bad.nonEmpty) {
+      filesystem.delete(delDir, true)
+      throw new IllegalArgumentException(s"iceberg export: position deletes " +
+        s"reference non-live files: ${bad.take(3).mkString(",")}")
+    }
 
     // content-1 manifest under an UNPARTITIONED spec: reuse an existing
     // empty spec (the global-delete spec of partitioned MOR exports, or an

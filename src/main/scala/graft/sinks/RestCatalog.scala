@@ -1,0 +1,172 @@
+package graft.sinks
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+/** A REMOTE [[GraftCatalog]]: the client half of the REST-catalog protocol
+  * (r15, VERDICT r14 "Next round" #6 — the r14 seam's second implementation,
+  * proving [[VersionedTable.catalog]] wasn't shaped around the path-file
+  * protocol). The wire shape is the Iceberg REST catalog's load-bearing
+  * core — loadTable plus commit-with-requirements, where the requirement is
+  * the expected current version and the server answers 409 when another
+  * writer superseded it (assert-ref-snapshot-id) — carried over plain JDK
+  * HTTP (`java.net.http.HttpClient`, no new dependency).
+  *
+  * Routes:
+  *  - `GET  /v1/tables/{id}`              → 200 {"version":N,"manifest":…} | 404
+  *  - `POST /v1/tables/{id}/commit`       body {"expected-version":N,"manifest":…}
+  *                                        → 200 (won) | 409 (lost — caller retries)
+  *  - `GET  /v1/tables/{id}/versions`     → 200 {"versions":[…]}
+  *  - `GET  /v1/tables/{id}/versions/{v}` → 200 {"manifest":…} | 404
+  *
+  * `{id}` is the base64url of the table name (graft table names are paths;
+  * the encoding keeps them opaque to routing). Commit ATOMICITY lives on
+  * the SERVER — this client carries no lock and no local state, exactly the
+  * property that lets 1000 driver/job clients share one catalog endpoint.
+  * Any non-(200|404|409) status fails loudly: a catalog that answers 500 is
+  * an outage, not a lost race.
+  */
+final class RestCatalog(baseUri: String) extends GraftCatalog {
+  private val mapper = new ObjectMapper()
+  private val http = HttpClient.newHttpClient()
+  private val base = baseUri.stripSuffix("/")
+
+  private def tableId(table: String): String =
+    Base64.getUrlEncoder.withoutPadding.encodeToString(table.getBytes(UTF_8))
+
+  private def get(uri: String): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(uri)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def expect(r: HttpResponse[String], allowed: Int*): HttpResponse[String] = {
+    require(allowed.contains(r.statusCode()),
+      s"rest catalog: ${r.uri()} answered ${r.statusCode()}: ${r.body().take(200)}")
+    r
+  }
+
+  override def loadTable(spark: SparkSession, table: String): Option[(Int, String)] = {
+    val r = expect(get(s"$base/v1/tables/${tableId(table)}"), 200, 404)
+    if (r.statusCode() == 404) None
+    else {
+      val n = mapper.readTree(r.body())
+      Some(n.get("version").asInt() -> n.get("manifest").asText())
+    }
+  }
+
+  override def commitTable(spark: SparkSession, table: String, expectedVersion: Int,
+      manifestJson: String): Boolean = {
+    val body = mapper.createObjectNode()
+    body.put("expected-version", expectedVersion)
+    body.put("manifest", manifestJson)
+    val r = expect(http.send(
+      HttpRequest.newBuilder(URI.create(s"$base/v1/tables/${tableId(table)}/commit"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body)))
+        .build(),
+      HttpResponse.BodyHandlers.ofString()), 200, 409)
+    r.statusCode() == 200
+  }
+
+  override def tableVersions(spark: SparkSession, table: String): Seq[Int] = {
+    val r = expect(get(s"$base/v1/tables/${tableId(table)}/versions"), 200)
+    val it = mapper.readTree(r.body()).get("versions").elements()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (it.hasNext) buf += it.next().asInt()
+    buf.toSeq
+  }
+
+  override def readVersion(spark: SparkSession, table: String,
+      version: Int): Option[String] = {
+    val r = expect(get(s"$base/v1/tables/${tableId(table)}/versions/$version"), 200, 404)
+    if (r.statusCode() == 404) None
+    else Some(mapper.readTree(r.body()).get("manifest").asText())
+  }
+}
+
+/** The server half: serves ANY backing [[GraftCatalog]] over the
+  * [[RestCatalog]] wire protocol on an in-process `com.sun.net.httpserver`
+  * (public JDK API). The catalog's one hard invariant — at most one winner
+  * per (table, version) slot — is enforced HERE, by routing each commit
+  * through a per-table monitor before the backing's own check-and-claim:
+  * with a path backing the filesystem rename is already atomic and the lock
+  * only serializes the check, with a naive in-memory backing the lock IS
+  * the atomicity. Start with `RestCatalogServer.start(spark, backing, 0)`
+  * (port 0 = ephemeral); `uri` is the client's base address.
+  */
+final class RestCatalogServer private (server: com.sun.net.httpserver.HttpServer) {
+  def uri: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+  def stop(): Unit = server.stop(0)
+}
+
+object RestCatalogServer {
+  private val mapper = new ObjectMapper()
+
+  def start(spark: SparkSession, backing: GraftCatalog, port: Int = 0): RestCatalogServer = {
+    val server = com.sun.net.httpserver.HttpServer
+      .create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+    def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+    server.createContext("/v1/tables/", new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit =
+        try {
+          val parts = ex.getRequestURI.getPath.stripPrefix("/v1/tables/")
+            .split("/").toSeq.filter(_.nonEmpty)
+          val table = new String(Base64.getUrlDecoder.decode(parts.head), UTF_8)
+          (ex.getRequestMethod, parts.tail) match {
+            case ("GET", Seq()) =>
+              backing.loadTable(spark, table) match {
+                case Some((v, json)) =>
+                  val n = mapper.createObjectNode()
+                  n.put("version", v); n.put("manifest", json)
+                  respond(ex, 200, mapper.writeValueAsString(n))
+                case None => respond(ex, 404, """{"error":"no such table"}""")
+              }
+            case ("GET", Seq("versions")) =>
+              val n = mapper.createObjectNode()
+              val arr = n.putArray("versions")
+              backing.tableVersions(spark, table).foreach(arr.add)
+              respond(ex, 200, mapper.writeValueAsString(n))
+            case ("GET", Seq("versions", v)) =>
+              backing.readVersion(spark, table, v.toInt) match {
+                case Some(json) =>
+                  val n = mapper.createObjectNode()
+                  n.put("manifest", json)
+                  respond(ex, 200, mapper.writeValueAsString(n))
+                case None => respond(ex, 404, """{"error":"no such version"}""")
+              }
+            case ("POST", Seq("commit")) =>
+              val body = mapper.readTree(ex.getRequestBody)
+              val expected = body.get("expected-version").asInt()
+              val manifest = body.get("manifest").asText()
+              val lock = tableLocks.computeIfAbsent(table, _ => new Object)
+              val won = lock.synchronized {
+                backing.commitTable(spark, table, expected, manifest)
+              }
+              if (won) respond(ex, 200, """{"committed":true}""")
+              else respond(ex, 409, """{"committed":false,"error":"version superseded"}""")
+            case _ => respond(ex, 404, """{"error":"no such route"}""")
+          }
+        } catch {
+          case e: Exception =>
+            respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+        }
+    })
+    // a small pool so concurrent writers exercise REAL request concurrency
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    new RestCatalogServer(server)
+  }
+}

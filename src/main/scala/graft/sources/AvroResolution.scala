@@ -99,8 +99,24 @@ object AvroResolution {
           val (ws, wNullable) = unwrap(wf.schema)
           val (rs, rNullable) = unwrap(rf.schema)
           val src = col(wf.name)
+          // equal type KINDS are only a pass-through for primitives: two
+          // RECORDs/ARRAYs/MAPs/ENUMs/FIXEDs with different inner schemas
+          // would silently skip nested renames/promotions/defaults
+          // (ADVICE r14) — this resolver models top-level records only, so
+          // complex kinds must be structurally IDENTICAL or fail loudly
           val typed: Column =
-            if (ws.getType == rs.getType) src
+            if (ws.getType == rs.getType) {
+              import AvroSchema.Type._
+              ws.getType match {
+                case RECORD | ARRAY | MAP | ENUM | FIXED | UNION =>
+                  require(ws == rs, s"avro resolution: field ${rf.name} has " +
+                    s"matching ${ws.getType} kinds but different schemas — " +
+                    "nested resolution is not modeled; make the nested " +
+                    s"schemas identical or flatten upstream (writer $ws, reader $rs)")
+                  src
+                case _ => src
+              }
+            }
             else if (promotable(ws.getType, rs.getType))
               src.cast(AvroSchemaConverter.toSpark(rs)._1)
             else throw new IllegalArgumentException(

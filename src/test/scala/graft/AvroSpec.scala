@@ -108,6 +108,27 @@ class AvroSpec extends SparkSpec {
     assert(noDefault.getMessage.contains("no default"))
   }
 
+  test("resolution: matching complex KINDS with different inner schemas fail loudly (r15)") {
+    // two RECORD kinds used to pass the writer column through unresolved,
+    // silently ignoring nested renames/promotions (ADVICE r14) — identical
+    // nested schemas still resolve, differing ones must raise
+    val nested = """{"type":"record","name":"pt","fields":[
+      {"name":"x","type":"long"},{"name":"y","type":"long"}]}"""
+    val writer = rec(s"""{"name":"k","type":"long"},{"name":"p","type":$nested}""")
+    val df = Seq((1L, 2L, 3L)).toDF("k", "x", "y")
+      .select($"k", org.apache.spark.sql.functions.struct($"x", $"y").as("p"))
+    val same = graft.sources.AvroResolution.resolve(df, writer, writer)
+    assert(same.select($"k", $"p.x", $"p.y").as[(Long, Long, Long)]
+      .collect().toSeq == Seq((1L, 2L, 3L)))
+    val differing = intercept[IllegalArgumentException] {
+      graft.sources.AvroResolution.resolve(df, writer,
+        rec("""{"name":"k","type":"long"},{"name":"p","type":
+          {"type":"record","name":"pt","fields":[
+            {"name":"x","type":"long"},{"name":"z","type":"long","default":0}]}}"""))
+    }
+    assert(differing.getMessage.contains("nested resolution is not modeled"))
+  }
+
   test("resolution: writer-nullable to reader-non-null raises on an actual null, not silently") {
     val writer = rec("""{"name":"k","type":"long"},
       {"name":"v","type":["null","string"],"default":null}""")

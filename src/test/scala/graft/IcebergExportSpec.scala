@@ -651,11 +651,114 @@ class IcebergExportSpec extends SparkSpec {
       spark, meta, meta.currentSnapshotId, "ts", lo, hi)
     assert(got.count() == 100)
     assert(got.agg(min($"id"), max($"id")).as[(Long, Long)].head() == ((100L, 199L)))
-    // refusals are loud: unsupported transform, source col renamed away
+    // refusals are loud: unknown transform, no transform over the column
     intercept[IllegalArgumentException](IcebergExport.export(spark, src,
-      freshDir("hidden_bad"), hiddenPartition = Seq(("ts_m", "month", "ts"))))
+      freshDir("hidden_bad"), hiddenPartition = Seq(("ts_z", "zoom[3]", "ts"))))
     intercept[IllegalArgumentException](IcebergRead.prunedDataFilesByTransform(
       spark, meta, meta.currentSnapshotId, "v", 0L, 1L)) // no transform over v
+  }
+
+  test("bucket transform: spec hash vectors, export layout, manifest-only probe pruning (r15)") {
+    import graft.sources.IcebergTransforms
+    // the PUBLIC test vectors the Iceberg spec pins (Appendix B): ints hash
+    // as 8-byte LE longs, strings as UTF-8 — any drift here and external
+    // engines assign different buckets to the same key
+    assert(IcebergTransforms.murmur3Long(34L, 0) == 2017239379)
+    assert(IcebergTransforms.murmur3Bytes("iceberg".getBytes("UTF-8"), 0) == 1210000089)
+    assert(IcebergTransforms.bucketLong(34L, 16) == 2017239379 % 16)
+
+    val src = freshDir("bucket_src"); val out = freshDir("bucket_out")
+    val df = (0L until 200L).map(i => (i, i * 3 + 1)).toDF("id", "v")
+    val bucketX = graft.functions.iceberg_bucket(col("id"), 4)
+    (0 until 4).foreach { b =>
+      VersionedTable.appendWithHiddenStats(df.filter(bucketX === b), src, "id_bucket", bucketX)
+    }
+    IcebergExport.export(spark, src, out,
+      hiddenPartition = Seq(("id_bucket", "bucket[4]", "id")))
+    val meta = IcebergRead.tableMeta(spark, IcebergRead.currentMetadataPath(spark, out))
+    assert(meta.partitionFields.map(t => (t._1, t._2)) == Seq(("id_bucket", "bucket[4]")))
+    val files = IcebergRead.dataFiles(spark, meta, meta.currentSnapshotId)
+    assert(files.map(_.partition("id_bucket").toInt).toSet == (0 until 4).toSet)
+    // probe key 77: the reader hashes it per spec and opens ONE bucket
+    val want = IcebergTransforms.bucketLong(77L, 4)
+    val pruned = IcebergRead.prunedDataFilesByKey(
+      spark, meta, meta.currentSnapshotId, "id", Left(77L))
+    assert(pruned.nonEmpty && pruned.size < files.size)
+    assert(pruned.map(_.partition("id_bucket").toInt).toSet == Set(want))
+    val got = IcebergRead.readKeyThroughBucket(
+      spark, meta, meta.currentSnapshotId, "id", Left(77L))
+      .filter(col("id") === 77L).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((77L, 232L)))
+  }
+
+  test("month/year calendar transforms: ordinals in manifests, ranges project exactly (r15)") {
+    import graft.sources.IcebergTransforms
+    // calendar arithmetic pins: month ordinal = months since 1970-01
+    val may2024 = java.time.LocalDate.of(2024, 5, 1).toEpochDay * 86400000000L
+    assert(IcebergTransforms.timeOrdinal(IcebergTransforms.Month, may2024) == 652L)
+    assert(IcebergTransforms.timeOrdinal(IcebergTransforms.Year, may2024) == 54L)
+    // a month boundary is NOT fixed-width: Feb 2024 (leap) has 29 days
+    val feb29 = java.time.LocalDate.of(2024, 2, 29).toEpochDay * 86400000000L
+    assert(IcebergTransforms.timeOrdinal(IcebergTransforms.Month, feb29) == 649L)
+
+    val src = freshDir("month_src"); val out = freshDir("month_out")
+    // 4 months (2023-11 .. 2024-02), 25 rows each, one dir per month
+    val months = 646L to 649L
+    def monthStartUs(ord: Long): Long =
+      java.time.LocalDate.of((1970 + ord / 12).toInt, (ord % 12 + 1).toInt, 1)
+        .toEpochDay * 86400000000L
+    var id = 0L
+    months.foreach { ord =>
+      val rows = (0 until 25).map { i =>
+        val r = (id, new java.sql.Timestamp(monthStartUs(ord) / 1000 + i * 86400000L), id * 2)
+        id += 1; r
+      }
+      VersionedTable.appendWithHiddenStats(
+        rows.toDF("id", "ts", "v"), src, "ts_month", lit(ord))
+    }
+    IcebergExport.export(spark, src, out,
+      hiddenPartition = Seq(("ts_month", "month", "ts")))
+    val meta = IcebergRead.tableMeta(spark, IcebergRead.currentMetadataPath(spark, out))
+    assert(meta.partitionFields.map(t => (t._1, t._2)) == Seq(("ts_month", "month")))
+    val files = IcebergRead.dataFiles(spark, meta, meta.currentSnapshotId)
+    assert(files.map(_.partition("ts_month").toLong).toSet == months.toSet)
+    // a Dec-2023..Jan-2024 source range opens exactly those two months
+    val lo = monthStartUs(647); val hi = monthStartUs(649) - 1
+    val pruned = IcebergRead.prunedDataFilesByTransform(
+      spark, meta, meta.currentSnapshotId, "ts", lo, hi)
+    assert(pruned.map(_.partition("ts_month").toLong).toSet == Set(647L, 648L))
+    assert(IcebergRead.readSourceRange(
+      spark, meta, meta.currentSnapshotId, "ts", lo, hi).count() == 50L)
+  }
+
+  test("truncate transform: floor-to-width partition values, probes prune, negatives included (r15)") {
+    import graft.sources.IcebergTransforms
+    assert(IcebergTransforms.truncateLong(-37L, 10L) == -40L) // spec floors toward -inf
+    assert(IcebergTransforms.truncateLong(37L, 10L) == 30L)
+    val src = freshDir("trunc_src"); val out = freshDir("trunc_out")
+    val df = (0L until 100L).map(i => (i, i * 3 - 50)).toDF("id", "v")
+    val truncX = expr("v - (((v % 10) + 10) % 10)")
+    val widths = df.select(truncX.as("t")).distinct().as[Long].collect().sorted
+    widths.foreach { w =>
+      VersionedTable.appendWithHiddenStats(df.filter(truncX === w), src, "v_trunc", truncX)
+    }
+    IcebergExport.export(spark, src, out,
+      hiddenPartition = Seq(("v_trunc", "truncate[10]", "v")))
+    val meta = IcebergRead.tableMeta(spark, IcebergRead.currentMetadataPath(spark, out))
+    assert(meta.partitionFields.map(t => (t._1, t._2)) == Seq(("v_trunc", "truncate[10]")))
+    val files = IcebergRead.dataFiles(spark, meta, meta.currentSnapshotId)
+    assert(files.map(_.partition("v_trunc").toLong).toSet == widths.toSet)
+    // probe v = -38 (negative, mid-width; v = 3*id - 50 so it exists):
+    // only the -40 dir opens
+    val pruned = IcebergRead.prunedDataFilesByKey(
+      spark, meta, meta.currentSnapshotId, "v", Left(-38L))
+    assert(pruned.nonEmpty && pruned.size < files.size)
+    assert(pruned.map(_.partition("v_trunc").toLong).toSet == Set(-40L))
+    // and the probed value is really in that dir's rows
+    val got = IcebergRead.readKeyThroughBucket(
+      spark, meta, meta.currentSnapshotId, "v", Left(-38L))
+      .filter(col("v") === -38L).as[(Long, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(-38L))
   }
 
   test("position-delete write path composes with equality deletes (r14 fuzz)") {
@@ -738,5 +841,80 @@ class IcebergExportSpec extends SparkSpec {
     val rows = IcebergRead.read(spark, out).as[(Long, Long)].collect().toMap
     assert(rows.size == 60 && rows(1L) == 2L && rows(60L) == 120L)
     assert(IcebergRead.read(spark, out).columns.toSeq == Seq("id", "y"))
+  }
+
+  test("position-delete parquet carries the spec's reserved field ids and sort order (r15)") {
+    val src = freshDir("pdconf_src"); val out = freshDir("pdconf_out")
+    VersionedTable.append((1L to 40L).map(i => (i, i * 3)).toDF("id", "v"), src)
+    IcebergExport.export(spark, src, out)
+    val meta0 = IcebergRead.tableMeta(spark, IcebergRead.currentMetadataPath(spark, out))
+    val paths = IcebergRead.dataFiles(spark, meta0, meta0.currentSnapshotId).map(_.path)
+    val positions = spark.read.parquet(paths: _*)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), $"id")
+      .filter($"id" % 4 === 0).select($"file_path", $"pos")
+    IcebergExport.exportPositionDeletes(spark, out, positions)
+    // find the written delete parquet and inspect its RAW footer
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val delDir = fs.listStatus(new org.apache.hadoop.fs.Path(out, "delete-data")).head.getPath
+    val delFile = fs.listStatus(delDir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        delFile, spark.sparkContext.hadoopConfiguration))
+    val parquetSchema = try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+    // spec "Reserved Field IDs": external engines resolve by id, not name
+    def fieldId(name: String): Int =
+      parquetSchema.getFields.get(parquetSchema.getFieldIndex(name)).getId.intValue()
+    assert(fieldId("file_path") == 2147483546)
+    assert(fieldId("pos") == 2147483545)
+    // spec: sorted by (file_path, pos) ascending
+    val rows = spark.read.parquet(delFile.toString)
+      .select($"file_path", $"pos").as[(String, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows == rows.sortBy(r => (r._1, r._2)),
+      "delete rows must be written sorted by (file_path, pos)")
+  }
+
+  test("int->long / float->double promotion: schemas list, narrow old manifests, widen-on-read (r15)") {
+    val src = freshDir("promo_src"); val out = freshDir("promo_out")
+    val narrow = (1 to 30).map(i => (i.toLong, i, i * 0.5f)).toDF("id", "ck", "rate")
+    val wide = (31 to 60).map(i => (i.toLong, i.toLong * 1000000000L, i * 0.5d))
+      .toDF("id", "ck", "rate")
+    VersionedTable.appendWithStats(narrow, src, "ck") // v1: int/float, with bounds
+    VersionedTable.appendWithStats(wide, src, "ck")   // v2: long/double (beyond int range!)
+    IcebergExport.export(spark, src, out)
+    val meta = IcebergRead.tableMeta(spark, IcebergRead.currentMetadataPath(spark, out))
+    // schemas list: two versions, ck under ONE field id, int then long
+    assert(meta.schemas.size == 2)
+    val ckIds = meta.schemas.values.toSeq.map(_.find(_._2 == "ck").get)
+    assert(ckIds.map(_._1).distinct.size == 1, "ck must keep one field id")
+    assert(ckIds.map(_._3).toSet == Set("int", "long"))
+    // current read is WIDE over both generations, values exact
+    val cur = IcebergRead.read(spark, out)
+    assert(cur.schema("ck").dataType.typeName == "long")
+    assert(cur.schema("rate").dataType.typeName == "double")
+    val got = cur.select($"id", $"ck", $"rate").as[(Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    val want = (1 to 30).map(i => (i.toLong, i.toLong, i * 0.5f.toDouble)) ++
+      (31 to 60).map(i => (i.toLong, i.toLong * 1000000000L, i * 0.5d))
+    assert(got == want)
+    // time travel below the promotion reads NARROW
+    val first = meta.snapshots.minBy(_.sequenceNumber).snapshotId
+    val pre = IcebergRead.readSnapshot(spark, meta, first)
+    assert(pre.schema("ck").dataType.typeName == "integer")
+    assert(pre.count() == 30L)
+    // v1's manifest keeps the narrow 4-byte ck bounds; range pruning over
+    // the CURRENT long type widens them on read instead of underflowing
+    val pruned = IcebergRead.prunedDataFiles(
+      spark, meta, meta.currentSnapshotId, "ck", "1", "30")
+    assert(pruned.nonEmpty)
+    assert(pruned.size < IcebergRead.dataFiles(spark, meta, meta.currentSnapshotId).size,
+      "the wide dir (ck >= 31e9) must prune out of a [1,30] scan")
+    // illegal changes still refuse loudly
+    val bad = freshDir("promo_bad")
+    VersionedTable.append((1 to 5).map(i => (i.toLong, i.toString)).toDF("id", "ck"), bad)
+    VersionedTable.append((6 to 9).map(i => (i.toLong, i.toLong)).toDF("id", "ck"), bad)
+    intercept[IllegalArgumentException](
+      IcebergExport.export(spark, bad, freshDir("promo_bad_out")))
   }
 }

@@ -107,6 +107,34 @@ class JdbcSpec extends SparkSpec {
     intercept[IllegalArgumentException](SnowflakeTypes.toSparkType("NUMBER(39,0)"))
   }
 
+  test("pruned page SQL: projection + residual pushdown pinned; default stays SELECT * (r15)") {
+    import ShardedIngest.PagingDialect
+    // the pruned Snowflake-dialect emission, byte-pinned: quoted-uppercase
+    // projection list, residual AND-ed under the shard equality, the
+    // reference's exact page clause
+    val sf = ShardedIngest.pageSqlPruned("CUSTOMERS", "shard", Seq("ts", "id"),
+      "vi'ew", offset = 40L, pageSize = 20L, PagingDialect.Snowflake,
+      columns = Seq("id", "shard", "ts"), residual = Some(""""AMT" > 100"""))
+    assert(sf ==
+      """SELECT "ID", "SHARD", "TS" FROM CUSTOMERS WHERE "SHARD" = 'vi''ew' AND ("AMT" > 100)
+        |ORDER BY "TS", "ID"
+        |LIMIT 20 OFFSET 40""".stripMargin, sf)
+    // no columns + no residual reproduces the reference emission EXACTLY
+    assert(ShardedIngest.pageSqlPruned("t", "shard", Seq("ts"), "x", 0L, 10L,
+      PagingDialect.Snowflake, Nil, None) ==
+      ShardedIngest.pageSql("t", "shard", Seq("ts"), "x", 0L, 10L,
+        PagingDialect.Snowflake))
+    // live against Derby: only the projected columns come back, the
+    // residual is database-evaluated, paging offsets index the FILTERED set
+    val pruned = ShardedIngest.viaJdbc(spark, url, "events_spec", "event_type",
+      Seq("tsu", "event_id"), Map.empty, 5L, Seq("click"),
+      columns = Seq("event_id", "event_type"),
+      residual = Some(""""event_id" > 3"""))
+    assert(pruned.columns.toSeq == Seq("event_id", "event_type"))
+    val ids = pruned.select("event_id").as[Long].collect().toSeq.sorted
+    assert(ids.forall(_ > 3L) && ids.size <= 5)
+  }
+
   test("viaJdbc offset advance replays the incremental contract") {
     val shards = ShardedIngest.discoverShardsJdbc(spark, url, "events_spec", "event_type")
     val page1 = ShardedIngest.viaJdbc(spark, url, "events_spec", "event_type",

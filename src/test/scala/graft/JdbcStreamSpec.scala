@@ -107,4 +107,39 @@ class JdbcStreamSpec extends SparkSpec {
     assert(readBack(table) == expected.sorted)
     assert(VersionedTable.versions(spark, table).size == 3)
   }
+
+  test("timestamp+incrementing stream captures a LIVE same-timestamp race (r15)") {
+    // the composite CDC mode under ProcessingTime: rows committing AT the
+    // high-watermark timestamp with higher ids, injected mid-stream after
+    // the first committed cycle — the `timestamp`-only predicate would
+    // never see them; the (ts, id) lexicographic watermark must pull
+    // exactly them and then drain quiescent
+    val url = "jdbc:derby:memory:jps_race;create=true"
+    val (table, ck) = freshDirs("race")
+    // 20 rows sharing TWO timestamps (10, 20) — collisions by construction
+    val base = (1 to 20).map(i => (i.toLong, if (i <= 10) 10L else 20L, i * 7L))
+    base.toDF("id", "ts", "v")
+      .write.format("jdbc").option("url", url).option("dbtable", "t")
+      .mode(SaveMode.Overwrite).save()
+    @volatile var injected = false
+    JdbcPollStream.runCdcUntilDrained(spark, JdbcPollStream.CdcConfig(
+      url = url, table = "t", keys = Seq("id"), tsCol = "ts",
+      tablePath = table, checkpointDir = ck, incCol = Some("id"),
+      afterCommit = { cycle =>
+        if (cycle == 1L && !injected) {
+          injected = true
+          // the race: ids 21..25 land AT the watermark timestamp (20)
+          (21 to 25).map(i => (i.toLong, 20L, i * 7L)).toDF("id", "ts", "v")
+            .write.format("jdbc").option("url", url).option("dbtable", "t")
+            .mode(SaveMode.Append).save()
+        }
+      }))
+    assert(injected, "the race must have been staged after cycle 1")
+    val got = VersionedTable.read(spark, table)
+      .select($"id", $"ts", $"v").as[(Long, Long, Long)].collect().toSet
+    val want = (base ++ (21 to 25).map(i => (i.toLong, 20L, i * 7L))).toSet
+    assert(got == want, s"raced rows missing or duplicated: got ${got.size}")
+    // the derived composite hwm is the lexicographic max
+    assert(JdbcPollStream.committedHwmInc(spark, table, "ts", "id") == ((20L, 25L)))
+  }
 }
