@@ -336,11 +336,25 @@ case class CosineSim(left: Expression, right: Expression)
 case class IcebergBucket(child: Expression, n: Int) extends UnaryExpression {
   require(n > 0, s"iceberg_bucket: N must be positive, got $n")
   override def dataType: DataType = IntegerType
-  override def nullSafeEval(input: Any): Any =
-    java.lang.Integer.valueOf(
-      graft.sources.IcebergTransforms.bucketLong(input.asInstanceOf[Long], n))
+  private lazy val isString = child.dataType == StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType | StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"iceberg_bucket expects an integer or string key, got $other")
+    }
+  override def nullSafeEval(input: Any): Any = java.lang.Integer.valueOf(
+    if (isString)
+      graft.sources.IcebergTransforms.bucketString(input.toString, n)
+    else
+      graft.sources.IcebergTransforms.bucketLong(input.asInstanceOf[Number].longValue(), n))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.sources.IcebergTransforms.bucketLong($c, $n)")
+    if (isString)
+      defineCodeGen(ctx, ev,
+        c => s"graft.sources.IcebergTransforms.bucketString($c.toString(), $n)")
+    else
+      defineCodeGen(ctx, ev, c => s"graft.sources.IcebergTransforms.bucketLong((long) $c, $n)")
   override protected def withNewChildInternal(c: Expression): IcebergBucket = copy(child = c)
 }
 
@@ -366,6 +380,41 @@ case class ImageDecode(child: Expression) extends UnaryExpression {
       ${ev.isNull} = ${ev.value} == null;
     """)
   override protected def withNewChildInternal(c: Expression): ImageDecode = copy(child = c)
+}
+
+/** REAL audio decode via the JVM's sampled-audio registry (r15 —
+  * [[Kernels.wavDecode]]): binary payload → `struct(sample_rate INT,
+  * channels INT, samples ARRAY<INT>)` with interleaved integer PCM values
+  * (WAV/AIFF/AU, 8/16-bit PCM). Non-audio or non-PCM bytes evaluate to
+  * NULL — quarantine, not failure. */
+case class WavDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("samples", ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    Kernels.wavDecode(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Kernels.wavDecode($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(c: Expression): WavDecode = copy(child = c)
+}
+
+/** REAL WAV encode ([[Kernels.wavEncode]]): 16-bit signed PCM mono samples
+  * + rate → a genuine RIFF/WAVE byte stream (AudioSystem writer; the
+  * [[WavDecode]] of the result returns the samples exactly). */
+case class WavEncode(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(samples: Any, rate: Any): Any =
+    Kernels.wavEncode(samples.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      rate.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, r) => s"graft.functions.Kernels.wavEncode($s, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WavEncode =
+    copy(left = l, right = r)
 }
 
 /** REAL PNG encode ([[Kernels.pngEncode]]): row-major grayscale grid +

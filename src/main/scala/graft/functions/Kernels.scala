@@ -372,6 +372,82 @@ object Kernels {
     out.toByteArray
   }
 
+  /** Encode 16-bit signed PCM mono samples as a REAL WAV byte stream
+    * (javax.sound.sampled AudioSystem writer — the RIFF/WAVE container the
+    * JDK ships; lossless for in-range samples, which are clamped to the
+    * 16-bit range). */
+  def wavEncode(samples: ArrayData, sampleRate: Int): Array[Byte] = {
+    require(sampleRate > 0, s"wav_encode: sample rate must be positive, got $sampleRate")
+    val n = samples.numElements()
+    require(n > 0, "wav_encode: at least one sample required")
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v0 = samples.getInt(i)
+      val v = if (v0 < -32768) -32768 else if (v0 > 32767) 32767 else v0
+      pcm(2 * i) = (v & 0xff).toByte        // little-endian
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false) // 16-bit signed LE mono
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream(pcm.length + 64)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decode an audio byte stream with the JVM's registered audio readers
+    * (WAV/AIFF/AU PCM). Returns struct(sample_rate, channels, samples) —
+    * `samples` the interleaved integer PCM values (8-bit unsigned
+    * recentered to signed, 16-bit as-is) — or NULL when the bytes are not
+    * a parseable PCM audio stream (the quarantine path). */
+  def wavDecode(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => return null }
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      if (!signed && !unsigned) return null
+      val bits = fmt.getSampleSizeInBits
+      if (bits != 8 && bits != 16) return null
+      val raw = {
+        val out = new java.io.ByteArrayOutputStream(math.max(bytes.length, 64))
+        val buf = new Array[Byte](8192)
+        var k = ais.read(buf)
+        while (k >= 0) { out.write(buf, 0, k); k = ais.read(buf) }
+        out.toByteArray
+      }
+      val big = fmt.isBigEndian
+      val n = raw.length / (bits / 8)
+      val samples = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        samples(i) =
+          if (bits == 8) {
+            val b = raw(i) & 0xff
+            if (unsigned) b - 128 else raw(i).toInt
+          } else {
+            val lo = if (big) raw(2 * i + 1) else raw(2 * i)
+            val hi = if (big) raw(2 * i) else raw(2 * i + 1)
+            val v = ((hi & 0xff) << 8) | (lo & 0xff)
+            val s = if (v >= 0x8000) v - 0x10000 else v
+            if (unsigned) s - 0x8000 else s
+          }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](fmt.getSampleRate.toInt, fmt.getChannels,
+          new GenericArrayData(samples)))
+    } finally ais.close()
+  }
+
   /** Decode an image byte stream with the JVM's registered ImageIO readers.
     * Returns struct(width, height, gray) where `gray` is the row-major luma
     * grid — the raw raster sample for single-component images (exact for

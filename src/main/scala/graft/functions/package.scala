@@ -67,6 +67,14 @@ package object functions {
   def png_encode(gray: Column, width: Column, height: Column): Column =
     toCol(PngEncode(toExpr(gray), toExpr(width), toExpr(height)))
 
+  /** Real sampled-audio decode: binary → struct(sample_rate, channels,
+    * samples) or NULL. */
+  def wav_decode(c: Column): Column = toCol(WavDecode(toExpr(c)))
+
+  /** Real WAV encode of 16-bit PCM mono samples. */
+  def wav_encode(samples: Column, sampleRate: Column): Column =
+    toCol(WavEncode(toExpr(samples), toExpr(sampleRate)))
+
   // ---- SQL-argument helpers: optional trailing parameters must be integer
   // literals (they parameterize codegen constants), and arity is validated so
   // e.g. `word_shingles(text, 5)` really runs with n = 5 instead of silently
@@ -179,6 +187,14 @@ package object functions {
     "png_encode" -> { es =>
       checkArity("png_encode", es, 3, 3)
       PngEncode(es(0), es(1), es(2))
+    },
+    "wav_decode" -> { es =>
+      checkArity("wav_decode", es, 1, 1)
+      WavDecode(es.head)
+    },
+    "wav_encode" -> { es =>
+      checkArity("wav_encode", es, 2, 2)
+      WavEncode(es(0), es(1))
     })
 
   /** SQL registration, so the kernels are callable from spark.sql(...).

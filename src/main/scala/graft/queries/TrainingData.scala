@@ -2209,6 +2209,49 @@ object TrainingData {
       "Perceptual aHash over REAL DECODED PIXELS: PNG round trip -> ImageIO decode -> 8x8 " +
         "nearest-neighbor downsample -> 63 mean-threshold bits packed to a BIGINT."),
 
+    "multimodal_audio_decode_real" -> Q(
+      (s, d) => {
+        // REAL audio decode (r15 — the audio half of the multimodal codec
+        // story, same shape as multimodal_decode_real): per doc, a
+        // deterministic 16-bit PCM sample train is encoded to a GENUINE
+        // RIFF/WAVE byte stream (javax.sound.sampled writer) and decoded
+        // back with the WavDecode kernel. PCM WAV is lossless, so decoded
+        // samples must EXACTLY equal the arithmetic train — the codec-free
+        // oracle; riff_hex/wave_hex pin the container magic on the wire.
+        val n = ((col("doc_id") % 50) + 20).cast("int")
+        val rate = (lit(8000) + (col("doc_id") % 4) * 4000).cast("int")
+        docs(s, d).select(col("doc_id"), n.as("n"), rate.as("rate"))
+          .withColumn("s0", transform(
+            sequence(lit(0), col("n") - 1),
+            i => (((col("doc_id") * 37 + i.cast("long") * 11) % 2048) - 1024).cast("int")))
+          .withColumn("wav", wav_encode(col("s0"), col("rate")))
+          .withColumn("dec", wav_decode(col("wav")))
+          .select(col("doc_id"),
+            lower(hex(substring(col("wav"), 1, 4))).as("riff_hex"),
+            lower(hex(substring(col("wav"), 9, 4))).as("wave_hex"),
+            col("dec.sample_rate").cast("long").as("sample_rate"),
+            col("dec.channels").cast("long").as("channels"),
+            size(col("dec.samples")).cast("long").as("n_samples"),
+            aggregate(col("dec.samples"), lit(0L), (a, x) => a + x).as("sample_sum"),
+            element_at(col("dec.samples"), 1).cast("long").as("s_first"),
+            element_at(col("dec.samples"), -1).cast("long").as("s_last"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT doc_id, (doc_id % 50) + 20 AS n,
+            8000 + (doc_id % 4) * 4000 AS rate FROM documents),
+        p AS (SELECT doc_id, n, rate,
+            list_transform(generate_series(0, n - 1),
+              i -> ((doc_id * 37 + i * 11) % 2048) - 1024) AS s
+          FROM g)
+        SELECT doc_id, '52494646' AS riff_hex, '57415645' AS wave_hex,
+          rate AS sample_rate, CAST(1 AS BIGINT) AS channels, n AS n_samples,
+          CAST(list_sum(s) AS BIGINT) AS sample_sum,
+          CAST(s[1] AS BIGINT) AS s_first, CAST(s[len(s)] AS BIGINT) AS s_last
+        FROM p ORDER BY doc_id"""),
+      "REAL audio decode: deterministic 16-bit PCM train -> genuine RIFF/WAVE (AudioSystem " +
+        "encode) -> WavDecode kernel (AudioSystem decode) -> sample aggregates; the codec-free " +
+        "oracle proves decoded samples exact, riff/wave magic pinned."),
+
     "multimodal_framesample" -> Q(
       (s, d) => docs(s, d)
         .withColumn("byte_len", octet_length(col("text").cast("binary")).cast("long"))

@@ -51,9 +51,11 @@ object PlanDump {
         ("Token-budget mixture selection: the running sum comes from the PrefixSum distributed scan " +
           "(range exchange + offset jobs), not a per-language window; budget scalar is broadcast."),
       "exact_substring_spans" ->
-        ("ExactSubstr dedup: gram multiplicity via partial-aggregated groupBy (hot grams combine " +
-          "map-side), positions join back keyed by gram, span merge windowed per doc (state bounded " +
-          "by one document's length)."),
+        ("ExactSubstr dedup with the 128-BIT GRAM-HASH key (r15): gram multiplicity via " +
+          "partial-aggregated groupBy (hot grams combine map-side) and the positions join " +
+          "back are keyed by two xxhash64 lanes - 16-byte keys instead of 8-token strings " +
+          "on the one big shuffle; span merge windowed per doc (state bounded by one " +
+          "document's length)."),
       "grouped_topk" ->
         ("Bounded-state top-K: partial_topk_pairs under ObjectHashAggregate BEFORE the exchange - " +
           "one O(k) state per map-partition group crosses the wire, no Window operator anywhere."),
@@ -199,7 +201,13 @@ object PlanDump {
         ("Replayable CMS twin (r14): tokens explode x4 rows into a partial-" +
           "aggregated (row, bucket) count - at most 4 x 8192 counters cross " +
           "the wire per map side; the 50 probes broadcast-join the counter " +
-          "frame and take min-of-rows."))
+          "frame and take min-of-rows."),
+      "multimodal_decode_real" ->
+        ("REAL PNG codec round trip (r15): grid synthesis, PngEncode, " +
+          "ImageDecode and the pixel aggregates all evaluate in ONE " +
+          "projection over the scan - zero shuffles before the output sort; " +
+          "the codec kernels are per-row expression calls, so the operator " +
+          "is embarrassingly parallel at any corpus size."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit artifact\n\n")
     sb.append("Generated by `graft.tools.PlanDump` at sf0.01 (plans are scale-" +

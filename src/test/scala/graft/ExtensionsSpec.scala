@@ -58,6 +58,18 @@ class ExtensionsSpec extends SparkSpec {
       // injected = session-scoped built-in, visible in the registry
       assert(s2.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_bands")))
+      // r15 kernels resolve from pure SQL too: the spec bucket hash and the
+      // real codec pair (PNG round trip through SQL alone)
+      val r15 = s2.sql(
+        """SELECT iceberg_bucket(34L, 16) AS b,
+                  iceberg_bucket('iceberg', 16) AS bs,
+                  image_decode(png_encode(array(7, 8, 9, 10), 2, 2)).gray AS g,
+                  wav_decode(wav_encode(array(100, -100, 50), 8000)).samples AS s
+           FROM (SELECT 1)""").head()
+      assert(r15.getInt(0) == 2017239379 % 16)
+      assert(r15.getInt(1) == 1210000089 % 16)
+      assert(r15.getSeq[Int](2) == Seq(7, 8, 9, 10))
+      assert(r15.getSeq[Int](3) == Seq(100, -100, 50))
     }
   }
 

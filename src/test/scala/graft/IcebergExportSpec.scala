@@ -691,6 +691,31 @@ class IcebergExportSpec extends SparkSpec {
     assert(got == Seq((77L, 232L)))
   }
 
+  test("bucket transform over STRING keys: UTF-8 spec hash end to end (r15)") {
+    import graft.sources.IcebergTransforms
+    val src = freshDir("bucket_str_src"); val out = freshDir("bucket_str_out")
+    val df = (0 until 120).map(i => (s"user-$i", i.toLong)).toDF("uid", "v")
+    val bucketX = graft.functions.iceberg_bucket(col("uid"), 4)
+    (0 until 4).foreach { b =>
+      val part = df.filter(bucketX === b)
+      if (!part.isEmpty)
+        VersionedTable.appendWithHiddenStats(part, src, "uid_bucket", bucketX)
+    }
+    IcebergExport.export(spark, src, out,
+      hiddenPartition = Seq(("uid_bucket", "bucket[4]", "uid")))
+    val meta = IcebergRead.tableMeta(spark, IcebergRead.currentMetadataPath(spark, out))
+    val files = IcebergRead.dataFiles(spark, meta, meta.currentSnapshotId)
+    val want = IcebergTransforms.bucketString("user-77", 4)
+    val pruned = IcebergRead.prunedDataFilesByKey(
+      spark, meta, meta.currentSnapshotId, "uid", Right("user-77"))
+    assert(pruned.nonEmpty && pruned.size < files.size)
+    assert(pruned.map(_.partition("uid_bucket").toInt).toSet == Set(want))
+    val got = IcebergRead.readKeyThroughBucket(
+      spark, meta, meta.currentSnapshotId, "uid", Right("user-77"))
+      .filter(col("uid") === "user-77").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("user-77", 77L)))
+  }
+
   test("month/year calendar transforms: ordinals in manifests, ranges project exactly (r15)") {
     import graft.sources.IcebergTransforms
     // calendar arithmetic pins: month ordinal = months since 1970-01

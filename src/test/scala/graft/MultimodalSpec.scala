@@ -171,4 +171,46 @@ class MultimodalSpec extends SparkSpec {
       .filter($"d".isNull).count()
     assert(n == 1L)
   }
+
+  test("wav_encode -> wav_decode round trip is sample-exact incl. negatives") {
+    val train = (0 until 300).map(i => ((i * 193) % 4001) - 2000)
+    val row = Seq((train, 16000)).toDF("s", "r")
+      .select(functions.wav_encode($"s", $"r").as("wav"))
+      .select($"wav", functions.wav_decode($"wav").as("d"))
+      .select($"wav", $"d.sample_rate", $"d.channels", $"d.samples").head()
+    val bytes = row.getAs[Array[Byte]](0)
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(row.getInt(1) == 16000 && row.getInt(2) == 1)
+    assert(row.getSeq[Int](3) == train)
+  }
+
+  test("WavDecode reads a REAL big-endian AIFF written by the JDK audio codec") {
+    // the decode contract covers more than our own WAV writer: encode the
+    // same PCM train as 16-bit BIG-endian AIFF via AudioSystem and decode
+    // it through the big-endian branch
+    val train = (0 until 100).map(i => (i * 71) % 1000 - 500)
+    val pcm = new Array[Byte](train.length * 2)
+    train.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = ((v >> 8) & 0xff).toByte; pcm(2 * i + 1) = (v & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, train.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    val row = Seq(Tuple1(out.toByteArray)).toDF("b")
+      .select(functions.wav_decode($"b").as("d"))
+      .select($"d.sample_rate", $"d.samples").head()
+    assert(row.getInt(0) == 8000)
+    assert(row.getSeq[Int](1) == train)
+  }
+
+  test("non-audio bytes decode to NULL (quarantine)") {
+    val n = Seq(Tuple1("not a wav".getBytes("UTF-8"))).toDF("b")
+      .select(functions.wav_decode($"b").as("d"))
+      .filter($"d".isNull).count()
+    assert(n == 1L)
+  }
 }
