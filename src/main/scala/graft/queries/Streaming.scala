@@ -897,6 +897,74 @@ object Streaming {
         "recovered by re-derivation - both JDBC incremental modes now run " +
         "as streams."),
 
+    "streaming_jdbc_inc_cdc" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // The streaming transport of the `timestamp+incrementing`
+        // COMPOSITE mode (r15, the live twin of jdbc_timestamp_inc_cdc):
+        // CdcConfig(incCol) makes every micro-batch push
+        //   ts > hwm OR (ts = hwm AND id > hwm_id)
+        // into Derby, with the LEXICOGRAPHIC (ts, id) watermark derived
+        // from the committed table. The production race runs LIVE: after
+        // cycle 1's snapshot commit, new rows land AT the high-watermark
+        // timestamp (second-granular clock — collisions by construction)
+        // with higher ids; pure `ts >` polling would never see them; the
+        // composite pull captures exactly them in cycle 2, a crash
+        // injected right AFTER that commit restarts the query, and the
+        // redelivered batch re-derives (hwm covers the raced rows — no
+        // re-apply, no loss) before the quiescent cycle drains.
+        val (_, out, ck) = Streams.workDirs("streaming_jdbc_inc_cdc")
+        val url = "jdbc:derby:memory:graft_cdc_inc_stream;create=true"
+        val jt = "events_cdc_inc_s"
+        val tablePath = s"$out/table"
+        val ev = eventsTable(s, d).select($"event_id", $"event_type",
+          (dec4($"value") * 10000).cast("long").as("value_e4"),
+          (micros($"ts") - micros($"ts") % 1000000L).as("updated_us"))
+        ev.write.format("jdbc").option("url", url).option("dbtable", jt)
+          .option("createTableColumnTypes", "event_type VARCHAR(32)")
+          .mode(SaveMode.Overwrite).save()
+        val maxTs = ev.agg(max($"updated_us")).head.getLong(0)
+        @volatile var staged = false
+        @volatile var crashed = false
+        graft.streaming.JdbcPollStream.runCdcUntilDrained(s,
+          graft.streaming.JdbcPollStream.CdcConfig(
+            url = url, table = jt, keys = Seq("event_id"),
+            tsCol = "updated_us", tablePath = tablePath, checkpointDir = ck,
+            incCol = Some("event_id"),
+            afterCommit = { cycle =>
+              if (cycle == 1L && !staged) {
+                // the race, staged while the stream runs
+                ev.filter($"event_id" % 101 === 0)
+                  .select(($"event_id" + 20000000L).as("event_id"),
+                    $"event_type", ($"value_e4" + 1230000L).as("value_e4"),
+                    lit(maxTs).as("updated_us"))
+                  .write.format("jdbc").option("url", url)
+                  .option("dbtable", jt).mode(SaveMode.Append).save()
+                staged = true
+              }
+              if (cycle == 2L && !crashed) {
+                crashed = true
+                throw new RuntimeException(
+                  "injected crash: sink committed, checkpoint not")
+              }
+            }))
+        VersionedTable.read(s, tablePath)
+          .select($"event_id", $"event_type", $"value_e4")
+          .orderBy($"event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, event_type,
+          CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS value_e4
+        FROM events)
+        SELECT event_id, event_type, value_e4 FROM ev
+        UNION ALL
+        SELECT event_id + 20000000, event_type, value_e4 + 1230000
+        FROM ev WHERE event_id % 101 = 0
+        ORDER BY event_id"""),
+      "LIVE timestamp+incrementing composite CDC stream: the lexicographic " +
+        "(ts, id) watermark and OR-tie-break predicate pushed into Derby " +
+        "per micro-batch, a same-timestamp race staged mid-stream and " +
+        "captured exactly once through an injected post-commit crash."),
+
     "streaming_attribution" -> Q(
       (s, d) => {
         import s.implicits._

@@ -490,6 +490,9 @@ object IcebergExport {
     def promotes(from: DataType, to: DataType): Boolean = (from, to) match {
       case (IntegerType | ShortType | ByteType, LongType) => true
       case (FloatType, DoubleType)                        => true
+      // decimal widens PRECISION at fixed scale (spec Schema Evolution)
+      case (a: DecimalType, b: DecimalType)               =>
+        a.scale == b.scale && a.precision < b.precision
       case _                                              => false
     }
     val promotedCols = scala.collection.mutable.Set.empty[String] // canonical names

@@ -942,4 +942,33 @@ class IcebergExportSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       IcebergExport.export(spark, bad, freshDir("promo_bad_out")))
   }
+
+  test("decimal precision widens at fixed scale; scale changes refuse (r15)") {
+    val src = freshDir("promo_dec_src"); val out = freshDir("promo_dec_out")
+    val narrow = (1 to 20).map(i => (i.toLong, BigDecimal(i) / 4)).toDF("id", "amt")
+      .select($"id", $"amt".cast(org.apache.spark.sql.types.DecimalType(10, 2)).as("amt"))
+    val wide = (21 to 40).map(i => (i.toLong, BigDecimal(i) * 1000000000L))
+      .toDF("id", "amt")
+      .select($"id", $"amt".cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("amt"))
+    VersionedTable.append(narrow, src) // v1: decimal(10,2)
+    VersionedTable.append(wide, src)   // v2: decimal(18,2) — precision widened
+    IcebergExport.export(spark, src, out)
+    val meta = IcebergRead.tableMeta(spark, IcebergRead.currentMetadataPath(spark, out))
+    val amtTypes = meta.schemas.values.toSeq.map(_.find(_._2 == "amt").get._3).toSet
+    assert(amtTypes == Set("decimal(10, 2)", "decimal(18, 2)"))
+    val cur = IcebergRead.read(spark, out)
+    assert(cur.schema("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(18, 2))
+    val got = cur.as[(Long, java.math.BigDecimal)].collect().toMap
+    assert(got.size == 40 && got(4L).doubleValue() == 1.0 &&
+      got(40L) == new java.math.BigDecimal("40000000000.00"))
+    // scale change is NOT a promotion — loud
+    val bad = freshDir("promo_dec_bad")
+    VersionedTable.append(narrow, bad)
+    VersionedTable.append(
+      wide.select($"id",
+        $"amt".cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("amt")), bad)
+    intercept[IllegalArgumentException](
+      IcebergExport.export(spark, bad, freshDir("promo_dec_bad_out")))
+  }
 }

@@ -268,6 +268,21 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planOf(q("exact_substring_spans"))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // r15: the one corpus-sized shuffle is keyed by the 128-bit gram HASH
+    // (two xxhash64 lanes), not the n-token gram string — 16-byte wire keys
+    assert(plan.contains("xxhash64"), plan.take(3000))
+  }
+
+  test("real-codec decode rows are pure projections: no shuffle before the output sort (r15)") {
+    // PngEncode/ImageDecode (and the WAV pair) run per-row inside the scan
+    // projection — the ONLY exchange either plan may carry is the final
+    // orderBy's range partitioning; a hash exchange would mean the codec
+    // path picked up a join or aggregate it does not need.
+    for (name <- Seq("multimodal_decode_real", "multimodal_audio_decode_real")) {
+      val plan = planOf(q(name))
+      assert(!plan.contains("Exchange hashpartitioning"), s"$name:\n${plan.take(3000)}")
+      assert(!plan.contains("CartesianProduct"), name)
+    }
   }
 
   test("triangle counting is equi-joins only (an OR-of-orientations close would be a nested loop)") {
