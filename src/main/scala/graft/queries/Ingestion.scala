@@ -2712,6 +2712,64 @@ object Ingestion {
         "snapshot wide over both file generations, time travel below the " +
         "promotion still narrow."),
 
+    "iceberg_export_expire" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // expire_snapshots on the EXPORT (r15 — the maintenance op every
+        // long-lived Iceberg table runs; previously "re-export from
+        // scratch"): a 4-commit chain exports, exportExpire(keep=2) trims
+        // the metadata (snapshots list, tags, snapshot-log, the expired
+        // snapshots' own manifest-list files) while manifests and data
+        // stay (kept snapshots still reference them — expired COMMITS'
+        // rows are part of every later snapshot), then a 5th graft commit
+        // extends INCREMENTALLY: the incremental floor re-derives from the
+        // trimmed snapshot list, so the extension carries 2 kept + 1 new
+        // snapshots and never resurrects the expired ones. Time travel to
+        // an expired snapshot refuses via the reader's unknown-snapshot
+        // check (asserted here); the readback is the full current state —
+        // expiry drops HISTORY, never data.
+        val p = tmp("iceberg_expire_src")
+        val out = tmp("iceberg_expire_out")
+        GraftTableWriter.drop(s, p)
+        GraftTableWriter.drop(s, out)
+        val o = table(s, d, "orders").select($"o_orderkey", $"o_custkey",
+          (dec2($"o_totalprice") * 100).cast("long").as("price_c"))
+        (0 until 4).foreach(r => VersionedTable.append(o.filter($"o_orderkey" % 4 === r), p))
+        graft.sinks.IcebergExport.export(s, p, out)
+        graft.sinks.IcebergExport.exportExpire(s, out, keep = 2)
+        val meta1 = graft.sources.IcebergRead.tableMeta(s,
+          graft.sources.IcebergRead.currentMetadataPath(s, out))
+        require(meta1.snapshots.map(_.sequenceNumber).sorted == Seq(3L, 4L),
+          s"expire kept ${meta1.snapshots.map(_.sequenceNumber)}")
+        val refused =
+          try { graft.sources.IcebergRead.readSnapshot(s, meta1, 1L); false }
+          catch { case _: Exception => true }
+        require(refused, "time travel to an expired snapshot must refuse")
+        VersionedTable.append(o.filter($"o_orderkey" % 4 === 0)
+          .select(($"o_orderkey" + 90000000L).as("o_orderkey"),
+            $"o_custkey", ($"price_c" + 111L).as("price_c")), p)
+        graft.sinks.IcebergExport.exportIncremental(s, p, out)
+        val meta2 = graft.sources.IcebergRead.tableMeta(s,
+          graft.sources.IcebergRead.currentMetadataPath(s, out))
+        require(meta2.snapshots.map(_.sequenceNumber).sorted == Seq(3L, 4L, 5L),
+          s"incremental extension resurrected history: ${meta2.snapshots.map(_.sequenceNumber)}")
+        graft.sources.IcebergRead.read(s, out)
+          .select($"o_orderkey", $"o_custkey", $"price_c")
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+        FROM orders)
+        SELECT o_orderkey, o_custkey, price_c FROM o
+        UNION ALL
+        SELECT o_orderkey + 90000000, o_custkey, price_c + 111
+        FROM o WHERE o_orderkey % 4 = 0
+        ORDER BY o_orderkey"""),
+      "expire_snapshots on the Iceberg export: metadata-level trim (kept " +
+        "snapshots/tags/log, expired manifest lists deleted, shared " +
+        "manifests and data retained), expired time travel refuses, and a " +
+        "later incremental extension composes without resurrecting history."),
+
     "iceberg_export_position_deletes" -> Q(
       (s, d) => {
         import s.implicits._

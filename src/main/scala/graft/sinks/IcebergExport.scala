@@ -902,18 +902,94 @@ object IcebergExport {
     val hint = new Path(new Path(outPath, "metadata"), "version-hint.text")
     require(filesystem.exists(hint),
       s"iceberg export: no existing export at $outPath (version-hint.text missing) — run export() first")
-    val in = filesystem.open(hint)
-    val last =
-      try new String({
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](256)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        out.toByteArray
-      }, "UTF-8").trim.toInt
-      finally in.close()
-    export(spark, tablePath, outPath, partitionCols, sinceVersion,
-      resumeAfter = last, hiddenPartition = hiddenPartition)
+    val last = new String(readAvroBytes(filesystem, hint), "UTF-8").trim.toInt
+    // an [[exportExpire]] may have trimmed the exported snapshot list: the
+    // current metadata's MINIMUM sequence number is the oldest snapshot
+    // still exported, and extending below it would resurrect expired
+    // snapshots — derive the floor from the metadata itself
+    val mdPath = new Path(new Path(outPath, "metadata"), s"v$last.metadata.json")
+    val minSeq: Int =
+      if (!filesystem.exists(mdPath)) Int.MinValue
+      else {
+        import scala.jdk.CollectionConverters._
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(readAvroBytes(filesystem, mdPath))
+        root.get("snapshots").elements().asScala
+          .map(_.get("sequence-number").asInt()).minOption.getOrElse(Int.MinValue)
+      }
+    export(spark, tablePath, outPath, partitionCols,
+      math.max(sinceVersion, minSeq), resumeAfter = last,
+      hiddenPartition = hiddenPartition)
+  }
+
+  /** EXPIRE exported snapshots, keeping the newest `keep` (Iceberg's
+    * `expire_snapshots` with retain-last semantics, r15): a METADATA-level
+    * rewrite of the current vN.metadata.json — expired snapshots leave the
+    * snapshots list, their `v<K>` tags leave refs, their entries leave the
+    * snapshot-log, and their per-snapshot manifest LIST files are deleted
+    * (each list belongs to exactly one snapshot). Shared artifacts stay:
+    * MANIFESTS are cumulative (a kept snapshot's list still references the
+    * manifests expired commits introduced — their rows are part of every
+    * later snapshot), and DATA files are graft-owned, referenced in place
+    * (storage reclamation belongs to [[VersionedTable.expire]] on the
+    * source table, exactly where the catalog/storage split puts it).
+    * Composes with [[exportIncremental]]: the hint is unchanged and the
+    * incremental path re-derives its floor from the trimmed snapshot list,
+    * so later extensions never resurrect expired snapshots. Time travel to
+    * an expired snapshot refuses via the reader's own unknown-snapshot
+    * check. Idempotent when nothing would be dropped. */
+  def exportExpire(spark: SparkSession, outPath: String, keep: Int): String = {
+    require(keep >= 1, "expire must keep at least the current snapshot")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val filesystem = new Path(outPath).getFileSystem(conf)
+    val outAbs = filesystem.makeQualified(new Path(outPath)).toString
+    val metaDir = new Path(outAbs, "metadata")
+    val hintPath = new Path(metaDir, "version-hint.text")
+    require(filesystem.exists(hintPath),
+      s"iceberg export: no existing export at $outPath — run export() first")
+    val curV = new String(readAvroBytes(filesystem, hintPath), "UTF-8").trim.toInt
+    val mdPath = new Path(metaDir, s"v$curV.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(readAvroBytes(filesystem, mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    import scala.jdk.CollectionConverters._
+    val snapsNode = root.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val snaps = snapsNode.elements().asScala.toSeq
+      .sortBy(_.get("sequence-number").asLong())
+    if (snaps.size <= keep) return mdPath.toString // nothing to expire
+    val dropped = snaps.dropRight(keep)
+    val droppedIds = dropped.map(_.get("snapshot-id").asLong()).toSet
+    val curId = root.get("current-snapshot-id").asLong()
+    require(!droppedIds.contains(curId),
+      "iceberg export: refusing to expire the current snapshot")
+    // snapshots: kept only
+    val newSnaps = mapper.createArrayNode()
+    snaps.drop(dropped.size).foreach(newSnaps.add)
+    root.set("snapshots", newSnaps)
+    // refs: tags on expired snapshots go; main must survive (checked above)
+    val refsNode = root.get("refs")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val deadRefs = refsNode.properties().asScala
+      .filter(e => droppedIds.contains(e.getValue.get("snapshot-id").asLong()))
+      .map(_.getKey).toSeq
+    deadRefs.foreach(refsNode.remove)
+    // snapshot-log: expired entries go
+    val logNode = root.get("snapshot-log")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val newLog = mapper.createArrayNode()
+    logNode.elements().asScala
+      .filterNot(e => droppedIds.contains(e.get("snapshot-id").asLong()))
+      .foreach(newLog.add)
+    root.set("snapshot-log", newLog)
+    // the expired snapshots' manifest LISTS are theirs alone — delete
+    dropped.foreach { s =>
+      filesystem.delete(new Path(s.get("manifest-list").asText()), false)
+    }
+    val out = filesystem.create(mdPath, true)
+    out.write(mapper.writeValueAsBytes(root))
+    out.close()
+    mdPath.toString
   }
 
   /** Append a POSITION-DELETE snapshot to an EXISTING export (r14, VERDICT

@@ -943,6 +943,52 @@ class IcebergExportSpec extends SparkSpec {
       IcebergExport.export(spark, bad, freshDir("promo_bad_out")))
   }
 
+  test("exportExpire trims metadata only: lists deleted, tags dropped, manifests shared, hint stable (r15)") {
+    val src = freshDir("expire_src"); val out = freshDir("expire_out")
+    (0 until 4).foreach { r =>
+      VersionedTable.append((1 to 25).map(i => (r * 100 + i.toLong, i * 2L)).toDF("id", "v"), src)
+    }
+    IcebergExport.export(spark, src, out)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new org.apache.hadoop.fs.Path(out, "metadata")
+    def hint(): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(metaDir, "version-hint.text"))
+      try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    }
+    val hintBefore = hint()
+    val listsBefore = fs.listStatus(metaDir).map(_.getPath.getName)
+      .filter(_.startsWith("snap-")).toSet
+    IcebergExport.exportExpire(spark, out, keep = 2)
+    assert(hint() == hintBefore, "expiry must not move the version hint")
+    val meta = IcebergRead.tableMeta(spark, IcebergRead.currentMetadataPath(spark, out))
+    assert(meta.snapshots.map(_.sequenceNumber).sorted == Seq(3L, 4L))
+    // expired tags gone, kept tags + main intact
+    assert(!meta.refs.contains("v1") && !meta.refs.contains("v2"))
+    assert(meta.refs.contains("v3") && meta.refs.contains("v4") && meta.refs.contains("main"))
+    // the expired snapshots' list files are deleted; kept ones remain
+    val listsAfter = fs.listStatus(metaDir).map(_.getPath.getName)
+      .filter(_.startsWith("snap-")).toSet
+    assert(listsAfter == Set("snap-00003.avro", "snap-00004.avro"),
+      s"before $listsBefore after $listsAfter")
+    // manifests are SHARED (kept lists reference expired commits' manifests)
+    assert(fs.listStatus(metaDir).map(_.getPath.getName).count(_.startsWith("m-")) == 4)
+    // full current state still reads (expiry drops history, never data)
+    assert(IcebergRead.read(spark, out).count() == 100L)
+    // expired time travel refuses loudly
+    intercept[Exception](IcebergRead.readSnapshot(spark, meta, 1L).collect())
+    // idempotent: nothing left to drop
+    IcebergExport.exportExpire(spark, out, keep = 2)
+    assert(IcebergRead.tableMeta(spark,
+      IcebergRead.currentMetadataPath(spark, out)).snapshots.size == 2)
+    // composes with incremental extension, no resurrection
+    VersionedTable.append((1 to 10).map(i => (900 + i.toLong, i * 3L)).toDF("id", "v"), src)
+    IcebergExport.exportIncremental(spark, src, out)
+    val meta2 = IcebergRead.tableMeta(spark, IcebergRead.currentMetadataPath(spark, out))
+    assert(meta2.snapshots.map(_.sequenceNumber).sorted == Seq(3L, 4L, 5L))
+    assert(IcebergRead.read(spark, out).count() == 110L)
+    intercept[IllegalArgumentException](IcebergExport.exportExpire(spark, out, keep = 0))
+  }
+
   test("decimal precision widens at fixed scale; scale changes refuse (r15)") {
     val src = freshDir("promo_dec_src"); val out = freshDir("promo_dec_out")
     val narrow = (1 to 20).map(i => (i.toLong, BigDecimal(i) / 4)).toDF("id", "amt")
