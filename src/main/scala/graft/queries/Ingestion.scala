@@ -206,8 +206,9 @@ object Ingestion {
         // update wins by key; (3) pulls zero rows (quiescent fixpoint,
         // asserted). Strict `>` on a monotone update clock — the
         // same-timestamp race Kafka Connect solves with the
-        // timestamp+incrementing tie-break is absent by construction here
-        // and documented as the production requirement.
+        // timestamp+incrementing tie-break is absent by construction here;
+        // the composite mode itself is jdbc_timestamp_inc_cdc (r15), with
+        // the race injected live.
         val url = "jdbc:derby:memory:graft_cdc;create=true"
         val jt = "events_cdc"
         val p = tmp("jdbc_cdc_table")
