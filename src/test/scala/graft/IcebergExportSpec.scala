@@ -989,6 +989,64 @@ class IcebergExportSpec extends SparkSpec {
     intercept[IllegalArgumentException](IcebergExport.exportExpire(spark, out, keep = 0))
   }
 
+  test("exportExpire composes with a position-delete amendment (r15)") {
+    // an external-compactor amendment is the NEWEST snapshot; expiring the
+    // old graft snapshots must keep the amendment readable (its manifest
+    // list carries rows from every retained manifest) and keep applying
+    // the deletes
+    val src = freshDir("expire_pd_src"); val out = freshDir("expire_pd_out")
+    (0 until 3).foreach { r =>
+      VersionedTable.append((1 to 20).map(i => (r * 100 + i.toLong, i * 2L)).toDF("id", "v"), src)
+    }
+    IcebergExport.export(spark, src, out)
+    val meta0 = IcebergRead.tableMeta(spark, IcebergRead.currentMetadataPath(spark, out))
+    val paths = IcebergRead.dataFiles(spark, meta0, meta0.currentSnapshotId).map(_.path)
+    val positions = spark.read.parquet(paths: _*)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), $"id")
+      .filter($"id" % 10 === 0).select($"file_path", $"pos")
+    IcebergExport.exportPositionDeletes(spark, out, positions)
+    IcebergExport.exportExpire(spark, out, keep = 1) // keep only the amendment
+    val meta = IcebergRead.tableMeta(spark, IcebergRead.currentMetadataPath(spark, out))
+    assert(meta.snapshots.size == 1)
+    val got = IcebergRead.read(spark, out).select($"id").as[Long].collect().toSet
+    val want = (0 until 3).flatMap(r => (1 to 20).map(i => r * 100 + i.toLong))
+      .filterNot(_ % 10 == 0).toSet
+    assert(got == want, s"expired+amended readback wrong: ${got.size} vs ${want.size}")
+  }
+
+  test("IcebergTransforms properties: bucket range/stability, truncate algebra, ordinal monotonicity (r15)") {
+    import graft.sources.IcebergTransforms._
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val v = rnd.nextLong()
+      val n = 1 + rnd.nextInt(64)
+      val b = bucketLong(v, n)
+      assert(b >= 0 && b < n, s"bucket $b out of [0,$n) for $v")
+      assert(b == bucketLong(v, n)) // stable
+      // int and long forms of the same value share a bucket (spec: ints
+      // hash as longs, so int->long promotion preserves layout)
+      val i = rnd.nextInt()
+      assert(bucketLong(i.toLong, n) == bucketLong(i.toInt.toLong, n))
+      val w = 1L + rnd.nextInt(1000)
+      val t = truncateLong(v, w)
+      assert(t <= v && v - t < w && (((t % w) + w) % w) == 0L,
+        s"truncate($v, $w) = $t violates floor-to-width")
+    }
+    // time ordinals are monotone in micros (the property range projection
+    // relies on): adjacent month/year boundaries included
+    val probes = Seq(
+      java.time.LocalDate.of(1969, 12, 31), java.time.LocalDate.of(1970, 1, 1),
+      java.time.LocalDate.of(2023, 12, 31), java.time.LocalDate.of(2024, 1, 1),
+      java.time.LocalDate.of(2024, 2, 29), java.time.LocalDate.of(2024, 3, 1))
+      .map(_.toEpochDay * 86400000000L)
+    for (t <- Seq(Day, Hour, Month, Year); Seq(a, b) <- probes.sorted.sliding(2))
+      assert(timeOrdinal(t, a) <= timeOrdinal(t, b), s"$t not monotone at $a -> $b")
+    // pre-epoch months floor correctly (negative ordinals)
+    assert(timeOrdinal(Month, -1L) == -1L)
+    assert(timeOrdinal(Year, -1L) == -1L)
+  }
+
   test("decimal precision widens at fixed scale; scale changes refuse (r15)") {
     val src = freshDir("promo_dec_src"); val out = freshDir("promo_dec_out")
     val narrow = (1 to 20).map(i => (i.toLong, BigDecimal(i) / 4)).toDF("id", "amt")
