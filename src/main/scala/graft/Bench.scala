@@ -55,7 +55,7 @@ object Bench {
     * reproducible cost of the code. Per-round regressions are judged
     * against these stored numbers, not against cross-round host noise.
     */
-  private val headline: Seq[(String, Double)] = Seq(
+  private[graft] val headline: Seq[(String, Double)] = Seq(
     "q1_pricing_summary" -> 0.586, "q3_shipping_priority" -> 1.138,
     "q5_local_supplier" -> 1.098, "q6_forecast_revenue" -> 0.201,
     "q15_topk_orders" -> 0.170, "q16_time_bucket" -> 0.251,
@@ -99,7 +99,7 @@ object Bench {
     * only the fallback when the artifact is absent (e.g. Bench invoked
     * outside the repo root), and the membership list stays in sync with it.
     */
-  private def loadPins(): Seq[(String, Double)] = {
+  private[graft] def loadPins(): Seq[(String, Double)] = {
     val candidates =
       sys.env.get("SPARK_GRAFT_PINS").toSeq ++ Seq("BENCH_PINS.json", "/root/repo/BENCH_PINS.json")
     candidates.map(new java.io.File(_)).find(_.isFile) match {

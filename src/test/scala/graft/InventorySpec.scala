@@ -115,4 +115,19 @@ class InventorySpec extends AnyFunSuite {
     assert(rowDups.isEmpty,
       s"§2 keys documented by more than one row: ${rowDups.toSeq.sorted}")
   }
+
+  test("BENCH_PINS.json and Bench's compiled-in fallback stay in lockstep (r15)") {
+    // pins now live in two places by design (the committed artifact is
+    // authoritative, the compiled-in list is the no-artifact fallback) —
+    // two places is one drift away from a silent pin mismatch, so assert
+    // byte-level agreement on keys, order AND values.
+    val fromFile = Bench.loadPins()
+    assert(fromFile == Bench.headline,
+      s"BENCH_PINS.json diverged from Bench.headline:\n" +
+        s"  file:     $fromFile\n  compiled: ${Bench.headline}")
+    // every pinned query must be registered (a renamed query would bench
+    // nothing and silently shrink the comparison set)
+    val unregistered = fromFile.map(_._1).filterNot(SparkEntry.queries.contains)
+    assert(unregistered.isEmpty, s"pinned but unregistered: $unregistered")
+  }
 }
