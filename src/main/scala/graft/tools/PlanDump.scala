@@ -207,7 +207,15 @@ object PlanDump {
           "ImageDecode and the pixel aggregates all evaluate in ONE " +
           "projection over the scan - zero shuffles before the output sort; " +
           "the codec kernels are per-row expression calls, so the operator " +
-          "is embarrassingly parallel at any corpus size."))
+          "is embarrassingly parallel at any corpus size."),
+      "graph_betweenness_sampled" ->
+        ("Sampled-pivot Brandes (r15 bench headline): ALL pivots advance " +
+          "together as one (s, node) frame - per BFS level one " +
+          "frontier-edges equi-join + one partial-aggregated sigma " +
+          "groupBy + one anti-join against the settled set, per backward " +
+          "level one successor equi-join; state is O(pivots x reached), " +
+          "lineage checkpoint-truncated per level. The plan shown is the " +
+          "final dependency census over the converged sweep."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit artifact\n\n")
     sb.append("Generated by `graft.tools.PlanDump` at sf0.01 (plans are scale-" +
