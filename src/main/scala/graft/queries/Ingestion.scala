@@ -1274,6 +1274,94 @@ object Ingestion {
         FROM j WHERE op IS NOT NULL ORDER BY op, o_orderkey"""),
       "change data feed: I/U/D rows between two snapshots from one keyed full-outer join"),
 
+    "cdc_debezium_apply" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // DEBEZIUM-envelope CDC ingestion (r15 — the wire format the
+        // non-Snowflake half of the CDC world ships: op/ts_ms/before/after
+        // JSON envelopes): the envelopes are BUILT with Spark's own JSON
+        // writer and REPLAYED through DuckDB's own JSON machinery
+        // (to_json + ->> paths — the variant_shred discipline, so the
+        // parse layer is load-bearing cross-engine, not a private codec).
+        // Parse is ONE codegen'd from_json projection against a pinned
+        // envelope schema with a LOUD unknown-op guard (raise_error names
+        // the op — never a silently dropped change); application follows
+        // Debezium semantics in commit order: c/r snapshot-reads upsert,
+        // u upserts, d deletes by the BEFORE image's key, all through the
+        // MOR sink, so the read-time sequence rule resolves the final
+        // state. Keys hitting both u (ts 2) and d (ts 3) die — the
+        // lexicographically-latest op wins on both engines.
+        val p = tmp("cdc_debezium_table")
+        GraftTableWriter.drop(s, p)
+        val o = table(s, d, "orders").select($"o_orderkey", $"o_custkey",
+          (dec2($"o_totalprice") * 100).cast("long").as("price_c"))
+        val creates = o.select(to_json(struct(
+          lit("c").as("op"), lit(1L).as("ts_ms"),
+          struct($"o_orderkey", $"o_custkey", $"price_c").as("after"))).as("e"))
+        val updates = o.filter($"o_orderkey" % 7 === 0).select(to_json(struct(
+          lit("u").as("op"), lit(2L).as("ts_ms"),
+          struct($"o_orderkey", $"o_custkey",
+            ($"price_c" + 777L).as("price_c")).as("after"))).as("e"))
+        val deletes = o.filter($"o_orderkey" % 10 === 3).select(to_json(struct(
+          lit("d").as("op"), lit(3L).as("ts_ms"),
+          struct($"o_orderkey", $"o_custkey", $"price_c").as("before"))).as("e"))
+        val schema = "op STRING, ts_ms BIGINT, " +
+          "before STRUCT<o_orderkey: BIGINT, o_custkey: BIGINT, price_c: BIGINT>, " +
+          "after STRUCT<o_orderkey: BIGINT, o_custkey: BIGINT, price_c: BIGINT>"
+        val parsed = creates.unionByName(updates).unionByName(deletes)
+          .select(from_json($"e", org.apache.spark.sql.types.StructType
+            .fromDDL(schema)).as("m"))
+          .select($"m.op".as("op"), $"m.ts_ms".as("ts_ms"),
+            $"m.before".as("before"), $"m.after".as("after"))
+          .withColumn("op", when($"op".isin("c", "r", "u", "d"), $"op")
+            .otherwise(raise_error(concat(lit("debezium: unknown op "),
+              coalesce($"op", lit("<null envelope>"))))))
+          .localCheckpoint(true) // parse once; three apply passes below
+        VersionedTable.upsertMor(parsed.filter($"op".isin("c", "r"))
+          .select($"after.*"), p, Seq("o_orderkey"))
+        VersionedTable.upsertMor(parsed.filter($"op" === "u")
+          .select($"after.*"), p, Seq("o_orderkey"))
+        VersionedTable.deleteWhereKeys(parsed.filter($"op" === "d")
+          .select($"before.o_orderkey".as("o_orderkey")), p, Seq("o_orderkey"))
+        VersionedTable.read(s, p)
+          .select($"o_orderkey", $"o_custkey", $"price_c")
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+        FROM orders),
+        env AS (
+          SELECT to_json(struct_pack(op := 'c', ts_ms := 1,
+            after := struct_pack(o_orderkey := o_orderkey,
+              o_custkey := o_custkey, price_c := price_c))) AS e FROM o
+          UNION ALL
+          SELECT to_json(struct_pack(op := 'u', ts_ms := 2,
+            after := struct_pack(o_orderkey := o_orderkey,
+              o_custkey := o_custkey, price_c := price_c + 777))) FROM o
+          WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT to_json(struct_pack(op := 'd', ts_ms := 3,
+            before := struct_pack(o_orderkey := o_orderkey,
+              o_custkey := o_custkey, price_c := price_c))) FROM o
+          WHERE o_orderkey % 10 = 3),
+        parsed AS (SELECT e ->> '$.op' AS op,
+            CAST(e ->> '$.ts_ms' AS BIGINT) AS ts_ms,
+            CAST(e ->> '$.after.o_orderkey' AS BIGINT) AS a_key,
+            CAST(e ->> '$.after.o_custkey' AS BIGINT) AS a_ck,
+            CAST(e ->> '$.after.price_c' AS BIGINT) AS a_price,
+            CAST(e ->> '$.before.o_orderkey' AS BIGINT) AS b_key
+          FROM env),
+        ranked AS (SELECT *, row_number() OVER (
+            PARTITION BY COALESCE(a_key, b_key) ORDER BY ts_ms DESC) AS rn
+          FROM parsed)
+        SELECT a_key AS o_orderkey, a_ck AS o_custkey, a_price AS price_c
+        FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY o_orderkey"""),
+      "Debezium-envelope CDC ingestion: op/ts_ms/before/after JSON parsed " +
+        "in one codegen'd from_json projection with a loud unknown-op " +
+        "guard, applied through the MOR sink in commit order (c/u upsert, " +
+        "d deletes by the before-image key); both engines build AND " +
+        "extract the envelopes with their own JSON machinery."),
+
     "cdc_replication" -> Q(
       (s, d) => {
         import s.implicits._
