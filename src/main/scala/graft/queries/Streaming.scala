@@ -965,6 +965,97 @@ object Streaming {
         "per micro-batch, a same-timestamp race staged mid-stream and " +
         "captured exactly once through an injected post-commit crash."),
 
+    "streaming_debezium_apply" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // Debezium envelopes AS A STREAM (r15 — the streaming transport of
+        // cdc_debezium_apply): each micro-batch carries a MIXED bag of
+        // c/u/d envelopes, parsed by the same pinned from_json projection
+        // with the loud unknown-op guard, and applied as ONE atomic
+        // exactly-once commit per batch (VersionedTable.applyCdcOnce: the
+        // batch's upserts land as the data dir, keys(upserts) ∪ delete
+        // keys as the delete dir — splitting into upsert + delete commits
+        // would let a crash between them replay into a half-applied
+        // batch). Idempotence is asserted IN-ROW: a second AvailableNow
+        // run over the same checkpoint+source replays batch ids the sink
+        // refuses, committing nothing.
+        val (src, out, ck) = Streams.workDirs("streaming_debezium")
+        val tablePath = s"$out/table"
+        val o = table(s, d, "orders").select($"o_orderkey", $"o_custkey",
+          (dec2($"o_totalprice") * 100).cast("long").as("price_c"))
+        val creates = o.select(to_json(struct(
+          lit("c").as("op"), lit(1L).as("ts_ms"),
+          struct($"o_orderkey", $"o_custkey", $"price_c").as("after"))).as("e"))
+        val changes = o.filter($"o_orderkey" % 7 === 0).select(to_json(struct(
+            lit("u").as("op"), lit(2L).as("ts_ms"),
+            struct($"o_orderkey", $"o_custkey",
+              ($"price_c" + 777L).as("price_c")).as("after"))).as("e"))
+          .unionByName(o.filter($"o_orderkey" % 10 === 3).select(to_json(struct(
+            lit("d").as("op"), lit(3L).as("ts_ms"),
+            struct($"o_orderkey", $"o_custkey", $"price_c").as("before"))).as("e")))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "op STRING, ts_ms BIGINT, " +
+            "before STRUCT<o_orderkey: BIGINT, o_custkey: BIGINT, price_c: BIGINT>, " +
+            "after STRUCT<o_orderkey: BIGINT, o_custkey: BIGINT, price_c: BIGINT>")
+        def applyBatch(df: DataFrame, batchId: Long): Unit = {
+          val parsed = df.select(from_json(col("e"), schema).as("m"))
+            .select(col("m.op").as("op"), col("m.ts_ms").as("ts_ms"),
+              col("m.before").as("before"), col("m.after").as("after"))
+            .withColumn("op", when(col("op").isin("c", "r", "u", "d"), col("op"))
+              .otherwise(raise_error(concat(lit("debezium: unknown op "),
+                coalesce(col("op"), lit("<null envelope>"))))))
+          // per-key LATEST-op fold WITHIN the batch (Debezium consumers'
+          // standard compaction): a key updated at ts 2 and deleted at
+          // ts 3 in one batch must die — applying both raw would let the
+          // upsert image survive the same-sequence delete
+          val latest = parsed
+            .withColumn("k", coalesce(col("after.o_orderkey"), col("before.o_orderkey")))
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("k")).orderBy(col("ts_ms").desc)))
+            .filter(col("rn") === 1)
+            .localCheckpoint(true) // parse+fold once; feeds both splits
+          VersionedTable.applyCdcOnce(
+            latest.filter(col("op").isin("c", "r", "u")).select(col("after.*")),
+            latest.filter(col("op") === "d")
+              .select(col("before.o_orderkey").as("o_orderkey")),
+            tablePath, Seq("o_orderkey"), batchId)
+        }
+        def runOnce(stream: DataFrame, ckDir: String): Unit = {
+          val q = stream.writeStream
+            .option("checkpointLocation", ckDir)
+            .foreachBatch((df: DataFrame, id: Long) => applyBatch(df, id))
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        runOnce(Streams.stageOrderedBatches(Seq(creates, changes), src), ck)
+        val vFirst = VersionedTable.versions(s, tablePath).size
+        require(vFirst == 2, s"expected 2 exactly-once commits, got $vFirst")
+        // FULL replay: a fresh checkpoint re-reads every staged file with
+        // batch ids restarting at 0 — the at-least-once worst case. The
+        // SINK-side guard (lastBatch high-water in the committed manifest)
+        // must refuse both ids; nothing double-applies.
+        runOnce(s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", "1").parquet(src), s"$ck-replay")
+        require(VersionedTable.versions(s, tablePath).size == vFirst,
+          "replayed batches must commit nothing")
+        VersionedTable.read(s, tablePath)
+          .select($"o_orderkey", $"o_custkey", $"price_c")
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+        FROM orders)
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 7 = 0 THEN price_c + 777 ELSE price_c END AS price_c
+        FROM o WHERE o_orderkey % 10 <> 3
+        ORDER BY o_orderkey"""),
+      "Debezium envelopes as a stream: mixed c/u/d micro-batches parsed by " +
+        "the pinned projection and applied as ONE atomic exactly-once MOR " +
+        "commit per batch (upserts + deletes in a single snapshot); a full " +
+        "checkpoint replay commits nothing, asserted in-row."),
+
     "streaming_attribution" -> Q(
       (s, d) => {
         import s.implicits._

@@ -241,6 +241,44 @@ object VersionedTable {
     } catch { case _: CommitAborted => false }
   }
 
+  /** One CDC batch — upserts AND deletes — as a SINGLE exactly-once MOR
+    * commit (r15, the Debezium-apply shape): the data dir carries the
+    * upserted AFTER images, the delete dir carries keys(upserts) ∪
+    * `deleteKeysDf` (the upsert keys' old versions die by the sequence
+    * rule exactly as in [[upsertMor]]; the delete keys die outright, no
+    * new image). Splitting the batch into upsertMorOnce + deleteWhereKeys
+    * would be TWO commits — a crash between them replays into a
+    * half-applied batch — so the whole batch is one atomic snapshot under
+    * the [[appendOnce]] batch-id contract. Returns false on replay. */
+  def applyCdcOnce(upserts: DataFrame, deleteKeysDf: DataFrame, path: String,
+      keys: Seq[String], batchId: Long): Boolean = {
+    val spark = upserts.sparkSession
+    if (latest(spark, path).exists(_.lastBatch.exists(_ >= batchId))) return false
+    checkMorKeys(spark, path, keys)
+    val keyCols = keys.map(org.apache.spark.sql.functions.col)
+    val d = writeDataDir(upserts, path)
+    val del = writeDataDir(
+      upserts.select(keyCols: _*)
+        .unionByName(deleteKeysDf.select(keyCols: _*)).distinct(), path)
+    try {
+      commit(spark, path, cur => {
+        if (cur.exists(_.lastBatch.exists(_ >= batchId)))
+          throw new CommitAborted(s"batch $batchId already committed")
+        guardRenamedAway(upserts.columns.toSeq, cur)
+        require(cur.forall(s => s.deleteKeys.isEmpty || s.deleteKeys == keys),
+          s"merge-on-read keys $keys conflict with recorded ${cur.map(_.deleteKeys).getOrElse(Nil)}")
+        val v = nextV(cur)
+        Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
+          cur.map(_.colStats).getOrElse(Map.empty),
+          Some(batchId),
+          cur.map(_.dataSeq).getOrElse(Map.empty) + (d -> v),
+          cur.map(_.deletes).getOrElse(Nil) :+ (del -> v),
+          keys)
+      })
+      true
+    } catch { case _: CommitAborted => false }
+  }
+
   /** Equality DELETE as a merge-on-read commit: rows whose key is in
     * `keysDf` disappear from subsequent reads without touching any data
     * file — an O(keys) write against a 100 TB table. Same read-time rule
