@@ -425,6 +425,37 @@ class VersionedTableSpec extends SparkSpec {
     assert(got.sameElements(Array((1L, "a"), (2L, "B"), (3L, "c"))))
   }
 
+  test("applyCdcOnce: upserts + deletes land as ONE atomic batch, replay refused (r15)") {
+    val path = "/tmp/graft_tables/spec_apply_cdc_once"
+    GraftTableWriter.drop(spark, path)
+    assert(VersionedTable.appendOnce(
+      (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"), path, 0))
+    // one batch: update 2 and 4, delete 5 and 6 — a SINGLE commit
+    assert(VersionedTable.applyCdcOnce(
+      Seq((2L, "V2"), (4L, "V4")).toDF("id", "v"),
+      Seq(Tuple1(5L), Tuple1(6L)).toDF("id"), path, Seq("id"), 1))
+    assert(VersionedTable.versions(spark, path) == Seq(1, 2),
+      "the mixed batch must be exactly one snapshot")
+    val got = VersionedTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq((1L, "v1"), (2L, "V2"), (3L, "v3"), (4L, "V4")))
+    // replay (same and lower ids): refused, nothing changes
+    assert(!VersionedTable.applyCdcOnce(
+      Seq((2L, "V2"), (4L, "V4")).toDF("id", "v"),
+      Seq(Tuple1(5L)).toDF("id"), path, Seq("id"), 1))
+    assert(!VersionedTable.applyCdcOnce(
+      Seq((1L, "XX")).toDF("id", "v"), Seq.empty[Tuple1[Long]].toDF("id"),
+      path, Seq("id"), 0))
+    assert(VersionedTable.versions(spark, path) == Seq(1, 2))
+    // a key both upserted and deleted IN THE SAME BATCH: the upsert image
+    // survives (it sits at the delete's own sequence — callers wanting
+    // delete-wins fold per key FIRST, the streaming_debezium_apply shape)
+    assert(VersionedTable.applyCdcOnce(
+      Seq((3L, "V3")).toDF("id", "v"), Seq(Tuple1(3L)).toDF("id"),
+      path, Seq("id"), 2))
+    assert(VersionedTable.read(spark, path).filter($"id" === 3L).count() == 1)
+  }
+
   test("racing committers both land via optimistic retry") {
     val path = "/tmp/graft_tables/spec_vt_race"
     GraftTableWriter.drop(spark, path)
