@@ -136,6 +136,29 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("HTTP: a 500 from the server is a loud outage, not a lost race (r15)") {
+    // a broken backing (storage outage) must surface as an exception at
+    // the client — mapping 500 to `false` would make callers retry a
+    // commit forever against a dead catalog
+    val broken = new GraftCatalog {
+      def loadTable(s: SparkSession, t: String) = throw new RuntimeException("disk gone")
+      def commitTable(s: SparkSession, t: String, e: Int, j: String) =
+        throw new RuntimeException("disk gone")
+      def tableVersions(s: SparkSession, t: String) = throw new RuntimeException("disk gone")
+      def readVersion(s: SparkSession, t: String, v: Int) =
+        throw new RuntimeException("disk gone")
+    }
+    val server = graft.sinks.RestCatalogServer.start(spark, broken)
+    try {
+      val rest = new graft.sinks.RestCatalog(server.uri)
+      val e1 = intercept[IllegalArgumentException](rest.loadTable(spark, "/tmp/x"))
+      assert(e1.getMessage.contains("500"))
+      val e2 = intercept[IllegalArgumentException](
+        rest.commitTable(spark, "/tmp/x", 0, "{}"))
+      assert(e2.getMessage.contains("500"))
+    } finally server.stop()
+  }
+
   test("HTTP: the multi-writer torture serializes through the REST catalog") {
     val p = fresh("http_torture")
     withRestCatalog { rest =>

@@ -131,4 +131,34 @@ class KernelPropertySpec extends SparkSpec {
       assert(got.forall(x => x >= 0 && x < (1 << bits)), s"bucket out of range at bits=$bits")
     }
   }
+
+  test("property: png_encode -> image_decode is the identity on random grids (r15)") {
+    // PNG is lossless: 80 random (w, h, pixels) triples must round-trip
+    // bit-exactly through the REAL ImageIO codec, whatever the dims
+    val dims = gen(for {
+      w <- Gen.chooseNum(1, 40); h <- Gen.chooseNum(1, 40)
+    } yield (w, h), 80, 7L)
+    val rows = dims.zipWithIndex.map { case ((w, h), i) =>
+      val rnd = new scala.util.Random(1000L + i)
+      (Seq.fill(w * h)(rnd.nextInt(256)), w, h)
+    }
+    val got = rows.toDF("g", "w", "h")
+      .select(image_decode(png_encode($"g", $"w", $"h")).as("d"))
+      .select($"d.width", $"d.height", $"d.gray")
+      .as[(Int, Int, Seq[Int])].collect().toSeq
+    assert(got == rows.map { case (g, w, h) => (w, h, g) })
+  }
+
+  test("property: wav_encode -> wav_decode is the identity on random PCM trains (r15)") {
+    val lens = gen(Gen.chooseNum(1, 2000), 60, 11L)
+    val rows = lens.zipWithIndex.map { case (n, i) =>
+      val rnd = new scala.util.Random(2000L + i)
+      (Seq.fill(n)(rnd.nextInt(65536) - 32768), 4000 + (i % 5) * 4000)
+    }
+    val got = rows.toDF("s", "r")
+      .select(wav_decode(wav_encode($"s", $"r")).as("d"))
+      .select($"d.sample_rate", $"d.channels", $"d.samples")
+      .as[(Int, Int, Seq[Int])].collect().toSeq
+    assert(got == rows.map { case (s, r) => (r, 1, s) })
+  }
 }
