@@ -168,28 +168,19 @@ object VersionedTable {
     * partitioned MOR chains stay exportable ([[graft.sinks.IcebergExport]]
     * needs a degenerate partition bound per data dir) and [[readPruned]]
     * can skip MOR data dirs too. The delete dir is key-only and carries no
-    * stats — equality deletes are partition-agnostic by construction. */
+    * stats — equality deletes are partition-agnostic by construction.
+    *
+    * `pairCols = Some((c1, c2))` additionally records the batch's exact
+    * LEXICOGRAPHIC (c1, c2) [min, max] under [[pairStatsKey]] — the
+    * composite `timestamp+incrementing` CDC watermark's per-dir bound
+    * (independent per-column bounds can NOT reconstruct it: the row with
+    * max c1 need not carry max c2), feeding [[manifestHwmPair]]. */
   def upsertMorWithStats(df: DataFrame, path: String, keys: Seq[String],
-      statsCols: Seq[String]): Int = {
-    import org.apache.spark.sql.functions.{col, max, min}
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+      statsCols: Seq[String], pairCols: Option[(String, String)] = None): Int = {
     val spark = df.sparkSession
     checkMorKeys(spark, path, keys)
-    val typs = statsCols.map { c =>
-      df.schema(c).dataType match {
-        case LongType | IntegerType | ShortType | ByteType => c -> "long"
-        case StringType                                    => c -> "string"
-        case other => throw new IllegalArgumentException(
-          s"stats column $c: unsupported type $other (integral and string only)")
-      }
-    }.toMap
+    val bounds = trackedBounds(df, statsCols, pairCols)
     val d = writeDataDir(df, path)
-    val aggs = statsCols.flatMap(c => Seq(min(col(c)).cast("string"), max(col(c)).cast("string")))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val bounds = statsCols.zipWithIndex.flatMap { case (c, i) =>
-      if (row.isNullAt(2 * i)) None
-      else Some(c -> ColBounds(row.getString(2 * i), row.getString(2 * i + 1), typs(c)))
-    }.toMap
     val del = writeDataDir(
       df.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(), path)
     commit(spark, path, cur => {
@@ -207,16 +198,119 @@ object VersionedTable {
     })
   }
 
+  /** The manifest key a composite (c1, c2) pair bound is stored under. The
+    * `,` separator cannot appear in a parquet-writable column name, so
+    * the key can never shadow a real column in [[readPruned]] lookups. */
+  private[graft] def pairStatsKey(c1: String, c2: String): String = s"$c1,$c2"
+
+  /** One aggregate over the batch: per-column [min, max] for `statsCols`
+    * (the [[appendWithStats]] typing rules — integral bounds as numbers,
+    * string bounds lexicographic) plus, when `pairCols` is set, the exact
+    * lexicographic (c1, c2) [min, max] (both columns integral), encoded
+    * `"v1:v2"` under [[pairStatsKey]]. All-NULL columns get no entry. */
+  private def trackedBounds(df: DataFrame, statsCols: Seq[String],
+      pairCols: Option[(String, String)]): Map[String, ColBounds] = {
+    import org.apache.spark.sql.functions.{col, max, min, struct}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    def integral(c: String): Boolean = df.schema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _                                             => false
+    }
+    val typs = statsCols.map { c =>
+      df.schema(c).dataType match {
+        case _ if integral(c) => c -> "long"
+        case StringType       => c -> "string"
+        case other => throw new IllegalArgumentException(
+          s"stats column $c: unsupported type $other (integral and string only)")
+      }
+    }.toMap
+    pairCols.foreach { case (a, b) =>
+      require(integral(a) && integral(b),
+        s"pair bound columns ($a, $b) must both be integral")
+    }
+    val aggs = statsCols.flatMap(c => Seq(min(col(c)).cast("string"), max(col(c)).cast("string"))) ++
+      pairCols.toSeq.flatMap { case (a, b) =>
+        val p = struct(col(a).cast("long"), col(b).cast("long"))
+        Seq(min(p), max(p))
+      }
+    if (aggs.isEmpty) return Map.empty
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val colBounds = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      if (row.isNullAt(2 * i)) None
+      else Some(c -> ColBounds(row.getString(2 * i), row.getString(2 * i + 1), typs(c)))
+    }.toMap
+    val pairBounds = pairCols.flatMap { case (a, b) =>
+      val base = 2 * statsCols.size
+      if (row.isNullAt(base)) None
+      else {
+        def enc(i: Int): String = {
+          val s = row.getStruct(i); s"${s.getLong(0)}:${s.getLong(1)}"
+        }
+        Some(pairStatsKey(a, b) -> ColBounds(enc(base), enc(base + 1), "string"))
+      }
+    }
+    colBounds ++ pairBounds
+  }
+
+  /** METADATA-ONLY high watermark: the max over the current snapshot's data
+    * dirs' recorded upper bounds for `tsCol` — O(dirs) driver-side manifest
+    * arithmetic, ZERO Spark jobs, no table scan. This is the 100 TB form of
+    * the CDC no-second-store watermark ([[graft.streaming.JdbcPollStream]]):
+    * the poll loop's per-cycle `max(tsCol)` must not pay a full scan of the
+    * very table it grows. Returns None when any data dir lacks a long-typed
+    * `tsCol` bound (untracked legacy dir, post-[[compact]] dir) — the caller
+    * falls back to the scan, correctness never depends on the metadata.
+    *
+    * MOR deletes don't undercut the bound: the watermark contract is "the
+    * highest update-clock value ever COMMITTED" (pull strictly newer source
+    * rows), and a superseded or deleted row's clock value was still
+    * committed — so the max over all data-dir upper bounds is exactly right
+    * even when the physical max row is no longer visible. */
+  def manifestHwm(spark: SparkSession, path: String, tsCol: String): Option[Long] =
+    latest(spark, path) match {
+      case None                      => Some(Long.MinValue)
+      case Some(s) if s.dirs.isEmpty => Some(Long.MinValue)
+      case Some(s) =>
+        val bounds = s.dirs.map(d => s.colStats.get(d).flatMap(_.get(tsCol)))
+        if (bounds.exists(!_.exists(_.typ == "long"))) None
+        else Some(bounds.flatten.map(_.hi.toLong).max)
+    }
+
+  /** [[manifestHwm]] for the composite `timestamp+incrementing` watermark:
+    * the LEXICOGRAPHIC (tsCol, incCol) max over per-dir pair bounds written
+    * by `pairCols`-tracking commits. Per-column bounds are deliberately NOT
+    * combined (max ts_hi paired with max inc_hi can overstate inc and skip
+    * raced source rows forever); only the exact pair bound qualifies. */
+  def manifestHwmPair(spark: SparkSession, path: String, tsCol: String,
+      incCol: String): Option[(Long, Long)] =
+    latest(spark, path) match {
+      case None                      => Some((Long.MinValue, Long.MinValue))
+      case Some(s) if s.dirs.isEmpty => Some((Long.MinValue, Long.MinValue))
+      case Some(s) =>
+        val key = pairStatsKey(tsCol, incCol)
+        val his = s.dirs.map(d => s.colStats.get(d).flatMap(_.get(key)).map { b =>
+          val Array(a, c) = b.hi.split(':'); (a.toLong, c.toLong)
+        })
+        if (his.exists(_.isEmpty)) None else Some(his.flatten.max)
+    }
+
   /** [[upsertMor]] under the exactly-once batch-id contract (the
     * [[appendOnce]] rule): the id commits atomically with the data+delete
     * dirs, so an at-least-once foreachBatch redelivery is recognized and
     * skipped. This is the reference's sink verbatim — a streaming upsert
     * into an Iceberg-v2 table IS equality-delete MOR guarded by
-    * max-committed-checkpoint-id. Returns false on replay. */
-  def upsertMorOnce(df: DataFrame, path: String, keys: Seq[String], batchId: Long): Boolean = {
+    * max-committed-checkpoint-id. Returns false on replay.
+    *
+    * `statsCols`/`pairCols` attach [[trackedBounds]] metrics to the data
+    * dir — the CDC poll loop passes its watermark columns here so
+    * [[manifestHwm]]/[[manifestHwmPair]] stay derivable without a scan. */
+  def upsertMorOnce(df: DataFrame, path: String, keys: Seq[String], batchId: Long,
+      statsCols: Seq[String] = Nil,
+      pairCols: Option[(String, String)] = None): Boolean = {
     val spark = df.sparkSession
     if (latest(spark, path).exists(_.lastBatch.exists(_ >= batchId))) return false
     checkMorKeys(spark, path, keys)
+    val bounds = trackedBounds(df, statsCols, pairCols)
     val d = writeDataDir(df, path)
     val del = writeDataDir(
       df.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(), path)
@@ -231,7 +325,8 @@ object VersionedTable {
           s"merge-on-read keys $keys conflict with recorded ${cur.map(_.deleteKeys).getOrElse(Nil)}")
         val v = nextV(cur)
         Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,
-          cur.map(_.colStats).getOrElse(Map.empty),
+          cur.map(_.colStats).getOrElse(Map.empty) ++
+            (if (bounds.isEmpty) Map.empty else Map(d -> bounds)),
           Some(batchId),
           cur.map(_.dataSeq).getOrElse(Map.empty) + (d -> v),
           cur.map(_.deletes).getOrElse(Nil) :+ (del -> v),
@@ -502,23 +597,8 @@ object VersionedTable {
     * ingest window a query touches. All-NULL columns get no bounds for the
     * dir (never pruned on that column). */
   def appendWithStats(df: DataFrame, path: String, statsCols: Seq[String]): Int = {
-    import org.apache.spark.sql.functions.{col, max, min}
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
-    val typs = statsCols.map { c =>
-      df.schema(c).dataType match {
-        case LongType | IntegerType | ShortType | ByteType => c -> "long"
-        case StringType                                    => c -> "string"
-        case other => throw new IllegalArgumentException(
-          s"stats column $c: unsupported type $other (integral and string only)")
-      }
-    }.toMap
+    val bounds = trackedBounds(df, statsCols, None)
     val d = writeDataDir(df, path)
-    val aggs = statsCols.flatMap(c => Seq(min(col(c)).cast("string"), max(col(c)).cast("string")))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val bounds = statsCols.zipWithIndex.flatMap { case (c, i) =>
-      if (row.isNullAt(2 * i)) None
-      else Some(c -> ColBounds(row.getString(2 * i), row.getString(2 * i + 1), typs(c)))
-    }.toMap
     commit(df.sparkSession, path, cur => {
       guardRenamedAway(df.columns.toSeq, cur)
       Snapshot(0, cur.map(_.dirs).getOrElse(Nil) :+ d,

@@ -203,20 +203,31 @@ object JdbcPollStream {
       maxRestarts: Int = 5,
       afterCommit: Long => Unit = _ => ())
 
-  /** Highest committed update-clock value, from the merged table itself. */
+  /** Highest committed update-clock value. METADATA FIRST: when every data
+    * dir carries a manifest bound for `tsCol` (the poll loop's own commits
+    * always do — [[VersionedTable.upsertMorOnce]] is called with
+    * `statsCols = Seq(tsCol)`), the watermark is the max over per-dir upper
+    * bounds: O(dirs) driver-side, zero Spark jobs. The pre-r16 form —
+    * `max(tsCol)` over the FULL committed table — re-scanned the one thing
+    * the loop grows on every 50 ms poll tick, a scale-killer at 100 TB; it
+    * survives only as the fallback for tables with untracked dirs (legacy
+    * writers, post-compaction), where correctness must not depend on
+    * metadata that isn't there. */
   def committedHwm(spark: SparkSession, tablePath: String, tsCol: String): Long =
-    if (VersionedTable.versions(spark, tablePath).isEmpty) Long.MinValue
-    else VersionedTable.read(spark, tablePath)
-      .agg(coalesce(max(col(tsCol)), lit(Long.MinValue))).head().getLong(0)
+    VersionedTable.manifestHwm(spark, tablePath, tsCol).getOrElse {
+      VersionedTable.read(spark, tablePath)
+        .agg(coalesce(max(col(tsCol)), lit(Long.MinValue))).head().getLong(0)
+    }
 
-  /** Composite (tsCol, incCol) high-watermark: the LEXICOGRAPHIC max over
-    * the committed table, in one aggregate (max of a two-field struct
-    * orders lexicographically). (MinValue, MinValue) when empty. */
+  /** Composite (tsCol, incCol) high-watermark: the LEXICOGRAPHIC max, from
+    * per-dir PAIR bounds ([[VersionedTable.manifestHwmPair]] — independent
+    * per-column bounds cannot reconstruct the pair) when every data dir
+    * tracks them, else one `max(struct)` aggregate over the committed table
+    * (struct max IS the lexicographic max). (MinValue, MinValue) when
+    * empty. */
   def committedHwmInc(spark: SparkSession, tablePath: String, tsCol: String,
       incCol: String): (Long, Long) =
-    if (VersionedTable.versions(spark, tablePath).isEmpty)
-      (Long.MinValue, Long.MinValue)
-    else {
+    VersionedTable.manifestHwmPair(spark, tablePath, tsCol, incCol).getOrElse {
       val r = VersionedTable.read(spark, tablePath)
         .agg(max(struct(col(tsCol), col(incCol))).as("h")).head().getStruct(0)
       (r.getLong(0), r.getLong(1))
@@ -240,7 +251,11 @@ object JdbcPollStream {
         .load()
         .localCheckpoint(true) // pull once; feeds count + upsert
       if (delta.isEmpty) return true // quiescent
-      if (VersionedTable.upsertMorOnce(delta, cfg.tablePath, cfg.keys, batchId)) {
+      // track the watermark column(s) in the commit's manifest metrics so
+      // the NEXT cycle's hwm derivation is metadata-only (no table scan)
+      if (VersionedTable.upsertMorOnce(delta, cfg.tablePath, cfg.keys, batchId,
+          statsCols = cfg.tsCol +: cfg.incCol.toSeq,
+          pairCols = cfg.incCol.map(i => (cfg.tsCol, i)))) {
         cycles += 1
         cfg.afterCommit(cycles)
       }

@@ -142,4 +142,90 @@ class JdbcStreamSpec extends SparkSpec {
     // the derived composite hwm is the lexicographic max
     assert(JdbcPollStream.committedHwmInc(spark, table, "ts", "id") == ((20L, 25L)))
   }
+
+  /** Counts non-marker job starts, then uses one marker job as an ordering
+    * barrier: listener delivery is in-order, so once the marker's start has
+    * been observed every earlier job start has been delivered too. */
+  private def jobsLaunchedBy(body: => Unit): Int = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var markerSeen = false
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(j.properties)
+          .map(_.getProperty("spark.job.description")).orNull
+        if (desc == "graft-hwm-marker") markerSeen = true
+        else jobs.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      spark.sparkContext.setJobDescription("graft-hwm-marker")
+      try spark.range(1).count()
+      finally spark.sparkContext.setJobDescription(null)
+      val deadline = System.currentTimeMillis() + 30000
+      while (!markerSeen && System.currentTimeMillis() < deadline) Thread.sleep(10)
+      assert(markerSeen, "marker job never observed — listener bus stalled")
+      jobs.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("hwm derivation is metadata-only: zero Spark jobs once dirs track the watermark") {
+    val (table, _) = freshDirs("hwm_meta")
+    // batch 0: plain mode bounds; batch 1 stages the pair trap — the row
+    // with the max ts (30) carries a LOW id (3), while the max id (9) sits
+    // at ts 25: naive (max ts_hi, max inc_hi) = (30, 9) would overstate
+    // the pair and skip raced source rows forever; the exact pair bound is
+    // (30, 3).
+    assert(VersionedTable.upsertMorOnce(
+      Seq((1L, 10L, 1L), (2L, 20L, 2L)).toDF("id", "ts", "v"),
+      table, Seq("id"), 0L,
+      statsCols = Seq("ts", "id"), pairCols = Some(("ts", "id"))))
+    assert(VersionedTable.upsertMorOnce(
+      Seq((3L, 30L, 3L), (9L, 25L, 9L)).toDF("id", "ts", "v"),
+      table, Seq("id"), 1L,
+      statsCols = Seq("ts", "id"), pairCols = Some(("ts", "id"))))
+    var h = 0L
+    var hp = (0L, 0L)
+    val n = jobsLaunchedBy {
+      h = JdbcPollStream.committedHwm(spark, table, "ts")
+      hp = JdbcPollStream.committedHwmInc(spark, table, "ts", "id")
+    }
+    assert(n == 0, s"hwm derivation launched $n Spark jobs; must be manifest-only")
+    assert(h == 30L)
+    assert(hp == ((30L, 3L)), s"pair hwm must be the exact lexicographic max, got $hp")
+    // and both agree with the scan-derived truth
+    import org.apache.spark.sql.functions.{max, struct}
+    assert(VersionedTable.read(spark, table).agg(max($"ts")).head.getLong(0) == h)
+    val r = VersionedTable.read(spark, table)
+      .agg(max(struct($"ts", $"id"))).head.getStruct(0)
+    assert((r.getLong(0), r.getLong(1)) == hp)
+  }
+
+  test("hwm falls back to the scan when a dir is untracked, and stays correct") {
+    val (table, _) = freshDirs("hwm_fallback")
+    assert(VersionedTable.upsertMorOnce(
+      Seq((1L, 10L, 1L)).toDF("id", "ts", "v"), table, Seq("id"), 0L,
+      statsCols = Seq("ts"), pairCols = Some(("ts", "id"))))
+    // a legacy (non-tracking) writer commits a dir with no bounds
+    VersionedTable.upsertMor(
+      Seq((2L, 40L, 2L)).toDF("id", "ts", "v"), table, Seq("id"))
+    assert(VersionedTable.manifestHwm(spark, table, "ts").isEmpty,
+      "an untracked dir must disqualify the metadata path")
+    assert(VersionedTable.manifestHwmPair(spark, table, "ts", "id").isEmpty)
+    // the public hwm API still answers — via the scan fallback
+    assert(JdbcPollStream.committedHwm(spark, table, "ts") == 40L)
+    assert(JdbcPollStream.committedHwmInc(spark, table, "ts", "id") == ((40L, 2L)))
+  }
+
+  test("empty / absent tables derive MinValue watermarks without scanning") {
+    val (table, _) = freshDirs("hwm_empty")
+    val n = jobsLaunchedBy {
+      assert(JdbcPollStream.committedHwm(spark, table, "ts") == Long.MinValue)
+      assert(JdbcPollStream.committedHwmInc(spark, table, "ts", "id") ==
+        ((Long.MinValue, Long.MinValue)))
+    }
+    assert(n == 0, s"absent-table hwm launched $n jobs")
+  }
 }
