@@ -496,6 +496,9 @@ object IcebergExport {
       case _                                              => false
     }
     val promotedCols = scala.collection.mutable.Set.empty[String] // canonical names
+    // fields that actually WIDENED inside this chain (narrow dirs precede
+    // the wide ones): only they may legally have late narrow dirs
+    val widenedInChain = scala.collection.mutable.Set.empty[String]
     val snapSchemas: Seq[StructType] = {
       // fields are stored under their FIRST physical name and matched by
       // chain-canonical (final) name, so a dir written after a rename folds
@@ -514,10 +517,23 @@ object IcebergExport {
                 val i = fields.indexWhere(x => fin(x.name) == fin(f.name))
                 fields = fields.updated(i, fields(i).copy(dataType = f.dataType))
                 promotedCols += fin(f.name)
+                widenedInChain += fin(f.name)
               case Some(existing) if promotes(f.dataType, existing.dataType) =>
-                // a late writer still emitting the narrow type: the chain
-                // schema stays wide (files narrower than the schema are
-                // the normal post-promotion state per the spec)
+                // a late writer still emitting the narrow type. Legal ONLY
+                // after an in-chain promotion (files narrower than the
+                // schema are the normal post-promotion state per the
+                // spec, and the diverged schemas list makes the reader
+                // take its per-sequence widening path). When the field was
+                // BORN wide, no promotion event exists, the schemas list
+                // never diverges, and the reader's single mergeSchema scan
+                // would throw on the mixed physical types — the export
+                // would be accepted at write time yet unreadable, so
+                // refuse it here instead (ADVICE r15).
+                require(widenedInChain.contains(fin(f.name)),
+                  s"iceberg export: column ${f.name} written ${f.dataType} after " +
+                    s"the chain established ${existing.dataType} with no promotion " +
+                    "event — a narrow-after-wide chain is unreadable; rewrite the " +
+                    "dir at the established type")
                 promotedCols += fin(f.name)
               case Some(existing) => throw new IllegalArgumentException(
                 s"iceberg export: column ${f.name} changed type " +
@@ -847,13 +863,14 @@ object IcebergExport {
     // EARLIER vK.metadata.json already in the metadata dir, oldest first —
     // populated by incremental exports, where each run leaves the prior
     // metadata file as history exactly as a real Iceberg commit does
+    val mdV = nextMetadataVersion(filesystem, metaDir, versions.last)
     val metadataLogJson = filesystem.listStatus(metaDir).toSeq
       .map(_.getPath)
       .filter { p =>
         val n = p.getName
         n.startsWith("v") && n.endsWith(".metadata.json") &&
           n.stripPrefix("v").stripSuffix(".metadata.json").toIntOption
-            .exists(_ != versions.last)
+            .exists(_ != mdV)
       }
       .sortBy(p => p.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt)
       .map { p =>
@@ -874,14 +891,33 @@ object IcebergExport {
         "snapshots":$snapsJson,
         "snapshot-log":$logJson,
         "metadata-log":$metadataLogJson}"""
-    val mdPath = new Path(metaDir, s"v${versions.last}.metadata.json")
+    val mdPath = new Path(metaDir, s"v$mdV.metadata.json")
     val out = filesystem.create(mdPath, true)
     out.write(metadataJson.getBytes("UTF-8"))
     out.close()
     val hint = filesystem.create(new Path(metaDir, "version-hint.text"), true)
-    hint.write(versions.last.toString.getBytes("UTF-8"))
+    hint.write(mdV.toString.getBytes("UTF-8"))
     hint.close()
     mdPath.toString
+  }
+
+  /** The next metadata.json version: strictly above every metadata file
+    * already in the dir, and at least `floor` (the graft version the chain
+    * reaches, which keeps plain exports at the familiar version==graft-
+    * version numbering). Collision-free by construction — NO writer ever
+    * rewrites an existing vK.metadata.json in place, so a concurrent
+    * reader resolving the version hint can never see a torn JSON, and a
+    * crash mid-write loses only the not-yet-referenced new file
+    * (ADVICE r15: exportExpire used to truncate-and-rewrite the CURRENT
+    * metadata). */
+  private def nextMetadataVersion(filesystem: FileSystem, metaDir: Path,
+      floor: Int): Int = {
+    val existing =
+      if (!filesystem.exists(metaDir)) Nil
+      else filesystem.listStatus(metaDir).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".metadata.json"))
+        .flatMap(_.stripPrefix("v").stripSuffix(".metadata.json").toIntOption)
+    math.max(floor, existing.maxOption.getOrElse(0) + 1)
   }
 
   /** Incremental export: extend an EXISTING export at `outPath` with the
@@ -903,22 +939,29 @@ object IcebergExport {
     require(filesystem.exists(hint),
       s"iceberg export: no existing export at $outPath (version-hint.text missing) — run export() first")
     val last = new String(readAvroBytes(filesystem, hint), "UTF-8").trim.toInt
-    // an [[exportExpire]] may have trimmed the exported snapshot list: the
-    // current metadata's MINIMUM sequence number is the oldest snapshot
-    // still exported, and extending below it would resurrect expired
-    // snapshots — derive the floor from the metadata itself
+    // resolve BOTH resume anchors from the current metadata's snapshot
+    // list, not from the hint number: since r16 the metadata file version
+    // is a collision-free counter that maintenance rewrites ([[exportExpire]])
+    // advance past the graft version, so only the snapshots themselves say
+    // what was exported. MAX sequence = the newest exported graft version
+    // (resume after it; a foreign amendment's non-graft sequence is
+    // refused by export()'s own version check, as before). MIN sequence =
+    // the oldest snapshot still exported — an [[exportExpire]] may have
+    // trimmed below it, and extending below would resurrect expired
+    // snapshots.
     val mdPath = new Path(new Path(outPath, "metadata"), s"v$last.metadata.json")
-    val minSeq: Int =
-      if (!filesystem.exists(mdPath)) Int.MinValue
+    val (minSeq, maxSeq): (Int, Int) =
+      if (!filesystem.exists(mdPath)) (Int.MinValue, last)
       else {
         import scala.jdk.CollectionConverters._
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(readAvroBytes(filesystem, mdPath))
-        root.get("snapshots").elements().asScala
-          .map(_.get("sequence-number").asInt()).minOption.getOrElse(Int.MinValue)
+        val seqs = root.get("snapshots").elements().asScala
+          .map(_.get("sequence-number").asInt()).toSeq
+        (seqs.minOption.getOrElse(Int.MinValue), seqs.maxOption.getOrElse(last))
       }
     export(spark, tablePath, outPath, partitionCols,
-      math.max(sinceVersion, minSeq), resumeAfter = last,
+      math.max(sinceVersion, minSeq), resumeAfter = maxSeq,
       hiddenPartition = hiddenPartition)
   }
 
@@ -933,11 +976,19 @@ object IcebergExport {
     * later snapshot), and DATA files are graft-owned, referenced in place
     * (storage reclamation belongs to [[VersionedTable.expire]] on the
     * source table, exactly where the catalog/storage split puts it).
-    * Composes with [[exportIncremental]]: the hint is unchanged and the
-    * incremental path re-derives its floor from the trimmed snapshot list,
+    * Composes with [[exportIncremental]]: the incremental path re-derives
+    * both its floor and its resume anchor from the trimmed snapshot list,
     * so later extensions never resurrect expired snapshots. Time travel to
     * an expired snapshot refuses via the reader's own unknown-snapshot
-    * check. Idempotent when nothing would be dropped. */
+    * check. Idempotent when nothing would be dropped.
+    *
+    * Durability order (ADVICE r15): the trimmed tree lands as a NEW
+    * v<next>.metadata.json, the hint flips, and only THEN are the expired
+    * snapshots' manifest-list files deleted — a crash anywhere leaves
+    * either the old state fully live or the new state fully committed
+    * with at worst some not-yet-deleted list files; the live metadata
+    * never references a deleted file, and no reader can see a torn
+    * in-place rewrite. */
   def exportExpire(spark: SparkSession, outPath: String, keep: Int): String = {
     require(keep >= 1, "expire must keep at least the current snapshot")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -982,23 +1033,41 @@ object IcebergExport {
       .filterNot(e => droppedIds.contains(e.get("snapshot-id").asLong()))
       .foreach(newLog.add)
     root.set("snapshot-log", newLog)
-    // the expired snapshots' manifest LISTS are theirs alone — delete
+    // prior metadata file becomes history (spec metadata-log), like every
+    // other writer in this file
+    val mlogNode = root.get("metadata-log")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val mlogEntry = mapper.createObjectNode()
+    mlogEntry.put("timestamp-ms", filesystem.getFileStatus(mdPath).getModificationTime)
+    mlogEntry.put("metadata-file", mdPath.toString)
+    mlogNode.add(mlogEntry)
+    // durability order: new metadata → hint → only then the deletions
+    val newV = nextMetadataVersion(filesystem, metaDir, curV + 1)
+    val newMdPath = new Path(metaDir, s"v$newV.metadata.json")
+    val out = filesystem.create(newMdPath, true)
+    out.write(mapper.writeValueAsBytes(root))
+    out.close()
+    val hintOut = filesystem.create(hintPath, true)
+    hintOut.write(newV.toString.getBytes("UTF-8"))
+    hintOut.close()
+    // the expired snapshots' manifest LISTS are theirs alone — delete,
+    // strictly after the trimmed metadata is durable and referenced
     dropped.foreach { s =>
       filesystem.delete(new Path(s.get("manifest-list").asText()), false)
     }
-    val out = filesystem.create(mdPath, true)
-    out.write(mapper.writeValueAsBytes(root))
-    out.close()
-    mdPath.toString
+    newMdPath.toString
   }
 
   /** Append a POSITION-DELETE snapshot to an EXISTING export (r14, VERDICT
     * r13 "Next round" #4 — the delete shape EXTERNAL COMPACTORS write;
     * IcebergForeignSpec proved graft's reader against foreign fixtures,
     * this is the writer side): `positions` holds (file_path, pos) rows
-    * naming ordinal rows of the export's own data files. Emits one parquet
-    * delete file (spec "Position Delete Files": file_path string, pos
-    * long), one content-1 delete manifest at sequence last+1 under an
+    * naming ordinal rows of the export's own data files. Emits parquet
+    * delete files in parallel — `positions` range-partitioned by
+    * (file_path, pos), each task one spec-sorted delete file ("Position
+    * Delete Files": file_path string, pos long; sorting is per-file, so
+    * the fan-out is free) — one content-1 delete manifest at sequence
+    * last+1 listing them all, under an
     * UNPARTITIONED spec, a manifest list extending the current snapshot's,
     * and a new metadata.json + version hint. Per the spec's sequence rule
     * the delete applies to data files with data sequence ≤ its own — i.e.
@@ -1010,7 +1079,7 @@ object IcebergExport {
     * later [[exportIncremental]] from the graft table is refused by its
     * own version check rather than silently clobbering the amendment. */
   def exportPositionDeletes(spark: SparkSession, outPath: String,
-      positions: org.apache.spark.sql.DataFrame): String = {
+      positions: org.apache.spark.sql.DataFrame, numFiles: Int = 0): String = {
     import org.apache.spark.sql.functions.col
     val conf = spark.sparkContext.hadoopConfiguration
     val filesystem = new Path(outPath).getFileSystem(conf)
@@ -1035,8 +1104,8 @@ object IcebergExport {
     val newSeq = root.get("last-sequence-number").asLong() + 1
     val newId = snapsNode.elements().asScala.map(_.get("snapshot-id").asLong()).max + 1
 
-    // the delete rows, written as ONE conformant position-delete parquet
-    // file; every referenced path must be a live data file of the current
+    // the delete rows, written as conformant position-delete parquet
+    // files; every referenced path must be a live data file of the current
     // snapshot (modulo file:/ vs file:/// — writers disagree, canonicalize)
     val curList = readAvroRows(filesystem, new Path(curSnap.get("manifest-list").asText()))
     def canon(u: String): String = u.replaceFirst("^file:/+", "file:///")
@@ -1061,12 +1130,26 @@ object IcebergExport {
       .select(col("file_path").cast("string").as("file_path", pathMeta),
         col("pos").cast("long").as("pos", posMeta))
     val delDir = new Path(outAbs, f"delete-data/posdel-$newSeq%05d")
-    posDf.coalesce(1).sortWithinPartitions("file_path", "pos")
+    // DISTRIBUTED delete write (r16, VERDICT r15 weak #2): a 100 TB
+    // compaction's position deletes are GBs, and the old coalesce(1)
+    // serialized them through one task. repartitionByRange on
+    // (file_path, pos) hands each task a disjoint, internally spec-sorted
+    // slice; every resulting parquet is its own conformant delete file
+    // (the spec sorts WITHIN a delete file — there is no cross-file
+    // ordering requirement), and all of them are listed in the one
+    // content-1 manifest below. `numFiles = 0` sizes the fan-out to the
+    // session's parallelism capped by the input's own partitioning.
+    val parts =
+      if (numFiles > 0) numFiles
+      else math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        posDf.rdd.getNumPartitions))
+    posDf.repartitionByRange(parts, col("file_path"), col("pos"))
+      .sortWithinPartitions("file_path", "pos")
       .write.mode("overwrite").parquet(delDir.toString)
-    val delFile = filesystem.listStatus(delDir).toSeq
+    val delFiles = filesystem.listStatus(delDir).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .sortBy(st => st.getPath.getName).headOption
-      .getOrElse(throw new IllegalStateException("no delete parquet written"))
+      .sortBy(st => st.getPath.getName)
+    require(delFiles.nonEmpty, "no delete parquet written")
     // validate the WRITTEN file, not the input frame: a non-deterministic
     // `positions` (sampled/re-planned scan) could otherwise validate one
     // row set and persist another (ADVICE r14). Nothing references the
@@ -1103,29 +1186,36 @@ object IcebergExport {
       .map(_.toString).getOrElse(throw new IllegalStateException("no current schema"))
     val entrySchema = manifestEntrySchema(new StructType(), Nil)
     val dataFileSchema = entrySchema.getField("data_file").schema()
-    val df = new GenericData.Record(dataFileSchema)
-    df.put("content", Int.box(1)) // POSITION deletes
-    df.put("file_path", delFile.getPath.toString)
-    df.put("file_format", "PARQUET")
-    df.put("partition", new GenericData.Record(
-      dataFileSchema.getField("partition").schema()))
-    df.put("record_count", Long.box(recordCount(conf, delFile.getPath)))
-    df.put("file_size_in_bytes", Long.box(delFile.getLen))
-    df.put("lower_bounds", null); df.put("upper_bounds", null)
-    df.put("equality_ids", null)
-    val entry = new GenericData.Record(entrySchema)
-    entry.put("status", Int.box(1)) // ADDED
-    entry.put("snapshot_id", Long.box(newId))
-    entry.put("sequence_number", Long.box(newSeq))
-    entry.put("file_sequence_number", Long.box(newSeq))
-    entry.put("data_file", df)
+    // one ADDED entry per task-written delete file, all in one manifest
+    var totalDelRows = 0L
+    val entries: Seq[GenericRecord] = delFiles.map { delFile =>
+      val rows = recordCount(conf, delFile.getPath)
+      totalDelRows += rows
+      val df = new GenericData.Record(dataFileSchema)
+      df.put("content", Int.box(1)) // POSITION deletes
+      df.put("file_path", delFile.getPath.toString)
+      df.put("file_format", "PARQUET")
+      df.put("partition", new GenericData.Record(
+        dataFileSchema.getField("partition").schema()))
+      df.put("record_count", Long.box(rows))
+      df.put("file_size_in_bytes", Long.box(delFile.getLen))
+      df.put("lower_bounds", null); df.put("upper_bounds", null)
+      df.put("equality_ids", null)
+      val entry = new GenericData.Record(entrySchema)
+      entry.put("status", Int.box(1)) // ADDED
+      entry.put("snapshot_id", Long.box(newId))
+      entry.put("sequence_number", Long.box(newSeq))
+      entry.put("file_sequence_number", Long.box(newSeq))
+      entry.put("data_file", df)
+      entry
+    }
     val manifestPath = new Path(metaDir, f"pd-$newSeq%05d.avro")
     val manifestLen = writeAvro(filesystem, manifestPath, entrySchema, Map(
       "schema" -> curSchemaJson,
       "partition-spec" -> "[]",
       "partition-spec-id" -> emptySpecId.toString,
       "format-version" -> "2",
-      "content" -> "deletes"), Seq(entry))
+      "content" -> "deletes"), entries)
 
     // manifest list = the current snapshot's rows + the new delete manifest
     val listRow = new GenericData.Record(manifestListSchema)
@@ -1136,11 +1226,10 @@ object IcebergExport {
     listRow.put("sequence_number", Long.box(newSeq))
     listRow.put("min_sequence_number", Long.box(newSeq))
     listRow.put("added_snapshot_id", Long.box(newId))
-    listRow.put("added_files_count", Int.box(1))
+    listRow.put("added_files_count", Int.box(delFiles.size))
     listRow.put("existing_files_count", Int.box(0))
     listRow.put("deleted_files_count", Int.box(0))
-    listRow.put("added_rows_count", Long.box(
-      df.get("record_count").asInstanceOf[Long]))
+    listRow.put("added_rows_count", Long.box(totalDelRows))
     listRow.put("existing_rows_count", Long.box(0L))
     listRow.put("deleted_rows_count", Long.box(0L))
     val newListPath = new Path(metaDir, f"snap-pd-$newId%05d.avro")
@@ -1191,12 +1280,13 @@ object IcebergExport {
     mlogEntry.put("metadata-file", mdPath.toString)
     mlogNode.add(mlogEntry)
 
-    val newMdPath = new Path(metaDir, s"v${curV + 1}.metadata.json")
+    val newV = nextMetadataVersion(filesystem, metaDir, curV + 1)
+    val newMdPath = new Path(metaDir, s"v$newV.metadata.json")
     val out = filesystem.create(newMdPath, true)
     out.write(mapper.writeValueAsBytes(root))
     out.close()
     val hint = filesystem.create(hintPath, true)
-    hint.write((curV + 1).toString.getBytes("UTF-8"))
+    hint.write(newV.toString.getBytes("UTF-8"))
     hint.close()
     newMdPath.toString
   }
