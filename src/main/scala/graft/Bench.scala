@@ -100,8 +100,12 @@ object Bench {
     * outside the repo root), and the membership list stays in sync with it.
     */
   private[graft] def loadPins(): Seq[(String, Double)] = {
+    // resolution is explicit-or-local ONLY (ADVICE r15): the env override,
+    // else the working directory's artifact. No absolute host path — on
+    // another machine that would silently judge regressions against a
+    // different checkout's pins.
     val candidates =
-      sys.env.get("SPARK_GRAFT_PINS").toSeq ++ Seq("BENCH_PINS.json", "/root/repo/BENCH_PINS.json")
+      sys.env.get("SPARK_GRAFT_PINS").toSeq ++ Seq("BENCH_PINS.json")
     candidates.map(new java.io.File(_)).find(_.isFile) match {
       case Some(f) =>
         try {

@@ -31,16 +31,20 @@ import java.util.Base64
   * Any non-(200|404|409) status fails loudly: a catalog that answers 500 is
   * an outage, not a lost race.
   */
-final class RestCatalog(baseUri: String) extends GraftCatalog {
+final class RestCatalog(baseUri: String,
+    timeout: java.time.Duration = java.time.Duration.ofSeconds(30)) extends GraftCatalog {
   private val mapper = new ObjectMapper()
-  private val http = HttpClient.newHttpClient()
+  // ADVICE r15: a HUNG (not down) endpoint must fail loudly too — connect
+  // and per-request timeouts bound every call, so an outage surfaces as an
+  // HttpTimeoutException instead of a commit path blocked forever
+  private val http = HttpClient.newBuilder().connectTimeout(timeout).build()
   private val base = baseUri.stripSuffix("/")
 
   private def tableId(table: String): String =
     Base64.getUrlEncoder.withoutPadding.encodeToString(table.getBytes(UTF_8))
 
   private def get(uri: String): HttpResponse[String] =
-    http.send(HttpRequest.newBuilder(URI.create(uri)).GET().build(),
+    http.send(HttpRequest.newBuilder(URI.create(uri)).timeout(timeout).GET().build(),
       HttpResponse.BodyHandlers.ofString())
 
   private def expect(r: HttpResponse[String], allowed: Int*): HttpResponse[String] = {
@@ -65,6 +69,7 @@ final class RestCatalog(baseUri: String) extends GraftCatalog {
     body.put("manifest", manifestJson)
     val r = expect(http.send(
       HttpRequest.newBuilder(URI.create(s"$base/v1/tables/${tableId(table)}/commit"))
+        .timeout(timeout)
         .header("Content-Type", "application/json")
         .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body)))
         .build(),
@@ -98,9 +103,13 @@ final class RestCatalog(baseUri: String) extends GraftCatalog {
   * the atomicity. Start with `RestCatalogServer.start(spark, backing, 0)`
   * (port 0 = ephemeral); `uri` is the client's base address.
   */
-final class RestCatalogServer private (server: com.sun.net.httpserver.HttpServer) {
+final class RestCatalogServer private (server: com.sun.net.httpserver.HttpServer,
+    pool: java.util.concurrent.ExecutorService) {
   def uri: String = s"http://127.0.0.1:${server.getAddress.getPort}"
-  def stop(): Unit = server.stop(0)
+  // server.stop does NOT stop a user-supplied executor (ADVICE r15): shut
+  // the pool down too, or each started server leaks 8 non-daemon threads
+  // that keep the JVM alive
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }
 
 object RestCatalogServer {
@@ -139,7 +148,7 @@ object RestCatalogServer {
               val arr = n.putArray("versions")
               backing.tableVersions(spark, table).foreach(arr.add)
               respond(ex, 200, mapper.writeValueAsString(n))
-            case ("GET", Seq("versions", v)) =>
+            case ("GET", Seq("versions", v)) if v.toIntOption.isDefined =>
               backing.readVersion(spark, table, v.toInt) match {
                 case Some(json) =>
                   val n = mapper.createObjectNode()
@@ -165,8 +174,9 @@ object RestCatalogServer {
         }
     })
     // a small pool so concurrent writers exercise REAL request concurrency
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(pool)
     server.start()
-    new RestCatalogServer(server)
+    new RestCatalogServer(server, pool)
   }
 }
