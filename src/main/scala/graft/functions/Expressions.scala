@@ -16,6 +16,34 @@ import org.apache.spark.sql.types._
   * `CodegenFallback` row-materialization path.
   */
 
+
+/** Analysis-time input validation for the kernels (r16 — surfaced by the
+  * multi-JVM smoke drive: a mistyped argument previously slipped analysis
+  * and died at CODEGEN with a Janino error naming generated.java, or a
+  * ClassCastException on the interpreted path — neither names the caller).
+  * Spark 4 keeps AbstractDataType private[sql], so the kernels validate
+  * via `checkInputDataTypes` rather than `ExpectsInputTypes`. */
+private[functions] object KernelTypes {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  type Want = (DataType => Boolean, String)
+  val stringArray: Want = ({ case ArrayType(StringType, _) => true
+    case _ => false }: DataType => Boolean, "array<string>")
+  val numArray: Want = ({ case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false }: DataType => Boolean, "array<float> or array<double>")
+  val intArray: Want = ({ case ArrayType(IntegerType, _) => true
+    case _ => false }: DataType => Boolean, "array<int>")
+  val string: Want = (_ == StringType, "string")
+  val long: Want = (_ == LongType, "bigint")
+  val int: Want = (_ == IntegerType, "int")
+  val binary: Want = (_ == BinaryType, "binary")
+  def check(fn: String, args: (Expression, Want)*): TypeCheckResult =
+    args.zipWithIndex.collectFirst {
+      case ((e, (ok, want)), i) if !ok(e.dataType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fn argument ${i + 1} expects $want, got ${e.dataType.sql}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+}
+
 /** 64-permutation MinHash signature of a shingle set (array<string>).
   * sig[j] = min over shingles of murmur3_32(shingle, seed_j), as unsigned.
   * The classic shingle→minhash construction; one pass over the shingles
@@ -24,6 +52,9 @@ import org.apache.spark.sql.types._
   */
 case class MinHashSignature(child: Expression, numPerms: Int = 64)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("minhash_signature", child -> KernelTypes.stringArray)
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     Kernels.minhashSignature(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numPerms)
@@ -43,6 +74,9 @@ case class MinHashSignature(child: Expression, numPerms: Int = 64)
   */
 case class MinHashBands(child: Expression, numPerms: Int = 64, bands: Int = 16)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("minhash_bands", child -> KernelTypes.stringArray)
+
   require(bands > 0 && numPerms % bands == 0,
     s"minhash_bands: numPerms ($numPerms) must be a positive multiple of bands ($bands); " +
       "otherwise the trailing numPerms % bands permutations would be computed but " +
@@ -61,6 +95,9 @@ case class MinHashBands(child: Expression, numPerms: Int = 64, bands: Int = 16)
   * k+1 chunks (pigeonhole: k flips cannot touch all k+1 chunks).
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("simhash64", child -> KernelTypes.stringArray)
+
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     Kernels.simhash64(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
@@ -78,6 +115,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   */
 case class SimHashChunks(child: Expression, chunks: Int = 8)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("simhash_chunks", child -> KernelTypes.stringArray)
+
   require(chunks >= 1 && chunks <= 64,
     s"simhash_chunks: chunks ($chunks) must be in [1, 64]")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -99,6 +139,9 @@ case class SimHashChunks(child: Expression, chunks: Int = 8)
   */
 case class WordShingles(child: Expression, n: Int = 3)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("word_shingles", child -> KernelTypes.string)
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     Kernels.wordShingles(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
@@ -141,6 +184,9 @@ case class CountMatches(child: Expression, pattern: String)
   */
 case class RollingHash(child: Expression, base: Long = 31L, mod: Long = 1000000007L)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("rolling_hash", child -> KernelTypes.string)
+
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     Kernels.rollingHash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], base, mod)
@@ -156,6 +202,9 @@ case class RollingHash(child: Expression, base: Long = 31L, mod: Long = 10000000
   */
 case class SignRandomProjection(child: Expression, numBits: Int = 16, seed: Int = 77)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("sign_random_projection", child -> KernelTypes.numArray)
+
   override def dataType: DataType = IntegerType
   private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -175,6 +224,9 @@ case class SignRandomProjection(child: Expression, numBits: Int = 16, seed: Int 
   * oracle can replay in plain BIGINT arithmetic. */
 case class SignRandomProjectionPoly(child: Expression, numBits: Int = 16,
     seed: Int = 77) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("sign_random_projection_poly", child -> KernelTypes.numArray)
+
   override def dataType: DataType = IntegerType
   private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -201,6 +253,9 @@ case class SignRandomProjectionPoly(child: Expression, numBits: Int = 16,
   */
 case class BloomMightContain(child: Expression,
     bloom: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("bloom_might_contain", child -> KernelTypes.long)
+
   override def dataType: DataType = BooleanType
   override def nullSafeEval(input: Any): Any =
     java.lang.Boolean.valueOf(bloom.mightContainLong(input.asInstanceOf[Long]))
@@ -215,6 +270,9 @@ case class BloomMightContain(child: Expression,
 /** Squared L2 distance of two equal-length numeric arrays, fused single
   * pass — the k-means / IVF assignment inner loop ([[Kernels.l2sq]]). */
 case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("l2sq", left -> KernelTypes.numArray, right -> KernelTypes.numArray)
+
   override def dataType: DataType = DoubleType
   private def isFloat(e: Expression) = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -235,6 +293,9 @@ case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
 /** Single-character symbol array of a word ([[Kernels.charSplit]]) — the BPE
   * base alphabet projection. */
 case class CharSplit(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("char_split", child -> KernelTypes.string)
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     Kernels.charSplit(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
@@ -249,6 +310,9 @@ case class CharSplit(child: Expression) extends UnaryExpression {
   * regardless of vocabulary round. */
 case class MergePair(child: Expression, left: String, right: String)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("merge_pair", child -> KernelTypes.stringArray)
+
   private lazy val ua = org.apache.spark.unsafe.types.UTF8String.fromString(left)
   private lazy val ub = org.apache.spark.unsafe.types.UTF8String.fromString(right)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -273,6 +337,9 @@ case class MergePair(child: Expression, left: String, right: String)
   */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("nearest_centroid", child -> KernelTypes.numArray)
+
   require(centroids.nonEmpty, "nearest_centroid: codebook must be non-empty")
   override def dataType: DataType = StructType(Seq(
     StructField("cluster", IntegerType, nullable = false),
@@ -295,6 +362,9 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   * to cluster a table for multi-column min/max file skipping
   * ([[Kernels.zOrder2]]). */
 case class ZOrder2(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("zorder2", left -> KernelTypes.long, right -> KernelTypes.long)
+
   override def dataType: DataType = LongType
   override def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Long.valueOf(Kernels.zOrder2(a.asInstanceOf[Long], b.asInstanceOf[Long]))
@@ -310,6 +380,9 @@ case class ZOrder2(left: Expression, right: Expression) extends BinaryExpression
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("cosine_sim", left -> KernelTypes.numArray, right -> KernelTypes.numArray)
+
   override def dataType: DataType = DoubleType
   private def isFloat(e: Expression) = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -367,6 +440,9 @@ case class IcebergBucket(child: Expression, n: Int) extends UnaryExpression {
   * non-null child.
   */
 case class ImageDecode(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("image_decode", child -> KernelTypes.binary)
+
   override def dataType: DataType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
@@ -388,6 +464,9 @@ case class ImageDecode(child: Expression) extends UnaryExpression {
   * (WAV/AIFF/AU, 8/16-bit PCM). Non-audio or non-PCM bytes evaluate to
   * NULL — quarantine, not failure. */
 case class WavDecode(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("wav_decode", child -> KernelTypes.binary)
+
   override def dataType: DataType = StructType(Seq(
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
@@ -407,6 +486,9 @@ case class WavDecode(child: Expression) extends UnaryExpression {
   * + rate → a genuine RIFF/WAVE byte stream (AudioSystem writer; the
   * [[WavDecode]] of the result returns the samples exactly). */
 case class WavEncode(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("wav_encode", left -> KernelTypes.intArray, right -> KernelTypes.int)
+
   override def dataType: DataType = BinaryType
   override def nullSafeEval(samples: Any, rate: Any): Any =
     Kernels.wavEncode(samples.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
@@ -423,6 +505,9 @@ case class WavEncode(left: Expression, right: Expression) extends BinaryExpressi
   * mismatches fail loudly. */
 case class PngEncode(first: Expression, second: Expression, third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("png_encode", first -> KernelTypes.intArray, second -> KernelTypes.int, third -> KernelTypes.int)
+
   override def dataType: DataType = BinaryType
   override def nullSafeEval(gray: Any, w: Any, h: Any): Any =
     Kernels.pngEncode(gray.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
