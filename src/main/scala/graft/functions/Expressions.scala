@@ -150,6 +150,43 @@ case class WordShingles(child: Expression, n: Int = 3)
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
+/** Unicode normalization to `form` (NFC/NFD/NFKC/NFKD — r16): codegen'd
+  * static call into [[Kernels.unicodeNormalize]]; the form resolves to the
+  * enum constant at codegen time. NFC is the dedup canonicalization (DuckDB
+  * ships `nfc_normalize`, so the oracle replays it exactly); NFKC folds
+  * COMPATIBILITY forms — fullwidth latin, ligatures, superscripts — the
+  * stronger fold a training-data pipeline wants before tokenization. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+    s"unicode_normalize: unknown form $form (NFC/NFD/NFKC/NFKD)")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check(s"${form.toLowerCase}_normalize", child -> KernelTypes.string)
+  override def dataType: DataType = StringType
+  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.unicodeNormalize(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], f)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.unicodeNormalize($c, java.text.Normalizer.Form.$form)")
+  override protected def withNewChildInternal(c: Expression): UnicodeNormalize = copy(child = c)
+}
+
+/** Locale-independent caseless fold ([[Kernels.caseFold]]): the
+  * upper-then-lower ROOT round trip (ß→ss, ς→σ) — what caseless dedup
+  * needs beyond `lower()`. */
+case class CaseFold(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("unicode_casefold", child -> KernelTypes.string)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.caseFold(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.caseFold($c)")
+  override protected def withNewChildInternal(c: Expression): CaseFold = copy(child = c)
+}
+
 /** `count(regex matches)` without materializing the match array. The
   * [[graft.RegexCountRewrite]] optimizer rule (injected via
   * [[graft.GraftExtensions]]) rewrites `size(regexp_extract_all(s, pat, 0))`

@@ -44,6 +44,12 @@ package object functions {
   def nearest_centroid(v: Column, centroids: Array[Array[Double]]): Column =
     toCol(NearestCentroid(toExpr(v), centroids))
 
+  def nfc_normalize(c: Column): Column = toCol(UnicodeNormalize(toExpr(c), "NFC"))
+
+  def nfkc_normalize(c: Column): Column = toCol(UnicodeNormalize(toExpr(c), "NFKC"))
+
+  def unicode_casefold(c: Column): Column = toCol(CaseFold(toExpr(c)))
+
   def char_split(w: Column): Column = toCol(CharSplit(toExpr(w)))
 
   def merge_pair(sym: Column, left: String, right: String): Column =
@@ -114,6 +120,18 @@ package object functions {
     "simhash64" -> { es =>
       checkArity("simhash64", es, 1, 1)
       SimHash64(es.head)
+    },
+    "nfc_normalize" -> { es =>
+      checkArity("nfc_normalize", es, 1, 1)
+      UnicodeNormalize(es.head, "NFC")
+    },
+    "nfkc_normalize" -> { es =>
+      checkArity("nfkc_normalize", es, 1, 1)
+      UnicodeNormalize(es.head, "NFKC")
+    },
+    "unicode_casefold" -> { es =>
+      checkArity("unicode_casefold", es, 1, 1)
+      CaseFold(es.head)
     },
     "rolling_hash" -> { es =>
       checkArity("rolling_hash", es, 1, 3)

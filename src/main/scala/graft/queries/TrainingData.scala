@@ -205,6 +205,40 @@ object TrainingData {
         FROM (SELECT doc_id, $normSql AS norm FROM ($reIngestedSql)) GROUP BY norm"""),
       "Dedup after lower/strip-punct/collapse-whitespace normalization."),
 
+    "dedup_unicode_normalized" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // UNICODE dedup (r16, VERDICT r15 "Next round" #4): the ASCII
+        // normalizer above is blind to canonically-equivalent byte-distinct
+        // surface forms. Fixtures are built IN the query (testdata is
+        // ASCII, read-only): each document yields a COMPOSED variant
+        // (every 'a' -> U+00E1) and a DECOMPOSED variant (every 'a' ->
+        // 'a' + combining acute U+0301) — different bytes, same canonical
+        // text. NFC (graft.functions.nfc_normalize, java.text.Normalizer;
+        // DuckDB replays with its own nfc_normalize) collapses exactly the
+        // pairs: every group carries BOTH variants (n_forms ≥ 2), which
+        // the group-by proves corpus-wide; a byte-level dedup would leave
+        // singleton groups wherever the text contains an 'a'.
+        val composed = "á"
+        val decomposed = "á"
+        val v = docs(s, d)
+          .select($"doc_id", regexp_replace($"text", "a", composed).as("t"))
+          .unionByName(docs(s, d).select(($"doc_id" + 10000000L).as("doc_id"),
+            regexp_replace($"text", "a", decomposed).as("t")))
+        v.groupBy(md5(nfc_normalize($"t")).as("norm_hash"))
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_forms"))
+      },
+      Some(s"""WITH v AS (
+          SELECT doc_id, replace(text, 'a', 'á') AS t FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000, replace(text, 'a', 'á') AS t FROM documents)
+        SELECT md5(nfc_normalize(t)) AS norm_hash, min(doc_id) AS keep_id,
+          CAST(count(*) AS BIGINT) AS n_forms
+        FROM v GROUP BY 1"""),
+      "Unicode NFC dedup: composed vs decomposed surface forms (injected " +
+        "combining-mark variants) collapse under java.text.Normalizer NFC, " +
+        "replayed exactly by DuckDB's nfc_normalize."),
+
     "doc_fingerprint" -> Q(
       (s, d) => docs(s, d)
         .withColumn("norm", normalize_text(col("text")))

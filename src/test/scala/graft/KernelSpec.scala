@@ -102,4 +102,39 @@ class KernelSpec extends SparkSpec {
     assert(a1 == a2)
     assert(a1 != b) // 1/65536 collision chance for these fixed seeds
   }
+
+  test("unicode normalization: NFC canonical equivalence, NFKC compatibility folds, casefold (r16)") {
+    def one(c: org.apache.spark.sql.Column): String =
+      Seq("x").toDF("d").select(c).as[String].head()
+    // canonical: composed U+00E1 == NFC(decomposed a + U+0301)
+    assert(one(nfc_normalize(lit("café"))) == one(nfc_normalize(lit("café"))))
+    // NFC leaves compatibility forms alone; NFKC folds them
+    assert(one(nfc_normalize(lit("ＡＢ"))) == "ＡＢ") // fullwidth AB stays
+    assert(one(nfkc_normalize(lit("ＡＢ"))) == "AB")          // NFKC folds width
+    assert(one(nfkc_normalize(lit("ﬁle"))) == "file")            // ﬁ ligature
+    assert(one(nfkc_normalize(lit("１２３"))) == "123")   // fullwidth digits
+    // idempotence + ASCII fast path
+    val ascii = "plain ascii stays untouched 123"
+    assert(one(nfc_normalize(lit(ascii))) == ascii)
+    assert(one(nfkc_normalize(nfkc_normalize(lit("Ａé")))) ==
+      one(nfkc_normalize(lit("Ａé"))))
+    // casefold: beyond lower() — ß folds to ss, final sigma to σ
+    assert(one(unicode_casefold(lit("STRAßE"))) == "strasse")
+    assert(one(unicode_casefold(lit("Σις"))) ==
+      one(unicode_casefold(lit("σισ"))))
+    // the property that makes it a dedup key: fold(x) == fold(fold(x))
+    Seq("CAFÉ", "Straße Ａ", "ΣΣ").foreach { x =>
+      assert(one(unicode_casefold(lit(x))) ==
+        one(unicode_casefold(unicode_casefold(lit(x)))))
+    }
+    // null propagation through all three
+    val r = Seq(Tuple1[String](null)).toDF("s")
+      .select(nfc_normalize($"s"), nfkc_normalize($"s"), unicode_casefold($"s")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // misuse fails at ANALYSIS with the function name, not at codegen
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("n").select(nfc_normalize($"n")).collect()
+    }
+    assert(e.getMessage.contains("nfc_normalize"))
+  }
 }
