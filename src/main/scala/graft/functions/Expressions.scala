@@ -364,6 +364,46 @@ case class MergePair(child: Expression, left: String, right: String)
   override protected def withNewChildInternal(c: Expression): MergePair = copy(child = c)
 }
 
+/** Every substring occurrence of length 1..maxLen
+  * ([[Kernels.allSubstrings]]) — the unigram-LM seed-vocabulary candidate
+  * stream, fused into one pass instead of a sequence→transform→flatten
+  * higher-order chain. */
+case class AllSubstrings(child: Expression, maxLen: Int)
+    extends UnaryExpression {
+  require(maxLen >= 1, s"all_substrings: maxLen must be >= 1, got $maxLen")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("all_substrings", child -> KernelTypes.string)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.allSubstrings(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], maxLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.allSubstrings($c, $maxLen)")
+  override protected def withNewChildInternal(c: Expression): AllSubstrings = copy(child = c)
+}
+
+/** Viterbi segmentation under a unigram-LM vocabulary
+  * ([[Kernels.unigramViterbi]]): emits `struct(ps array<string>, score_e6
+  * bigint)`. The vocabulary rides as a codegen REFERENCE OBJECT
+  * ([[UnigramVocab]]) — the expression tree and the generated Java stay
+  * O(1) no matter the vocabulary size, the [[NearestCentroid]] codebook
+  * pattern applied to tokenization. */
+case class UnigramViterbi(child: Expression, vocab: UnigramVocab)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypes.check("unigram_viterbi", child -> KernelTypes.string)
+  override def dataType: DataType = StructType(Seq(
+    StructField("ps", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("score_e6", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    Kernels.unigramViterbi(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], vocab)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramVocab", vocab, "graft.functions.UnigramVocab")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.unigramViterbi($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): UnigramViterbi = copy(child = c)
+}
+
 /** Nearest centroid of an embedding against a driver-held codebook
   * ([[Kernels.nearestCentroid]]): emits `struct(cluster INT, dist_sq DOUBLE)`
   * in one fused O(k·d) loop. The codebook is attached as a codegen REFERENCE

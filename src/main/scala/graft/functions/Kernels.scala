@@ -274,6 +274,83 @@ object Kernels {
     acc
   }
 
+  /** Every substring of length 1..maxLen, one element per OCCURRENCE
+    * (overlaps included) — the unigram-LM seed-vocabulary candidate stream
+    * (r16, VERDICT r15 "Next round" #5). One fused pass; replaces a
+    * sequence→transform→flatten higher-order chain that would materialize
+    * the same O(n·maxLen) pieces through three array expressions. */
+  def allSubstrings(w: UTF8String, maxLen: Int): ArrayData = {
+    val s = w.toString
+    val n = s.length
+    var total = 0
+    var i = 0
+    while (i < n) { total += math.min(maxLen, n - i); i += 1 }
+    val out = new Array[AnyRef](total)
+    var k = 0
+    i = 0
+    while (i < n) {
+      val lim = math.min(maxLen, n - i)
+      var l = 1
+      while (l <= lim) {
+        out(k) = UTF8String.fromString(s.substring(i, i + l))
+        k += 1
+        l += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Viterbi segmentation of a word under a unigram-LM vocabulary
+    * ([[UnigramVocab]]: piece → integer-e6 log-probability score): maximizes
+    * the summed piece scores over all segmentations, O(len · maxLen) DP with
+    * hash lookups. Tie-break: among equal-score candidates at a position the
+    * SMALLEST split point wins (= longest last piece) — j ascends and only a
+    * strictly better score displaces, the exact mirror of the oracle's
+    * `row_number() OVER (ORDER BY sc DESC, pos ASC)`. Returns
+    * `struct(ps array<string>, score_e6 bigint)`. A word with a character
+    * outside the vocabulary is a LOUD failure (cannot happen when encode
+    * corpus = train corpus — the seed keeps every single char), not a silent
+    * skip. */
+  def unigramViterbi(w: UTF8String, vocab: UnigramVocab)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val s = w.toString
+    val n = s.length
+    val maxLen = vocab.maxLen
+    val dp = new Array[Long](n + 1)
+    val back = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var best = Long.MinValue
+      var bj = -1
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (dp(j) != Long.MinValue) {
+          val sc = vocab.score(s.substring(j, i))
+          if (sc != Long.MinValue) {
+            val cand = dp(j) + sc
+            if (cand > best) { best = cand; bj = j }
+          }
+        }
+        j += 1
+      }
+      dp(i) = best
+      back(i) = bj
+      i += 1
+    }
+    if (dp(n) == Long.MinValue)
+      throw new IllegalStateException(
+        s"unigram_viterbi: no segmentation for '$s' — vocabulary lacks a character")
+    var k = 0
+    var p = n
+    while (p > 0) { k += 1; p = back(p) }
+    val out = new Array[AnyRef](k)
+    p = n
+    while (p > 0) { k -= 1; out(k) = UTF8String.fromString(s.substring(back(p), p)); p = back(p) }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(out), dp(n)))
+  }
+
   /** Single-character symbols of a word — the BPE base alphabet. */
   def charSplit(w: UTF8String): ArrayData = {
     val s = w.toString

@@ -52,6 +52,12 @@ package object functions {
 
   def char_split(w: Column): Column = toCol(CharSplit(toExpr(w)))
 
+  def all_substrings(w: Column, maxLen: Int): Column =
+    toCol(AllSubstrings(toExpr(w), maxLen))
+
+  def unigram_viterbi(w: Column, vocab: UnigramVocab): Column =
+    toCol(UnigramViterbi(toExpr(w), vocab))
+
   def merge_pair(sym: Column, left: String, right: String): Column =
     toCol(MergePair(toExpr(sym), left, right))
 
