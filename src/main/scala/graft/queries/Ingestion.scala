@@ -1100,6 +1100,62 @@ object Ingestion {
         "per-version tags (spec Snapshot References), resolved BY NAME " +
         "through the independent reader — the named time-travel handle"),
 
+    "iceberg_export_sort_order" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // SORT-ORDER metadata through the Iceberg interop (r16, VERDICT r15
+        // "Next round" #6, spec §Sort Orders): two appendSorted commits with
+        // DIFFERENT orders and one plain append export as real `sort-orders`
+        // entries (identity transforms, direction + null-order) with each
+        // data file carrying its `sort_order_id` (field 140; unsorted dirs
+        // the reserved id 0). The readback proves the ATTRIBUTION: for each
+        // order id, exactly the files the manifests tag with it are read,
+        // and their rows must be exactly the batch written under that order
+        // — plus the declared spec string is rendered from the parsed
+        // metadata (field ids resolved back to names), not from our inputs.
+        val p = tmp("iceberg_sort_src")
+        val out = tmp("iceberg_sort_out")
+        GraftTableWriter.drop(s, p)
+        GraftTableWriter.drop(s, out)
+        val o = table(s, d, "orders").select($"o_orderkey", $"o_custkey")
+        VersionedTable.appendSorted(o.filter($"o_orderkey" % 3 === 0), p,
+          Seq("o_orderkey" -> "asc")) // v1 -> order-id 1
+        VersionedTable.append(o.filter($"o_orderkey" % 3 === 1), p) // v2 -> 0
+        VersionedTable.appendSorted(o.filter($"o_orderkey" % 3 === 2), p,
+          Seq("o_custkey" -> "desc", "o_orderkey" -> "asc")) // v3 -> order-id 2
+        graft.sinks.IcebergExport.export(s, p, out)
+        val meta = graft.sources.IcebergRead.tableMeta(s,
+          graft.sources.IcebergRead.currentMetadataPath(s, out))
+        val files = graft.sources.IcebergRead.dataFiles(s, meta, meta.currentSnapshotId)
+        def specOf(id: Int): String = meta.sortOrders.getOrElse(id,
+          throw new IllegalStateException(s"sort order $id not declared in metadata"))
+          .map { case (fid, dir, no) => s"${meta.fieldName(fid)} $dir $no" }
+          .mkString(",")
+        files.groupBy(_.sortOrderId.getOrElse(throw new IllegalStateException(
+            s"data file without sort_order_id"))).toSeq.sortBy(_._1)
+          .map { case (id, fs) =>
+            s.read.parquet(fs.map(_.path): _*)
+              .select($"o_orderkey", $"o_custkey",
+                lit(id).as("sort_order_id"), lit(specOf(id)).as("order_spec"))
+          }.reduce(_ unionByName _)
+          .orderBy($"sort_order_id", $"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, sort_order_id, order_spec FROM (
+          SELECT o_orderkey, o_custkey, 0 AS sort_order_id, '' AS order_spec
+            FROM orders WHERE o_orderkey % 3 = 1
+          UNION ALL
+          SELECT o_orderkey, o_custkey, 1, 'o_orderkey asc nulls-first'
+            FROM orders WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey, o_custkey, 2,
+              'o_custkey desc nulls-last,o_orderkey asc nulls-first'
+            FROM orders WHERE o_orderkey % 3 = 2)
+        ORDER BY sort_order_id, o_orderkey"""),
+      "Iceberg sort-order export (spec Sort Orders): appendSorted layouts " +
+        "become real sort-orders entries + per-file sort_order_id (field " +
+        "140), attribution proven by per-order-id readback through the " +
+        "independent reader, spec strings rendered from parsed metadata"),
+
     "iceberg_export_rename" -> Q(
       (s, d) => {
         import s.implicits._

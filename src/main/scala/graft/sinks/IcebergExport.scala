@@ -215,7 +215,9 @@ object IcebergExport {
                 {"name":"key","type":"int","field-id":129},
                 {"name":"value","type":"bytes","field-id":130}]}}]},
           {"name":"equality_ids","field-id":135,"default":null,
-            "type":["null",{"type":"array","items":"int","element-id":136}]}
+            "type":["null",{"type":"array","items":"int","element-id":136}]},
+          {"name":"sort_order_id","field-id":140,"default":null,
+            "type":["null","int"]}
         ]}}
       ]}""")
   }
@@ -610,6 +612,41 @@ object IcebergExport {
     val allSchemasJson = distinctSchemas
       .map { case (sch, id) => schemaJson(sch, id, fieldId) }.mkString(",")
     val tSpecJson = specFieldsJson(fieldId, partitionCols, hiddenPartition)
+    // SORT ORDERS (r16, VERDICT r15 "Next round" #6, spec §Sort Orders):
+    // dirs written through [[VersionedTable.appendSorted]] carry a declared
+    // per-dir sort; each DISTINCT (field-id, direction, null-order) vector
+    // becomes a real `sort-orders` entry (ids from 1, first-appearance
+    // order over the chain — stable under incremental resume because
+    // chains are monotone and never drop dirs), and every data file of
+    // such a dir carries its `sort_order_id` (field 140). Unsorted dirs
+    // keep the spec-reserved order-id 0; delete files carry null. asc
+    // sorts wrote nulls first, desc nulls last (Spark's write-side
+    // defaults), recorded verbatim as the spec's null-order. Sort columns
+    // resolve through the rename chain to their chain-stable field ids.
+    // `default-sort-order-id` stays 0: the exporter declares the layout
+    // files ALREADY have; it does not promise future writes a sort.
+    val dirSortSpec: Map[String, Seq[(Int, String, String)]] =
+      snaps.last.sortOrders.map { case (d, cols) =>
+        d -> cols.map { case (c, dir) =>
+          (fieldId(c), dir, if (dir == "asc") "nulls-first" else "nulls-last")
+        }
+      }
+    val sortOrderIds: Map[Seq[(Int, String, String)], Int] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[Seq[(Int, String, String)], Int]
+      snaps.flatMap(_.dirs).distinct.foreach { d =>
+        dirSortSpec.get(d).foreach(o => m.getOrElseUpdate(o, m.size + 1))
+      }
+      m.toMap
+    }
+    def sortOrderIdOf(d: String): Int =
+      dirSortSpec.get(d).map(sortOrderIds).getOrElse(0)
+    val sortOrdersJson = (Seq("""{"order-id":0,"fields":[]}""") ++
+      sortOrderIds.toSeq.sortBy(_._2).map { case (o, id) =>
+        val fs = o.map { case (fid, dir, no) =>
+          s"""{"transform":"identity","source-id":$fid,"direction":"$dir","null-order":"$no"}"""
+        }.mkString(",")
+        s"""{"order-id":$id,"fields":[$fs]}"""
+      }).mkString(",")
     val dataEntrySchema = manifestEntrySchema(schema, partitionCols, hiddenPartition)
     // delete entries under the global (empty) spec when the table is
     // partitioned; same schema as data when it isn't (spec 0 is empty too)
@@ -714,6 +751,8 @@ object IcebergExport {
           df.put("lower_bounds", boundsList(loSide = true, loSchema))
           df.put("upper_bounds", boundsList(loSide = false, hiSchema))
           df.put("equality_ids", if (content == 2) eqIds else null)
+          df.put("sort_order_id",
+            if (content == 0) Int.box(sortOrderIdOf(d)) else null)
           val e = new GenericData.Record(entrySchema)
           e.put("status", Int.box(1)) // ADDED
           e.put("snapshot_id", Long.box(snapshotId))
@@ -884,7 +923,7 @@ object IcebergExport {
         "schemas":[$allSchemasJson],
         "default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":$tSpecJson}$globalSpecJson],
         "last-partition-id":$lastPartitionId,
-        "default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
+        "default-sort-order-id":0,"sort-orders":[$sortOrdersJson],
         "properties":$propsJson,
         "current-snapshot-id":${snapshotEntries.last._1},
         "refs":$refsJson,

@@ -40,7 +40,8 @@ object IcebergRead {
       partitionFields: Seq[(String, String, Int)],
       schemas: Map[Int, Seq[(Int, String, String)]] = Map.empty,
       refs: Map[String, (Long, String)] = Map.empty,
-      nameMapping: Map[String, Int] = Map.empty) {
+      nameMapping: Map[String, Int] = Map.empty,
+      sortOrders: Map[Int, Seq[(Int, String, String)]] = Map.empty) {
     def schemaFieldNames: Seq[String] = schemaFields.map(_._2)
     /** Resolve a snapshot REFERENCE (spec "Snapshot References": a named
       * branch or tag) to its snapshot id — the named time-travel handle
@@ -67,7 +68,8 @@ object IcebergRead {
       partition: Map[String, String], equalityIds: Seq[Int],
       recordCount: Long, sizeBytes: Long,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
-      upperBounds: Map[Int, Array[Byte]] = Map.empty)
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      sortOrderId: Option[Int] = None)
 
   /** Deserialize a spec Appendix-D single value for the bound kinds this
     * reader prunes on, by the TYPE'S byte width — `long` is 8-byte LE but
@@ -172,9 +174,22 @@ object IcebergRead {
         iter(entry.get("names")).map(_.asText() -> id)
       }.toMap
     }).getOrElse(Map.empty)
+    // sort-orders (spec §Sort Orders; r16): order-id → identity-transform
+    // (source-id, direction, null-order) fields. Order 0 is the reserved
+    // unsorted order (empty fields). Optional — a foreign writer may omit
+    // the list entirely.
+    val sortOrders: Map[Int, Seq[(Int, String, String)]] =
+      Option(root.get("sort-orders")).map { so =>
+        iter(so).map { o =>
+          o.get("order-id").asInt() -> iter(o.get("fields")).map { f =>
+            (f.get("source-id").asInt(), f.get("direction").asText(),
+              f.get("null-order").asText())
+          }.toSeq
+        }.toMap
+      }.getOrElse(Map.empty)
     TableMeta(fv, root.get("table-uuid").asText(),
       root.get("current-snapshot-id").asLong(), snaps, fields, partFields,
-      allSchemas, refs, nameMapping)
+      allSchemas, refs, nameMapping, sortOrders)
   }
 
   private def iter(n: JsonNode): Iterator[JsonNode] = {
@@ -261,7 +276,8 @@ object IcebergRead {
           partVals, eqIds,
           df.get("record_count").asInstanceOf[Long],
           df.get("file_size_in_bytes").asInstanceOf[Long],
-          bounds("lower_bounds"), bounds("upper_bounds"))
+          bounds("lower_bounds"), bounds("upper_bounds"),
+          opt(df, "sort_order_id").map(_.asInstanceOf[java.lang.Integer].intValue()))
       }
     }
   }

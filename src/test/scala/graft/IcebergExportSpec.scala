@@ -1153,4 +1153,89 @@ class IcebergExportSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       IcebergExport.export(spark, bad, freshDir("promo_dec_bad_out")))
   }
+
+  test("sort-order metadata: declared orders match per-FILE contents; unsorted 0, deletes null (r16)") {
+    val src = freshDir("sort_src"); val out = freshDir("sort_out")
+    val rows = (1L to 3000L).map(i => (i, (i * 7919) % 1000, s"n_$i"))
+    val df = rows.toDF("id", "grp", "name").repartition(8)
+    VersionedTable.appendSorted(df.filter($"id" % 3 === 0), src,
+      Seq("id" -> "asc"))                                   // v1 -> order 1
+    VersionedTable.append(df.filter($"id" % 3 === 1), src)  // v2 -> order 0
+    VersionedTable.appendSorted(df.filter($"id" % 3 === 2), src,
+      Seq("grp" -> "desc", "id" -> "asc"))                  // v3 -> order 2
+    VersionedTable.upsertMor(
+      df.filter($"id" <= 5).withColumn("name", lit("upd")), src, Seq("id")) // v4
+    val mdPath = IcebergExport.export(spark, src, out)
+
+    val meta = IcebergRead.tableMeta(spark, mdPath)
+    // declared orders: reserved 0 + the two real orders, identity transforms
+    val idField = meta.schemaFields.find(_._2 == "id").get._1
+    val grpField = meta.schemaFields.find(_._2 == "grp").get._1
+    assert(meta.sortOrders(0) == Nil)
+    assert(meta.sortOrders(1) == Seq((idField, "asc", "nulls-first")))
+    assert(meta.sortOrders(2) == Seq(
+      (grpField, "desc", "nulls-last"), (idField, "asc", "nulls-first")))
+    assert(meta.sortOrders.keySet == Set(0, 1, 2))
+
+    val all = IcebergRead.allFiles(spark, meta, meta.currentSnapshotId)
+    val data = all.filter(_.content == 0)
+    val dels = all.filter(_.content == 2)
+    assert(dels.nonEmpty && dels.forall(_.sortOrderId.isEmpty),
+      "delete files must carry NO sort_order_id")
+    assert(data.forall(_.sortOrderId.nonEmpty))
+    val byId = data.groupBy(_.sortOrderId.get)
+    assert(byId.keySet == Set(0, 1, 2))
+    // counts: each order id holds exactly its batch (plus order-0 holds the
+    // MOR upsert batch too — an unsorted write)
+    assert(byId(1).map(_.recordCount).sum == rows.count(_._1 % 3 == 0))
+    assert(byId(2).map(_.recordCount).sum == rows.count(_._1 % 3 == 2))
+
+    // the load-bearing check: EVERY file tagged with a real order is
+    // actually sorted by the declared (column, direction, null-order)
+    def sortedBy(path: String, order: Seq[(Int, String, String)]): Boolean = {
+      val cols = order.map { case (fid, dir, _) =>
+        val c = col(meta.fieldName(fid))
+        if (dir == "asc") c.asc else c.desc
+      }
+      val f = spark.read.parquet(path)
+      val got = f.collect()
+      val want = f.sort(cols: _*).collect()
+      got.sameElements(want)
+    }
+    for (id <- Seq(1, 2); fi <- byId(id))
+      assert(sortedBy(fi.path, meta.sortOrders(id)), s"file ${fi.path} not sorted per order $id")
+    // order-1 files are MUTUALLY disjoint ranges (global sort, not just
+    // per-file): max(file k) <= min(file k+1) over the id column
+    val order1Ranges = byId(1).map { fi =>
+      val ids = spark.read.parquet(fi.path).select($"id").as[Long].collect()
+      (fi.path, ids.min, ids.max)
+    }.sortBy(_._2)
+    order1Ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a._3 <= b._2, s"overlapping sorted files $a $b")
+      case _         =>
+    }
+
+    // readback through the chain still exact (MOR applies on top)
+    val got = IcebergRead.read(spark, out).select($"id", $"name")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 3000 && got(3L) == "upd" && got(6L) == "n_6")
+
+    // a z-order clustered dir has no spec-expressible order: stays id 0
+    val z = freshDir("sort_z")
+    VersionedTable.append(
+      graft.operators.ZOrderLayout.cluster(df.select($"id", $"grp"), "id", "grp", 4), z)
+    val zOut = freshDir("sort_z_out")
+    val zMeta = IcebergRead.tableMeta(spark, IcebergExport.export(spark, z, zOut))
+    assert(zMeta.sortOrders.keySet == Set(0))
+    assert(IcebergRead.dataFiles(spark, zMeta, zMeta.currentSnapshotId)
+      .forall(_.sortOrderId.contains(0)))
+
+    // appendSorted refusals are loud
+    intercept[IllegalArgumentException](
+      VersionedTable.appendSorted(df, freshDir("sort_bad"), Seq("id" -> "up")))
+    intercept[IllegalArgumentException](
+      VersionedTable.appendSorted(df, freshDir("sort_bad2"), Nil))
+    intercept[IllegalArgumentException](
+      VersionedTable.appendSorted(df, freshDir("sort_bad3"), Seq("nope" -> "asc")))
+  }
 }
