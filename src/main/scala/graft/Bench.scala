@@ -90,7 +90,14 @@ object Bench {
     // runs); the pinning runs' rounds + load averages are committed in
     // BENCH_PINS.json (ask #9), not just asserted here.
     "variant_shred" -> 0.242,
-    "graph_betweenness_sampled" -> 6.340)
+    "graph_betweenness_sampled" -> 6.340,
+    // r16 (VERDICT r15 "Next round" #8): the real-codec multimodal family
+    // carries a standing pin — deterministic gray grid -> genuine PNG
+    // encode -> ImageIO decode -> pixel aggregates, a pure per-row codec
+    // projection (no shuffle). Pin = min of two back-to-back quiet-host
+    // runs (load 1.6-1.9, zero adaptive rounds); provenance with per-round
+    // samples + load averages in BENCH_PINS.json.
+    "multimodal_decode_real" -> 0.785)
 
   /** Authoritative pins live in the committed BENCH_PINS.json artifact
     * (VERDICT r14 "Next round" #9): each pin carries the pinning run's
