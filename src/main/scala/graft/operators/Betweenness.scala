@@ -60,7 +60,18 @@ object Betweenness {
         .agg(sum(col("sigma")).as("sigma"))
       val fresh = ckpt(cand.join(settled, Seq("s", "node"), "left_anti"))
       levels = levels :+ fresh
-      settled = ckpt(settled.unionByName(fresh.select(col("s"), col("node"))))
+      // settled stays a LAZY union of already-checkpointed level frames
+      // (r16): each `fresh` is materialized above, so the union's lineage is
+      // O(levels) references to cached blocks — re-materializing the whole
+      // settled set per hop repaid the union every level for nothing.
+      // (An e-repartition-by-src experiment was REVERTED here: with the
+      // edge table pre-partitioned the per-hop joins planned as sorted SMJs
+      // over it, while the unpartitioned form lets AQE broadcast the small
+      // frontier/successor sides at runtime — measured 8.5 s vs 6.0 s at
+      // sf0.1. AQE's runtime choice IS the scale-adaptive behavior: huge
+      // frontiers exceed the broadcast threshold and fall back to the keyed
+      // join.)
+      settled = settled.unionByName(fresh.select(col("s"), col("node")))
       k += 1
     }
 

@@ -67,24 +67,30 @@ object ExactSubstr {
         i => struct(i.as("p"), slice(col("w"), i, lit(n)).as("garr")))).as("pg"))
 
     // corpus-wide gram multiplicity; > 1 means the window text exists twice
-    // somewhere (another doc OR another offset of the same doc)
-    val hits =
-      if (hashGramKey) {
-        val grams = windows.select(col("doc_id"), col("pg.p").as("p"),
-          xxhash64(col("pg.garr")).as("h1"),
-          xxhash64(lit(Seed2), col("pg.garr")).as("h2"))
-        val dup = grams.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") > 1).select("h1", "h2")
-        grams.join(dup, Seq("h1", "h2"))
-          .select(col("doc_id"), col("p"), (col("p") + (n - 1)).as("e"))
-      } else {
-        val grams = windows.select(col("doc_id"), col("pg.p").as("p"),
-          concat_ws(" ", col("pg.garr")).as("g"))
-        val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") > 1).select("g")
-        grams.join(dup, "g")
-          .select(col("doc_id"), col("p"), (col("p") + (n - 1)).as("e"))
-      }
+    // somewhere (another doc OR another offset of the same doc).
+    // The gram table feeds BOTH the multiplicity aggregate and the
+    // position-join probe side; without a persist Spark re-runs the whole
+    // scan → tokenize → window-explode → hash pipeline for each consumer
+    // (common subtrees are not deduplicated), doubling the most expensive
+    // pass (r16, guide §5: the narrow (doc_id, p, h1, h2) projection is a
+    // fraction of the input bytes and strictly cheaper to hold than to
+    // recompute). MEMORY_AND_DISK: spills, never OOMs.
+    val hits = {
+      val keyed =
+        if (hashGramKey)
+          windows.select(col("doc_id"), col("pg.p").as("p"),
+            xxhash64(col("pg.garr")).as("h1"),
+            xxhash64(lit(Seed2), col("pg.garr")).as("h2"))
+        else
+          windows.select(col("doc_id"), col("pg.p").as("p"),
+            concat_ws(" ", col("pg.garr")).as("g"))
+      val grams = keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keyCols = if (hashGramKey) Seq("h1", "h2") else Seq("g")
+      val dup = grams.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1).select(keyCols.map(col): _*)
+      grams.join(dup, keyCols)
+        .select(col("doc_id"), col("p"), (col("p") + (n - 1)).as("e"))
+    }
 
     // gaps-and-islands span merge: a hit starting at or before the running
     // max end + 1 extends the current span (overlap OR adjacency); the

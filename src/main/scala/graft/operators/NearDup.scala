@@ -63,7 +63,14 @@ object NearDup {
     * shingle for candidates, one by doc for the prefix ranks.
     */
   def exactJaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    // `sets` feeds the inverted index AND both sides of the verify join;
+    // `prefix` feeds both sides of the candidate self-join. Neither reuse is
+    // visible to Spark (common subtrees are not deduplicated), so without
+    // persists the scan + shingle kernel ran ~5× and the df-rank window 2×
+    // per action (r16, guide §5). Both frames are narrow projections —
+    // strictly cheaper to hold (spillable) than to recompute.
     val sets = shingled(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"),
       explode(col("shingles")).as("shingle"))
     val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -80,6 +87,7 @@ object NearDup {
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * minJaccard) + 1)
       .select(col("doc_id"), col("n_sh"), col("shingle"), col("rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Position filter (PPJoin): J ≥ τ needs overlap o ≥ ⌈τ/(1+τ)·(na+nb)⌉.
     // The df-order is one global total order, so the *minimal* common shingle
     // e* of a qualifying pair sits in both prefixes (prefix lemma) and every
@@ -165,10 +173,16 @@ object NearDup {
     */
   def minhashLshPairs(docs: DataFrame, minJaccard: Double,
       numPerms: Int = 64, bands: Int = 16): DataFrame = {
+    // sets feeds the band table AND both verify sides; banded feeds both
+    // sides of the bucket self-join — persist both or the shingle + minhash
+    // kernels re-run per consumer (r16, guide §5; same rationale as
+    // [[exactJaccardPairs]]).
     val sets = shingled(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sets.select(col("doc_id"),
         posexplode(minhash_bands(col("shingles"), numPerms, bands)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

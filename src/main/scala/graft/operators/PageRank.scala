@@ -77,7 +77,13 @@ object PageRank {
     // distributed by src and inserts no exchange for it — the edge table
     // (the big side at 100 TB) is shuffled once per RUN, not once per
     // iteration.
-    val eDeg = ckpt(e.join(deg, "src").repartition(shufflePartitions, col("src")))
+    // …and pre-SORTED within partitions (r16): Dataset.checkpoint preserves
+    // outputOrdering in its LogicalRDD alongside the partitioning, so every
+    // iteration's sort-merge join finds this side already sorted by src and
+    // skips the per-iteration sort of the edge table — `iters` sorts of the
+    // big side traded for one at staging time.
+    val eDeg = ckpt(e.join(deg, "src").repartition(shufflePartitions, col("src"))
+      .sortWithinPartitions("src"))
     // Static per-node frame (node, is_dang): every iteration's update join
     // reads THIS — not the previous iterate — so the iterate is referenced
     // exactly once per round (see the loop). Partitioned by node: both the
@@ -87,18 +93,22 @@ object PageRank {
       .union(e.select(col("dst").as("node"))).distinct()
       .join(deg.select(col("src").as("node"), lit(1).as("has_out")), Seq("node"), "left")
       .select(col("node"), col("has_out").isNull.as("is_dang"))
-      .repartition(shufflePartitions, col("node")))
+      .repartition(shufflePartitions, col("node"))
+      .sortWithinPartitions("node")) // pre-sorted for the update join, as eDeg
     e.unpersist()
-    val n = base.count()
-    val init = scale / n // integer floor division, mirrored by `scale // n`
     // Dangling-freeness is a STATIC graph property (the dangling set never
     // changes across iterations), so decide it ONCE: a graph where every
     // node has an out-edge (e.g. any symmetric graph) carries zero dangling
     // mass in every iteration, and the per-iteration dangling aggregate +
     // broadcast re-entry drop out of the loop entirely — one aggregate per
-    // round instead of two (the r9 pagerank job-count cut). One O(nodes)
-    // probe on the just-checkpointed base, repaid `iters` times.
-    val hasDang = base.filter(col("is_dang")).limit(1).count() > 0
+    // round instead of two (the r9 pagerank job-count cut). Fused with the
+    // node count into ONE aggregate job over the just-checkpointed base
+    // (r16 — two separate jobs repaid scheduling overhead for one scan).
+    val nRow = base.agg(count(lit(1)),
+      sum(when(col("is_dang"), 1L).otherwise(0L))).head
+    val n = nRow.getLong(0)
+    val init = scale / n // integer floor division, mirrored by `scale // n`
+    val hasDang = nRow.getLong(1) > 0L
     if (!hasDang) {
       // Dangling-free fast path (r11): each iteration references the
       // previous iterate ONCE (the scatter join) and rebuilds the node set

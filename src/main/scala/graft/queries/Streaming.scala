@@ -781,6 +781,20 @@ object Streaming {
           .write.format("jdbc").option("url", url).option("dbtable", jdbcTable)
           .option("createTableColumnTypes", "event_type VARCHAR(32)")
           .mode(SaveMode.Overwrite).save()
+        // covering index on (shard, sort keys) (r16, guide §1.2): every poll
+        // page is `WHERE shard = ? ORDER BY tsu, event_id OFFSET … FETCH …`,
+        // and without the index Derby re-sorts the whole shard per page —
+        // measured 18-50 ms/page vs 5-9 ms as an index range scan, ×5 shards
+        // ×~30 cycles. The production analogue of clustering the warehouse
+        // table by its poll sort key; page contents are unchanged (the sort
+        // is total: event_id is unique).
+        locally {
+          val c = java.sql.DriverManager.getConnection(url)
+          try c.createStatement().execute(
+            s"CREATE INDEX ${jdbcTable}_poll_idx ON $jdbcTable " +
+              """("event_type", "tsu", "event_id")""")
+          finally c.close()
+        }
         @volatile var lateShardsStaged = false
         @volatile var crashInjected = false
         graft.streaming.JdbcPollStream.runUntilDrained(s,

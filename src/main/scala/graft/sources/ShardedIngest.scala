@@ -196,18 +196,125 @@ object ShardedIngest {
   /** Distinct shard values polled from the database itself
     * (ColumnSource.java:44-56 runs `SELECT DISTINCT shard FROM t`).
     * O(shards) rows — collected to drive the per-shard page scans.
+    *
+    * Executed as ONE direct driver-side JDBC statement (r16, guide §1.2:
+    * remove work the result does not need). The DISTINCT runs inside the
+    * database either way and only O(shards) values cross the wire, but the
+    * previous `spark.read.format("jdbc")` form paid a schema-probe query
+    * plus a full Spark job (closure cleaning, scheduling, one-task stage)
+    * per poll — pure overhead in the reference's hottest loop, where this
+    * is called once per 50 ms cycle. Same rows, same sort, no Spark job.
     */
   def discoverShardsJdbc(
       spark: SparkSession, url: String, table: String, shardCol: String,
-      dialect: PagingDialect = PagingDialect.OffsetFetch): Seq[String] =
-    spark.read.format("jdbc")
-      .option("url", url)
-      .option("query",
+      dialect: PagingDialect = PagingDialect.OffsetFetch): Seq[String] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
         s"SELECT DISTINCT ${dialect.quoteIdentifier(shardCol)} AS shard FROM $table")
-      .load()
-      .collect().map(_.getString(0)).toSeq.sorted
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (rs.next()) buf += rs.getString(1)
+      buf.toSeq.sorted
+    } finally conn.close()
+  }
 
   private def sqlStringLiteral(v: String): String = "'" + v.replace("'", "''") + "'"
+
+  /** [[viaJdbc]] with the result schema RESOLVED ONCE and reused (r16,
+    * guide §1.2 — remove per-cycle fixed costs). The generic path builds a
+    * fresh JDBC relation per shard per call: each `load()` opens a driver
+    * connection for a schema-probe round-trip and plans a one-relation
+    * scan, and a poll loop pays all of that EVERY cycle even though the
+    * page schema cannot change mid-run. Here the caller passes the schema
+    * captured from the first (generic) cycle, and each shard becomes one
+    * partition of ONE RDD — still exactly one page query per shard,
+    * executed on executors in parallel (the keyed-Flink-subtask analogue
+    * is unchanged; nothing row-sized touches the driver), with partition i
+    * guaranteed to hold shard `shards(i)`'s page, in order — the contract
+    * [[graft.streaming.JdbcPollStream]] uses to count page rows per shard
+    * without a shuffle.
+    *
+    * Value fidelity: conversion per field mirrors the JDBC source's
+    * mapping for the scalar types the paging pipelines carry (integral,
+    * floating, decimal, string, boolean, date, timestamp); anything else
+    * refuses loudly rather than risk a silent divergence — callers with
+    * exotic columns stay on the generic path.
+    */
+  def viaJdbcResolved(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      shardCol: String,
+      sortCols: Seq[String],
+      offsets: Map[String, Long],
+      pageSize: Long,
+      shards: Seq[String],
+      dialect: PagingDialect,
+      schema: org.apache.spark.sql.types.StructType,
+      fetchSize: Int = 1000,
+      columns: Seq[String] = Nil,
+      residual: Option[String] = None): DataFrame = {
+    require(shards.nonEmpty, "viaJdbcResolved needs at least one shard value")
+    val sqls = shards.map { sh =>
+      pageSqlPruned(table, shardCol, sortCols, sh,
+        offsets.getOrElse(sh, 0L), pageSize, dialect, columns, residual)
+    }
+    jdbcScan(spark, url, sqls, schema, fetchSize)
+  }
+
+  /** One arbitrary SQL query per partition against `url`, converted to a
+    * DataFrame under a KNOWN schema — the schema-probe-free executor-side
+    * JDBC scan behind [[viaJdbcResolved]] and the CDC poll loop's delta
+    * pull. Each element of `sqls` runs in its own task (partition i ↔
+    * sqls(i)); rows per query are bounded by the caller's paging/delta
+    * predicate, exactly like the generic JDBC source's per-partition
+    * result sets. */
+  def jdbcScan(spark: SparkSession, url: String, sqls: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      fetchSize: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val fieldTypes: Array[DataType] = schema.fields.map(_.dataType)
+    val rdd = spark.sparkContext.parallelize(sqls, math.max(sqls.size, 1))
+      .mapPartitions { it =>
+        it.flatMap { q =>
+          val conn = java.sql.DriverManager.getConnection(url)
+          try {
+            val st = conn.createStatement()
+            st.setFetchSize(fetchSize)
+            val rs = st.executeQuery(q)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+            val n = fieldTypes.length
+            while (rs.next()) {
+              val vs = new Array[Any](n)
+              var i = 0
+              while (i < n) {
+                val v: Any = fieldTypes(i) match {
+                  case LongType => rs.getLong(i + 1)
+                  case IntegerType => rs.getInt(i + 1)
+                  case ShortType => rs.getShort(i + 1)
+                  case ByteType => rs.getByte(i + 1)
+                  case DoubleType => rs.getDouble(i + 1)
+                  case FloatType => rs.getFloat(i + 1)
+                  case BooleanType => rs.getBoolean(i + 1)
+                  case StringType => rs.getString(i + 1)
+                  case _: DecimalType => rs.getBigDecimal(i + 1)
+                  case DateType => rs.getDate(i + 1)
+                  case TimestampType => rs.getTimestamp(i + 1)
+                  case t => throw new IllegalArgumentException(
+                    s"jdbcScan: unsupported column type $t — use the generic JDBC source")
+                }
+                vs(i) = if (rs.wasNull()) null else v
+                i += 1
+              }
+              buf += Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vs))
+            }
+            buf
+          } finally conn.close()
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
 
   /** Advance the offset state after a page read: offset' = offset + rows
     * actually read (the reference's `offset += rowCount`,

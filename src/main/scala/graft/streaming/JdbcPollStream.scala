@@ -96,12 +96,28 @@ object JdbcPollStream {
       intervalMs: Long, timeoutMs: Long, maxRestarts: Int,
       onTick: Long => Boolean, onReset: () => Unit): Unit = {
     @volatile var drained = false
+    Streams.tuneLocalCheckpointManager(spark, checkpointDir)
     def runOnce(): Unit = {
-      val ticks = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+      // rate-micro-batch, not rate (r16): the plain rate source's offset
+      // advances once per SECOND (latestOffset is second-granular), so a
+      // ProcessingTime(50 ms) trigger finds "no new data" and the loop is
+      // silently paced to one poll cycle per second — measured as the whole
+      // cost of the streaming ingest bench row (ticks ~300 ms, batches 1 s
+      // apart). rate-micro-batch advances per TRIGGER (rowsPerBatch), so
+      // cycles run back-to-back at the configured interval; rows are
+      // ignored either way and the checkpointed batch-id replay contract is
+      // identical.
+      val ticks = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "1").load()
       val q = ticks.writeStream
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (_: DataFrame, batchId: Long) =>
+          val dbg = sys.env.contains("GRAFT_POLL_DEBUG")
+          val w0 = System.currentTimeMillis()
+          if (dbg) System.err.println(s"[poll-debug] batch $batchId tick-start $w0")
           if (onTick(batchId)) drained = true
+          if (dbg) System.err.println(
+            s"[poll-debug] batch $batchId tick-end ${System.currentTimeMillis()} (${System.currentTimeMillis() - w0} ms)")
         }
         .trigger(Trigger.ProcessingTime(intervalMs))
         .start()
@@ -133,26 +149,57 @@ object JdbcPollStream {
     // steady-state driver state (re-derived from the table when None):
     // the reference's per-shard ValueState offsets + the cycle counter
     @volatile var state: Option[(Map[String, Long], Long)] = None
+    // page schema, resolved by the FIRST cycle's generic JDBC read and
+    // reused by every later cycle (r16): the schema cannot change mid-run,
+    // so re-probing it per shard per 50 ms tick was pure fixed cost
+    @volatile var pageSchema: Option[org.apache.spark.sql.types.StructType] = None
 
     def pollCycle(batchId: Long): Boolean = {
-      val (offsets, lastCycle) = state.getOrElse {
+      val dbg = sys.env.contains("GRAFT_POLL_DEBUG")
+      def ph[T](name: String)(f: => T): T = {
+        if (!dbg) f else {
+          val t0 = System.nanoTime(); val r = f
+          System.err.println(f"[poll-debug]   $name ${(System.nanoTime() - t0) / 1e6}%.1f ms")
+          r
+        }
+      }
+      val (offsets, lastCycle) = ph("state")(state.getOrElse {
         (committedOffsets(spark, cfg.tablePath, cfg.shardCol),
           committedCycle(spark, cfg.tablePath))
-      }
+      })
       // continuous re-discovery: shards that appeared since the last cycle
       // enter at offset 0 (ColumnSource re-polls DISTINCT forever)
-      val shards = ShardedIngest.discoverShardsJdbc(
-        spark, cfg.url, cfg.table, cfg.shardCol, cfg.dialect)
-      val page = ShardedIngest.viaJdbc(spark, cfg.url, cfg.table, cfg.shardCol,
-          cfg.sortCols, offsets, cfg.pageSize, shards, cfg.dialect)
-        .localCheckpoint(true) // poll the database once; feeds count + append
-      val counts = page.groupBy(col(cfg.shardCol)).agg(count(lit(1)).as("__n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val shards = ph("discover")(ShardedIngest.discoverShardsJdbc(
+        spark, cfg.url, cfg.table, cfg.shardCol, cfg.dialect))
+      val page = ph("page") {
+        val p = pageSchema match {
+          case Some(sch) => ShardedIngest.viaJdbcResolved(spark, cfg.url, cfg.table,
+            cfg.shardCol, cfg.sortCols, offsets, cfg.pageSize, shards, cfg.dialect, sch)
+          case None =>
+            val generic = ShardedIngest.viaJdbc(spark, cfg.url, cfg.table, cfg.shardCol,
+              cfg.sortCols, offsets, cfg.pageSize, shards, cfg.dialect)
+            pageSchema = Some(generic.schema)
+            generic
+        }
+        p.localCheckpoint(true) // poll the database once; feeds count + append
+      }
+      // per-shard page counts WITHOUT a shuffle (r16): both page forms
+      // guarantee partition i holds shard shards(i)'s page (the generic
+      // form is a union of one single-partition scan per shard, in order;
+      // viaJdbcResolved documents the same contract), so one count-only
+      // pass over the materialized blocks replaces the groupBy exchange.
+      val counts = ph("counts") {
+        val sizes = spark.sparkContext.runJob(page.rdd,
+          (it: Iterator[org.apache.spark.sql.Row]) => {
+            var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+          })
+        shards.zip(sizes).filter(_._2 > 0L).toMap
+      }
       if (counts.isEmpty) return true // drained
       val cycle = lastCycle + 1
       cfg.beforeCommit(cycle)
-      val committed = VersionedTable.appendOnce(
-        page.withColumn("cycle", lit(cycle)), cfg.tablePath, batchId)
+      val committed = ph("append")(VersionedTable.appendOnce(
+        page.withColumn("cycle", lit(cycle)), cfg.tablePath, batchId))
       if (committed) {
         // the reference's offset += rowCount (ValueState update)
         val advanced = (offsets.keySet ++ counts.keySet).map(k =>
@@ -237,6 +284,9 @@ object JdbcPollStream {
     * the same restart/exactly-once contract as [[runUntilDrained]]. */
   def runCdcUntilDrained(spark: SparkSession, cfg: CdcConfig): Unit = {
     @volatile var cycles = 0L
+    // delta schema resolved once by the first cycle's generic read (r16):
+    // same per-cycle fixed-cost removal as [[runUntilDrained]]'s pageSchema
+    @volatile var deltaSchema: Option[org.apache.spark.sql.types.StructType] = None
     def pollCycle(batchId: Long): Boolean = {
       val predicate = cfg.incCol match {
         case None =>
@@ -246,10 +296,15 @@ object JdbcPollStream {
           val (hts, hid) = committedHwmInc(spark, cfg.tablePath, cfg.tsCol, inc)
           s""""${cfg.tsCol}" > $hts OR ("${cfg.tsCol}" = $hts AND "$inc" > $hid)"""
       }
-      val delta = spark.read.format("jdbc").option("url", cfg.url)
-        .option("query", s"SELECT * FROM ${cfg.table} WHERE $predicate")
-        .load()
-        .localCheckpoint(true) // pull once; feeds count + upsert
+      val deltaSql = s"SELECT * FROM ${cfg.table} WHERE $predicate"
+      val delta = (deltaSchema match {
+        case Some(sch) => ShardedIngest.jdbcScan(spark, cfg.url, Seq(deltaSql), sch)
+        case None =>
+          val generic = spark.read.format("jdbc").option("url", cfg.url)
+            .option("query", deltaSql).load()
+          deltaSchema = Some(generic.schema)
+          generic
+      }).localCheckpoint(true) // pull once; feeds count + upsert
       if (delta.isEmpty) return true // quiescent
       // track the watermark column(s) in the commit's manifest metrics so
       // the NEXT cycle's hwm derivation is metadata-only (no table scan)

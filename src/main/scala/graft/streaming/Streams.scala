@@ -78,9 +78,30 @@ object Streams {
       .filter(_.getName.endsWith(".parquet")).toSet
   }
 
+  /** Route streaming-checkpoint metadata writes through the FileSystem API
+    * when the checkpoint lives on a LOCAL filesystem (r16, guide §7.3).
+    * Spark's default FileContext-based checkpoint manager is the right
+    * choice on HDFS/object stores (atomic rename guarantees), but on
+    * RawLocalFileSystem its every rename routes through
+    * `FileUtil.readLink`, which FORKS A SHELL PROCESS per call — measured
+    * ~45 ms per offset-log write and another ~45 ms per commit-log write,
+    * every micro-batch (thread dumps show the stream execution thread in
+    * `Shell.runCommand` under `FileContextBasedCheckpointFileManager
+    * .renameTempFile`). The FileSystem-based manager's local rename is
+    * `File.renameTo` — atomic on a local FS, no fork. Scoped to local
+    * paths only: cluster checkpoints (hdfs://, s3a://, …) never match and
+    * keep the default manager. */
+  def tuneLocalCheckpointManager(spark: SparkSession, ckDir: String): Unit = {
+    val scheme = try new java.net.URI(ckDir).getScheme catch { case _: Exception => null }
+    if (scheme == null || scheme == "file") spark.conf.set(
+      "spark.sql.streaming.checkpointFileManagerClass",
+      "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+  }
+
   /** Run a streamed transform to a parquet append sink until the backlog is
     * drained, then read the committed result back. */
   def runAppend(streamed: DataFrame, outDir: String, ckDir: String): DataFrame = {
+    tuneLocalCheckpointManager(streamed.sparkSession, ckDir)
     val q = streamed.writeStream
       .format("parquet")
       .option("path", outDir)
@@ -101,7 +122,8 @@ object Streams {
     * log) — the crash-recovery contract StreamingSpec exercises.
     */
   def startProcessingTime(streamed: DataFrame, outDir: String, ckDir: String,
-      intervalMs: Long): org.apache.spark.sql.streaming.StreamingQuery =
+      intervalMs: Long): org.apache.spark.sql.streaming.StreamingQuery = {
+    tuneLocalCheckpointManager(streamed.sparkSession, ckDir)
     streamed.writeStream
       .format("parquet")
       .option("path", outDir)
@@ -109,11 +131,13 @@ object Streams {
       .trigger(Trigger.ProcessingTime(intervalMs))
       .outputMode("append")
       .start()
+  }
 
   /** Run a streamed aggregation in complete mode through `foreachBatch`,
     * overwriting `outDir` each batch — the final batch holds the full result
     * (the `foreachBatch` + overwrite idiom for non-append sinks). */
   def runCompleteOverwrite(streamed: DataFrame, outDir: String, ckDir: String): DataFrame = {
+    tuneLocalCheckpointManager(streamed.sparkSession, ckDir)
     val q = streamed.writeStream
       .outputMode("complete")
       .option("checkpointLocation", ckDir)
