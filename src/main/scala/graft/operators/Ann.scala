@@ -139,6 +139,9 @@ object Ann {
         posexplode(array((0 until numTables).map(t =>
           srp(col("embedding"), numBits, 2000 + t)): _*)))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+      // both sides of the bucket self-join read this frame; persist or the
+      // SRP hashing runs twice (r16, guide §5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bucketed.as("a").join(bucketed.as("b"), Seq("tbl", "bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
@@ -184,6 +187,8 @@ object Ann {
         posexplode(array((0 until numTables).map(t =>
           srp(col("embedding"), numBits, 3000 + t)): _*)))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+      // both sides of the bucket self-join read this frame (r16, guide §5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bucketed.as("a").join(bucketed.as("b"), Seq("tbl", "bucket"))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),

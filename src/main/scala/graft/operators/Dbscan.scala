@@ -141,6 +141,8 @@ object Dbscan {
         posexplode(array((0 until numTables).map(t =>
           sign_random_projection_poly(col("embedding"), numBits, seedBase + t)): _*)))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+      // both sides of the bucket self-join read this frame (r16, guide §5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a ≠ b keeps BOTH directions of every collision → symmetric list.
     // Dedup on the BARE id pair first — the multi-table dedup shuffle moves
     // O(collisions) id pairs, not O(collisions × dim) quantized longs — then

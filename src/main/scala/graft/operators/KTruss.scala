@@ -77,6 +77,8 @@ object KTruss {
           struct(col("u").as("s"), col("v").as("t")))
         .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
+      // both sides of the wedge self-join read this frame (r16, guide §5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wedges = oriented.as("a")
       .join(oriented.as("b"),
         col("a.s") === col("b.s") && col("a.t") < col("b.t"))

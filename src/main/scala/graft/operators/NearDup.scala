@@ -361,6 +361,9 @@ object NearDup {
     val banded = withChunks.select(col("doc_id"), col("cs"),
         posexplode(col("cs")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
+      // both sides of the chunk self-join read this frame; persist or the
+      // simhash kernel runs twice (r16, guide §5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("a").join(banded.as("b"), Seq("band", "chunk"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

@@ -40,6 +40,9 @@ object Triangles {
           struct(col("u").as("s"), col("v").as("t")))
         .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
+      // both sides of the wedge self-join read this frame; persist or the
+      // degree joins re-run per side (r16, guide §5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // wedges from out-edge pairs at a common center; t1 < t2 dedups the pair
     val wedges = oriented.as("a")

@@ -1756,12 +1756,20 @@ object TrainingData {
 
     "pipeline_training_data" -> Q(
       (s, d) => {
+        // base feeds BOTH the dedup groupBy and the kept join; persist the
+        // narrow projection or the normalize/tokenize/BPE-regex pass over
+        // every document runs twice (r16, guide §5 — common subtrees are
+        // not deduplicated). `text` is dropped before the persist: nothing
+        // downstream reads it, so the cached frame is a fraction of the
+        // corpus bytes.
         val base = docs(s, d)
           .withColumn("norm", normalize_text(col("text")))
           .withColumn("n_words", size(ascii_tokens(col("text"))).cast("long"))
           .withColumn("bpe",
             size(regexp_extract_all(col("text"), lit(bpeIshPattern), lit(0))).cast("long"))
           .filter(col("n_words") >= 10)
+          .select(col("doc_id"), col("lang"), col("norm"), col("bpe"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val keep = base.groupBy(col("norm")).agg(min(col("doc_id")).as("keep_id"))
         val kept = base.join(keep, base("doc_id") === keep("keep_id")).drop("keep_id")
         val emb = table(s, d, "embeddings").select(col("vec_id"))

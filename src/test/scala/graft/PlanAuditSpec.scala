@@ -111,6 +111,13 @@ class PlanAuditSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // drop caches from earlier tests: the operator persists (r16) embed
+      // their ORIGINAL build plan inside InMemoryRelation, and a cache
+      // materialized under the default threshold legitimately contains an
+      // AQE auto-broadcast — this test asserts no FORCED hint, so the
+      // cached frames must be rebuilt under the -1 threshold it sets
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       val df = q("ngram_jaccard_pairs")
       df.collect() // AQE-final plan
       val plan = planOf(df)
