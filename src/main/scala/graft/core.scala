@@ -92,6 +92,38 @@ object core {
       toExpr(a), toExpr(b)))
   }
 
+  /** Env-gated phase tracer (`GRAFT_TRACE`, also on under the poll loop's
+    * `GRAFT_POLL_DEBUG`): wall-times a driver-side phase to stderr. Used by
+    * the commit/export hot paths so a single profiled run shows where the
+    * non-job (driver) milliseconds go — guide §7.3's question, answered
+    * without thread dumps. Zero cost when the env is absent. */
+  val traceOn: Boolean =
+    sys.env.contains("GRAFT_TRACE") || sys.env.contains("GRAFT_POLL_DEBUG")
+  def trace[T](name: String)(f: => T): T =
+    if (!traceOn) f else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[trace] $name ${(System.nanoTime() - t0) / 1e6}%.1f ms")
+      r
+    }
+
+  /** Spread a kernel input across the cluster when the SCAN cannot: a
+    * single-row-group/single-file table plans as one task, so any expensive
+    * per-row kernel downstream of it (shingling, hashing, codec decode,
+    * regex tokenization) runs on ONE core until the first exchange — the
+    * sf0.1 inputs are exactly this shape (guide §2: "parallelism starts at
+    * the first exchange"). When the input already has at least the
+    * session's parallelism (any at-scale table), this is a no-op — the
+    * condition, not a constant, is what makes it scale-adaptive.
+    * Repartitioning hashes on `keys` when given (deterministic row→partition
+    * assignment, retry-safe per guide §2.5) and round-robin otherwise
+    * (Spark's sort-before-repartition keeps that retry-safe too). */
+  def spread(df: DataFrame, keys: Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else if (keys.nonEmpty) df.repartition(p, keys: _*)
+    else df.repartition(p)
+  }
+
   def eventsTable(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {

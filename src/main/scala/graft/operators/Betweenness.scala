@@ -80,8 +80,15 @@ object Betweenness {
     //   floor(sigma_v * (Scale + delta_w) / sigma_w), widened to
     // DECIMAL(38,0) so sigma_v * (Scale + delta_w) can't wrap.
     val d38 = DecimalType(38, 0)
+    // The sweep iterate carries (s, node, sigma, delta) — sigma rides along
+    // (r17) so each sweep joins the exploded DAG-edge frame (the big side:
+    // frontier × out-degree rows) against ONE successor frame instead of
+    // two. The former succSigma⋈succ pair were both keyed by the SAME
+    // (s, node) rows of levels(l+1), a 1:1 join — fusing them halves the
+    // number of big-side joins per level (guide §3: the deepest sweep's
+    // 6 M-row join was the costliest single job in the graph family).
     var delta = levels(maxDepth)
-      .select(col("s"), col("node"), lit(0L).as("delta"))
+      .select(col("s"), col("node"), col("sigma"), lit(0L).as("delta"))
     // bc rows: dependencies of nodes at levels 1..maxDepth-1 (pivots are
     // excluded from their own accounting, per Brandes; the deepest level
     // has delta 0 and contributes nothing)
@@ -91,16 +98,13 @@ object Betweenness {
     var l = maxDepth - 1
     while (l >= 1) {
       val succ = delta.select(col("s"), col("node").as("w_node"),
-        col("delta").as("delta_w"))
-      val succSigma = levels(l + 1).select(col("s"),
-        col("node").as("w_node"), col("sigma").as("sigma_w"))
+        col("sigma").as("sigma_w"), col("delta").as("delta_w"))
       // only edges landing on dist-(l+1) nodes survive the inner join with
       // the next level — exactly the shortest-path-DAG edges out of level l
       val agg = levels(l).withColumnRenamed("node", "src")
         .join(e, "src")
         .select(col("s"), col("src").as("node"), col("sigma"),
           col("dst").as("w_node"))
-        .join(succSigma, Seq("s", "w_node"))
         .join(succ, Seq("s", "w_node"))
         .groupBy(col("s"), col("node"))
         .agg(sum(
@@ -109,12 +113,14 @@ object Betweenness {
             col("sigma_w").cast(d38))).as("delta"))
       // a level-l node with NO dist-(l+1) successor (a within-bound leaf)
       // has dependency 0 but must stay visible to the next sweep and to the
-      // final sum — left join + coalesce keeps every level-l row
-      val d = ckpt(levels(l).select(col("s"), col("node"))
+      // final sum — left join + coalesce keeps every level-l row (and its
+      // sigma, for the next sweep's fused successor frame)
+      val d = ckpt(levels(l).select(col("s"), col("node"), col("sigma"))
         .join(agg, Seq("s", "node"), "left")
-        .select(col("s"), col("node"), coalesce(col("delta"), lit(0L)).as("delta")))
+        .select(col("s"), col("node"), col("sigma"),
+          coalesce(col("delta"), lit(0L)).as("delta")))
       delta = d
-      if (l >= 1) contrib = contrib :+ d
+      contrib = contrib :+ d.select(col("s"), col("node"), col("delta"))
       l -= 1
     }
 

@@ -61,6 +61,37 @@ final class Checkpointer(dir: Option[String]) extends Serializable {
     }.getOrElse(Set.empty)
   }
 
+  /** [[apply]] for a STAGED frame whose downstream consumers rely on its
+    * partitioning and ordering surviving into the checkpoint — e.g. an edge
+    * table `repartition(n, key).sortWithinPartitions(key)`-staged once so
+    * that every loop iteration's join reads it exchange- and sort-free.
+    *
+    * Why a separate entry point: `Dataset.checkpoint` records the executed
+    * plan's `outputPartitioning`/`outputOrdering` in the LogicalRDD it
+    * returns, but under AQE the executed plan is an `AdaptiveSparkPlanExec`
+    * whose exposed partitioning is the SparkPlan default
+    * `UnknownPartitioning(0)` — so the checkpointed side of every downstream
+    * join was re-exchanged AND re-sorted per iteration (observed:
+    * plans/r16/graph_pagerank_after.txt, 26 exchanges / 12 sorts for a
+    * 4-iteration chain; the r16 pre-sort was dead weight for this reason).
+    * Materializing this one query with AQE off makes the executed plan the
+    * plain physical plan, whose root partitioning/ordering IS the staging
+    * layout, and the checkpoint carries it. AQE stays on for everything
+    * else, including the loop queries that read the checkpoint (they still
+    * coalesce/skew-split/broadcast their OWN shuffles at runtime).
+    *
+    * Must be called on a frame that has not been planned yet (the AQE flag
+    * is read at physical-planning time); operators construct and stage in
+    * one expression, which satisfies that.
+    */
+  def staged(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.adaptive.enabled"
+    val prev = conf.get(key)
+    conf.set(key, "false")
+    try apply(df) finally conf.set(key, prev)
+  }
+
   /** Truncate `df`'s lineage eagerly under the chosen strategy. */
   def apply(df: DataFrame): DataFrame = dir match {
     case Some(d) =>

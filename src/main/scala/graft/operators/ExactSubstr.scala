@@ -59,7 +59,10 @@ object ExactSubstr {
     */
   def duplicateSpans(docs: DataFrame, n: Int, hashGramKey: Boolean = true): DataFrame = {
     require(n >= 2, s"span gram length must be >= 2, got $n")
-    val windows = docs
+    // spread before the tokenize → window-explode → hash kernel (r17,
+    // [[graft.core.spread]]): a single-row-group corpus otherwise runs the
+    // whole gram pipeline on one task; no-op on an already-parallel scan
+    val windows = graft.core.spread(docs, col("doc_id"))
       .select(col("doc_id"), ascii_tokens(col("text")).as("w"))
       .filter(size(col("w")) >= n) // sequence(1, <1) is invalid; short docs have no n-window
       .select(col("doc_id"), explode(transform(

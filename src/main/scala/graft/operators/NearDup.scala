@@ -23,9 +23,13 @@ object NearDup {
     */
   def wordShingles3(text: Column): Column = word_shingles(text, 3)
 
-  /** `(doc_id, shingles)` prep used by all the near-dup paths. */
+  /** `(doc_id, shingles)` prep used by all the near-dup paths. The corpus is
+    * spread first (r17, [[graft.core.spread]]): a single-row-group corpus
+    * file otherwise runs the whole shingle kernel on one task — at scale the
+    * scan is already parallel and the spread is a no-op. */
   def shingled(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), wordShingles3(col("text")).as("shingles"))
+    graft.core.spread(docs, col("doc_id"))
+      .select(col("doc_id"), wordShingles3(col("text")).as("shingles"))
 
   private def jaccardOfCandidates(cand: DataFrame, sets: DataFrame, minJaccard: Double): DataFrame = {
     val a = sets.select(col("doc_id").as("id_a"), col("shingles").as("sa"))

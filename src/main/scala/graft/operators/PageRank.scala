@@ -71,25 +71,22 @@ object PageRank {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // (src, dst, deg) staged once — iterations re-scan it, never re-join it.
-    // Pre-partitioned BY THE JOIN KEY before the checkpoint: Dataset
-    // .checkpoint preserves the physical HashPartitioning in its LogicalRDD,
-    // so every iteration's edges⋈ranks join finds this side already
-    // distributed by src and inserts no exchange for it — the edge table
-    // (the big side at 100 TB) is shuffled once per RUN, not once per
-    // iteration.
-    // …and pre-SORTED within partitions (r16): Dataset.checkpoint preserves
-    // outputOrdering in its LogicalRDD alongside the partitioning, so every
-    // iteration's sort-merge join finds this side already sorted by src and
-    // skips the per-iteration sort of the edge table — `iters` sorts of the
-    // big side traded for one at staging time.
-    val eDeg = ckpt(e.join(deg, "src").repartition(shufflePartitions, col("src"))
+    // Pre-partitioned BY THE JOIN KEY and pre-sorted within partitions, and
+    // checkpointed through [[Checkpointer.staged]] (r17): under AQE a plain
+    // checkpoint records UnknownPartitioning(0), so r16's plan still
+    // exchanged AND sorted this side in EVERY iteration
+    // (plans/r16/graph_pagerank_after.txt). With the layout actually carried
+    // into the LogicalRDD, the edge table (the big side at 100 TB) is
+    // shuffled and sorted once per RUN, not once per iteration.
+    val eDeg = ckpt.staged(e.join(deg, "src")
+      .repartition(shufflePartitions, col("src"))
       .sortWithinPartitions("src"))
     // Static per-node frame (node, is_dang): every iteration's update join
     // reads THIS — not the previous iterate — so the iterate is referenced
     // exactly once per round (see the loop). Partitioned by node: both the
     // scatter join (src = node) and the update join (node = dst) find it
     // pre-distributed.
-    val base = ckpt(e.select(col("src").as("node"))
+    val base = ckpt.staged(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .join(deg.select(col("src").as("node"), lit(1).as("has_out")), Seq("node"), "left")
       .select(col("node"), col("has_out").isNull.as("is_dang"))
@@ -197,13 +194,21 @@ object PageRank {
       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, "iters must be positive")
     val ckpt = new Checkpointer(checkpointDir)
+    val shufflePartitions = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
     val e = ckpt(edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .distinct())
     val nodes = ckpt(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val eDeg = ckpt(e.join(deg, "src"))
+    // Staged like [[run]]'s eDeg (r17): partitioned+sorted by the scatter
+    // key and checkpointed with the layout actually carried into the
+    // LogicalRDD ([[Checkpointer.staged]]), so the edge side of every
+    // iteration's join is neither re-exchanged nor re-sorted.
+    val eDeg = ckpt.staged(e.join(deg, "src")
+      .repartition(shufflePartitions, col("src"))
+      .sortWithinPartitions("src"))
     val srcs = ckpt(sources.select(col("node").cast("long").as("node")).distinct()
       .join(nodes, Seq("node"), "left_semi"))
     val m = srcs.count()

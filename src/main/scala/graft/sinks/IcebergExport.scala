@@ -408,13 +408,14 @@ object IcebergExport {
     val metaDir = new Path(outAbs, "metadata")
     filesystem.mkdirs(metaDir)
 
-    val versions = VersionedTable.versions(spark, tablePath)
-      .filter(_ >= sinceVersion)
+    val versions = graft.core.trace("export.versions")(
+      VersionedTable.versions(spark, tablePath).filter(_ >= sinceVersion))
     require(versions.nonEmpty,
       s"iceberg export: no snapshots at $tablePath (sinceVersion $sinceVersion)")
     require(versions == (versions.head to versions.last),
       s"iceberg export: non-contiguous snapshot chain $versions")
-    val snaps = versions.map(v => VersionedTable.readManifestForTest(spark, tablePath, v))
+    val snaps = graft.core.trace("export.snaps")(
+      versions.map(v => VersionedTable.readManifestForTest(spark, tablePath, v)))
     // monotone chains only: appends and MOR upserts/deletes GROW the dir and
     // delete lists; an overwrite/compaction drops dirs and has no faithful
     // incremental Iceberg image (it would need a rewrite snapshot)
@@ -501,7 +502,7 @@ object IcebergExport {
     // fields that actually WIDENED inside this chain (narrow dirs precede
     // the wide ones): only they may legally have late narrow dirs
     val widenedInChain = scala.collection.mutable.Set.empty[String]
-    val snapSchemas: Seq[StructType] = {
+    val snapSchemas: Seq[StructType] = graft.core.trace("export.schemaFold") {
       // fields are stored under their FIRST physical name and matched by
       // chain-canonical (final) name, so a dir written after a rename folds
       // onto the same field its pre-rename dirs created
@@ -669,7 +670,7 @@ object IcebergExport {
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName)
     // ALL exported files' footer counts in one distributed pass up front
-    val fileCounts: Map[String, Long] = recordCounts(spark,
+    val fileCounts: Map[String, Long] = graft.core.trace("export.fileCounts")(recordCounts(spark,
       snaps.zipWithIndex.flatMap { case (snap, i) =>
         val prevDirs = if (i == 0) Set.empty[String] else snaps(i - 1).dirs.toSet
         val prevDels = if (i == 0) Set.empty[(String, Int)] else snaps(i - 1).deletes.toSet
@@ -677,7 +678,7 @@ object IcebergExport {
         else (snap.dirs.filterNot(prevDirs) ++
           snap.deletes.filterNot(prevDels).map(_._1))
           .flatMap(d => parquetFiles(d).map(_.getPath.toString))
-      })
+      }))
 
     /** ADDED manifest_entry per parquet file of dir `d`; `content` 0 = data
       * (sequence = the dir's graft dataSeq; 0 = pre-MOR legacy, exactly the
@@ -799,7 +800,7 @@ object IcebergExport {
       }
     }
 
-    val snapshotEntries = snaps.zipWithIndex.map { case (snap, i) =>
+    val snapshotEntries = graft.core.trace("export.manifests")(snaps.zipWithIndex.map { case (snap, i) =>
       val seq = snap.version.toLong
       val snapshotId = seq
       val prevDels = if (i == 0) Set.empty[(String, Int)] else snaps(i - 1).deletes.toSet
@@ -854,7 +855,7 @@ object IcebergExport {
         (snapshotId, seq, ts, listPath.toString,
           if (delEntries.nonEmpty) "overwrite" else "append", snapSchemaIds(i))
       }
-    }
+    })
 
     val uuid = java.util.UUID.nameUUIDFromBytes(tableAbs.getBytes("UTF-8")).toString
     val lastSeq = snapshotEntries.last._2
@@ -931,12 +932,14 @@ object IcebergExport {
         "snapshot-log":$logJson,
         "metadata-log":$metadataLogJson}"""
     val mdPath = new Path(metaDir, s"v$mdV.metadata.json")
-    val out = filesystem.create(mdPath, true)
-    out.write(metadataJson.getBytes("UTF-8"))
-    out.close()
-    val hint = filesystem.create(new Path(metaDir, "version-hint.text"), true)
-    hint.write(mdV.toString.getBytes("UTF-8"))
-    hint.close()
+    graft.core.trace("export.metadataJson") {
+      val out = filesystem.create(mdPath, true)
+      out.write(metadataJson.getBytes("UTF-8"))
+      out.close()
+      val hint = filesystem.create(new Path(metaDir, "version-hint.text"), true)
+      hint.write(mdV.toString.getBytes("UTF-8"))
+      hint.close()
+    }
     mdPath.toString
   }
 

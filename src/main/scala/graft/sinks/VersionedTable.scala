@@ -525,16 +525,32 @@ object VersionedTable {
     * (`batchId <=` the manifest's `lastBatch`). Batch ids must be applied in
     * ascending order — exactly what one streaming query produces; like
     * [[upsert]], concurrent WRITERS must be externally serialized. */
-  def appendOnce(df: DataFrame, path: String, batchId: Long): Boolean = {
-    val already = latest(df.sparkSession, path).exists(_.lastBatch.exists(_ >= batchId))
+  /** Phase timer for the poll loop's hot commit path — same env gate as
+    * JdbcPollStream's [poll-debug] so one run shows both breakdowns. */
+  private def phased[T](name: String)(f: => T): T =
+    if (!sys.env.contains("GRAFT_POLL_DEBUG")) f else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[poll-debug]     append.$name ${(System.nanoTime() - t0) / 1e6}%.1f ms")
+      r
+    }
+
+  /** @param knownCount the exact row count of `df` when the caller already
+    *        holds it (the poll loop counts its page before appending): the
+    *        row-count sidecar is then written directly instead of re-derived
+    *        from the just-written parquet footers — the footer reads were a
+    *        fixed ~50 ms of driver I/O on every 50 ms poll commit (r17). */
+  def appendOnce(df: DataFrame, path: String, batchId: Long,
+      knownCount: Option[Long] = None): Boolean = {
+    val already = phased("precheck")(
+      latest(df.sparkSession, path).exists(_.lastBatch.exists(_ >= batchId)))
     if (already) return false // replay: committed data already contains it
-    val d = writeDataDir(df, path)
+    val d = phased("write")(writeDataDir(df, path, knownCount))
     // The pre-check above is an optimization (skip the write on an obvious
     // replay); the GUARD is re-run inside the commit lock — two concurrent
     // deliveries of the same batch both pass the pre-check, but only the
     // first can commit (the second aborts in-lock and reports false).
     try {
-      commit(df.sparkSession, path, { cur =>
+      phased("commit")(commit(df.sparkSession, path, { cur =>
         if (cur.exists(_.lastBatch.exists(_ >= batchId)))
           throw new CommitAborted(s"batch $batchId already committed")
         guardRenamedAway(df.columns.toSeq, cur)
@@ -544,7 +560,7 @@ object VersionedTable {
           cur.map(_.dataSeq).getOrElse(Map.empty) + (d -> nextV(cur)),
           cur.map(_.deletes).getOrElse(Nil),
           cur.map(_.deleteKeys).getOrElse(Nil))
-      })
+      }))
       true
     } catch { case _: CommitAborted => false }
   }
@@ -1244,10 +1260,14 @@ object VersionedTable {
 
   // ---- internals ---------------------------------------------------------
 
-  private def writeDataDir(df: DataFrame, path: String): String = {
+  private def writeDataDir(df: DataFrame, path: String,
+      knownCount: Option[Long] = None): String = {
     val d = s"d-${System.nanoTime()}-${counter.incrementAndGet()}"
-    df.write.parquet(new Path(path, d).toString)
-    writeRowCountSidecar(df.sparkSession, new Path(path, d))
+    phased("write.parquet")(df.write.parquet(new Path(path, d).toString))
+    phased("write.sidecar")(knownCount match {
+      case Some(n) => writeRowCountValue(df.sparkSession, new Path(path, d), n)
+      case None    => writeRowCountSidecar(df.sparkSession, new Path(path, d))
+    })
     d
   }
 
@@ -1273,6 +1293,16 @@ object VersionedTable {
         }.sum
       val out = filesystem.create(new Path(dir, RowCountFile), true)
       try out.write(total.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case _: Exception => () }
+
+  /** [[writeRowCountSidecar]] with the count already in hand (caller-side
+    * exact count, e.g. the poll loop's per-cycle page count): one tiny file
+    * write, zero footer reads. Same non-fatal contract. */
+  private def writeRowCountValue(spark: SparkSession, dir: Path, n: Long): Unit =
+    try {
+      val filesystem = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = filesystem.create(new Path(dir, RowCountFile), true)
+      try out.write(n.toString.getBytes("UTF-8")) finally out.close()
     } catch { case _: Exception => () }
 
   private val RowCountFile = "_rowcount"
@@ -1438,7 +1468,14 @@ object VersionedTable {
 
   private def readSnapshot(spark: SparkSession, path: String, snap: Snapshot): DataFrame = {
     require(snap.dirs.nonEmpty, s"snapshot v${snap.version} is empty")
-    if (snap.deletes.isEmpty && snap.renames.isEmpty)
+    if (snap.deletes.isEmpty && snap.renames.isEmpty && snap.dirs.size == 1)
+      // single-dir snapshot (every fresh overwrite, the staging shape the
+      // CDC/IVM rows read 4× each): one writeDataDir job wrote the dir, so
+      // all its files share one schema — plain read, no mergeSchema. This
+      // skips the distributed footer-merge JOB mergeSchema launches per
+      // read (r17: ~4 jobs per incremental_join_maintenance invocation).
+      spark.read.parquet(new Path(path, snap.dirs.head).toString)
+    else if (snap.deletes.isEmpty && snap.renames.isEmpty)
       spark.read.option("mergeSchema", "true")
         .parquet(snap.dirs.map(d => new Path(path, d).toString): _*)
     else if (snap.deletes.isEmpty) {

@@ -48,6 +48,13 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object JdbcPollStream {
 
+  /** Target rows per data file for a poll-cycle commit (guide §6 file
+    * sizing): pages are narrow event rows, so ~4 M rows lands a file in the
+    * 100 MB–1 GB band. Small cycles collapse to one file; a cycle paging
+    * more than this per shard keeps its per-shard write parallelism (the
+    * coalesce is capped at the shard count). */
+  private val RowsPerFile = 4L << 20
+
   /** @param afterCommit driver-side hook run after each successful page
     *        commit with the 1-based cycle number — the seam where tests
     *        inject crashes (throw ⇒ the streaming query fails and the
@@ -181,36 +188,57 @@ object JdbcPollStream {
             pageSchema = Some(generic.schema)
             generic
         }
-        p.localCheckpoint(true) // poll the database once; feeds count + append
+        // ONE database pass shared by the counts job and the append write:
+        // persisted (spillable) instead of the former eager localCheckpoint
+        // — the counts job below is what fills the cache, so this phase no
+        // longer pays its own materialization job (r17; was one job to
+        // checkpoint + one to count, per 50 ms cycle). Recompute on a lost
+        // block is exactly-once-safe: each shard page is a total-ORDER-BY
+        // OFFSET/FETCH query, deterministic by construction. The cycle
+        // unpersists before returning.
+        p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
-      // per-shard page counts WITHOUT a shuffle (r16): both page forms
-      // guarantee partition i holds shard shards(i)'s page (the generic
-      // form is a union of one single-partition scan per shard, in order;
-      // viaJdbcResolved documents the same contract), so one count-only
-      // pass over the materialized blocks replaces the groupBy exchange.
-      val counts = ph("counts") {
-        val sizes = spark.sparkContext.runJob(page.rdd,
-          (it: Iterator[org.apache.spark.sql.Row]) => {
-            var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
-          })
-        shards.zip(sizes).filter(_._2 > 0L).toMap
-      }
-      if (counts.isEmpty) return true // drained
-      val cycle = lastCycle + 1
-      cfg.beforeCommit(cycle)
-      val committed = ph("append")(VersionedTable.appendOnce(
-        page.withColumn("cycle", lit(cycle)), cfg.tablePath, batchId))
-      if (committed) {
-        // the reference's offset += rowCount (ValueState update)
-        val advanced = (offsets.keySet ++ counts.keySet).map(k =>
-          k -> (offsets.getOrElse(k, 0L) + counts.getOrElse(k, 0L))).toMap
-        state = Some((advanced, cycle))
-        cfg.afterCommit(cycle)
-      } else {
-        // replayed batch id: the committed table is the truth — re-derive
-        state = None
-      }
-      false
+      try {
+        // per-shard page counts WITHOUT a shuffle (r16): both page forms
+        // guarantee partition i holds shard shards(i)'s page (the generic
+        // form is a union of one single-partition scan per shard, in order;
+        // viaJdbcResolved documents the same contract), so one count-only
+        // pass over the cached blocks replaces the groupBy exchange.
+        val sizes = ph("counts") {
+          spark.sparkContext.runJob(page.rdd,
+            (it: Iterator[org.apache.spark.sql.Row]) => {
+              var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+            })
+        }
+        val counts = shards.zip(sizes).filter(_._2 > 0L).toMap
+        if (counts.isEmpty) return true // drained
+        val total = sizes.sum
+        // Output file sizing (guide §6): a cycle's page is often far below
+        // one sensible data file (sf0.1: ~3.5 k rows across 5 shard
+        // partitions) — collapse to ceil(rows/RowsPerFile) files instead of
+        // one-tiny-file-per-shard, capped at the shard count so a genuinely
+        // large cycle keeps its per-shard write parallelism. coalesce is
+        // narrow (no shuffle) over the cached page.
+        val nFiles = math.max(1L, math.min(shards.size.toLong,
+          (total + RowsPerFile - 1) / RowsPerFile)).toInt
+        val cycle = lastCycle + 1
+        cfg.beforeCommit(cycle)
+        val committed = ph("append")(VersionedTable.appendOnce(
+          page.withColumn("cycle", lit(cycle)).coalesce(nFiles),
+          cfg.tablePath, batchId,
+          knownCount = Some(total))) // counted above: no footer re-read
+        if (committed) {
+          // the reference's offset += rowCount (ValueState update)
+          val advanced = (offsets.keySet ++ counts.keySet).map(k =>
+            k -> (offsets.getOrElse(k, 0L) + counts.getOrElse(k, 0L))).toMap
+          state = Some((advanced, cycle))
+          cfg.afterCommit(cycle)
+        } else {
+          // replayed batch id: the committed table is the truth — re-derive
+          state = None
+        }
+        false
+      } finally page.unpersist(false)
     }
 
     runTickLoop(spark, cfg.checkpointDir, cfg.intervalMs, cfg.timeoutMs,
